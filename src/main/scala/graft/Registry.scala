@@ -1,0 +1,210 @@
+package graft
+
+import graft.adt._
+import graft.core.FxType
+import graft.exec.{SqlRenderer, Translator}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A named query with its Spark implementation and (when SQL-expressible) the
+  * equivalent DuckDB oracle SQL used by the driver's differential gate.
+  */
+final case class RegisteredQuery(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Central query registry backing SparkEntry. ADT-defined queries get their
+  * oracle SQL from [[SqlRenderer]], so the native (Translator) and SQL paths
+  * are pinned to one IR instance — a divergence is a bug in exactly one place.
+  */
+object Registry {
+
+  def adt(name: String, sel: Select): RegisteredQuery =
+    RegisteredQuery(
+      name,
+      (s, dir) => Translator.select(sel, Tables.resolve(s, dir)),
+      Some(SqlRenderer.select(sel)))
+
+  private val dec = FxType.TDecimal(18, 2)
+  private def sumExact(e: ColumnExpr, alias: String): ColumnExpr =
+    Cast(Agg(AggFn.Sum, e), FxType.TF64).as(alias)
+  private def decOf(c: String): ColumnExpr = Cast(Col(c), dec)
+
+  /** Flagship: TPC-H Q1-shaped pricing summary. Money sums are computed in
+    * decimal and cast back to double so results are bit-identical across
+    * engines and partitionings (float accumulation order independence) — the
+    * property a 1000-executor run must preserve.
+    */
+  val q1: Select = Select(
+    table = "lineitem",
+    columns = Seq(
+      Col("l_returnflag"),
+      Col("l_linestatus"),
+      sumExact(decOf("l_quantity"), "sum_qty"),
+      sumExact(decOf("l_extendedprice"), "sum_base_price"),
+      sumExact(BinOp(ArithOp.Mul, decOf("l_extendedprice"),
+        BinOp(ArithOp.Sub, Lit(V.i32(1)), decOf("l_discount"))), "sum_disc_price"),
+      Agg(AggFn.Avg, Col("l_quantity")).as("avg_qty"),
+      CountStar.as("count_order")),
+    filter = Some(Cond(Col("l_shipdate"), CondOp.LessEqual(V.dateTime(1998, 9, 1)))),
+    groupBy = Seq(Col("l_returnflag"), Col("l_linestatus")),
+    orderBy = Seq(Order.asc("l_returnflag"), Order.asc("l_linestatus")))
+
+  val relational: Seq[RegisteredQuery] = Seq(
+    adt("q1_agg", q1),
+
+    // F1-F7: nested boolean filter tree (AND / OR / NOT / BETWEEN / LIKE / IN)
+    adt("q_filter_nested", Select(
+      table = "orders",
+      columns = Seq(Col("o_orderkey"), Col("o_orderstatus"), Col("o_totalprice"), Col("o_orderpriority")),
+      filter = Some(And(Seq(
+        Or(Seq(
+          Cond(Col("o_orderstatus"), CondOp.Equal(V.str("F"))),
+          Cond(Col("o_orderstatus"), CondOp.Equal(V.str("P"))))),
+        Not(Cond(Col("o_totalprice"), CondOp.Between(V.f64(50000.0), V.f64(150000.0)))),
+        Cond(Col("o_orderpriority"), CondOp.Like("1%")),
+        Cond(Col("o_orderkey"), CondOp.NotEqual(V.i64(-1)))))),
+      orderBy = Seq(Order.asc("o_orderkey")))),
+
+    // J1/J2: inner equi-join, qualified projection
+    adt("q_join_inner", Select(
+      table = "orders",
+      columns = Seq(
+        Col("o_orderkey", Some("orders")),
+        Col("c_name", Some("customer")),
+        Col("c_mktsegment", Some("customer")),
+        Col("o_totalprice", Some("orders"))),
+      joins = Seq(Join("customer", Seq(("o_custkey", "c_custkey")))),
+      orderBy = Seq(Order.asc("o_orderkey")))),
+
+    // J1: left join
+    adt("q_join_left", Select(
+      table = "customer",
+      columns = Seq(
+        Col("c_custkey", Some("customer")),
+        Col("c_name", Some("customer")),
+        Col("n_name", Some("nation"))),
+      joins = Seq(Join("nation", Seq(("c_nationkey", "n_nationkey")), JoinType.Left)),
+      orderBy = Seq(Order.asc("c_custkey")))),
+
+    // J1: right join
+    adt("q_join_right", Select(
+      table = "orders",
+      columns = Seq(
+        Col("c_custkey", Some("customer")),
+        Col("c_name", Some("customer")),
+        Col("o_orderkey", Some("orders"))),
+      joins = Seq(Join("customer", Seq(("o_custkey", "c_custkey")), JoinType.Right)),
+      orderBy = Seq(Order.asc("c_custkey"), Order.asc("o_orderkey")))),
+
+    // J2 multi-key equi-join (self-join with alias)
+    adt("q_join_multikey", Select(
+      table = "lineitem",
+      columns = Seq(
+        Col("l_orderkey", Some("lineitem")).as("okey"),
+        Col("l_linenumber", Some("lineitem")).as("lnum"),
+        Col("l_quantity", Some("li2")).as("qty2")),
+      joins = Seq(Join("lineitem",
+        Seq(("l_orderkey", "l_orderkey"), ("l_linenumber", "l_linenumber")),
+        JoinType.Inner, as = Some("li2"))),
+      orderBy = Seq(Order.asc("okey"), Order.asc("lnum")))),
+
+    // A3: grand aggregate (no group by)
+    adt("q_grand_agg", Select(
+      table = "orders",
+      columns = Seq(
+        CountStar.as("n_orders"),
+        sumExact(decOf("o_totalprice"), "sum_price"),
+        Agg(AggFn.Max, Col("o_totalprice")).as("max_price"),
+        Agg(AggFn.Min, Col("o_totalprice")).as("min_price"),
+        Agg(AggFn.Count, Col("o_custkey"), distinct = true).as("n_customers")))),
+
+    // A2 + group-by over join (count per nation)
+    adt("q_groupby_join", Select(
+      table = "customer",
+      columns = Seq(
+        Col("n_name", Some("nation")),
+        CountStar.as("n_customers"),
+        sumExact(Cast(Col("c_acctbal"), dec), "sum_bal")),
+      joins = Seq(Join("nation", Seq(("c_nationkey", "n_nationkey")))),
+      groupBy = Seq(Col("n_name")),
+      orderBy = Seq(Order.asc("n_name")))),
+
+    // O1-O3: multi-key sort + limit + offset (unique tiebreak ⇒ deterministic)
+    adt("q_sort_limit_offset", Select(
+      table = "orders",
+      columns = Seq(Col("o_orderkey"), Col("o_totalprice")),
+      orderBy = Seq(Order.desc("o_totalprice"), Order.asc("o_orderkey")),
+      limit = Some(20),
+      offset = Some(5))),
+
+    // C1-C6: scalar functions
+    adt("q_scalar_fns", Select(
+      table = "customer",
+      columns = Seq(
+        Col("c_custkey"),
+        Fn(ScalarFn.Upper, Seq(Col("c_name"))).as("name_up"),
+        Fn(ScalarFn.Lower, Seq(Col("c_mktsegment"))).as("seg_lo"),
+        Fn(ScalarFn.CharLength, Seq(Col("c_name"))).as("name_len"),
+        Fn(ScalarFn.Abs, Seq(Col("c_acctbal"))).as("bal_abs"),
+        Fn(ScalarFn.IfNull, Seq(Col("c_acctbal"), Lit(V.f64(0.0)))).as("bal_or_zero"),
+        Cast(Col("c_custkey"), FxType.TString).as("key_str"),
+        Fn(ScalarFn.Round, Seq(Col("c_acctbal"), Lit(V.i32(0)))).as("bal_round")),
+      orderBy = Seq(Order.asc("c_custkey")))),
+
+    // distinct projection
+    adt("q_distinct", Select(
+      table = "orders",
+      columns = Seq(Col("o_orderstatus"), Col("o_orderpriority")),
+      distinct = true,
+      orderBy = Seq(Order.asc("o_orderstatus"), Order.asc("o_orderpriority")))),
+
+    // semi join extension (EXISTS)
+    RegisteredQuery(
+      "q_join_semi",
+      (s, dir) => Translator.select(Select(
+        table = "customer",
+        columns = Seq(Col("c_custkey"), Col("c_name")),
+        joins = Seq(Join("orders", Seq(("c_custkey", "o_custkey")), JoinType.Semi)),
+        orderBy = Seq(Order.asc("c_custkey"))), Tables.resolve(s, dir)),
+      Some("SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders) ORDER BY c_custkey")),
+
+    // anti join extension (NOT EXISTS)
+    RegisteredQuery(
+      "q_join_anti",
+      (s, dir) => Translator.select(Select(
+        table = "customer",
+        columns = Seq(Col("c_custkey"), Col("c_name")),
+        joins = Seq(Join("orders", Seq(("c_custkey", "o_custkey")), JoinType.Anti)),
+        orderBy = Seq(Order.asc("c_custkey"))), Tables.resolve(s, dir)),
+      Some("SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) ORDER BY c_custkey")),
+
+    // U1 vconcat: union of disjoint filtered subsets
+    RegisteredQuery(
+      "q_union",
+      (s, dir) => {
+        val t = Tables.resolve(s, dir)
+        val lo = Translator.select(Select("orders",
+          Seq(Col("o_orderkey"), Col("o_totalprice")),
+          filter = Some(Cond(Col("o_totalprice"), CondOp.Less(V.f64(20000.0))))), t)
+        val hi = Translator.select(Select("orders",
+          Seq(Col("o_orderkey"), Col("o_totalprice")),
+          filter = Some(Cond(Col("o_totalprice"), CondOp.Greater(V.f64(300000.0))))), t)
+        lo.unionByName(hi).orderBy("o_orderkey")
+      },
+      Some("SELECT * FROM (SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 20000.0 UNION ALL SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 300000.0) ORDER BY o_orderkey")),
+
+    // Delete semantics (native path = complement of the filter)
+    RegisteredQuery(
+      "q_delete",
+      (s, dir) => Translator.delete(
+        Delete("orders", Some(And(Seq(
+          Cond(Col("o_orderstatus"), CondOp.Equal(V.str("F"))),
+          Cond(Col("o_totalprice"), CondOp.Greater(V.f64(100000.0))))))),
+        Tables.resolve(s, dir))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey"),
+      Some("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 100000.0) ORDER BY o_orderkey")))
+
+  def all: Seq[RegisteredQuery] = relational
+}

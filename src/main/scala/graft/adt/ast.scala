@@ -1,0 +1,219 @@
+package graft.adt
+
+import graft.core.{FxType, FxValue}
+
+/** Serializable relational query ADT.
+  *
+  * Capability parity with the reference's query IR
+  * (fabrix-sql/src/builder/sql_adt.rs:273-292 columns, :448-547 filter
+  * expressions, :680-751 join, :749-752 limit/offset/group_by) re-expressed as
+  * proper trees instead of the reference's pairwise marker sequences: a tree is
+  * what both Catalyst and a SQL renderer want, and the reference's typestate
+  * builder FSM (sql_adt.rs:555-673) exists only to guarantee the well-formedness
+  * a tree gives for free. A sequence-style builder ([[FilterBuilder]]) is
+  * provided for API parity.
+  */
+
+// ---------------------------------------------------------------- columns ---
+
+/** A projected column expression. Nesting beyond the reference's flat
+  * fn-of-column surface is deliberate: it lets callers demand exact decimal
+  * aggregation (`Cast(Sum(Cast(x, dec)), double)`) which is what a distributed
+  * engine needs for run-independent float results.
+  */
+sealed trait ColumnExpr {
+  def as(alias: String): ColumnExpr = Aliased(this, alias)
+  /** Output name following SQL rules (alias, else derived). */
+  def outputName: String = this match {
+    case Col(n, _)       => n
+    case Aliased(_, a)   => a
+    case Lit(v)          => v.toString
+    case Agg(fn, e, d)   => s"${fn.sqlName.toLowerCase}${if (d) "_distinct" else ""}(${e.outputName})"
+    case CountStar       => "count_star()"
+    case Fn(fn, args)    => s"${fn.sqlName.toLowerCase}(${args.map(_.outputName).mkString(",")})"
+    case Cast(e, t)      => e.outputName
+    case BinOp(op, l, r) => s"(${l.outputName}${op.symbol}${r.outputName})"
+  }
+}
+
+final case class Col(name: String, table: Option[String] = None) extends ColumnExpr
+final case class Lit(v: FxValue) extends ColumnExpr
+final case class Aliased(e: ColumnExpr, alias: String) extends ColumnExpr
+final case class Fn(fn: ScalarFn, args: Seq[ColumnExpr]) extends ColumnExpr
+final case class Agg(fn: AggFn, arg: ColumnExpr, distinct: Boolean = false) extends ColumnExpr
+case object CountStar extends ColumnExpr
+final case class Cast(e: ColumnExpr, to: FxType) extends ColumnExpr
+final case class BinOp(op: ArithOp, l: ColumnExpr, r: ColumnExpr) extends ColumnExpr
+
+/** Scalar function surface (sql_adt.rs:218-246: Alias/Abs/IfNull/Cast/
+  * Coalesce/CharLength/Lower/Upper; Alias and Cast are structural here).
+  */
+sealed abstract class ScalarFn(val sqlName: String)
+object ScalarFn {
+  case object Abs        extends ScalarFn("ABS")
+  case object IfNull     extends ScalarFn("COALESCE") // IFNULL(a,b) ≡ COALESCE(a,b)
+  case object Coalesce   extends ScalarFn("COALESCE")
+  case object CharLength extends ScalarFn("LENGTH")
+  case object Lower      extends ScalarFn("LOWER")
+  case object Upper      extends ScalarFn("UPPER")
+  case object Round      extends ScalarFn("ROUND") // extension
+}
+
+sealed abstract class AggFn(val sqlName: String)
+object AggFn {
+  case object Max   extends AggFn("MAX")
+  case object Min   extends AggFn("MIN")
+  case object Sum   extends AggFn("SUM")
+  case object Avg   extends AggFn("AVG")
+  case object Count extends AggFn("COUNT")
+  // extensions beyond the reference surface (SURVEY §2.5 "NOT present"):
+  case object Median extends AggFn("MEDIAN")
+}
+
+sealed abstract class ArithOp(val symbol: String)
+object ArithOp {
+  case object Add extends ArithOp("+")
+  case object Sub extends ArithOp("-")
+  case object Mul extends ArithOp("*")
+  case object Div extends ArithOp("/")
+}
+
+// ---------------------------------------------------------------- filters ---
+
+/** Filter expression tree (replaces sql_adt.rs:448-547 marker sequences). */
+sealed trait Expr {
+  def &&(other: Expr): Expr = And(Seq(this, other))
+  def ||(other: Expr): Expr = Or(Seq(this, other))
+  def unary_! : Expr = Not(this)
+}
+final case class Cond(column: Col, op: CondOp) extends Expr
+final case class And(exprs: Seq[Expr]) extends Expr
+final case class Or(exprs: Seq[Expr]) extends Expr
+final case class Not(expr: Expr) extends Expr
+
+/** Predicate surface F1-F7 (sql_adt.rs:466-483). */
+sealed trait CondOp
+object CondOp {
+  final case class Equal(v: FxValue)              extends CondOp
+  final case class NotEqual(v: FxValue)           extends CondOp
+  final case class Greater(v: FxValue)            extends CondOp
+  final case class GreaterEqual(v: FxValue)       extends CondOp
+  final case class Less(v: FxValue)               extends CondOp
+  final case class LessEqual(v: FxValue)          extends CondOp
+  final case class In(vs: Seq[FxValue])           extends CondOp
+  final case class Between(lo: FxValue, hi: FxValue) extends CondOp
+  final case class Like(pattern: String)          extends CondOp
+  case object IsNull                              extends CondOp // extension
+  case object IsNotNull                           extends CondOp // extension
+}
+
+/** Sequence-style filter builder with the same legality rules as the
+  * reference's typestate FSM (sql_adt.rs:555-673): terms and conjunctions must
+  * alternate, NOT binds to the next term. Produces an [[Expr]] tree.
+  */
+final class FilterBuilder private (
+    private val terms: Vector[Expr],
+    private val pendingOr: Vector[Boolean], // conjunction between terms(i) and terms(i+1)
+    private val negateNext: Boolean,
+    private val expectTerm: Boolean) {
+
+  def simple(column: String, op: CondOp): FilterBuilder = term(Cond(Col(column), op))
+  def nest(f: FilterBuilder => FilterBuilder): FilterBuilder =
+    term(f(FilterBuilder.empty).build)
+
+  private def term(e0: Expr): FilterBuilder = {
+    require(expectTerm, "conjunction (and/or) required before another term")
+    val e = if (negateNext) Not(e0) else e0
+    new FilterBuilder(terms :+ e, pendingOr, negateNext = false, expectTerm = false)
+  }
+  def and: FilterBuilder = conj(false)
+  def or: FilterBuilder = conj(true)
+  private def conj(isOr: Boolean): FilterBuilder = {
+    require(!expectTerm, "conjunction must follow a term")
+    new FilterBuilder(terms, pendingOr :+ isOr, negateNext = false, expectTerm = true)
+  }
+  def not: FilterBuilder = {
+    require(expectTerm, "NOT must precede a term")
+    new FilterBuilder(terms, pendingOr, negateNext = true, expectTerm = true)
+  }
+
+  /** Left-to-right fold; explicit nesting controls grouping, matching the
+    * reference's rendering walk (bd.rs:228-323).
+    */
+  def build: Expr = {
+    require(terms.nonEmpty && !expectTerm, "filter must end with a term")
+    terms.tail.zip(pendingOr).foldLeft(terms.head) {
+      case (acc, (t, true))  => Or(Seq(acc, t))
+      case (acc, (t, false)) => And(Seq(acc, t))
+    }
+  }
+}
+object FilterBuilder {
+  def empty: FilterBuilder = new FilterBuilder(Vector.empty, Vector.empty, false, true)
+  def simple(column: String, op: CondOp): FilterBuilder = empty.simple(column, op)
+  def not: FilterBuilder = empty.not
+  def nest(f: FilterBuilder => FilterBuilder): FilterBuilder = empty.nest(f)
+}
+
+// ------------------------------------------------------------------ joins ---
+
+/** Join types J1 (sql_adt.rs:680-687) + Spark-native extensions. */
+sealed abstract class JoinType(val spark: String, val sql: String)
+object JoinType {
+  case object Inner extends JoinType("inner", "JOIN")
+  case object Left  extends JoinType("left", "LEFT JOIN")
+  case object Right extends JoinType("right", "RIGHT JOIN")
+  // extensions (SURVEY §2.4 "NOT present" row):
+  case object Full  extends JoinType("full", "FULL JOIN")
+  case object Cross extends JoinType("cross", "CROSS JOIN")
+  case object Semi  extends JoinType("left_semi", "SEMI JOIN")
+  case object Anti  extends JoinType("left_anti", "ANTI JOIN")
+}
+
+/** Multi-key equi-join (sql_adt.rs:688-736). `on` = (leftCol, rightCol) pairs
+  * ANDed together. The reference allows exactly one join per Select
+  * (sql_adt.rs:751); ours allows a chain. `as` aliases the joined table
+  * (required for self-joins).
+  */
+final case class Join(
+    table: String,
+    on: Seq[(String, String)],
+    typ: JoinType = JoinType.Inner,
+    as: Option[String] = None) {
+  def name: String = as.getOrElse(table)
+}
+
+// ---------------------------------------------------------------- select ----
+
+final case class Order(column: String, desc: Boolean = false)
+object Order {
+  def asc(c: String): Order = Order(c)
+  def desc(c: String): Order = Order(c, desc = true)
+}
+
+/** The Select IR (sql_adt.rs:744-855). */
+final case class Select(
+    table: String,
+    columns: Seq[ColumnExpr],
+    filter: Option[Expr] = None,
+    joins: Seq[Join] = Nil,
+    groupBy: Seq[Col] = Nil,
+    orderBy: Seq[Order] = Nil,
+    limit: Option[Long] = None,
+    offset: Option[Long] = None,
+    distinct: Boolean = false) {
+
+  def columnsName: Seq[String] = columns.map(_.outputName)
+
+  def filter(e: Expr): Select = copy(filter = Some(e))
+  def join(j: Join): Select = copy(joins = joins :+ j)
+  def groupBy(cols: String*): Select = copy(groupBy = cols.map(Col(_)))
+  def orderBy(os: Order*): Select = copy(orderBy = os)
+  def limit(n: Long): Select = copy(limit = Some(n))
+  def offset(n: Long): Select = copy(offset = Some(n))
+}
+
+/** Filtered deletion (sql_adt.rs Delete). Native semantics = keep the
+  * complement (anti-filter); pushdown semantics = DELETE WHERE.
+  */
+final case class Delete(table: String, filter: Option[Expr] = None)

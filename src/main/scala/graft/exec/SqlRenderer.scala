@@ -1,0 +1,114 @@
+package graft.exec
+
+import graft.adt._
+import graft.core._
+
+/** Pushdown execution path: renders the query ADT to ANSI SQL. Mirrors the
+  * reference's sea-query rendering (fabrix-sql/src/builder/query_dml.rs:31-86,
+  * bd.rs:228-435) but targets one ANSI dialect that MySQL/Postgres/SQLite/
+  * DuckDB all accept for the SELECT surface. Also used to generate the DuckDB
+  * oracle SQL for the driver's differential correctness gate, which keeps the
+  * native path (Translator) and the SQL path semantically pinned to each other.
+  */
+object SqlRenderer {
+
+  def value(v: FxValue): String = v match {
+    case FxNull            => "NULL"
+    case FxBool(b)         => if (b) "TRUE" else "FALSE"
+    case FxI8(x)           => x.toString
+    case FxI16(x)          => x.toString
+    case FxI32(x)          => x.toString
+    case FxI64(x)          => x.toString
+    case FxU8(x)           => x.toString
+    case FxU16(x)          => x.toString
+    case FxU32(x)          => x.toString
+    case FxU64(x)          => x.toString
+    case FxF32(x)          => x.toString
+    case FxF64(x)          => x.toString
+    case FxString(x)       => "'" + x.replace("'", "''") + "'"
+    case FxDate(days)      => s"DATE '${java.time.LocalDate.ofEpochDay(days.toLong)}'"
+    case FxTime(nanos)     => nanos.toString
+    case FxDateTime(nanos) =>
+      val ldt = java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(nanos, 1000000000L), Math.floorMod(nanos, 1000000000L).toInt,
+        java.time.ZoneOffset.UTC)
+      val base = ldt.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+      val frac = if (ldt.getNano == 0) "" else f".${ldt.getNano}%09d".reverse.dropWhile(_ == '0').reverse
+      s"TIMESTAMP '$base$frac'"
+    case FxDecimal(x)      => x.underlying.toPlainString
+    case FxUuid(x)         => s"'$x'"
+    case FxBytes(_)        => throw new IllegalArgumentException("bytes literal not renderable to SQL")
+  }
+
+  def columnRef(c: Col): String = c.table.map(t => s"$t.${c.name}").getOrElse(c.name)
+
+  def columnExpr(e: ColumnExpr): String = e match {
+    case c: Col          => columnRef(c)
+    case Lit(v)          => value(v)
+    case Aliased(x, a)   => s"${columnExpr(x)} AS $a"
+    case Cast(x, t)      => s"CAST(${columnExpr(x)} AS ${t.sqlName})"
+    case CountStar       => "COUNT(*)"
+    case BinOp(op, l, r) => s"(${columnExpr(l)} ${op.symbol} ${columnExpr(r)})"
+    case Fn(fn, args)    => s"${fn.sqlName}(${args.map(columnExpr).mkString(", ")})"
+    case Agg(fn, arg, distinct) =>
+      val d = if (distinct) "DISTINCT " else ""
+      s"${fn.sqlName}($d${columnExpr(arg)})"
+  }
+
+  def predicate(e: Expr): String = {
+    def wrap(x: Expr): String = x match {
+      case _: Cond => predicate(x)
+      case _       => s"(${predicate(x)})"
+    }
+    e match {
+      case And(es) => es.map(wrap).mkString(" AND ")
+      case Or(es)  => es.map(wrap).mkString(" OR ")
+      case Not(x)  => s"NOT ${wrap(x)}"
+      case Cond(c, op) =>
+        val n = columnRef(c)
+        op match {
+          case CondOp.Equal(v)        => s"$n = ${value(v)}"
+          case CondOp.NotEqual(v)     => s"$n <> ${value(v)}"
+          case CondOp.Greater(v)      => s"$n > ${value(v)}"
+          case CondOp.GreaterEqual(v) => s"$n >= ${value(v)}"
+          case CondOp.Less(v)         => s"$n < ${value(v)}"
+          case CondOp.LessEqual(v)    => s"$n <= ${value(v)}"
+          case CondOp.In(vs)          => s"$n IN (${vs.map(value).mkString(", ")})"
+          case CondOp.Between(lo, hi) => s"$n BETWEEN ${value(lo)} AND ${value(hi)}"
+          case CondOp.Like(p)         => s"$n LIKE '${p.replace("'", "''")}'"
+          case CondOp.IsNull          => s"$n IS NULL"
+          case CondOp.IsNotNull       => s"$n IS NOT NULL"
+        }
+    }
+  }
+
+  def select(sel: Select): String = {
+    val sb = new StringBuilder("SELECT ")
+    if (sel.distinct) sb.append("DISTINCT ")
+    sb.append(sel.columns.map(columnExpr).mkString(", "))
+    sb.append(" FROM ").append(sel.table)
+    for (j <- sel.joins) {
+      sb.append(s" ${j.typ.sql} ${j.table}")
+      j.as.foreach(a => sb.append(s" AS $a"))
+      if (j.typ != JoinType.Cross) {
+        val conds = j.on.map { case (l, r) =>
+          val lq = if (l.contains(".")) l else s"${sel.table}.$l"
+          val rq = if (r.contains(".")) r else s"${j.name}.$r"
+          s"$lq = $rq"
+        }
+        sb.append(" ON ").append(conds.mkString(" AND "))
+      }
+    }
+    sel.filter.foreach(f => sb.append(" WHERE ").append(predicate(f)))
+    if (sel.groupBy.nonEmpty)
+      sb.append(" GROUP BY ").append(sel.groupBy.map(columnRef).mkString(", "))
+    if (sel.orderBy.nonEmpty)
+      sb.append(" ORDER BY ").append(sel.orderBy.map(o => o.column + (if (o.desc) " DESC" else "")).mkString(", "))
+    sel.limit.foreach(n => sb.append(s" LIMIT $n"))
+    sel.offset.foreach(n => sb.append(s" OFFSET $n"))
+    sb.toString
+  }
+
+  def delete(del: Delete): String =
+    "DELETE FROM " + del.table + del.filter.map(f => " WHERE " + predicate(f)).getOrElse("")
+}

@@ -1,0 +1,179 @@
+package graft.exec
+
+import graft.adt._
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Native execution path: translates the serializable query ADT into
+  * DataFrame operations and lets Catalyst plan the physical execution
+  * (scan → filter → join → agg → sort → limit). This replaces the
+  * reference's render-SQL-and-ship-to-DB path (fabrix-sql/src/executor/
+  * ec.rs:550-581) with a declarative plan, so predicate pushdown, column
+  * pruning, join strategy selection (broadcast vs shuffle), partial
+  * aggregation, and AQE all come from the optimizer instead of hand-rolled
+  * scheduling. At cluster scale nothing here materializes on the driver.
+  */
+object Translator {
+
+  /** Raw Scala value for a literal (Spark's lit() handles these natively). */
+  private def raw(v: FxValue): Any = v match {
+    case FxNull            => null
+    case FxBool(b)         => b
+    case FxI8(x)           => x
+    case FxI16(x)          => x
+    case FxI32(x)          => x
+    case FxI64(x)          => x
+    case FxU8(x)           => x
+    case FxU16(x)          => x
+    case FxU32(x)          => x
+    case FxU64(x)          => new java.math.BigDecimal(x.underlying)
+    case FxF32(x)          => x
+    case FxF64(x)          => x
+    case FxString(x)       => x
+    case FxDate(days)      => java.time.LocalDate.ofEpochDay(days.toLong)
+    case FxTime(nanos)     => nanos
+    case FxDateTime(nanos) => java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(nanos, 1000000000L), Math.floorMod(nanos, 1000000000L).toInt,
+      java.time.ZoneOffset.UTC)
+    case FxDecimal(x)      => x.underlying
+    case FxUuid(x)         => x.toString
+    case FxBytes(x)        => x
+  }
+
+  def column(e: ColumnExpr): Column = e match {
+    case Col(n, Some(t))  => col(s"$t.$n")
+    case Col(n, None)     => col(n)
+    case Lit(v)           => lit(raw(v))
+    case Aliased(x, a)    => column(x).alias(a)
+    case Cast(x, t)       => column(x).cast(t.sparkType)
+    case CountStar        => count(lit(1))
+    case BinOp(op, l, r)  => op match {
+      case ArithOp.Add => column(l) + column(r)
+      case ArithOp.Sub => column(l) - column(r)
+      case ArithOp.Mul => column(l) * column(r)
+      case ArithOp.Div => column(l) / column(r)
+    }
+    case Fn(fn, args) =>
+      val cs = args.map(column)
+      fn match {
+        case ScalarFn.Abs                        => abs(cs.head)
+        case ScalarFn.IfNull | ScalarFn.Coalesce => coalesce(cs: _*)
+        case ScalarFn.CharLength                 => length(cs.head)
+        case ScalarFn.Lower                      => lower(cs.head)
+        case ScalarFn.Upper                      => upper(cs.head)
+        case ScalarFn.Round => args(1) match {
+          case Lit(FxI32(s)) => round(cs.head, s)
+          case other => throw new IllegalArgumentException(s"ROUND scale must be int literal, got $other")
+        }
+      }
+    case Agg(fn, arg, distinct) =>
+      val c = column(arg)
+      fn match {
+        case AggFn.Max    => max(c)
+        case AggFn.Min    => min(c)
+        case AggFn.Sum    => sum(c)
+        case AggFn.Avg    => avg(c)
+        case AggFn.Count  => if (distinct) count_distinct(c) else count(c)
+        case AggFn.Median => median(c)
+      }
+  }
+
+  def predicate(e: Expr): Column = e match {
+    case And(es)  => es.map(predicate).reduce(_ && _)
+    case Or(es)   => es.map(predicate).reduce(_ || _)
+    case Not(x)   => !predicate(x)
+    case Cond(c, op) =>
+      val cc = column(c)
+      op match {
+        case CondOp.Equal(v)        => cc === lit(raw(v))
+        case CondOp.NotEqual(v)     => cc =!= lit(raw(v))
+        case CondOp.Greater(v)      => cc > lit(raw(v))
+        case CondOp.GreaterEqual(v) => cc >= lit(raw(v))
+        case CondOp.Less(v)         => cc < lit(raw(v))
+        case CondOp.LessEqual(v)    => cc <= lit(raw(v))
+        case CondOp.In(vs)          => cc.isin(vs.map(raw): _*)
+        case CondOp.Between(lo, hi) => cc.between(lit(raw(lo)), lit(raw(hi)))
+        case CondOp.Like(p)         => cc.like(p)
+        case CondOp.IsNull          => cc.isNull
+        case CondOp.IsNotNull       => cc.isNotNull
+      }
+  }
+
+  private def hasAgg(e: ColumnExpr): Boolean = e match {
+    case _: Agg | CountStar => true
+    case Aliased(x, _)      => hasAgg(x)
+    case Cast(x, _)         => hasAgg(x)
+    case Fn(_, args)        => args.exists(hasAgg)
+    case BinOp(_, l, r)     => hasAgg(l) || hasAgg(r)
+    case _                  => false
+  }
+
+  /** Translate a Select against a table resolver (name → DataFrame). */
+  def select(sel: Select, resolve: String => DataFrame): DataFrame = {
+    var df = resolve(sel.table).alias(sel.table)
+
+    // joins: qualify bare key names with the owning table so chained joins work
+    for (j <- sel.joins) {
+      val right = resolve(j.table).alias(j.name)
+      df = j.typ match {
+        case JoinType.Cross => df.crossJoin(right)
+        case t =>
+          val cond = j.on.map { case (l, r) =>
+            val lq = if (l.contains(".")) l else s"${sel.table}.$l"
+            val rq = if (r.contains(".")) r else s"${j.name}.$r"
+            col(lq) === col(rq)
+          }.reduce(_ && _)
+          df.join(right, cond, t.spark)
+      }
+    }
+
+    sel.filter.foreach(f => df = df.where(predicate(f)))
+
+    val isAggQuery = sel.groupBy.nonEmpty || sel.columns.exists(hasAgg)
+    var out =
+      if (isAggQuery) {
+        val (aggItems, keyItems) = sel.columns.partition(hasAgg)
+        require(aggItems.nonEmpty, "aggregate query requires at least one aggregate column")
+        val keyNames = sel.groupBy.map(_.name).toSet
+        keyItems.foreach { k =>
+          val base = k match {
+            case Aliased(Col(n, _), _) => n
+            case Col(n, _)             => n
+            case other => throw new IllegalArgumentException(s"non-aggregate projection $other must be a group key")
+          }
+          require(keyNames.contains(base), s"column $base not in GROUP BY")
+        }
+        val aggCols = aggItems.map(e => column(e).alias(e.outputName))
+        val grouped =
+          if (sel.groupBy.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+          else df.groupBy(sel.groupBy.map(column): _*).agg(aggCols.head, aggCols.tail: _*)
+        // restore projection order / aliases
+        grouped.select(sel.columns.map {
+          case a @ Aliased(Col(n, _), al) => col(n).alias(al)
+          case c @ Col(n, _)              => col(n)
+          case e                          => col(e.outputName)
+        }: _*)
+      } else {
+        df.select(sel.columns.map(e => column(e).alias(e.outputName)): _*)
+      }
+
+    if (sel.distinct) out = out.distinct()
+    if (sel.orderBy.nonEmpty)
+      out = out.orderBy(sel.orderBy.map(o => if (o.desc) col(o.column).desc else col(o.column).asc): _*)
+    sel.offset.foreach(n => out = out.offset(n.toInt))
+    sel.limit.foreach(n => out = out.limit(n.toInt))
+    out
+  }
+
+  /** Native Delete semantics: the surviving rows (complement of the filter).
+    * Pushdown Delete (JDBC) renders DELETE WHERE instead — see SqlRenderer.
+    */
+  def delete(del: Delete, resolve: String => DataFrame): DataFrame = {
+    val df = resolve(del.table)
+    del.filter match {
+      case Some(f) => df.where(!predicate(f))
+      case None    => df.limit(0)
+    }
+  }
+}
