@@ -206,5 +206,65 @@ object Registry {
         .orderBy("o_orderkey"),
       Some("SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 100000.0) ORDER BY o_orderkey")))
 
-  def all: Seq[RegisteredQuery] = relational
+  /** Row/index ops (F8), forceCast (C7), set-op extensions — exercised through
+    * the Fabrix wrapper / Column helpers so the judged gate covers the
+    * wrapper-API path, not just the ADT translator.
+    */
+  val rowOps: Seq[RegisteredQuery] = {
+    import graft.core.{Fabrix, ForceCast}
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    Seq(
+      // F8 positional slice in index order (Fabrix.slice → sort+GlobalLimit)
+      RegisteredQuery(
+        "q_fabrix_slice",
+        (s, dir) => Fabrix(Tables.resolve(s, dir)("orders"), "o_orderkey")
+          .slice(100, 50).df.select("o_orderkey", "o_totalprice"),
+        Some("SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 100")),
+
+      // F8 tail in index order
+      RegisteredQuery(
+        "q_fabrix_tail",
+        (s, dir) => Fabrix(Tables.resolve(s, dir)("customer"), "c_custkey")
+          .tail(10).df.select("c_custkey", "c_name"),
+        Some("SELECT c_custkey, c_name FROM customer ORDER BY c_custkey DESC LIMIT 10")),
+
+      // C7 forceCast: total string→int cast, NULL on failure (TRY_CAST oracle)
+      RegisteredQuery(
+        "q_force_cast",
+        (s, dir) => {
+          val docs = Tables.resolve(s, dir)("documents")
+          docs.select(
+            col("doc_id"),
+            ForceCast.forceCast(col("n_chars").cast(StringType), StringType, IntegerType).as("n_parsed"),
+            ForceCast.forceCast(col("lang"), StringType, IntegerType).as("lang_parsed"),
+            ForceCast.forceCast(col("n_chars"), StringType).as("n_str"))
+            .orderBy("doc_id")
+        },
+        Some("SELECT doc_id, TRY_CAST(CAST(n_chars AS VARCHAR) AS INTEGER) AS n_parsed, TRY_CAST(lang AS INTEGER) AS lang_parsed, CAST(n_chars AS VARCHAR) AS n_str FROM documents ORDER BY doc_id")),
+
+      // set-op extension: INTERSECT (SURVEY §2.7 "NOT present" row)
+      RegisteredQuery(
+        "q_intersect",
+        (s, dir) => {
+          val t = Tables.resolve(s, dir)
+          t("customer").select(col("c_nationkey").as("nationkey")).distinct()
+            .intersect(t("supplier").select(col("s_nationkey").as("nationkey")).distinct())
+            .orderBy("nationkey")
+        },
+        Some("SELECT DISTINCT c_nationkey AS nationkey FROM customer INTERSECT SELECT DISTINCT s_nationkey AS nationkey FROM supplier ORDER BY nationkey")),
+
+      // set-op extension: EXCEPT
+      RegisteredQuery(
+        "q_except",
+        (s, dir) => {
+          val t = Tables.resolve(s, dir)
+          t("customer").select(col("c_nationkey").as("nationkey")).distinct()
+            .except(t("supplier").select(col("s_nationkey").as("nationkey")).distinct())
+            .orderBy("nationkey")
+        },
+        Some("SELECT DISTINCT c_nationkey AS nationkey FROM customer EXCEPT SELECT DISTINCT s_nationkey AS nationkey FROM supplier ORDER BY nationkey")))
+  }
+
+  def all: Seq[RegisteredQuery] = relational ++ rowOps
 }

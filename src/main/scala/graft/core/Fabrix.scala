@@ -1,0 +1,177 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Logical-primary-key designation for a Fabrix frame — parity with the
+  * reference's `IndexTag` (fabrix-core/src/fabrix.rs:66-93). The index column
+  * drives row lookup, removal, upsert splitting, and gives positional
+  * operations a deterministic order on an otherwise unordered distributed
+  * dataset.
+  */
+final case class IndexTag(name: String, dataType: DataType)
+
+/** DataFrame + optional index metadata — parity with the reference's
+  * `Fabrix { data, index_tag }` (fabrix-core/src/fabrix.rs:163-167), built
+  * Spark-first: every operation stays a lazy Catalyst plan; nothing
+  * materializes on the driver.
+  *
+  * Positional semantics (SURVEY §7 "hard parts"): the reference assumes
+  * stable in-memory row order (fabrix-core/src/row.rs:293-331). Distributed
+  * rows are unordered, so positional ops here are defined ONLY relative to
+  * the index column's sort order; `generateIndex` mints one when absent.
+  */
+final case class Fabrix(df: DataFrame, indexTag: Option[IndexTag] = None) {
+
+  def schema: StructType = df.schema
+  def width: Int = df.schema.size
+
+  /** The designated index column (fabrix.rs:270-298 `index()`). */
+  def index: Column = df(requireTag.name)
+
+  private def requireTag: IndexTag =
+    indexTag.getOrElse(throw new IllegalStateException(
+      "operation requires an index column; call setIndexTag or generateIndex first"))
+
+  /** Designate an existing column as the index (fabrix.rs:202-231). */
+  def setIndexTag(name: String): Fabrix = {
+    val f = df.schema.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"no column $name"))
+    copy(indexTag = Some(IndexTag(f.name, f.dataType)))
+  }
+
+  /** Mint a dense 0-based index column (fabrix.rs:424-429 `generate_index`).
+    * Deterministic iff `orderBy` gives a total order; with no order it uses
+    * the existing partition layout (zipWithIndex — one extra job to count
+    * partition sizes, no shuffle; contiguous unlike
+    * monotonically_increasing_id).
+    */
+  def generateIndex(orderBy: Seq[Column] = Nil): Fabrix = {
+    val name = Fabrix.DefaultIndexName
+    val out =
+      if (orderBy.nonEmpty)
+        // row_number is a single-partition window: fine for frames that fit
+        // one task; for big frames prefer zipWithIndex below.
+        df.withColumn(name, row_number().over(Window.orderBy(orderBy: _*)).cast(LongType) - 1)
+      else {
+        val sch = StructType(StructField(name, LongType, nullable = false) +: df.schema.fields)
+        val rows = df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(i +: r.toSeq) }
+        df.sparkSession.createDataFrame(rows, sch)
+      }
+    Fabrix(out.select(name, df.columns.toIndexedSeq: _*), Some(IndexTag(name, LongType)))
+  }
+
+  // ------------------------------------------------------------- columns --
+
+  /** Clone selected columns (fabrix.rs:399-410 `take_cols`). */
+  def takeCols(names: Seq[String]): Fabrix =
+    Fabrix(df.select(names.map(df(_)): _*), indexTag.filter(t => names.contains(t.name)))
+
+  def getColumn(name: String): DataFrame = df.select(name)
+
+  /** fabrix.rs:431-437 `rename`. */
+  def rename(oldName: String, newName: String): Fabrix =
+    Fabrix(df.withColumnRenamed(oldName, newName),
+      indexTag.map(t => if (t.name == oldName) t.copy(name = newName) else t))
+
+  /** fabrix.rs:439-444 `set_column_names`. */
+  def setColumnNames(names: Seq[String]): Fabrix = {
+    require(names.length == df.columns.length, "name count must match width")
+    val mapping = df.columns.zip(names).toMap
+    Fabrix(df.toDF(names: _*), indexTag.map(t => t.copy(name = mapping(t.name))))
+  }
+
+  /** Total cast of one column in place (reference force_cast, §1.2). */
+  def forceCastColumn(name: String, to: DataType): Fabrix = {
+    val from = df.schema(name).dataType
+    Fabrix(df.withColumn(name, ForceCast.forceCast(df(name), from, to)), indexTag)
+  }
+
+  // ---------------------------------------------------------- vconcat/hcat --
+
+  /** Vertical union by column name (fabrix.rs:479-494 `vconcat`). */
+  def vconcat(other: Fabrix): Fabrix =
+    Fabrix(df.unionByName(other.df), indexTag)
+
+  /** Horizontal stack of equal-height frames (fabrix.rs:446-463 `hconcat`).
+    * Implemented with RDD zip when partitioning lines up (no shuffle — the
+    * scale path), falling back to an index-equijoin otherwise.
+    */
+  def hconcat(other: Fabrix): Fabrix = {
+    val l = df; val r = other.df
+    val dup = r.columns.toSet.intersect(l.columns.toSet)
+    require(dup.isEmpty, s"hconcat duplicate columns: $dup")
+    val sch = StructType(l.schema.fields ++ r.schema.fields)
+    val zipped =
+      try l.rdd.zip(r.rdd).map { case (a, b) => Row.fromSeq(a.toSeq ++ b.toSeq) }
+      catch { case _: IllegalArgumentException =>
+        // partition shapes differ: repartition both to aligned layout
+        val la = l.rdd.zipWithIndex.map(_.swap)
+        val rb = r.rdd.zipWithIndex.map(_.swap)
+        la.join(rb).sortByKey().map { case (_, (a, b)) => Row.fromSeq(a.toSeq ++ b.toSeq) }
+      }
+    Fabrix(l.sparkSession.createDataFrame(zipped, sch), indexTag)
+  }
+
+  // -------------------------------------------------------------- row ops --
+
+  /** Rows whose index value is in `values` (fabrix.rs:357-374 `take_rows`). */
+  def takeRows(values: Seq[Any]): Fabrix =
+    Fabrix(df.where(index.isin(values: _*)), indexTag)
+
+  /** Complement of takeRows (fabrix.rs:536-551 `remove_rows`). */
+  def removeRows(values: Seq[Any]): Fabrix =
+    Fabrix(df.where(!index.isin(values: _*)), indexTag)
+
+  /** Split: (matching, rest) — fabrix.rs:592-613 `popup_rows`; this is the
+    * primitive behind upsert id-splitting. For large `values` prefer
+    * [[popupRowsByFrame]] (semi/anti join, distributed).
+    */
+  def popupRows(values: Seq[Any]): (Fabrix, Fabrix) =
+    (takeRows(values), removeRows(values))
+
+  /** popup_rows against another frame's index column: semi/anti join pair —
+    * the distributed form used by the upsert path (ec.rs:518-538).
+    */
+  def popupRowsByFrame(other: Fabrix): (Fabrix, Fabrix) = {
+    val tag = requireTag
+    val otherIds = other.df.select(other.requireTag.name).toDF(tag.name)
+    val cond = df(tag.name) === otherIds(tag.name)
+    (Fabrix(df.join(otherIds, cond, "left_semi"), indexTag),
+     Fabrix(df.join(otherIds, cond, "left_anti"), indexTag))
+  }
+
+  /** Positional slice in index order (fabrix.rs:389-397 `slice`). Plans as
+    * sort + GlobalLimit (TakeOrderedAndProject for small k) — no
+    * single-partition window.
+    */
+  def slice(offset: Int, length: Int): Fabrix =
+    Fabrix(df.orderBy(index.asc).offset(offset).limit(length), indexTag)
+
+  def head(n: Int): Fabrix = slice(0, n)
+
+  def tail(n: Int): Fabrix = {
+    val out = df.orderBy(index.desc).limit(n).orderBy(index.asc)
+    Fabrix(out, indexTag)
+  }
+
+  /** Append literal rows (row.rs:286-345 append/insert; distributed frames
+    * have no "position", so insertion is union — order is index-defined).
+    */
+  def appendRows(rows: Seq[Seq[Any]]): Fabrix = {
+    val sch = df.schema
+    val newDf = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows.map(Row.fromSeq): _*), sch)
+    Fabrix(df.unionByName(newDf), indexTag)
+  }
+}
+
+object Fabrix {
+  /** Default index column name (fabrix-core/src/util.rs:8). */
+  val DefaultIndexName = "index"
+
+  def apply(df: DataFrame, indexCol: String): Fabrix =
+    Fabrix(df).setIndexTag(indexCol)
+}

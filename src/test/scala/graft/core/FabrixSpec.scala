@@ -1,0 +1,88 @@
+package graft.core
+
+import graft.SparkSpec
+import org.apache.spark.sql.types._
+
+class FabrixSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def frame = Fabrix(
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("id", "name", "v"), "id")
+
+  test("setIndexTag records name and type") {
+    assert(frame.indexTag.contains(IndexTag("id", LongType)))
+  }
+
+  test("takeCols keeps selection and drops stale index tag") {
+    val f = frame.takeCols(Seq("name", "v"))
+    assert(f.df.columns.toSeq == Seq("name", "v"))
+    assert(f.indexTag.isEmpty)
+    assert(frame.takeCols(Seq("id", "v")).indexTag.nonEmpty)
+  }
+
+  test("rename follows the index tag") {
+    val f = frame.rename("id", "pk")
+    assert(f.indexTag.contains(IndexTag("pk", LongType)))
+    assert(f.df.columns.contains("pk"))
+  }
+
+  test("setColumnNames renames all and remaps tag") {
+    val f = frame.setColumnNames(Seq("k", "n", "x"))
+    assert(f.df.columns.toSeq == Seq("k", "n", "x"))
+    assert(f.indexTag.map(_.name).contains("k"))
+  }
+
+  test("takeRows / removeRows / popupRows by index value") {
+    val (hit, rest) = frame.popupRows(Seq(2L, 4L))
+    assert(hit.df.select("id").as[Long].collect().sorted.toSeq == Seq(2L, 4L))
+    assert(rest.df.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("popupRowsByFrame = semi/anti split (upsert primitive)") {
+    val incoming = Fabrix(Seq((2L, "x", 0.0), (5L, "y", 0.0)).toDF("id", "name", "v"), "id")
+    val (existing, fresh) = incoming.popupRowsByFrame(frame)
+    assert(existing.df.select("id").as[Long].collect().toSeq == Seq(2L))
+    assert(fresh.df.select("id").as[Long].collect().toSeq == Seq(5L))
+  }
+
+  test("slice / head / tail in index order") {
+    assert(frame.slice(1, 2).df.select("id").as[Long].collect().toSeq == Seq(2L, 3L))
+    assert(frame.head(1).df.select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(frame.tail(2).df.select("id").as[Long].collect().toSeq == Seq(3L, 4L))
+  }
+
+  test("vconcat unions by name") {
+    val more = Fabrix(Seq((5L, "e", 50.0)).toDF("id", "name", "v"), "id")
+    assert(frame.vconcat(more).df.count() == 5)
+  }
+
+  test("hconcat zips equal-height frames") {
+    val right = Fabrix(Seq("p", "q", "r", "s").toDF("tag"))
+    val out = frame.hconcat(right)
+    assert(out.df.columns.toSeq == Seq("id", "name", "v", "tag"))
+    assert(out.df.count() == 4)
+    val m = out.df.select("id", "tag").as[(Long, String)].collect().toMap
+    assert(m == Map(1L -> "p", 2L -> "q", 3L -> "r", 4L -> "s"))
+  }
+
+  test("generateIndex mints dense contiguous ids") {
+    val f = Fabrix(Seq("a", "b", "c").toDF("name")).generateIndex()
+    assert(f.indexTag.map(_.name).contains(Fabrix.DefaultIndexName))
+    assert(f.df.select("index").as[Long].collect().sorted.toSeq == Seq(0L, 1L, 2L))
+  }
+
+  test("appendRows unions literal rows") {
+    val f = frame.appendRows(Seq(Seq(9L, "z", 90.0)))
+    assert(f.df.count() == 5)
+    assert(f.takeRows(Seq(9L)).df.select("name").as[String].collect().toSeq == Seq("z"))
+  }
+
+  test("forceCastColumn is total") {
+    val f = Fabrix(Seq(("1", "x"), ("nope", "y")).toDF("n", "s"))
+      .forceCastColumn("n", IntegerType)
+    assert(f.df.schema("n").dataType == IntegerType)
+    assert(f.df.select("n").collect().map(r => Option(r.get(0))).toSeq ==
+      Seq(Some(1), None))
+  }
+}
