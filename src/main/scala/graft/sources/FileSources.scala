@@ -1,0 +1,120 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Shared reader plumbing: positional projection, limit, synthetic
+  * row-count column — all expressed as plan operations so Catalyst still
+  * prunes/pushes down beneath them.
+  */
+private[sources] object ReaderCommon {
+  def finish(df0: DataFrame,
+             columns: Option[Seq[String]],
+             projection: Option[Seq[Int]],
+             nRows: Option[Long],
+             rowCountCol: Option[String]): DataFrame = {
+    var df = df0
+    projection.foreach(idxs => df = df.select(idxs.map(i => df.columns(i)).map(df(_)): _*))
+    columns.foreach(ns => df = df.select(ns.map(df(_)): _*))
+    nRows.foreach(n => df = df.limit(n.toInt))
+    rowCountCol.foreach { name =>
+      // dense 0-based ids, partition-parallel (zipWithIndex: one count job,
+      // no shuffle) — matches polars with_row_count semantics
+      val sch = StructType(StructField(name, LongType, nullable = false) +: df.schema.fields)
+      val rows = df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(i +: r.toSeq) }
+      df = df.sparkSession.createDataFrame(rows, sch)
+    }
+    df
+  }
+}
+
+/** CSV source/sink (reference S1/S2). */
+object Csv {
+  def read(spark: SparkSession, path: String, opts: CsvReadOptions = CsvReadOptions()): DataFrame = {
+    // skip_rows drops raw lines BEFORE header parsing (csv/reader.rs:60-75):
+    // go through a text scan + line filter, then parse the remaining lines.
+    val base: DataFrame =
+      if (opts.skipRows > 0 || opts.skipRowsAfterHeader > 0) {
+        import spark.implicits._
+        val lines = spark.read.textFile(path).rdd.zipWithIndex
+        val afterSkip = lines.filter { case (_, i) => i >= opts.skipRows }.map(_._1)
+        val headerAdjusted =
+          if (opts.skipRowsAfterHeader > 0) {
+            val reIdx = afterSkip.zipWithIndex()
+            (if (opts.header)
+               reIdx.filter { case (_, i) => i == 0L || i > opts.skipRowsAfterHeader }
+             else
+               reIdx.filter { case (_, i) => i >= opts.skipRowsAfterHeader }
+            ).map(_._1)
+          } else afterSkip
+        val ds = spark.createDataset(headerAdjusted)(org.apache.spark.sql.Encoders.STRING)
+        reader(spark, opts).csv(ds)
+      } else reader(spark, opts).csv(path)
+    ReaderCommon.finish(base, opts.columns, opts.projection, opts.nRows, opts.rowCountCol)
+  }
+
+  private def reader(spark: SparkSession, opts: CsvReadOptions) = {
+    var r = spark.read
+      .option("header", opts.header.toString)
+      .option("sep", opts.delimiter.toString)
+      .option("mode", if (opts.ignoreParseErrors) "DROPMALFORMED" else "PERMISSIVE")
+    opts.commentChar.foreach(c => r = r.option("comment", c.toString))
+    opts.schema match {
+      case Some(s) => r.schema(s)
+      case None    => r.option("inferSchema", "true")
+    }
+  }
+
+  def write(df: DataFrame, path: String, opts: CsvWriteOptions = CsvWriteOptions()): Unit = {
+    var w = df.write
+      .option("header", opts.header.toString)
+      .option("sep", opts.delimiter.toString)
+      .option("quote", opts.quoteChar.toString)
+    opts.dateFormat.foreach(f => w = w.option("dateFormat", f))
+    opts.timestampFormat.foreach { f =>
+      w = w.option("timestampFormat", f).option("timestampNTZFormat", f)
+    }
+    w.mode("overwrite").csv(path)
+  }
+}
+
+/** Parquet source/sink (reference S3/S4). */
+object Parquet {
+  def read(spark: SparkSession, path: String, opts: ParquetReadOptions = ParquetReadOptions()): DataFrame =
+    ReaderCommon.finish(spark.read.parquet(path), opts.columns, opts.projection, opts.nRows, opts.rowCountCol)
+
+  def write(df: DataFrame, path: String, opts: ParquetWriteOptions = ParquetWriteOptions()): Unit =
+    df.write.option("compression", opts.compression).mode("overwrite").parquet(path)
+}
+
+/** JSON source/sink (reference S5/S6). */
+object Json {
+  def read(spark: SparkSession, path: String, opts: JsonReadOptions = JsonReadOptions()): DataFrame = {
+    var r = spark.read
+    if (opts.format == JsonFormat.Json) r = r.option("multiLine", "true")
+    opts.schema.foreach(s => r = r.schema(s))
+    val base = r.json(path)
+    ReaderCommon.finish(base, opts.columns, opts.projection, opts.nRows, opts.rowCountCol)
+  }
+
+  def write(df: DataFrame, path: String, opts: JsonWriteOptions = JsonWriteOptions()): Unit =
+    opts.format match {
+      case JsonFormat.JsonLines => df.write.mode("overwrite").json(path)
+      case JsonFormat.Json =>
+        // one top-level array (reference Json format, json/writer.rs:19-63):
+        // inherently a single document — gather to one partition and wrap.
+        // Only sensible for frames that fit one task; JsonLines is the
+        // scale path.
+        val lines = df.toJSON.coalesce(1)
+        import lines.sparkSession.implicits._
+        val arr = lines.mapPartitions { it =>
+          val sb = new StringBuilder("[")
+          var first = true
+          it.foreach { s => if (!first) sb.append(','); sb.append(s); first = false }
+          sb.append(']')
+          Iterator(sb.toString)
+        }
+        arr.write.mode("overwrite").text(path)
+    }
+}

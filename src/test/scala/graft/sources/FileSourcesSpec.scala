@@ -1,0 +1,104 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.pipeline.Pipeline
+import java.nio.file.Files
+
+class FileSourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft-src").toString
+
+  test("csv roundtrip with options: header, delimiter, schema") {
+    val dir = tmp() + "/t"
+    val df = Seq((1L, "a;x", 1.5), (2L, "b", 2.5)).toDF("id", "s", "v")
+    Csv.write(df, dir, CsvWriteOptions(delimiter = '|'))
+    val back = Csv.read(spark, dir, CsvReadOptions(delimiter = '|', schema = Some(df.schema)))
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
+  test("csv skipRows + skipRowsAfterHeader + comment") {
+    val f = Files.createTempDirectory("graft-csv").resolve("x.csv")
+    Files.writeString(f,
+      """garbage line
+        |# a comment
+        |id,name
+        |0,skipme
+        |1,aa
+        |2,bb
+        |""".stripMargin)
+    val got = Csv.read(spark, f.toString,
+      CsvReadOptions(skipRows = 2, skipRowsAfterHeader = 1))
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(got.toSeq == Seq((1, "aa"), (2, "bb")))
+  }
+
+  test("csv projection by index, nRows, rowCountCol") {
+    val dir = tmp() + "/t"
+    val df = Seq((1, "a", 9.0), (2, "b", 8.0), (3, "c", 7.0)).toDF("id", "s", "v")
+    Csv.write(df, dir)
+    val got = Csv.read(spark, dir.toString,
+      CsvReadOptions(projection = Some(Seq(0, 2)), rowCountCol = Some("rn")))
+    assert(got.columns.toSeq == Seq("rn", "id", "v"))
+    assert(got.count() == 3)
+    assert(got.select("rn").as[Long].collect().sorted.toSeq == Seq(0L, 1L, 2L))
+    val limited = Csv.read(spark, dir.toString, CsvReadOptions(nRows = Some(2)))
+    assert(limited.count() == 2)
+  }
+
+  test("json lines + json array roundtrip") {
+    val dir1 = tmp() + "/jl"
+    val dir2 = tmp() + "/ja"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    Json.write(df, dir1)
+    assert(Json.read(spark, dir1).orderBy("id").collect().map(_.getString(1)).toSeq == Seq("a", "b"))
+    Json.write(df, dir2, JsonWriteOptions(JsonFormat.Json))
+    val back = Json.read(spark, dir2, JsonReadOptions(JsonFormat.Json))
+    assert(back.orderBy("id").collect().map(_.getString(1)).toSeq == Seq("a", "b"))
+  }
+
+  test("parquet read options: columns, nRows") {
+    val dir = tmp() + "/p"
+    Parquet.write(Seq((1, "x"), (2, "y")).toDF("id", "s"), dir)
+    val got = Parquet.read(spark, dir, ParquetReadOptions(columns = Some(Seq("s")), nRows = Some(1)))
+    assert(got.columns.toSeq == Seq("s") && got.count() == 1)
+  }
+
+  test("ParquetStore save strategies") {
+    val store = new ParquetStore(tmp())
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    store.write(df, "t", SaveStrategy.FailIfExists)
+    intercept[IllegalStateException] { store.write(df, "t", SaveStrategy.FailIfExists) }
+    store.write(df, "t", SaveStrategy.Append)
+    assert(store.read(spark, "t").count() == 4)
+    store.write(df, "t", SaveStrategy.Replace)
+    assert(store.read(spark, "t").count() == 2)
+    // upsert: update id=2, insert id=3
+    val up = Seq((2L, "B"), (3L, "c")).toDF("id", "s")
+    store.write(up, "t", SaveStrategy.Upsert("id"))
+    val got = store.read(spark, "t").orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    // DDL surface
+    assert(store.listTables() == Seq("t"))
+    store.rename("t", "t2")
+    assert(store.exists("t2") && !store.exists("t"))
+    store.truncate(spark, "t2")
+    assert(store.read(spark, "t2").count() == 0)
+    store.drop("t2")
+    assert(store.listTables().isEmpty)
+  }
+
+  test("pipeline: csv → transform → parquet store") {
+    val dir = tmp()
+    val src = dir + "/in"
+    Csv.write(Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("id", "v"), src)
+    val store = new ParquetStore(dir)
+    Pipeline.fromCsv(src, CsvReadOptions(schema = Some(
+        org.apache.spark.sql.types.StructType.fromDDL("id INT, v DOUBLE"))))
+      .transform(_.filter($"v" > 15.0))
+      .transform(_.withColumn("v2", $"v" * 2))
+      .write(spark)(df => store.write(df, "out", SaveStrategy.Replace))
+    val got = store.read(spark, "out").orderBy("id").collect().map(r => (r.getInt(0), r.getDouble(2)))
+    assert(got.toSeq == Seq((2, 40.0), (3, 60.0)))
+  }
+}
