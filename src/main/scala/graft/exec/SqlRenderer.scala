@@ -82,7 +82,19 @@ object SqlRenderer {
     }
   }
 
-  def select(sel: Select): String = {
+  /** ANSI/DuckDB rendering (LIMIT n OFFSET n). */
+  def select(sel: Select): String =
+    selectBase(sel) +
+      sel.limit.map(n => s" LIMIT $n").getOrElse("") +
+      sel.offset.map(n => s" OFFSET $n").getOrElse("")
+
+  /** Dialect-specific rendering (limit/offset style varies; Derby has no
+    * LIMIT keyword — ANSI FETCH).
+    */
+  def select(sel: Select, dialect: graft.sources.Dialect): String =
+    selectBase(sel) + dialect.limitClause(sel.limit, sel.offset)
+
+  private def selectBase(sel: Select): String = {
     val sb = new StringBuilder("SELECT ")
     if (sel.distinct) sb.append("DISTINCT ")
     sb.append(sel.columns.map(columnExpr).mkString(", "))
@@ -104,8 +116,6 @@ object SqlRenderer {
       sb.append(" GROUP BY ").append(sel.groupBy.map(columnRef).mkString(", "))
     if (sel.orderBy.nonEmpty)
       sb.append(" ORDER BY ").append(sel.orderBy.map(o => o.column + (if (o.desc) " DESC" else "")).mkString(", "))
-    sel.limit.foreach(n => sb.append(s" LIMIT $n"))
-    sel.offset.foreach(n => sb.append(s" OFFSET $n"))
     sb.toString
   }
 

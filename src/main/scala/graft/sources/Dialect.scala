@@ -1,0 +1,106 @@
+package graft.sources
+
+import org.apache.spark.sql.types._
+
+/** SQL dialect abstraction for the JDBC layer — the reference ships three
+  * hand-written dialects (fabrix-sql MySQL/Postgres/SQLite via sea-query);
+  * ours adds Derby (the embedded DB available offline) and keeps the surface
+  * minimal: identifier quoting, DDL type names, limit/offset style, and the
+  * native upsert statement.
+  */
+sealed trait Dialect {
+  def name: String
+  def quote(ident: String): String = "\"" + ident + "\""
+
+  def typeName(dt: DataType): String = dt match {
+    case BooleanType      => "BOOLEAN"
+    case ByteType         => "SMALLINT"
+    case ShortType        => "SMALLINT"
+    case IntegerType      => "INTEGER"
+    case LongType         => "BIGINT"
+    case FloatType        => "REAL"
+    case DoubleType       => "DOUBLE"
+    case StringType       => "VARCHAR(4096)"
+    case DateType         => "DATE"
+    case TimestampType    => "TIMESTAMP"
+    case TimestampNTZType => "TIMESTAMP"
+    case d: DecimalType   => s"DECIMAL(${math.min(d.precision, 31)},${math.min(d.scale, 31)})"
+    case BinaryType       => "BLOB"
+    case other            => throw new IllegalArgumentException(s"no SQL type for $other")
+  }
+
+  /** LIMIT/OFFSET rendering (ANSI FETCH vs LIMIT). */
+  def limitClause(limit: Option[Long], offset: Option[Long]): String = {
+    val o = offset.map(n => s" OFFSET $n ROWS").getOrElse("")
+    val l = limit.map(n => s" FETCH NEXT $n ROWS ONLY").getOrElse("")
+    o + l
+  }
+
+  /** Native single-statement upsert keyed on `pk`; None = dialect needs the
+    * update-then-insert fallback. `types` are dialect DDL type names aligned
+    * with `cols` (Derby needs typed CASTs on VALUES parameters).
+    */
+  def upsertSql(table: String, cols: Seq[String], types: Seq[String], pk: String): Option[String]
+}
+
+object Dialect {
+
+  case object Ansi extends Dialect {
+    val name = "ansi"
+    def upsertSql(table: String, cols: Seq[String], types: Seq[String], pk: String): Option[String] = None
+  }
+
+  /** MySQL (fabrix-sql/src/builder mysql dialect). */
+  case object MySql extends Dialect {
+    val name = "mysql"
+    override def quote(ident: String): String = s"`$ident`"
+    override def limitClause(limit: Option[Long], offset: Option[Long]): String =
+      limit.map(n => s" LIMIT $n").getOrElse("") + offset.map(n => s" OFFSET $n").getOrElse("")
+    def upsertSql(table: String, cols: Seq[String], types: Seq[String], pk: String): Option[String] = {
+      val collist = cols.mkString(", ")
+      val ph = cols.map(_ => "?").mkString(", ")
+      val updates = cols.filter(_ != pk).map(c => s"${c} = VALUES(${c})").mkString(", ")
+      Some(s"INSERT INTO ${table} ($collist) VALUES ($ph) ON DUPLICATE KEY UPDATE $updates")
+    }
+  }
+
+  /** PostgreSQL. */
+  case object Postgres extends Dialect {
+    val name = "postgres"
+    override def limitClause(limit: Option[Long], offset: Option[Long]): String =
+      limit.map(n => s" LIMIT $n").getOrElse("") + offset.map(n => s" OFFSET $n").getOrElse("")
+    def upsertSql(table: String, cols: Seq[String], types: Seq[String], pk: String): Option[String] = {
+      val collist = cols.mkString(", ")
+      val ph = cols.map(_ => "?").mkString(", ")
+      val updates = cols.filter(_ != pk).map(c => s"${c} = EXCLUDED.${c}").mkString(", ")
+      Some(s"INSERT INTO ${table} ($collist) VALUES ($ph) ON CONFLICT (${pk}) DO UPDATE SET $updates")
+    }
+  }
+
+  /** SQLite. */
+  case object Sqlite extends Dialect {
+    val name = "sqlite"
+    override def limitClause(limit: Option[Long], offset: Option[Long]): String =
+      limit.map(n => s" LIMIT $n").getOrElse("") + offset.map(n => s" OFFSET $n").getOrElse("")
+    def upsertSql(table: String, cols: Seq[String], types: Seq[String], pk: String): Option[String] =
+      Postgres.upsertSql(table, cols, types, pk).map(_.replace("EXCLUDED.", "excluded."))
+  }
+
+  /** Apache Derby — the embedded DB shipped with Spark, our offline
+    * integration target. ANSI FETCH limits. Derby's MERGE only accepts base
+    * tables as source, so upsert uses the generic split path (semi/anti
+    * split + batched INSERT/UPDATE — the reference's own physical plan,
+    * ec.rs:518-538).
+    */
+  case object Derby extends Dialect {
+    val name = "derby"
+    def upsertSql(table: String, cols: Seq[String], types: Seq[String], pk: String): Option[String] = None
+  }
+
+  def infer(url: String): Dialect =
+    if (url.startsWith("jdbc:mysql")) MySql
+    else if (url.startsWith("jdbc:postgresql")) Postgres
+    else if (url.startsWith("jdbc:sqlite")) Sqlite
+    else if (url.startsWith("jdbc:derby")) Derby
+    else Ansi
+}

@@ -1,0 +1,87 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.adt._
+import java.nio.file.Files
+
+/** JDBC layer integration against embedded Derby (the offline-available DB,
+  * standing in for the reference's MySQL/PG/SQLite docker targets —
+  * fabrix-sql/tests/sql_executor_test.rs lifecycle).
+  */
+class JdbcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dbDir = Files.createTempDirectory("graft-derby").toString + "/db"
+  private lazy val ex = new JdbcExecutor(s"jdbc:derby:$dbDir;create=true")
+
+  private def df = Seq((1L, "a", 10.5), (2L, "b", 20.5), (3L, "c", 30.5)).toDF("id", "s", "v")
+
+  test("save strategies lifecycle: FailIfExists / Append / Replace / Upsert") {
+    ex.write(df, "t1", SaveStrategy.FailIfExists)
+    intercept[IllegalStateException] { ex.write(df, "t1", SaveStrategy.FailIfExists) }
+    assert(ex.readTable(spark, "t1").count() == 3)
+
+    ex.write(df, "t1", SaveStrategy.Append)
+    assert(ex.readTable(spark, "t1").count() == 6)
+
+    ex.write(df, "t1", SaveStrategy.Replace)
+    assert(ex.readTable(spark, "t1").count() == 3)
+
+    // upsert on fresh table creates with PK, then update id=2 / insert id=4
+    ex.write(df, "t2", SaveStrategy.Upsert("id"))
+    assert(ex.primaryKey("t2").map(_.toLowerCase).contains("id"))
+    val up = Seq((2L, "B", 99.0), (4L, "d", 40.5)).toDF("id", "s", "v")
+    ex.write(up, "t2", SaveStrategy.Upsert("id"))
+    val got = ex.readTable(spark, "t2").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, "a", 10.5), (2L, "B", 99.0), (3L, "c", 30.5), (4L, "d", 40.5)))
+  }
+
+  test("select pushdown: filter + agg rendered to the DB") {
+    ex.write(df, "t3", SaveStrategy.Replace)
+    val sel = Select(
+      table = "t3",
+      columns = Seq(Col("s"), Col("v")),
+      filter = Some(Cond(Col("v"), CondOp.Greater(V.f64(15.0)))),
+      orderBy = Seq(Order.asc("s")))
+    val got = ex.select(spark, sel).collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.toSeq == Seq(("b", 20.5), ("c", 30.5)))
+
+    val agg = Select("t3", Seq(
+      Agg(AggFn.Count, Col("id")).as("n"),
+      Agg(AggFn.Sum, Col("v")).as("sv")))
+    val r = ex.select(spark, agg).head
+    assert(r.getAs[Number](0).longValue == 3 && math.abs(r.getAs[Number](1).doubleValue - 61.5) < 1e-9)
+  }
+
+  test("pushdown delete") {
+    ex.write(df, "t4", SaveStrategy.Replace)
+    val n = ex.delete(Delete("t4", Some(Cond(Col("v"), CondOp.Greater(V.f64(15.0))))))
+    assert(n == 2)
+    assert(ex.readTable(spark, "t4").count() == 1)
+  }
+
+  test("introspection: tables, schema, primary key") {
+    ex.write(df, "t5", SaveStrategy.Replace)
+    assert(ex.tableExists("t5") && !ex.tableExists("nope"))
+    assert(ex.listTables().exists(_.equalsIgnoreCase("t5")))
+    val sch = ex.tableSchema("t5").map { case (n, t) => (n.toLowerCase, t) }
+    assert(sch.map(_._1) == Seq("id", "s", "v"))
+    assert(ex.primaryKey("t5").isEmpty)
+  }
+
+  test("DDL: create/rename/truncate/drop, index") {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, s STRING")
+    ex.createTable("d1", schema, pk = Some("k"))
+    assert(ex.tableExists("d1"))
+    ex.createIndex("d1", "s", "d1_s_idx")
+    ex.dropIndex("d1_s_idx")
+    ex.renameTable("d1", "d2")
+    assert(!ex.tableExists("d1") && ex.tableExists("d2"))
+    ex.write(Seq((1L, "x")).toDF("k", "s"), "d2", SaveStrategy.Append)
+    ex.truncate("d2")
+    assert(ex.readTable(spark, "d2").count() == 0)
+    ex.dropTable("d2")
+    assert(!ex.tableExists("d2"))
+  }
+}
