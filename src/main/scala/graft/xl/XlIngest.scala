@@ -1,0 +1,109 @@
+package graft.xl
+
+import graft.sources.SaveStrategy
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Chunk → DataFrame conversion and the chunked ingest protocol — parity
+  * with the reference's XlDbConvertor/XlToDbConsumer
+  * (fabrix/src/dispatcher/xl_db.rs:28-161, 192-303).
+  */
+object XlIngest {
+
+  /** Infer a Spark field from the first non-None value of a column
+    * (reference infers series types the same way, series.rs:592-647).
+    */
+  private def fieldFor(name: String, values: Seq[ExcelValue]): StructField = {
+    val dt = values.collectFirst {
+      case _: ExcelValue.Bool     => BooleanType: DataType
+      case _: ExcelValue.Num      => DoubleType: DataType
+      case _: ExcelValue.Str      => StringType: DataType
+      case _: ExcelValue.Date     => DateType: DataType
+      case _: ExcelValue.Time     => LongType: DataType // nanos-of-day + metadata
+      case _: ExcelValue.DateTime => TimestampNTZType: DataType
+    }.getOrElse(StringType)
+    val meta = values.collectFirst { case _: ExcelValue.Time =>
+      new MetadataBuilder().putString("graft.type", "time").build()
+    }.getOrElse(Metadata.empty)
+    StructField(name, dt, nullable = true, meta)
+  }
+
+  private def cell(v: ExcelValue, dt: DataType): Any = v match {
+    case ExcelValue.None        => null
+    case ExcelValue.Error(_)    => null
+    case ExcelValue.Bool(b)     => b
+    case ExcelValue.Num(d)      => dt match {
+      case StringType => d.toString
+      case _          => d
+    }
+    case ExcelValue.Str(s)      => dt match {
+      case DoubleType => s.toDoubleOption.orNull
+      case _          => s
+    }
+    case ExcelValue.Date(d)     => java.sql.Date.valueOf(d)
+    case ExcelValue.Time(t)     => t.toNanoOfDay
+    case ExcelValue.DateTime(t) => t
+  }
+
+  /** Row-wise chunk → DataFrame. `headerRow` = the (cached) column names;
+    * None auto-names Column_{i} (fabrix-core/src/row.rs:176,228).
+    */
+  def toDataFrame(spark: SparkSession, chunk: Seq[Seq[ExcelValue]],
+                  names: Option[Seq[String]]): DataFrame = {
+    val width = (chunk.map(_.size) ++ names.map(_.size)).maxOption.getOrElse(0)
+    val colNames = names.getOrElse((0 until width).map(i => s"Column_$i"))
+    val padded = chunk.map(r => r.padTo(width, ExcelValue.None))
+    val schema = StructType((0 until width).map { i =>
+      fieldFor(colNames(i), padded.map(_(i)))
+    })
+    val rows = padded.map(r => Row.fromSeq(r.zipWithIndex.map { case (v, i) => cell(v, schema(i).dataType) }))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  /** Transpose a column-wise sheet (reference convert_col_wise,
+    * xl_db.rs:93-161): each sheet ROW is a logical column, first cell may be
+    * the column name.
+    */
+  def transpose(chunk: Seq[Seq[ExcelValue]]): Seq[Seq[ExcelValue]] = {
+    val h = chunk.map(_.size).maxOption.getOrElse(0)
+    (0 until h).map(i => chunk.map(r => if (i < r.size) r(i) else ExcelValue.None))
+  }
+
+  /** Chunked ingest state machine (reference xl_db.rs:217-289): the FIRST
+    * chunk applies the caller's strategy (Replace / FailIfExists), later
+    * chunks degrade to Append / keep Upsert — so a streaming ingest creates
+    * the table once then appends.
+    */
+  def run(spark: SparkSession,
+          reader: XlsxReader,
+          sheet: String,
+          strategy: SaveStrategy,
+          sink: (DataFrame, SaveStrategy) => Unit,
+          batchSize: Int = 1024,
+          header: Boolean = true): Long = {
+    var names: Option[Seq[String]] = None
+    var consumed = 0L
+    var chunkIdx = 0
+    reader.rowBatches(sheet, batchSize).foreach { batch0 =>
+      val batch =
+        if (chunkIdx == 0 && header) {
+          names = Some(batch0.head.map {
+            case ExcelValue.Str(s) => s
+            case other             => other.toString
+          })
+          batch0.tail
+        } else batch0
+      if (batch.nonEmpty) {
+        val df = toDataFrame(spark, batch, names)
+        val eff = strategy match {
+          case SaveStrategy.Replace | SaveStrategy.FailIfExists if chunkIdx > 0 => SaveStrategy.Append
+          case s => s
+        }
+        sink(df, eff)
+        consumed += batch.size
+      }
+      chunkIdx += 1
+    }
+    consumed
+  }
+}
