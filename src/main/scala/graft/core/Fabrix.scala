@@ -98,18 +98,30 @@ final case class Fabrix(df: DataFrame, indexTag: Option[IndexTag] = None) {
   /** Horizontal stack of equal-height frames (fabrix.rs:446-463 `hconcat`).
     * Implemented with RDD zip when partitioning lines up (no shuffle — the
     * scale path), falling back to an index-equijoin otherwise.
+    *
+    * Alignment is checked EAGERLY (partition count + per-partition element
+    * counts, one lightweight count job per side) because RDD.zip's own checks
+    * only fire lazily inside getPartitions/tasks at action time — a try/catch
+    * around the lazy construction would never see them. The count pass costs
+    * one extra evaluation of each input; callers stacking expensive frames
+    * should cache them first.
     */
   def hconcat(other: Fabrix): Fabrix = {
     val l = df; val r = other.df
     val dup = r.columns.toSet.intersect(l.columns.toSet)
     require(dup.isEmpty, s"hconcat duplicate columns: $dup")
     val sch = StructType(l.schema.fields ++ r.schema.fields)
+    val lr = l.rdd; val rr = r.rdd
+    def partCounts(rdd: org.apache.spark.rdd.RDD[Row]): Array[Long] =
+      rdd.mapPartitions(it => Iterator.single(it.size.toLong), preservesPartitioning = true).collect()
+    val aligned = lr.getNumPartitions == rr.getNumPartitions &&
+      java.util.Arrays.equals(partCounts(lr), partCounts(rr))
     val zipped =
-      try l.rdd.zip(r.rdd).map { case (a, b) => Row.fromSeq(a.toSeq ++ b.toSeq) }
-      catch { case _: IllegalArgumentException =>
-        // partition shapes differ: repartition both to aligned layout
-        val la = l.rdd.zipWithIndex.map(_.swap)
-        val rb = r.rdd.zipWithIndex.map(_.swap)
+      if (aligned) lr.zip(rr).map { case (a, b) => Row.fromSeq(a.toSeq ++ b.toSeq) }
+      else {
+        // partition shapes differ: key both sides by global position
+        val la = lr.zipWithIndex.map(_.swap)
+        val rb = rr.zipWithIndex.map(_.swap)
         la.join(rb).sortByKey().map { case (_, (a, b)) => Row.fromSeq(a.toSeq ++ b.toSeq) }
       }
     Fabrix(l.sparkSession.createDataFrame(zipped, sch), indexTag)

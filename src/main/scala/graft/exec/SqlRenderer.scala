@@ -40,12 +40,19 @@ object SqlRenderer {
     case FxBytes(_)        => throw new IllegalArgumentException("bytes literal not renderable to SQL")
   }
 
-  def columnRef(c: Col): String = c.table.map(t => s"$t.${c.name}").getOrElse(c.name)
+  /** ANSI identifier quoting (DuckDB/Postgres/SQLite-compatible); identifiers
+    * may come from untrusted file headers, so every rendered reference is
+    * quoted (ADVICE r1: never interpolate raw).
+    */
+  def ident(name: String): String = "\"" + name.replace("\"", "\"\"") + "\""
+
+  def columnRef(c: Col): String =
+    c.table.map(t => s"${ident(t)}.${ident(c.name)}").getOrElse(ident(c.name))
 
   def columnExpr(e: ColumnExpr): String = e match {
     case c: Col          => columnRef(c)
     case Lit(v)          => value(v)
-    case Aliased(x, a)   => s"${columnExpr(x)} AS $a"
+    case Aliased(x, a)   => s"${columnExpr(x)} AS ${ident(a)}"
     case Cast(x, t)      => s"CAST(${columnExpr(x)} AS ${t.sqlName})"
     case CountStar       => "COUNT(*)"
     case BinOp(op, l, r) => s"(${columnExpr(l)} ${op.symbol} ${columnExpr(r)})"
@@ -98,15 +105,17 @@ object SqlRenderer {
     val sb = new StringBuilder("SELECT ")
     if (sel.distinct) sb.append("DISTINCT ")
     sb.append(sel.columns.map(columnExpr).mkString(", "))
-    sb.append(" FROM ").append(sel.table)
+    sb.append(" FROM ").append(ident(sel.table))
     for (j <- sel.joins) {
-      sb.append(s" ${j.typ.sql} ${j.table}")
-      j.as.foreach(a => sb.append(s" AS $a"))
+      sb.append(s" ${j.typ.sql} ${ident(j.table)}")
+      j.as.foreach(a => sb.append(s" AS ${ident(a)}"))
       if (j.typ != JoinType.Cross) {
+        def qual(raw: String, defaultTable: String): String = raw.split('.') match {
+          case Array(t, c) => s"${ident(t)}.${ident(c)}"
+          case _           => s"${ident(defaultTable)}.${ident(raw)}"
+        }
         val conds = j.on.map { case (l, r) =>
-          val lq = if (l.contains(".")) l else s"${sel.table}.$l"
-          val rq = if (r.contains(".")) r else s"${j.name}.$r"
-          s"$lq = $rq"
+          s"${qual(l, sel.table)} = ${qual(r, j.name)}"
         }
         sb.append(" ON ").append(conds.mkString(" AND "))
       }
@@ -115,10 +124,10 @@ object SqlRenderer {
     if (sel.groupBy.nonEmpty)
       sb.append(" GROUP BY ").append(sel.groupBy.map(columnRef).mkString(", "))
     if (sel.orderBy.nonEmpty)
-      sb.append(" ORDER BY ").append(sel.orderBy.map(o => o.column + (if (o.desc) " DESC" else "")).mkString(", "))
+      sb.append(" ORDER BY ").append(sel.orderBy.map(o => ident(o.column) + (if (o.desc) " DESC" else "")).mkString(", "))
     sb.toString
   }
 
   def delete(del: Delete): String =
-    "DELETE FROM " + del.table + del.filter.map(f => " WHERE " + predicate(f)).getOrElse("")
+    "DELETE FROM " + ident(del.table) + del.filter.map(f => " WHERE " + predicate(f)).getOrElse("")
 }

@@ -10,7 +10,13 @@ import org.apache.spark.sql.types._
   */
 sealed trait Dialect {
   def name: String
-  def quote(ident: String): String = "\"" + ident + "\""
+
+  /** Quote an identifier, escaping embedded quote characters — identifiers
+    * can come from untrusted file headers (XLSX/CSV → XlIngest → DB write),
+    * so every rendered DDL/DML statement must pass names through here
+    * (the reference's sea-query path always quotes, sql_adt rendering).
+    */
+  def quote(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
 
   def typeName(dt: DataType): String = dt match {
     case BooleanType      => "BOOLEAN"
@@ -50,17 +56,21 @@ object Dialect {
     def upsertSql(table: String, cols: Seq[String], types: Seq[String], pk: String): Option[String] = None
   }
 
-  /** MySQL (fabrix-sql/src/builder mysql dialect). */
+  /** MySQL (fabrix-sql/src/builder mysql dialect). Note: the pushdown
+    * SELECT renderer (SqlRenderer) emits ANSI double-quoted identifiers;
+    * MySQL sessions should enable ANSI_QUOTES (DDL/DML rendered by
+    * JdbcExecutor uses this dialect's backtick quote).
+    */
   case object MySql extends Dialect {
     val name = "mysql"
-    override def quote(ident: String): String = s"`$ident`"
+    override def quote(ident: String): String = "`" + ident.replace("`", "``") + "`"
     override def limitClause(limit: Option[Long], offset: Option[Long]): String =
       limit.map(n => s" LIMIT $n").getOrElse("") + offset.map(n => s" OFFSET $n").getOrElse("")
     def upsertSql(table: String, cols: Seq[String], types: Seq[String], pk: String): Option[String] = {
-      val collist = cols.mkString(", ")
+      val collist = cols.map(quote).mkString(", ")
       val ph = cols.map(_ => "?").mkString(", ")
-      val updates = cols.filter(_ != pk).map(c => s"${c} = VALUES(${c})").mkString(", ")
-      Some(s"INSERT INTO ${table} ($collist) VALUES ($ph) ON DUPLICATE KEY UPDATE $updates")
+      val updates = cols.filter(_ != pk).map(c => s"${quote(c)} = VALUES(${quote(c)})").mkString(", ")
+      Some(s"INSERT INTO ${quote(table)} ($collist) VALUES ($ph) ON DUPLICATE KEY UPDATE $updates")
     }
   }
 
@@ -70,10 +80,10 @@ object Dialect {
     override def limitClause(limit: Option[Long], offset: Option[Long]): String =
       limit.map(n => s" LIMIT $n").getOrElse("") + offset.map(n => s" OFFSET $n").getOrElse("")
     def upsertSql(table: String, cols: Seq[String], types: Seq[String], pk: String): Option[String] = {
-      val collist = cols.mkString(", ")
+      val collist = cols.map(quote).mkString(", ")
       val ph = cols.map(_ => "?").mkString(", ")
-      val updates = cols.filter(_ != pk).map(c => s"${c} = EXCLUDED.${c}").mkString(", ")
-      Some(s"INSERT INTO ${table} ($collist) VALUES ($ph) ON CONFLICT (${pk}) DO UPDATE SET $updates")
+      val updates = cols.filter(_ != pk).map(c => s"${quote(c)} = EXCLUDED.${quote(c)}").mkString(", ")
+      Some(s"INSERT INTO ${quote(table)} ($collist) VALUES ($ph) ON CONFLICT (${quote(pk)}) DO UPDATE SET $updates")
     }
   }
 

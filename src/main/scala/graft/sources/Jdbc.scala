@@ -69,31 +69,37 @@ final class JdbcExecutor(url: String, dialect: Dialect) {
     val st = c.createStatement(); try st.execute(sql) finally st.close()
   }
 
+  /** Identifier quoting: table/column names can originate from untrusted
+    * file headers (XlIngest → write), so EVERY rendered statement passes
+    * them through dialect.quote — never raw interpolation.
+    */
+  private def q(ident: String): String = dialect.quote(ident)
+
   /** S14 create table; `pk` column gets PRIMARY KEY. */
   def createTable(name: String, schema: StructType, pk: Option[String] = None): Unit = {
     val cols = schema.fields.map { f =>
       val pkc = if (pk.contains(f.name)) " PRIMARY KEY" else ""
       val nn = if (!f.nullable && !pk.contains(f.name)) " NOT NULL" else ""
-      s"${f.name} ${dialect.typeName(f.dataType)}$pkc$nn"
+      s"${q(f.name)} ${dialect.typeName(f.dataType)}$pkc$nn"
     }
-    execute(s"CREATE TABLE ${name} (${cols.mkString(", ")})")
+    execute(s"CREATE TABLE ${q(name)} (${cols.mkString(", ")})")
   }
 
-  def dropTable(name: String): Unit = execute(s"DROP TABLE ${name}")
-  def truncate(name: String): Unit = execute(s"TRUNCATE TABLE ${name}")
+  def dropTable(name: String): Unit = execute(s"DROP TABLE ${q(name)}")
+  def truncate(name: String): Unit = execute(s"TRUNCATE TABLE ${q(name)}")
   def renameTable(oldName: String, newName: String): Unit =
     dialect match {
-      case Dialect.Derby => execute(s"RENAME TABLE ${oldName} TO ${newName}")
-      case _ => execute(s"ALTER TABLE ${oldName} RENAME TO ${newName}")
+      case Dialect.Derby => execute(s"RENAME TABLE ${q(oldName)} TO ${q(newName)}")
+      case _ => execute(s"ALTER TABLE ${q(oldName)} RENAME TO ${q(newName)}")
     }
   def createIndex(table: String, column: String, indexName: String): Unit =
-    execute(s"CREATE INDEX ${indexName} ON ${table} (${column})")
-  def dropIndex(indexName: String): Unit = execute(s"DROP INDEX ${indexName}")
+    execute(s"CREATE INDEX ${q(indexName)} ON ${q(table)} (${q(column)})")
+  def dropIndex(indexName: String): Unit = execute(s"DROP INDEX ${q(indexName)}")
 
   // ----------------------------------------------------------------- read --
 
   def readTable(spark: SparkSession, name: String): DataFrame =
-    spark.read.format("jdbc").option("url", url).option("dbtable", name).load()
+    spark.read.format("jdbc").option("url", url).option("dbtable", q(name)).load()
 
   /** S8: full Select pushdown — render and ship as a subquery; the DB plans
     * scan/filter/join/agg exactly like the reference's executor path.
@@ -139,10 +145,10 @@ final class JdbcExecutor(url: String, dialect: Dialect) {
         c.setAutoCommit(false)
         val st = c.createStatement()
         try {
-          if (hadTable) st.execute(s"DROP TABLE ${table}")
+          if (hadTable) st.execute(s"DROP TABLE ${q(table)}")
           dialect match {
-            case Dialect.Derby => st.execute(s"RENAME TABLE ${staging} TO ${table}")
-            case _ => st.execute(s"ALTER TABLE ${staging} RENAME TO ${table}")
+            case Dialect.Derby => st.execute(s"RENAME TABLE ${q(staging)} TO ${q(table)}")
+            case _ => st.execute(s"ALTER TABLE ${q(staging)} RENAME TO ${q(table)}")
           }
           c.commit()
         } catch { case e: Throwable => c.rollback(); throw e }
@@ -198,8 +204,8 @@ final class JdbcExecutor(url: String, dialect: Dialect) {
   private def batchedUpdate(df: DataFrame, table: String, pk: String): Unit = {
     val schema = df.schema
     val nonPk = schema.fields.filter(_.name != pk)
-    val sets = nonPk.map(f => s"${f.name} = ?").mkString(", ")
-    val sql = s"UPDATE ${table} SET $sets WHERE ${pk} = ?"
+    val sets = nonPk.map(f => s"${q(f.name)} = ?").mkString(", ")
+    val sql = s"UPDATE ${q(table)} SET $sets WHERE ${q(pk)} = ?"
     // bind order: non-pk fields then pk — build a reordered projection
     val reordered = df.select((nonPk.map(f => df(f.name)) :+ df(pk)).toIndexedSeq: _*)
     val bindSchema = reordered.schema
@@ -221,12 +227,17 @@ final class JdbcExecutor(url: String, dialect: Dialect) {
     }
   }
 
-  /** Distributed batched INSERT (per-partition connections). */
+  /** Distributed batched INSERT (per-partition connections, one transaction
+    * per partition). Delivery is AT-LEAST-ONCE under task/stage retry: a
+    * partition that committed before a retry re-inserts its rows. Callers
+    * needing exactly-once should write through [[SaveStrategy.Upsert]] on a
+    * PK'd table (idempotent) or Replace (staged swap, all-or-nothing).
+    */
   private def appendInto(df: DataFrame, table: String): Unit = {
     val schema = df.schema
-    val cols = schema.fieldNames.mkString(", ")
+    val cols = schema.fieldNames.map(q).mkString(", ")
     val ph = schema.fieldNames.map(_ => "?").mkString(", ")
-    val sql = s"INSERT INTO ${table} ($cols) VALUES ($ph)"
+    val sql = s"INSERT INTO ${q(table)} ($cols) VALUES ($ph)"
     val u = url
     df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       val c = DriverManager.getConnection(u)

@@ -248,13 +248,23 @@ object JsonWire {
       case WireType.Row =>
         val data = root.get("data")
         val vals = data.get("values")
-        val first = if (vals.size > 0) vals.get(0) else F.objectNode()
-        val ns = {
-          val it = first.fieldNames(); val b = Seq.newBuilder[String]
-          while (it.hasNext) b += it.next(); b.result()
-        }
         val tarr = data.get("types")
         val ts = (0 until tarr.size).map(i => parseWireName(tarr.get(i).asText()))
+        val ns =
+          if (vals.size > 0) {
+            val it = vals.get(0).fieldNames(); val b = Seq.newBuilder[String]
+            while (it.hasNext) b += it.next(); b.result()
+          } else {
+            // zero-row row-wise document: no values object to read names
+            // from — preserve the declared "types" width, naming the index
+            // column from index_tag and the rest Column_{i} (ADVICE r1:
+            // a zero-row roundtrip must not collapse to an empty schema).
+            val tagNode = root.get("index_tag")
+            val tagLoc = if (tagNode == null || tagNode.isNull) -1 else tagNode.get("loc").asInt()
+            ts.indices.map { i =>
+              if (i == tagLoc) tagNode.get("name").asText() else s"Column_$i"
+            }
+          }
         val rows = (0 until vals.size).map { i =>
           val o = vals.get(i)
           ns.zip(ts).map { case (n, t) => decodeCell(o.get(n), t) }

@@ -10,6 +10,23 @@ import org.apache.spark.sql.types._
   */
 object XlIngest {
 
+  /** Display rendering of a cell — used for header cells so a numeric header
+    * becomes "3" (the reference renders the cell's display value,
+    * fabrix/src/dispatcher/xl_db.rs set_row_wise_fields), never a case-class
+    * toString like "Num(3.0)".
+    */
+  def displayString(v: ExcelValue): String = v match {
+    case ExcelValue.Str(s)      => s
+    case ExcelValue.Bool(b)     => if (b) "true" else "false"
+    case ExcelValue.Num(d)      =>
+      if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString else d.toString
+    case ExcelValue.Date(d)     => d.toString
+    case ExcelValue.Time(t)     => t.toString
+    case ExcelValue.DateTime(t) => t.toString
+    case ExcelValue.Error(code) => code
+    case ExcelValue.None        => ""
+  }
+
   /** Infer a Spark field from the first non-None value of a column
     * (reference infers series types the same way, series.rs:592-647).
     */
@@ -87,10 +104,7 @@ object XlIngest {
     reader.rowBatches(sheet, batchSize).foreach { batch0 =>
       val batch =
         if (chunkIdx == 0 && header) {
-          names = Some(batch0.head.map {
-            case ExcelValue.Str(s) => s
-            case other             => other.toString
-          })
+          names = Some(batch0.head.map(displayString))
           batch0.tail
         } else batch0
       if (batch.nonEmpty) {
