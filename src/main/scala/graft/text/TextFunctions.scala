@@ -1,0 +1,134 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Text-analysis primitives for large-scale training-data pipelines —
+  * tokenization, shingling, quality metrics, language ID, fingerprints.
+  *
+  * Everything here is a pure `Column` combinator over Spark's built-in
+  * (codegen'd) functions — no UDFs, no driver round-trips — so every operator
+  * stays inside whole-stage codegen and scales linearly with executors.
+  *
+  * Cross-engine determinism: the hash primitive is built on md5 (identical
+  * bytes on every engine) rather than Spark-internal xxhash/murmur, so
+  * results are reproducible outside Spark (the DuckDB differential oracle
+  * replays the same arithmetic).
+  */
+object TextFunctions {
+
+  /** Mersenne prime 2^31-1 — modulus keeping all hash arithmetic well inside
+    * Long range on any SQL engine (no unsigned / overflow divergence).
+    */
+  val P: Long = 2147483647L
+
+  /** Second modulus used to shrink the 60-bit md5 prefix before affine
+    * transforms (a*h+b stays < 2^47).
+    */
+  val M: Long = 1000000007L
+
+  /** Deterministic 60-bit hash of a string: first 15 hex chars of md5.
+    * Engine-portable: DuckDB `CAST('0x'||substr(md5(s),1,15) AS BIGINT)`.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** hash60 reduced mod M — the working hash for minhash/simhash. */
+  def hashM(c: Column): Column = hash60(c) % M
+
+  /** Whitespace tokenization on single spaces (keeps empty tokens like the
+    * SQL string_split contract, so counts match across engines; callers
+    * wanting collapsed whitespace should regexp_replace first).
+    */
+  def tokens(text: Column): Column = split(text, " ", -1)
+
+  /** BPE-ish token count: word-characters runs + individual punctuation,
+    * the usual cheap proxy for LLM token counting.
+    */
+  def approxBpeCount(text: Column): Column =
+    regexp_count(text, lit("[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]"))
+
+  /** n-token shingles as strings; documents shorter than n yield the whole
+    * text as a single shingle so no document silently disappears from
+    * dedup ("a tweet-sized doc still dedups").
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) < n, array(concat_ws(" ", t)))
+      .otherwise(transform(
+        sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + lit(j))): _*)))
+  }
+
+  /** Distinct shingle set — the unit of Jaccard similarity. */
+  def shingleSet(text: Column, n: Int): Column = array_distinct(shingles(text, n))
+
+  // ------------------------------------------------------------- quality --
+
+  /** Default stopword list (English function words; ASCII only so every
+    * engine tokenizes identically).
+    */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "or", "is", "are", "to", "in", "on", "for", "with")
+
+  def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Quality metrics bundle: token count, distinct-token count, stopword
+    * count/ratio, mean token length — the length/punct/stopword heuristics
+    * used to score web-scraped documents before training.
+    */
+  def nTokens(text: Column): Column = size(tokens(text))
+  def nDistinctTokens(text: Column): Column = size(array_distinct(tokens(text)))
+  def stopwordCount(text: Column, words: Seq[String] = Stopwords): Column =
+    countIn(tokens(text), words)
+  def stopwordRatio(text: Column, words: Seq[String] = Stopwords): Column =
+    stopwordCount(text, words).cast("double") / nTokens(text)
+
+  /** Sum of token lengths (chars excluding separators). */
+  def sumTokenLen(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t))
+  def meanTokenLen(text: Column): Column =
+    sumTokenLen(text).cast("double") / nTokens(text)
+
+  // ------------------------------------------------------------- lang id --
+
+  /** Marker-word sets per language — a tiny n-gram/stopword heuristic
+    * language identifier. Deterministic argmax, first language in
+    * [[LangOrder]] wins ties, "und" when nothing matches.
+    */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"),
+    "es" -> Seq("el", "la", "de", "que", "y", "es", "un", "una", "por", "con"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "que", "pour", "dans"),
+    "zh" -> Seq("de5", "shi4", "bu4", "le5", "zai4", "ren2", "you3", "wo3", "ta1", "zhe4"))
+
+  val LangOrder: Seq[String] = Seq("en", "de", "es", "fr", "zh")
+
+  def langScore(text: Column, lang: String): Column =
+    countIn(tokens(text), LangMarkers(lang))
+
+  /** Predicted language: argmax of marker counts (ties → LangOrder). */
+  def langId(text: Column): Column = {
+    val scores = LangOrder.map(l => langScore(text, l))
+    val m = greatest(scores: _*)
+    LangOrder.zip(scores)
+      .foldRight(lit("und")) { case ((l, s), acc) => when(m > 0 && s === m, lit(l)).otherwise(acc) }
+  }
+
+  // -------------------------------------------------------- fingerprints --
+
+  /** Whole-document fingerprint (md5-based 60-bit). Identical documents ⇒
+    * identical fingerprints on any engine; the exact-dedup key at scale
+    * (group by 8-byte long, not by multi-KB text).
+    */
+  def fingerprint(text: Column): Column = hash60(text)
+
+  /** Content-defined rolling fingerprint: min of shingle hashes — stable
+    * under small edits away from the minimal shingle (a 1-hash MinHash).
+    */
+  def rollingFingerprint(text: Column, n: Int = 3): Column =
+    array_min(transform(shingleSet(text, n), s => hashM(s)))
+}
