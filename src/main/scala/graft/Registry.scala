@@ -296,5 +296,88 @@ object Registry {
         Some("SELECT * FROM region ORDER BY r_regionkey")))
   }
 
-  def all: Seq[RegisteredQuery] = relational ++ rowOps ++ sourceOps
+  /** LLM-data-pipeline extension operators (SURVEY §7 M7) — dedup, text
+    * analysis, similarity search, event windowing — each gate-checked against
+    * a DuckDB oracle generated from the same constants as the Spark code.
+    */
+  val llmOps: Seq[RegisteredQuery] = {
+    import graft.llm.{Dedup, EventWindows, Similarity}
+    import graft.text.TextFunctions._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.LongType
+    Seq(
+      // exact dedup: keep lowest doc_id per identical text (1 shuffle on fp)
+      RegisteredQuery(
+        "q_dedup_exact",
+        (s, dir) => Dedup.dedupExact(Tables.resolve(s, dir)("documents"), "text", "doc_id")
+          .select("doc_id", "lang", "n_chars").orderBy("doc_id"),
+        Some(Dedup.exactOracle("documents", "doc_id", "text", Seq("doc_id", "lang", "n_chars")))),
+
+      // near-dup pairs: banded MinHash + LSH bucket join + exact-Jaccard verify
+      RegisteredQuery(
+        "q_dedup_minhash",
+        (s, dir) => Dedup.dedupMinhashPairs(Tables.resolve(s, dir)("documents"), "text", "doc_id")
+          .orderBy("left_id", "right_id"),
+        Some(Dedup.minhashOracle("documents", "doc_id", "text"))),
+
+      // text quality metrics bundle
+      RegisteredQuery(
+        "q_text_quality",
+        (s, dir) => {
+          val t = col("text")
+          Tables.resolve(s, dir)("documents").select(
+            col("doc_id"),
+            nTokens(t).cast(LongType).as("n_tokens"),
+            nDistinctTokens(t).cast(LongType).as("n_distinct"),
+            stopwordRatio(t).as("stop_ratio"),
+            meanTokenLen(t).as("mean_tok_len"))
+            .orderBy("doc_id")
+        },
+        Some(qualityOracle("documents", "doc_id", "text"))),
+
+      // n-gram heuristic language ID
+      RegisteredQuery(
+        "q_lang_id",
+        (s, dir) => Tables.resolve(s, dir)("documents")
+          .select(col("doc_id"), col("lang"), langId(col("text")).as("lang_pred"))
+          .orderBy("doc_id"),
+        Some(langIdOracle("documents", "doc_id", "lang", "text"))),
+
+      // A4 median through the ADT path (dispatcher_tests.rs:139-151 shape)
+      adt("q_median", Select(
+        table = "documents",
+        columns = Seq(
+          Col("lang"),
+          Agg(AggFn.Median, Col("n_chars")).as("med_chars"),
+          CountStar.as("n_docs")),
+        groupBy = Seq(Col("lang")),
+        orderBy = Seq(Order.asc("lang")))),
+
+      // brute-force top-k over embeddings: broadcast queries, stream corpus
+      RegisteredQuery(
+        "q_knn",
+        (s, dir) => {
+          val emb = Tables.resolve(s, dir)("embeddings")
+          Similarity.bruteForceKnn(emb, emb.where(col("vec_id") < 10), k = 5)
+            .orderBy("query_id", "rank")
+        },
+        Some(Similarity.knnOracle("embeddings", "vec_id", "embedding",
+          "vec_id < 10", k = 5, dim = 64))),
+
+      // sign-LSH bucketed ANN: equi-join on bucket key, never all-pairs
+      RegisteredQuery(
+        "q_ann_lsh",
+        (s, dir) => Similarity.lshKnn(Tables.resolve(s, dir)("embeddings"), k = 3)
+          .orderBy("query_id", "rank"),
+        Some(Similarity.lshOracle("embeddings", "vec_id", "embedding", k = 3, dim = 64))),
+
+      // tumbling event-time window aggregation (decimal-sum determinism)
+      RegisteredQuery(
+        "q_events_window",
+        (s, dir) => EventWindows.tumbling(EventWindows.readEvents(s, s"$dir/events.parquet"))
+          .orderBy("w_start", "event_type"),
+        Some(EventWindows.tumblingOracle("events"))))
+  }
+
+  def all: Seq[RegisteredQuery] = relational ++ rowOps ++ sourceOps ++ llmOps
 }

@@ -1,0 +1,139 @@
+package graft.llm
+
+import graft.text.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Deduplication operators for training-data pipelines — exact (fingerprint)
+  * and near-dup (banded MinHash + LSH bucket join). Design target is 100 TB:
+  *
+  *  - Exact dedup is ONE shuffle: a window partitioned by the 8-byte
+  *    fingerprint (never by the multi-KB text itself).
+  *  - Near-dup never goes all-pairs: candidate pairs come from an equi-join
+  *    on (band index, band key) — the shuffle is bounded by bucket sizes,
+  *    O(sum b_i^2) comparisons instead of O(n^2). Exact Jaccard is computed
+  *    only for candidates.
+  *  - All hashing is md5-based Column arithmetic (codegen'd, no UDFs) and
+  *    engine-portable, so a DuckDB oracle replays bit-identical results.
+  *
+  * Reference scope note: the fabrix reference has no dedup operators — this
+  * is the LLM-pipeline extension surface (SURVEY §7 M7) built on the
+  * [[graft.text.TextFunctions]] primitives.
+  */
+object Dedup {
+
+  /** Default MinHash geometry: k = bands * rowsPerBand hash functions. */
+  val DefaultBands = 4
+  val DefaultRowsPerBand = 2
+
+  /** Affine hash-family coefficients h_i(x) = (a_i*x + b_i) mod P, chosen
+    * deterministic and small so a_i*x + b_i stays well inside Long range
+    * (x < M ~ 1e9, a_i <= 2k-1).
+    */
+  def hashA(i: Int): Long = 2L * i + 1
+  def hashB(i: Int): Long = (7919L * i + 12345L) % P
+
+  /** Exact dedup: keep the lowest-id row per identical `textCol`. Single
+    * shuffle on the 60-bit fingerprint; survivors keep all columns.
+    */
+  def dedupExact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keep = min(col(idCol)).over(Window.partitionBy(fingerprint(col(textCol))))
+    df.withColumn("__keep", keep).where(col(idCol) === col("__keep")).drop("__keep")
+  }
+
+  /** k MinHash values over a document's distinct shingle set. */
+  def minhashSignature(text: Column, shingleN: Int, k: Int): Column = {
+    val hs = transform(shingleSet(text, shingleN), s => hashM(s))
+    array((0 until k).map(i =>
+      array_min(transform(hs, h => (h * hashA(i) + hashB(i)) % P))): _*)
+  }
+
+  /** Band keys: rowsPerBand consecutive minhashes packed into one Long per
+    * band (each minhash < P = 2^31-1, so two pack exactly into < 2^62).
+    */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column = {
+    require(rowsPerBand <= 2, "band key packing supports rowsPerBand <= 2")
+    array((0 until bands).map { j =>
+      val base = j * rowsPerBand
+      (0 until rowsPerBand).map(r => element_at(sig, base + r + 1))
+        .reduceLeft((acc, m) => acc * P + m)
+    }: _*)
+  }
+
+  /** Near-duplicate pairs via banded MinHash LSH.
+    *
+    * Plan shape (the part that must survive 100×): explode each doc into
+    * `bands` (band, key, id) rows, self-equi-join on (band, key) — a hash
+    * join on a compact Long key, never a cartesian — distinct the candidate
+    * pairs, then join text back by id to verify exact Jaccard over shingle
+    * sets. Returns (leftIdCol, rightIdCol, jaccard) with jaccard >= minJaccard.
+    */
+  def dedupMinhashPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 3,
+      bands: Int = DefaultBands,
+      rowsPerBand: Int = DefaultRowsPerBand,
+      minJaccard: Double = 0.5): DataFrame = {
+    val k = bands * rowsPerBand
+    val sig = minhashSignature(col(textCol), shingleN, k)
+    val banded = df
+      .select(col(idCol), posexplode(bandKeys(sig, bands, rowsPerBand)).as(Seq("band", "bkey")))
+    val a = banded.as("a"); val b = banded.as("b")
+    val cand = a.join(b,
+        col(s"a.band") === col(s"b.band") && col(s"a.bkey") === col(s"b.bkey") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("left_id"), col(s"b.$idCol").as("right_id"))
+      .distinct()
+    val sets = df.select(col(idCol), shingleSet(col(textCol), shingleN).as("s"))
+    val jac = size(array_intersect(col("sa.s"), col("sb.s"))).cast(DoubleType) /
+      size(array_union(col("sa.s"), col("sb.s")))
+    cand
+      .join(sets.as("sa"), col("left_id") === col(s"sa.$idCol"))
+      .join(sets.as("sb"), col("right_id") === col(s"sb.$idCol"))
+      .select(col("left_id"), col("right_id"), jac.as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
+  // ------------------------------------------------- DuckDB oracle SQL ----
+  // Generated from the same constants as the Column code above so the two
+  // sides cannot drift. hash60 ⇔ CAST('0x'||substr(md5(x),1,15) AS BIGINT).
+
+  def exactOracle(table: String, idCol: String, textCol: String, keepCols: Seq[String]): String = {
+    val cols = keepCols.mkString(", ")
+    s"SELECT $cols FROM (SELECT *, min($idCol) OVER (PARTITION BY " +
+      s"CAST(('0x'||substr(md5($textCol),1,15)) AS BIGINT)) AS keep FROM $table) " +
+      s"WHERE $idCol = keep ORDER BY $idCol"
+  }
+
+  def minhashOracle(
+      table: String, idCol: String, textCol: String,
+      shingleN: Int = 3, bands: Int = DefaultBands, rowsPerBand: Int = DefaultRowsPerBand,
+      minJaccard: Double = 0.5): String = {
+    val k = bands * rowsPerBand
+    val n = shingleN
+    val shingleExpr = (0 until n).map(j => s"t[i+$j]").mkString("||' '||")
+    val sigTerms = (0 until k).map(i =>
+      s"list_min(list_transform(h, x -> (${hashA(i)}*x+${hashB(i)}) % $P)) AS m$i").mkString(", ")
+    val bandTerms = (0 until bands).map { j =>
+      val key = (0 until rowsPerBand).map(r => s"m${j * rowsPerBand + r}")
+        .reduceLeft((acc, m) => s"($acc*$P+$m)")
+      s"SELECT doc_id_, $j AS band, $key AS bkey FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH toks AS (SELECT $idCol AS doc_id_, string_split($textCol, ' ') AS t FROM $table),
+sh AS (SELECT doc_id_, list_distinct(CASE WHEN len(t) < $n THEN [array_to_string(t, ' ')]
+  ELSE list_transform(generate_series(1, len(t)-${n - 1}), i -> $shingleExpr) END) AS s FROM toks),
+hm AS (SELECT doc_id_, list_transform(s, x -> CAST(('0x'||substr(md5(x),1,15)) AS BIGINT) % $M) AS h FROM sh),
+sig AS (SELECT doc_id_, $sigTerms FROM hm),
+bands AS ($bandTerms),
+cand AS (SELECT DISTINCT a.doc_id_ AS left_id, b.doc_id_ AS right_id
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id_ < b.doc_id_),
+verified AS (SELECT c.left_id, c.right_id,
+  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard
+  FROM cand c JOIN sh sa ON sa.doc_id_ = c.left_id JOIN sh sb ON sb.doc_id_ = c.right_id)
+SELECT left_id, right_id, jaccard FROM verified WHERE jaccard >= $minJaccard ORDER BY left_id, right_id""".stripMargin
+  }
+}

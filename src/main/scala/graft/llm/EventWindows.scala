@@ -1,0 +1,49 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Event-time windowed aggregation over the `events` table — the batch form
+  * of the windowing the streaming path uses (same `window()` expression, so
+  * batch and stream share semantics; see [[graft.streaming.StreamingWindows]]).
+  *
+  * Determinism at scale: the value sum is computed in Decimal(18,6) and cast
+  * back to double, so the result is bit-identical regardless of partitioning
+  * or aggregation order (double accumulation is order-dependent; a
+  * 1000-executor run must not change the answer).
+  */
+object EventWindows {
+
+  /** Read an events table whose parquet `ts` is TIMESTAMP(NANOS) — Spark's
+    * reader rejects nano precision outright, so read nanos as Long (legacy
+    * conf, dynamic) and rebuild a micro-precision TIMESTAMP_NTZ. Truncation
+    * (DIV 1000) matches DuckDB's own nanos→micros read behavior, so both
+    * engines see identical values. Requires session timeZone=UTC (set by
+    * Verify/Bench) for the instant→NTZ rebase to be the identity.
+    */
+  def readEvents(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(path)
+      .withColumn("ts", expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+  }
+
+  /** Tumbling-window count + sum per (window, event_type). */
+  def tumbling(events: DataFrame, tsCol: String = "ts", duration: String = "1 hour",
+               typeCol: String = "event_type", valueCol: String = "value"): DataFrame =
+    events
+      .groupBy(window(col(tsCol), duration).as("w"), col(typeCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
+      .select(col("w.start").as("w_start"), col(typeCol), col("n_events"), col("sum_value"))
+
+  /** DuckDB oracle: time_bucket's 1-hour buckets are epoch-aligned exactly
+    * like Spark's `window()` tumbling windows.
+    */
+  def tumblingOracle(table: String, tsCol: String = "ts",
+                     typeCol: String = "event_type", valueCol: String = "value"): String =
+    s"SELECT time_bucket(INTERVAL 1 HOUR, $tsCol) AS w_start, $typeCol, " +
+      s"count(*) AS n_events, CAST(sum(CAST($valueCol AS DECIMAL(18,6))) AS DOUBLE) AS sum_value " +
+      s"FROM $table GROUP BY 1, 2 ORDER BY 1, 2"
+}

@@ -131,4 +131,34 @@ object TextFunctions {
     */
   def rollingFingerprint(text: Column, n: Int = 3): Column =
     array_min(transform(shingleSet(text, n), s => hashM(s)))
+
+  // ------------------------------------------------- DuckDB oracle SQL ----
+  // Generated from the same constant tables as the Column code above, so the
+  // Spark path and the differential oracle cannot drift.
+
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString(",")
+
+  /** Oracle for the quality-metrics bundle (token counts as BIGINT to match
+    * DuckDB's len()).
+    */
+  def qualityOracle(table: String, idCol: String, textCol: String): String =
+    s"""WITH toks AS (SELECT $idCol, string_split($textCol, ' ') AS t FROM $table)
+SELECT $idCol, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct,
+  CAST(len(list_filter(t, x -> x IN (${sqlList(Stopwords)}))) AS DOUBLE) / len(t) AS stop_ratio,
+  CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) AS mean_tok_len
+FROM toks ORDER BY $idCol""".stripMargin
+
+  /** Oracle for langId: CASE order = LangOrder (first match wins), identical
+    * to the foldRight in [[langId]].
+    */
+  def langIdOracle(table: String, idCol: String, langCol: String, textCol: String): String = {
+    val scores = LangOrder.map(l =>
+      s"len(list_filter(t, x -> x IN (${sqlList(LangMarkers(l))}))) AS s_$l").mkString(", ")
+    val cases = LangOrder.map(l => s"WHEN mx > 0 AND s_$l = mx THEN '$l'").mkString(" ")
+    s"""WITH toks AS (SELECT $idCol, $langCol, string_split($textCol, ' ') AS t FROM $table),
+sc AS (SELECT $idCol, $langCol, $scores FROM toks),
+m AS (SELECT *, greatest(${LangOrder.map("s_" + _).mkString(",")}) AS mx FROM sc)
+SELECT $idCol, $langCol, CASE $cases ELSE 'und' END AS lang_pred FROM m ORDER BY $idCol""".stripMargin
+  }
 }

@@ -1,0 +1,133 @@
+package graft.llm
+
+import graft.SparkSpec
+import graft.text.TextFunctions
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Unit coverage for the LLM-pipeline extension operators over tiny inline
+  * frames (the gate covers the sf-scale differential check; these pin the
+  * local semantics: shingles, quality math, dedup clustering, knn ranking).
+  */
+class LlmSpec extends SparkSpec {
+  import org.apache.spark.sql.DataFrame
+
+  private lazy val docs: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog", "en"),
+      (1L, "the quick brown fox jumps over the lazy cat", "en"),  // near-dup of 0
+      (2L, "der hund ist nicht zu haus und die katze auch nicht", "de"),
+      (3L, "completely different words entirely here folks", "en"),
+      (4L, "the quick brown fox jumps over the lazy dog", "en")   // exact dup of 0
+    ).toDF("doc_id", "text", "lang")
+  }
+
+  test("tokens / shingles semantics") {
+    val r = docs.where(col("doc_id") === 0)
+      .select(TextFunctions.nTokens(col("text")), TextFunctions.shingleSet(col("text"), 3))
+      .head()
+    assert(r.getInt(0) == 9)
+    val sh = r.getSeq[String](1)
+    assert(sh.contains("the quick brown") && sh.contains("over the lazy"))
+    assert(sh.length == 7) // 9 tokens -> 7 shingles, all distinct
+  }
+
+  test("short document yields whole text as single shingle") {
+    import spark.implicits._
+    val one = Seq("just two").toDF("text")
+      .select(TextFunctions.shingleSet(col("text"), 3)).head().getSeq[String](0)
+    assert(one == Seq("just two"))
+  }
+
+  test("quality metrics: stopword ratio and mean token length") {
+    val r = docs.where(col("doc_id") === 0).select(
+      TextFunctions.stopwordRatio(col("text")),
+      TextFunctions.meanTokenLen(col("text"))).head()
+    // "the" twice among 9 tokens; 35 non-space chars / 9 tokens
+    assert(math.abs(r.getDouble(0) - 2.0 / 9) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 35.0 / 9) < 1e-12)
+  }
+
+  test("langId picks the marker-dominant language, und when unmatched") {
+    val r = docs.select(col("doc_id"), TextFunctions.langId(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(r(0) == "en" && r(2) == "de" && r(3) == "und")
+  }
+
+  test("dedupExact keeps the lowest id per identical text") {
+    val kept = Dedup.dedupExact(docs, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(0L, 1L, 2L, 3L)) // 4 dropped (dup of 0)
+  }
+
+  test("dedupMinhashPairs finds near + exact dup pairs, never unrelated ones") {
+    val pairs = Dedup.dedupMinhashPairs(docs, "text", "doc_id", minJaccard = 0.4)
+      .select("left_id", "right_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 4L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 4L))) // near-dups
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }) // unrelated doc never pairs
+  }
+
+  test("minhash signature is k values, invariant across partitioning") {
+    val sig1 = docs.repartition(1).select(Dedup.minhashSignature(col("text"), 3, 8))
+      .collect().map(_.getSeq[Long](0))
+    val sig4 = docs.repartition(4).sort("doc_id").select(Dedup.minhashSignature(col("text"), 3, 8))
+      .collect().map(_.getSeq[Long](0))
+    assert(sig1.head.length == 8)
+    assert(sig1.toSet == sig4.toSet)
+  }
+
+  private lazy val vecs: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),   // closest to 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.1f))
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("cosine is 1 for identical directions, ~0 for orthogonal") {
+    val r = vecs.as("a").join(vecs.as("b"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(r((0L, 0L)) - 1.0) < 1e-9)
+    assert(math.abs(r((0L, 2L))) < 1e-9)
+    assert(r((0L, 1L)) > 0.9 && r((0L, 3L)) < -0.9)
+  }
+
+  test("bruteForceKnn ranks by score with id tiebreak and excludes self") {
+    val knn = Similarity.bruteForceKnn(vecs, vecs.where(col("vec_id") === 0), k = 3)
+      .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("rank")))
+    assert(knn.length == 3)
+    assert(knn.map(_._1).toSeq == Seq(1L, 2L, 3L)) // by descending dot product
+    assert(!knn.map(_._1).contains(0L))
+  }
+
+  test("signBucket packs sign bits deterministically") {
+    val b = vecs.select(col("vec_id"), Similarity.signBucket(col("embedding"), Seq(1, 2)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(0L) == 1L) // +,0 -> bit0 only
+    assert(b(1L) == 3L) // +,+
+    assert(b(2L) == 2L) // 0,+ -> bit1
+    assert(b(3L) == 0L) // -,0
+  }
+
+  test("events tumbling window matches a manual hour-truncation groupBy") {
+    val events = EventWindows.readEvents(spark, s"$sf/events.parquet")
+    val viaWindow = EventWindows.tumbling(events)
+      .orderBy("w_start", "event_type").collect()
+    val manual = events
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("w_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("w_start", "event_type").collect()
+    assert(viaWindow.length == manual.length)
+    viaWindow.zip(manual).foreach { case (w, m) =>
+      assert(w.getAs[Any]("w_start") == m.getAs[Any]("w_start"))
+      assert(w.getAs[Long]("n_events") == m.getAs[Long]("n_events"))
+    }
+  }
+}
