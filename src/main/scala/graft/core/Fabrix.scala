@@ -44,23 +44,20 @@ final case class Fabrix(df: DataFrame, indexTag: Option[IndexTag] = None) {
 
   /** Mint a dense 0-based index column (fabrix.rs:424-429 `generate_index`).
     * Deterministic iff `orderBy` gives a total order; with no order it uses
-    * the existing partition layout (zipWithIndex — one extra job to count
-    * partition sizes, no shuffle; contiguous unlike
-    * monotonically_increasing_id).
+    * the existing partition layout via [[DenseIndex]] — contiguous like the
+    * reference's row-count column, but never leaving Tungsten (no RDD
+    * round-trip, no codegen break).
     */
   def generateIndex(orderBy: Seq[Column] = Nil): Fabrix = {
     val name = Fabrix.DefaultIndexName
     val out =
       if (orderBy.nonEmpty)
         // row_number is a single-partition window: fine for frames that fit
-        // one task; for big frames prefer zipWithIndex below.
+        // one task; for big frames prefer the partition-layout path below.
         df.withColumn(name, row_number().over(Window.orderBy(orderBy: _*)).cast(LongType) - 1)
-      else {
-        val sch = StructType(StructField(name, LongType, nullable = false) +: df.schema.fields)
-        val rows = df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(i +: r.toSeq) }
-        df.sparkSession.createDataFrame(rows, sch)
-      }
-    Fabrix(out.select(name, df.columns.toIndexedSeq: _*), Some(IndexTag(name, LongType)))
+          .select(name, df.columns.toIndexedSeq: _*)
+      else DenseIndex.withDenseIndex(df, name)
+    Fabrix(out, Some(IndexTag(name, LongType)))
   }
 
   // ------------------------------------------------------------- columns --
@@ -96,35 +93,35 @@ final case class Fabrix(df: DataFrame, indexTag: Option[IndexTag] = None) {
     Fabrix(df.unionByName(other.df), indexTag)
 
   /** Horizontal stack of equal-height frames (fabrix.rs:446-463 `hconcat`).
-    * Implemented with RDD zip when partitioning lines up (no shuffle — the
-    * scale path), falling back to an index-equijoin otherwise.
     *
-    * Alignment is checked EAGERLY (partition count + per-partition element
-    * counts, one lightweight count job per side) because RDD.zip's own checks
-    * only fire lazily inside getPartitions/tasks at action time — a try/catch
-    * around the lazy construction would never see them. The count pass costs
-    * one extra evaluation of each input; callers stacking expensive frames
-    * should cache them first.
+    * Distributed rows have no inherent position, so pairing is by a dense
+    * positional index minted on each side ([[DenseIndex]], partition-layout
+    * order — the same order the reference's in-memory hconcat uses) followed
+    * by one equi-join on that 8-byte key. No eager evaluation, no RDD
+    * round-trip, no extra global sort: join output order is irrelevant once
+    * rows are paired (downstream consumers order by the index/their own
+    * keys). An inner join silently truncating unequal heights would hide
+    * bugs, so heights are checked inside the plan: full-outer join + a
+    * null-check expression that fails the task on the first unmatched row.
+    * Caveat: the guard lives in the first output column, so actions that
+    * prune every column (a bare `count()`) skip the height check.
     */
   def hconcat(other: Fabrix): Fabrix = {
     val l = df; val r = other.df
     val dup = r.columns.toSet.intersect(l.columns.toSet)
     require(dup.isEmpty, s"hconcat duplicate columns: $dup")
-    val sch = StructType(l.schema.fields ++ r.schema.fields)
-    val lr = l.rdd; val rr = r.rdd
-    def partCounts(rdd: org.apache.spark.rdd.RDD[Row]): Array[Long] =
-      rdd.mapPartitions(it => Iterator.single(it.size.toLong), preservesPartitioning = true).collect()
-    val aligned = lr.getNumPartitions == rr.getNumPartitions &&
-      java.util.Arrays.equals(partCounts(lr), partCounts(rr))
-    val zipped =
-      if (aligned) lr.zip(rr).map { case (a, b) => Row.fromSeq(a.toSeq ++ b.toSeq) }
-      else {
-        // partition shapes differ: key both sides by global position
-        val la = lr.zipWithIndex.map(_.swap)
-        val rb = rr.zipWithIndex.map(_.swap)
-        la.join(rb).sortByKey().map { case (_, (a, b)) => Row.fromSeq(a.toSeq ++ b.toSeq) }
-      }
-    Fabrix(l.sparkSession.createDataFrame(zipped, sch), indexTag)
+    val pos = "__hc_pos"
+    val la = DenseIndex.withDenseIndex(l, pos)
+    val rb = DenseIndex.withDenseIndex(r, s"${pos}_r")
+    val joined = la.join(rb, col(pos) === col(s"${pos}_r"), "full_outer")
+    // the guard must live inside a KEPT column or Catalyst prunes it away:
+    // fold it into the first output column via when/otherwise
+    val first = l.schema.head
+    val checkedFirst = when(col(pos).isNull || col(s"${pos}_r").isNull,
+        raise_error(lit("hconcat: frames have different heights")).cast(first.dataType))
+      .otherwise(col(first.name)).as(first.name)
+    val rest = (l.columns.tail ++ r.columns).map(col)
+    Fabrix(joined.select(checkedFirst +: rest.toIndexedSeq: _*), indexTag)
   }
 
   // -------------------------------------------------------------- row ops --

@@ -19,11 +19,9 @@ private[sources] object ReaderCommon {
     columns.foreach(ns => df = df.select(ns.map(df(_)): _*))
     nRows.foreach(n => df = df.limit(n.toInt))
     rowCountCol.foreach { name =>
-      // dense 0-based ids, partition-parallel (zipWithIndex: one count job,
-      // no shuffle) — matches polars with_row_count semantics
-      val sch = StructType(StructField(name, LongType, nullable = false) +: df.schema.fields)
-      val rows = df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(i +: r.toSeq) }
-      df = df.sparkSession.createDataFrame(rows, sch)
+      // dense 0-based ids matching polars with_row_count semantics — stays
+      // in Tungsten (no RDD round-trip), see DenseIndex
+      df = graft.core.DenseIndex.withDenseIndex(df, name)
     }
     df
   }
@@ -32,23 +30,28 @@ private[sources] object ReaderCommon {
 /** CSV source/sink (reference S1/S2). */
 object Csv {
   def read(spark: SparkSession, path: String, opts: CsvReadOptions = CsvReadOptions()): DataFrame = {
-    // skip_rows drops raw lines BEFORE header parsing (csv/reader.rs:60-75):
-    // go through a text scan + line filter, then parse the remaining lines.
+    // skip_rows drops raw lines BEFORE header parsing (csv/reader.rs:60-75).
+    // Leading lines live in partition 0 (Hadoop line reader preserves file
+    // order within the first split), so dropping them is a pure
+    // mapPartitionsWithIndex on partition 0 — no global zipWithIndex pass,
+    // no extra job; every other partition streams through untouched.
     val base: DataFrame =
       if (opts.skipRows > 0 || opts.skipRowsAfterHeader > 0) {
-        import spark.implicits._
-        val lines = spark.read.textFile(path).rdd.zipWithIndex
-        val afterSkip = lines.filter { case (_, i) => i >= opts.skipRows }.map(_._1)
-        val headerAdjusted =
-          if (opts.skipRowsAfterHeader > 0) {
-            val reIdx = afterSkip.zipWithIndex()
-            (if (opts.header)
-               reIdx.filter { case (_, i) => i == 0L || i > opts.skipRowsAfterHeader }
-             else
-               reIdx.filter { case (_, i) => i >= opts.skipRowsAfterHeader }
-            ).map(_._1)
-          } else afterSkip
-        val ds = spark.createDataset(headerAdjusted)(org.apache.spark.sql.Encoders.STRING)
+        val skipTop = opts.skipRows
+        val afterHeader = opts.skipRowsAfterHeader
+        val hasHeader = opts.header
+        val lines = spark.read.textFile(path).rdd.mapPartitionsWithIndex {
+          case (0, it) =>
+            val afterSkip = it.drop(skipTop)
+            if (afterHeader > 0) {
+              if (hasHeader && afterSkip.hasNext) {
+                val head = afterSkip.next() // header survives, then skip
+                Iterator.single(head) ++ afterSkip.drop(afterHeader)
+              } else afterSkip.drop(afterHeader)
+            } else afterSkip
+          case (_, it) => it
+        }
+        val ds = spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING)
         reader(spark, opts).csv(ds)
       } else reader(spark, opts).csv(path)
     ReaderCommon.finish(base, opts.columns, opts.projection, opts.nRows, opts.rowCountCol)

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming form of the event-window aggregation — the same
+  * `window()` expression as [[graft.llm.EventWindows.tumbling]], so batch and
+  * stream share one semantics (SURVEY §2.9: the reference's "streaming" is
+  * chunked batch; this is the true-streaming extension with watermarks).
+  *
+  * Scale notes: stateful aggregation state is keyed by (window, event_type)
+  * — bounded by the watermark horizon, so state size is
+  * O(types × windows-in-horizon) regardless of input rate; the shuffle is
+  * the same hash partitioning a batch groupBy would do.
+  */
+object StreamingWindows {
+
+  /** Events schema as stored (ts = TIMESTAMP(NANOS) read as Long nanos). */
+  val EventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over an events parquet path; rebuilds the nano `ts`
+    * into a micro-precision TIMESTAMP. Unlike the batch reader this stays on
+    * instant (with-timezone) semantics — Spark watermarks require TIMESTAMP,
+    * not TIMESTAMP_NTZ. Under a UTC session the wall-clock values coincide.
+    */
+  def readEventsStream(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(EventsRawSchema).parquet(path)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** Watermarked tumbling-window count + sum. With `append` output mode only
+    * windows finalized by the watermark emit (late data beyond `lateness` is
+    * dropped); with `complete` it behaves like the batch aggregation.
+    */
+  def tumbling(events: DataFrame, duration: String = "1 hour", lateness: String = "2 hours",
+               tsCol: String = "ts", typeCol: String = "event_type",
+               valueCol: String = "value"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), duration).as("w"), col(typeCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
+      .select(col("w.start").as("w_start"), col(typeCol), col("n_events"), col("sum_value"))
+}

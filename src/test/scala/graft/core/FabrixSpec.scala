@@ -66,10 +66,28 @@ class FabrixSpec extends SparkSpec {
     assert(m == Map(1L -> "p", 2L -> "q", 3L -> "r", 4L -> "s"))
   }
 
+  test("hconcat pairs frames with mismatched partition layouts") {
+    val right = Fabrix(Seq("p", "q", "r", "s").toDF("tag").repartition(3))
+    val out = frame.hconcat(right)
+    assert(out.df.count() == 4)
+    // every left row pairs with exactly one right value (position order)
+    assert(out.df.select("tag").as[String].collect().sorted.toSeq == Seq("p", "q", "r", "s"))
+  }
+
+  test("hconcat of different heights fails when rows are read") {
+    val right = Fabrix(Seq("p", "q").toDF("tag"))
+    // count() prunes all columns incl. the guard; reading rows trips it
+    val ex = intercept[Exception](frame.hconcat(right).df.collect())
+    assert(ex.getMessage.contains("different heights"))
+  }
+
   test("generateIndex mints dense contiguous ids") {
     val f = Fabrix(Seq("a", "b", "c").toDF("name")).generateIndex()
     assert(f.indexTag.map(_.name).contains(Fabrix.DefaultIndexName))
     assert(f.df.select("index").as[Long].collect().sorted.toSeq == Seq(0L, 1L, 2L))
+    // dense + contiguous across many partitions (DenseIndex path)
+    val big = Fabrix(spark.range(100).toDF("n").repartition(7)).generateIndex()
+    assert(big.df.select("index").as[Long].collect().sorted.toSeq == (0L until 100L))
   }
 
   test("appendRows unions literal rows") {

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.llm.EventWindows
+
+/** Streaming windowed aggregation vs its batch twin over the same events
+  * file. Complete mode must equal the batch result exactly; append mode
+  * emits only watermark-finalized windows (a subset).
+  */
+class StreamingWindowsSpec extends SparkSpec {
+
+  // file stream source needs a directory; stage the single parquet file
+  private lazy val streamDir: String = {
+    val dir = java.nio.file.Paths.get("/tmp/graft_stream_events")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  private def runStream(mode: String, name: String): Array[org.apache.spark.sql.Row] = {
+    val stream = StreamingWindows.tumbling(
+      StreamingWindows.readEventsStream(spark, streamDir))
+    val q = stream.writeStream
+      .format("memory").queryName(name).outputMode(mode)
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // stream runs on instant timestamps (watermark requirement); batch is
+    // NTZ — under the UTC test session the cast is the identity
+    spark.table(name)
+      .select(org.apache.spark.sql.functions.col("w_start").cast("timestamp_ntz").as("w_start"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("n_events"),
+        org.apache.spark.sql.functions.col("sum_value"))
+      .orderBy("w_start", "event_type").collect()
+  }
+
+  private lazy val batch =
+    EventWindows.tumbling(EventWindows.readEvents(spark, s"$sf/events.parquet"))
+      .orderBy("w_start", "event_type").collect()
+
+  test("complete mode equals the batch aggregation") {
+    val got = runStream("complete", "sw_complete")
+    assert(got.length == batch.length)
+    got.zip(batch).foreach { case (g, b) => assert(g == b) }
+  }
+
+  test("append mode emits only watermark-finalized windows, all correct") {
+    val got = runStream("append", "sw_append")
+    val byKey = batch.map(r => (r.get(0), r.getString(1)) -> r).toMap
+    assert(got.nonEmpty && got.length < batch.length)
+    got.foreach { g => assert(byKey((g.get(0), g.getString(1))) == g) }
+  }
+}
