@@ -43,23 +43,53 @@ object Dedup {
     df.withColumn("__keep", keep).where(col(idCol) === col("__keep")).drop("__keep")
   }
 
-  /** k MinHash values over a document's distinct shingle set. */
-  def minhashSignature(text: Column, shingleN: Int, k: Int): Column = {
-    val hs = transform(shingleSet(text, shingleN), s => hashM(s))
-    array((0 until k).map(i =>
-      array_min(transform(hs, h => (h * hashA(i) + hashB(i)) % P))): _*)
+  /** Affine update of a running k-wide minimum with one shingle hash `hv`:
+    * acc'[i] = min(acc[i], (a_i*hv + b_i) mod P). `i` and `hv` are lambda
+    * variables (cheap); a_i/b_i are inlined arithmetic on `i`, matching
+    * [[hashA]]/[[hashB]] exactly (b_i < P for k <= 16, so the outer mod in
+    * hashB is a no-op).
+    */
+  private def minhashMerge(acc: Column, hv: Column, k: Int): Column = {
+    require(k <= 16, "inline b_i formula assumes 7919*k + 12345 < P")
+    zip_with(
+      acc,
+      transform(sequence(lit(0), lit(k - 1)),
+        i => (hv * (i * 2 + 1) + (i * 7919 + 12345)) % P),
+      (a, b) => least(a, b))
   }
 
-  /** Band keys: rowsPerBand consecutive minhashes packed into one Long per
-    * band (each minhash < P = 2^31-1, so two pack exactly into < 2^62).
+  /** k MinHash values over a document's distinct shingle set.
+    *
+    * ONE `aggregate` pass over the shingle-hash array: HOFs are interpreted
+    * (no codegen, no subexpression elimination), so the naive form — k
+    * separate `array_min(transform(hashes, …))` columns — re-evaluates the
+    * whole shingle pipeline k times per row. Here every stage (tokenize →
+    * shingle → md5 → k affine mins) is the child of exactly one HOF and
+    * evaluates once per row.
     */
-  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column = {
+  def minhashSignature(text: Column, shingleN: Int, k: Int): Column =
+    aggregate(
+      transform(shingleSet(text, shingleN), s => hashM(s)),
+      array_repeat(lit(P), k),
+      (acc, hv) => minhashMerge(acc, hv, k))
+
+  /** Band keys computed in the same single pass: the banding runs in the
+    * aggregate's finish lambda, where the signature is a lambda VARIABLE —
+    * referencing it per band is free, unlike an 8-fold `element_at(sig, …)`
+    * over a repeated signature subtree. rowsPerBand consecutive minhashes
+    * pack into one Long per band (each < P = 2^31-1, two fit in < 2^62).
+    */
+  def bandKeys(text: Column, shingleN: Int, bands: Int, rowsPerBand: Int): Column = {
     require(rowsPerBand <= 2, "band key packing supports rowsPerBand <= 2")
-    array((0 until bands).map { j =>
-      val base = j * rowsPerBand
-      (0 until rowsPerBand).map(r => element_at(sig, base + r + 1))
-        .reduceLeft((acc, m) => acc * P + m)
-    }: _*)
+    val k = bands * rowsPerBand
+    aggregate(
+      transform(shingleSet(text, shingleN), s => hashM(s)),
+      array_repeat(lit(P), k),
+      (acc, hv) => minhashMerge(acc, hv, k),
+      sig => transform(sequence(lit(0), lit(bands - 1)), j =>
+        (0 until rowsPerBand)
+          .map(r => element_at(sig, j * rowsPerBand + r + 1))
+          .reduceLeft((a, m) => a * P + m)))
   }
 
   /** Near-duplicate pairs via banded MinHash LSH.
@@ -78,17 +108,20 @@ object Dedup {
       bands: Int = DefaultBands,
       rowsPerBand: Int = DefaultRowsPerBand,
       minJaccard: Double = 0.5): DataFrame = {
-    val k = bands * rowsPerBand
-    val sig = minhashSignature(col(textCol), shingleN, k)
-    val banded = df
-      .select(col(idCol), posexplode(bandKeys(sig, bands, rowsPerBand)).as(Seq("band", "bkey")))
+    // single-file inputs arrive as one partition; the signature computation
+    // is the expensive part, so spread it across the cluster first
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val src = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val banded = src
+      .select(col(idCol),
+        posexplode(bandKeys(col(textCol), shingleN, bands, rowsPerBand)).as(Seq("band", "bkey")))
     val a = banded.as("a"); val b = banded.as("b")
     val cand = a.join(b,
         col(s"a.band") === col(s"b.band") && col(s"a.bkey") === col(s"b.bkey") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("left_id"), col(s"b.$idCol").as("right_id"))
       .distinct()
-    val sets = df.select(col(idCol), shingleSet(col(textCol), shingleN).as("s"))
+    val sets = src.select(col(idCol), shingleSet(col(textCol), shingleN).as("s"))
     val jac = size(array_intersect(col("sa.s"), col("sb.s"))).cast(DoubleType) /
       size(array_union(col("sa.s"), col("sb.s")))
     cand

@@ -53,9 +53,11 @@ object Similarity {
   def bruteForceKnn(
       corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val src = if (corpus.rdd.getNumPartitions < par) corpus.repartition(par) else corpus
     val q = broadcast(queries.select(
       col(idCol).as("query_id"), quantize(col(vecCol)).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
+    val c = src.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         dotQuantized(col("qv"), col("cv")).as("score"))
@@ -82,7 +84,9 @@ object Similarity {
       corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       dims: Seq[Int] = DefaultLshDims): DataFrame = {
-    val b = corpus.select(
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val src = if (corpus.rdd.getNumPartitions < par) corpus.repartition(par) else corpus
+    val b = src.select(
       col(idCol), signBucket(col(vecCol), dims).as("bucket"), quantize(col(vecCol)).as("qv"))
     val scored = b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col(s"a.$idCol") =!= col(s"b.$idCol"))

@@ -47,6 +47,29 @@ sealed trait Dialect {
     * with `cols` (Derby needs typed CASTs on VALUES parameters).
     */
   def upsertSql(table: String, cols: Seq[String], types: Seq[String], pk: String): Option[String]
+
+  /** ALTER TABLE … change a column's type (reference modify_column,
+    * fabrix-sql/src/builder/sql_adt.rs:424-441, mutation_ddl.rs:36-63).
+    * Dialects differ in the verb; SQLite has no ALTER COLUMN at all.
+    */
+  def modifyColumnSql(table: String, column: String, typeName: String): String =
+    s"ALTER TABLE ${quote(table)} ALTER COLUMN ${quote(column)} SET DATA TYPE $typeName"
+
+  /** ALTER TABLE … DROP the named foreign-key constraint. */
+  def dropForeignKeySql(table: String, fkName: String): String =
+    s"ALTER TABLE ${quote(table)} DROP CONSTRAINT ${quote(fkName)}"
+}
+
+/** Referential action for FK DDL (reference ForeignKeyAction,
+  * fabrix-sql/src/builder/sql_adt.rs:189-211).
+  */
+sealed abstract class FkAction(val sql: String)
+object FkAction {
+  case object Restrict   extends FkAction("RESTRICT")
+  case object Cascade    extends FkAction("CASCADE")
+  case object SetNull    extends FkAction("SET NULL")
+  case object NoAction   extends FkAction("NO ACTION")
+  case object SetDefault extends FkAction("SET DEFAULT")
 }
 
 object Dialect {
@@ -64,6 +87,10 @@ object Dialect {
   case object MySql extends Dialect {
     val name = "mysql"
     override def quote(ident: String): String = "`" + ident.replace("`", "``") + "`"
+    override def modifyColumnSql(table: String, column: String, typeName: String): String =
+      s"ALTER TABLE ${quote(table)} MODIFY COLUMN ${quote(column)} $typeName"
+    override def dropForeignKeySql(table: String, fkName: String): String =
+      s"ALTER TABLE ${quote(table)} DROP FOREIGN KEY ${quote(fkName)}"
     override def limitClause(limit: Option[Long], offset: Option[Long]): String =
       limit.map(n => s" LIMIT $n").getOrElse("") + offset.map(n => s" OFFSET $n").getOrElse("")
     def upsertSql(table: String, cols: Seq[String], types: Seq[String], pk: String): Option[String] = {
@@ -77,6 +104,8 @@ object Dialect {
   /** PostgreSQL. */
   case object Postgres extends Dialect {
     val name = "postgres"
+    override def modifyColumnSql(table: String, column: String, typeName: String): String =
+      s"ALTER TABLE ${quote(table)} ALTER COLUMN ${quote(column)} TYPE $typeName"
     override def limitClause(limit: Option[Long], offset: Option[Long]): String =
       limit.map(n => s" LIMIT $n").getOrElse("") + offset.map(n => s" OFFSET $n").getOrElse("")
     def upsertSql(table: String, cols: Seq[String], types: Seq[String], pk: String): Option[String] = {
@@ -90,6 +119,10 @@ object Dialect {
   /** SQLite. */
   case object Sqlite extends Dialect {
     val name = "sqlite"
+    override def modifyColumnSql(table: String, column: String, typeName: String): String =
+      throw new UnsupportedOperationException("SQLite has no ALTER COLUMN; recreate the table")
+    override def dropForeignKeySql(table: String, fkName: String): String =
+      throw new UnsupportedOperationException("SQLite has no DROP CONSTRAINT; recreate the table")
     override def limitClause(limit: Option[Long], offset: Option[Long]): String =
       limit.map(n => s" LIMIT $n").getOrElse("") + offset.map(n => s" OFFSET $n").getOrElse("")
     def upsertSql(table: String, cols: Seq[String], types: Seq[String], pk: String): Option[String] =

@@ -96,10 +96,78 @@ final class JdbcExecutor(url: String, dialect: Dialect) {
     execute(s"CREATE INDEX ${q(indexName)} ON ${q(table)} (${q(column)})")
   def dropIndex(indexName: String): Unit = execute(s"DROP INDEX ${q(indexName)}")
 
+  // S14 rest: ALTER TABLE column verbs (sql_adt.rs:424-441, mutation_ddl.rs:36-63)
+
+  def addColumn(table: String, column: String, dt: DataType, nullable: Boolean = true): Unit = {
+    val nn = if (nullable) "" else " NOT NULL"
+    execute(s"ALTER TABLE ${q(table)} ADD COLUMN ${q(column)} ${dialect.typeName(dt)}$nn")
+  }
+
+  def dropColumn(table: String, column: String): Unit =
+    execute(s"ALTER TABLE ${q(table)} DROP COLUMN ${q(column)}")
+
+  def modifyColumn(table: String, column: String, dt: DataType): Unit =
+    execute(dialect.modifyColumnSql(table, column, dialect.typeName(dt)))
+
+  // S14 rest: foreign keys with referential actions (sql_adt.rs:189-211,
+  // mutation_ddl.rs:64-143)
+
+  def addForeignKey(table: String, fkName: String, column: String,
+                    refTable: String, refColumn: String,
+                    onDelete: Option[FkAction] = None,
+                    onUpdate: Option[FkAction] = None): Unit = {
+    val od = onDelete.map(a => s" ON DELETE ${a.sql}").getOrElse("")
+    val ou = onUpdate.map(a => s" ON UPDATE ${a.sql}").getOrElse("")
+    execute(s"ALTER TABLE ${q(table)} ADD CONSTRAINT ${q(fkName)} " +
+      s"FOREIGN KEY (${q(column)}) REFERENCES ${q(refTable)} (${q(refColumn)})$od$ou")
+  }
+
+  def dropForeignKey(table: String, fkName: String): Unit =
+    execute(dialect.dropForeignKeySql(table, fkName))
+
   // ----------------------------------------------------------------- read --
 
-  def readTable(spark: SparkSession, name: String): DataFrame =
-    spark.read.format("jdbc").option("url", url).option("dbtable", q(name)).load()
+  /** Numeric MIN/MAX bounds of a column, for partitioned reads. */
+  private def columnBounds(table: String, column: String): Option[(Long, Long)] =
+    withConn { c =>
+      val st = c.createStatement()
+      try {
+        val rs = st.executeQuery(
+          s"SELECT MIN(${q(column)}), MAX(${q(column)}) FROM ${q(table)}")
+        try {
+          if (!rs.next()) None
+          else {
+            val lo = rs.getLong(1); val loNull = rs.wasNull()
+            val hi = rs.getLong(2); val hiNull = rs.wasNull()
+            if (loNull || hiNull) None else Some((lo, hi))
+          }
+        } finally rs.close()
+      } catch { case _: java.sql.SQLException => None } // non-numeric column
+      finally st.close()
+    }
+
+  /** Table read, partitioned across connections when a numeric partition
+    * column is available (explicit, else the introspected PK): Spark splits
+    * [lo, hi] into `numPartitions` range predicates, one connection each —
+    * without this every table read funnels through ONE connection on one
+    * task, the classic JDBC-source bottleneck at scale.
+    */
+  def readTable(spark: SparkSession, name: String,
+                partitionColumn: Option[String] = None,
+                numPartitions: Int = 8): DataFrame = {
+    val base = spark.read.format("jdbc").option("url", url).option("dbtable", q(name))
+    val pc = partitionColumn.orElse(primaryKey(name))
+    pc.flatMap(c => columnBounds(name, c).map((c, _))) match {
+      case Some((c, (lo, hi))) if hi > lo && numPartitions > 1 =>
+        base
+          .option("partitionColumn", c)
+          .option("lowerBound", lo)
+          .option("upperBound", hi + 1) // upperBound is exclusive in the stride math
+          .option("numPartitions", math.min(numPartitions.toLong, hi - lo + 1).toString)
+          .load()
+      case _ => base.load()
+    }
+  }
 
   /** S8: full Select pushdown — render and ship as a subquery; the DB plans
     * scan/filter/join/agg exactly like the reference's executor path.

@@ -52,13 +52,24 @@ object TextFunctions {
   /** n-token shingles as strings; documents shorter than n yield the whole
     * text as a single shingle so no document silently disappears from
     * dedup ("a tweet-sized doc still dedups").
+    *
+    * Built from shifted-array zips, NOT `transform(sequence, i =>
+    * element_at(tokens, i+j))`: higher-order functions are interpreted (no
+    * codegen, no subexpression elimination), so an expression referenced
+    * inside a lambda body re-evaluates per ELEMENT — the element_at form
+    * re-splits the whole document for every shingle position, O(tokens²)
+    * per row. Here every zip_with/slice child is evaluated once per ROW:
+    * zipping the token array with its own 1..n-1-shifted slices pads the
+    * tail with nulls (concat propagates them) and array_compact drops them,
+    * leaving exactly the size-n+1 in-order n-grams.
     */
   def shingles(text: Column, n: Int): Column = {
     val t = tokens(text)
-    when(size(t) < n, array(concat_ws(" ", t)))
-      .otherwise(transform(
-        sequence(lit(1), size(t) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + lit(j))): _*)))
+    val joined = (1 until n).foldLeft(t) { (acc, j) =>
+      zip_with(acc, slice(t, lit(j + 1), greatest(size(t) - j, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    when(size(t) < n, array(concat_ws(" ", t))).otherwise(array_compact(joined))
   }
 
   /** Distinct shingle set — the unit of Jaccard similarity. */

@@ -1,0 +1,68 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.core.Fabrix
+
+/** DocumentStore CRUD roundtrip, mirroring the reference's find-back test
+  * (fabrix-mg/src/dy.rs:450): insert a frame, find it by id, compare.
+  */
+class DocStoreSpec extends SparkSpec {
+  import org.apache.spark.sql.Row
+
+  private def freshStore() =
+    new JsonDirStore(s"/tmp/graft_docstore_${java.util.UUID.randomUUID()}")
+
+  private lazy val frame: Fabrix = {
+    import spark.implicits._
+    Fabrix(Seq((1L, "Jacob", 85.5), (2L, "Sam", 62.0)).toDF("id", "name", "score"), "id")
+  }
+
+  private def rowsOf(fx: Fabrix): Seq[Row] = fx.df.orderBy("id").collect().toSeq
+
+  test("insert then find roundtrips all three saving categories") {
+    val store = freshStore()
+    for (cat <- Seq(SavingCategory.Column, SavingCategory.Row, SavingCategory.Dataset)) {
+      val id = store.insert(frame, cat)
+      val back = store.find(spark, id).getOrElse(fail(s"$cat: not found"))
+      assert(rowsOf(back) == rowsOf(frame), s"category $cat")
+      assert(back.indexTag.map(_.name).contains("id"), s"category $cat keeps index tag")
+    }
+  }
+
+  test("put replaces in place; delete removes; find on missing id is None") {
+    val store = freshStore()
+    store.put("doc1", frame)
+    val smaller = Fabrix(frame.df.where(frame.df("id") === 1L), frame.indexTag)
+    store.put("doc1", smaller)
+    assert(store.find(spark, "doc1").get.df.count() == 1)
+    assert(store.delete("doc1"))
+    assert(!store.delete("doc1"))
+    assert(store.find(spark, "missing").isEmpty)
+  }
+
+  test("findAll skips missing ids; listIds sorted") {
+    val store = freshStore()
+    store.put("b", frame); store.put("a", frame)
+    assert(store.listIds == Seq("a", "b"))
+    assert(store.findAll(spark, Seq("a", "nope", "b")).length == 2)
+  }
+
+  test("stored document is the bare wire JSON with detectable shape") {
+    import graft.wire.JsonWire.WireType
+    val dir = s"/tmp/graft_docstore_${java.util.UUID.randomUUID()}"
+    val store = new JsonDirStore(dir)
+    store.put("c", frame, SavingCategory.Column)
+    store.put("r", frame, SavingCategory.Row)
+    store.put("d", frame, SavingCategory.Dataset)
+    def shape(id: String) = DocumentStore.detectWireType(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(dir, s"$id.json")))
+    assert(shape("c") == WireType.Column)
+    assert(shape("r") == WireType.Row)
+    assert(shape("d") == WireType.Dataset)
+  }
+
+  test("ids with path separators are rejected") {
+    val store = freshStore()
+    intercept[IllegalArgumentException](store.put("../evil", frame))
+  }
+}

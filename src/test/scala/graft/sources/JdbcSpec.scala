@@ -70,6 +70,52 @@ class JdbcSpec extends SparkSpec {
     assert(ex.primaryKey("t5").isEmpty)
   }
 
+  test("ALTER TABLE: add / modify / drop column") {
+    import org.apache.spark.sql.types._
+    ex.write(df, "t6", SaveStrategy.Replace)
+    ex.addColumn("t6", "extra", IntegerType)
+    assert(ex.tableSchema("t6").map(_._1.toLowerCase) == Seq("id", "s", "v", "extra"))
+    // Derby allows widening VARCHAR via SET DATA TYPE; exercise the rendered verb
+    ex.modifyColumn("t6", "s", StringType) // VARCHAR(4096), a widen from itself
+    ex.dropColumn("t6", "extra")
+    assert(ex.tableSchema("t6").map(_._1.toLowerCase) == Seq("id", "s", "v"))
+    // existing data survives the alters
+    assert(ex.readTable(spark, "t6").count() == 3)
+  }
+
+  test("foreign keys: enforcement and cascade delete") {
+    import org.apache.spark.sql.types._
+    ex.createTable("parent", StructType.fromDDL("pid BIGINT, name STRING"), pk = Some("pid"))
+    ex.createTable("child", StructType.fromDDL("cid BIGINT, pid BIGINT"), pk = Some("cid"))
+    ex.addForeignKey("child", "fk_child_parent", "pid", "parent", "pid",
+      onDelete = Some(FkAction.Cascade))
+    ex.write(Seq((1L, "p1"), (2L, "p2")).toDF("pid", "name"), "parent", SaveStrategy.Append)
+    ex.write(Seq((10L, 1L), (11L, 2L)).toDF("cid", "pid"), "child", SaveStrategy.Append)
+    // violating insert is rejected by the constraint
+    intercept[Exception] {
+      ex.write(Seq((12L, 99L)).toDF("cid", "pid"), "child", SaveStrategy.Append)
+    }
+    // cascade: deleting parent 1 removes child 10
+    ex.delete(graft.adt.Delete("parent", Some(Cond(Col("pid"), CondOp.Equal(V.i64(1))))))
+    assert(ex.readTable(spark, "child").count() == 1)
+    ex.dropForeignKey("child", "fk_child_parent")
+    // constraint gone: the formerly-violating insert now succeeds
+    ex.write(Seq((12L, 99L)).toDF("cid", "pid"), "child", SaveStrategy.Append)
+    ex.dropTable("child"); ex.dropTable("parent")
+  }
+
+  test("readTable partitions on the introspected PK") {
+    val many = spark.range(1, 101).toDF("id")
+      .withColumn("v", org.apache.spark.sql.functions.col("id") * 2)
+    ex.write(many, "t7", SaveStrategy.Upsert("id")) // creates with PK
+    val got = ex.readTable(spark, "t7", numPartitions = 4)
+    assert(got.rdd.getNumPartitions == 4)
+    assert(got.count() == 100)
+    // explicit partition column works too; non-numeric/absent falls back to 1
+    val single = ex.readTable(spark, "t7", partitionColumn = Some("nope"))
+    assert(single.rdd.getNumPartitions == 1)
+  }
+
   test("DDL: create/rename/truncate/drop, index") {
     val schema = org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, s STRING")
     ex.createTable("d1", schema, pk = Some("k"))
