@@ -166,6 +166,39 @@ final case class Fabrix(df: DataFrame, indexTag: Option[IndexTag] = None) {
     Fabrix(out, indexTag)
   }
 
+  // -------------------------------------------------------- series search --
+  // Reference F9 (fabrix-core/src/series.rs:409-428): positional search used
+  // internally by row ops and upsert. "Position" on a distributed frame means
+  // the dense partition-layout index ([[DenseIndex]]), matching the
+  // reference's in-memory order semantics.
+
+  /** series.contains(v): any cell of `colName` equals v. */
+  def seriesContains(colName: String, v: Any): Boolean =
+    !df.where(df(colName) <=> lit(v)).isEmpty
+
+  /** series.find_index(v): position of the FIRST matching row (min dense
+    * index), None when absent.
+    */
+  def findIndex(colName: String, v: Any): Option[Long] = {
+    val pos = "__fi_pos"
+    val r = DenseIndex.withDenseIndex(df, pos)
+      .where(col(colName) <=> lit(v))
+      .agg(min(col(pos)))
+      .head()
+    if (r.isNullAt(0)) None else Some(r.getLong(0))
+  }
+
+  /** series.find_indices(series): positions of all rows whose value is in
+    * `values`, ascending. One distributed filter + collect of positions only.
+    */
+  def findIndices(colName: String, values: Seq[Any]): Seq[Long] = {
+    val pos = "__fi_pos"
+    DenseIndex.withDenseIndex(df, pos)
+      .where(col(colName).isin(values: _*))
+      .select(pos).orderBy(pos)
+      .collect().map(_.getLong(0)).toSeq
+  }
+
   /** Append literal rows (row.rs:286-345 append/insert; distributed frames
     * have no "position", so insertion is union — order is index-defined).
     */

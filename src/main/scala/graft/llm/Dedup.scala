@@ -112,16 +112,23 @@ object Dedup {
     // is the expensive part, so spread it across the cluster first
     val par = df.sparkSession.sparkContext.defaultParallelism
     val src = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
-    val banded = src
-      .select(col(idCol),
-        posexplode(bandKeys(col(textCol), shingleN, bands, rowsPerBand)).as(Seq("band", "bkey")))
+    // band keys + shingle sets are consumed FOUR times downstream (both
+    // sides of the candidate self-join, both sides of the verify join);
+    // without a persist each consumer re-runs the whole tokenize → shingle →
+    // md5 → minhash pipeline. MEMORY_AND_DISK: spills, never recomputes.
+    val prepared = src.select(
+        col(idCol),
+        bandKeys(col(textCol), shingleN, bands, rowsPerBand).as("__bkeys"),
+        shingleSet(col(textCol), shingleN).as("__s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = prepared.select(col(idCol), posexplode(col("__bkeys")).as(Seq("band", "bkey")))
     val a = banded.as("a"); val b = banded.as("b")
     val cand = a.join(b,
         col(s"a.band") === col(s"b.band") && col(s"a.bkey") === col(s"b.bkey") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("left_id"), col(s"b.$idCol").as("right_id"))
       .distinct()
-    val sets = src.select(col(idCol), shingleSet(col(textCol), shingleN).as("s"))
+    val sets = prepared.select(col(idCol), col("__s").as("s"))
     val jac = size(array_intersect(col("sa.s"), col("sb.s"))).cast(DoubleType) /
       size(array_union(col("sa.s"), col("sb.s")))
     cand

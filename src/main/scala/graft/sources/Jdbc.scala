@@ -180,6 +180,25 @@ final class JdbcExecutor(url: String, dialect: Dialect) {
       .load()
   }
 
+  /** X4: custom row decoder hook (reference fetch_all_cst_prc_fn,
+    * fabrix-sql/src/executor/loader.rs:121): run arbitrary SQL and decode
+    * each row with a caller-supplied function. Driver-side single connection
+    * by design, exactly like the reference's loader — for distributed reads
+    * use [[readTable]]/[[select]].
+    */
+  def fetchAllCustom[A](sql: String)(decode: java.sql.ResultSet => A): Vector[A] =
+    withConn { c =>
+      val st = c.createStatement()
+      try {
+        val rs = st.executeQuery(sql)
+        try {
+          val b = Vector.newBuilder[A]
+          while (rs.next()) b += decode(rs)
+          b.result()
+        } finally rs.close()
+      } finally st.close()
+    }
+
   /** Pushdown Delete (DELETE WHERE) — driver-side statement like the
     * reference (mutation_dml.rs delete).
     */

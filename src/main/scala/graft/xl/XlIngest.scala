@@ -86,38 +86,73 @@ object XlIngest {
     (0 until h).map(i => chunk.map(r => if (i < r.size) r(i) else ExcelValue.None))
   }
 
+  /** Index-column selection for ingest (reference
+    * fabrix/src/sources/xl/reader.rs:109-145: index by name or position).
+    */
+  sealed trait XlIndex
+  object XlIndex {
+    final case class ByPos(pos: Int)     extends XlIndex
+    final case class ByName(name: String) extends XlIndex
+  }
+
   /** Chunked ingest state machine (reference xl_db.rs:217-289): the FIRST
     * chunk applies the caller's strategy (Replace / FailIfExists), later
     * chunks degrade to Append / keep Upsert — so a streaming ingest creates
     * the table once then appends.
+    *
+    * `transformCell` is the per-cell UDF hook (X1, reference
+    * XlConsumer::transform, fabrix-xl/src/ec.rs:49-55) applied to every cell
+    * — header row included — before conversion. `index` designates the frame
+    * index column (by post-header name or position); the sink receives an
+    * index-tagged [[graft.core.Fabrix]].
     */
-  def run(spark: SparkSession,
-          reader: XlsxReader,
-          sheet: String,
-          strategy: SaveStrategy,
-          sink: (DataFrame, SaveStrategy) => Unit,
-          batchSize: Int = 1024,
-          header: Boolean = true): Long = {
+  def runFx(spark: SparkSession,
+            reader: XlsxReader,
+            sheet: String,
+            strategy: SaveStrategy,
+            sink: (graft.core.Fabrix, SaveStrategy) => Unit,
+            batchSize: Int = 1024,
+            header: Boolean = true,
+            transformCell: ExcelValue => ExcelValue = identity,
+            index: Option[XlIndex] = None): Long = {
     var names: Option[Seq[String]] = None
     var consumed = 0L
     var chunkIdx = 0
     reader.rowBatches(sheet, batchSize).foreach { batch0 =>
+      val transformed = batch0.map(_.map(transformCell))
       val batch =
         if (chunkIdx == 0 && header) {
-          names = Some(batch0.head.map(displayString))
-          batch0.tail
-        } else batch0
+          names = Some(transformed.head.map(displayString))
+          transformed.tail
+        } else transformed
       if (batch.nonEmpty) {
         val df = toDataFrame(spark, batch, names)
+        val fx = index match {
+          case None => graft.core.Fabrix(df)
+          case Some(XlIndex.ByName(n)) => graft.core.Fabrix(df, n)
+          case Some(XlIndex.ByPos(i)) =>
+            require(i >= 0 && i < df.columns.length, s"index position $i out of range")
+            graft.core.Fabrix(df, df.columns(i))
+        }
         val eff = strategy match {
           case SaveStrategy.Replace | SaveStrategy.FailIfExists if chunkIdx > 0 => SaveStrategy.Append
           case s => s
         }
-        sink(df, eff)
+        sink(fx, eff)
         consumed += batch.size
       }
       chunkIdx += 1
     }
     consumed
   }
+
+  /** DataFrame-sink form (no index tagging). */
+  def run(spark: SparkSession,
+          reader: XlsxReader,
+          sheet: String,
+          strategy: SaveStrategy,
+          sink: (DataFrame, SaveStrategy) => Unit,
+          batchSize: Int = 1024,
+          header: Boolean = true): Long =
+    runFx(spark, reader, sheet, strategy, (fx, s) => sink(fx.df, s), batchSize, header)
 }
