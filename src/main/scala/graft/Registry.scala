@@ -320,6 +320,31 @@ object Registry {
           .orderBy("left_id", "right_id"),
         Some(Dedup.minhashOracle("documents", "doc_id", "text"))),
 
+      // SimHash document fingerprint (near-dup bucketing with zero joins)
+      RegisteredQuery(
+        "q_dedup_simhash",
+        (s, dir) => Tables.resolve(s, dir)("documents")
+          .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+          .orderBy("doc_id"),
+        Some(Dedup.simhashOracle("documents", "doc_id", "text"))),
+
+      // multimodal payload plumbing: binary column metrics (payload = the
+      // document's UTF-8 bytes standing in for an opaque media blob)
+      RegisteredQuery(
+        "q_multimodal",
+        (s, dir) => {
+          import graft.llm.Multimodal._
+          val payload = org.apache.spark.sql.functions.encode(col("text"), "UTF-8")
+          Tables.resolve(s, dir)("documents").select(
+            col("doc_id"),
+            nBytes(payload).as("n_bytes"),
+            contentHash(payload).as("content_hash"),
+            b64Head(payload, 24).as("b64_head"))
+            .orderBy("doc_id")
+        },
+        Some("SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_hash, " +
+          "substr(to_base64(encode(text)), 1, 24) AS b64_head FROM documents ORDER BY doc_id")),
+
       // text quality metrics bundle
       RegisteredQuery(
         "q_text_quality",

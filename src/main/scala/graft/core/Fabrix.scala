@@ -166,6 +166,68 @@ final case class Fabrix(df: DataFrame, indexTag: Option[IndexTag] = None) {
     Fabrix(out, indexTag)
   }
 
+  /** Complement of slice (fabrix.rs:553-571 `remove_slice`): drop the rows
+    * at positions [offset, offset+length) of index order. Two limit/offset
+    * scans unioned — no global window, both plan as TakeOrdered/GlobalLimit.
+    */
+  def removeSlice(offset: Int, length: Int): Fabrix = {
+    val keep = df.orderBy(index.asc).limit(offset)
+      .unionByName(df.orderBy(index.asc).offset(offset + length))
+    Fabrix(keep, indexTag)
+  }
+
+  /** Split at position (series.rs:430-445 `split`): (first `at` rows, rest)
+    * in index order.
+    */
+  def splitAt(at: Int): (Fabrix, Fabrix) =
+    (head(at), Fabrix(df.orderBy(index.asc).offset(at), indexTag))
+
+  /** Remove-and-return the LAST row in index order (row.rs pop_row /
+    * series.rs:500-508 pop): (frame without it, the popped row).
+    */
+  def popRow(): (Fabrix, Fabrix) =
+    (Fabrix(df.orderBy(index.desc).offset(1).orderBy(index.asc), indexTag),
+     tail(1))
+
+  /** Positional splice (row.rs:293-331 insert_row_by_idx / series.rs insert):
+    * new rows occupy positions [at, at+rows.length) of the CURRENT index
+    * order, and the result carries a regenerated dense index (splicing
+    * invalidates the old one by definition). Uses a global-order window —
+    * an in-memory-parity API for modest frames, like the reference's own
+    * in-memory splice; not a bulk-data operator.
+    */
+  def insertRowsAt(at: Int, rows: Seq[Seq[Any]]): Fabrix = {
+    val tag = requireTag
+    val bucket = "__ins_bucket"; val seq = "__ins_seq"
+    val idxName = Fabrix.DefaultIndexName
+    // sort key = (bucket, old index | null for inserted, insertion seq):
+    // buckets 0/2 keep index order, bucket 1 keeps insertion order. All
+    // data columns (including the old index column's values) survive; the
+    // spliced frame gets a fresh dense index column.
+    val before = df.orderBy(index.asc).limit(at)
+      .withColumn(bucket, lit(0)).withColumn(seq, lit(0L))
+    val middle = {
+      val withSeq = rows.zipWithIndex.map { case (r, i) => Row.fromSeq(r :+ i.toLong) }
+      val sch = StructType(df.schema.fields :+ StructField(seq, LongType, nullable = false))
+      df.sparkSession.createDataFrame(java.util.Arrays.asList(withSeq: _*), sch)
+        .withColumn(bucket, lit(1))
+    }
+    val after = df.orderBy(index.asc).offset(at)
+      .withColumn(bucket, lit(2)).withColumn(seq, lit(0L))
+    val ordered = before.unionByName(middle.select(before.columns.map(col).toIndexedSeq: _*))
+      .unionByName(after)
+    val posKey = when(col(bucket) === 1, lit(null)).otherwise(col(tag.name))
+    val reindexed = ordered
+      .withColumn(idxName,
+        row_number().over(Window.orderBy(col(bucket), posKey.asc_nulls_first, col(seq)))
+          .cast(LongType) - 1)
+      .drop(bucket, seq)
+    val dataCols = df.columns.filterNot(_ == idxName)
+    Fabrix(
+      reindexed.select((idxName +: dataCols.toSeq).map(col): _*),
+      Some(IndexTag(idxName, LongType)))
+  }
+
   // -------------------------------------------------------- series search --
   // Reference F9 (fabrix-core/src/series.rs:409-428): positional search used
   // internally by row ops and upsert. "Position" on a distributed frame means

@@ -138,6 +138,46 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  // ------------------------------------------------------------ SimHash ----
+
+  /** SimHash bit width (shingle hashes are < 2^30, bits 0..15 used). */
+  val SimHashBits = 16
+
+  /** SimHash over the distinct shingle set: for each bit position, count
+    * +1/-1 votes from every shingle hash, emit the bit when the vote sum is
+    * positive. Near-identical documents differ in few shingles, so their
+    * vote sums — hence fingerprints — usually coincide; grouping by the
+    * fingerprint buckets near-dups with zero joins. Same single-aggregate
+    * shape as [[minhashSignature]]: every stage evaluates once per row.
+    */
+  def simhash(text: Column, shingleN: Int = 3): Column = {
+    val votes = (0 until SimHashBits).map { b =>
+      (hv: Column) => when(hv % (1L << (b + 1)) >= (1L << b), lit(1L)).otherwise(lit(-1L))
+    }
+    aggregate(
+      transform(shingleSet(text, shingleN), s => hashM(s)),
+      array_repeat(lit(0L), SimHashBits),
+      (acc, hv) => zip_with(acc, array(votes.map(v => v(hv)): _*), (a, x) => a + x),
+      sums => (0 until SimHashBits)
+        .map(b => when(element_at(sums, b + 1) > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _))
+  }
+
+  def simhashOracle(table: String, idCol: String, textCol: String, shingleN: Int = 3): String = {
+    val n = shingleN
+    val shingleExpr = (0 until n).map(j => s"t[i+$j]").mkString("||' '||")
+    val sums = (0 until SimHashBits).map(b =>
+      s"sum(CASE WHEN hv % ${1L << (b + 1)} >= ${1L << b} THEN 1 ELSE -1 END) AS b$b").mkString(", ")
+    val assemble = (0 until SimHashBits).map(b =>
+      s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (SELECT $idCol AS doc_id_, string_split($textCol, ' ') AS t FROM $table),
+sh AS (SELECT doc_id_, list_distinct(CASE WHEN len(t) < $n THEN [array_to_string(t, ' ')]
+  ELSE list_transform(generate_series(1, len(t)-${n - 1}), i -> $shingleExpr) END) AS s FROM toks),
+hx AS (SELECT doc_id_, unnest(list_transform(s, x -> CAST(('0x'||substr(md5(x),1,15)) AS BIGINT) % $M)) AS hv FROM sh),
+sums AS (SELECT doc_id_, $sums FROM hx GROUP BY doc_id_)
+SELECT doc_id_ AS doc_id, $assemble AS simhash FROM sums ORDER BY doc_id_""".stripMargin
+  }
+
   // ------------------------------------------------- DuckDB oracle SQL ----
   // Generated from the same constants as the Column code above so the two
   // sides cannot drift. hash60 ⇔ CAST('0x'||substr(md5(x),1,15) AS BIGINT).

@@ -48,6 +48,32 @@ sealed trait Dialect {
     */
   def upsertSql(table: String, cols: Seq[String], types: Seq[String], pk: String): Option[String]
 
+  /** Read-side type mapping (reference X5: per-driver type-tag registry,
+    * fabrix-sql/src/executor/types.rs:71-83 — DB type name → engine type);
+    * the write-side inverse is [[typeName]]. Unknown names decay to string,
+    * like the reference's fallback decode.
+    */
+  def sparkTypeFor(dbTypeName: String): DataType = {
+    val base = dbTypeName.toUpperCase.takeWhile(c => c != '(' && c != ' ')
+    base match {
+      case "BOOLEAN" | "BOOL" | "BIT"                       => BooleanType
+      case "TINYINT"                                        => ByteType
+      case "SMALLINT" | "INT2"                              => ShortType
+      case "INTEGER" | "INT" | "INT4" | "MEDIUMINT"         => IntegerType
+      case "BIGINT" | "INT8"                                => LongType
+      case "REAL" | "FLOAT4"                                => FloatType
+      case "DOUBLE" | "FLOAT8" | "FLOAT"                    => DoubleType
+      case "DECIMAL" | "NUMERIC" =>
+        val dims = dbTypeName.dropWhile(_ != '(').drop(1).takeWhile(_ != ')').split(',')
+        if (dims.length == 2) DecimalType(dims(0).trim.toInt, dims(1).trim.toInt)
+        else DecimalType(38, 18)
+      case "DATE"                                           => DateType
+      case "TIMESTAMP" | "DATETIME"                         => TimestampNTZType
+      case "BLOB" | "BYTEA" | "BINARY" | "VARBINARY"        => BinaryType
+      case _                                                => StringType
+    }
+  }
+
   /** ALTER TABLE … change a column's type (reference modify_column,
     * fabrix-sql/src/builder/sql_adt.rs:424-441, mutation_ddl.rs:36-63).
     * Dialects differ in the verb; SQLite has no ALTER COLUMN at all.

@@ -55,6 +55,28 @@ final class JdbcExecutor(url: String, dialect: Dialect) {
       if (r.nonEmpty) Some(r) else None
     }.getOrElse(Nil)
 
+  /** Table schema as Spark StructType via the dialect's read-side type map
+    * (X5 — the reference's per-driver type-tag registry, types.rs:127-210).
+    * Decimal precision/scale come from COLUMN_SIZE/DECIMAL_DIGITS (JDBC
+    * metadata reports a bare "DECIMAL" type name).
+    */
+  def tableSchemaSpark(name: String): StructType =
+    metaLookup(name) { (c, n) =>
+      val rs = c.getMetaData.getColumns(null, null, n, "%")
+      val b = Seq.newBuilder[StructField]
+      while (rs.next()) {
+        val tn = rs.getString("TYPE_NAME").toUpperCase
+        val full =
+          if ((tn == "DECIMAL" || tn == "NUMERIC") && !tn.contains("("))
+            s"$tn(${rs.getInt("COLUMN_SIZE")},${rs.getInt("DECIMAL_DIGITS")})"
+          else tn
+        b += StructField(rs.getString("COLUMN_NAME"), dialect.sparkTypeFor(full), nullable = true)
+      }
+      rs.close()
+      val r = b.result()
+      if (r.nonEmpty) Some(StructType(r)) else None
+    }.getOrElse(StructType(Nil))
+
   /** S13: get_primary_key (query_ddl.rs:201-243). */
   def primaryKey(name: String): Option[String] =
     metaLookup(name) { (c, n) =>

@@ -90,6 +90,26 @@ class FabrixSpec extends SparkSpec {
     assert(big.df.select("index").as[Long].collect().sorted.toSeq == (0L until 100L))
   }
 
+  test("removeSlice / splitAt / popRow in index order") {
+    assert(frame.removeSlice(1, 2).df.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+    val (h, t) = frame.splitAt(3)
+    assert(h.df.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(t.df.select("id").as[Long].collect().sorted.toSeq == Seq(4L))
+    val (rest, popped) = frame.popRow()
+    assert(rest.df.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(popped.df.select("id").as[Long].collect().toSeq == Seq(4L))
+  }
+
+  test("insertRowsAt splices positionally and regenerates a dense index") {
+    val out = frame.insertRowsAt(1, Seq(Seq(99L, "ins1", 1.0), Seq(98L, "ins2", 2.0)))
+    assert(out.indexTag.map(_.name).contains(Fabrix.DefaultIndexName))
+    val rows = out.df.orderBy("index").select("index", "id", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(rows == Seq(
+      (0L, 1L, "a"), (1L, 99L, "ins1"), (2L, 98L, "ins2"),
+      (3L, 2L, "b"), (4L, 3L, "c"), (5L, 4L, "d")))
+  }
+
   test("appendRows unions literal rows") {
     val f = frame.appendRows(Seq(Seq(9L, "z", 90.0)))
     assert(f.df.count() == 5)

@@ -116,6 +116,37 @@ class LlmSpec extends SparkSpec {
     assert(b(3L) == 0L) // -,0
   }
 
+  test("simhash: identical docs equal, near-dups equal, unrelated differ") {
+    val h = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(0L) == h(4L))            // exact dup
+    assert(h.values.forall(v => v >= 0 && v < (1L << 16)))
+    assert(h(0L) != h(3L))            // unrelated doc
+  }
+
+  test("multimodal: codec plumbing, frame sampling, payload metrics") {
+    import Multimodal._
+    import spark.implicits._
+    val media = Seq((1L, "hello world".getBytes("UTF-8")),
+                    (2L, Array.tabulate(256)(_.toByte))).toDF("id", "payload")
+    // partition-batched decode with the deterministic fake codec
+    val feats = decodeFeatures(media, "id", "payload", new ByteHistogramCodec)
+    val m = feats.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(m(1L).length == 16 && math.abs(m(1L).sum - 1f) < 1e-5)
+    assert(m(2L).forall(v => math.abs(v - 1f / 16) < 1e-5)) // uniform bytes → uniform histogram
+    // column metrics
+    val r = media.where(col("id") === 1).select(
+      nBytes(col("payload")), contentHash(col("payload")), b64Head(col("payload"), 8)).head()
+    assert(r.getLong(0) == 11L)
+    assert(r.getString(1) == "5eb63bbbe01eeed093cb22bb8f5acdc3") // md5("hello world")
+    // frame sampling: 2 frames of 4 bytes at strided offsets
+    val frames = media.where(col("id") === 2)
+      .select(frameSample(col("payload"), 2, 4)).head().getSeq[Array[Byte]](0)
+    assert(frames.length == 2 && frames(0).length == 4)
+    assert(frames(0).toSeq == Seq[Byte](0, 1, 2, 3))
+    assert(frames(1).toSeq == Seq[Byte](-128, -127, -126, -125)) // starts at byte 128
+  }
+
   test("events tumbling window matches a manual hour-truncation groupBy") {
     val events = EventWindows.readEvents(spark, s"$sf/events.parquet")
     val viaWindow = EventWindows.tumbling(events)

@@ -42,6 +42,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(got == Vector("1:x", "2:y"))
   }
 
+  test("read-side type map: introspected schema as Spark StructType (X5)") {
+    import org.apache.spark.sql.types._
+    val ex = new JdbcExecutor("jdbc:derby:memory:typemap;create=true")
+    ex.createTable("tm", StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType),
+      StructField("c", DoubleType), StructField("d", DecimalType(10, 2)),
+      StructField("e", DateType))))
+    val sch = ex.tableSchemaSpark("tm")
+    assert(sch.fields.map(_.dataType).toSeq ==
+      Seq(LongType, StringType, DoubleType, DecimalType(10, 2), DateType))
+  }
+
   test("XL ingest: per-cell transform hook and index selection") {
     val path = Files.createTempDirectory("graft-xlext").resolve("t.xlsx").toString
     XlsxWriter.write(path,
