@@ -1,0 +1,37 @@
+package graft
+
+/** Physical-plan pins for the scale-critical queries: a plan regression (a
+  * full sort where a TakeOrdered suffices, a lost parquet pushdown, a
+  * broadcast that degrades to shuffle) changes these assertions before it
+  * changes a benchmark.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q_fabrix_slice plans as TakeOrderedAndProject with offset (no global sort)") {
+    val p = planOf("q_fabrix_slice")
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+    assert(p.contains("offset=100"), p.take(400))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(400))
+  }
+
+  test("q1_agg pushes the shipdate filter into the parquet scan") {
+    val p = planOf("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p.take(600))
+    assert(p.contains("partial_sum"), p.take(600)) // two-phase agg (map-side combine)
+  }
+
+  test("q_groupby_join broadcasts the small dimension side") {
+    val p = planOf("q_groupby_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+  }
+
+  test("q1_agg scan is column-pruned to the referenced columns only") {
+    val p = planOf("q1_agg")
+    // 6 of lineitem's 16 columns; a scan reading all columns is a regression
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_shipdate") && !read.contains("l_comment"), read)
+  }
+}
