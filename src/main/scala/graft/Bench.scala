@@ -26,13 +26,23 @@ object Bench {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"; case '\r' => "\\r"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     }
+    // min of 2 back-to-back runs per query: this host shows sporadic
+    // multi-second CPU-steal stalls (a 0.2s query can read 13s on a bad
+    // draw); the min is the steady-state cost of the plan, which is the
+    // thing a benchmark should report. Errors surface on the first run.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
-        catch { case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
-      val sec = (System.nanoTime() - t0) / 1e9
-      (name, if (err.isDefined) -1.0 else sec, err)
+      var best = Double.MaxValue
+      var err: Option[String] = None
+      var i = 0
+      while (i < iters && err.isEmpty) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case e: Throwable => err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        i += 1
+      }
+      (name, if (err.isDefined) -1.0 else best, err)
     }
     val qs = results.map { case (k, v, _) => s"\"${esc(k)}\":$v" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) => s"\"${esc(k)}\":\"${esc(m)}\"" }
