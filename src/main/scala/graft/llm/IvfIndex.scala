@@ -1,0 +1,94 @@
+package graft.llm
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+/** IVF (inverted-file) approximate nearest neighbor — the scale path beyond
+  * sign-LSH: a coarse k-means quantizer assigns every vector to its nearest
+  * centroid; queries search only the `nProbe` closest inverted lists.
+  *
+  * Scale shape: centroids are tiny (nLists × dim floats) and broadcast; list
+  * assignment is one codegen-friendly pass over the corpus; the search join
+  * is an equi-join on the list id, so comparisons are O(Σ probed-list sizes)
+  * — never all-pairs. Recall/latency trades via nLists (bigger = finer
+  * partitioning) and nProbe (more lists = higher recall).
+  *
+  * KMeans is seeded, so the index is deterministic for a fixed corpus +
+  * partitioning; it is still float-iterative, hence spec-verified by recall
+  * against [[Similarity.bruteForceKnn]] rather than a bit-exact oracle.
+  */
+final case class IvfIndex(
+    assigned: DataFrame,              // idCol, vecCol, qv (quantized), list
+    centroids: Array[Array[Double]],  // nLists × dim
+    idCol: String, vecCol: String) {
+
+  /** Distance of a vector column to centroid c (squared L2, doubles). */
+  private def distTo(vec: Column, c: Array[Double]): Column =
+    aggregate(
+      zip_with(vec, lit(c), (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Rank of each list for a vector: array of list ids, nearest first. */
+  def probeLists(vec: Column, nProbe: Int): Column = {
+    val dists = array(centroids.indices.map(i => struct(distTo(vec, centroids(i)).as("d"), lit(i).as("l"))): _*)
+    slice(transform(array_sort(dists), s => s.getField("l")), 1, nProbe)
+  }
+
+  /** Approximate top-k: score queries only against vectors in their nProbe
+    * nearest lists (equi-join on list id after exploding the probe set).
+    */
+  def search(queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val q = queries.select(
+        col(idCol).as("query_id"),
+        Similarity.quantize(col(vecCol)).as("qv_q"),
+        explode(probeLists(col(vecCol), nProbe)).as("list"))
+    val scored = q.join(assigned.select(col(idCol).as("neighbor_id"), col("qv"), col("list")), "list")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.dotQuantized(col("qv_q"), col("qv")).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast(LongType)).where(col("rank") <= k)
+  }
+}
+
+object IvfIndex {
+
+  /** Build the index: fit a seeded k-means coarse quantizer, assign every
+    * corpus vector to its nearest centroid, persist the inverted lists.
+    */
+  def build(corpus: DataFrame, nLists: Int,
+            idCol: String = "vec_id", vecCol: String = "embedding",
+            seed: Long = 42L): IvfIndex = {
+    val sess = corpus.sparkSession
+    import sess.implicits._
+    val train = corpus.select(col(idCol), col(vecCol))
+      .map { r =>
+        (r.getLong(0), Vectors.dense(r.getSeq[Float](1).map(_.toDouble).toArray))
+      }.toDF(idCol, "features")
+    val model = new KMeans().setK(nLists).setSeed(seed).setFeaturesCol("features").fit(train)
+    val centroids = model.clusterCenters.map(_.toArray)
+    val bcast = sess.sparkContext.broadcast(centroids)
+    val assignList = udf { (v: Seq[Float]) =>
+      val cs = bcast.value
+      var best = 0; var bestD = Double.MaxValue
+      var i = 0
+      while (i < cs.length) {
+        var d = 0.0; var j = 0
+        while (j < cs(i).length) { val t = v(j) - cs(i)(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      best
+    }
+    val assigned = corpus.select(
+        col(idCol), col(vecCol),
+        Similarity.quantize(col(vecCol)).as("qv"),
+        assignList(col(vecCol)).cast(IntegerType).as("list"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    IvfIndex(assigned, centroids, idCol, vecCol)
+  }
+}

@@ -36,6 +36,23 @@ object StreamingWindows {
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
   }
 
+  /** Streaming exact dedup: drop payloads already seen, keyed by the 60-bit
+    * content fingerprint (state stores an 8-byte key, never the payload —
+    * the same never-shuffle-raw-text rule as batch [[graft.llm.Dedup]]).
+    * With an event-time column + watermark the key state is evicted once the
+    * watermark passes, bounding state for unbounded streams; without a
+    * watermark state grows with distinct keys (documented Spark behavior).
+    */
+  def dedupExactStream(events: DataFrame, textCol: String,
+                       tsCol: Option[String] = None, lateness: String = "1 hour"): DataFrame = {
+    val keyed = events.withColumn("__fp", graft.text.TextFunctions.fingerprint(col(textCol)))
+    tsCol match {
+      case Some(ts) => keyed.withWatermark(ts, lateness)
+        .dropDuplicatesWithinWatermark("__fp").drop("__fp")
+      case None     => keyed.dropDuplicates("__fp").drop("__fp")
+    }
+  }
+
   /** Watermarked tumbling-window count + sum. With `append` output mode only
     * windows finalized by the watermark emit (late data beyond `lateness` is
     * dropped); with `complete` it behaves like the batch aggregation.

@@ -46,6 +46,33 @@ class StreamingWindowsSpec extends SparkSpec {
     got.zip(batch).foreach { case (g, b) => assert(g == b) }
   }
 
+  test("streaming exact dedup drops repeated payloads, fingerprint state only") {
+    import org.apache.spark.sql.functions._
+    // props repeats across events → a natural duplicate-heavy payload column
+    val stream = StreamingWindows.dedupExactStream(
+      StreamingWindows.readEventsStream(spark, streamDir), textCol = "props")
+    val q = stream.writeStream.format("memory").queryName("sw_dedup").outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("sw_dedup")
+    val batchDistinct = graft.llm.EventWindows.readEvents(spark, s"$sf/events.parquet")
+      .select(countDistinct(col("props"))).head().getLong(0)
+    assert(got.count() == batchDistinct)
+    assert(!got.columns.contains("__fp"))
+  }
+
+  test("watermarked streaming dedup (dropDuplicatesWithinWatermark) runs and dedups") {
+    val stream = StreamingWindows.dedupExactStream(
+      StreamingWindows.readEventsStream(spark, streamDir),
+      textCol = "props", tsCol = Some("ts"), lateness = "10 days")
+    val q = stream.writeStream.format("memory").queryName("sw_dedup_wm").outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val batchDistinct = graft.llm.EventWindows.readEvents(spark, s"$sf/events.parquet")
+      .select(org.apache.spark.sql.functions.countDistinct(
+        org.apache.spark.sql.functions.col("props"))).head().getLong(0)
+    // lateness covers the whole (bounded) file → exact distinct count
+    assert(spark.table("sw_dedup_wm").count() == batchDistinct)
+  }
+
   test("append mode emits only watermark-finalized windows, all correct") {
     val got = runStream("append", "sw_append")
     val byKey = batch.map(r => (r.get(0), r.getString(1)) -> r).toMap
