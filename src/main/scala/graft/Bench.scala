@@ -26,29 +26,29 @@ object Bench {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"; case '\r' => "\\r"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     }
-    // min of 2 back-to-back runs per query: this host shows sporadic
-    // multi-second CPU-steal stalls (a 0.2s query can read 13s on a bad
-    // draw); the min is the steady-state cost of the plan, which is the
-    // thing a benchmark should report. Errors surface on the first run.
+    // Min over WHOLE-SUITE passes, not back-to-back repeats: this host shows
+    // multi-MINUTE CPU-steal stall windows (a 0.4s query can read 30s, and
+    // consecutive repeats land in the same window). Interleaving passes puts
+    // minutes between the two samples of each query, so a stall poisons at
+    // most one of them; the min is the steady-state cost of the plan.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      var best = Double.MaxValue
-      var err: Option[String] = None
-      var i = 0
-      while (i < iters && err.isEmpty) {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case e: Throwable => err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
-        i += 1
-      }
-      (name, if (err.isDefined) -1.0 else best, err)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val best = scala.collection.mutable.Map[String, Double]().withDefaultValue(Double.MaxValue)
+    val errs = scala.collection.mutable.Map[String, String]()
+    for (_ <- 0 until iters; (name, fn) <- names if !errs.contains(name)) {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case e: Throwable => errs(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}" }
+      best(name) = math.min(best(name), (System.nanoTime() - t0) / 1e9)
+    }
+    val results = names.map { case (name, _) =>
+      (name, if (errs.contains(name)) -1.0 else best(name), errs.get(name))
     }
     val qs = results.map { case (k, v, _) => s"\"${esc(k)}\":$v" }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(m)) => s"\"${esc(k)}\":\"${esc(m)}\"" }
+    val errJson = results.collect { case (k, _, Some(m)) => s"\"${esc(k)}\":\"${esc(m)}\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

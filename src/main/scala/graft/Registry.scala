@@ -396,6 +396,15 @@ object Registry {
           .orderBy("query_id", "rank"),
         Some(Similarity.lshOracle("embeddings", "vec_id", "embedding", k = 3, dim = 64))),
 
+      // embedding-cosine near-dup pairs (bucketed threshold join)
+      RegisteredQuery(
+        "q_dedup_cosine",
+        (s, dir) => Similarity.cosineDupPairs(
+            Tables.resolve(s, dir)("embeddings"), minScore = 30000000L)
+          .orderBy("left_id", "right_id"),
+        Some(Similarity.cosineDupOracle("embeddings", "vec_id", "embedding",
+          minScore = 30000000L, dim = 64))),
+
       // tumbling event-time window aggregation (decimal-sum determinism)
       RegisteredQuery(
         "q_events_window",

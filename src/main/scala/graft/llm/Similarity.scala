@@ -97,6 +97,39 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Embedding-cosine near-duplicate pairs: LSH-bucketed self-join (a < b),
+    * keep pairs whose exact-integer quantized dot clears `minScore`
+    * (≈ cosine × QuantScale² for unit-norm embeddings). Same
+    * never-all-pairs shape as [[lshKnn]]; the threshold replaces the top-k
+    * window, so no per-query state at all — a pure filter after the
+    * bucket join.
+    */
+  def cosineDupPairs(
+      corpus: DataFrame, minScore: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dims: Seq[Int] = DefaultLshDims): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val src = if (corpus.rdd.getNumPartitions < par) corpus.repartition(par) else corpus
+    val b = src.select(
+      col(idCol), signBucket(col(vecCol), dims).as("bucket"), quantize(col(vecCol)).as("qv"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("left_id"), col(s"b.$idCol").as("right_id"),
+        dotQuantized(col("a.qv"), col("b.qv")).as("score"))
+      .where(col("score") >= minScore)
+  }
+
+  def cosineDupOracle(table: String, idCol: String, vecCol: String, minScore: Long,
+                      dim: Int, dims: Seq[Int] = DefaultLshDims): String = {
+    val bucket = dims.zipWithIndex
+      .map { case (d, i) => s"${1L << i}*(CASE WHEN $vecCol[$d] > 0 THEN 1 ELSE 0 END)" }
+      .mkString(" + ")
+    s"""WITH b AS (SELECT $idCol, $bucket AS bucket, ${quantSql(vecCol)} AS qv FROM $table)
+SELECT a.$idCol AS left_id, b2.$idCol AS right_id, ${dotSql("a.qv", "b2.qv", dim)} AS score
+FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.$idCol < b2.$idCol
+WHERE ${dotSql("a.qv", "b2.qv", dim)} >= $minScore ORDER BY left_id, right_id""".stripMargin
+  }
+
   // ------------------------------------------------- DuckDB oracle SQL ----
 
   private def quantSql(e: String): String =

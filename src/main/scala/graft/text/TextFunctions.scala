@@ -30,9 +30,12 @@ object TextFunctions {
 
   /** Deterministic 60-bit hash of a string: first 15 hex chars of md5.
     * Engine-portable: DuckDB `CAST('0x'||substr(md5(s),1,15) AS BIGINT)`.
+    * Computed by the native [[graft.functions.Md5Prefix60]] expression
+    * (digest bytes → Long directly, codegen'd) rather than the
+    * conv∘substring∘md5 chain — same values, no hex-string/Decimal detour
+    * in the per-shingle hot loop.
     */
-  def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+  def hash60(c: Column): Column = graft.functions.Md5Prefix60(c)
 
   /** hash60 reduced mod M — the working hash for minhash/simhash. */
   def hashM(c: Column): Column = hash60(c) % M
