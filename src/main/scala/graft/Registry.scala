@@ -360,6 +360,21 @@ object Registry {
         },
         Some(qualityOracle("documents", "doc_id", "text"))),
 
+      // token counting: whitespace + BPE-ish regex (word runs + punctuation)
+      RegisteredQuery(
+        "q_token_count",
+        (s, dir) => {
+          val t = col("text")
+          Tables.resolve(s, dir)("documents").select(
+            col("doc_id"),
+            nTokens(t).cast(LongType).as("n_ws_tokens"),
+            approxBpeCount(t).cast(LongType).as("n_bpe_tokens"))
+            .orderBy("doc_id")
+        },
+        Some("SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens, " +
+          raw"len(regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]')) AS n_bpe_tokens " +
+          "FROM documents ORDER BY doc_id")),
+
       // n-gram heuristic language ID
       RegisteredQuery(
         "q_lang_id",
