@@ -293,7 +293,85 @@ object Registry {
           Json.read(s, out, JsonReadOptions(schema = Some(region.schema)))
             .orderBy("r_regionkey")
         },
-        Some("SELECT * FROM region ORDER BY r_regionkey")))
+        Some("SELECT * FROM region ORDER BY r_regionkey")),
+
+      // S7: XLSX write → chunked read-back (Excel numbers are doubles, so
+      // integer columns come back DoubleType — cast to the oracle types)
+      RegisteredQuery(
+        "q_xlsx_roundtrip",
+        (s, dir) => {
+          import graft.xl._
+          import org.apache.spark.sql.functions.col
+          val nation = Tables.resolve(s, dir)("nation").orderBy("n_nationkey")
+          val path = "/tmp/graft_xlsx_roundtrip.xlsx"
+          val cols = nation.columns.toSeq
+          XlsxWriter.write(path, header = Some(cols),
+            rows = nation.collect().iterator.map(_.toSeq))
+          val reader = new XlsxReader(path)
+          var frames = Vector.empty[org.apache.spark.sql.DataFrame]
+          XlIngest.run(s, reader, "data", SaveStrategy.Append,
+            (df, _) => frames = frames :+ df, batchSize = 7)
+          reader.close()
+          frames.reduce(_ unionByName _)
+            .select(
+              col("n_nationkey").cast("int"),
+              col("n_name"),
+              col("n_regionkey").cast("int"))
+            .orderBy("n_nationkey")
+        },
+        Some("SELECT * FROM nation ORDER BY n_nationkey")),
+
+      // S12: wire-codec roundtrip through the Column JSON format
+      RegisteredQuery(
+        "q_wire_roundtrip",
+        (s, dir) => {
+          import graft.core.Fabrix
+          import graft.wire.JsonWire
+          val region = Fabrix(Tables.resolve(s, dir)("region"), "r_regionkey")
+          val json = JsonWire.toJson(region, JsonWire.WireType.Column)
+          JsonWire.fromJson(s, json, JsonWire.WireType.Column).df.orderBy("r_regionkey")
+        },
+        Some("SELECT * FROM region ORDER BY r_regionkey")),
+
+      // S10/S11: document-store insert → find-back roundtrip
+      RegisteredQuery(
+        "q_docstore_roundtrip",
+        (s, dir) => {
+          import graft.core.Fabrix
+          val store = new JsonDirStore("/tmp/graft_docstore_gate")
+          val region = Fabrix(Tables.resolve(s, dir)("region"), "r_regionkey")
+          store.put("region", region, SavingCategory.Column)
+          store.find(s, "region").get.df.orderBy("r_regionkey")
+        },
+        Some("SELECT * FROM region ORDER BY r_regionkey")),
+
+      // F8: takeRows/removeRows by index value through the wrapper API
+      RegisteredQuery(
+        "q_fabrix_take_remove",
+        (s, dir) => {
+          import graft.core.Fabrix
+          val f = Fabrix(Tables.resolve(s, dir)("nation"), "n_nationkey")
+          f.takeRows(Seq(0L, 5L, 10L, 15L, 20L)).removeRows(Seq(10L))
+            .df.select("n_nationkey", "n_name").orderBy("n_nationkey")
+        },
+        Some("SELECT n_nationkey, n_name FROM nation WHERE n_nationkey IN (0,5,15,20) ORDER BY n_nationkey")),
+
+      // T4: Pipeline read → transform → frame (Dispatcher equivalent in-gate)
+      RegisteredQuery(
+        "q_pipeline",
+        (s, dir) => {
+          import org.apache.spark.sql.functions._
+          graft.pipeline.Pipeline(
+            sess => Tables.resolve(sess, dir)("lineitem"))
+            .transform(_.where(col("l_quantity") >= 30))
+            .transform(_.groupBy(col("l_returnflag"))
+              .agg(count(lit(1)).as("n"),
+                sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty")))
+            .frame(s)
+            .orderBy("l_returnflag")
+        },
+        Some("SELECT l_returnflag, count(*) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty " +
+          "FROM lineitem WHERE l_quantity >= 30 GROUP BY l_returnflag ORDER BY l_returnflag")))
   }
 
   /** LLM-data-pipeline extension operators (SURVEY §7 M7) — dedup, text
