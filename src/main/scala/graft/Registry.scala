@@ -380,6 +380,7 @@ object Registry {
     */
   val llmOps: Seq[RegisteredQuery] = {
     import graft.llm.{Dedup, EventWindows, Similarity}
+    import graft.operators.AsofJoin
     import graft.text.TextFunctions._
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.LongType
@@ -503,7 +504,38 @@ object Registry {
         "q_events_window",
         (s, dir) => EventWindows.tumbling(EventWindows.readEvents(s, s"$dir/events.parquet"))
           .orderBy("w_start", "event_type"),
-        Some(EventWindows.tumblingOracle("events"))))
+        Some(EventWindows.tumblingOracle("events"))),
+
+      // per-user session windows (built-in session_window, batch mode)
+      RegisteredQuery(
+        "q_events_session",
+        (s, dir) => EventWindows.sessionized(EventWindows.readEvents(s, s"$dir/events.parquet"))
+          .orderBy("user_id", "session_start"),
+        Some(EventWindows.sessionizedOracle("events"))),
+
+      // as-of join: latest click at-or-before each purchase, per user —
+      // single-shuffle union+window encoding vs DuckDB's native ASOF JOIN
+      RegisteredQuery(
+        "q_asof_join",
+        (s, dir) => {
+          import graft.operators.AsofJoin
+          val ev = EventWindows.readEvents(s, s"$dir/events.parquet")
+          val purchases = ev.where(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts", "value")
+          val clicks = ev.where(col("event_type") === "click")
+            .select(col("user_id"), col("ts"),
+              col("event_id").as("click_id"), col("value").as("click_value"))
+          AsofJoin.asofBackward(purchases, clicks,
+              on = Seq("user_id"), ts = "ts",
+              payload = Seq("click_id", "click_value"), tieBreak = Some("click_id"))
+            .orderBy("event_id")
+        },
+        Some(AsofJoin.asofOracle("events",
+          leftPred = "event_type = 'purchase'", rightPred = "event_type = 'click'",
+          key = "user_id", ts = "ts",
+          leftCols = Seq("event_id", "user_id", "ts", "value"),
+          payload = Seq("event_id" -> "click_id", "value" -> "click_value")) +
+          " ORDER BY event_id")))
   }
 
   def all: Seq[RegisteredQuery] = relational ++ rowOps ++ sourceOps ++ llmOps

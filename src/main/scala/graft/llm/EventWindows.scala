@@ -46,4 +46,48 @@ object EventWindows {
     s"SELECT time_bucket(INTERVAL 1 HOUR, $tsCol) AS w_start, $typeCol, " +
       s"count(*) AS n_events, CAST(sum(CAST($valueCol AS DECIMAL(18,6))) AS DOUBLE) AS sum_value " +
       s"FROM $table GROUP BY 1, 2 ORDER BY 1, 2"
+
+  /** Per-user sessionization with Spark's built-in `session_window` (gap
+    * windows, batch mode — the same expression works unchanged under
+    * `readStream`, which is why it beats a hand-rolled gaps-and-islands
+    * window here). Session = maximal run of events where each consecutive
+    * gap is < `gap`; window start = first ts, end = last ts + gap.
+    *
+    * Scale: one hash shuffle on the session key (user), in-partition
+    * merge — the same exchange profile as any keyed aggregation; no
+    * all-pairs, no second shuffle (`user_id` partitioning satisfies the
+    * (user_id, window) clustering).
+    */
+  def sessionized(events: DataFrame, gap: String = "2 hours", keyCol: String = "user_id",
+                  tsCol: String = "ts", valueCol: String = "value"): DataFrame =
+    events
+      .groupBy(col(keyCol), session_window(col(tsCol), gap).as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
+      .select(col(keyCol), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+
+  /** DuckDB oracle for [[sessionized]]: classic gaps-and-islands — a new
+    * session starts when the gap to the previous event is >= the threshold
+    * (mirrors session_window's "merge while ts < previous end" rule);
+    * session_end = max(ts) + gap.
+    */
+  def sessionizedOracle(table: String, gapSql: String = "INTERVAL 2 HOUR",
+                        keyCol: String = "user_id", tsCol: String = "ts",
+                        valueCol: String = "value"): String =
+    s"""WITH marked AS (
+       |  SELECT $keyCol, $tsCol, $valueCol,
+       |    CASE WHEN lag($tsCol) OVER (PARTITION BY $keyCol ORDER BY $tsCol) IS NULL
+       |           OR $tsCol - lag($tsCol) OVER (PARTITION BY $keyCol ORDER BY $tsCol) >= $gapSql
+       |         THEN 1 ELSE 0 END AS new_s
+       |  FROM $table),
+       |numbered AS (
+       |  SELECT *, sum(new_s) OVER (PARTITION BY $keyCol ORDER BY $tsCol ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM marked)
+       |SELECT $keyCol, min($tsCol) AS session_start, max($tsCol) + $gapSql AS session_end,
+       |  count(*) AS n_events,
+       |  CAST(sum(CAST($valueCol AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       |FROM numbered GROUP BY $keyCol, sid
+       |ORDER BY $keyCol, session_start""".stripMargin
 }

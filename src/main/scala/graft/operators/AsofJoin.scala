@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (backward) join — for each left row, the most recent right row with
+  * the same key and `ts` at-or-before the left row's `ts`. The reference has
+  * no such operator (its joins are pure equi-joins, sql_adt.rs:688-736); this
+  * is a training-data-pipeline extension: align events/features to the latest
+  * observation ("what was the last click before this purchase").
+  *
+  * Spark has no asof join either, and the naive encodings don't scale:
+  *  - inequality join → BroadcastNestedLoop / cartesian (O(n·m) per key);
+  *  - per-left-row subquery → one shuffle per probe.
+  *
+  * This implementation is a single-shuffle union + running-window pass:
+  * tag right rows 0 / left rows 1, union them on a shared layout, then
+  * `last(payload, ignoreNulls) OVER (PARTITION BY key ORDER BY ts, side ROWS
+  * UNBOUNDED PRECEDING..CURRENT)` carries the latest right payload forward
+  * into each left row. Cost = one hash shuffle of |L|+|R| rows on the key +
+  * one in-partition sort — the same exchange a sort-merge join would pay,
+  * with no build/probe and no range explosion; skew and memory behavior are
+  * those of a plain window, so the plan survives a 100× scale-up unchanged.
+  *
+  * The right payload travels as ONE struct column, so all matched values come
+  * from the SAME right row (per-column `last(ignoreNulls)` would mix rows
+  * when a payload cell is null). At equal `ts` the side flag breaks the tie:
+  * inclusive (>=) sorts right rows first so they are visible to the left row;
+  * strict (>) sorts them after. Among multiple right rows sharing (key, ts)
+  * the winner follows sort order (non-deterministic); give `tieBreak` a
+  * column (e.g. an event id) to make it total.
+  */
+object AsofJoin {
+
+  /** @param on       equi-key columns (present in both frames)
+    * @param ts       ordering column (same name and comparable type in both)
+    * @param payload  right columns to carry onto matched left rows
+    * @param suffix   appended to payload names on output (collision escape)
+    * @param strict   false = match ts_r <= ts_l (ASOF's usual >=); true = ts_r < ts_l
+    * @param tieBreak extra right-side ordering column for duplicate (key, ts)
+    */
+  def asofBackward(left: DataFrame, right: DataFrame, on: Seq[String], ts: String,
+                   payload: Seq[String], suffix: String = "",
+                   strict: Boolean = false, tieBreak: Option[String] = None): DataFrame = {
+    require(on.nonEmpty, "asof join needs at least one key column")
+    val outNames = payload.map(_ + suffix)
+    val clash = outNames.toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty, s"asof payload collides with left columns: $clash (use suffix)")
+
+    val pay = "__asof_pay"; val side = "__asof_side"; val tie = "__asof_tie"
+    val (rightSide, leftSide) = if (strict) (1, 0) else (0, 1)
+    val leftOnly = left.columns.filterNot(c => on.contains(c) || c == ts)
+    val leftSchema = left.schema.fields.map(f => f.name -> f.dataType).toMap
+
+    val rightU = right.select(
+      on.map(col) ++ Seq(
+        col(ts),
+        lit(rightSide).as(side),
+        tieBreak.map(col).getOrElse(lit(0L).cast("long")).cast("long").as(tie),
+        struct(payload.map(col): _*).as(pay)) ++
+      leftOnly.map(c => lit(null).cast(leftSchema(c)).as(c)): _*)
+    val leftU = left.select(
+      on.map(col) ++ Seq(
+        col(ts),
+        lit(leftSide).as(side),
+        lit(Long.MaxValue).as(tie), // left rows order after right ties at the same (ts, side)
+        lit(null).cast(rightU.schema(pay).dataType).as(pay)) ++
+      leftOnly.map(col): _*)
+
+    val w = Window.partitionBy(on.map(col): _*)
+      .orderBy(col(ts).asc, col(side).asc, col(tie).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rightU.unionByName(leftU)
+      .withColumn(pay, last(col(pay), ignoreNulls = true).over(w))
+      .where(col(side) === leftSide)
+      .select(left.columns.map(col).toIndexedSeq ++
+        payload.zip(outNames).map { case (p, o) => col(s"$pay.$p").as(o) }: _*)
+  }
+
+  /** DuckDB oracle builder for the gate: native ASOF LEFT JOIN, whose
+    * greatest-ts_r-≤-ts_l semantics are exactly `asofBackward(strict=false)`.
+    */
+  def asofOracle(table: String, leftPred: String, rightPred: String,
+                 key: String, ts: String, leftCols: Seq[String],
+                 payload: Seq[(String, String)]): String = {
+    val lsel = leftCols.map(c => s"l.$c AS $c").mkString(", ")
+    val rsel = payload.map { case (c, a) => s"r.$c AS $a" }.mkString(", ")
+    s"SELECT $lsel, $rsel FROM (SELECT * FROM $table WHERE $leftPred) l " +
+      s"ASOF LEFT JOIN (SELECT * FROM $table WHERE $rightPred) r " +
+      s"ON l.$key = r.$key AND l.$ts >= r.$ts"
+  }
+}

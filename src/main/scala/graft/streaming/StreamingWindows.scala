@@ -67,4 +67,23 @@ object StreamingWindows {
         count(lit(1)).as("n_events"),
         sum(col(valueCol).cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
       .select(col("w.start").as("w_start"), col(typeCol), col("n_events"), col("sum_value"))
+
+  /** Watermarked per-user session windows — the same `session_window`
+    * expression as [[graft.llm.EventWindows.sessionized]], so the batch gate
+    * query is the oracle for the streaming path. Session state merges
+    * in-flight windows per key and is finalized (append mode) once the
+    * watermark passes a session's end; state is O(open sessions), bounded by
+    * the watermark horizon, never by stream length.
+    */
+  def sessionized(events: DataFrame, gap: String = "2 hours", lateness: String = "2 hours",
+                  keyCol: String = "user_id", tsCol: String = "ts",
+                  valueCol: String = "value"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap).as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
+      .select(col(keyCol), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
 }

@@ -79,4 +79,24 @@ class StreamingWindowsSpec extends SparkSpec {
     assert(got.nonEmpty && got.length < batch.length)
     got.foreach { g => assert(byKey((g.get(0), g.getString(1))) == g) }
   }
+
+  test("streaming session windows (complete mode) equal the batch sessionization") {
+    import org.apache.spark.sql.functions.col
+    val stream = StreamingWindows.sessionized(
+      StreamingWindows.readEventsStream(spark, streamDir))
+    val q = stream.writeStream.format("memory").queryName("sw_sessions")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("sw_sessions")
+      .select(col("user_id"),
+        col("session_start").cast("timestamp_ntz").as("session_start"),
+        col("session_end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start").collect()
+    val batchSessions = EventWindows.sessionized(
+        EventWindows.readEvents(spark, s"$sf/events.parquet"))
+      .orderBy("user_id", "session_start").collect()
+    assert(got.length == batchSessions.length)
+    got.zip(batchSessions).foreach { case (g, b) => assert(g == b) }
+  }
 }
