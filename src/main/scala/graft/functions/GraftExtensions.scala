@@ -39,6 +39,15 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, s"md5_prefix60 expects 1 argument, got ${args.length}")
         Md5Prefix60(args.head)
+      }),
+    (FunctionIdentifier("quantized_dot"),
+      new ExpressionInfo(classOf[QuantizedDot].getName, null, "quantized_dot",
+        "quantized_dot(a, b) - exact-integer embedding score: " +
+          "sum(floor(a_i*10000)*floor(b_i*10000)) over two float/double arrays as BIGINT.",
+        ""),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"quantized_dot expects 2 arguments, got ${args.length}")
+        QuantizedDot(args.head, args(1))
       }))
 
   /** Register into a live session's function registry (idempotent). */

@@ -22,7 +22,7 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
   * against [[Similarity.bruteForceKnn]] rather than a bit-exact oracle.
   */
 final case class IvfIndex(
-    assigned: DataFrame,              // idCol, vecCol, qv (quantized), list
+    assigned: DataFrame,              // idCol, vecCol, list
     centroids: Array[Array[Double]],  // nLists × dim
     idCol: String, vecCol: String) {
 
@@ -44,12 +44,13 @@ final case class IvfIndex(
   def search(queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
     val q = queries.select(
         col(idCol).as("query_id"),
-        Similarity.quantize(col(vecCol)).as("qv_q"),
+        col(vecCol).as("qv_q"),
         explode(probeLists(col(vecCol), nProbe)).as("list"))
-    val scored = q.join(assigned.select(col(idCol).as("neighbor_id"), col("qv"), col("list")), "list")
+    val scored = q.join(assigned.select(
+          col(idCol).as("neighbor_id"), col(vecCol).as("qv"), col("list")), "list")
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        Similarity.dotQuantized(col("qv_q"), col("qv")).as("score"))
+        Similarity.quantizedDot(col("qv_q"), col("qv")).as("score"))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast(LongType)).where(col("rank") <= k)
   }
@@ -86,7 +87,6 @@ object IvfIndex {
     }
     val assigned = corpus.select(
         col(idCol), col(vecCol),
-        Similarity.quantize(col(vecCol)).as("qv"),
         assignList(col(vecCol)).cast(IntegerType).as("list"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     IvfIndex(assigned, centroids, idCol, vecCol)

@@ -37,13 +37,23 @@ object Similarity {
     dot / (na * nb)
   }
 
-  /** Exact-integer quantized vector: floor(x * QuantScale) as Long. */
+  /** Exact-integer quantized vector: floor(x * QuantScale) as Long.
+    * Portable reference form; the operators below use the fused native
+    * [[graft.functions.QuantizedDot]] instead (same integers, one codegen'd
+    * loop over the raw vectors, half the shuffle payload).
+    */
   def quantize(vec: Column): Column =
     transform(vec, x => floor(x.cast(DoubleType) * QuantScale).cast(LongType))
 
-  /** Integer dot product of two quantized vectors (exact on every engine). */
+  /** Integer dot product of two quantized vectors (exact on every engine).
+    * Interpreted HOF reference form of [[graft.functions.QuantizedDot]].
+    */
   def dotQuantized(qa: Column, qb: Column): Column =
     aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Fused quantize+dot over RAW vectors — the hot-loop scorer. */
+  def quantizedDot(a: Column, b: Column): Column =
+    graft.functions.QuantizedDot(a, b)
 
   /** Brute-force top-k: score every (query, corpus) pair, keep the k best per
     * query. The query side is broadcast (small by contract); the corpus is
@@ -56,11 +66,11 @@ object Similarity {
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val src = if (corpus.rdd.getNumPartitions < par) corpus.repartition(par) else corpus
     val q = broadcast(queries.select(
-      col(idCol).as("query_id"), quantize(col(vecCol)).as("qv")))
-    val c = src.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
+      col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = src.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        dotQuantized(col("qv"), col("cv")).as("score"))
+        quantizedDot(col("qv"), col("cv")).as("score"))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast(LongType))
       .where(col("rank") <= k)
@@ -87,11 +97,11 @@ object Similarity {
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val src = if (corpus.rdd.getNumPartitions < par) corpus.repartition(par) else corpus
     val b = src.select(
-      col(idCol), signBucket(col(vecCol), dims).as("bucket"), quantize(col(vecCol)).as("qv"))
+      col(idCol), signBucket(col(vecCol), dims).as("bucket"), col(vecCol).as("qv"))
     val scored = b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col(s"a.$idCol") =!= col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("query_id"), col(s"b.$idCol").as("neighbor_id"),
-        dotQuantized(col("a.qv"), col("b.qv")).as("score"))
+        quantizedDot(col("a.qv"), col("b.qv")).as("score"))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast(LongType))
       .where(col("rank") <= k)
@@ -111,11 +121,11 @@ object Similarity {
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val src = if (corpus.rdd.getNumPartitions < par) corpus.repartition(par) else corpus
     val b = src.select(
-      col(idCol), signBucket(col(vecCol), dims).as("bucket"), quantize(col(vecCol)).as("qv"))
+      col(idCol), signBucket(col(vecCol), dims).as("bucket"), col(vecCol).as("qv"))
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("left_id"), col(s"b.$idCol").as("right_id"),
-        dotQuantized(col("a.qv"), col("b.qv")).as("score"))
+        quantizedDot(col("a.qv"), col("b.qv")).as("score"))
       .where(col("score") >= minScore)
   }
 
