@@ -454,6 +454,16 @@ object Registry {
           raw"len(regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]')) AS n_bpe_tokens " +
           "FROM documents ORDER BY doc_id")),
 
+      // whole-document + content-defined rolling fingerprints
+      RegisteredQuery(
+        "q_fingerprint",
+        (s, dir) => Tables.resolve(s, dir)("documents")
+          .select(col("doc_id"),
+            fingerprint(col("text")).as("fp"),
+            rollingFingerprint(col("text")).as("rolling_fp"))
+          .orderBy("doc_id"),
+        Some(fingerprintOracle("documents", "doc_id", "text"))),
+
       // n-gram heuristic language ID
       RegisteredQuery(
         "q_lang_id",

@@ -153,6 +153,19 @@ object TextFunctions {
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString(",")
 
+  /** Oracle for [[fingerprint]] + [[rollingFingerprint]] (same shingle CTE
+    * shape as the minhash oracle).
+    */
+  def fingerprintOracle(table: String, idCol: String, textCol: String, n: Int = 3): String = {
+    val shingleExpr = (0 until n).map(j => s"t[i+$j]").mkString("||' '||")
+    s"""WITH toks AS (SELECT $idCol, $textCol AS txt, string_split($textCol, ' ') AS t FROM $table),
+sh AS (SELECT $idCol, txt, list_distinct(CASE WHEN len(t) < $n THEN [array_to_string(t, ' ')]
+  ELSE list_transform(generate_series(1, len(t)-${n - 1}), i -> $shingleExpr) END) AS s FROM toks)
+SELECT $idCol, CAST(('0x'||substr(md5(txt),1,15)) AS BIGINT) AS fp,
+  list_min(list_transform(s, x -> CAST(('0x'||substr(md5(x),1,15)) AS BIGINT) % $M)) AS rolling_fp
+FROM sh ORDER BY $idCol""".stripMargin
+  }
+
   /** Oracle for the quality-metrics bundle (token counts as BIGINT to match
     * DuckDB's len()).
     */
