@@ -523,6 +523,35 @@ object Registry {
           .orderBy("user_id", "session_start"),
         Some(EventWindows.sessionizedOracle("events"))),
 
+      // range join: purchases inside a ±30min window around an error by the
+      // same user — bucketized equi-join encoding (never a nested loop)
+      RegisteredQuery(
+        "q_range_join",
+        (s, dir) => {
+          import graft.operators.RangeJoin
+          val ev = EventWindows.readEvents(s, s"$dir/events.parquet")
+          val purchases = ev.where(col("event_type") === "purchase")
+            .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+          val errors = ev.where(col("event_type") === "error")
+            .select(col("event_id").as("error_id"), col("user_id").as("e_user"),
+              (col("ts") - org.apache.spark.sql.functions.expr("INTERVAL 30 MINUTES")).as("w_start"),
+              (col("ts") + org.apache.spark.sql.functions.expr("INTERVAL 30 MINUTES")).as("w_end"))
+          RangeJoin.intervalJoin(purchases, errors,
+              tsCol = "ts", startCol = "w_start", endCol = "w_end",
+              on = Seq("user_id" -> "e_user"), bucket = "1 hour")
+            .select("purchase_id", "user_id", "ts", "error_id")
+            .orderBy("purchase_id", "error_id")
+        },
+        Some(graft.operators.RangeJoin.intervalOracle(
+          leftSql = "SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase'",
+          rightSql = "SELECT event_id AS error_id, user_id AS e_user, " +
+            "ts - INTERVAL 30 MINUTE AS w_start, ts + INTERVAL 30 MINUTE AS w_end " +
+            "FROM events WHERE event_type = 'error'",
+          tsCol = "ts", startCol = "w_start", endCol = "w_end",
+          on = Seq("user_id" -> "e_user"),
+          selectSql = "l.purchase_id, l.user_id, l.ts, r.error_id") +
+          " ORDER BY purchase_id, error_id")),
+
       // as-of join: latest click at-or-before each purchase, per user —
       // single-shuffle union+window encoding vs DuckDB's native ASOF JOIN
       RegisteredQuery(
