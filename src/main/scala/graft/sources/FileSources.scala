@@ -87,8 +87,15 @@ object Parquet {
   def read(spark: SparkSession, path: String, opts: ParquetReadOptions = ParquetReadOptions()): DataFrame =
     ReaderCommon.finish(spark.read.parquet(path), opts.columns, opts.projection, opts.nRows, opts.rowCountCol)
 
-  def write(df: DataFrame, path: String, opts: ParquetWriteOptions = ParquetWriteOptions()): Unit =
-    df.write.option("compression", opts.compression).mode("overwrite").parquet(path)
+  def write(df: DataFrame, path: String, opts: ParquetWriteOptions = ParquetWriteOptions()): Unit = {
+    val sorted =
+      if (opts.sortBy.nonEmpty)
+        df.sortWithinPartitions(opts.sortBy.map(org.apache.spark.sql.functions.col): _*)
+      else df
+    var w = sorted.write.option("compression", opts.compression).mode("overwrite")
+    if (opts.partitionBy.nonEmpty) w = w.partitionBy(opts.partitionBy: _*)
+    w.parquet(path)
+  }
 }
 
 /** JSON source/sink (reference S5/S6). */

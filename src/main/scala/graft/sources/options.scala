@@ -45,7 +45,19 @@ final case class ParquetWriteOptions(
     /** parquet stats are always written by Spark; kept for API parity
       * (parquet/writer.rs:19-60 statistics flag). */
     statistics: Boolean = true,
-    compression: String = "snappy")
+    compression: String = "snappy",
+    /** Hive-style partition columns (`path/col=value/…`). The 100 TB lever:
+      * filters on these columns prune directories at planning time
+      * (PartitionFilters), so a day/tenant-scoped query reads only its
+      * slice. Choose low-cardinality columns; high-cardinality partitioning
+      * makes a small-files problem instead.
+      */
+    partitionBy: Seq[String] = Nil,
+    /** Optional per-file sort (applied via sortWithinPartitions before the
+      * write) — gives min/max row-group skipping on the sorted column for
+      * non-partition filters.
+      */
+    sortBy: Seq[String] = Nil)
 
 /** Json = one top-level array of objects (multiLine); JsonLines = NDJSON
   * (fabrix/src/sources/json/reader.rs JsonFormat).

@@ -88,6 +88,24 @@ class FileSourcesSpec extends SparkSpec {
     assert(store.listTables().isEmpty)
   }
 
+  test("partitioned parquet write prunes partitions at scan time") {
+    val dir = tmp() + "/part"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    Parquet.write(docs, dir, ParquetWriteOptions(partitionBy = Seq("lang"), sortBy = Seq("doc_id")))
+    // layout: one dir per lang
+    val langDirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(langDirs.nonEmpty && langDirs.forall(_.startsWith("lang=")))
+    // a lang filter must become a PartitionFilter (directory pruning), not a data filter
+    val q = Parquet.read(spark, dir).where($"lang" === "en").select("doc_id")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").contains("lang"),
+      s"lang filter not pushed to partition pruning:\n$scan")
+    // and the result matches the unpartitioned read
+    val expect = docs.where($"lang" === "en").select("doc_id")
+    assert(q.except(expect).isEmpty && expect.except(q).isEmpty)
+  }
+
   test("pipeline: csv → transform → parquet store") {
     val dir = tmp()
     val src = dir + "/in"
