@@ -150,7 +150,14 @@ object Dedup {
     * fingerprint buckets near-dups with zero joins. Same single-aggregate
     * shape as [[minhashSignature]]: every stage evaluates once per row.
     */
-  def simhash(text: Column, shingleN: Int = 3): Column = {
+  def simhash(text: Column, shingleN: Int = 3): Column =
+    graft.functions.SimHash16(shingleSet(text, shingleN))
+
+  /** Interpreted-HOF reference form of [[simhash]] (spec differential only —
+    * 16 `when` votes + a zip_with accumulator PER SHINGLE, all outside
+    * codegen; the native expression runs the same vote table in one loop).
+    */
+  def simhashHof(text: Column, shingleN: Int = 3): Column = {
     val votes = (0 until SimHashBits).map { b =>
       (hv: Column) => when(hv % (1L << (b + 1)) >= (1L << b), lit(1L)).otherwise(lit(-1L))
     }
