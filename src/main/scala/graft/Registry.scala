@@ -119,6 +119,29 @@ object Registry {
         Agg(AggFn.Min, Col("o_totalprice")).as("min_price"),
         Agg(AggFn.Count, Col("o_custkey"), distinct = true).as("n_customers")))),
 
+    // extension: ROLLUP — per-(status,priority) + per-status subtotals +
+    // grand total in ONE aggregation pass (Spark expands grouping sets
+    // map-side; same single shuffle as the plain groupBy)
+    adt("q_rollup", Select(
+      table = "orders",
+      columns = Seq(
+        Col("o_orderstatus"), Col("o_orderpriority"),
+        CountStar.as("n"),
+        sumExact(decOf("o_totalprice"), "sum_price")),
+      groupBy = Seq(Col("o_orderstatus"), Col("o_orderpriority")),
+      orderBy = Seq(Order.asc("o_orderstatus"), Order.asc("o_orderpriority")),
+      groupingMode = GroupingMode.Rollup)),
+
+    // extension: CUBE — all four grouping sets of (status, priority)
+    adt("q_cube", Select(
+      table = "orders",
+      columns = Seq(
+        Col("o_orderstatus"), Col("o_orderpriority"),
+        CountStar.as("n")),
+      groupBy = Seq(Col("o_orderstatus"), Col("o_orderpriority")),
+      orderBy = Seq(Order.asc("o_orderstatus"), Order.asc("o_orderpriority")),
+      groupingMode = GroupingMode.Cube)),
+
     // A2 + group-by over join (count per nation)
     adt("q_groupby_join", Select(
       table = "customer",

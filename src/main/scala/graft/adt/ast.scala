@@ -191,6 +191,17 @@ object Order {
   def desc(c: String): Order = Order(c, desc = true)
 }
 
+/** Multi-dimensional grouping extension (not in the reference — its GROUP BY
+  * is plain lists only, query_dml.rs:68-83). Rollup/Cube map to Spark's
+  * `rollup`/`cube` and render as ANSI `GROUP BY ROLLUP/CUBE (…)`.
+  */
+sealed trait GroupingMode
+object GroupingMode {
+  case object Plain  extends GroupingMode
+  case object Rollup extends GroupingMode
+  case object Cube   extends GroupingMode
+}
+
 /** The Select IR (sql_adt.rs:744-855). */
 final case class Select(
     table: String,
@@ -201,13 +212,18 @@ final case class Select(
     orderBy: Seq[Order] = Nil,
     limit: Option[Long] = None,
     offset: Option[Long] = None,
-    distinct: Boolean = false) {
+    distinct: Boolean = false,
+    groupingMode: GroupingMode = GroupingMode.Plain) {
 
   def columnsName: Seq[String] = columns.map(_.outputName)
 
   def filter(e: Expr): Select = copy(filter = Some(e))
   def join(j: Join): Select = copy(joins = joins :+ j)
   def groupBy(cols: String*): Select = copy(groupBy = cols.map(Col(_)))
+  def rollup(cols: String*): Select =
+    copy(groupBy = cols.map(Col(_)), groupingMode = GroupingMode.Rollup)
+  def cube(cols: String*): Select =
+    copy(groupBy = cols.map(Col(_)), groupingMode = GroupingMode.Cube)
   def orderBy(os: Order*): Select = copy(orderBy = os)
   def limit(n: Long): Select = copy(limit = Some(n))
   def offset(n: Long): Select = copy(offset = Some(n))

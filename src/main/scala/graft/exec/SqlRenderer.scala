@@ -122,7 +122,11 @@ object SqlRenderer {
     }
     sel.filter.foreach(f => sb.append(" WHERE ").append(predicate(f)))
     if (sel.groupBy.nonEmpty)
-      sb.append(" GROUP BY ").append(sel.groupBy.map(columnRef).mkString(", "))
+      sb.append(" GROUP BY ").append(sel.groupingMode match {
+        case GroupingMode.Plain  => sel.groupBy.map(columnRef).mkString(", ")
+        case GroupingMode.Rollup => sel.groupBy.map(columnRef).mkString("ROLLUP (", ", ", ")")
+        case GroupingMode.Cube   => sel.groupBy.map(columnRef).mkString("CUBE (", ", ", ")")
+      })
     if (sel.orderBy.nonEmpty)
       sb.append(" ORDER BY ").append(sel.orderBy.map(o => ident(o.column) + (if (o.desc) " DESC" else "")).mkString(", "))
     sb.toString

@@ -147,7 +147,15 @@ object Translator {
         val aggCols = aggItems.map(e => column(e).alias(e.outputName))
         val grouped =
           if (sel.groupBy.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
-          else df.groupBy(sel.groupBy.map(column): _*).agg(aggCols.head, aggCols.tail: _*)
+          else {
+            val keys = sel.groupBy.map(column)
+            val g = sel.groupingMode match {
+              case GroupingMode.Plain  => df.groupBy(keys: _*)
+              case GroupingMode.Rollup => df.rollup(keys: _*)
+              case GroupingMode.Cube   => df.cube(keys: _*)
+            }
+            g.agg(aggCols.head, aggCols.tail: _*)
+          }
         // restore projection order / aliases
         grouped.select(sel.columns.map {
           case a @ Aliased(Col(n, _), al) => col(n).alias(al)
