@@ -477,6 +477,14 @@ object Registry {
           raw"len(regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]')) AS n_bpe_tokens " +
           "FROM documents ORDER BY doc_id")),
 
+      // TF-IDF integer core: per-(doc, term) tf + per-term df + corpus N
+      RegisteredQuery(
+        "q_tfidf_stats",
+        (s, dir) => graft.text.TfIdf.tfIdf(Tables.resolve(s, dir)("documents"))
+          .select("doc_id", "term", "tf", "df", "n_docs")
+          .orderBy("doc_id", "term"),
+        Some(graft.text.TfIdf.statsOracle("documents"))),
+
       // whole-document + content-defined rolling fingerprints
       RegisteredQuery(
         "q_fingerprint",

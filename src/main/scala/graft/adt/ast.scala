@@ -179,7 +179,15 @@ final case class Join(
     table: String,
     on: Seq[(String, String)],
     typ: JoinType = JoinType.Inner,
-    as: Option[String] = None) {
+    as: Option[String] = None,
+    /** Force a broadcast of the joined (right) table. Catalyst already
+      * auto-broadcasts under `autoBroadcastJoinThreshold`, but the threshold
+      * is stats-driven — a dimension read through a view/subquery can lose
+      * its size estimate and silently fall to sort-merge. The hint pins the
+      * plan the way `broadcast(df)` does; use for tables KNOWN small
+      * (dimensions), never for facts.
+      */
+    broadcastHint: Boolean = false) {
   def name: String = as.getOrElse(table)
 }
 

@@ -34,4 +34,23 @@ class PlanSpec extends SparkSpec {
     val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(read.contains("l_shipdate") && !read.contains("l_comment"), read)
   }
+
+  test("ADT broadcastHint pins a BroadcastHashJoin even with auto-broadcast off") {
+    import graft.adt._
+    import graft.exec.Translator
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def run(hint: Boolean) = Translator.select(
+        Select(
+          table = "customer",
+          columns = Seq(Col("c_custkey"), Col("n_name", Some("nation"))),
+          joins = Seq(Join("nation", Seq(("c_nationkey", "n_nationkey")), broadcastHint = hint))),
+        Tables.resolve(spark, sf))
+      val hinted = run(hint = true).queryExecution.executedPlan.toString
+      assert(hinted.contains("BroadcastHashJoin"), hinted.take(600))
+      val unhinted = run(hint = false).queryExecution.executedPlan.toString
+      assert(!unhinted.contains("BroadcastHashJoin"), unhinted.take(600))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
