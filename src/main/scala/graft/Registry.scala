@@ -604,7 +604,8 @@ object Registry {
           leftPred = "event_type = 'purchase'", rightPred = "event_type = 'click'",
           key = "user_id", ts = "ts",
           leftCols = Seq("event_id", "user_id", "ts", "value"),
-          payload = Seq("event_id" -> "click_id", "value" -> "click_value")) +
+          payload = Seq("event_id" -> "click_id", "value" -> "click_value"),
+          tieBreak = Some("event_id")) +
           " ORDER BY event_id")))
   }
 

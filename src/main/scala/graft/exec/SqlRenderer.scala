@@ -128,7 +128,11 @@ object SqlRenderer {
         case GroupingMode.Cube   => sel.groupBy.map(columnRef).mkString("CUBE (", ", ", ")")
       })
     if (sel.orderBy.nonEmpty)
-      sb.append(" ORDER BY ").append(sel.orderBy.map(o => ident(o.column) + (if (o.desc) " DESC" else "")).mkString(", "))
+      // explicit null placement: Spark's ASC default is NULLS FIRST / DESC is
+      // NULLS LAST, DuckDB's is the opposite — matters once ROLLUP/CUBE emit
+      // NULL subtotal keys into an ordered result
+      sb.append(" ORDER BY ").append(sel.orderBy.map(o =>
+        ident(o.column) + (if (o.desc) " DESC NULLS LAST" else " NULLS FIRST")).mkString(", "))
     sb.toString
   }
 

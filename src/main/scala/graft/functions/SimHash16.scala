@@ -42,8 +42,10 @@ case class SimHash16(child: Expression) extends UnaryExpression {
 
 object SimHash16 {
   val Bits = 16
-  /** Same modulus as [[graft.text.TextFunctions.M]] (shared hash space). */
-  val M: Long = 1000000007L
+  /** Same modulus as [[graft.text.TextFunctions.M]] (shared hash space) —
+    * aliased, not re-declared, so the two can never drift.
+    */
+  val M: Long = graft.text.TextFunctions.M
 
   def compute(shingles: ArrayData): Long = {
     val votes = new Array[Int](Bits)

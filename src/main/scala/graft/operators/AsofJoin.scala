@@ -80,14 +80,21 @@ object AsofJoin {
 
   /** DuckDB oracle builder for the gate: native ASOF LEFT JOIN, whose
     * greatest-ts_r-≤-ts_l semantics are exactly `asofBackward(strict=false)`.
+    * ASOF leaves the pick among right rows TIED on (key, ts) unspecified, so
+    * when `tieBreak` is given the right side is pre-deduplicated to the
+    * max-tieBreak row per (key, ts) — the engine's pinned winner.
     */
   def asofOracle(table: String, leftPred: String, rightPred: String,
                  key: String, ts: String, leftCols: Seq[String],
-                 payload: Seq[(String, String)]): String = {
+                 payload: Seq[(String, String)], tieBreak: Option[String] = None): String = {
     val lsel = leftCols.map(c => s"l.$c AS $c").mkString(", ")
     val rsel = payload.map { case (c, a) => s"r.$c AS $a" }.mkString(", ")
+    val rightSrc = tieBreak match {
+      case Some(tb) => s"SELECT * FROM $table WHERE $rightPred QUALIFY " +
+        s"row_number() OVER (PARTITION BY $key, $ts ORDER BY $tb DESC) = 1"
+      case None => s"SELECT * FROM $table WHERE $rightPred"
+    }
     s"SELECT $lsel, $rsel FROM (SELECT * FROM $table WHERE $leftPred) l " +
-      s"ASOF LEFT JOIN (SELECT * FROM $table WHERE $rightPred) r " +
-      s"ON l.$key = r.$key AND l.$ts >= r.$ts"
+      s"ASOF LEFT JOIN ($rightSrc) r ON l.$key = r.$key AND l.$ts >= r.$ts"
   }
 }

@@ -88,9 +88,13 @@ object Parquet {
     ReaderCommon.finish(spark.read.parquet(path), opts.columns, opts.projection, opts.nRows, opts.rowCountCol)
 
   def write(df: DataFrame, path: String, opts: ParquetWriteOptions = ParquetWriteOptions()): Unit = {
+    // partition cols must LEAD the sort: FileFormatWriter requires ordering
+    // by the partition columns and inserts its own sort (destroying sortBy
+    // order within files) unless the incoming order already satisfies it
     val sorted =
       if (opts.sortBy.nonEmpty)
-        df.sortWithinPartitions(opts.sortBy.map(org.apache.spark.sql.functions.col): _*)
+        df.sortWithinPartitions(
+          (opts.partitionBy ++ opts.sortBy).map(org.apache.spark.sql.functions.col): _*)
       else df
     var w = sorted.write.option("compression", opts.compression).mode("overwrite")
     if (opts.partitionBy.nonEmpty) w = w.partitionBy(opts.partitionBy: _*)

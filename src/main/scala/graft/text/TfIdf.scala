@@ -27,13 +27,19 @@ import org.apache.spark.sql.functions._
   */
 object TfIdf {
 
-  /** (doc_id, term, tf, df, n_docs, tf_idf) for every (document, term). */
-  def tfIdf(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  /** (doc_id, term, tf, df, n_docs, tf_idf) for every (document, term).
+    *
+    * @param broadcastVocab broadcast the per-term df table (right for
+    *   vocabularies up to ~10^7 terms ≈ a few hundred MB); set false for
+    *   open-vocabulary corpora to fall back to a shuffled equi-join
+    */
+  def tfIdf(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+            broadcastVocab: Boolean = true): DataFrame = {
     val n = docs.count()
     val pairs = docs.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = pairs.groupBy("term").agg(count(lit(1)).as("df"))
-    pairs.join(broadcast(dfreq), "term")
+    pairs.join(if (broadcastVocab) broadcast(dfreq) else dfreq, "term")
       .withColumn("n_docs", lit(n))
       .withColumn("tf_idf",
         col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0))

@@ -30,16 +30,25 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(desc.contains("60 bits"))
   }
 
-  test("withExtensions install path: new session sees the function without register()") {
-    // builder.withExtensions mutates the *shared* extensions of the local
-    // session factory only for newly-built sessions; use a cloned session to
-    // prove injection rather than registry leakage from the other tests
-    val ext = new GraftExtensions
-    val exts = new org.apache.spark.sql.SparkSessionExtensions
-    ext(exts) // applies without throwing = injection contract holds
-    val builder = spark.sessionState.functionRegistry
-      .lookupFunctionBuilder(org.apache.spark.sql.catalyst.FunctionIdentifier("md5_prefix60"))
-    assert(builder.isDefined) // registered by earlier tests via the same builders
+  test("withExtensions install path: a fresh session sees the functions without register()") {
+    import org.apache.spark.sql.SparkSession
+    // getOrCreate returns the active session, so detach it first; the new
+    // session shares the SparkContext but gets its OWN function registry,
+    // populated only by the injected extensions — this proves injection,
+    // independent of what the other tests registered on the shared session
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master("local[4]")
+        .withExtensions(new GraftExtensions).getOrCreate()
+      assert(s2 ne prev)
+      assert(s2.sql("SELECT md5_prefix60('x')").head().getLong(0) >= 0L)
+      assert(s2.sql("SELECT quantized_dot(array(0.5D), array(1.0D))").head().getLong(0) === 50000000L)
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
   }
 
   test("arity is enforced") {
