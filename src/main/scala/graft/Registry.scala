@@ -422,6 +422,24 @@ object Registry {
           .orderBy("left_id", "right_id"),
         Some(Dedup.minhashOracle("documents", "doc_id", "text"))),
 
+      // keep-best exact dedup: longest copy survives, not lowest id
+      RegisteredQuery(
+        "q_dedup_keep_best",
+        (s, dir) => Dedup.dedupKeepBest(Tables.resolve(s, dir)("documents"),
+            "text", "doc_id", nTokens(col("text")))
+          .select("doc_id", "lang", "n_chars").orderBy("doc_id"),
+        Some(Dedup.keepBestOracle("documents", "doc_id", "text",
+          scoreSql = "len(string_split(text, ' '))",
+          keepCols = Seq("doc_id", "lang", "n_chars")))),
+
+      // composed corpus-clean flow: lang gate → quality gate → exact dedup,
+      // one fused plan, one shuffle (of the gate survivors only)
+      RegisteredQuery(
+        "q_corpus_clean",
+        (s, dir) => graft.llm.CorpusPipeline.clean(Tables.resolve(s, dir)("documents"))
+          .select("doc_id", "lang", "n_chars").orderBy("doc_id"),
+        Some(graft.llm.CorpusPipeline.cleanOracle("documents"))),
+
       // SimHash document fingerprint (near-dup bucketing with zero joins)
       RegisteredQuery(
         "q_dedup_simhash",

@@ -43,6 +43,24 @@ object Dedup {
     df.withColumn("__keep", keep).where(col(idCol) === col("__keep")).drop("__keep")
   }
 
+  /** Exact dedup keeping the BEST row per duplicate group instead of the
+    * lowest id — `score` ranks the candidates (e.g. a quality metric from
+    * [[graft.text.TextFunctions]]; longest/cleanest copy survives). Ties
+    * fall to lowest id so the winner is total. Same single fingerprint
+    * shuffle as [[dedupExact]].
+    */
+  def dedupKeepBest(df: DataFrame, textCol: String, idCol: String, score: Column): DataFrame = {
+    val w = Window.partitionBy(fingerprint(col(textCol)))
+      .orderBy(score.desc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  def keepBestOracle(table: String, idCol: String, textCol: String,
+                     scoreSql: String, keepCols: Seq[String]): String =
+    s"SELECT ${keepCols.mkString(", ")} FROM $table QUALIFY row_number() OVER " +
+      s"(PARTITION BY CAST(('0x'||substr(md5($textCol),1,15)) AS BIGINT) " +
+      s"ORDER BY $scoreSql DESC, $idCol ASC) = 1 ORDER BY $idCol"
+
   /** Affine update of a running k-wide minimum with one shingle hash `hv`:
     * acc'[i] = min(acc[i], (a_i*hv + b_i) mod P). `i` and `hv` are lambda
     * variables (cheap); a_i/b_i are inlined arithmetic on `i`, matching
