@@ -379,6 +379,43 @@ object Registry {
         },
         Some("SELECT n_nationkey, n_name FROM nation WHERE n_nationkey IN (0,5,15,20) ORDER BY n_nationkey")),
 
+      // S8/S9: JDBC write → partitioned read-back through Derby in-memory
+      RegisteredQuery(
+        "q_jdbc_roundtrip",
+        (s, dir) => {
+          val ex = new JdbcExecutor("jdbc:derby:memory:gate_rt;create=true")
+          val nation = Tables.resolve(s, dir)("nation")
+          ex.write(nation, "nation_rt", SaveStrategy.Replace)
+          ex.readTable(s, "nation_rt")
+            .select(
+              org.apache.spark.sql.functions.col("n_nationkey").cast("int"),
+              org.apache.spark.sql.functions.col("n_name"),
+              org.apache.spark.sql.functions.col("n_regionkey").cast("int"))
+            .orderBy("n_nationkey")
+        },
+        Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")),
+
+      // A5/S9: upsert save-strategy through the parquet lake store — half the
+      // rows updated, a disjoint batch appended; oracle replays the
+      // anti-join + union split
+      RegisteredQuery(
+        "q_upsert_store",
+        (s, dir) => {
+          import org.apache.spark.sql.functions._
+          val store = new ParquetStore("/tmp/graft_upsert_gate")
+          store.drop("cust")
+          val cust = Tables.resolve(s, dir)("customer")
+            .select("c_custkey", "c_name", "c_acctbal")
+          store.write(cust, "cust", SaveStrategy.Replace)
+          val updates = cust.where(col("c_custkey") % 2 === 0)
+            .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+          store.write(updates, "cust", SaveStrategy.Upsert("c_custkey"))
+          store.read(s, "cust").orderBy("c_custkey")
+        },
+        Some("SELECT c_custkey, c_name, " +
+          "CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 1000.0 ELSE c_acctbal END AS c_acctbal " +
+          "FROM customer ORDER BY c_custkey")),
+
       // T4: Pipeline read → transform → frame (Dispatcher equivalent in-gate)
       RegisteredQuery(
         "q_pipeline",
