@@ -532,6 +532,25 @@ object Registry {
           raw"len(regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]')) AS n_bpe_tokens " +
           "FROM documents ORDER BY doc_id")),
 
+      // bottom-k (KMV) sketch per language: custom Aggregator with map-side
+      // partial merge — shuffle carries ≤k hashes per (group, partition),
+      // where the window formulation would shuffle-and-sort every row
+      RegisteredQuery(
+        "q_bottomk_sketch",
+        (s, dir) => {
+          import org.apache.spark.sql.functions.posexplode
+          Tables.resolve(s, dir)("documents")
+            .groupBy(col("lang"))
+            .agg(graft.functions.BottomK(8)(fingerprint(col("text"))).as("sk"))
+            .select(col("lang"), posexplode(col("sk")).as(Seq("pos", "h")))
+            .select(col("lang"), (col("pos") + 1).cast(LongType).as("rank"), col("h"))
+            .orderBy("lang", "rank")
+        },
+        Some("SELECT lang, rank, h FROM (SELECT lang, " +
+          "CAST(('0x'||substr(md5(text),1,15)) AS BIGINT) AS h, " +
+          "row_number() OVER (PARTITION BY lang ORDER BY CAST(('0x'||substr(md5(text),1,15)) AS BIGINT)) AS rank " +
+          "FROM documents) WHERE rank <= 8 ORDER BY lang, rank")),
+
       // TF-IDF integer core: per-(doc, term) tf + per-term df + corpus N
       RegisteredQuery(
         "q_tfidf_stats",

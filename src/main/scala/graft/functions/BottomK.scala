@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Bottom-k sketch: the k smallest values (multiset) of a Long column per
+  * group — the custom-aggregate extension point (`Aggregator[IN,BUF,OUT]`
+  * with map-side partial merge).
+  *
+  * Over a hash column this is the classic bottom-k / KMV sketch: a
+  * deterministic consistent sample of the group (useful for corpus
+  * inspection), a distinct-count estimator (k-th minimum value), and a
+  * per-group Jaccard estimator (|sketch∩sketch| / |sketch∪sketch| over the
+  * union's bottom-k) — all order- and partitioning-independent, so results
+  * are identical on any cluster layout.
+  *
+  * Scale contract vs the window formulation (`row_number() OVER (PARTITION
+  * BY g ORDER BY v) <= k`): the window shuffles and sorts EVERY row; the
+  * aggregator reduces each partition to ≤k values per group BEFORE the
+  * exchange (classic partial aggregation), so shuffle volume is
+  * O(groups × k × partitions) regardless of row count.
+  *
+  * Buffer is a sorted Array[Long] of ≤ k elements; insert/merge are O(k)
+  * per call — fine for the sketch-sized k (≤ a few hundred) this is for.
+  */
+class BottomK(k: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
+  require(k > 0, "k must be positive")
+
+  override def zero: Array[Long] = Array.emptyLongArray
+
+  override def reduce(buf: Array[Long], v: Long): Array[Long] =
+    if (buf.length < k) {
+      val out = new Array[Long](buf.length + 1)
+      insertSorted(buf, buf.length, v, out); out
+    } else if (v < buf(k - 1)) {
+      val out = new Array[Long](k)
+      insertSorted(buf, k - 1, v, out); out
+    } else buf
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    // standard sorted-merge, truncated at k
+    val out = new Array[Long](math.min(a.length + b.length, k))
+    var i = 0; var j = 0; var o = 0
+    while (o < out.length) {
+      out(o) =
+        if (j >= b.length || (i < a.length && a(i) <= b(j))) { i += 1; a(i - 1) }
+        else { j += 1; b(j - 1) }
+      o += 1
+    }
+    out
+  }
+
+  override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+
+  /** Copy `src[0, n)` and `v` into `out` keeping ascending order. */
+  private def insertSorted(src: Array[Long], n: Int, v: Long, out: Array[Long]): Unit = {
+    var i = 0
+    while (i < n && src(i) <= v) { out(i) = src(i); i += 1 }
+    out(i) = v
+    while (i < n) { out(i + 1) = src(i); i += 1 }
+  }
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}
+
+object BottomK {
+  /** Column form: `bottomK(8)(col)` usable inside `groupBy(...).agg(...)`. */
+  def apply(k: Int)(c: Column): Column = udaf(new BottomK(k)).apply(c)
+}
