@@ -76,38 +76,40 @@ object Dedup {
       (a, b) => least(a, b))
   }
 
-  /** k MinHash values over a document's distinct shingle set.
-    *
-    * ONE `aggregate` pass over the shingle-hash array: HOFs are interpreted
-    * (no codegen, no subexpression elimination), so the naive form — k
-    * separate `array_min(transform(hashes, …))` columns — re-evaluates the
-    * whole shingle pipeline k times per row. Here every stage (tokenize →
-    * shingle → md5 → k affine mins) is the child of exactly one HOF and
-    * evaluates once per row.
+  /** k MinHash values over a document's distinct shingle set — the native
+    * [[graft.functions.MinHashK]] expression: one codegen'd Java loop per
+    * document (hash each shingle once, k affine mins in registers).
     */
   def minhashSignature(text: Column, shingleN: Int, k: Int): Column =
+    graft.functions.MinHashK(shingleSet(text, shingleN), k)
+
+  /** Interpreted-HOF reference form of [[minhashSignature]] (spec
+    * differential only). One `aggregate` pass: HOFs have no codegen and no
+    * subexpression elimination, so even this best HOF formulation walks a
+    * boxed expression tree k times per shingle.
+    */
+  def minhashSignatureHof(text: Column, shingleN: Int, k: Int): Column =
     aggregate(
       transform(shingleSet(text, shingleN), s => hashM(s)),
       array_repeat(lit(P), k),
       (acc, hv) => minhashMerge(acc, hv, k))
 
-  /** Band keys computed in the same single pass: the banding runs in the
-    * aggregate's finish lambda, where the signature is a lambda VARIABLE —
-    * referencing it per band is free, unlike an 8-fold `element_at(sig, …)`
-    * over a repeated signature subtree. rowsPerBand consecutive minhashes
-    * pack into one Long per band (each < P = 2^31-1, two fit in < 2^62).
+  /** Band keys over the native signature. The signature subtree appears
+    * once per packed minhash lane, but via a static `array(…)` of ordinary
+    * codegen'd expressions — whole-stage codegen's subexpression
+    * elimination evaluates [[graft.functions.MinHashK]] ONCE per row (an
+    * interpreted `transform` lambda would re-run it per band; that is why
+    * this is not a HOF). rowsPerBand consecutive minhashes pack into one
+    * Long per band (each < P = 2^31-1, two fit in < 2^62).
     */
   def bandKeys(text: Column, shingleN: Int, bands: Int, rowsPerBand: Int): Column = {
     require(rowsPerBand <= 2, "band key packing supports rowsPerBand <= 2")
-    val k = bands * rowsPerBand
-    aggregate(
-      transform(shingleSet(text, shingleN), s => hashM(s)),
-      array_repeat(lit(P), k),
-      (acc, hv) => minhashMerge(acc, hv, k),
-      sig => transform(sequence(lit(0), lit(bands - 1)), j =>
-        (0 until rowsPerBand)
-          .map(r => element_at(sig, j * rowsPerBand + r + 1))
-          .reduceLeft((a, m) => a * P + m)))
+    val sig = minhashSignature(text, shingleN, bands * rowsPerBand)
+    array((0 until bands).map { j =>
+      (0 until rowsPerBand)
+        .map(r => element_at(sig, j * rowsPerBand + r + 1))
+        .reduceLeft((a, m) => a * P + m)
+    }: _*)
   }
 
   /** Near-duplicate pairs via banded MinHash LSH.
