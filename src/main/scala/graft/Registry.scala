@@ -386,7 +386,10 @@ object Registry {
           val ex = new JdbcExecutor("jdbc:derby:memory:gate_rt;create=true")
           val nation = Tables.resolve(s, dir)("nation")
           ex.write(nation, "nation_rt", SaveStrategy.Replace)
-          ex.readTable(s, "nation_rt")
+          // explicit partitionColumn: the written table has no PK, so the
+          // introspected-PK fallback would silently take the
+          // single-connection path and never exercise the stride math
+          ex.readTable(s, "nation_rt", partitionColumn = Some("n_nationkey"))
             .select(
               org.apache.spark.sql.functions.col("n_nationkey").cast("int"),
               org.apache.spark.sql.functions.col("n_name"),
@@ -459,14 +462,16 @@ object Registry {
           .orderBy("left_id", "right_id"),
         Some(Dedup.minhashOracle("documents", "doc_id", "text"))),
 
-      // keep-best exact dedup: longest copy survives, not lowest id
+      // keep-best exact dedup: NEWEST copy survives (score = doc_id as a
+      // recency stand-in — deliberately the opposite of dedupExact's
+      // keep-min so the gate pins the score ordering, not the tiebreak)
       RegisteredQuery(
         "q_dedup_keep_best",
         (s, dir) => Dedup.dedupKeepBest(Tables.resolve(s, dir)("documents"),
-            "text", "doc_id", nTokens(col("text")))
+            "text", "doc_id", col("doc_id"))
           .select("doc_id", "lang", "n_chars").orderBy("doc_id"),
         Some(Dedup.keepBestOracle("documents", "doc_id", "text",
-          scoreSql = "len(string_split(text, ' '))",
+          scoreSql = "doc_id",
           keepCols = Seq("doc_id", "lang", "n_chars")))),
 
       // composed corpus-clean flow: lang gate → quality gate → exact dedup,

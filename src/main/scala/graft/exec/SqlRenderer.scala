@@ -91,17 +91,17 @@ object SqlRenderer {
 
   /** ANSI/DuckDB rendering (LIMIT n OFFSET n). */
   def select(sel: Select): String =
-    selectBase(sel) +
+    selectBase(sel, graft.sources.Dialect.Ansi) +
       sel.limit.map(n => s" LIMIT $n").getOrElse("") +
       sel.offset.map(n => s" OFFSET $n").getOrElse("")
 
   /** Dialect-specific rendering (limit/offset style varies; Derby has no
-    * LIMIT keyword — ANSI FETCH).
+    * LIMIT keyword — ANSI FETCH; MySQL has no NULLS FIRST/LAST).
     */
   def select(sel: Select, dialect: graft.sources.Dialect): String =
-    selectBase(sel) + dialect.limitClause(sel.limit, sel.offset)
+    selectBase(sel, dialect) + dialect.limitClause(sel.limit, sel.offset)
 
-  private def selectBase(sel: Select): String = {
+  private def selectBase(sel: Select, dialect: graft.sources.Dialect): String = {
     val sb = new StringBuilder("SELECT ")
     if (sel.distinct) sb.append("DISTINCT ")
     sb.append(sel.columns.map(columnExpr).mkString(", "))
@@ -128,11 +128,11 @@ object SqlRenderer {
         case GroupingMode.Cube   => sel.groupBy.map(columnRef).mkString("CUBE (", ", ", ")")
       })
     if (sel.orderBy.nonEmpty)
-      // explicit null placement: Spark's ASC default is NULLS FIRST / DESC is
-      // NULLS LAST, DuckDB's is the opposite — matters once ROLLUP/CUBE emit
-      // NULL subtotal keys into an ordered result
+      // null placement must match Spark's defaults (ASC NULLS FIRST / DESC
+      // NULLS LAST) — DuckDB's default is the opposite, which matters once
+      // ROLLUP/CUBE emit NULL subtotal keys; syntax varies by dialect
       sb.append(" ORDER BY ").append(sel.orderBy.map(o =>
-        ident(o.column) + (if (o.desc) " DESC NULLS LAST" else " NULLS FIRST")).mkString(", "))
+        dialect.orderByItem(ident(o.column), o.desc)).mkString(", "))
     sb.toString
   }
 

@@ -31,11 +31,17 @@ class BottomK(k: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
 
   override def reduce(buf: Array[Long], v: Long): Array[Long] =
     if (buf.length < k) {
+      // growth phase (first ≤k rows of a group): allocate the larger array
       val out = new Array[Long](buf.length + 1)
       insertSorted(buf, buf.length, v, out); out
     } else if (v < buf(k - 1)) {
-      val out = new Array[Long](k)
-      insertSorted(buf, k - 1, v, out); out
+      // steady state: shift in place (the Aggregator contract permits
+      // mutating and returning the buffer) — zero allocation in the
+      // map-side hot loop this aggregate exists to keep cheap
+      var i = k - 1
+      while (i > 0 && buf(i - 1) > v) { buf(i) = buf(i - 1); i -= 1 }
+      buf(i) = v
+      buf
     } else buf
 
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {

@@ -32,23 +32,20 @@ object CorpusPipeline {
     Dedup.dedupExact(gated, textCol, idCol)
   }
 
-  /** DuckDB oracle: the same three stages in SQL, built from the SAME
-    * marker/stopword constants as the Column code.
+  /** DuckDB oracle: the same three stages in SQL. The lang-id CTE chain
+    * comes from [[TextFunctions.langPredCtes]] — the ONE place that SQL
+    * shape lives (same for the marker/stopword constants), so this oracle
+    * cannot drift from `q_lang_id`'s.
     */
   def cleanOracle(table: String, idCol: String = "doc_id", textCol: String = "text",
                   keepCols: Seq[String] = Seq("doc_id", "lang", "n_chars"),
                   langKeep: String = "en", minTokens: Int = 20,
                   maxStopRatio: Double = 1.0): String = {
-    def sqlList(words: Seq[String]) = words.map(w => s"'$w'").mkString(",")
-    val scores = LangOrder.map(l =>
-      s"len(list_filter(t, x -> x IN (${sqlList(LangMarkers(l))}))) AS s_$l").mkString(", ")
-    val cases = LangOrder.map(l => s"WHEN mx > 0 AND s_$l = mx THEN '$l'").mkString(" ")
-    s"""WITH toks AS (SELECT *, string_split($textCol, ' ') AS t FROM $table),
-       |sc AS (SELECT *, $scores FROM toks),
-       |m AS (SELECT *, greatest(${LangOrder.map("s_" + _).mkString(",")}) AS mx FROM sc),
-       |lp AS (SELECT *, CASE $cases ELSE 'und' END AS lang_pred FROM m),
+    val stopRatio =
+      s"CAST(len(list_filter(t, x -> x IN (${TextFunctions.sqlList(TextFunctions.Stopwords)}))) AS DOUBLE) / len(t)"
+    s"""${TextFunctions.langPredCtes(table, textCol, "*")},
        |gated AS (SELECT * FROM lp WHERE lang_pred = '$langKeep' AND len(t) >= $minTokens
-       |  AND CAST(len(list_filter(t, x -> x IN (${sqlList(TextFunctions.Stopwords)}))) AS DOUBLE) / len(t) <= $maxStopRatio)
+       |  AND $stopRatio <= $maxStopRatio)
        |SELECT ${keepCols.mkString(", ")} FROM gated QUALIFY
        |  $idCol = min($idCol) OVER (PARTITION BY CAST(('0x'||substr(md5($textCol),1,15)) AS BIGINT))
        |ORDER BY $idCol""".stripMargin

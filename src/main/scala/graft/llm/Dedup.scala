@@ -44,10 +44,14 @@ object Dedup {
   }
 
   /** Exact dedup keeping the BEST row per duplicate group instead of the
-    * lowest id — `score` ranks the candidates (e.g. a quality metric from
-    * [[graft.text.TextFunctions]]; longest/cleanest copy survives). Ties
-    * fall to lowest id so the winner is total. Same single fingerprint
-    * shuffle as [[dedupExact]].
+    * lowest id — `score` ranks the candidates. The score must come from a
+    * NON-text column (version, recency, source rank): rows in an
+    * exact-duplicate group have identical text, so any text-derived metric
+    * is constant within the group and degenerates to the id tiebreak.
+    * Ties fall to lowest id so the winner is total. Same single fingerprint
+    * shuffle as [[dedupExact]]. (For near-duplicate groups, where texts DO
+    * differ, rank the clusters from [[dedupMinhashPairs]] by a
+    * [[graft.text.TextFunctions]] quality metric instead.)
     */
   def dedupKeepBest(df: DataFrame, textCol: String, idCol: String, score: Column): DataFrame = {
     val w = Window.partitionBy(fingerprint(col(textCol)))
@@ -136,10 +140,23 @@ object Dedup {
     // sides of the candidate self-join, both sides of the verify join);
     // without a persist each consumer re-runs the whole tokenize → shingle →
     // md5 → minhash pipeline. MEMORY_AND_DISK: spills, never recomputes.
+    // Signature lands in its OWN projection before the packing one: the
+    // packing references it bands×rowsPerBand times, and CollapseProject
+    // refuses to inline a non-cheap multi-referenced expression — a
+    // STRUCTURAL once-per-row guarantee that doesn't lean on codegen CSE.
+    val k = bands * rowsPerBand
     val prepared = src.select(
         col(idCol),
-        bandKeys(col(textCol), shingleN, bands, rowsPerBand).as("__bkeys"),
+        minhashSignature(col(textCol), shingleN, k).as("__sig"),
         shingleSet(col(textCol), shingleN).as("__s"))
+      .select(
+        col(idCol),
+        array((0 until bands).map { j =>
+          (0 until rowsPerBand)
+            .map(r => element_at(col("__sig"), j * rowsPerBand + r + 1))
+            .reduceLeft((a, m) => a * P + m)
+        }: _*).as("__bkeys"),
+        col("__s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = prepared.select(col(idCol), posexplode(col("__bkeys")).as(Seq("band", "bkey")))
     val a = banded.as("a"); val b = banded.as("b")

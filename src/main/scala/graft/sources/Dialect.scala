@@ -18,6 +18,14 @@ sealed trait Dialect {
     */
   def quote(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
 
+  /** One ORDER BY item with Spark-matching null placement (ASC → NULLS
+    * FIRST, DESC → NULLS LAST). MySQL overrides: it has no NULLS FIRST/LAST
+    * syntax, and its native placement (NULL lowest: first ASC, last DESC)
+    * already matches Spark, so plain ASC/DESC is both valid and correct.
+    */
+  def orderByItem(quotedCol: String, desc: Boolean): String =
+    quotedCol + (if (desc) " DESC NULLS LAST" else " NULLS FIRST")
+
   def typeName(dt: DataType): String = dt match {
     case BooleanType      => "BOOLEAN"
     case ByteType         => "SMALLINT"
@@ -112,6 +120,8 @@ object Dialect {
     */
   case object MySql extends Dialect {
     val name = "mysql"
+    override def orderByItem(quotedCol: String, desc: Boolean): String =
+      quotedCol + (if (desc) " DESC" else "")
     override def quote(ident: String): String = "`" + ident.replace("`", "``") + "`"
     override def modifyColumnSql(table: String, column: String, typeName: String): String =
       s"ALTER TABLE ${quote(table)} MODIFY COLUMN ${quote(column)} $typeName"

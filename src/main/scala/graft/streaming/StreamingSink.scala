@@ -20,17 +20,26 @@ object StreamingSink {
   /** Start writing `stream` into `store.table` under `strategy`.
     * Replace/FailIfExists apply to the FIRST batch only (table creation);
     * every later batch appends — or re-upserts when `strategy` is Upsert.
+    *
+    * FailIfExists is checked ONCE, here at start time: inside foreachBatch
+    * it would also fire on an at-least-once REPLAY of batch 0 (create
+    * succeeded, offset commit didn't), wedging the stream unrecoverably on
+    * every restart. So the existence check is driver-side and the batch-0
+    * write itself runs as Replace — a replayed create is the create's retry.
     */
   def toStore(stream: DataFrame, store: ParquetStore, table: String,
-              strategy: SaveStrategy): StreamingQuery =
+              strategy: SaveStrategy): StreamingQuery = {
+    if (strategy == SaveStrategy.FailIfExists && store.exists(table))
+      throw new IllegalStateException(s"table $table already exists")
     stream.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val effective = strategy match {
-          case SaveStrategy.Replace | SaveStrategy.FailIfExists if batchId > 0 =>
-            SaveStrategy.Append
+          case SaveStrategy.Replace | SaveStrategy.FailIfExists =>
+            if (batchId == 0) SaveStrategy.Replace else SaveStrategy.Append
           case other => other
         }
         store.write(batch, table, effective)
       }
       .start()
+  }
 }

@@ -150,8 +150,23 @@ object TextFunctions {
   // Generated from the same constant tables as the Column code above, so the
   // Spark path and the differential oracle cannot drift.
 
-  private def sqlList(words: Seq[String]): String =
+  private[graft] def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString(",")
+
+  /** Shared CTE chain ending in relation `lp` carrying a `lang_pred` column
+    * (the token array `t` rides along for downstream filters). Both
+    * [[langIdOracle]] and [[graft.llm.CorpusPipeline.cleanOracle]] compose
+    * from this, so the lang-id SQL shape lives in exactly one place.
+    */
+  private[graft] def langPredCtes(table: String, textCol: String, cols: String): String = {
+    val scores = LangOrder.map(l =>
+      s"len(list_filter(t, x -> x IN (${sqlList(LangMarkers(l))}))) AS s_$l").mkString(", ")
+    val cases = LangOrder.map(l => s"WHEN mx > 0 AND s_$l = mx THEN '$l'").mkString(" ")
+    s"""WITH toks AS (SELECT $cols, string_split($textCol, ' ') AS t FROM $table),
+sc AS (SELECT *, $scores FROM toks),
+m AS (SELECT *, greatest(${LangOrder.map("s_" + _).mkString(",")}) AS mx FROM sc),
+lp AS (SELECT *, CASE $cases ELSE 'und' END AS lang_pred FROM m)"""
+  }
 
   /** Oracle for [[fingerprint]] + [[rollingFingerprint]] (same shingle CTE
     * shape as the minhash oracle).
@@ -180,12 +195,7 @@ FROM toks ORDER BY $idCol""".stripMargin
     * to the foldRight in [[langId]].
     */
   def langIdOracle(table: String, idCol: String, langCol: String, textCol: String): String = {
-    val scores = LangOrder.map(l =>
-      s"len(list_filter(t, x -> x IN (${sqlList(LangMarkers(l))}))) AS s_$l").mkString(", ")
-    val cases = LangOrder.map(l => s"WHEN mx > 0 AND s_$l = mx THEN '$l'").mkString(" ")
-    s"""WITH toks AS (SELECT $idCol, $langCol, string_split($textCol, ' ') AS t FROM $table),
-sc AS (SELECT $idCol, $langCol, $scores FROM toks),
-m AS (SELECT *, greatest(${LangOrder.map("s_" + _).mkString(",")}) AS mx FROM sc)
-SELECT $idCol, $langCol, CASE $cases ELSE 'und' END AS lang_pred FROM m ORDER BY $idCol""".stripMargin
+    s"""${langPredCtes(table, textCol, s"$idCol, $langCol")}
+SELECT $idCol, $langCol, lang_pred FROM lp ORDER BY $idCol""".stripMargin
   }
 }

@@ -43,12 +43,15 @@ class BottomKSpec extends SparkSpec {
     assert(got(1) === Seq(3L, 5L) && got(2) === Seq(9L))
   }
 
-  test("plan shows partial aggregation before the exchange") {
+  test("plan shows partial aggregation below (upstream of) the exchange") {
     val plan = data.groupBy("g").agg(BottomK(4)(col("v")).as("sk"))
       .queryExecution.executedPlan.toString
-    // ObjectHashAggregate partial pass runs before Exchange
-    val pi = plan.indexOf("Aggregate")
+    // plans print top-down (final agg, then Exchange, then partial agg);
+    // the map-side partial pass is the Aggregate BELOW the exchange — its
+    // absence (shuffle carries every row) is the regression guarded here
     val ei = plan.indexOf("Exchange")
-    assert(pi >= 0 && ei > pi, s"no partial-agg-then-exchange shape:\n$plan")
+    assert(ei >= 0, s"no exchange:\n$plan")
+    assert(plan.lastIndexOf("Aggregate") > ei,
+      s"no partial aggregate upstream of the exchange:\n$plan")
   }
 }
