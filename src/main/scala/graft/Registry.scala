@@ -688,5 +688,108 @@ object Registry {
           " ORDER BY event_id")))
   }
 
-  def all: Seq[RegisteredQuery] = relational ++ rowOps ++ sourceOps ++ llmOps
+  /** Corpus-preparation operators (SURVEY §2.11 L38+) — dedup clustering,
+    * PII scrubbing, deterministic splits, repetition metrics, IVF ANN — the
+    * filter/assignment layer between raw scrape and tokenizer.
+    */
+  val corpusOps: Seq[RegisteredQuery] = {
+    import graft.llm.{DedupClusters, IvfIndex, Similarity}
+    import graft.text.CorpusFilters
+    import graft.text.TextFunctions.fingerprint
+    import org.apache.spark.sql.functions._
+    val hash60Sql = (e: String) => s"CAST(('0x'||substr(md5($e),1,15)) AS BIGINT)"
+    Seq(
+      // duplicate-cluster formation: minhash pairs → connected components →
+      // one (doc, cluster_rep) row per document; singletons rep themselves
+      RegisteredQuery(
+        "q_dedup_clusters",
+        (s, dir) => DedupClusters.minhashClusters(
+            Tables.resolve(s, dir)("documents"), "text", "doc_id")
+          .orderBy("doc_id"),
+        Some(DedupClusters.clustersOracle("documents", "doc_id", "text"))),
+
+      // IVF ANN at full probe: every inverted list searched ⇒ provably equal
+      // to brute-force top-k whatever the (seeded, float-iterative) k-means
+      // centroids converged to — which is what makes it oracle-checkable
+      RegisteredQuery(
+        "q_ann_ivf",
+        (s, dir) => {
+          val emb = Tables.resolve(s, dir)("embeddings")
+          IvfIndex.build(emb, nLists = 8)
+            .search(emb.where(col("vec_id") < 8), k = 4, nProbe = 8)
+            .orderBy("query_id", "rank")
+        },
+        Some(Similarity.knnOracle("embeddings", "vec_id", "embedding",
+          "vec_id < 8", k = 4, dim = 64))),
+
+      // PII scrubbing: synthetic email/URL/phone appended per doc (the raw
+      // corpus has none), then scrub + pre-scrub match counts; the scrubbed
+      // text is compared by fingerprint so any byte drift fails the gate
+      RegisteredQuery(
+        "q_pii_scrub",
+        (s, dir) => {
+          val aug = concat(col("text"),
+            lit(" contact user"), col("doc_id"), lit("@example.com or https://ex.org/d/"),
+            col("doc_id"), lit(" tel +1 (415) 555-01"), col("doc_id"))
+          Tables.resolve(s, dir)("documents").select(
+              col("doc_id"),
+              fingerprint(CorpusFilters.scrubPii(aug)).as("scrub_fp"),
+              CorpusFilters.nUrls(aug).as("n_urls"),
+              CorpusFilters.nEmails(aug).as("n_emails"),
+              CorpusFilters.nPhones(aug).as("n_phones"))
+            .orderBy("doc_id")
+        },
+        Some {
+          val augSql = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+            "'@example.com or https://ex.org/d/' || CAST(doc_id AS VARCHAR) || " +
+            "' tel +1 (415) 555-01' || CAST(doc_id AS VARCHAR)"
+          s"""WITH aug AS (SELECT doc_id, $augSql AS t FROM documents)
+SELECT doc_id, ${hash60Sql(CorpusFilters.scrubPiiSql("t"))} AS scrub_fp,
+  ${CorpusFilters.countSql("t", CorpusFilters.UrlPattern)} AS n_urls,
+  ${CorpusFilters.countSql("t", CorpusFilters.EmailPattern)} AS n_emails,
+  ${CorpusFilters.countSql("t", CorpusFilters.PhonePattern)} AS n_phones
+FROM aug ORDER BY doc_id""".stripMargin
+        }),
+
+      // deterministic content-hash train/val split (re-shard/engine stable)
+      RegisteredQuery(
+        "q_train_split",
+        (s, dir) => Tables.resolve(s, dir)("documents").select(
+            col("doc_id"),
+            CorpusFilters.splitBucket(col("text"), 100).as("bucket"),
+            CorpusFilters.splitAssign(col("text"), 95).as("split"))
+          .orderBy("doc_id"),
+        Some(s"SELECT doc_id, ${CorpusFilters.splitBucketSql("text", 100)} AS bucket, " +
+          s"${CorpusFilters.splitAssignSql("text", 95)} AS split " +
+          "FROM documents ORDER BY doc_id")),
+
+      // Gopher-style repetition metrics (duplicate-bigram occupancy)
+      RegisteredQuery(
+        "q_repetition",
+        (s, dir) => CorpusFilters.repetitionStats(
+            Tables.resolve(s, dir)("documents"), "doc_id", "text")
+          .orderBy("doc_id"),
+        Some(CorpusFilters.repetitionOracle("documents", "doc_id", "text"))),
+
+      // normalization: messy-cased/padded variant canonicalizes identically
+      // in both engines (fingerprint-compared)
+      RegisteredQuery(
+        "q_text_normalize",
+        (s, dir) => {
+          val messy = concat(lit("  "), upper(col("text")), lit("  MiXeD   Case "))
+          Tables.resolve(s, dir)("documents").select(
+              col("doc_id"),
+              fingerprint(CorpusFilters.normalizeText(messy)).as("norm_fp"),
+              length(CorpusFilters.normalizeText(messy)).as("n_chars_norm"))
+            .orderBy("doc_id")
+        },
+        Some {
+          val messySql = "'  ' || upper(text) || '  MiXeD   Case '"
+          val normSql = CorpusFilters.normalizeSql(messySql)
+          s"SELECT doc_id, ${hash60Sql(normSql)} AS norm_fp, " +
+            s"length($normSql) AS n_chars_norm FROM documents ORDER BY doc_id"
+        }))
+  }
+
+  def all: Seq[RegisteredQuery] = relational ++ rowOps ++ sourceOps ++ llmOps ++ corpusOps
 }

@@ -233,10 +233,14 @@ SELECT doc_id_ AS doc_id, $assemble AS simhash FROM sums ORDER BY doc_id_""".str
       s"WHERE $idCol = keep ORDER BY $idCol"
   }
 
-  def minhashOracle(
+  /** CTE body (everything after `WITH `) ending in a `verified` relation of
+    * (left_id, right_id, jaccard) — shared by [[minhashOracle]] and the
+    * connected-components oracle in [[DedupClusters]] so the pair-generation
+    * SQL cannot drift between the two gates.
+    */
+  def minhashPairCtes(
       table: String, idCol: String, textCol: String,
-      shingleN: Int = 3, bands: Int = DefaultBands, rowsPerBand: Int = DefaultRowsPerBand,
-      minJaccard: Double = 0.5): String = {
+      shingleN: Int, bands: Int, rowsPerBand: Int): String = {
     val k = bands * rowsPerBand
     val n = shingleN
     val shingleExpr = (0 until n).map(j => s"t[i+$j]").mkString("||' '||")
@@ -247,7 +251,7 @@ SELECT doc_id_ AS doc_id, $assemble AS simhash FROM sums ORDER BY doc_id_""".str
         .reduceLeft((acc, m) => s"($acc*$P+$m)")
       s"SELECT doc_id_, $j AS band, $key AS bkey FROM sig"
     }.mkString(" UNION ALL ")
-    s"""WITH toks AS (SELECT $idCol AS doc_id_, string_split($textCol, ' ') AS t FROM $table),
+    s"""toks AS (SELECT $idCol AS doc_id_, string_split($textCol, ' ') AS t FROM $table),
 sh AS (SELECT doc_id_, list_distinct(CASE WHEN len(t) < $n THEN [array_to_string(t, ' ')]
   ELSE list_transform(generate_series(1, len(t)-${n - 1}), i -> $shingleExpr) END) AS s FROM toks),
 hm AS (SELECT doc_id_, list_transform(s, x -> CAST(('0x'||substr(md5(x),1,15)) AS BIGINT) % $M) AS h FROM sh),
@@ -257,7 +261,13 @@ cand AS (SELECT DISTINCT a.doc_id_ AS left_id, b.doc_id_ AS right_id
   FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id_ < b.doc_id_),
 verified AS (SELECT c.left_id, c.right_id,
   CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard
-  FROM cand c JOIN sh sa ON sa.doc_id_ = c.left_id JOIN sh sb ON sb.doc_id_ = c.right_id)
-SELECT left_id, right_id, jaccard FROM verified WHERE jaccard >= $minJaccard ORDER BY left_id, right_id""".stripMargin
+  FROM cand c JOIN sh sa ON sa.doc_id_ = c.left_id JOIN sh sb ON sb.doc_id_ = c.right_id)"""
   }
+
+  def minhashOracle(
+      table: String, idCol: String, textCol: String,
+      shingleN: Int = 3, bands: Int = DefaultBands, rowsPerBand: Int = DefaultRowsPerBand,
+      minJaccard: Double = 0.5): String =
+    s"""WITH ${minhashPairCtes(table, idCol, textCol, shingleN, bands, rowsPerBand)}
+SELECT left_id, right_id, jaccard FROM verified WHERE jaccard >= $minJaccard ORDER BY left_id, right_id""".stripMargin
 }

@@ -1,0 +1,104 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Duplicate-cluster formation: near-dup PAIRS (from [[Dedup.dedupMinhashPairs]]
+  * or [[Similarity.cosineDupPairs]]) are only half the dedup story — a corpus
+  * clean needs one canonical survivor per connected GROUP of duplicates
+  * (A~B, B~C ⇒ {A,B,C} is one cluster even though A~C was never emitted).
+  *
+  * Algorithm: iterative min-label propagation. Every vertex starts labeled
+  * with its own id; each round, a vertex takes the min of its label and its
+  * neighbors' labels. Labels are monotonically non-increasing, so the global
+  * `sum(label)` strictly decreases until the fixpoint — equality between
+  * rounds IS convergence, checked with one scalar aggregate (no row-level
+  * diff join).
+  *
+  * Scale shape (100 TB): each round is ONE shuffle — an equi-join of edges
+  * with labels on the 8-byte vertex id plus a min-aggregate, both
+  * partial-agg/codegen friendly; nothing is ever all-pairs and no adjacency
+  * list is materialized per-vertex. Rounds needed = graph diameter, which for
+  * duplicate clusters is small (near-dup groups are dense — typically 2-4
+  * hops); `localCheckpoint` after every round truncates the lineage so plan
+  * depth stays O(1) regardless of rounds. (For adversarial long-chain graphs
+  * the O(log n) alternating large-star/small-star scheme is the upgrade
+  * path; it changes only the per-round step, not this driver loop.)
+  *
+  * Reference scope note: the fabrix reference has no graph/dedup operators —
+  * this is the LLM-pipeline extension surface built on [[Dedup]].
+  */
+object DedupClusters {
+
+  /** Connected components over undirected `pairs` (left_id, right_id).
+    * Returns (`idCol`, cluster_rep) for EVERY vertex in `vertices` —
+    * singletons map to themselves, so the output doubles as a total
+    * dedup-assignment table: keep rows where id == cluster_rep.
+    */
+  def connectedComponents(
+      pairs: DataFrame, vertices: DataFrame, idCol: String,
+      maxRounds: Int = 20): DataFrame = {
+    val sym = pairs
+      .select(col("left_id").as("src"), col("right_id").as("dst"))
+      .union(pairs.select(col("right_id").as("src"), col("left_id").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint(true)
+    var prevSum = labels.agg(sum("label")).head.getLong(0)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val next = sym.join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+        .union(labels)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      val nextSum = next.agg(sum("label")).head.getLong(0)
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      round += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxRounds rounds " +
+      "(graph diameter exceeds the bound — raise maxRounds or switch to large-star/small-star)")
+    sym.unpersist()
+    labels.select(col("id").as(idCol), col("label").as("cluster_rep"))
+  }
+
+  /** End-to-end near-dup clustering of a corpus: banded-MinHash pairs
+    * ([[Dedup.dedupMinhashPairs]]) → connected components → one
+    * (id, cluster_rep) row per document.
+    */
+  def minhashClusters(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3,
+      bands: Int = Dedup.DefaultBands,
+      rowsPerBand: Int = Dedup.DefaultRowsPerBand,
+      minJaccard: Double = 0.5): DataFrame = {
+    val pairs = Dedup.dedupMinhashPairs(df, textCol, idCol, shingleN, bands, rowsPerBand, minJaccard)
+    connectedComponents(pairs, df.select(idCol), idCol)
+  }
+
+  /** DuckDB oracle: the shared minhash pair CTEs + a recursive reachability
+    * walk — min over everything reachable from a vertex is its component
+    * representative. (The recursive UNION dedups (id, r) states, so the walk
+    * terminates; state count is Σ cluster_size², fine at gate scale — the
+    * oracle verifies semantics, the Spark loop carries the scale.)
+    */
+  def clustersOracle(
+      table: String, idCol: String, textCol: String,
+      shingleN: Int = 3,
+      bands: Int = Dedup.DefaultBands,
+      rowsPerBand: Int = Dedup.DefaultRowsPerBand,
+      minJaccard: Double = 0.5): String =
+    s"""WITH RECURSIVE ${Dedup.minhashPairCtes(table, idCol, textCol, shingleN, bands, rowsPerBand)},
+pairs AS (SELECT left_id, right_id FROM verified WHERE jaccard >= $minJaccard),
+sym AS (SELECT left_id AS src, right_id AS dst FROM pairs
+  UNION ALL SELECT right_id, left_id FROM pairs),
+walk(id, r) AS (
+  SELECT $idCol, $idCol FROM $table
+  UNION
+  SELECT w.id, s.dst FROM walk w JOIN sym s ON s.src = w.r)
+SELECT id AS $idCol, min(r) AS cluster_rep FROM walk GROUP BY id ORDER BY id""".stripMargin
+}

@@ -1,0 +1,130 @@
+package graft.text
+
+import graft.text.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Corpus-preparation filters a web-scale training pipeline runs between raw
+  * scrape and tokenizer: text normalization, PII scrubbing, deterministic
+  * train/validation splitting, and repetition (duplicate-n-gram) metrics in
+  * the style of the C4/Gopher quality rules.
+  *
+  * All scalar ops are pure codegen'd Column combinators (no UDFs), and every
+  * regex sticks to the Java-regex ∩ RE2 common subset (no lookaround, no
+  * backrefs) so a DuckDB oracle replays them byte-identically. The
+  * repetition metric is the one shuffle-bearing op and keeps the standard
+  * explode → partial-agg count shape.
+  *
+  * Reference scope note: the fabrix reference has no corpus operators — this
+  * is the LLM-pipeline extension surface (SURVEY §2.11) built on
+  * [[TextFunctions]].
+  */
+object CorpusFilters {
+
+  // ------------------------------------------------------- normalization --
+
+  /** Canonical text form: lowercase, whitespace runs collapsed to one
+    * space, ends trimmed — the usual pre-fingerprint normalization so
+    * "Hello  World " and "hello world" dedup together.
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** [[normalizeText]] over a SQL expression (DuckDB needs the explicit
+    * global flag; Spark's regexp_replace is global by default).
+    */
+  def normalizeSql(e: String): String =
+    s"trim(regexp_replace(lower($e), '\\s+', ' ', 'g'))"
+
+  // --------------------------------------------------------- PII scrubbing --
+
+  /** Patterns live in the Java-regex ∩ RE2 subset. Order matters and is part
+    * of the contract: URLs first (an email-looking userinfo inside a URL
+    * must scrub as part of the URL), then emails, then phone-shaped digit
+    * runs over what remains.
+    */
+  val UrlPattern = "https?://[^\\s]+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?[0-9][0-9 ()-]{6,}[0-9]"
+
+  def scrubPii(c: Column): Column = {
+    val noUrl = regexp_replace(c, UrlPattern, "<URL>")
+    val noEmail = regexp_replace(noUrl, EmailPattern, "<EMAIL>")
+    regexp_replace(noEmail, PhonePattern, "<PHONE>")
+  }
+
+  /** Match counts on the RAW text (pre-scrub) — the per-doc PII load a
+    * filtering policy thresholds on.
+    */
+  def nUrls(c: Column): Column = regexp_count(c, lit(UrlPattern))
+  def nEmails(c: Column): Column = regexp_count(c, lit(EmailPattern))
+  def nPhones(c: Column): Column = regexp_count(c, lit(PhonePattern))
+
+  // The pattern constants contain no single quotes, so they embed verbatim
+  // in SQL string literals (standard single-quoted strings pass backslashes
+  // through untouched — both engines see the identical regex text).
+  def scrubPiiSql(e: String): String = {
+    val noUrl = s"regexp_replace($e, '$UrlPattern', '<URL>', 'g')"
+    val noEmail = s"regexp_replace($noUrl, '$EmailPattern', '<EMAIL>', 'g')"
+    s"regexp_replace($noEmail, '$PhonePattern', '<PHONE>', 'g')"
+  }
+
+  def countSql(e: String, pattern: String): String =
+    s"len(regexp_extract_all($e, '$pattern'))"
+
+  // ------------------------------------------------- train/val splitting --
+
+  /** Deterministic content-hash bucket in [0, nBuckets): stable under
+    * re-sharding, re-ordering, and engine choice (keyed on the 60-bit md5
+    * fingerprint, not on row position — the property that keeps a document
+    * in the same split across pipeline re-runs).
+    */
+  def splitBucket(key: Column, nBuckets: Int): Column =
+    hash60(key) % nBuckets
+
+  /** 'train' for buckets below `trainPct` (of 100), 'val' otherwise. */
+  def splitAssign(key: Column, trainPct: Int): Column =
+    when(splitBucket(key, 100) < trainPct, lit("train")).otherwise(lit("val"))
+
+  def splitBucketSql(e: String, nBuckets: Int): String =
+    s"CAST(('0x'||substr(md5($e),1,15)) AS BIGINT) % $nBuckets"
+
+  def splitAssignSql(e: String, trainPct: Int): String =
+    s"CASE WHEN ${splitBucketSql(e, 100)} < $trainPct THEN 'train' ELSE 'val' END"
+
+  // ------------------------------------------------------- repetition ----
+
+  /** Gopher-style repetition metrics: per document, the total n-gram count,
+    * the top n-gram's occurrence count, and the fraction of n-gram
+    * occurrences that are repeats (grams occurring ≥ 2×). High
+    * dup_gram_frac ⇒ boilerplate / spam / template text.
+    *
+    * Scale shape: explode n-grams once, count per (doc, gram) — a single
+    * shuffle with map-side partial counts — then one keyed re-agg per doc.
+    * Never holds a per-doc gram map in one row (an aggregate-HOF frequency
+    * map would be O(grams²) interpreted per row).
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
+    val grams = df.select(col(idCol), explode(shingles(col(textCol), n)).as("gram"))
+    val perGram = grams.groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("c"))
+    perGram.groupBy(idCol).agg(
+        sum("c").as("n_grams"),
+        max("c").as("top_gram_count"),
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup_gram_occurrences"))
+      .select(col(idCol), col("n_grams"), col("top_gram_count"), col("dup_gram_occurrences"),
+        (col("dup_gram_occurrences").cast(DoubleType) / col("n_grams")).as("dup_gram_frac"))
+  }
+
+  def repetitionOracle(table: String, idCol: String, textCol: String, n: Int = 2): String = {
+    val shingleExpr = (0 until n).map(j => s"t[i+$j]").mkString("||' '||")
+    s"""WITH toks AS (SELECT $idCol, string_split($textCol, ' ') AS t FROM $table),
+g AS (SELECT $idCol, unnest(CASE WHEN len(t) < $n THEN [array_to_string(t, ' ')]
+  ELSE list_transform(generate_series(1, len(t)-${n - 1}), i -> $shingleExpr) END) AS gram FROM toks),
+c AS (SELECT $idCol, gram, count(*) AS c FROM g GROUP BY $idCol, gram)
+SELECT $idCol, CAST(sum(c) AS BIGINT) AS n_grams, max(c) AS top_gram_count,
+  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_gram_occurrences,
+  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c) AS dup_gram_frac
+FROM c GROUP BY $idCol ORDER BY $idCol""".stripMargin
+  }
+}

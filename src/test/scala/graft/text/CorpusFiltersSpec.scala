@@ -1,0 +1,75 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Local semantics for the corpus-preparation filters; the gate queries
+  * (q_pii_scrub, q_train_split, q_repetition, q_text_normalize) pin the
+  * cross-engine differential at sf scale.
+  */
+class CorpusFiltersSpec extends SparkSpec {
+
+  test("scrubPii masks urls, emails, and phone runs in contract order") {
+    import spark.implicits._
+    val got = Seq(
+      "see https://ex.org/a?q=1 or mail bob.smith+x@corp.example.co uk",
+      "call +1 (415) 555-0123 now",
+      "userinfo url http://a@b.example.com/path stays one URL",
+      "no pii here at all"
+    ).toDF("t").select(CorpusFilters.scrubPii(col("t"))).collect().map(_.getString(0))
+    assert(got(0) == "see <URL> or mail <EMAIL> uk")
+    assert(got(1) == "call <PHONE> now")
+    assert(got(2) == "userinfo url <URL> stays one URL")
+    assert(got(3) == "no pii here at all")
+  }
+
+  test("pii counts measure the raw text") {
+    import spark.implicits._
+    val r = Seq("a@b.co and c@d.org via https://x.y call +1 (415) 555-0123")
+      .toDF("t")
+      .select(CorpusFilters.nEmails(col("t")), CorpusFilters.nUrls(col("t")),
+        CorpusFilters.nPhones(col("t")))
+      .head()
+    assert((r.getInt(0), r.getInt(1), r.getInt(2)) == ((2, 1, 1)))
+  }
+
+  test("normalizeText lowers, collapses whitespace, trims") {
+    import spark.implicits._
+    val got = Seq("  Hello   WORLD\t \n x ").toDF("t")
+      .select(CorpusFilters.normalizeText(col("t"))).head().getString(0)
+    assert(got == "hello world x")
+  }
+
+  test("splitAssign is deterministic, content-keyed, and ~trainPct heavy") {
+    import spark.implicits._
+    val docs = (0 until 400).map(i => s"document number $i body").toDF("t")
+    val assigned = docs.select(col("t"), CorpusFilters.splitAssign(col("t"), 95).as("s"))
+    val byRun2 = docs.select(col("t"), CorpusFilters.splitAssign(col("t"), 95).as("s"))
+    assert(assigned.collect().toSet == byRun2.collect().toSet) // re-run stable
+    val trainN = assigned.where(col("s") === "train").count()
+    assert(trainN > 340 && trainN < 400) // ~95% of 400, loose bound
+    // bucket is a pure content hash: permuting row order can't move a doc
+    val bucketOf = docs.orderBy(col("t").desc)
+      .select(col("t"), CorpusFilters.splitBucket(col("t"), 100).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bucketOrig = docs
+      .select(col("t"), CorpusFilters.splitBucket(col("t"), 100).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bucketOf == bucketOrig)
+  }
+
+  test("repetitionStats: bigram totals, top count, duplicate occupancy") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a"),          // bigrams: [a b, b a, a b, b a] all repeats
+      (2L, "w x y z"),            // bigrams: [w x, x y, y z] all unique
+      (3L, "solo")                // short doc -> single whole-text gram
+    ).toDF("doc_id", "text")
+    val r = CorpusFilters.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(r(1L) == ((4L, 2L, 4L, 1.0)))
+    assert(r(2L) == ((3L, 1L, 0L, 0.0)))
+    assert(r(3L) == ((1L, 1L, 0L, 0.0)))
+  }
+}
