@@ -102,9 +102,11 @@ final case class Fabrix(df: DataFrame, indexTag: Option[IndexTag] = None) {
     * rows are paired (downstream consumers order by the index/their own
     * keys). An inner join silently truncating unequal heights would hide
     * bugs, so heights are checked inside the plan: full-outer join + a
-    * null-check expression that fails the task on the first unmatched row.
-    * Caveat: the guard lives in the first output column, so actions that
-    * prune every column (a bare `count()`) skip the height check.
+    * guard FILTER that raises on the first unmatched row. A filter survives
+    * column pruning (unlike a guard folded into an output column), so even a
+    * bare `count()` on the result runs the height check — and it cannot be
+    * pushed below the join because it references both sides' position
+    * columns.
     */
   def hconcat(other: Fabrix): Fabrix = {
     val l = df; val r = other.df
@@ -114,14 +116,15 @@ final case class Fabrix(df: DataFrame, indexTag: Option[IndexTag] = None) {
     val la = DenseIndex.withDenseIndex(l, pos)
     val rb = DenseIndex.withDenseIndex(r, s"${pos}_r")
     val joined = la.join(rb, col(pos) === col(s"${pos}_r"), "full_outer")
-    // the guard must live inside a KEPT column or Catalyst prunes it away:
-    // fold it into the first output column via when/otherwise
-    val first = l.schema.head
-    val checkedFirst = when(col(pos).isNull || col(s"${pos}_r").isNull,
-        raise_error(lit("hconcat: frames have different heights")).cast(first.dataType))
-      .otherwise(col(first.name)).as(first.name)
-    val rest = (l.columns.tail ++ r.columns).map(col)
-    Fabrix(joined.select(checkedFirst +: rest.toIndexedSeq: _*), indexTag)
+    // when either side is missing, evaluating the branch raises; otherwise
+    // the row passes. BooleanSimplification can't fold this (the when guard
+    // is data-dependent) and predicate pushdown can't move it (it needs the
+    // full-outer join's null-extension to have happened).
+    val guard = when(col(pos).isNull || col(s"${pos}_r").isNull,
+        raise_error(lit("hconcat: frames have different heights")).cast(BooleanType))
+      .otherwise(lit(true))
+    val out = (l.columns ++ r.columns).map(col)
+    Fabrix(joined.where(guard).select(out.toIndexedSeq: _*), indexTag)
   }
 
   // -------------------------------------------------------------- row ops --

@@ -138,8 +138,12 @@ object Dedup {
     val src = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
     // band keys + shingle sets are consumed FOUR times downstream (both
     // sides of the candidate self-join, both sides of the verify join);
-    // without a persist each consumer re-runs the whole tokenize → shingle →
-    // md5 → minhash pipeline. MEMORY_AND_DISK: spills, never recomputes.
+    // without materialization each consumer re-runs the whole tokenize →
+    // shingle → md5 → minhash pipeline. Eager localCheckpoint, not persist:
+    // the blocks live in the block manager (memory, spills to disk) but are
+    // owned by the ContextCleaner — freed when the plan is GC'd — so
+    // repeated invocations can't accumulate CacheManager entries the caller
+    // was never in a position to unpersist.
     // Signature lands in its OWN projection before the packing one: the
     // packing references it bands×rowsPerBand times, and CollapseProject
     // refuses to inline a non-cheap multi-referenced expression — a
@@ -157,7 +161,7 @@ object Dedup {
             .reduceLeft((a, m) => a * P + m)
         }: _*).as("__bkeys"),
         col("__s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val banded = prepared.select(col(idCol), posexplode(col("__bkeys")).as(Seq("band", "bkey")))
     val a = banded.as("a"); val b = banded.as("b")
     val cand = a.join(b,

@@ -2,7 +2,6 @@ package graft.llm
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Duplicate-cluster formation: near-dup PAIRS (from [[Dedup.dedupMinhashPairs]]
   * or [[Similarity.cosineDupPairs]]) are only half the dedup story — a corpus
@@ -16,15 +15,20 @@ import org.apache.spark.storage.StorageLevel
   * rounds IS convergence, checked with one scalar aggregate (no row-level
   * diff join).
   *
-  * Scale shape (100 TB): each round is ONE shuffle — an equi-join of edges
-  * with labels on the 8-byte vertex id plus a min-aggregate, both
-  * partial-agg/codegen friendly; nothing is ever all-pairs and no adjacency
-  * list is materialized per-vertex. Rounds needed = graph diameter, which for
-  * duplicate clusters is small (near-dup groups are dense — typically 2-4
-  * hops); `localCheckpoint` after every round truncates the lineage so plan
-  * depth stays O(1) regardless of rounds. (For adversarial long-chain graphs
-  * the O(log n) alternating large-star/small-star scheme is the upgrade
-  * path; it changes only the per-round step, not this driver loop.)
+  * Scale shape (100 TB): the iteration runs ONLY over vertices that appear
+  * in at least one duplicate pair — a vanishing fraction of the corpus (the
+  * duplicate subgraph), so each round is one shuffle over frames sized by
+  * the duplicates, not the corpus; singletons never enter the loop and join
+  * back at the end with one left join (they rep themselves). Each round is
+  * an equi-join of edges with labels on the 8-byte vertex id plus a
+  * min-aggregate, both partial-agg/codegen friendly; nothing is ever
+  * all-pairs and no adjacency list is materialized per-vertex. Rounds
+  * needed = graph diameter, which for duplicate clusters is small (near-dup
+  * groups are dense — typically 2-4 hops); `localCheckpoint` after every
+  * round truncates the lineage so plan depth stays O(1) regardless of
+  * rounds. (For adversarial long-chain graphs the O(log n) alternating
+  * large-star/small-star scheme is the upgrade path; it changes only the
+  * per-round step, not this driver loop.)
   *
   * Reference scope note: the fabrix reference has no graph/dedup operators —
   * this is the LLM-pipeline extension surface built on [[Dedup]].
@@ -39,31 +43,47 @@ object DedupClusters {
   def connectedComponents(
       pairs: DataFrame, vertices: DataFrame, idCol: String,
       maxRounds: Int = 20): DataFrame = {
+    // eager localCheckpoint, not persist: pair generation (minhash / cosine)
+    // runs exactly once, every round re-reads block-manager blocks, and the
+    // ContextCleaner frees them when the plan is GC'd — no unpersist
+    // bookkeeping, no leak on the non-converged failure path.
     val sym = pairs
       .select(col("left_id").as("src"), col("right_id").as("dst"))
       .union(pairs.select(col("right_id").as("src"), col("left_id").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("label"))
       .localCheckpoint(true)
-    var prevSum = labels.agg(sum("label")).head.getLong(0)
+    // iterate ONLY over edge-touched vertices (both endpoints appear in sym
+    // by symmetry); the corpus-sized singleton mass joins back at the end
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    // convergence check: labels are monotonically non-increasing, so the
+    // global label sum strictly decreases until fixpoint. Decimal(38,0)
+    // accumulation — a Long sum could wrap at extreme id magnitudes and
+    // alias two different label states.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var round = 0
-    var converged = false
+    // a null sum means zero edge-touched vertices — nothing to iterate
+    var converged = prevSum == null
     while (!converged && round < maxRounds) {
       val next = sym.join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
         .union(labels)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint(true)
-      val nextSum = next.agg(sum("label")).head.getLong(0)
+      val nextSum = labelSum(next)
       labels = next
-      converged = nextSum == prevSum
+      converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       round += 1
     }
     require(converged, s"connectedComponents did not converge in $maxRounds rounds " +
       "(graph diameter exceeds the bound — raise maxRounds or switch to large-star/small-star)")
-    sym.unpersist()
-    labels.select(col("id").as(idCol), col("label").as("cluster_rep"))
+    val v = vertices.select(col(idCol).as("__v_id"))
+    v.join(labels, v("__v_id") === labels("id"), "left")
+      .select(col("__v_id").as(idCol),
+        coalesce(col("label"), col("__v_id")).as("cluster_rep"))
   }
 
   /** End-to-end near-dup clustering of a corpus: banded-MinHash pairs

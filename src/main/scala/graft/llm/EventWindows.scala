@@ -15,18 +15,37 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object EventWindows {
 
+  /** Run `body` with spark.sql.legacy.parquet.nanosAsLong set, restoring the
+    * previous value after — the conf is consumed at DataFrame-construction
+    * (schema resolution) time, not at action time (verified empirically:
+    * executing the returned plan after a restore succeeds), so scoping it
+    * here leaves no session-wide footprint on how OTHER parquet reads decode
+    * nano timestamps.
+    */
+  def withNanosAsLong[A](spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Read an events table whose parquet `ts` is TIMESTAMP(NANOS) — Spark's
     * reader rejects nano precision outright, so read nanos as Long (legacy
-    * conf, dynamic) and rebuild a micro-precision TIMESTAMP_NTZ. Truncation
-    * (DIV 1000) matches DuckDB's own nanos→micros read behavior, so both
-    * engines see identical values. Requires session timeZone=UTC (set by
-    * Verify/Bench) for the instant→NTZ rebase to be the identity.
+    * conf, scoped via [[withNanosAsLong]]) and rebuild a micro-precision
+    * TIMESTAMP_NTZ. Truncation (DIV 1000) matches DuckDB's own nanos→micros
+    * read behavior, so both engines see identical values. Requires session
+    * timeZone=UTC (set by Verify/Bench) for the instant→NTZ rebase to be the
+    * identity.
     */
-  def readEvents(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path)
-      .withColumn("ts", expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
-  }
+  def readEvents(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    withNanosAsLong(spark) {
+      spark.read.parquet(path)
+        .withColumn("ts", expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+    }
 
   /** Tumbling-window count + sum per (window, event_type). */
   def tumbling(events: DataFrame, tsCol: String = "ts", duration: String = "1 hour",

@@ -85,10 +85,14 @@ object IvfIndex {
       }
       best
     }
+    // eager localCheckpoint, not persist: the inverted lists are reused by
+    // every search, but the blocks are ContextCleaner-owned — dropping the
+    // index frees them on GC; a CacheManager persist would leak across
+    // repeated builds (nobody downstream could unpersist it).
     val assigned = corpus.select(
         col(idCol), col(vecCol),
         assignList(col(vecCol)).cast(IntegerType).as("list"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     IvfIndex(assigned, centroids, idCol, vecCol)
   }
 }

@@ -62,7 +62,12 @@ sealed trait Dialect {
     * like the reference's fallback decode.
     */
   def sparkTypeFor(dbTypeName: String): DataType = {
-    val base = dbTypeName.toUpperCase.takeWhile(c => c != '(' && c != ' ')
+    val upper = dbTypeName.toUpperCase
+    val base = upper.takeWhile(c => c != '(' && c != ' ')
+    // zone-qualified names must match BEFORE the prefix decay, or
+    // "TIMESTAMP WITH TIME ZONE" would silently drop its zone semantics
+    if (upper.contains("WITH TIME ZONE") || base == "TIMESTAMPTZ" || base == "TIMETZ")
+      return TimestampType
     base match {
       case "BOOLEAN" | "BOOL" | "BIT"                       => BooleanType
       case "TINYINT"                                        => ByteType
@@ -122,6 +127,12 @@ object Dialect {
     val name = "mysql"
     override def orderByItem(quotedCol: String, desc: Boolean): String =
       quotedCol + (if (desc) " DESC" else "")
+    /** MySQL's bare FLOAT is a 4-byte single (unlike Postgres, where FLOAT
+      * defaults to float8) — map it to FloatType so reads don't widen.
+      */
+    override def sparkTypeFor(dbTypeName: String): DataType =
+      if (dbTypeName.toUpperCase.startsWith("FLOAT")) FloatType
+      else super.sparkTypeFor(dbTypeName)
     override def quote(ident: String): String = "`" + ident.replace("`", "``") + "`"
     override def modifyColumnSql(table: String, column: String, typeName: String): String =
       s"ALTER TABLE ${quote(table)} MODIFY COLUMN ${quote(column)} $typeName"

@@ -30,11 +30,11 @@ object StreamingWindows {
     * instant (with-timezone) semantics — Spark watermarks require TIMESTAMP,
     * not TIMESTAMP_NTZ. Under a UTC session the wall-clock values coincide.
     */
-  def readEventsStream(spark: SparkSession, path: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(EventsRawSchema).parquet(path)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-  }
+  def readEventsStream(spark: SparkSession, path: String): DataFrame =
+    graft.llm.EventWindows.withNanosAsLong(spark) {
+      spark.readStream.schema(EventsRawSchema).parquet(path)
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    }
 
   /** Streaming exact dedup: drop payloads already seen, keyed by the 60-bit
     * content fingerprint (state stores an 8-byte key, never the payload —

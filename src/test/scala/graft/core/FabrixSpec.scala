@@ -76,9 +76,18 @@ class FabrixSpec extends SparkSpec {
 
   test("hconcat of different heights fails when rows are read") {
     val right = Fabrix(Seq("p", "q").toDF("tag"))
-    // count() prunes all columns incl. the guard; reading rows trips it
     val ex = intercept[Exception](frame.hconcat(right).df.collect())
     assert(ex.getMessage.contains("different heights"))
+  }
+
+  test("hconcat height guard survives column pruning (count and projection)") {
+    val right = Fabrix(Seq("p", "q").toDF("tag"))
+    // the guard is a FILTER, so even actions that prune every output column
+    // (bare count) or drop the first column still execute it
+    val exCount = intercept[Exception](frame.hconcat(right).df.count())
+    assert(exCount.getMessage.contains("different heights"))
+    val exProj = intercept[Exception](frame.hconcat(right).df.select("tag").collect())
+    assert(exProj.getMessage.contains("different heights"))
   }
 
   test("generateIndex mints dense contiguous ids") {
