@@ -32,7 +32,11 @@ object Bench {
     // minutes between the two samples of each query, so a stall poisons at
     // most one of them; the min is the steady-state cost of the plan.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    // optional comma-separated subset for targeted iteration (dev only;
+    // the driver never sets it, so the recorded bench always runs everything)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val best = scala.collection.mutable.Map[String, Double]().withDefaultValue(Double.MaxValue)
     val errs = scala.collection.mutable.Map[String, String]()
     for (_ <- 0 until iters; (name, fn) <- names if !errs.contains(name)) {

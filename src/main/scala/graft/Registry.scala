@@ -344,6 +344,33 @@ object Registry {
         },
         Some("SELECT * FROM nation ORDER BY n_nationkey")),
 
+      // extension: ORC lake roundtrip (second columnar format; same pruning
+      // levers as parquet — partition dirs + sorted stripes)
+      RegisteredQuery(
+        "q_orc_roundtrip",
+        (s, dir) => {
+          val supplier = Tables.resolve(s, dir)("supplier")
+          val out = "/tmp/graft_orc_roundtrip"
+          Orc.write(supplier, out, OrcWriteOptions(sortBy = Seq("s_suppkey")))
+          Orc.read(s, out).orderBy("s_suppkey")
+        },
+        Some("SELECT * FROM supplier ORDER BY s_suppkey")),
+
+      // P6/U2 hconcat in the gate: positional zip of two projections of the
+      // same scan (same partition layout on both sides ⇒ rows re-pair with
+      // their own key order)
+      RegisteredQuery(
+        "q_hconcat",
+        (s, dir) => {
+          import graft.core.Fabrix
+          import org.apache.spark.sql.functions.col
+          val nation = Tables.resolve(s, dir)("nation")
+          val left = Fabrix(nation.select("n_nationkey", "n_name"))
+          val right = Fabrix(nation.select(col("n_regionkey").as("rk")))
+          left.hconcat(right).df.orderBy("n_nationkey")
+        },
+        Some("SELECT n_nationkey, n_name, n_regionkey AS rk FROM nation ORDER BY n_nationkey")),
+
       // S12: wire-codec roundtrip through the Column JSON format
       RegisteredQuery(
         "q_wire_roundtrip",
@@ -770,6 +797,29 @@ FROM aug ORDER BY doc_id""".stripMargin
             Tables.resolve(s, dir)("documents"), "doc_id", "text")
           .orderBy("doc_id"),
         Some(CorpusFilters.repetitionOracle("documents", "doc_id", "text"))),
+
+      // near-dup cluster keep-best: clusters → best-quality survivor per
+      // cluster (slim struct-max reduction + semi-join, not a corpus window)
+      RegisteredQuery(
+        "q_cluster_clean",
+        (s, dir) => DedupClusters.clusterKeepBest(
+            Tables.resolve(s, dir)("documents"), "text", "doc_id", col("n_chars"))
+          .select("doc_id", "lang", "n_chars").orderBy("doc_id"),
+        Some(DedupClusters.clusterKeepBestOracle("documents", "doc_id", "text",
+          scoreSql = "d.n_chars", keepCols = Seq("doc_id", "lang", "n_chars")))),
+
+      // deterministic per-stratum mixture sampling (content-hash keyed —
+      // stable across re-sharding/engines, evaluated in the scan stage)
+      RegisteredQuery(
+        "q_sample_stratified",
+        (s, dir) => CorpusFilters.stratifiedSample(
+            Tables.resolve(s, dir)("documents"),
+            key = col("text"), strata = col("lang"),
+            rates = Seq("en" -> 60, "de" -> 30), defaultPct = 10)
+          .select("doc_id", "lang").orderBy("doc_id"),
+        Some("SELECT doc_id, lang FROM documents WHERE " +
+          CorpusFilters.stratifiedKeepSql("text", "lang", Seq("en" -> 60, "de" -> 30), 10) +
+          " ORDER BY doc_id")),
 
       // normalization: messy-cased/padded variant canonicalizes identically
       // in both engines (fingerprint-compared)

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Duplicate-cluster formation: near-dup PAIRS (from [[Dedup.dedupMinhashPairs]]
@@ -99,6 +99,57 @@ object DedupClusters {
     val pairs = Dedup.dedupMinhashPairs(df, textCol, idCol, shingleN, bands, rowsPerBand, minJaccard)
     connectedComponents(pairs, df.select(idCol), idCol)
   }
+
+  /** One survivor per near-dup cluster — the step that turns cluster
+    * assignments into a cleaned corpus. Members of a NEAR-dup cluster have
+    * different texts (unlike exact-dup groups), so a text-derived quality
+    * `score` is meaningful here; highest score survives, ties fall to
+    * lowest id.
+    *
+    * Scale shape: the best-per-cluster reduction runs on slim
+    * (id, cluster_rep, score) rows — one partial-agg'd groupBy shuffle of
+    * 24 bytes/row, never the documents themselves — then one semi-join
+    * brings back the full survivor rows. (A window over the joined corpus
+    * would shuffle every full-width row instead.)
+    */
+  def clusterKeepBest(
+      df: DataFrame, textCol: String, idCol: String, score: Column,
+      shingleN: Int = 3,
+      bands: Int = Dedup.DefaultBands,
+      rowsPerBand: Int = Dedup.DefaultRowsPerBand,
+      minJaccard: Double = 0.5): DataFrame = {
+    val clusters = minhashClusters(df, textCol, idCol, shingleN, bands, rowsPerBand, minJaccard)
+    val scored = df.select(col(idCol), score.as("__score")).join(clusters, Seq(idCol))
+    // max of (score, -id) ⇒ highest score, then lowest id — one struct-max
+    // aggregate instead of a row_number window (partial-agg friendly)
+    val best = scored.groupBy(col("cluster_rep"))
+      .agg(max(struct(col("__score"), (-col(idCol)).as("__negid"))).as("b"))
+      .select((-col("b.__negid")).as(idCol))
+    df.join(best, Seq(idCol), "left_semi")
+  }
+
+  /** DuckDB oracle for [[clusterKeepBest]]: the shared reachability walk,
+    * then keep the best-scoring member per component.
+    */
+  def clusterKeepBestOracle(
+      table: String, idCol: String, textCol: String,
+      scoreSql: String, keepCols: Seq[String],
+      shingleN: Int = 3,
+      bands: Int = Dedup.DefaultBands,
+      rowsPerBand: Int = Dedup.DefaultRowsPerBand,
+      minJaccard: Double = 0.5): String =
+    s"""WITH RECURSIVE ${Dedup.minhashPairCtes(table, idCol, textCol, shingleN, bands, rowsPerBand)},
+pairs AS (SELECT left_id, right_id FROM verified WHERE jaccard >= $minJaccard),
+sym AS (SELECT left_id AS src, right_id AS dst FROM pairs
+  UNION ALL SELECT right_id, left_id FROM pairs),
+walk(id, r) AS (
+  SELECT $idCol, $idCol FROM $table
+  UNION
+  SELECT w.id, s.dst FROM walk w JOIN sym s ON s.src = w.r),
+comp AS (SELECT id, min(r) AS rep FROM walk GROUP BY id)
+SELECT ${keepCols.map(c => s"d.$c").mkString(", ")} FROM $table d JOIN comp c ON c.id = d.$idCol
+QUALIFY row_number() OVER (PARTITION BY c.rep ORDER BY $scoreSql DESC, d.$idCol ASC) = 1
+ORDER BY d.$idCol""".stripMargin
 
   /** DuckDB oracle: the shared minhash pair CTEs + a recursive reachability
     * walk — min over everything reachable from a vertex is its component

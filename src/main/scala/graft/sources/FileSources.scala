@@ -102,6 +102,30 @@ object Parquet {
   }
 }
 
+/** ORC source/sink — the second columnar-lake format (extension beyond the
+  * reference's csv/parquet/json surface; a lake user expects both). Same
+  * reader plumbing as [[Parquet]]: positional projection, limit and
+  * row-count column sit above the scan, so column pruning and predicate
+  * pushdown still reach the ORC reader (PushedFilters in `.explain`).
+  */
+object Orc {
+  def read(spark: SparkSession, path: String, opts: OrcReadOptions = OrcReadOptions()): DataFrame =
+    ReaderCommon.finish(spark.read.orc(path), opts.columns, opts.projection, opts.nRows, opts.rowCountCol)
+
+  def write(df: DataFrame, path: String, opts: OrcWriteOptions = OrcWriteOptions()): Unit = {
+    // partition cols lead the sort for the same FileFormatWriter reason as
+    // the parquet writer: an incoming order that already satisfies the
+    // required partition ordering avoids the writer's own inserted sort
+    val sorted =
+      if (opts.sortBy.nonEmpty)
+        df.sortWithinPartitions((opts.partitionBy ++ opts.sortBy).map(col): _*)
+      else df
+    var w = sorted.write.option("compression", opts.compression).mode("overwrite")
+    if (opts.partitionBy.nonEmpty) w = w.partitionBy(opts.partitionBy: _*)
+    w.orc(path)
+  }
+}
+
 /** JSON source/sink (reference S5/S6). */
 object Json {
   def read(spark: SparkSession, path: String, opts: JsonReadOptions = JsonReadOptions()): DataFrame = {

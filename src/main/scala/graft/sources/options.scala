@@ -59,6 +59,21 @@ final case class ParquetWriteOptions(
       */
     sortBy: Seq[String] = Nil)
 
+/** ORC mirrors the parquet option surface — same columnar-lake role, same
+  * pruning levers (Hive partitions, per-file sort for stripe-level min/max
+  * skipping).
+  */
+final case class OrcReadOptions(
+    nRows: Option[Long] = None,
+    columns: Option[Seq[String]] = None,
+    projection: Option[Seq[Int]] = None,
+    rowCountCol: Option[String] = None)
+
+final case class OrcWriteOptions(
+    compression: String = "zstd",
+    partitionBy: Seq[String] = Nil,
+    sortBy: Seq[String] = Nil)
+
 /** Json = one top-level array of objects (multiLine); JsonLines = NDJSON
   * (fabrix/src/sources/json/reader.rs JsonFormat).
   */

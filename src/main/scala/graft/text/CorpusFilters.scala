@@ -93,6 +93,33 @@ object CorpusFilters {
   def splitAssignSql(e: String, trainPct: Int): String =
     s"CASE WHEN ${splitBucketSql(e, 100)} < $trainPct THEN 'train' ELSE 'val' END"
 
+  /** Deterministic stratified sampling: keep a row iff its content-hash
+    * bucket (0..99) is below the stratum's percentage — per-language /
+    * per-source mixture weighting, the data-mixing primitive of corpus
+    * assembly. Keyed on content (not row position or RNG), so the sample is
+    * stable under re-sharding, re-ordering, and engine choice, and a
+    * document keeps or loses its slot consistently across pipeline re-runs.
+    * Pure codegen'd predicate — evaluated in the scan stage, no shuffle, no
+    * sample() RNG whose draw depends on partitioning.
+    */
+  def stratifiedKeep(key: Column, strata: Column,
+                     rates: Seq[(String, Int)], defaultPct: Int): Column = {
+    val pct = rates.foldRight(lit(defaultPct): Column) {
+      case ((s, p), acc) => when(strata === s, lit(p)).otherwise(acc)
+    }
+    splitBucket(key, 100) < pct
+  }
+
+  def stratifiedSample(df: DataFrame, key: Column, strata: Column,
+                       rates: Seq[(String, Int)], defaultPct: Int): DataFrame =
+    df.where(stratifiedKeep(key, strata, rates, defaultPct))
+
+  def stratifiedKeepSql(keyE: String, strataE: String,
+                        rates: Seq[(String, Int)], defaultPct: Int): String = {
+    val cases = rates.map { case (s, p) => s"WHEN $strataE = '$s' THEN $p" }.mkString(" ")
+    s"${splitBucketSql(keyE, 100)} < (CASE $cases ELSE $defaultPct END)"
+  }
+
   // ------------------------------------------------------- repetition ----
 
   /** Gopher-style repetition metrics: per document, the total n-gram count,

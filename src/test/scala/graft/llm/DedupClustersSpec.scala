@@ -57,4 +57,30 @@ class DedupClustersSpec extends SparkSpec {
     val survivors = reps.filter { case (id, rep) => id == rep }.keySet
     assert(survivors == Set(0L, 2L))
   }
+
+  test("clusterKeepBest keeps the highest-scoring member, ties to lowest id") {
+    import spark.implicits._
+    // docs 0/1/2 identical (guaranteed one cluster whatever the banding);
+    // doc 3 a singleton. Scores pick doc 1; 0 vs 2 tie is never reached.
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta", 1L),
+      (1L, "alpha beta gamma delta epsilon zeta", 5L),
+      (2L, "alpha beta gamma delta epsilon zeta", 1L),
+      (3L, "unrelated standalone document text here", 2L)
+    ).toDF("doc_id", "text", "score")
+    val out = DedupClusters.clusterKeepBest(docs, "text", "doc_id", col("score"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 3L))
+  }
+
+  test("clusterKeepBest tie-break falls to the lowest id") {
+    import spark.implicits._
+    val docs = Seq(
+      (7L, "alpha beta gamma delta epsilon zeta", 3L),
+      (4L, "alpha beta gamma delta epsilon zeta", 3L)
+    ).toDF("doc_id", "text", "score")
+    val out = DedupClusters.clusterKeepBest(docs, "text", "doc_id", col("score"))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(out == Seq(4L))
+  }
 }

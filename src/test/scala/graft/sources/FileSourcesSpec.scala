@@ -46,6 +46,24 @@ class FileSourcesSpec extends SparkSpec {
     assert(limited.count() == 2)
   }
 
+  test("orc roundtrip with read options and partition pruning") {
+    val dir = tmp() + "/orc"
+    val df = Seq((1, "a", "x"), (2, "b", "x"), (3, "c", "y"), (4, "d", "y"))
+      .toDF("k", "v", "part")
+    Orc.write(df, dir, OrcWriteOptions(partitionBy = Seq("part"), sortBy = Seq("k")))
+    val back = Orc.read(spark, dir)
+    assert(back.count() == 4)
+    assert(back.select("k", "v", "part").orderBy("k").collect().map(_.toSeq).toSeq ==
+      df.orderBy("k").collect().map(_.toSeq).toSeq)
+    // column/limit options flow through the shared reader plumbing
+    val lim = Orc.read(spark, dir, OrcReadOptions(columns = Some(Seq("k")), nRows = Some(2)))
+    assert(lim.columns.toSeq == Seq("k") && lim.count() == 2)
+    // partition filter prunes directories at planning time
+    val pruned = Orc.read(spark, dir).where($"part" === "x")
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("part"), scan)
+  }
+
   test("json lines + json array roundtrip") {
     val dir1 = tmp() + "/jl"
     val dir2 = tmp() + "/ja"

@@ -58,6 +58,27 @@ class CorpusFiltersSpec extends SparkSpec {
     assert(bucketOf == bucketOrig)
   }
 
+  test("stratifiedSample keeps per-stratum rates, content-keyed and monotone") {
+    import spark.implicits._
+    val docs = (0 until 400).map(i => (i.toLong, s"document body number $i", if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "text", "lang")
+    val keep60_10 = CorpusFilters.stratifiedSample(docs, col("text"), col("lang"),
+      Seq("en" -> 60), defaultPct = 10).select("id").as[Long].collect().toSet
+    val keep90_30 = CorpusFilters.stratifiedSample(docs, col("text"), col("lang"),
+      Seq("en" -> 90), defaultPct = 30).select("id").as[Long].collect().toSet
+    // raising every rate only ADDS documents (hash-bucket threshold semantics)
+    assert(keep60_10.subsetOf(keep90_30))
+    // deterministic across invocations
+    val again = CorpusFilters.stratifiedSample(docs, col("text"), col("lang"),
+      Seq("en" -> 60), defaultPct = 10).select("id").as[Long].collect().toSet
+    assert(again == keep60_10)
+    // per-stratum acceptance tracks the requested share (±20% slack at n=200)
+    val en = keep60_10.count(_ % 2 == 0) / 200.0
+    val de = keep60_10.count(_ % 2 == 1) / 200.0
+    assert(en > 0.4 && en < 0.8, s"en rate $en")
+    assert(de > 0.02 && de < 0.25, s"de rate $de")
+  }
+
   test("repetitionStats: bigram totals, top count, duplicate occupancy") {
     import spark.implicits._
     val docs = Seq(
