@@ -142,6 +142,54 @@ object Registry {
       orderBy = Seq(Order.asc("o_orderstatus"), Order.asc("o_orderpriority")),
       groupingMode = GroupingMode.Cube)),
 
+    // extension: ranking window functions — rank/row_number per nation over
+    // a TOTAL order (unique-key tiebreak ⇒ deterministic at any partitioning)
+    adt("q_window_rank", Select(
+      table = "customer",
+      columns = Seq(
+        Col("c_custkey"), Col("c_nationkey"),
+        WinExpr(WindowFn.Rank, WindowDef(
+          partitionBy = Seq(Col("c_nationkey")),
+          orderBy = Seq(Order.desc("c_acctbal"), Order.asc("c_custkey")))).as("bal_rank"),
+        WinExpr(WindowFn.RowNumber, WindowDef(
+          partitionBy = Seq(Col("c_nationkey")),
+          orderBy = Seq(Order.desc("c_acctbal"), Order.asc("c_custkey")))).as("rn")),
+      orderBy = Seq(Order.asc("c_custkey")))),
+
+    // extension: lag/lead over each customer's order history
+    adt("q_window_lag", Select(
+      table = "orders",
+      columns = Seq(
+        Col("o_orderkey"), Col("o_custkey"), Col("o_totalprice"),
+        WinExpr(WindowFn.Lag(Col("o_totalprice")), WindowDef(
+          partitionBy = Seq(Col("o_custkey")),
+          orderBy = Seq(Order.asc("o_orderkey")))).as("prev_price"),
+        WinExpr(WindowFn.Lead(Col("o_orderkey")), WindowDef(
+          partitionBy = Seq(Col("o_custkey")),
+          orderBy = Seq(Order.asc("o_orderkey")))).as("next_okey")),
+      orderBy = Seq(Order.asc("o_orderkey")))),
+
+    // extension: moving-frame windowed aggregates (ROWS BETWEEN) — running
+    // 3-order spend per customer. The window ORDER BY must be TOTAL
+    // (o_orderkey is unique): positional frames over a tied order are
+    // engine/partitioning-dependent — the synthetic lineitem's duplicated
+    // (orderkey, linenumber) keys make exactly that mistake available. The
+    // sum runs in decimal inside the frame so both engines produce
+    // identical doubles whatever their internal accumulation order.
+    adt("q_window_moving", Select(
+      table = "orders",
+      columns = Seq(
+        Col("o_orderkey"), Col("o_custkey"),
+        Cast(WinExpr(WindowFn.WAgg(AggFn.Sum, decOf("o_totalprice")), WindowDef(
+          partitionBy = Seq(Col("o_custkey")),
+          orderBy = Seq(Order.asc("o_orderkey")),
+          frame = Some((FrameBound.Preceding(2), FrameBound.CurrentRow)))), FxType.TF64).as("mv_spend"),
+        WinExpr(WindowFn.WAgg(AggFn.Count, Col("o_totalprice")), WindowDef(
+          partitionBy = Seq(Col("o_custkey")),
+          orderBy = Seq(Order.asc("o_orderkey")),
+          frame = Some((FrameBound.Preceding(2), FrameBound.CurrentRow)))).as("mv_n")),
+      orderBy = Seq(Order.asc("o_orderkey")))),
+
     // A2 + group-by over join (count per nation)
     adt("q_groupby_join", Select(
       table = "customer",

@@ -33,6 +33,7 @@ sealed trait ColumnExpr {
     case Fn(fn, args)    => s"${fn.sqlName.toLowerCase}(${args.map(_.outputName).mkString(",")})"
     case Cast(e, t)      => e.outputName
     case BinOp(op, l, r) => s"(${l.outputName}${op.symbol}${r.outputName})"
+    case WinExpr(_, _)   => "window"
   }
 }
 
@@ -44,6 +45,47 @@ final case class Agg(fn: AggFn, arg: ColumnExpr, distinct: Boolean = false) exte
 case object CountStar extends ColumnExpr
 final case class Cast(e: ColumnExpr, to: FxType) extends ColumnExpr
 final case class BinOp(op: ArithOp, l: ColumnExpr, r: ColumnExpr) extends ColumnExpr
+
+/** Window-function projection (extension — the reference's IR has no OVER
+  * clause). `fn OVER (PARTITION BY … ORDER BY … [ROWS BETWEEN …])`; both the
+  * native translator (Spark `Window`) and the SQL renderer consume the same
+  * node, so the two paths stay pinned.
+  *
+  * Ranking functions are typed i64 on OUR surface (Spark's row_number/rank
+  * return int, ANSI engines return bigint — the translator widens so results
+  * are engine-portable). Determinism at scale demands the usual discipline:
+  * a total ORDER BY within each partition (tie-break on a unique key),
+  * otherwise rank/lag are partition-layout-dependent.
+  */
+final case class WinExpr(fn: WindowFn, over: WindowDef) extends ColumnExpr
+
+/** OVER-clause spec. ROWS frames only — RANGE frames need per-type interval
+  * semantics that differ across engines; ROWS is what moving windows use.
+  */
+final case class WindowDef(
+    partitionBy: Seq[Col] = Nil,
+    orderBy: Seq[Order] = Nil,
+    frame: Option[(FrameBound, FrameBound)] = None)
+
+sealed trait FrameBound
+object FrameBound {
+  case object UnboundedPreceding      extends FrameBound
+  final case class Preceding(n: Int)  extends FrameBound
+  case object CurrentRow              extends FrameBound
+  final case class Following(n: Int)  extends FrameBound
+  case object UnboundedFollowing      extends FrameBound
+}
+
+sealed trait WindowFn
+object WindowFn {
+  case object RowNumber                                  extends WindowFn
+  case object Rank                                       extends WindowFn
+  case object DenseRank                                  extends WindowFn
+  final case class Lag(arg: ColumnExpr, offset: Int = 1)  extends WindowFn
+  final case class Lead(arg: ColumnExpr, offset: Int = 1) extends WindowFn
+  /** Windowed aggregate (moving sum/avg/min/max/count over the frame). */
+  final case class WAgg(fn: AggFn, arg: ColumnExpr)      extends WindowFn
+}
 
 /** Scalar function surface (sql_adt.rs:218-246: Alias/Abs/IfNull/Cast/
   * Coalesce/CharLength/Lower/Upper; Alias and Cast are structural here).

@@ -60,6 +60,35 @@ object SqlRenderer {
     case Agg(fn, arg, distinct) =>
       val d = if (distinct) "DISTINCT " else ""
       s"${fn.sqlName}($d${columnExpr(arg)})"
+    case WinExpr(fn, over) =>
+      val inner = fn match {
+        case WindowFn.RowNumber  => "row_number()"
+        case WindowFn.Rank       => "rank()"
+        case WindowFn.DenseRank  => "dense_rank()"
+        case WindowFn.Lag(a, n)  => s"lag(${columnExpr(a)}, $n)"
+        case WindowFn.Lead(a, n) => s"lead(${columnExpr(a)}, $n)"
+        case WindowFn.WAgg(f, a) => s"${f.sqlName}(${columnExpr(a)})"
+      }
+      def bound(b: FrameBound): String = b match {
+        case FrameBound.UnboundedPreceding => "UNBOUNDED PRECEDING"
+        case FrameBound.Preceding(n)       => s"$n PRECEDING"
+        case FrameBound.CurrentRow         => "CURRENT ROW"
+        case FrameBound.Following(n)       => s"$n FOLLOWING"
+        case FrameBound.UnboundedFollowing => "UNBOUNDED FOLLOWING"
+      }
+      val parts = Seq(
+        if (over.partitionBy.nonEmpty)
+          Some("PARTITION BY " + over.partitionBy.map(columnRef).mkString(", "))
+        else None,
+        if (over.orderBy.nonEmpty)
+          // explicit null placement matching Spark's ASC NULLS FIRST /
+          // DESC NULLS LAST defaults (same reasoning as the outer ORDER BY)
+          Some("ORDER BY " + over.orderBy.map(o =>
+            ident(o.column) + (if (o.desc) " DESC NULLS LAST" else " NULLS FIRST")).mkString(", "))
+        else None,
+        over.frame.map { case (lo, hi) => s"ROWS BETWEEN ${bound(lo)} AND ${bound(hi)}" }
+      ).flatten
+      s"$inner OVER (${parts.mkString(" ")})"
   }
 
   def predicate(e: Expr): String = {

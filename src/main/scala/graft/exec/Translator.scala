@@ -77,6 +77,43 @@ object Translator {
         case AggFn.Count  => if (distinct) count_distinct(c) else count(c)
         case AggFn.Median => median(c)
       }
+    case WinExpr(fn, over) => windowColumn(fn, over)
+  }
+
+  private def windowColumn(fn: WindowFn, over: WindowDef): Column = {
+    import org.apache.spark.sql.expressions.Window
+    def bound(b: FrameBound): Long = b match {
+      case FrameBound.UnboundedPreceding => Window.unboundedPreceding
+      case FrameBound.Preceding(n)       => -n.toLong
+      case FrameBound.CurrentRow         => Window.currentRow
+      case FrameBound.Following(n)       => n.toLong
+      case FrameBound.UnboundedFollowing => Window.unboundedFollowing
+    }
+    var spec = Window.partitionBy(over.partitionBy.map(column): _*)
+    if (over.orderBy.nonEmpty)
+      spec = spec.orderBy(over.orderBy.map(o => if (o.desc) col(o.column).desc else col(o.column).asc): _*)
+    over.frame.foreach { case (lo, hi) => spec = spec.rowsBetween(bound(lo), bound(hi)) }
+    fn match {
+      // ranking fns widen int → i64: the ADT types them i64 so results match
+      // ANSI engines (DuckDB/Postgres return BIGINT)
+      case WindowFn.RowNumber    => row_number().over(spec).cast("long")
+      case WindowFn.Rank         => rank().over(spec).cast("long")
+      case WindowFn.DenseRank    => dense_rank().over(spec).cast("long")
+      case WindowFn.Lag(a, n)    => lag(column(a), n).over(spec)
+      case WindowFn.Lead(a, n)   => lead(column(a), n).over(spec)
+      case WindowFn.WAgg(f, a)   =>
+        val c = column(a)
+        // casts must wrap the WindowExpression, never sit between the
+        // aggregate and .over() — WindowExpression(Cast(agg)) fails analysis
+        f match {
+          case AggFn.Max    => max(c).over(spec)
+          case AggFn.Min    => min(c).over(spec)
+          case AggFn.Sum    => sum(c).over(spec)
+          case AggFn.Avg    => avg(c).over(spec)
+          case AggFn.Count  => count(c).over(spec).cast("long")
+          case AggFn.Median => throw new IllegalArgumentException("MEDIAN is not a windowed aggregate")
+        }
+    }
   }
 
   def predicate(e: Expr): Column = e match {
