@@ -582,6 +582,48 @@ object Registry {
         Some("SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_hash, " +
           "substr(to_base64(encode(text)), 1, 24) AS b64_head FROM documents ORDER BY doc_id")),
 
+      // multimodal header introspection: magic-byte MIME sniffing + PNG IHDR
+      // dimension parsing over synthetic container payloads (per-doc format
+      // rotation; PNG headers carry real width/height words)
+      RegisteredQuery(
+        "q_media_sniff",
+        (s, dir) => {
+          import graft.llm.Multimodal._
+          import org.apache.spark.sql.functions._
+          val pngHdr = "89504E470D0A1A0A0000000D49484452" // magic + IHDR len/type
+          val png = concat(unhex(lit(pngHdr)),
+            unhex(lpad(hex(col("n_chars")), 8, "0")),
+            unhex(lpad(hex(pmod(col("doc_id"), lit(4096))), 8, "0")))
+          val jpeg = concat(unhex(lit("FFD8FFE0")), encode(col("text"), "UTF-8"))
+          val wav = concat(unhex(lit("52494646")),
+            unhex(lpad(hex(col("n_chars")), 8, "0")), unhex(lit("57415645")))
+          val payload = when(pmod(col("doc_id"), lit(4)) === 0, png)
+            .when(pmod(col("doc_id"), lit(4)) === 1, jpeg)
+            .when(pmod(col("doc_id"), lit(4)) === 2, wav)
+            .otherwise(encode(col("text"), "UTF-8"))
+          Tables.resolve(s, dir)("documents").select(
+              col("doc_id"),
+              sniffMime(payload).as("mime"),
+              mediaKind(payload).as("kind"),
+              pngWidth(payload).as("png_w"),
+              pngHeight(payload).as("png_h"),
+              nBytes(payload).as("n_bytes"))
+            .orderBy("doc_id")
+        },
+        Some {
+          import graft.llm.Multimodal._
+          val pngHdr = "89504E470D0A1A0A0000000D49484452"
+          val png = s"unhex('$pngHdr') || unhex(lpad(hex(n_chars),8,'0')) || " +
+            "unhex(lpad(hex(doc_id%4096),8,'0'))"
+          val jpeg = "unhex('FFD8FFE0') || encode(text)"
+          val wav = "unhex('52494646') || unhex(lpad(hex(n_chars),8,'0')) || unhex('57415645')"
+          val p = s"CASE doc_id%4 WHEN 0 THEN $png WHEN 1 THEN $jpeg WHEN 2 THEN $wav ELSE encode(text) END"
+          s"""WITH pay AS (SELECT doc_id, $p AS p FROM documents)
+SELECT doc_id, ${sniffMimeSql("p")} AS mime, ${mediaKindSql("p")} AS kind,
+  ${pngWidthSql("p")} AS png_w, ${pngHeightSql("p")} AS png_h,
+  octet_length(p) AS n_bytes FROM pay ORDER BY doc_id""".stripMargin
+        }),
+
       // text quality metrics bundle
       RegisteredQuery(
         "q_text_quality",

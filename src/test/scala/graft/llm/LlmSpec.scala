@@ -147,6 +147,27 @@ class LlmSpec extends SparkSpec {
     assert(frames(1).toSeq == Seq[Byte](-128, -127, -126, -125)) // starts at byte 128
   }
 
+  test("multimodal: magic-byte sniffing and PNG IHDR dimension parsing") {
+    import Multimodal._
+    import spark.implicits._
+    // a minimal real PNG header: magic, IHDR length+type, width=640, height=480
+    val png = ("89504E470D0A1A0A" + "0000000D49484452" + "00000280" + "000001E0")
+      .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte, 1, 2)
+    val wav = ("52494646" + "08000000" + "57415645").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val txt = "plain text".getBytes("UTF-8")
+    val df = Seq((1L, png), (2L, jpeg), (3L, wav), (4L, txt)).toDF("id", "p")
+    val got = df.select(col("id"), sniffMime(col("p")), mediaKind(col("p")),
+        pngWidth(col("p")), pngHeight(col("p")))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), if (r.isNullAt(3)) -1L else r.getLong(3),
+         if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(got(1L) == ("image/png", "image", 640L, 480L))
+    assert(got(2L) == ("image/jpeg", "image", -1L, -1L))
+    assert(got(3L) == ("audio/wav", "audio", -1L, -1L))
+    assert(got(4L) == ("application/octet-stream", "binary", -1L, -1L))
+  }
+
   test("events tumbling window matches a manual hour-truncation groupBy") {
     val events = EventWindows.readEvents(spark, s"$sf/events.parquet")
     val viaWindow = EventWindows.tumbling(events)
