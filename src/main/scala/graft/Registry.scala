@@ -673,6 +673,29 @@ SELECT doc_id, ${sniffMimeSql("p")} AS mime, ${mediaKindSql("p")} AS kind,
           "row_number() OVER (PARTITION BY lang ORDER BY CAST(('0x'||substr(md5(text),1,15)) AS BIGINT)) AS rank " +
           "FROM documents) WHERE rank <= 8 ORDER BY lang, rank")),
 
+      // KMV distinct-count estimate per language: DISTINCT bottom-k sketch
+      // (map-side ≤k values per group) + the (k-1)·m/h_k estimator — a
+      // deterministic approximate-distinct whose arithmetic an independent
+      // engine replays exactly (unlike RNG-seeded HLL)
+      RegisteredQuery(
+        "q_distinct_estimate",
+        (s, dir) => {
+          import org.apache.spark.sql.functions.size
+          val m60 = 1L << 60 // fingerprint() is uniform in [0, 2^60)
+          Tables.resolve(s, dir)("documents")
+            .groupBy(col("lang"))
+            .agg(graft.functions.BottomK.distinct(16)(fingerprint(col("text"))).as("sk"))
+            .select(col("lang"),
+              graft.functions.BottomK.kmvEstimate(col("sk"), 16, m60).as("est_distinct"),
+              size(col("sk")).cast(LongType).as("sk_size"))
+            .orderBy("lang")
+        },
+        Some(s"""WITH h AS (SELECT DISTINCT lang, CAST(('0x'||substr(md5(text),1,15)) AS BIGINT) AS hv FROM documents),
+r AS (SELECT lang, hv, row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn FROM h),
+agg AS (SELECT lang, count(*) AS nd, max(CASE WHEN rn = 16 THEN hv END) AS hk FROM r GROUP BY lang)
+SELECT lang, CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE) ELSE 15.0 * ${1L << 60} / CAST(hk AS DOUBLE) END AS est_distinct,
+  CASE WHEN nd < 16 THEN nd ELSE 16 END AS sk_size FROM agg ORDER BY lang""".stripMargin)),
+
       // TF-IDF integer core: per-(doc, term) tf + per-term df + corpus N
       RegisteredQuery(
         "q_tfidf_stats",

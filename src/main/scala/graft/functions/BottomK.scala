@@ -4,15 +4,13 @@ import org.apache.spark.sql.{Column, Encoder}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
 
-/** Bottom-k sketch: the k smallest values (multiset) of a Long column per
-  * group — the custom-aggregate extension point (`Aggregator[IN,BUF,OUT]`
-  * with map-side partial merge).
-  *
-  * Over a hash column this is the classic bottom-k / KMV sketch: a
-  * deterministic consistent sample of the group (useful for corpus
-  * inspection), a distinct-count estimator (k-th minimum value), and a
-  * per-group Jaccard estimator (|sketch∩sketch| / |sketch∪sketch| over the
-  * union's bottom-k) — all order- and partitioning-independent, so results
+/** Bottom-k sketch: the k smallest values of a Long column per group — the
+  * custom-aggregate extension point (`Aggregator[IN,BUF,OUT]` with map-side
+  * partial merge). `distinct = false` keeps a multiset (consistent sample);
+  * `distinct = true` keeps the k smallest DISTINCT values — the classic KMV
+  * sketch, whose k-th minimum is a distinct-count estimator
+  * ([[BottomK.kmvEstimate]]) and whose intersections estimate per-group
+  * Jaccard. Both modes are order- and partitioning-independent, so results
   * are identical on any cluster layout.
   *
   * Scale contract vs the window formulation (`row_number() OVER (PARTITION
@@ -24,13 +22,18 @@ import org.apache.spark.sql.functions.udaf
   * Buffer is a sorted Array[Long] of ≤ k elements; insert/merge are O(k)
   * per call — fine for the sketch-sized k (≤ a few hundred) this is for.
   */
-class BottomK(k: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
+class BottomK(k: Int, distinct: Boolean = false) extends Aggregator[Long, Array[Long], Seq[Long]] {
   require(k > 0, "k must be positive")
 
   override def zero: Array[Long] = Array.emptyLongArray
 
+  /** Binary search in the sorted prefix — O(log k) duplicate check. */
+  private def containsSorted(buf: Array[Long], v: Long): Boolean =
+    java.util.Arrays.binarySearch(buf, v) >= 0
+
   override def reduce(buf: Array[Long], v: Long): Array[Long] =
-    if (buf.length < k) {
+    if (distinct && containsSorted(buf, v)) buf
+    else if (buf.length < k) {
       // growth phase (first ≤k rows of a group): allocate the larger array
       val out = new Array[Long](buf.length + 1)
       insertSorted(buf, buf.length, v, out); out
@@ -45,16 +48,16 @@ class BottomK(k: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
     } else buf
 
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-    // standard sorted-merge, truncated at k
+    // sorted-merge truncated at k; in distinct mode equal values collapse
     val out = new Array[Long](math.min(a.length + b.length, k))
     var i = 0; var j = 0; var o = 0
-    while (o < out.length) {
-      out(o) =
+    while (o < out.length && (i < a.length || j < b.length)) {
+      val v =
         if (j >= b.length || (i < a.length && a(i) <= b(j))) { i += 1; a(i - 1) }
         else { j += 1; b(j - 1) }
-      o += 1
+      if (!distinct || o == 0 || out(o - 1) != v) { out(o) = v; o += 1 }
     }
-    out
+    if (o == out.length) out else java.util.Arrays.copyOf(out, o)
   }
 
   override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
@@ -76,4 +79,22 @@ class BottomK(k: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
 object BottomK {
   /** Column form: `bottomK(8)(col)` usable inside `groupBy(...).agg(...)`. */
   def apply(k: Int)(c: Column): Column = udaf(new BottomK(k)).apply(c)
+
+  /** KMV (distinct) variant — feeds [[kmvEstimate]]. */
+  def distinct(k: Int)(c: Column): Column = udaf(new BottomK(k, distinct = true)).apply(c)
+
+  /** Distinct-count estimate from a DISTINCT bottom-k sketch over hashes
+    * uniform in [0, m): fewer than k values means the sketch saw every
+    * distinct hash (exact count); otherwise the classic KMV estimator
+    * (k-1) * m / h_k. Pure double arithmetic on the k-th minimum —
+    * deterministic, so unlike an RNG-seeded HLL it is exactly replayable by
+    * another engine running the same formula.
+    */
+  def kmvEstimate(sketch: Column, k: Int, m: Long): Column = {
+    import org.apache.spark.sql.functions.{element_at, size, when}
+    import org.apache.spark.sql.types.DoubleType
+    when(size(sketch) < k, size(sketch).cast(DoubleType))
+      .otherwise(org.apache.spark.sql.functions.lit((k - 1).toDouble * m) /
+        element_at(sketch, k).cast(DoubleType))
+  }
 }

@@ -43,6 +43,34 @@ class BottomKSpec extends SparkSpec {
     assert(got(1) === Seq(3L, 5L) && got(2) === Seq(9L))
   }
 
+  test("distinct mode equals the distinct window formulation and is merge-stable") {
+    val viaDistinctAgg = (df: org.apache.spark.sql.DataFrame, k: Int) =>
+      df.groupBy("g").agg(BottomK.distinct(k)(col("v")).as("sk"))
+        .select(col("g"), posexplode(col("sk")).as(Seq("pos", "v")))
+        .select("g", "pos", "v").as[(Int, Int, Long)].collect().toSet
+    val oracle = viaWindow(data.select("g", "v").distinct(), 16)
+    assert(viaDistinctAgg(data, 16) === oracle)
+    assert(viaDistinctAgg(data.repartition(1), 16) === viaDistinctAgg(data.repartition(13), 16))
+  }
+
+  test("kmvEstimate: exact below k, within 3x above k (uniform-ish hashes)") {
+    // md5-derived 60-bit hashes of 1..2000 — uniform enough for the sketch
+    val m60 = 1L << 60
+    val hashed = (1 to 2000).map(i => (i % 2, i)).toDF("g", "x")
+      .select(col("g"), graft.text.TextFunctions.fingerprint(col("x").cast("string")).as("v"))
+    val est = hashed.groupBy("g").agg(BottomK.distinct(64)(col("v")).as("sk"))
+      .select(col("g"), BottomK.kmvEstimate(col("sk"), 64, m60).as("e"))
+      .as[(Int, Double)].collect().toMap
+    // each group has 1000 distinct values; KMV with k=64 has ~12% stderr
+    assert(est.values.forall(e => e > 500 && e < 2000), est.toString)
+    // below k: exact
+    val tiny = (1 to 10).map(i => (0, i)).toDF("g", "x")
+      .select(col("g"), graft.text.TextFunctions.fingerprint(col("x").cast("string")).as("v"))
+    val exact = tiny.groupBy("g").agg(BottomK.distinct(64)(col("v")).as("sk"))
+      .select(BottomK.kmvEstimate(col("sk"), 64, m60)).head().getDouble(0)
+    assert(exact == 10.0)
+  }
+
   test("plan shows partial aggregation below (upstream of) the exchange") {
     val plan = data.groupBy("g").agg(BottomK(4)(col("v")).as("sk"))
       .queryExecution.executedPlan.toString
