@@ -19,11 +19,19 @@ final case class RegisteredQuery(
   */
 object Registry {
 
-  def adt(name: String, sel: Select): RegisteredQuery =
+  /** Every Select registered through [[adt]], by name — the wire-codec spec
+    * round-trips each one so QueryWire provably covers the live IR surface.
+    */
+  private val adtSelectsBuf = scala.collection.mutable.LinkedHashMap[String, Select]()
+  def adtSelects: Map[String, Select] = adtSelectsBuf.toMap
+
+  def adt(name: String, sel: Select): RegisteredQuery = {
+    adtSelectsBuf(name) = sel
     RegisteredQuery(
       name,
       (s, dir) => Translator.select(sel, Tables.resolve(s, dir)),
       Some(SqlRenderer.select(sel)))
+  }
 
   private val dec = FxType.TDecimal(18, 2)
   private def sumExact(e: ColumnExpr, alias: String): ColumnExpr =
