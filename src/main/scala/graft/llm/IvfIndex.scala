@@ -63,14 +63,18 @@ object IvfIndex {
     */
   def build(corpus: DataFrame, nLists: Int,
             idCol: String = "vec_id", vecCol: String = "embedding",
-            seed: Long = 42L): IvfIndex = {
+            seed: Long = 42L, maxIter: Int = 8): IvfIndex = {
     val sess = corpus.sparkSession
     import sess.implicits._
     val train = corpus.select(col(idCol), col(vecCol))
       .map { r =>
         (r.getLong(0), Vectors.dense(r.getSeq[Float](1).map(_.toDouble).toArray))
       }.toDF(idCol, "features")
-    val model = new KMeans().setK(nLists).setSeed(seed).setFeaturesCol("features").fit(train)
+    // a COARSE quantizer doesn't need converged centroids — every extra
+    // k-means iteration is a full corpus pass, and probe-side recall is the
+    // knob that actually buys accuracy (nProbe), so default iterations low
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("features").fit(train)
     val centroids = model.clusterCenters.map(_.toArray)
     val bcast = sess.sparkContext.broadcast(centroids)
     val assignList = udf { (v: Seq[Float]) =>

@@ -35,6 +35,22 @@ class PlanSpec extends SparkSpec {
     assert(read.contains("l_shipdate") && !read.contains("l_comment"), read)
   }
 
+  test("window queries plan ONE hash exchange per partition spec (rank+rn share it)") {
+    // both window columns of q_window_rank use the same PARTITION BY/ORDER
+    // BY, so Catalyst must collapse them into one Window operator over one
+    // Exchange — two exchanges would double the shuffle at scale
+    val p = planOf("q_window_rank")
+    assert(p.linesIterator.count(_.contains("Window [")) == 1, p.take(800))
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p.take(800))
+  }
+
+  test("q_window_moving: running frame stays in one Window pass, filter-free scan") {
+    val p = planOf("q_window_moving")
+    // the moving sum + count share the frame: one Window operator, not two
+    assert(p.linesIterator.count(_.contains("Window [")) == 1, p.take(800))
+    assert(p.contains("specifiedwindowframe(RowFrame, -2, currentrow$())"), p.take(800))
+  }
+
   test("ADT broadcastHint pins a BroadcastHashJoin even with auto-broadcast off") {
     import graft.adt._
     import graft.exec.Translator
