@@ -730,6 +730,18 @@ SELECT lang, CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE) ELSE 15.0 * ${1L << 60} /
           .orderBy("doc_id"),
         Some(langIdOracle("documents", "doc_id", "lang", "text"))),
 
+      // A4 rest: arbitrary exact quantiles through the ADT path (the
+      // reference's quantile(p); interpolation matches ANSI PERCENTILE_CONT)
+      adt("q_quantile", Select(
+        table = "documents",
+        columns = Seq(
+          Col("lang"),
+          Agg(AggFn.Quantile(0.25), Col("n_chars")).as("p25"),
+          Agg(AggFn.Quantile(0.5), Col("n_chars")).as("p50"),
+          Agg(AggFn.Quantile(0.9), Col("n_chars")).as("p90")),
+        groupBy = Seq(Col("lang")),
+        orderBy = Seq(Order.asc("lang")))),
+
       // A4 median through the ADT path (dispatcher_tests.rs:139-151 shape)
       adt("q_median", Select(
         table = "documents",

@@ -110,6 +110,13 @@ object AggFn {
   case object Count extends AggFn("COUNT")
   // extensions beyond the reference surface (SURVEY §2.5 "NOT present"):
   case object Median extends AggFn("MEDIAN")
+  /** Exact interpolated quantile (the reference's `quantile(p)`,
+    * dispatcher_tests.rs:139-151) — Spark `percentile`, rendered as ANSI
+    * `PERCENTILE_CONT(p) WITHIN GROUP (ORDER BY x)`.
+    */
+  final case class Quantile(p: Double) extends AggFn("PERCENTILE_CONT") {
+    require(p >= 0.0 && p <= 1.0, s"quantile p must be in [0,1], got $p")
+  }
 }
 
 sealed abstract class ArithOp(val symbol: String)

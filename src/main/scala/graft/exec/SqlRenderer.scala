@@ -57,6 +57,8 @@ object SqlRenderer {
     case CountStar       => "COUNT(*)"
     case BinOp(op, l, r) => s"(${columnExpr(l)} ${op.symbol} ${columnExpr(r)})"
     case Fn(fn, args)    => s"${fn.sqlName}(${args.map(columnExpr).mkString(", ")})"
+    case Agg(AggFn.Quantile(p), arg, _) =>
+      s"PERCENTILE_CONT($p) WITHIN GROUP (ORDER BY ${columnExpr(arg)})"
     case Agg(fn, arg, distinct) =>
       val d = if (distinct) "DISTINCT " else ""
       s"${fn.sqlName}($d${columnExpr(arg)})"

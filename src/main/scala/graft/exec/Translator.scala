@@ -76,6 +76,9 @@ object Translator {
         case AggFn.Avg    => avg(c)
         case AggFn.Count  => if (distinct) count_distinct(c) else count(c)
         case AggFn.Median => median(c)
+        // exact interpolated percentile (not approx_percentile: the result
+        // must be partitioning-independent and oracle-matchable)
+        case AggFn.Quantile(p) => percentile(c, lit(p))
       }
     case WinExpr(fn, over) => windowColumn(fn, over)
   }
@@ -111,7 +114,8 @@ object Translator {
           case AggFn.Sum    => sum(c).over(spec)
           case AggFn.Avg    => avg(c).over(spec)
           case AggFn.Count  => count(c).over(spec).cast("long")
-          case AggFn.Median => throw new IllegalArgumentException("MEDIAN is not a windowed aggregate")
+          case AggFn.Median | AggFn.Quantile(_) =>
+            throw new IllegalArgumentException(s"$f is not a windowed aggregate")
         }
     }
   }

@@ -131,10 +131,13 @@ object QueryWire {
   private def aggTag(fn: AggFn): String = fn match {
     case AggFn.Max => "max"; case AggFn.Min => "min"; case AggFn.Sum => "sum"
     case AggFn.Avg => "avg"; case AggFn.Count => "count"; case AggFn.Median => "median"
+    case AggFn.Quantile(p) => s"quantile($p)"
   }
   private def parseAgg(tag: String): AggFn = tag match {
     case "max" => AggFn.Max; case "min" => AggFn.Min; case "sum" => AggFn.Sum
     case "avg" => AggFn.Avg; case "count" => AggFn.Count; case "median" => AggFn.Median
+    case q if q.startsWith("quantile(") =>
+      AggFn.Quantile(q.stripPrefix("quantile(").stripSuffix(")").toDouble)
     case other => throw new IllegalArgumentException(s"unknown agg fn: $other")
   }
 
