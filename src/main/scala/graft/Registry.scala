@@ -954,6 +954,38 @@ FROM aug ORDER BY doc_id""".stripMargin
           CorpusFilters.stratifiedKeepSql("text", "lang", Seq("en" -> 60, "de" -> 30), 10) +
           " ORDER BY doc_id")),
 
+      // benchmark decontamination: docs sharing 5-gram hashes with the
+      // "benchmark" subset (doc_id % 50 = 0) get flagged; benchmark gram set
+      // broadcasts, corpus side never shuffles full-width rows
+      RegisteredQuery(
+        "q_decontaminate",
+        (s, dir) => {
+          val docs = Tables.resolve(s, dir)("documents")
+          graft.llm.Decontaminate.flag(
+              docs, "doc_id", "text",
+              bench = docs.where(pmod(col("doc_id"), lit(50)) === 0),
+              n = 5, minOverlap = 1)
+            .select("doc_id", "lang", "n_overlap", "contaminated")
+            .orderBy("doc_id")
+        },
+        Some(graft.llm.Decontaminate.flagOracle(
+          "documents", "doc_id", "text",
+          benchWhereSql = "doc_id % 50 = 0", n = 5, minOverlap = 1,
+          keepCols = Seq("lang")))),
+
+      // sequence packing: id-ordered token stream chopped into 512-token
+      // context windows via two-level prefix sum (no single-task global
+      // window); oracle replays the plain global running sum — the gate
+      // proves the parallel decomposition exact
+      RegisteredQuery(
+        "q_pack_sequences",
+        (s, dir) => graft.text.Packing.chunkStats(
+            Tables.resolve(s, dir)("documents"), "doc_id",
+            graft.text.TextFunctions.nTokens(col("text")),
+            ctxLen = 512, bucketSize = 64)
+          .orderBy("chunk_id"),
+        Some(graft.text.Packing.chunkStatsOracle("documents", "doc_id", "text", ctxLen = 512))),
+
       // normalization: messy-cased/padded variant canonicalizes identically
       // in both engines (fingerprint-compared)
       RegisteredQuery(

@@ -1,0 +1,91 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Sequence packing: lay the corpus out as one deterministic token stream
+  * (document order = id order) and chop it into fixed-size context windows —
+  * the step that turns a cleaned corpus into training sequences. Each
+  * document is assigned to the chunk containing its START offset (documents
+  * may straddle a boundary; the assignment is by start, so every document
+  * lands in exactly one chunk and the layout is reproducible from (id,
+  * token-count) alone).
+  *
+  * Scale shape (100 TB): the naive formulation is a running sum over a
+  * TOTAL order — `sum() OVER (ORDER BY id)` with no partition collapses the
+  * whole corpus into ONE task. This implementation is the classic two-level
+  * prefix sum instead: coarse buckets of ids are cumsum'd independently
+  * (`Window.partitionBy(bucket)` — parallel across executors), bucket
+  * TOTALS (one row per bucket, ~corpus/bucketSize rows) are prefix-summed
+  * in a single tiny task, and the per-bucket offsets broadcast-join back.
+  * Total cost: one parallel window + one broadcast join; no global sort of
+  * the corpus, no single-partition window over row data.
+  *
+  * Reference scope note: the fabrix reference has no corpus operators — this
+  * is the LLM-pipeline extension surface (SURVEY §2.11).
+  */
+object Packing {
+
+  /** Per-document chunk assignment: (`idCol`, n_tokens, start_offset,
+    * chunk_id). `tokens` is the per-document token count expression (e.g.
+    * [[TextFunctions.nTokens]]); `idCol` must be numeric — bucket =
+    * id div `bucketSize` is the coarse prefix-sum level.
+    */
+  def packAssignments(
+      df: DataFrame, idCol: String, tokens: Column,
+      ctxLen: Int, bucketSize: Int = 4096): DataFrame = {
+    val perDoc = df.select(
+      col(idCol).as("__id"),
+      tokens.cast(LongType).as("n_tokens"),
+      floor(col(idCol) / lit(bucketSize)).cast(LongType).as("__bucket"))
+    // level 1: cumsum within each bucket — parallel across buckets
+    val withinW = Window.partitionBy("__bucket").orderBy("__id")
+    val within = perDoc.withColumn("__cum", sum("n_tokens").over(withinW))
+    // level 2: prefix offsets of bucket totals — one row per bucket, so the
+    // single-partition window touches ~nRows/bucketSize rows, not the corpus
+    val totalsW = Window.orderBy("__bucket")
+    val offsets = perDoc.groupBy("__bucket").agg(sum("n_tokens").as("__btot"))
+      .withColumn("__boff", coalesce(
+        sum("__btot").over(totalsW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__bucket", "__boff")
+    within.join(broadcast(offsets), "__bucket")
+      .select(
+        col("__id").as(idCol),
+        col("n_tokens"),
+        (col("__boff") + col("__cum") - col("n_tokens")).as("start_offset"))
+      .withColumn("chunk_id", expr(s"start_offset DIV $ctxLen"))
+  }
+
+  /** Per-chunk layout stats: how many documents start in each context
+    * window, their token mass, and the id span — the packing manifest.
+    */
+  def chunkStats(
+      df: DataFrame, idCol: String, tokens: Column,
+      ctxLen: Int, bucketSize: Int = 4096): DataFrame =
+    packAssignments(df, idCol, tokens, ctxLen, bucketSize)
+      .groupBy("chunk_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("chunk_tokens"),
+        min(col(idCol)).as("first_doc"),
+        max(col(idCol)).as("last_doc"))
+
+  // ------------------------------------------------- DuckDB oracle SQL ----
+  // The two-level prefix sum is algebraically the plain global running sum,
+  // so the oracle uses the direct window form — same numbers, and the gate
+  // thereby proves the decomposition correct.
+
+  /** Oracle for [[chunkStats]] with token count = whitespace token count of
+    * `textCol` (the [[TextFunctions.nTokens]] contract).
+    */
+  def chunkStatsOracle(table: String, idCol: String, textCol: String, ctxLen: Int): String =
+    s"""WITH t AS (SELECT $idCol, CAST(len(string_split($textCol, ' ')) AS BIGINT) AS n_tokens FROM $table),
+c AS (SELECT $idCol, n_tokens,
+  sum(n_tokens) OVER (ORDER BY $idCol ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset FROM t),
+a AS (SELECT $idCol, n_tokens, start_offset // $ctxLen AS chunk_id FROM c)
+SELECT chunk_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens,
+  min($idCol) AS first_doc, max($idCol) AS last_doc
+FROM a GROUP BY chunk_id ORDER BY chunk_id""".stripMargin
+}
