@@ -954,6 +954,19 @@ FROM aug ORDER BY doc_id""".stripMargin
           CorpusFilters.stratifiedKeepSql("text", "lang", Seq("en" -> 60, "de" -> 30), 10) +
           " ORDER BY doc_id")),
 
+      // top-k per group via bounded-buffer Aggregator: each map partition
+      // ships ≤k (score,id) pairs per group — the window form sorts every
+      // row; oracle IS that window form, proving equivalence
+      RegisteredQuery(
+        "q_topk_per_group",
+        (s, dir) => graft.functions.TopK.perGroup(
+            Tables.resolve(s, dir)("customer"),
+            groupCols = Seq("c_mktsegment"),
+            score = col("c_acctbal"), id = col("c_custkey"), k = 3)
+          .orderBy("c_mktsegment", "rank"),
+        Some(graft.functions.TopK.perGroupOracle(
+          "customer", Seq("c_mktsegment"), "c_acctbal", "c_custkey", k = 3))),
+
       // benchmark decontamination: docs sharing 5-gram hashes with the
       // "benchmark" subset (doc_id % 50 = 0) get flagged; benchmark gram set
       // broadcasts, corpus side never shuffles full-width rows
