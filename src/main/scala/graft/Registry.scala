@@ -150,6 +150,36 @@ object Registry {
       orderBy = Seq(Order.asc("o_orderstatus"), Order.asc("o_orderpriority")),
       groupingMode = GroupingMode.Cube)),
 
+    // HAVING over output columns + conditional aggregation (CASE inside SUM,
+    // decimal-exact so the sum is partitioning-independent); the renderer
+    // substitutes the aliases back to aggregate expressions for ANSI HAVING
+    adt("q_having", Select(
+      table = "orders",
+      columns = Seq(
+        Col("o_custkey"),
+        CountStar.as("n_orders"),
+        Cast(Agg(AggFn.Sum, CaseWhen(
+          Seq((Cond(Col("o_orderpriority"), CondOp.Like("1%")),
+            Cast(Col("o_totalprice"), dec))),
+          default = Some(Cast(Lit(V.i32(0)), dec)))), FxType.TF64).as("urgent_total")),
+      groupBy = Seq(Col("o_custkey")),
+      having = Some(And(Seq(
+        Cond(Col("n_orders"), CondOp.GreaterEqual(V.i64(15))),
+        Cond(Col("urgent_total"), CondOp.Greater(V.i64(0)))))),
+      orderBy = Seq(Order.asc("o_custkey")))),
+
+    // searched CASE as a plain (non-aggregate) projection: price banding
+    adt("q_case_expr", Select(
+      table = "orders",
+      columns = Seq(
+        Col("o_orderkey"),
+        CaseWhen(
+          Seq(
+            (Cond(Col("o_totalprice"), CondOp.Less(V.f64(50000.0))), Lit(V.str("low"))),
+            (Cond(Col("o_totalprice"), CondOp.Less(V.f64(150000.0))), Lit(V.str("mid")))),
+          default = Some(Lit(V.str("high")))).as("band")),
+      orderBy = Seq(Order.asc("o_orderkey")))),
+
     // extension: ranking window functions — rank/row_number per nation over
     // a TOTAL order (unique-key tiebreak ⇒ deterministic at any partitioning)
     adt("q_window_rank", Select(

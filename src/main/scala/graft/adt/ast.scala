@@ -34,6 +34,7 @@ sealed trait ColumnExpr {
     case Cast(e, t)      => e.outputName
     case BinOp(op, l, r) => s"(${l.outputName}${op.symbol}${r.outputName})"
     case WinExpr(_, _)   => "window"
+    case _: CaseWhen     => "case"
   }
 }
 
@@ -45,6 +46,20 @@ final case class Agg(fn: AggFn, arg: ColumnExpr, distinct: Boolean = false) exte
 case object CountStar extends ColumnExpr
 final case class Cast(e: ColumnExpr, to: FxType) extends ColumnExpr
 final case class BinOp(op: ArithOp, l: ColumnExpr, r: ColumnExpr) extends ColumnExpr
+
+/** Searched CASE expression (extension — the reference's scalar surface has
+  * no conditional). First matching branch wins; no match and no default ⇒
+  * NULL, matching ANSI. Reuses the filter [[Expr]] tree for the WHEN
+  * predicates so the conditional surface equals the WHERE surface exactly —
+  * one predicate language on the wire, in the translator, and in the
+  * renderer. Enables conditional aggregation (`SUM(CASE WHEN … THEN x ELSE
+  * 0 END)`), the backbone of one-pass pivot-style rollups.
+  */
+final case class CaseWhen(
+    branches: Seq[(Expr, ColumnExpr)],
+    default: Option[ColumnExpr] = None) extends ColumnExpr {
+  require(branches.nonEmpty, "CASE requires at least one WHEN branch")
+}
 
 /** Window-function projection (extension — the reference's IR has no OVER
   * clause). `fn OVER (PARTITION BY … ORDER BY … [ROWS BETWEEN …])`; both the
@@ -266,6 +281,13 @@ final case class Select(
     filter: Option[Expr] = None,
     joins: Seq[Join] = Nil,
     groupBy: Seq[Col] = Nil,
+    /** Post-aggregation filter (extension — the reference's IR has no
+      * HAVING). Conditions reference OUTPUT columns by name (group keys or
+      * aggregate aliases); the SQL renderer substitutes each aggregate
+      * alias with its defining expression, so the rendered HAVING is plain
+      * ANSI (no lateral-alias dialect dependence).
+      */
+    having: Option[Expr] = None,
     orderBy: Seq[Order] = Nil,
     limit: Option[Long] = None,
     offset: Option[Long] = None,
@@ -275,6 +297,7 @@ final case class Select(
   def columnsName: Seq[String] = columns.map(_.outputName)
 
   def filter(e: Expr): Select = copy(filter = Some(e))
+  def having(e: Expr): Select = copy(having = Some(e))
   def join(j: Join): Select = copy(joins = joins :+ j)
   def groupBy(cols: String*): Select = copy(groupBy = cols.map(Col(_)))
   def rollup(cols: String*): Select =

@@ -51,6 +51,10 @@ object SqlRenderer {
 
   def columnExpr(e: ColumnExpr): String = e match {
     case c: Col          => columnRef(c)
+    case CaseWhen(bs, d) =>
+      val branches = bs.map { case (p, v) => s"WHEN ${predicate(p)} THEN ${columnExpr(v)}" }
+      val dflt = d.map(v => s" ELSE ${columnExpr(v)}").getOrElse("")
+      s"CASE ${branches.mkString(" ")}$dflt END"
     case Lit(v)          => value(v)
     case Aliased(x, a)   => s"${columnExpr(x)} AS ${ident(a)}"
     case Cast(x, t)      => s"CAST(${columnExpr(x)} AS ${t.sqlName})"
@@ -93,17 +97,22 @@ object SqlRenderer {
       s"$inner OVER (${parts.mkString(" ")})"
   }
 
-  def predicate(e: Expr): String = {
+  def predicate(e: Expr): String = predicate(e, columnRef)
+
+  /** Predicate rendering with a pluggable column resolver — HAVING uses it
+    * to substitute aggregate aliases with their defining expressions.
+    */
+  private def predicate(e: Expr, resolveCol: Col => String): String = {
     def wrap(x: Expr): String = x match {
-      case _: Cond => predicate(x)
-      case _       => s"(${predicate(x)})"
+      case _: Cond => predicate(x, resolveCol)
+      case _       => s"(${predicate(x, resolveCol)})"
     }
     e match {
       case And(es) => es.map(wrap).mkString(" AND ")
       case Or(es)  => es.map(wrap).mkString(" OR ")
       case Not(x)  => s"NOT ${wrap(x)}"
       case Cond(c, op) =>
-        val n = columnRef(c)
+        val n = resolveCol(c)
         op match {
           case CondOp.Equal(v)        => s"$n = ${value(v)}"
           case CondOp.NotEqual(v)     => s"$n <> ${value(v)}"
@@ -158,6 +167,17 @@ object SqlRenderer {
         case GroupingMode.Rollup => sel.groupBy.map(columnRef).mkString("ROLLUP (", ", ", ")")
         case GroupingMode.Cube   => sel.groupBy.map(columnRef).mkString("CUBE (", ", ", ")")
       })
+    sel.having.foreach { h =>
+      // substitute output aliases with their defining expressions: ANSI
+      // HAVING cannot reference SELECT aliases (lateral aliasing is a
+      // DuckDB/MySQL extension), but CAN repeat the aggregate expression
+      val defs: Map[String, ColumnExpr] =
+        sel.columns.collect { case Aliased(e, a) => a -> e }.toMap
+      val resolve: Col => String = c =>
+        if (c.table.isEmpty && defs.contains(c.name)) columnExpr(defs(c.name))
+        else columnRef(c)
+      sb.append(" HAVING ").append(predicate(h, resolve))
+    }
     if (sel.orderBy.nonEmpty)
       // null placement must match Spark's defaults (ASC NULLS FIRST / DESC
       // NULLS LAST) — DuckDB's default is the opposite, which matters once

@@ -81,6 +81,11 @@ object Translator {
         case AggFn.Quantile(p) => percentile(c, lit(p))
       }
     case WinExpr(fn, over) => windowColumn(fn, over)
+    case CaseWhen(branches, default) =>
+      // foldRight keeps ANSI first-match-wins order
+      branches.foldRight(default.map(column).getOrElse(lit(null))) {
+        case ((cond, v), acc) => when(predicate(cond), column(v)).otherwise(acc)
+      }
   }
 
   private def windowColumn(fn: WindowFn, over: WindowDef): Column = {
@@ -147,6 +152,7 @@ object Translator {
     case Cast(x, _)         => hasAgg(x)
     case Fn(_, args)        => args.exists(hasAgg)
     case BinOp(_, l, r)     => hasAgg(l) || hasAgg(r)
+    case CaseWhen(bs, d)    => bs.exists(b => hasAgg(b._2)) || d.exists(hasAgg)
     case _                  => false
   }
 
@@ -207,6 +213,14 @@ object Translator {
       } else {
         df.select(sel.columns.map(e => column(e).alias(e.outputName)): _*)
       }
+
+    // HAVING: conditions reference output columns (group keys / aggregate
+    // aliases), which after the projection restore are real columns of `out`
+    // — so a plain where() here IS post-aggregation filtering
+    sel.having.foreach { h =>
+      require(isAggQuery, "HAVING requires an aggregate query")
+      out = out.where(predicate(h))
+    }
 
     if (sel.distinct) out = out.distinct()
     if (sel.orderBy.nonEmpty)

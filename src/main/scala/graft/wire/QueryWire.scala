@@ -202,6 +202,17 @@ object QueryWire {
         inner.set[ObjectNode]("arg", columnNode(arg))
         inner.put("distinct", distinct)
         o.set[ObjectNode]("agg", inner)
+      case CaseWhen(bs, d) =>
+        val inner = F.objectNode()
+        val arr = F.arrayNode()
+        bs.foreach { case (p, v) =>
+          val b = F.objectNode()
+          b.set[ObjectNode]("when", exprNode(p)); b.set[ObjectNode]("then", columnNode(v))
+          arr.add(b)
+        }
+        inner.set[ArrayNode]("branches", arr)
+        d.foreach(v => inner.set[ObjectNode]("else", columnNode(v)))
+        o.set[ObjectNode]("case", inner)
       case WinExpr(fn, over) =>
         val inner = F.objectNode()
         inner.set[ObjectNode]("fn", windowFnNode(fn))
@@ -284,6 +295,12 @@ object QueryWire {
     } else if (n.has("agg")) {
       val a = n.get("agg")
       Agg(parseAgg(a.get("fn").asText()), parseColumn(a.get("arg")), a.get("distinct").asBoolean())
+    } else if (n.has("case")) {
+      val c = n.get("case")
+      CaseWhen(
+        iter(c.get("branches")).map(b =>
+          (parseExpr(b.get("when")), parseColumn(b.get("then")))).toSeq,
+        Option(c.get("else")).map(parseColumn))
     } else if (n.has("win")) {
       val w = n.get("win")
       val parts = Option(w.get("partition_by")).map(iter(_).map(parseCol).toSeq).getOrElse(Nil)
@@ -410,6 +427,7 @@ object QueryWire {
       val gs = F.arrayNode(); sel.groupBy.foreach(c => gs.add(colNode(c)))
       o.set[ArrayNode]("group_by", gs)
     }
+    sel.having.foreach(h => o.set[ObjectNode]("having", exprNode(h)))
     sel.groupingMode match {
       case GroupingMode.Plain  => ()
       case GroupingMode.Rollup => o.put("grouping", "rollup")
@@ -435,6 +453,7 @@ object QueryWire {
         broadcastHint = Option(jn.get("broadcast")).exists(_.asBoolean()))
     }.toSeq).getOrElse(Nil),
     groupBy = Option(n.get("group_by")).map(iter(_).map(parseCol).toSeq).getOrElse(Nil),
+    having = Option(n.get("having")).map(parseExpr),
     orderBy = Option(n.get("order_by")).map(parseOrders).getOrElse(Nil),
     limit = Option(n.get("limit")).map(_.asLong()),
     offset = Option(n.get("offset")).map(_.asLong()),
