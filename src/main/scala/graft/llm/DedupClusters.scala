@@ -86,6 +86,78 @@ object DedupClusters {
         coalesce(col("label"), col("__v_id")).as("cluster_rep"))
   }
 
+  /** Connected components via alternating large-star / small-star (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * O(log n)-round scale path for ADVERSARIAL graphs. [[connectedComponents]]'
+    * min-label propagation needs diameter-many rounds, which is right for
+    * near-dup clusters (dense, 2-4 hops) but degenerates on long chains (a
+    * 10⁶-hop path graph = 10⁶ shuffles). The star operations contract paths
+    * exponentially instead:
+    *
+    *  - large-star: every vertex points its LARGER neighbors at the minimum
+    *    of its neighborhood (∪ itself);
+    *  - small-star: on edges oriented high→low, every vertex points its
+    *    smaller neighbors (and itself) at the neighborhood minimum.
+    *
+    * Each step is one groupBy-min + one equi-join on the 8-byte vertex id —
+    * partial-agg/codegen friendly, nothing all-pairs — and the alternation
+    * provably converges to per-component stars rooted at the component
+    * minimum. Same output contract as [[connectedComponents]]: (`idCol`,
+    * cluster_rep) for every vertex in `vertices`.
+    */
+  def connectedComponentsAlt(
+      pairs: DataFrame, vertices: DataFrame, idCol: String,
+      maxRounds: Int = 50): DataFrame = {
+    import org.apache.spark.sql.functions.{greatest, least}
+    var edges = pairs
+      .select(col("left_id").as("src"), col("right_id").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy("src")
+        .agg(min("dst").as("__mn"))
+        .select(col("src"), least(col("__mn"), col("src")).as("m"))
+      sym.join(mins, "src")
+        .where(col("dst") > col("src") && col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e
+        .select(greatest(col("src"), col("dst")).as("src"), least(col("src"), col("dst")).as("dst"))
+      // dst < src everywhere, so the neighborhood min IS min(dst)
+      val mins = oriented.groupBy("src").agg(min("dst").as("m"))
+      oriented.join(mins, "src")
+        .select(col("dst").as("v"), col("m"))
+        .union(mins.select(col("src").as("v"), col("m")))
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+
+    var round = 0
+    var converged = edges.isEmpty
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // exact fixpoint test on the (small, duplicate-subgraph-sized) edge
+      // set; both frames are checkpointed so each side evaluates once
+      converged = next.count() == edges.count() && next.exceptAll(edges).isEmpty
+      edges = next
+      round += 1
+    }
+    require(converged, s"connectedComponentsAlt did not converge in $maxRounds rounds")
+    // at fixpoint every edge is (member, component-min); roots rep themselves
+    val labels = edges.select(col("src").as("id"), col("dst").as("label"))
+    val v = vertices.select(col(idCol).as("__v_id"))
+    v.join(labels, v("__v_id") === labels("id"), "left")
+      .select(col("__v_id").as(idCol),
+        coalesce(col("label"), col("__v_id")).as("cluster_rep"))
+  }
+
   /** End-to-end near-dup clustering of a corpus: banded-MinHash pairs
     * ([[Dedup.dedupMinhashPairs]]) → connected components → one
     * (id, cluster_rep) row per document.

@@ -83,4 +83,40 @@ class DedupClustersSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSeq
     assert(out == Seq(4L))
   }
+
+  // --------------------------- large-star/small-star (adversarial scale) --
+
+  test("alt components match min-propagation on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pairs = (1 to 120).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("left_id", "right_id")
+    val verts = (0L until 60L).toDF("id")
+    val a = DedupClusters.connectedComponents(pairs, verts, "id", maxRounds = 60)
+      .orderBy("id").collect().toSeq
+    val b = DedupClusters.connectedComponentsAlt(pairs, verts, "id")
+      .orderBy("id").collect().toSeq
+    assert(a === b)
+  }
+
+  test("alt components collapse a 200-hop chain in O(log) rounds") {
+    import spark.implicits._
+    // diameter 200: min-propagation would need 200 rounds; the star
+    // alternation must converge well inside 20
+    val pairs = (1L until 200L).map(i => (i, i + 1)).toDF("left_id", "right_id")
+    val verts = (1L to 200L).toDF("id")
+    val reps = DedupClusters.connectedComponentsAlt(pairs, verts, "id", maxRounds = 20)
+      .collect().map(_.getLong(1)).distinct
+    assert(reps.toSeq === Seq(1L))
+  }
+
+  test("alt components: singletons and empty edge set") {
+    import spark.implicits._
+    val verts = (1L to 5L).toDF("id")
+    val empty = Seq.empty[(Long, Long)].toDF("left_id", "right_id")
+    val reps = DedupClusters.connectedComponentsAlt(empty, verts, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps === (1L to 5L).map(i => i -> i).toMap)
+  }
 }
