@@ -984,6 +984,17 @@ FROM aug ORDER BY doc_id""".stripMargin
           CorpusFilters.stratifiedKeepSql("text", "lang", Seq("en" -> 60, "de" -> 30), 10) +
           " ORDER BY doc_id")),
 
+      // int8 embedding quantization: 4× storage cut with integer codes from
+      // a fixed IEEE-double formula — bit-identical on any engine/layout
+      RegisteredQuery(
+        "q_embed_quantize",
+        (s, dir) => Tables.resolve(s, dir)("embeddings").select(
+            col("vec_id"),
+            graft.llm.EmbeddingOps.quantizeInt8(col("embedding")).as("qvec"),
+            graft.llm.EmbeddingOps.rangeQ4(col("embedding")).as("m_q4"))
+          .orderBy("vec_id"),
+        Some(graft.llm.EmbeddingOps.quantizeOracle("embeddings", "vec_id", "embedding"))),
+
       // top-k per group via bounded-buffer Aggregator: each map partition
       // ships ≤k (score,id) pairs per group — the window form sorts every
       // row; oracle IS that window form, proving equivalence
