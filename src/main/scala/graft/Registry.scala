@@ -984,6 +984,20 @@ FROM aug ORDER BY doc_id""".stripMargin
           CorpusFilters.stratifiedKeepSql("text", "lang", Seq("en" -> 60, "de" -> 30), 10) +
           " ORDER BY doc_id")),
 
+      // ordered-step funnel (view → click → purchase, 48h first-touch
+      // horizon): one-pass sorted fold per user vs the oracle's k-pass
+      // iterative-min definition — the gate proves them the same walk
+      RegisteredQuery(
+        "q_event_funnel",
+        (s, dir) => graft.llm.EventFunnels.funnel(
+            graft.llm.EventWindows.readEvents(s, s"$dir/events.parquet"),
+            steps = Seq("view", "click", "purchase"),
+            horizonUs = Some(48L * 3600 * 1000000))
+          .orderBy("user_id"),
+        Some(graft.llm.EventFunnels.funnelOracle(
+          "events", Seq("view", "click", "purchase"),
+          horizonUs = Some(48L * 3600 * 1000000)))),
+
       // int8 embedding quantization: 4× storage cut with integer codes from
       // a fixed IEEE-double formula — bit-identical on any engine/layout
       RegisteredQuery(
