@@ -1009,6 +1009,19 @@ FROM aug ORDER BY doc_id""".stripMargin
           .orderBy("vec_id"),
         Some(graft.llm.EmbeddingOps.quantizeOracle("embeddings", "vec_id", "embedding"))),
 
+      // ANN over the COMPRESSED store: int8 codes both sides, exact integer
+      // dot, top-k via the bounded-buffer aggregator (no window sort of the
+      // scored pairs)
+      RegisteredQuery(
+        "q_ann_int8",
+        (s, dir) => {
+          val emb = Tables.resolve(s, dir)("embeddings")
+          graft.llm.EmbeddingOps.int8Knn(emb, emb.where(col("vec_id") < 8), k = 4)
+            .orderBy("query_id", "rank")
+        },
+        Some(graft.llm.EmbeddingOps.int8KnnOracle(
+          "embeddings", "vec_id", "embedding", "vec_id < 8", k = 4, dim = 64))),
+
       // top-k per group via bounded-buffer Aggregator: each map partition
       // ships ≤k (score,id) pairs per group — the window form sorts every
       // row; oracle IS that window form, proving equivalence
@@ -1053,6 +1066,17 @@ FROM aug ORDER BY doc_id""".stripMargin
             ctxLen = 512, bucketSize = 64)
           .orderBy("chunk_id"),
         Some(graft.text.Packing.chunkStatsOracle("documents", "doc_id", "text", ctxLen = 512))),
+
+      // overlapping token-window chunking (RAG ingestion): scan-stage array
+      // surgery, no shuffle; layout deterministic from (text, chunk, stride)
+      RegisteredQuery(
+        "q_chunk_docs",
+        (s, dir) => graft.text.Packing.chunkDocs(
+            Tables.resolve(s, dir)("documents"), "doc_id", "text",
+            chunkTokens = 64, stride = 48)
+          .orderBy("doc_id", "chunk_id"),
+        Some(graft.text.Packing.chunkDocsOracle(
+          "documents", "doc_id", "text", chunkTokens = 64, stride = 48))),
 
       // normalization: messy-cased/padded variant canonicalizes identically
       // in both engines (fingerprint-compared)

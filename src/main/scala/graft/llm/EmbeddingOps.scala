@@ -57,7 +57,50 @@ object EmbeddingOps {
       .otherwise(transform(vec, x => x.cast("double") / n))
   }
 
+  /** Brute-force top-k over int8 CODES — search running where the compressed
+    * store lives, the point of quantizing at all: the pair loop multiplies
+    * 1-byte ints (exact Long dot, ≤127²·dim — engine-replayable), the
+    * broadcast query side carries codes not floats (4× smaller), and top-k
+    * per query uses the bounded-buffer [[graft.functions.TopK]] aggregator —
+    * each map partition ships ≤k candidates per query instead of
+    * window-sorting every scored pair. Note int8 ANN is approximate vs
+    * float scoring (that is the storage trade); ranking within the
+    * quantized space is exact and deterministic.
+    */
+  def int8Knn(
+      corpus: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): org.apache.spark.sql.DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), quantizeInt8(col(vecCol)).as("qc")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), quantizeInt8(col(vecCol)).as("cc"))
+    val dot = aggregate(
+      zip_with(col("qc"), col("cc"), (a, b) => a.cast("long") * b.cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), dot.as("score"))
+    graft.functions.TopK.perGroup(scored, Seq("query_id"), col("score"), col("neighbor_id"), k)
+      .withColumnRenamed("id", "neighbor_id")
+  }
+
   // ------------------------------------------------- DuckDB oracle SQL ----
+
+  private def quantSql(v: String, m: String): String =
+    s"CASE WHEN $m = 0 THEN list_transform($v, x -> 0) " +
+      s"ELSE list_transform($v, x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / $m) + 0.5) AS INTEGER)) END"
+
+  /** Oracle for [[int8Knn]] with queries = a filtered subset of the table. */
+  def int8KnnOracle(table: String, idCol: String, vecCol: String,
+                    queryPred: String, k: Int, dim: Int): String =
+    s"""WITH t AS (SELECT $idCol, $vecCol AS v,
+  list_max(list_transform($vecCol, x -> abs(CAST(x AS DOUBLE)))) AS m FROM $table),
+q8 AS (SELECT $idCol, ${quantSql("v", "m")} AS qc FROM t),
+s AS (SELECT a.$idCol AS query_id, b.$idCol AS neighbor_id,
+  CAST(list_sum(list_transform(generate_series(1,$dim), i -> a.qc[i] * b.qc[i])) AS BIGINT) AS score
+  FROM q8 a JOIN q8 b ON a.$idCol != b.$idCol WHERE a.$idCol IN (SELECT $idCol FROM $table WHERE $queryPred)),
+r AS (SELECT query_id, neighbor_id, score, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank FROM s)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, CAST(score AS DOUBLE) AS score
+FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
   /** Oracle for [[quantizeInt8]] + [[rangeQ4]] over a list-of-float column. */
   def quantizeOracle(table: String, idCol: String, vecCol: String): String =

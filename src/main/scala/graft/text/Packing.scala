@@ -72,6 +72,45 @@ object Packing {
         min(col(idCol)).as("first_doc"),
         max(col(idCol)).as("last_doc"))
 
+  /** Overlapping token-window chunking (RAG ingestion / context-window
+    * prep): each document yields chunks of `chunkTokens` tokens starting
+    * every `stride` tokens (stride < chunkTokens ⇒ overlap), last chunk
+    * truncated. Pure per-row array surgery — evaluated in the scan stage,
+    * no shuffle, no state; trivially parallel at any scale. Deterministic
+    * layout from (text, chunkTokens, stride) alone.
+    */
+  def chunkDocs(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0, "chunkTokens and stride must be positive")
+    val t = TextFunctions.tokens(col(textCol))
+    val chunks = transform(
+      sequence(lit(1), size(t), lit(stride)),
+      start => struct(
+        start.as("start_token"),
+        slice(t, start, lit(chunkTokens)).as("toks")))
+    df.select(col(idCol), explode(chunks).as("c"))
+      .select(
+        col(idCol),
+        expr(s"CAST((c.start_token - 1) DIV $stride + 1 AS BIGINT)").as("chunk_id"),
+        col("c.start_token").cast("long").as("start_token"),
+        size(col("c.toks")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("c.toks")).as("chunk_text"))
+  }
+
+  /** Oracle for [[chunkDocs]] — same windows via generate_series + list
+    * slicing; chunk index recovered arithmetically from the start offset.
+    */
+  def chunkDocsOracle(table: String, idCol: String, textCol: String,
+                      chunkTokens: Int, stride: Int): String =
+    s"""WITH toks AS (SELECT $idCol, string_split($textCol, ' ') AS t FROM $table),
+st AS (SELECT $idCol, t, unnest(generate_series(1, len(t), $stride)) AS start_token FROM toks)
+SELECT $idCol, (start_token - 1) // $stride + 1 AS chunk_id,
+  CAST(start_token AS BIGINT) AS start_token,
+  CAST(len(t[start_token : start_token + ${chunkTokens - 1}]) AS BIGINT) AS n_tokens,
+  array_to_string(t[start_token : start_token + ${chunkTokens - 1}], ' ') AS chunk_text
+FROM st ORDER BY $idCol, chunk_id""".stripMargin
+
   // ------------------------------------------------- DuckDB oracle SQL ----
   // The two-level prefix sum is algebraically the plain global running sum,
   // so the oracle uses the direct window form — same numbers, and the gate

@@ -41,6 +41,28 @@ class EmbeddingOpsSpec extends SparkSpec {
     assert(out(1)._2 === Seq(0.0, 0.0, 0.0, 0.0))
   }
 
+  test("int8Knn ranks within the quantized space exactly (brute-force check)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val got = EmbeddingOps.int8Knn(emb, emb.where(col("vec_id") < 3), k = 5)
+      .orderBy("query_id", "rank")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    // reference: quantize locally and score in plain Scala
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    def q(v: Seq[Float]): Seq[Long] = {
+      val m = v.map(x => math.abs(x.toDouble)).max
+      if (m == 0) v.map(_ => 0L)
+      else v.map(x => math.floor(x.toDouble * (127.0 / m) + 0.5).toLong)
+    }
+    val codes = vecs.map { case (id, v) => id -> q(v) }.toMap
+    val expect = vecs.filter(_._1 < 3).flatMap { case (qid, _) =>
+      vecs.filter(_._1 != qid)
+        .map { case (nid, _) => (nid, codes(qid).zip(codes(nid)).map { case (a, b) => a * b }.sum) }
+        .sortBy { case (nid, s) => (-s, nid) }.take(5)
+        .map { case (nid, _) => (qid, nid) }
+    }
+    assert(got.toSeq === expect.toSeq)
+  }
+
   test("quantization is layout-independent on real embeddings") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     def run(df: org.apache.spark.sql.DataFrame) =

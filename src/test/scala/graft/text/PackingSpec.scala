@@ -42,6 +42,29 @@ class PackingSpec extends SparkSpec {
     assert(stats.map(_.getAs[Long]("first_doc")).toSeq === (1L to 100L by 10L))
   }
 
+  test("chunkDocs: overlap, truncation, and full coverage") {
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("id", "text")
+    val got = Packing.chunkDocs(docs, "id", "text", chunkTokens = 4, stride = 3)
+      .orderBy("chunk_id")
+      .select("chunk_id", "start_token", "n_tokens", "chunk_text").collect()
+    // starts 1,4,7,10 → chunks of 4,4,4,1 tokens
+    assert(got.map(_.getLong(1)).toSeq === Seq(1L, 4L, 7L, 10L))
+    assert(got.map(_.getLong(2)).toSeq === Seq(4L, 4L, 4L, 1L))
+    assert(got(0).getString(3) === "t1 t2 t3 t4")
+    assert(got(1).getString(3) === "t4 t5 t6 t7") // 1-token overlap
+    assert(got(3).getString(3) === "t10")
+    // every token is covered by at least one chunk
+    val covered = got.flatMap(r => r.getString(3).split(" ")).toSet
+    assert(covered === (1 to 10).map(i => s"t$i").toSet)
+  }
+
+  test("chunkDocs: short doc yields exactly one chunk") {
+    val docs = Seq((1L, "just three tokens")).toDF("id", "text")
+    val got = Packing.chunkDocs(docs, "id", "text", 64, 48).collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[String]("chunk_text") === "just three tokens")
+  }
+
   test("bucket size does not change the layout (pure decomposition knob)") {
     val docs = (1L to 300L).map(i => (i, ((i * 13) % 40 + 1).toInt)).toDF("id", "ntok")
     val a = Packing.packAssignments(docs, "id", col("ntok"), 128, bucketSize = 10)
