@@ -168,6 +168,21 @@ object Registry {
         Cond(Col("urgent_total"), CondOp.Greater(V.i64(0)))))),
       orderBy = Seq(Order.asc("o_custkey")))),
 
+    // GROUP BY a computed key: aggregation keyed on the CASE band's output
+    // alias; renderer substitutes the defining expression (plain ANSI)
+    adt("q_group_by_case", Select(
+      table = "orders",
+      columns = Seq(
+        CaseWhen(
+          Seq(
+            (Cond(Col("o_totalprice"), CondOp.Less(V.f64(50000.0))), Lit(V.str("low"))),
+            (Cond(Col("o_totalprice"), CondOp.Less(V.f64(150000.0))), Lit(V.str("mid")))),
+          default = Some(Lit(V.str("high")))).as("band"),
+        CountStar.as("n"),
+        Cast(Agg(AggFn.Sum, Cast(Col("o_totalprice"), dec)), FxType.TF64).as("total")),
+      groupBy = Seq(Col("band")),
+      orderBy = Seq(Order.asc("band")))),
+
     // searched CASE as a plain (non-aggregate) projection: price banding
     adt("q_case_expr", Select(
       table = "orders",

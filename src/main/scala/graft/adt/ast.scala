@@ -36,6 +36,19 @@ sealed trait ColumnExpr {
     case WinExpr(_, _)   => "window"
     case _: CaseWhen     => "case"
   }
+  /** Whether an aggregate function occurs anywhere in this expression —
+    * decides projection-vs-aggregation handling in the translator and
+    * renderer (shared here so the two cannot disagree).
+    */
+  def containsAgg: Boolean = this match {
+    case _: Agg | CountStar => true
+    case Aliased(x, _)      => x.containsAgg
+    case Cast(x, _)         => x.containsAgg
+    case Fn(_, args)        => args.exists(_.containsAgg)
+    case BinOp(_, l, r)     => l.containsAgg || r.containsAgg
+    case CaseWhen(bs, d)    => bs.exists(_._2.containsAgg) || d.exists(_.containsAgg)
+    case _                  => false
+  }
 }
 
 final case class Col(name: String, table: Option[String] = None) extends ColumnExpr

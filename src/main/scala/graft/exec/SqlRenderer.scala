@@ -161,12 +161,21 @@ object SqlRenderer {
       }
     }
     sel.filter.foreach(f => sb.append(" WHERE ").append(predicate(f)))
-    if (sel.groupBy.nonEmpty)
+    if (sel.groupBy.nonEmpty) {
+      // computed group keys (GROUP BY an alias of a non-Col projection)
+      // render as the defining expression — plain ANSI, no alias reference
+      val computed: Map[String, ColumnExpr] = sel.columns.collect {
+        case Aliased(e, a) if !e.isInstanceOf[Col] && !e.containsAgg => a -> e
+      }.toMap
+      val key: Col => String = c =>
+        if (c.table.isEmpty && computed.contains(c.name)) columnExpr(computed(c.name))
+        else columnRef(c)
       sb.append(" GROUP BY ").append(sel.groupingMode match {
-        case GroupingMode.Plain  => sel.groupBy.map(columnRef).mkString(", ")
-        case GroupingMode.Rollup => sel.groupBy.map(columnRef).mkString("ROLLUP (", ", ", ")")
-        case GroupingMode.Cube   => sel.groupBy.map(columnRef).mkString("CUBE (", ", ", ")")
+        case GroupingMode.Plain  => sel.groupBy.map(key).mkString(", ")
+        case GroupingMode.Rollup => sel.groupBy.map(key).mkString("ROLLUP (", ", ", ")")
+        case GroupingMode.Cube   => sel.groupBy.map(key).mkString("CUBE (", ", ", ")")
       })
+    }
     sel.having.foreach { h =>
       // substitute output aliases with their defining expressions: ANSI
       // HAVING cannot reference SELECT aliases (lateral aliasing is a

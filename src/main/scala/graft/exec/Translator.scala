@@ -146,15 +146,7 @@ object Translator {
       }
   }
 
-  private def hasAgg(e: ColumnExpr): Boolean = e match {
-    case _: Agg | CountStar => true
-    case Aliased(x, _)      => hasAgg(x)
-    case Cast(x, _)         => hasAgg(x)
-    case Fn(_, args)        => args.exists(hasAgg)
-    case BinOp(_, l, r)     => hasAgg(l) || hasAgg(r)
-    case CaseWhen(bs, d)    => bs.exists(b => hasAgg(b._2)) || d.exists(hasAgg)
-    case _                  => false
-  }
+  private def hasAgg(e: ColumnExpr): Boolean = e.containsAgg
 
   /** Translate a Select against a table resolver (name → DataFrame). */
   def select(sel: Select, resolve: String => DataFrame): DataFrame = {
@@ -184,19 +176,29 @@ object Translator {
         val (aggItems, keyItems) = sel.columns.partition(hasAgg)
         require(aggItems.nonEmpty, "aggregate query requires at least one aggregate column")
         val keyNames = sel.groupBy.map(_.name).toSet
+        // computed group keys: a groupBy name may reference the ALIAS of a
+        // non-Col projection (GROUP BY CASE …, GROUP BY fn(col) — keyed by
+        // its output name); plain columns keep the group-by-base-name rule
+        val computedKeys: Map[String, ColumnExpr] = sel.columns.collect {
+          case Aliased(e, a) if !e.isInstanceOf[Col] && !e.containsAgg && keyNames.contains(a) => a -> e
+        }.toMap
         keyItems.foreach { k =>
-          val base = k match {
-            case Aliased(Col(n, _), _) => n
-            case Col(n, _)             => n
+          val ok = k match {
+            case Aliased(Col(n, _), _) => keyNames.contains(n)
+            case Col(n, _)             => keyNames.contains(n)
+            case Aliased(_, a)         => computedKeys.contains(a)
             case other => throw new IllegalArgumentException(s"non-aggregate projection $other must be a group key")
           }
-          require(keyNames.contains(base), s"column $base not in GROUP BY")
+          require(ok, s"non-aggregate projection ${k.outputName} not in GROUP BY")
         }
         val aggCols = aggItems.map(e => column(e).alias(e.outputName))
         val grouped =
           if (sel.groupBy.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
           else {
-            val keys = sel.groupBy.map(column)
+            val keys = sel.groupBy.map(g => computedKeys.get(g.name) match {
+              case Some(e) => column(e).alias(g.name)
+              case None    => column(g)
+            })
             val g = sel.groupingMode match {
               case GroupingMode.Plain  => df.groupBy(keys: _*)
               case GroupingMode.Rollup => df.rollup(keys: _*)

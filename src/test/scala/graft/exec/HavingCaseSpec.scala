@@ -59,6 +59,24 @@ class HavingCaseSpec extends SparkSpec {
     assert(sql.contains("CASE WHEN") && sql.contains("END"), sql)
   }
 
+  test("GROUP BY a computed key (CASE band alias) groups on the expression") {
+    val band = CaseWhen(
+      Seq((Cond(Col("o_totalprice"), CondOp.Less(V.f64(100000.0))), Lit(V.str("low")))),
+      default = Some(Lit(V.str("high")))).as("band")
+    val sel = Select(
+      table = "orders",
+      columns = Seq(band, CountStar.as("n")),
+      groupBy = Seq(Col("band")))
+    val got = run(sel).orderBy("band").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    assert(got("low") === orders.where(col("o_totalprice") < 100000).count())
+    assert(got("high") === orders.where(col("o_totalprice") >= 100000).count())
+    // rendered SQL groups by the CASE expression, not the alias
+    val sql = SqlRenderer.select(sel)
+    assert(sql.contains("GROUP BY CASE WHEN"), sql)
+  }
+
   test("conditional aggregation: SUM(CASE …) equals a filtered sum") {
     val dec = FxType.TDecimal(18, 2)
     val sel = Select(
