@@ -168,6 +168,17 @@ object Registry {
         Cond(Col("urgent_total"), CondOp.Greater(V.i64(0)))))),
       orderBy = Seq(Order.asc("o_custkey")))),
 
+    // C-extension string functions: SUBSTRING / TRIM / || concat / REPLACE
+    adt("q_string_fns", Select(
+      table = "customer",
+      columns = Seq(
+        Col("c_custkey"),
+        Fn(ScalarFn.Substring, Seq(Col("c_name"), Lit(V.i32(1)), Lit(V.i32(8)))).as("name8"),
+        Fn(ScalarFn.Trim, Seq(
+          Fn(ScalarFn.Concat, Seq(Lit(V.str("  ")), Col("c_name"), Lit(V.str(" ")))))).as("trimmed"),
+        Fn(ScalarFn.Replace, Seq(Col("c_mktsegment"), Lit(V.str("AUTO")), Lit(V.str("CAR")))).as("seg")),
+      orderBy = Seq(Order.asc("c_custkey")))),
+
     // GROUP BY a computed key: aggregation keyed on the CASE band's output
     // alias; renderer substitutes the defining expression (plain ANSI)
     adt("q_group_by_case", Select(

@@ -126,7 +126,17 @@ object ScalarFn {
   case object CharLength extends ScalarFn("LENGTH")
   case object Lower      extends ScalarFn("LOWER")
   case object Upper      extends ScalarFn("UPPER")
-  case object Round      extends ScalarFn("ROUND") // extension
+  // extensions beyond the reference's 6-function surface:
+  case object Round      extends ScalarFn("ROUND")
+  /** SUBSTRING(x, pos, len) — pos/len must be int literals (1-based pos). */
+  case object Substring  extends ScalarFn("SUBSTRING")
+  case object Trim       extends ScalarFn("TRIM")
+  /** Rendered as `(a || b || …)` — the null-propagating ANSI concatenation
+    * (Spark `concat` and `||` agree: any NULL operand ⇒ NULL; engines whose
+    * CONCAT() skips NULLs would diverge, hence the operator form).
+    */
+  case object Concat     extends ScalarFn("CONCAT")
+  case object Replace    extends ScalarFn("REPLACE")
 }
 
 sealed abstract class AggFn(val sqlName: String)

@@ -60,6 +60,9 @@ object SqlRenderer {
     case Cast(x, t)      => s"CAST(${columnExpr(x)} AS ${t.sqlName})"
     case CountStar       => "COUNT(*)"
     case BinOp(op, l, r) => s"(${columnExpr(l)} ${op.symbol} ${columnExpr(r)})"
+    case Fn(ScalarFn.Concat, args) =>
+      // operator form: null-propagating on every engine (CONCAT() is not)
+      s"(${args.map(columnExpr).mkString(" || ")})"
     case Fn(fn, args)    => s"${fn.sqlName}(${args.map(columnExpr).mkString(", ")})"
     case Agg(AggFn.Quantile(p), arg, _) =>
       s"PERCENTILE_CONT($p) WITHIN GROUP (ORDER BY ${columnExpr(arg)})"

@@ -66,6 +66,13 @@ object Translator {
           case Lit(FxI32(s)) => round(cs.head, s)
           case other => throw new IllegalArgumentException(s"ROUND scale must be int literal, got $other")
         }
+        case ScalarFn.Substring => (args(1), args(2)) match {
+          case (Lit(FxI32(p)), Lit(FxI32(l))) => substring(cs.head, p, l)
+          case other => throw new IllegalArgumentException(s"SUBSTRING pos/len must be int literals, got $other")
+        }
+        case ScalarFn.Trim    => trim(cs.head)
+        case ScalarFn.Concat  => concat(cs: _*)
+        case ScalarFn.Replace => replace(cs(0), cs(1), cs(2))
       }
     case Agg(fn, arg, distinct) =>
       val c = column(arg)

@@ -146,12 +146,16 @@ object QueryWire {
     case ScalarFn.Coalesce => "coalesce"; case ScalarFn.CharLength => "char_length"
     case ScalarFn.Lower => "lower"; case ScalarFn.Upper => "upper"
     case ScalarFn.Round => "round"
+    case ScalarFn.Substring => "substring"; case ScalarFn.Trim => "trim"
+    case ScalarFn.Concat => "concat"; case ScalarFn.Replace => "replace"
   }
   private def parseScalar(tag: String): ScalarFn = tag match {
     case "abs" => ScalarFn.Abs; case "ifnull" => ScalarFn.IfNull
     case "coalesce" => ScalarFn.Coalesce; case "char_length" => ScalarFn.CharLength
     case "lower" => ScalarFn.Lower; case "upper" => ScalarFn.Upper
     case "round" => ScalarFn.Round
+    case "substring" => ScalarFn.Substring; case "trim" => ScalarFn.Trim
+    case "concat" => ScalarFn.Concat; case "replace" => ScalarFn.Replace
     case other => throw new IllegalArgumentException(s"unknown scalar fn: $other")
   }
 
