@@ -1093,6 +1093,34 @@ FROM aug ORDER BY doc_id""".stripMargin
           .orderBy("chunk_id"),
         Some(graft.text.Packing.chunkStatsOracle("documents", "doc_id", "text", ctxLen = 512))),
 
+      // incremental exact dedup: batch vs historical fingerprint store
+      // (anti-join known dups out BEFORE the in-batch shuffle)
+      RegisteredQuery(
+        "q_dedup_incremental",
+        (s, dir) => {
+          val docs = Tables.resolve(s, dir)("documents")
+          val store = docs.where(pmod(col("doc_id"), lit(7)) === 0)
+            .select(fingerprint(col("text")).as("fp")).distinct()
+          graft.llm.Dedup.dedupIncremental(docs, store, "text", "doc_id")
+            .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+        },
+        Some(graft.llm.Dedup.incrementalOracle(
+          "documents", "doc_id", "text",
+          storeWhereSql = "doc_id % 7 = 0",
+          keepCols = Seq("doc_id", "lang", "n_chars")))),
+
+      // vocabulary coverage: top-300 corpus vocab (deterministic tie order)
+      // then scan-stage InSet OOV counting; oracle uses the explode/join
+      // formulation — the gate proves the two equivalent
+      RegisteredQuery(
+        "q_oov_rate",
+        (s, dir) => {
+          val docs = Tables.resolve(s, dir)("documents")
+          val vocab = CorpusFilters.buildVocab(docs, "text", topN = 300)
+          CorpusFilters.oovStats(docs, "doc_id", "text", vocab).orderBy("doc_id")
+        },
+        Some(CorpusFilters.oovOracle("documents", "doc_id", "text", topN = 300))),
+
       // overlapping token-window chunking (RAG ingestion): scan-stage array
       // surgery, no shuffle; layout deterministic from (text, chunk, stride)
       RegisteredQuery(

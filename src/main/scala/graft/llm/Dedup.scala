@@ -43,6 +43,40 @@ object Dedup {
     df.withColumn("__keep", keep).where(col(idCol) === col("__keep")).drop("__keep")
   }
 
+  /** Incremental exact dedup: dedup a NEW batch against an existing corpus
+    * represented only by its fingerprint set (`storeFps`, one `fp` Long
+    * column) — the steady-state shape of a continuously-ingesting pipeline,
+    * where re-fingerprinting the historical 100 TB per batch is a
+    * non-starter. Known duplicates are anti-joined out FIRST (fp-keyed,
+    * 8-byte — broadcast when the store side is small, shuffle otherwise),
+    * so they never enter the in-batch keep-min shuffle; then the surviving
+    * batch dedups internally via [[dedupExact]]. Append the survivors'
+    * [[graft.text.TextFunctions.fingerprint]]s to the store to advance it.
+    */
+  def dedupIncremental(
+      batch: DataFrame, storeFps: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val fresh = batch
+      .withColumn("__fp", fingerprint(col(textCol)))
+      .join(storeFps.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
+      .drop("__fp")
+    dedupExact(fresh, textCol, idCol)
+  }
+
+  /** Oracle for [[dedupIncremental]] with the store defined as the
+    * fingerprints of a filtered subset of the same table.
+    */
+  def incrementalOracle(
+      table: String, idCol: String, textCol: String,
+      storeWhereSql: String, keepCols: Seq[String]): String = {
+    val fp = s"CAST(('0x'||substr(md5($textCol),1,15)) AS BIGINT)"
+    s"""WITH store AS (SELECT DISTINCT $fp AS fp FROM $table WHERE $storeWhereSql),
+b AS (SELECT *, $fp AS fp FROM $table),
+f AS (SELECT * FROM b WHERE fp NOT IN (SELECT fp FROM store)),
+k AS (SELECT *, min($idCol) OVER (PARTITION BY fp) AS keep FROM f)
+SELECT ${keepCols.mkString(", ")} FROM k WHERE $idCol = keep ORDER BY $idCol""".stripMargin
+  }
+
   /** Exact dedup keeping the BEST row per duplicate group instead of the
     * lowest id — `score` ranks the candidates. The score must come from a
     * NON-text column (version, recency, source rank): rows in an

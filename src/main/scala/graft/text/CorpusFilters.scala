@@ -120,6 +120,57 @@ object CorpusFilters {
     s"${splitBucketSql(keyE, 100)} < (CASE $cases ELSE $defaultPct END)"
   }
 
+  // ------------------------------------------------- vocabulary / OOV ----
+
+  /** Top-N corpus vocabulary by token frequency, ties broken by token text —
+    * a total order, so the vocab is deterministic across partitionings and
+    * engines. One explode + partial-agg'd count; the result is tiny by
+    * construction (N rows) and lives on the driver like a stopword list.
+    */
+  def buildVocab(df: DataFrame, textCol: String, topN: Int): Seq[String] = {
+    import graft.text.TextFunctions.tokens
+    df.select(explode(tokens(col(textCol))).as("tk"))
+      .groupBy("tk").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tk").asc)
+      .limit(topN)
+      .select("tk").collect().map(_.getString(0)).toSeq
+  }
+
+  /** Per-document out-of-vocabulary stats against a fixed vocab: token
+    * count, OOV count, OOV rate — the cheap vocabulary-coverage quality
+    * signal (high OOV ⇒ wrong language / encoding noise / gibberish).
+    *
+    * Scale shape: the vocab embeds as an InSet literal (fine to ~10⁴-10⁵
+    * entries — codegen'd hash-set membership, evaluated in the scan stage,
+    * zero shuffle). For larger vocabularies switch to the explode +
+    * broadcast-join formulation; the numbers are identical.
+    */
+  def oovStats(df: DataFrame, idCol: String, textCol: String,
+               vocab: Seq[String]): DataFrame = {
+    import graft.text.TextFunctions.tokens
+    val t = tokens(col(textCol))
+    val nTok = size(t).cast("long")
+    val nOov = size(filter(t, tk => !tk.isInCollection(vocab))).cast("long")
+    df.select(
+      col(idCol),
+      nTok.as("n_tokens"),
+      nOov.as("n_oov"),
+      (nOov.cast(DoubleType) / nTok).as("oov_rate"))
+  }
+
+  /** Oracle for [[buildVocab]] + [[oovStats]] fused: the explode/left-join
+    * formulation — proving the InSet scan-stage form equivalent.
+    */
+  def oovOracle(table: String, idCol: String, textCol: String, topN: Int): String =
+    s"""WITH tok AS (SELECT $idCol, unnest(string_split($textCol, ' ')) AS tk FROM $table),
+cnt AS (SELECT tk, count(*) AS c FROM tok GROUP BY tk),
+vocab AS (SELECT tk FROM cnt ORDER BY c DESC, tk ASC LIMIT $topN),
+j AS (SELECT t.$idCol, v.tk IS NOT NULL AS in_v FROM tok t LEFT JOIN vocab v USING (tk))
+SELECT $idCol, count(*) AS n_tokens,
+  CAST(sum(CASE WHEN in_v THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+  CAST(sum(CASE WHEN in_v THEN 0 ELSE 1 END) AS DOUBLE) / count(*) AS oov_rate
+FROM j GROUP BY $idCol ORDER BY $idCol""".stripMargin
+
   // ------------------------------------------------------- repetition ----
 
   /** Gopher-style repetition metrics: per document, the total n-gram count,

@@ -182,4 +182,21 @@ class LlmSpec extends SparkSpec {
       assert(w.getAs[Long]("n_events") == m.getAs[Long]("n_events"))
     }
   }
+
+  test("dedupIncremental: store dups dropped, in-batch dups keep min id") {
+    import spark.implicits._
+    import graft.text.TextFunctions.fingerprint
+    import org.apache.spark.sql.functions.col
+    val batch = Seq(
+      (1L, "seen before text"),
+      (2L, "brand new text"),
+      (3L, "brand new text"),   // in-batch dup of 2
+      (4L, "also fresh here")
+    ).toDF("doc_id", "text")
+    val store = Seq("seen before text").toDF("text")
+      .select(fingerprint(col("text")).as("fp"))
+    val got = Dedup.dedupIncremental(batch, store, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq === Seq(2L, 4L))
+  }
 }

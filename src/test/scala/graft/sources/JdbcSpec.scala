@@ -54,6 +54,35 @@ class JdbcSpec extends SparkSpec {
     assert(r.getAs[Number](0).longValue == 3 && math.abs(r.getAs[Number](1).doubleValue - 61.5) < 1e-9)
   }
 
+  test("select pushdown: CASE, HAVING, and string fns render on Derby") {
+    ex.write(df, "t3b", SaveStrategy.Replace)
+    // CASE projection + string fns through the pushdown renderer
+    val sel = Select(
+      table = "t3b",
+      columns = Seq(
+        Col("id"),
+        CaseWhen(
+          Seq((Cond(Col("v"), CondOp.Less(V.f64(15.0))), Lit(V.str("low")))),
+          default = Some(Lit(V.str("high")))).as("band"),
+        Fn(ScalarFn.Upper, Seq(Fn(ScalarFn.Trim, Seq(Col("s"))))).as("su")),
+      orderBy = Seq(Order.asc("id")))
+    // Derby types CASE string literals as CHAR(max-branch-length) and
+    // blank-pads shorter branches — compare trimmed (dialect display quirk,
+    // not a semantics divergence)
+    val got = ex.select(spark, sel).collect()
+      .map(r => (r.getAs[Number]("id").longValue, r.getString(1).trim, r.getString(2)))
+    assert(got.toSeq == Seq((1L, "low", "A"), (2L, "high", "B"), (3L, "high", "C")))
+
+    // HAVING with alias substitution (Derby has no lateral aliases at all)
+    val hav = Select(
+      table = "t3b",
+      columns = Seq(Col("s"), Agg(AggFn.Count, Col("id")).as("n")),
+      groupBy = Seq(Col("s")),
+      having = Some(Cond(Col("n"), CondOp.GreaterEqual(V.i64(1)))),
+      orderBy = Seq(Order.asc("s")))
+    assert(ex.select(spark, hav).count() == 3)
+  }
+
   test("pushdown delete") {
     ex.write(df, "t4", SaveStrategy.Replace)
     val n = ex.delete(Delete("t4", Some(Cond(Col("v"), CondOp.Greater(V.f64(15.0))))))

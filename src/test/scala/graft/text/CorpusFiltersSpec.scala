@@ -93,4 +93,20 @@ class CorpusFiltersSpec extends SparkSpec {
     assert(r(2L) == ((3L, 1L, 0L, 0.0)))
     assert(r(3L) == ((1L, 1L, 0L, 0.0)))
   }
+
+  test("buildVocab: frequency order with deterministic text tiebreak") {
+    import spark.implicits._
+    val docs = Seq((1L, "b b b a a c c z"), (2L, "a z")).toDF("doc_id", "text")
+    // counts: a=3, b=3, c=2, z=2 → top-3 = b? no: ties break by TOKEN asc
+    assert(CorpusFilters.buildVocab(docs, "text", 3) === Seq("a", "b", "c"))
+  }
+
+  test("oovStats counts tokens outside the vocab") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b q r"), (2L, "a a a")).toDF("doc_id", "text")
+    val got = CorpusFilters.oovStats(docs, "doc_id", "text", Seq("a", "b"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq((1L, 4L, 2L, 0.5), (2L, 3L, 0L, 0.0)))
+  }
 }
