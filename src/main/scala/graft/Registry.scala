@@ -150,6 +150,21 @@ object Registry {
       orderBy = Seq(Order.asc("o_orderstatus"), Order.asc("o_orderpriority")),
       groupingMode = GroupingMode.Cube)),
 
+    // arbitrary GROUPING SETS (the rollup/cube generalization): detail,
+    // one-dim subtotal, and grand-total sets in one shuffle
+    adt("q_grouping_sets", Select(
+      table = "orders",
+      columns = Seq(
+        Col("o_orderstatus"), Col("o_orderpriority"),
+        CountStar.as("n"),
+        Cast(Agg(AggFn.Sum, Cast(Col("o_totalprice"), dec)), FxType.TF64).as("total")),
+      groupBy = Seq(Col("o_orderstatus"), Col("o_orderpriority")),
+      orderBy = Seq(Order.asc("o_orderstatus"), Order.asc("o_orderpriority")),
+      groupingMode = GroupingMode.Sets(Seq(
+        Seq("o_orderstatus", "o_orderpriority"),
+        Seq("o_orderpriority"),
+        Seq.empty)))),
+
     // HAVING over output columns + conditional aggregation (CASE inside SUM,
     // decimal-exact so the sum is partitioning-independent); the renderer
     // substitutes the aliases back to aggregate expressions for ANSI HAVING

@@ -295,6 +295,15 @@ object GroupingMode {
   case object Plain  extends GroupingMode
   case object Rollup extends GroupingMode
   case object Cube   extends GroupingMode
+  /** Arbitrary GROUPING SETS — each set lists names from `Select.groupBy`
+    * (the union of all sets); keys absent from a set emit NULL subtotal
+    * rows, exactly as ROLLUP/CUBE's generalization. Maps to
+    * `Dataset.groupingSets` natively and `GROUP BY GROUPING SETS (…)` in
+    * SQL.
+    */
+  final case class Sets(sets: Seq[Seq[String]]) extends GroupingMode {
+    require(sets.nonEmpty, "GROUPING SETS requires at least one set")
+  }
 }
 
 /** The Select IR (sql_adt.rs:744-855). */

@@ -177,6 +177,9 @@ object SqlRenderer {
         case GroupingMode.Plain  => sel.groupBy.map(key).mkString(", ")
         case GroupingMode.Rollup => sel.groupBy.map(key).mkString("ROLLUP (", ", ", ")")
         case GroupingMode.Cube   => sel.groupBy.map(key).mkString("CUBE (", ", ", ")")
+        case GroupingMode.Sets(sets) => sets
+          .map(_.map(n => key(Col(n))).mkString("(", ", ", ")"))
+          .mkString("GROUPING SETS (", ", ", ")")
       })
     }
     sel.having.foreach { h =>

@@ -206,10 +206,14 @@ object Translator {
               case Some(e) => column(e).alias(g.name)
               case None    => column(g)
             })
+            val keyFor = sel.groupBy.map(_.name).zip(keys).toMap
             val g = sel.groupingMode match {
-              case GroupingMode.Plain  => df.groupBy(keys: _*)
-              case GroupingMode.Rollup => df.rollup(keys: _*)
-              case GroupingMode.Cube   => df.cube(keys: _*)
+              case GroupingMode.Plain      => df.groupBy(keys: _*)
+              case GroupingMode.Rollup     => df.rollup(keys: _*)
+              case GroupingMode.Cube       => df.cube(keys: _*)
+              case GroupingMode.Sets(sets) =>
+                df.groupingSets(sets.map(_.map(n => keyFor.getOrElse(n,
+                  throw new IllegalArgumentException(s"grouping set key $n not in GROUP BY")))), keys: _*)
             }
             g.agg(aggCols.head, aggCols.tail: _*)
           }

@@ -436,6 +436,13 @@ object QueryWire {
       case GroupingMode.Plain  => ()
       case GroupingMode.Rollup => o.put("grouping", "rollup")
       case GroupingMode.Cube   => o.put("grouping", "cube")
+      case GroupingMode.Sets(sets) =>
+        o.put("grouping", "sets")
+        val arr = F.arrayNode()
+        sets.foreach { s =>
+          val inner = F.arrayNode(); s.foreach(inner.add); arr.add(inner)
+        }
+        o.set[ArrayNode]("grouping_sets", arr)
     }
     if (sel.orderBy.nonEmpty) o.set[ArrayNode]("order_by", orderNodes(sel.orderBy))
     sel.limit.foreach(o.put("limit", _))
@@ -465,6 +472,8 @@ object QueryWire {
     groupingMode = Option(n.get("grouping")).map(_.asText()) match {
       case Some("rollup") => GroupingMode.Rollup
       case Some("cube")   => GroupingMode.Cube
+      case Some("sets")   => GroupingMode.Sets(
+        iter(n.get("grouping_sets")).map(s => iter(s).map(_.asText()).toSeq).toSeq)
       case _              => GroupingMode.Plain
     })
 

@@ -98,7 +98,8 @@ class QueryWirePropertySpec extends AnyFunSuite {
         JoinType.Semi, JoinType.Anti, JoinType.Cross),
       Gen.oneOf(true, false))).map(_.map { case (t, b) =>
         Join("dim", Seq(("k1", "k2")), t, as = Some("d"), broadcastHint = b) })
-    grouping <- Gen.oneOf(GroupingMode.Plain, GroupingMode.Rollup, GroupingMode.Cube)
+    grouping <- Gen.oneOf(GroupingMode.Plain, GroupingMode.Rollup, GroupingMode.Cube,
+      GroupingMode.Sets(Seq(Seq("a", "b"), Seq("b"), Seq.empty)))
     groupBy <- Gen.listOfN(2, nameGen.map(Col(_)))
     having <- Gen.option(exprGen(1))
     orderBy <- Gen.listOfN(2, Gen.zip(nameGen, Gen.oneOf(true, false)).map { case (n, d) => Order(n, d) })
