@@ -916,6 +916,56 @@ SELECT lang, CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE) ELSE 15.0 * ${1L << 60} /
           leftCols = Seq("event_id", "user_id", "ts", "value"),
           payload = Seq("event_id" -> "click_id", "value" -> "click_value"),
           tieBreak = Some("event_id")) +
+          " ORDER BY event_id")),
+
+      // forward as-of: NEXT click at-or-after each purchase (same machinery,
+      // window descending) vs DuckDB ASOF with the inequality flipped
+      RegisteredQuery(
+        "q_asof_forward",
+        (s, dir) => {
+          import graft.operators.AsofJoin
+          val ev = EventWindows.readEvents(s, s"$dir/events.parquet")
+          val purchases = ev.where(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts", "value")
+          val clicks = ev.where(col("event_type") === "click")
+            .select(col("user_id"), col("ts"),
+              col("event_id").as("click_id"), col("value").as("click_value"))
+          AsofJoin.asofForward(purchases, clicks,
+              on = Seq("user_id"), ts = "ts",
+              payload = Seq("click_id", "click_value"), tieBreak = Some("click_id"))
+            .orderBy("event_id")
+        },
+        Some(AsofJoin.asofForwardOracle("events",
+          leftPred = "event_type = 'purchase'", rightPred = "event_type = 'click'",
+          key = "user_id", ts = "ts",
+          leftCols = Seq("event_id", "user_id", "ts", "value"),
+          payload = Seq("event_id" -> "click_id", "value" -> "click_value"),
+          tieBreak = Some("event_id")) +
+          " ORDER BY event_id")),
+
+      // nearest as-of: closest click either side, backward preferred on
+      // ties — two-pass composition vs the brute min-|Δts| QUALIFY oracle
+      RegisteredQuery(
+        "q_asof_nearest",
+        (s, dir) => {
+          import graft.operators.AsofJoin
+          val ev = EventWindows.readEvents(s, s"$dir/events.parquet")
+          val purchases = ev.where(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts", "value")
+          val clicks = ev.where(col("event_type") === "click")
+            .select(col("user_id"), col("ts"),
+              col("event_id").as("click_id"), col("value").as("click_value"))
+          AsofJoin.asofNearest(purchases, clicks,
+              on = Seq("user_id"), ts = "ts",
+              payload = Seq("click_id", "click_value"), tieBreak = Some("click_id"))
+            .orderBy("event_id")
+        },
+        Some(AsofJoin.asofNearestOracle("events",
+          leftPred = "event_type = 'purchase'", rightPred = "event_type = 'click'",
+          key = "user_id", ts = "ts", leftId = "event_id",
+          leftCols = Seq("event_id", "user_id", "ts", "value"),
+          payload = Seq("event_id" -> "click_id", "value" -> "click_value"),
+          tieBreak = Some("event_id")) +
           " ORDER BY event_id")))
   }
 

@@ -42,7 +42,49 @@ object AsofJoin {
     */
   def asofBackward(left: DataFrame, right: DataFrame, on: Seq[String], ts: String,
                    payload: Seq[String], suffix: String = "",
-                   strict: Boolean = false, tieBreak: Option[String] = None): DataFrame = {
+                   strict: Boolean = false, tieBreak: Option[String] = None): DataFrame =
+    asofImpl(left, right, on, ts, payload, suffix, strict, tieBreak, forward = false)
+
+  /** As-of FORWARD join — for each left row, the EARLIEST right row with the
+    * same key and `ts` at-or-after the left row's `ts` ("what was the next
+    * click after this impression"). Identical single-shuffle union+window
+    * machinery as [[asofBackward]] with the window ordered descending, so
+    * the running `last(ignoreNulls)` carries the smallest eligible right
+    * `ts` back onto each left row; same cost profile.
+    */
+  def asofForward(left: DataFrame, right: DataFrame, on: Seq[String], ts: String,
+                  payload: Seq[String], suffix: String = "",
+                  strict: Boolean = false, tieBreak: Option[String] = None): DataFrame =
+    asofImpl(left, right, on, ts, payload, suffix, strict, tieBreak, forward = true)
+
+  /** Nearest-as-of join: the right row minimizing |ts_r − ts_l| per key,
+    * ties (including an exact-ts match vs an equidistant future row)
+    * preferring the backward side. Composed as backward + forward passes
+    * (each one shuffle) and a per-row pick — no distance join, no
+    * candidate explosion; `ts` needs only subtraction + comparison
+    * (numerics and timestamps both qualify).
+    */
+  def asofNearest(left: DataFrame, right: DataFrame, on: Seq[String], ts: String,
+                  payload: Seq[String], suffix: String = "",
+                  tieBreak: Option[String] = None): DataFrame = {
+    val payB = payload.map(_ + "__b"); val payF = payload.map(_ + "__f")
+    val tsB = ts + "__b"; val tsF = ts + "__f"
+    val b = asofBackward(left, right, on, ts, payload :+ ts, suffix = "__b",
+      strict = false, tieBreak = tieBreak)
+    val bf = asofForward(b, right, on, ts, payload :+ ts, suffix = "__f",
+      strict = false, tieBreak = tieBreak)
+    val pickBack = col(tsF).isNull ||
+      (col(tsB).isNotNull && (col(ts) - col(tsB)) <= (col(tsF) - col(ts)))
+    bf.select(left.columns.map(col).toIndexedSeq ++
+      payload.indices.map { i =>
+        when(pickBack, col(payB(i))).otherwise(col(payF(i))).as(payload(i) + suffix)
+      }: _*)
+  }
+
+  private def asofImpl(left: DataFrame, right: DataFrame, on: Seq[String], ts: String,
+                       payload: Seq[String], suffix: String,
+                       strict: Boolean, tieBreak: Option[String],
+                       forward: Boolean): DataFrame = {
     require(on.nonEmpty, "asof join needs at least one key column")
     val outNames = payload.map(_ + suffix)
     val clash = outNames.toSet.intersect(left.columns.toSet)
@@ -68,8 +110,12 @@ object AsofJoin {
         lit(null).cast(rightU.schema(pay).dataType).as(pay)) ++
       leftOnly.map(col): _*)
 
+    // forward flips only the ts direction: processing right-to-left, the
+    // running last() then carries the SMALLEST eligible right ts; the side
+    // flag keeps equal-ts visibility identical in both directions
+    val tsOrder = if (forward) col(ts).desc else col(ts).asc
     val w = Window.partitionBy(on.map(col): _*)
-      .orderBy(col(ts).asc, col(side).asc, col(tie).asc)
+      .orderBy(tsOrder, col(side).asc, col(tie).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rightU.unionByName(leftU)
       .withColumn(pay, last(col(pay), ignoreNulls = true).over(w))
@@ -96,5 +142,44 @@ object AsofJoin {
     }
     s"SELECT $lsel, $rsel FROM (SELECT * FROM $table WHERE $leftPred) l " +
       s"ASOF LEFT JOIN ($rightSrc) r ON l.$key = r.$key AND l.$ts >= r.$ts"
+  }
+
+  /** DuckDB oracle for [[asofForward]]: native ASOF LEFT JOIN with the
+    * inequality flipped (`l.ts <= r.ts` picks the smallest at-or-after).
+    */
+  def asofForwardOracle(table: String, leftPred: String, rightPred: String,
+                        key: String, ts: String, leftCols: Seq[String],
+                        payload: Seq[(String, String)], tieBreak: Option[String] = None): String = {
+    val lsel = leftCols.map(c => s"l.$c AS $c").mkString(", ")
+    val rsel = payload.map { case (c, a) => s"r.$c AS $a" }.mkString(", ")
+    val rightSrc = tieBreak match {
+      case Some(tb) => s"SELECT * FROM $table WHERE $rightPred QUALIFY " +
+        s"row_number() OVER (PARTITION BY $key, $ts ORDER BY $tb DESC) = 1"
+      case None => s"SELECT * FROM $table WHERE $rightPred"
+    }
+    s"SELECT $lsel, $rsel FROM (SELECT * FROM $table WHERE $leftPred) l " +
+      s"ASOF LEFT JOIN ($rightSrc) r ON l.$key = r.$key AND l.$ts <= r.$ts"
+  }
+
+  /** DuckDB oracle for [[asofNearest]]: brute left join + QUALIFY picking
+    * the min-|Δts| right row, backward side preferred on ties — the
+    * textbook definition, independent of the two-pass composition.
+    * `leftId` must uniquely identify left rows.
+    */
+  def asofNearestOracle(table: String, leftPred: String, rightPred: String,
+                        key: String, ts: String, leftId: String, leftCols: Seq[String],
+                        payload: Seq[(String, String)], tieBreak: Option[String] = None): String = {
+    val lsel = leftCols.map(c => s"l.$c AS $c").mkString(", ")
+    val rsel = payload.map { case (c, a) => s"r.$c AS $a" }.mkString(", ")
+    val rightSrc = tieBreak match {
+      case Some(tb) => s"SELECT * FROM $table WHERE $rightPred QUALIFY " +
+        s"row_number() OVER (PARTITION BY $key, $ts ORDER BY $tb DESC) = 1"
+      case None => s"SELECT * FROM $table WHERE $rightPred"
+    }
+    s"""SELECT $lsel, $rsel FROM (SELECT * FROM $table WHERE $leftPred) l
+LEFT JOIN ($rightSrc) r ON l.$key = r.$key
+QUALIFY r.$key IS NULL OR row_number() OVER (PARTITION BY l.$leftId
+  ORDER BY CASE WHEN r.$ts <= l.$ts THEN l.$ts - r.$ts ELSE r.$ts - l.$ts END ASC,
+           CASE WHEN r.$ts <= l.$ts THEN 0 ELSE 1 END ASC) = 1""".stripMargin
   }
 }

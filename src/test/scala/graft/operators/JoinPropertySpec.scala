@@ -35,6 +35,53 @@ class JoinPropertySpec extends SparkSpec {
     }
   }
 
+  test("asofForward equals brute force on random data") {
+    val keys = Vector("a", "b", "c")
+    val trades = Vector.tabulate(600)(i =>
+      (i.toLong, keys(rnd.nextInt(keys.size)), rnd.nextInt(300).toLong))
+    val quotes = Vector.tabulate(300)(i =>
+      (i.toLong, keys(rnd.nextInt(keys.size)), rnd.nextInt(300).toLong, rnd.nextInt(1000)))
+
+    val got = AsofJoin.asofForward(
+        trades.toDF("tid", "k", "ts"),
+        quotes.toDF("qid", "k", "ts", "px"),
+        on = Seq("k"), ts = "ts", payload = Seq("qid", "px"), tieBreak = Some("qid"))
+      .select("tid", "qid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+    trades.foreach { case (tid, k, ts) =>
+      // brute force: min-ts quote at-or-after; among (key, ts) ties max qid
+      val expect = quotes.filter(q => q._2 == k && q._3 >= ts)
+        .sortBy(q => (q._3, -q._1)).headOption.map(_._1)
+      assert(got(tid) === expect, s"trade $tid key=$k ts=$ts")
+    }
+  }
+
+  test("asofNearest equals brute force (backward preferred on distance ties)") {
+    val keys = Vector("a", "b")
+    val trades = Vector.tabulate(400)(i =>
+      (i.toLong, keys(rnd.nextInt(keys.size)), rnd.nextInt(200).toLong))
+    val quotes = Vector.tabulate(200)(i =>
+      (i.toLong, keys(rnd.nextInt(keys.size)), rnd.nextInt(200).toLong, rnd.nextInt(1000)))
+
+    val got = AsofJoin.asofNearest(
+        trades.toDF("tid", "k", "ts"),
+        quotes.toDF("qid", "k", "ts", "px"),
+        on = Seq("k"), ts = "ts", payload = Seq("qid", "px"), tieBreak = Some("qid"))
+      .select("tid", "qid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+    trades.foreach { case (tid, k, ts) =>
+      val cands = quotes.filter(_._2 == k)
+        // per (key, ts) the tieBreak pre-resolves to max qid
+        .groupBy(_._3).map { case (_, g) => g.maxBy(_._1) }.toVector
+      val expect = cands
+        .sortBy(q => ((q._3 - ts).abs, if (q._3 <= ts) 0 else 1))
+        .headOption.map(_._1)
+      assert(got(tid) === expect, s"trade $tid key=$k ts=$ts")
+    }
+  }
+
   test("intervalJoin equals brute force on random intervals (800 points, 300 intervals)") {
     def t(min: Long) = java.sql.Timestamp.valueOf(
       java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusMinutes(min))
