@@ -1158,6 +1158,42 @@ FROM aug ORDER BY doc_id""".stripMargin
           .orderBy("chunk_id"),
         Some(graft.text.Packing.chunkStatsOracle("documents", "doc_id", "text", ctxLen = 512))),
 
+      // fixed-bin histogram: one partial-agg'd pass, ≤nBins rows out
+      RegisteredQuery(
+        "q_histogram",
+        (s, dir) => graft.operators.Profiling.histogram(
+            Tables.resolve(s, dir)("lineitem"),
+            col("l_extendedprice"), lo = 0.0, hi = 80000.0, nBins = 16)
+          .orderBy("bin"),
+        Some(graft.operators.Profiling.histogramOracle(
+          "lineitem", "l_extendedprice", lo = 0.0, hi = 80000.0, nBins = 16))),
+
+      // per-column ANALYZE-style profile in ONE aggregation pass (long and
+      // string columns — doubles are excluded from the gate because the two
+      // engines' double→string renderings differ)
+      RegisteredQuery(
+        "q_profile",
+        (s, dir) => graft.operators.Profiling.profile(
+            Tables.resolve(s, dir)("customer"),
+            Seq("c_custkey", "c_name", "c_mktsegment", "c_nationkey"))
+          .orderBy("column"),
+        Some(graft.operators.Profiling.profileOracle(
+          "customer", Seq("c_custkey", "c_name", "c_mktsegment", "c_nationkey")))),
+
+      // Z-order (Morton) value: bit-interleaved two-dimensional clustering
+      // key — pure integer shift arithmetic both engines replay exactly
+      RegisteredQuery(
+        "q_zorder",
+        (s, dir) => Tables.resolve(s, dir)("lineitem").select(
+            col("l_orderkey"), col("l_linenumber"),
+            graft.operators.ZOrder.zValue(
+              pmod(col("l_partkey"), lit(4096)),
+              pmod(col("l_suppkey"), lit(4096)), bits = 12).as("z"))
+          .orderBy("l_orderkey", "l_linenumber"),
+        Some("SELECT l_orderkey, l_linenumber, " +
+          graft.operators.ZOrder.zValueSql("(l_partkey % 4096)", "(l_suppkey % 4096)", bits = 12) +
+          " AS z FROM lineitem ORDER BY l_orderkey, l_linenumber")),
+
       // incremental exact dedup: batch vs historical fingerprint store
       // (anti-join known dups out BEFORE the in-batch shuffle)
       RegisteredQuery(

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-profiling operators: fixed-bin histograms and per-column summary
+  * stats — the ANALYZE-style pass a pipeline runs before choosing join
+  * strategies, salt factors, and bucket counts. Everything is one partial-
+  * agg'd aggregation over the scan (no second pass, no collect of row
+  * data), so profiling 100 TB costs one read.
+  */
+object Profiling {
+
+  /** Fixed-width histogram of `c` over [lo, hi): bin i = floor((x−lo)/w),
+    * clamped into [0, nBins−1] so outliers land in the edge bins; one
+    * groupBy on a small int key (partial-agg'd, ≤nBins rows out). The bin
+    * formula is plain IEEE arithmetic — engine-replayable.
+    */
+  def histogram(df: DataFrame, c: Column, lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins > 0 && hi > lo, "need nBins > 0 and hi > lo")
+    val w = (hi - lo) / nBins
+    val bin = least(greatest(floor((c.cast("double") - lo) / w), lit(0.0)), lit((nBins - 1).toDouble))
+      .cast("long")
+    df.where(c.isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  def histogramOracle(table: String, expr: String, lo: Double, hi: Double,
+                      nBins: Int): String = {
+    val w = s"((${hi}) - (${lo})) / $nBins"
+    s"""SELECT CAST(least(greatest(floor((CAST($expr AS DOUBLE) - ($lo)) / ($w)), 0), ${nBins - 1}) AS BIGINT) AS bin,
+count(*) AS n FROM $table WHERE $expr IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Per-column profile, melted to one row per column: rows, nulls,
+    * distincts, min/max (as strings — one schema across types). Exact
+    * distinct counts; for quick profiling of ultra-wide tables swap in the
+    * KMV estimator ([[graft.functions.BottomK.kmvEstimate]]). All columns
+    * profile in ONE aggregation pass over the scan.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        count_distinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    } :+ count(lit(1)).as("__rows")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val melted = cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        col("__rows").as("n_rows"),
+        (col("__rows") - col(s"__nn_$c")).as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_s"),
+        col(s"__mx_$c").as("max_s"))
+    }
+    one.select(explode(array(melted: _*)).as("p")).select("p.*")
+  }
+
+  def profileOracle(table: String, cols: Seq[String]): String = {
+    val rows = cols.map { c =>
+      s"""SELECT '$c' AS "column", count(*) AS n_rows,
+count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS n_distinct,
+CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s FROM $table"""
+    }
+    rows.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+  }
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ProfilingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("histogram bins, outlier clamping, and null exclusion") {
+    val df = Seq[java.lang.Double](0.5, 1.5, 1.7, -10.0, 99.0, null).toDF("v")
+    val got = Profiling.histogram(df, col("v"), lo = 0.0, hi = 4.0, nBins = 4)
+      .orderBy("bin").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // -10 clamps to bin 0, 99 clamps to bin 3, null dropped
+    assert(got === Map(0L -> 2L, 1L -> 2L, 3L -> 1L))
+  }
+
+  test("profile: nulls, distincts, min/max per column in one pass") {
+    val df = Seq(
+      (1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("a"))
+    ).toDF("id", "s")
+    val got = Profiling.profile(df, Seq("id", "s")).orderBy("column").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(got("id") === ((4L, 0L, 4L, "1", "4")))
+    assert(got("s") === ((4L, 1L, 2L, "a", "b")))
+  }
+
+  test("zValue interleaves bits (known values) and orders within a row of cells") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (3L, 5L)).toDF("x", "y")
+    val got = df.select(ZOrder.zValue(col("x"), col("y"), bits = 3).as("z"))
+      .as[Long].collect()
+    assert(got.toSeq === Seq(0L, 1L, 2L, 3L, 39L))
+    // for fixed y, z is monotone in x (order preserved within a curve row)
+    val zs = (0L to 7L).map(x => Seq((x, 2L)).toDF("x", "y")
+      .select(ZOrder.zValue(col("x"), col("y"), 3).as("z")).as[Long].head())
+    assert(zs === zs.sorted)
+  }
+
+  test("z-order locality beats linear order on 2-D range queries") {
+    // 16x16 grid; a 4x4 query box touches fewer distinct z-runs than
+    // row-major runs of the same box — the pruning win in file terms
+    val grid = for { x <- 0 until 16; y <- 0 until 16 } yield (x.toLong, y.toLong)
+    val df = grid.toDF("x", "y")
+      .withColumn("z", ZOrder.zValue(col("x"), col("y"), 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // files of 16 consecutive rows in each layout; count files touched by box
+    def filesTouched(sorted: Seq[(Long, Long, Long)]): Int =
+      sorted.zipWithIndex
+        .filter { case ((x, y, _), _) => x >= 4 && x < 8 && y >= 4 && y < 8 }
+        .map(_._2 / 16).distinct.size
+    val zFiles = filesTouched(df.sortBy(_._3).toSeq)
+    val rowMajorFiles = filesTouched(df.sortBy(t => (t._1, t._2)).toSeq)
+    assert(zFiles < rowMajorFiles, s"z=$zFiles rowMajor=$rowMajorFiles")
+  }
+}
