@@ -1,0 +1,121 @@
+package graft.llm
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Product quantization (PQ) — the deep end of the vector-compression
+  * ladder (float32 → int8 ([[EmbeddingOps]]) → PQ): split each vector into
+  * `m` subvectors, k-means each subspace independently into `ksub`
+  * centroids, and store only the m centroid ids — m bytes per vector when
+  * ksub ≤ 256, a 32× cut at dim=64/m=8 vs float32. Queries score compressed
+  * codes by ADC (asymmetric distance computation): per query, a tiny
+  * m × ksub table of exact subspace distances is precomputed, and each
+  * corpus vector's approximate distance is m table lookups — no
+  * decompression, no float vector ever read at search time.
+  *
+  * Scale shape: codebooks are m·ksub·subDim doubles (KBs) — broadcast;
+  * encoding is one pass over the corpus; ADC tables are per-query KBs —
+  * broadcast; search never shuffles the corpus (codes scored in the scan
+  * stage, top-k via the bounded-buffer [[graft.functions.TopK]] partial
+  * aggregate).
+  *
+  * Like [[IvfIndex]], training is seeded-deterministic but float-iterative,
+  * so PQ is spec-verified (recall on separable data, code determinism)
+  * rather than oracle-gated — the oracle-checkable members of the ladder
+  * are the int8 ops.
+  */
+final case class PqCodebook(
+    codebooks: Array[Array[Array[Double]]], // m × ksub × subDim
+    m: Int, subDim: Int) {
+
+  def ksub: Int = codebooks(0).length
+
+  private def sqDist(v: Seq[Float], s: Int, c: Array[Double]): Double = {
+    var d = 0.0; var j = 0
+    while (j < c.length) { val t = v(s * c.length + j) - c(j); d += t * t; j += 1 }
+    d
+  }
+
+  /** Encode vectors to m centroid ids: (`idCol`, codes array<int>). */
+  def encode(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val sess = df.sparkSession
+    val bc = sess.sparkContext.broadcast(codebooks)
+    val enc = udf { (v: Seq[Float]) =>
+      val cbs = bc.value
+      Array.tabulate(m) { s =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cbs(s).length) {
+          var d = 0.0; var j = 0
+          val cent = cbs(s)(c)
+          while (j < cent.length) { val t = v(s * cent.length + j) - cent(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }
+    }
+    df.select(col(idCol), enc(col(vecCol)).as("codes"))
+  }
+
+  /** ADC top-k: exact queries against the compressed corpus. `queries` must
+    * be small (the per-query distance tables broadcast); corpus `codes`
+    * stream through the scan stage and ship ≤k candidates per query.
+    */
+  def search(codes: DataFrame, queries: DataFrame, k: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sess = codes.sparkSession
+    val qs = queries.select(col(idCol), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val tables: Map[Long, Array[Array[Double]]] = qs.map { case (qid, v) =>
+      qid -> Array.tabulate(m)(s => Array.tabulate(ksub)(c => sqDist(v, s, codebooks(s)(c))))
+    }.toMap
+    val bc = sess.sparkContext.broadcast(tables)
+    val adc = udf { (qid: Long, cs: Seq[Int]) =>
+      val t = bc.value(qid)
+      var d = 0.0; var s = 0
+      while (s < t.length) { d += t(s)(cs(s)); s += 1 }
+      d
+    }
+    import sess.implicits._
+    val qIds = qs.map(_._1).toSeq.toDF("query_id")
+    val scored = codes.select(col(idCol).as("neighbor_id"), col("codes"))
+      .crossJoin(broadcast(qIds))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        // TopK is max-first; ADC is a distance — negate so nearest ranks first
+        (-adc(col("query_id"), col("codes"))).as("score"))
+    graft.functions.TopK.perGroup(scored, Seq("query_id"), col("score"), col("neighbor_id"), k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
+        (-col("score")).as("adc_dist"))
+  }
+}
+
+object ProductQuantizer {
+
+  /** Train per-subspace codebooks with seeded k-means (seed offset by
+    * subspace index so subspaces train independently but reproducibly).
+    */
+  def fit(corpus: DataFrame, m: Int, ksub: Int,
+          idCol: String = "vec_id", vecCol: String = "embedding",
+          seed: Long = 42L, maxIter: Int = 8): PqCodebook = {
+    val sess = corpus.sparkSession
+    import sess.implicits._
+    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val codebooks = Array.tabulate(m) { s =>
+      val train = corpus.select(col(vecCol)).map { r =>
+        val v = r.getSeq[Float](0)
+        Tuple1(Vectors.dense(Array.tabulate(subDim)(j => v(s * subDim + j).toDouble)))
+      }.toDF("features")
+      val model = new KMeans().setK(ksub).setSeed(seed + s).setMaxIter(maxIter)
+        .setFeaturesCol("features").fit(train)
+      model.clusterCenters.map(_.toArray)
+    }
+    PqCodebook(codebooks, m, subDim)
+  }
+}
