@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Buffer-until-watermark funnel: after the watermark seals every real
+  * event, the last snapshot per user must equal the batch funnel walk —
+  * proving the incremental fold (buffer + seal in ts order) IS the batch
+  * sort-fold, micro-batching notwithstanding.
+  */
+class StreamingFunnelsSpec extends SparkSpec {
+
+  private val dir = "/tmp/graft_funnel_events"
+  private val steps = Seq("view", "click", "purchase")
+
+  /** Stage the real events file, then two "closer" files of one future
+    * step-1 event per user — each advances the watermark so the NEXT batch
+    * seals more; closer events themselves always sit above the final
+    * watermark (strictly increasing future ts), so they never fold.
+    */
+  private def stage(): Unit = {
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/a_events.parquet"))
+    val ev = graft.llm.EventWindows.readEvents(spark, s"$sf/events.parquet")
+    val users = ev.select("user_id").distinct()
+    (1 to 2).foreach { i =>
+      graft.llm.EventWindows.withNanosAsLong(spark) {
+        users.select(
+            (col("user_id") * 0 + 1000000 + i).cast("long").as("event_id"),
+            // nanos-long ts far beyond every real event, increasing per file
+            expr(s"CAST((unix_micros(TIMESTAMP '2030-0$i-01 00:00:00') * 1000) AS LONG)").as("ts"),
+            col("user_id"),
+            lit("view").as("event_type"),
+            lit(0.0).as("value"),
+            lit("{}").as("props"))
+          .write.mode("overwrite").parquet(s"$dir/closer_$i")
+      }
+      // flatten into single files the stream reads after the real one
+      val files = new java.io.File(s"$dir/closer_$i").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      java.nio.file.Files.copy(files.head.toPath,
+        java.nio.file.Paths.get(s"$dir/z_closer_$i.parquet"))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir/closer_$i"))
+    }
+  }
+
+  test("sealed snapshots equal the batch funnel walk") {
+    stage()
+    val stream = graft.llm.EventWindows.withNanosAsLong(spark) {
+      spark.readStream.schema(StreamingWindows.EventsRawSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        .withWatermark("ts", "1 second")
+    }
+    val q = StreamingFunnels.funnelProgress(stream, steps)
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode(StreamingFunnels.FunnelOutputMode).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    // last snapshot per user (max steps; snapshots are monotone in steps)
+    val got = spark.table("funnel_stream")
+      .groupBy("user_id").agg(max("steps_completed").as("steps"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+    val batch = graft.llm.EventFunnels.funnel(
+        graft.llm.EventWindows.readEvents(spark, s"$sf/events.parquet"), steps)
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("steps_completed")).toMap
+
+    assert(batch.nonEmpty && got.size === batch.size,
+      s"stream covered ${got.size} users, batch ${batch.size}")
+    batch.foreach { case (u, s) =>
+      assert(got(u) === s, s"user $u: stream ${got(u)} vs batch $s")
+    }
+  }
+}
