@@ -183,6 +183,35 @@ object Registry {
         Cond(Col("urgent_total"), CondOp.Greater(V.i64(0)))))),
       orderBy = Seq(Order.asc("o_custkey")))),
 
+    // compound set ops through the IR: wire-expressible UNION/EXCEPT (the
+    // Fabrix-layer set ops made first-class queries)
+    {
+      val building = Select("customer", Seq(Col("c_custkey"), Col("c_name")),
+        filter = Some(Cond(Col("c_mktsegment"), CondOp.Equal(V.str("BUILDING")))))
+      val richOrPoor = Select("customer", Seq(Col("c_custkey"), Col("c_name")),
+        filter = Some(Or(Seq(
+          Cond(Col("c_acctbal"), CondOp.Greater(V.f64(9000.0))),
+          Cond(Col("c_acctbal"), CondOp.Less(V.f64(-900.0)))))))
+      val c = Compound(SetOp.Union, building, richOrPoor,
+        orderBy = Seq(Order.asc("c_custkey")))
+      RegisteredQuery(
+        "q_compound_union",
+        (s, dir) => Translator.compound(c, Tables.resolve(s, dir)),
+        Some(SqlRenderer.compound(c)))
+    },
+    {
+      val building = Select("customer", Seq(Col("c_custkey"), Col("c_name")),
+        filter = Some(Cond(Col("c_mktsegment"), CondOp.Equal(V.str("BUILDING")))))
+      val rich = Select("customer", Seq(Col("c_custkey"), Col("c_name")),
+        filter = Some(Cond(Col("c_acctbal"), CondOp.Greater(V.f64(5000.0)))))
+      val c = Compound(SetOp.Except, building, rich,
+        orderBy = Seq(Order.asc("c_custkey")), limit = Some(100))
+      RegisteredQuery(
+        "q_compound_except",
+        (s, dir) => Translator.compound(c, Tables.resolve(s, dir)),
+        Some(SqlRenderer.compound(c)))
+    },
+
     // C-extension string functions: SUBSTRING / TRIM / || concat / REPLACE
     adt("q_string_fns", Select(
       table = "customer",

@@ -345,3 +345,26 @@ final case class Select(
   * complement (anti-filter); pushdown semantics = DELETE WHERE.
   */
 final case class Delete(table: String, filter: Option[Expr] = None)
+
+// --------------------------------------------------------------- compound ---
+
+/** Set operation combining two Selects (extension — the reference's IR has
+  * no compound queries; our Fabrix layer has vconcat/intersect/except as
+  * methods, this makes them WIRE-expressible). ANSI semantics: operands
+  * combine positionally; UNION/INTERSECT/EXCEPT are distinct, UNION ALL
+  * keeps duplicates. `orderBy`/`limit` apply to the combined result.
+  */
+sealed abstract class SetOp(val sql: String)
+object SetOp {
+  case object UnionAll  extends SetOp("UNION ALL")
+  case object Union     extends SetOp("UNION")
+  case object Intersect extends SetOp("INTERSECT")
+  case object Except    extends SetOp("EXCEPT")
+}
+
+final case class Compound(
+    op: SetOp,
+    left: Select,
+    right: Select,
+    orderBy: Seq[Order] = Nil,
+    limit: Option[Long] = None)

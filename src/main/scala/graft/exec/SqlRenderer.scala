@@ -202,6 +202,17 @@ object SqlRenderer {
     sb.toString
   }
 
+  /** Compound rendering: parenthesized operands (both keep any inner
+    * order/limit), the compound's order/limit outside.
+    */
+  def compound(c: Compound): String = {
+    val base = s"(${select(c.left)}) ${c.op.sql} (${select(c.right)})"
+    val ord = if (c.orderBy.isEmpty) "" else
+      " ORDER BY " + c.orderBy.map(o =>
+        graft.sources.Dialect.Ansi.orderByItem(ident(o.column), o.desc)).mkString(", ")
+    base + ord + c.limit.map(n => s" LIMIT $n").getOrElse("")
+  }
+
   def delete(del: Delete): String =
     "DELETE FROM " + ident(del.table) + del.filter.map(f => " WHERE " + predicate(f)).getOrElse("")
 }

@@ -243,6 +243,24 @@ object Translator {
     out
   }
 
+  /** Compound set operation: operands translate independently, combine
+    * positionally (ANSI), then the compound's own order/limit apply.
+    */
+  def compound(c: Compound, resolve: String => DataFrame): DataFrame = {
+    val l = select(c.left, resolve)
+    val r = select(c.right, resolve)
+    var out = c.op match {
+      case SetOp.UnionAll  => l.union(r)
+      case SetOp.Union     => l.union(r).distinct()
+      case SetOp.Intersect => l.intersect(r)
+      case SetOp.Except    => l.except(r)
+    }
+    if (c.orderBy.nonEmpty)
+      out = out.orderBy(c.orderBy.map(o => if (o.desc) col(o.column).desc else col(o.column).asc): _*)
+    c.limit.foreach(n => out = out.limit(n.toInt))
+    out
+  }
+
   /** Native Delete semantics: the surviving rows (complement of the filter).
     * Pushdown Delete (JDBC) renders DELETE WHERE instead — see SqlRenderer.
     */

@@ -480,6 +480,35 @@ object QueryWire {
   def toJson(sel: Select): String = mapper.writeValueAsString(selectNode(sel))
   def fromJson(json: String): Select = parseSelect(mapper.readTree(json))
 
+  private def setOpTag(op: SetOp): String = op match {
+    case SetOp.UnionAll => "union_all"; case SetOp.Union => "union"
+    case SetOp.Intersect => "intersect"; case SetOp.Except => "except"
+  }
+  private def parseSetOp(tag: String): SetOp = tag match {
+    case "union_all" => SetOp.UnionAll; case "union" => SetOp.Union
+    case "intersect" => SetOp.Intersect; case "except" => SetOp.Except
+    case other => throw new IllegalArgumentException(s"unknown set op: $other")
+  }
+
+  def compoundToJson(c: Compound): String = {
+    val o = F.objectNode()
+    o.put("op", setOpTag(c.op))
+    o.set[ObjectNode]("left", selectNode(c.left))
+    o.set[ObjectNode]("right", selectNode(c.right))
+    if (c.orderBy.nonEmpty) o.set[ArrayNode]("order_by", orderNodes(c.orderBy))
+    c.limit.foreach(o.put("limit", _))
+    mapper.writeValueAsString(o)
+  }
+  def compoundFromJson(json: String): Compound = {
+    val n = mapper.readTree(json)
+    Compound(
+      parseSetOp(n.get("op").asText()),
+      parseSelect(n.get("left")),
+      parseSelect(n.get("right")),
+      Option(n.get("order_by")).map(parseOrders).getOrElse(Nil),
+      Option(n.get("limit")).map(_.asLong()))
+  }
+
   def deleteToJson(del: Delete): String = {
     val o = F.objectNode()
     o.put("table", del.table)

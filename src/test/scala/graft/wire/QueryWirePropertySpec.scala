@@ -123,6 +123,24 @@ class QueryWirePropertySpec extends AnyFunSuite {
     }
   }
 
+  test("200 random Compounds round-trip and render identically") {
+    var seed = Seed(99L)
+    for (_ <- 0 until 200) {
+      val g = for {
+        op <- Gen.oneOf(SetOp.UnionAll, SetOp.Union, SetOp.Intersect, SetOp.Except)
+        l <- selectGen
+        r <- selectGen
+        ords <- Gen.listOfN(1, nameGen.map(Order.asc))
+        lim <- Gen.option(Gen.chooseNum(1L, 50L))
+      } yield Compound(op, l, r, ords, lim)
+      val c = g.pureApply(Gen.Parameters.default, seed)
+      val back = QueryWire.compoundFromJson(QueryWire.compoundToJson(c))
+      assert(back === c)
+      assert(graft.exec.SqlRenderer.compound(back) === graft.exec.SqlRenderer.compound(c))
+      seed = seed.next
+    }
+  }
+
   test("500 random Deletes round-trip") {
     var seed = Seed(7L)
     for (_ <- 0 until 500) {
