@@ -29,13 +29,21 @@ object EmbeddingOps {
     * [-127, 127]; the all-zero vector quantizes to all-zero codes. The
     * explicit floor(+1/2) (not round()) pins half-way behavior to one
     * engine-independent formula.
+    *
+    * The range `m` is bound ONCE per row through a single-element outer
+    * transform: higher-order-function lambdas are interpreted with no
+    * common-subexpression elimination, so referencing the maxAbs
+    * EXPRESSION inside the per-element lambda would recompute the O(dim)
+    * max for every element — O(dim²) per row; a lambda VARIABLE reference
+    * is free.
     */
-  def quantizeInt8(vec: Column): Column = {
-    val m = maxAbs(vec)
-    when(m === 0.0, transform(vec, _ => lit(0)))
-      .otherwise(transform(vec,
-        x => floor(x.cast("double") * (lit(127.0) / m) + 0.5).cast("int")))
-  }
+  def quantizeInt8(vec: Column): Column =
+    element_at(
+      transform(array(maxAbs(vec)), m =>
+        when(m === 0.0, transform(vec, _ => lit(0)))
+          .otherwise(transform(vec,
+            x => floor(x.cast("double") * (lit(127.0) / m) + 0.5).cast("int")))),
+      1)
 
   /** The quantization range as a fixed-point int (floor(m·10⁴)) — store it
     * beside the codes; integer so results hash identically across engines.
@@ -49,12 +57,19 @@ object EmbeddingOps {
   def dequantize(codes: Column, m: Column): Column =
     transform(codes, c => c.cast("double") * (m.cast("double") / lit(127.0)))
 
-  /** L2 normalization in double; zero vectors stay zero. */
+  /** L2 normalization in double; zero vectors stay zero. The norm is bound
+    * once per row (same single-element-transform binding as
+    * [[quantizeInt8]] — an O(dim) expression must not re-evaluate per
+    * element).
+    */
   def l2Normalize(vec: Column): Column = {
-    val n = sqrt(aggregate(vec, lit(0.0d),
+    val norm = sqrt(aggregate(vec, lit(0.0d),
       (acc, x) => acc + x.cast("double") * x.cast("double")))
-    when(n === 0.0, transform(vec, x => x.cast("double")))
-      .otherwise(transform(vec, x => x.cast("double") / n))
+    element_at(
+      transform(array(norm), n =>
+        when(n === 0.0, transform(vec, x => x.cast("double")))
+          .otherwise(transform(vec, x => x.cast("double") / n))),
+      1)
   }
 
   /** Brute-force top-k over int8 CODES — search running where the compressed
