@@ -264,6 +264,27 @@ object Registry {
           orderBy = Seq(Order.desc("c_acctbal"), Order.asc("c_custkey")))).as("rn")),
       orderBy = Seq(Order.asc("c_custkey")))),
 
+    // extension: analytic window family — ntile / percent_rank / cume_dist /
+    // first_value (default frame) / last_value (explicit unbounded frame;
+    // ANSI default-frame LAST_VALUE is the current row — the classic gotcha)
+    adt("q_window_analytics", {
+      val over = WindowDef(
+        partitionBy = Seq(Col("o_orderstatus")),
+        orderBy = Seq(Order.asc("o_orderkey")))
+      val full = over.copy(frame =
+        Some((FrameBound.UnboundedPreceding, FrameBound.UnboundedFollowing)))
+      Select(
+        table = "orders",
+        columns = Seq(
+          Col("o_orderkey"), Col("o_orderstatus"),
+          WinExpr(WindowFn.Ntile(4), over).as("tile"),
+          WinExpr(WindowFn.PercentRank, over).as("pr"),
+          WinExpr(WindowFn.CumeDist, over).as("cd"),
+          WinExpr(WindowFn.FirstValue(Col("o_totalprice")), over).as("first_price"),
+          WinExpr(WindowFn.LastValue(Col("o_totalprice")), full).as("last_price")),
+        orderBy = Seq(Order.asc("o_orderkey")))
+    }),
+
     // extension: lag/lead over each customer's order history
     adt("q_window_lag", Select(
       table = "orders",

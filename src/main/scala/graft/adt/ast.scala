@@ -113,6 +113,17 @@ object WindowFn {
   final case class Lead(arg: ColumnExpr, offset: Int = 1) extends WindowFn
   /** Windowed aggregate (moving sum/avg/min/max/count over the frame). */
   final case class WAgg(fn: AggFn, arg: ColumnExpr)      extends WindowFn
+  /** n equal-height buckets over the partition order (i64 like the ranks). */
+  final case class Ntile(n: Int)                         extends WindowFn
+  /** (rank−1)/(rows−1) — exact IEEE division of two ints, engine-portable. */
+  case object PercentRank                                extends WindowFn
+  case object CumeDist                                   extends WindowFn
+  /** First/last value IN THE FRAME — ANSI semantics: with the default
+    * frame LAST_VALUE is the current row's value; pass an explicit
+    * unbounded-following frame for "last of the partition".
+    */
+  final case class FirstValue(arg: ColumnExpr)           extends WindowFn
+  final case class LastValue(arg: ColumnExpr)            extends WindowFn
 }
 
 /** Scalar function surface (sql_adt.rs:218-246: Alias/Abs/IfNull/Cast/

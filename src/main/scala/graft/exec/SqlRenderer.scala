@@ -77,6 +77,11 @@ object SqlRenderer {
         case WindowFn.Lag(a, n)  => s"lag(${columnExpr(a)}, $n)"
         case WindowFn.Lead(a, n) => s"lead(${columnExpr(a)}, $n)"
         case WindowFn.WAgg(f, a) => s"${f.sqlName}(${columnExpr(a)})"
+        case WindowFn.Ntile(n)      => s"ntile($n)"
+        case WindowFn.PercentRank   => "percent_rank()"
+        case WindowFn.CumeDist      => "cume_dist()"
+        case WindowFn.FirstValue(a) => s"first_value(${columnExpr(a)})"
+        case WindowFn.LastValue(a)  => s"last_value(${columnExpr(a)})"
       }
       def bound(b: FrameBound): String = b match {
         case FrameBound.UnboundedPreceding => "UNBOUNDED PRECEDING"

@@ -116,6 +116,11 @@ object Translator {
       case WindowFn.DenseRank    => dense_rank().over(spec).cast("long")
       case WindowFn.Lag(a, n)    => lag(column(a), n).over(spec)
       case WindowFn.Lead(a, n)   => lead(column(a), n).over(spec)
+      case WindowFn.Ntile(n)     => ntile(n).over(spec).cast("long")
+      case WindowFn.PercentRank  => percent_rank().over(spec)
+      case WindowFn.CumeDist     => cume_dist().over(spec)
+      case WindowFn.FirstValue(a) => first(column(a)).over(spec)
+      case WindowFn.LastValue(a)  => last(column(a)).over(spec)
       case WindowFn.WAgg(f, a)   =>
         val c = column(a)
         // casts must wrap the WindowExpression, never sit between the

@@ -247,6 +247,13 @@ object QueryWire {
         o.put("kind", "lead"); o.put("offset", n); o.set[ObjectNode]("arg", columnNode(a))
       case WindowFn.WAgg(f, a) =>
         o.put("kind", "agg"); o.put("fn", aggTag(f)); o.set[ObjectNode]("arg", columnNode(a))
+      case WindowFn.Ntile(n)      => o.put("kind", "ntile"); o.put("n", n)
+      case WindowFn.PercentRank   => o.put("kind", "percent_rank")
+      case WindowFn.CumeDist      => o.put("kind", "cume_dist")
+      case WindowFn.FirstValue(a) =>
+        o.put("kind", "first_value"); o.set[ObjectNode]("arg", columnNode(a))
+      case WindowFn.LastValue(a)  =>
+        o.put("kind", "last_value"); o.set[ObjectNode]("arg", columnNode(a))
     }
     o
   }
@@ -258,6 +265,11 @@ object QueryWire {
     case "lag"        => WindowFn.Lag(parseColumn(n.get("arg")), n.get("offset").asInt())
     case "lead"       => WindowFn.Lead(parseColumn(n.get("arg")), n.get("offset").asInt())
     case "agg"        => WindowFn.WAgg(parseAgg(n.get("fn").asText()), parseColumn(n.get("arg")))
+    case "ntile"        => WindowFn.Ntile(n.get("n").asInt())
+    case "percent_rank" => WindowFn.PercentRank
+    case "cume_dist"    => WindowFn.CumeDist
+    case "first_value"  => WindowFn.FirstValue(parseColumn(n.get("arg")))
+    case "last_value"   => WindowFn.LastValue(parseColumn(n.get("arg")))
     case other        => throw new IllegalArgumentException(s"unknown window fn: $other")
   }
 

@@ -84,7 +84,10 @@ class QueryWirePropertySpec extends AnyFunSuite {
     fn <- Gen.oneOf(
       Gen.const(WindowFn.RowNumber), Gen.const(WindowFn.Rank),
       argGen.map(WindowFn.Lag(_, 2)), argGen.map(WindowFn.Lead(_, 1)),
-      argGen.map(WindowFn.WAgg(AggFn.Sum, _)))
+      argGen.map(WindowFn.WAgg(AggFn.Sum, _)),
+      Gen.chooseNum(2, 10).map(WindowFn.Ntile),
+      Gen.const(WindowFn.PercentRank), Gen.const(WindowFn.CumeDist),
+      argGen.map(WindowFn.FirstValue), argGen.map(WindowFn.LastValue))
     parts <- Gen.listOfN(1, nameGen.map(Col(_)))
     ords <- Gen.listOfN(1, nameGen.map(Order.asc))
     frame <- Gen.option(Gen.const((FrameBound.Preceding(3), FrameBound.CurrentRow)))
