@@ -207,18 +207,27 @@ object Translator {
         val grouped =
           if (sel.groupBy.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
           else {
-            val keys = sel.groupBy.map(g => computedKeys.get(g.name) match {
-              case Some(e) => column(e).alias(g.name)
-              case None    => column(g)
-            })
-            val keyFor = sel.groupBy.map(_.name).zip(keys).toMap
+            // computed keys materialize as real columns FIRST, so every
+            // grouping path (plain/rollup/cube/sets) keys on a plain
+            // attribute. Passing aliased expressions into groupingSets is
+            // NOT sound: the per-set copies must match the grouping
+            // expressions by semantic equality, and alias occurrences get
+            // distinct exprIds — a set entry that fails to match silently
+            // nulls its key column in the output.
+            val withKeys = computedKeys.foldLeft(df) {
+              case (d, (name, e)) => d.withColumn(name, column(e))
+            }
+            val keys = sel.groupBy.map(g =>
+              if (computedKeys.contains(g.name)) col(g.name) else column(g))
             val g = sel.groupingMode match {
-              case GroupingMode.Plain      => df.groupBy(keys: _*)
-              case GroupingMode.Rollup     => df.rollup(keys: _*)
-              case GroupingMode.Cube       => df.cube(keys: _*)
+              case GroupingMode.Plain      => withKeys.groupBy(keys: _*)
+              case GroupingMode.Rollup     => withKeys.rollup(keys: _*)
+              case GroupingMode.Cube       => withKeys.cube(keys: _*)
               case GroupingMode.Sets(sets) =>
-                df.groupingSets(sets.map(_.map(n => keyFor.getOrElse(n,
-                  throw new IllegalArgumentException(s"grouping set key $n not in GROUP BY")))), keys: _*)
+                val keyNames2 = sel.groupBy.map(_.name).toSet
+                sets.flatten.foreach(n => require(keyNames2.contains(n),
+                  s"grouping set key $n not in GROUP BY"))
+                withKeys.groupingSets(sets.map(_.map(col(_): Column)), keys: _*)
             }
             g.agg(aggCols.head, aggCols.tail: _*)
           }
