@@ -150,6 +150,17 @@ object Registry {
       orderBy = Seq(Order.asc("o_orderstatus"), Order.asc("o_orderpriority")),
       groupingMode = GroupingMode.Cube)),
 
+    // explicit ORDER BY null placement: rollup's NULL grand-total row is
+    // pinned LAST on an ASC sort (Spark's default would put it first)
+    adt("q_order_nulls", Select(
+      table = "orders",
+      columns = Seq(
+        Col("o_orderstatus"),
+        CountStar.as("n")),
+      groupBy = Seq(Col("o_orderstatus")),
+      orderBy = Seq(Order.ascNullsLast("o_orderstatus")),
+      groupingMode = GroupingMode.Rollup)),
+
     // arbitrary GROUPING SETS (the rollup/cube generalization): detail,
     // one-dim subtotal, and grand-total sets in one shuffle
     adt("q_grouping_sets", Select(

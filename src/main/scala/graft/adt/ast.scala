@@ -291,10 +291,21 @@ final case class Join(
 
 // ---------------------------------------------------------------- select ----
 
-final case class Order(column: String, desc: Boolean = false)
+/** Sort key. `nullsFirst = None` keeps Spark's defaults (ASC → NULLS FIRST,
+  * DESC → NULLS LAST); `Some(b)` pins the placement explicitly on both
+  * execution paths (dialects without NULLS FIRST/LAST syntax emulate with
+  * an IS NULL prefix key).
+  */
+final case class Order(column: String, desc: Boolean = false,
+                       nullsFirst: Option[Boolean] = None) {
+  /** Effective placement under Spark defaults. */
+  def nullsFirstEffective: Boolean = nullsFirst.getOrElse(!desc)
+}
 object Order {
   def asc(c: String): Order = Order(c)
   def desc(c: String): Order = Order(c, desc = true)
+  def ascNullsLast(c: String): Order = Order(c, desc = false, nullsFirst = Some(false))
+  def descNullsFirst(c: String): Order = Order(c, desc = true, nullsFirst = Some(true))
 }
 
 /** Multi-dimensional grouping extension (not in the reference — its GROUP BY

@@ -95,10 +95,10 @@ object SqlRenderer {
           Some("PARTITION BY " + over.partitionBy.map(columnRef).mkString(", "))
         else None,
         if (over.orderBy.nonEmpty)
-          // explicit null placement matching Spark's ASC NULLS FIRST /
-          // DESC NULLS LAST defaults (same reasoning as the outer ORDER BY)
+          // explicit null placement: Spark defaults unless the Order pins it
           Some("ORDER BY " + over.orderBy.map(o =>
-            ident(o.column) + (if (o.desc) " DESC NULLS LAST" else " NULLS FIRST")).mkString(", "))
+            ident(o.column) + (if (o.desc) " DESC" else "") +
+              (if (o.nullsFirstEffective) " NULLS FIRST" else " NULLS LAST")).mkString(", "))
         else None,
         over.frame.map { case (lo, hi) => s"ROWS BETWEEN ${bound(lo)} AND ${bound(hi)}" }
       ).flatten
@@ -203,7 +203,7 @@ object SqlRenderer {
       // NULLS LAST) — DuckDB's default is the opposite, which matters once
       // ROLLUP/CUBE emit NULL subtotal keys; syntax varies by dialect
       sb.append(" ORDER BY ").append(sel.orderBy.map(o =>
-        dialect.orderByItem(ident(o.column), o.desc)).mkString(", "))
+        dialect.orderByItem(ident(o.column), o.desc, o.nullsFirstEffective)).mkString(", "))
     sb.toString
   }
 
@@ -214,7 +214,7 @@ object SqlRenderer {
     val base = s"(${select(c.left)}) ${c.op.sql} (${select(c.right)})"
     val ord = if (c.orderBy.isEmpty) "" else
       " ORDER BY " + c.orderBy.map(o =>
-        graft.sources.Dialect.Ansi.orderByItem(ident(o.column), o.desc)).mkString(", ")
+        graft.sources.Dialect.Ansi.orderByItem(ident(o.column), o.desc, o.nullsFirstEffective)).mkString(", ")
     base + ord + c.limit.map(n => s" LIMIT $n").getOrElse("")
   }
 

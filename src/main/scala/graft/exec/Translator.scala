@@ -106,7 +106,7 @@ object Translator {
     }
     var spec = Window.partitionBy(over.partitionBy.map(column): _*)
     if (over.orderBy.nonEmpty)
-      spec = spec.orderBy(over.orderBy.map(o => if (o.desc) col(o.column).desc else col(o.column).asc): _*)
+      spec = spec.orderBy(over.orderBy.map(sortCol): _*)
     over.frame.foreach { case (lo, hi) => spec = spec.rowsBetween(bound(lo), bound(hi)) }
     fn match {
       // ranking fns widen int → i64: the ADT types them i64 so results match
@@ -135,6 +135,14 @@ object Translator {
             throw new IllegalArgumentException(s"$f is not a windowed aggregate")
         }
     }
+  }
+
+  /** Sort column honoring the Order's explicit null placement. */
+  def sortCol(o: Order): Column = (o.desc, o.nullsFirstEffective) match {
+    case (false, true)  => col(o.column).asc_nulls_first
+    case (false, false) => col(o.column).asc_nulls_last
+    case (true, true)   => col(o.column).desc_nulls_first
+    case (true, false)  => col(o.column).desc_nulls_last
   }
 
   def predicate(e: Expr): Column = e match {
@@ -251,7 +259,7 @@ object Translator {
 
     if (sel.distinct) out = out.distinct()
     if (sel.orderBy.nonEmpty)
-      out = out.orderBy(sel.orderBy.map(o => if (o.desc) col(o.column).desc else col(o.column).asc): _*)
+      out = out.orderBy(sel.orderBy.map(sortCol): _*)
     sel.offset.foreach(n => out = out.offset(n.toInt))
     sel.limit.foreach(n => out = out.limit(n.toInt))
     out
@@ -270,7 +278,7 @@ object Translator {
       case SetOp.Except    => l.except(r)
     }
     if (c.orderBy.nonEmpty)
-      out = out.orderBy(c.orderBy.map(o => if (o.desc) col(o.column).desc else col(o.column).asc): _*)
+      out = out.orderBy(c.orderBy.map(sortCol): _*)
     c.limit.foreach(n => out = out.limit(n.toInt))
     out
   }

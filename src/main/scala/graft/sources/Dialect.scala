@@ -26,6 +26,12 @@ sealed trait Dialect {
   def orderByItem(quotedCol: String, desc: Boolean): String =
     quotedCol + (if (desc) " DESC NULLS LAST" else " NULLS FIRST")
 
+  /** Explicit null placement (`Order.nullsFirst`); defaults reduce to
+    * [[orderByItem]]'s Spark-matching contract.
+    */
+  def orderByItem(quotedCol: String, desc: Boolean, nullsFirst: Boolean): String =
+    quotedCol + (if (desc) " DESC" else "") + (if (nullsFirst) " NULLS FIRST" else " NULLS LAST")
+
   def typeName(dt: DataType): String = dt match {
     case BooleanType      => "BOOLEAN"
     case ByteType         => "SMALLINT"
@@ -127,6 +133,16 @@ object Dialect {
     val name = "mysql"
     override def orderByItem(quotedCol: String, desc: Boolean): String =
       quotedCol + (if (desc) " DESC" else "")
+    /** MySQL has no NULLS FIRST/LAST — emulate non-native placements with
+      * an IS NULL prefix key (native: NULL sorts lowest — first ASC, last
+      * DESC).
+      */
+    override def orderByItem(quotedCol: String, desc: Boolean, nullsFirst: Boolean): String = {
+      val native = !desc // MySQL's built-in placement
+      val base = quotedCol + (if (desc) " DESC" else "")
+      if (nullsFirst == native) base
+      else s"($quotedCol IS NULL) ${if (nullsFirst) "DESC" else "ASC"}, $base"
+    }
     /** MySQL's bare FLOAT is a 4-byte single (unlike Postgres, where FLOAT
       * defaults to float8) — map it to FloatType so reads don't widen.
       */

@@ -395,12 +395,15 @@ object QueryWire {
   private def orderNodes(os: Seq[Order]): ArrayNode = {
     val arr = F.arrayNode()
     os.foreach { o =>
-      val n = F.objectNode(); n.put("column", o.column); n.put("desc", o.desc); arr.add(n)
+      val n = F.objectNode(); n.put("column", o.column); n.put("desc", o.desc)
+      o.nullsFirst.foreach(n.put("nulls_first", _))
+      arr.add(n)
     }
     arr
   }
   private def parseOrders(n: JsonNode): Seq[Order] =
-    iter(n).map(o => Order(o.get("column").asText(), o.get("desc").asBoolean())).toSeq
+    iter(n).map(o => Order(o.get("column").asText(), o.get("desc").asBoolean(),
+      Option(o.get("nulls_first")).map(_.asBoolean()))).toSeq
 
   private def joinTypeTag(t: JoinType): String = t match {
     case JoinType.Inner => "inner"; case JoinType.Left => "left"

@@ -105,7 +105,8 @@ class QueryWirePropertySpec extends AnyFunSuite {
       GroupingMode.Sets(Seq(Seq("a", "b"), Seq("b"), Seq.empty)))
     groupBy <- Gen.listOfN(2, nameGen.map(Col(_)))
     having <- Gen.option(exprGen(1))
-    orderBy <- Gen.listOfN(2, Gen.zip(nameGen, Gen.oneOf(true, false)).map { case (n, d) => Order(n, d) })
+    orderBy <- Gen.listOfN(2, Gen.zip(nameGen, Gen.oneOf(true, false),
+      Gen.option(Gen.oneOf(true, false))).map { case (n, d, nf) => Order(n, d, nf) })
     limit <- Gen.option(Gen.chooseNum(0L, 1000L))
     offset <- Gen.option(Gen.chooseNum(0L, 100L))
     distinct <- Gen.oneOf(true, false)
