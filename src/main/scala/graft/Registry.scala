@@ -150,6 +150,20 @@ object Registry {
       orderBy = Seq(Order.asc("o_orderstatus"), Order.asc("o_orderpriority")),
       groupingMode = GroupingMode.Cube)),
 
+    // derived table (FROM subselect): two-level aggregation — per-customer
+    // order counts, then the distribution over customers — one IR value
+    adt("q_derived_table", Select(
+      table = "per_cust",
+      columns = Seq(
+        CountStar.as("n_custs"),
+        Agg(AggFn.Avg, Col("n_orders")).as("avg_orders"),
+        Agg(AggFn.Max, Col("n_orders")).as("max_orders"),
+        Agg(AggFn.Min, Col("n_orders")).as("min_orders")),
+      fromSelect = Some(Select(
+        table = "orders",
+        columns = Seq(Col("o_custkey"), CountStar.as("n_orders")),
+        groupBy = Seq(Col("o_custkey")))))),
+
     // explicit ORDER BY null placement: rollup's NULL grand-total row is
     // pinned LAST on an ASC sort (Spark's default would put it first)
     adt("q_order_nulls", Select(

@@ -328,10 +328,17 @@ object GroupingMode {
   }
 }
 
-/** The Select IR (sql_adt.rs:744-855). */
+/** The Select IR (sql_adt.rs:744-855).
+  *
+  * `fromSelect` (extension): a derived table — when set, the query reads
+  * FROM the nested Select's result and `table` is that relation's ALIAS
+  * (joins/qualified columns reference it as usual). This is what makes
+  * two-level aggregation (avg-of-group-sums) expressible in one IR value.
+  */
 final case class Select(
     table: String,
     columns: Seq[ColumnExpr],
+    fromSelect: Option[Select] = None,
     filter: Option[Expr] = None,
     joins: Seq[Join] = Nil,
     groupBy: Seq[Col] = Nil,

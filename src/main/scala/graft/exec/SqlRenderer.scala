@@ -153,7 +153,10 @@ object SqlRenderer {
     val sb = new StringBuilder("SELECT ")
     if (sel.distinct) sb.append("DISTINCT ")
     sb.append(sel.columns.map(columnExpr).mkString(", "))
-    sb.append(" FROM ").append(ident(sel.table))
+    sel.fromSelect match {
+      case Some(sub) => sb.append(" FROM (").append(select(sub, dialect)).append(") AS ").append(ident(sel.table))
+      case None      => sb.append(" FROM ").append(ident(sel.table))
+    }
     for (j <- sel.joins) {
       sb.append(s" ${j.typ.sql} ${ident(j.table)}")
       j.as.foreach(a => sb.append(s" AS ${ident(a)}"))

@@ -170,7 +170,10 @@ object Translator {
 
   /** Translate a Select against a table resolver (name → DataFrame). */
   def select(sel: Select, resolve: String => DataFrame): DataFrame = {
-    var df = resolve(sel.table).alias(sel.table)
+    var df = sel.fromSelect match {
+      case Some(sub) => select(sub, resolve).alias(sel.table)
+      case None      => resolve(sel.table).alias(sel.table)
+    }
 
     // joins: qualify bare key names with the owning table so chained joins work
     for (j <- sel.joins) {

@@ -422,6 +422,7 @@ object QueryWire {
   def selectNode(sel: Select): ObjectNode = {
     val o = F.objectNode()
     o.put("table", sel.table)
+    sel.fromSelect.foreach(sub => o.set[ObjectNode]("from_select", selectNode(sub)))
     val cols = F.arrayNode(); sel.columns.foreach(c => cols.add(columnNode(c)))
     o.set[ArrayNode]("columns", cols)
     sel.filter.foreach(f => o.set[ObjectNode]("filter", exprNode(f)))
@@ -469,6 +470,7 @@ object QueryWire {
   def parseSelect(n: JsonNode): Select = Select(
     table = n.get("table").asText(),
     columns = iter(n.get("columns")).map(parseColumn).toSeq,
+    fromSelect = Option(n.get("from_select")).map(parseSelect),
     filter = Option(n.get("filter")).map(parseExpr),
     joins = Option(n.get("joins")).map(iter(_).map { jn =>
       Join(

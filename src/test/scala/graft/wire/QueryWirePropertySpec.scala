@@ -93,8 +93,12 @@ class QueryWirePropertySpec extends AnyFunSuite {
     frame <- Gen.option(Gen.const((FrameBound.Preceding(3), FrameBound.CurrentRow)))
   } yield WinExpr(fn, WindowDef(parts, ords, frame))
 
-  private val selectGen: Gen[Select] = for {
+  private def selectGen: Gen[Select] = selectGen(1)
+
+  private def selectGen(nestDepth: Int): Gen[Select] = for {
     cols <- Gen.nonEmptyListOf(colExprGen(2)).map(_.take(4))
+    fromSel <- if (nestDepth <= 0) Gen.const(None: Option[Select])
+      else Gen.option(Gen.lzy(selectGen(nestDepth - 1)))
     filter <- Gen.option(exprGen(2))
     joins <- Gen.listOfN(1, Gen.zip(
       Gen.oneOf(JoinType.Inner, JoinType.Left, JoinType.Right, JoinType.Full,
@@ -110,7 +114,7 @@ class QueryWirePropertySpec extends AnyFunSuite {
     limit <- Gen.option(Gen.chooseNum(0L, 1000L))
     offset <- Gen.option(Gen.chooseNum(0L, 100L))
     distinct <- Gen.oneOf(true, false)
-  } yield Select("fact", cols, filter, joins, groupBy, having, orderBy,
+  } yield Select("fact", cols, fromSel, filter, joins, groupBy, having, orderBy,
     limit, offset, distinct, grouping)
 
   test("500 random Selects round-trip structurally and render identically") {
