@@ -150,6 +150,22 @@ object Registry {
       orderBy = Seq(Order.asc("o_orderstatus"), Order.asc("o_orderpriority")),
       groupingMode = GroupingMode.Cube)),
 
+    // join against a derived table: SEMI vs an aggregated+HAVING subselect —
+    // the IN-subquery idiom ("customers with ≥15 orders")
+    adt("q_join_derived", Select(
+      table = "customer",
+      columns = Seq(Col("c_custkey"), Col("c_name"), Col("c_mktsegment")),
+      joins = Seq(Join(
+        table = "busy",
+        on = Seq(("c_custkey", "o_custkey")),
+        typ = JoinType.Semi,
+        subSelect = Some(Select(
+          table = "orders",
+          columns = Seq(Col("o_custkey"), CountStar.as("n")),
+          groupBy = Seq(Col("o_custkey")),
+          having = Some(Cond(Col("n"), CondOp.GreaterEqual(V.i64(15)))))))),
+      orderBy = Seq(Order.asc("c_custkey")))),
+
     // derived table (FROM subselect): two-level aggregation — per-customer
     // order counts, then the distribution over customers — one IR value
     adt("q_derived_table", Select(

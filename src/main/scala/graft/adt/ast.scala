@@ -285,7 +285,13 @@ final case class Join(
       * plan the way `broadcast(df)` does; use for tables KNOWN small
       * (dimensions), never for facts.
       */
-    broadcastHint: Boolean = false) {
+    broadcastHint: Boolean = false,
+    /** Join against a derived table instead of a base table (extension):
+      * when set, the right side is this Select's result and `table`/`as`
+      * name its alias. A SEMI join against an aggregated subselect is the
+      * IN-subquery idiom ("customers with ≥N orders").
+      */
+    subSelect: Option[Select] = None) {
   def name: String = as.getOrElse(table)
 }
 

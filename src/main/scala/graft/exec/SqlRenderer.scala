@@ -158,8 +158,15 @@ object SqlRenderer {
       case None      => sb.append(" FROM ").append(ident(sel.table))
     }
     for (j <- sel.joins) {
-      sb.append(s" ${j.typ.sql} ${ident(j.table)}")
-      j.as.foreach(a => sb.append(s" AS ${ident(a)}"))
+      j.subSelect match {
+        case Some(sub) => sb.append(s" ${j.typ.sql} (${select(sub, dialect)})")
+        case None      => sb.append(s" ${j.typ.sql} ${ident(j.table)}")
+      }
+      j.as match {
+        case Some(a) => sb.append(s" AS ${ident(a)}")
+        case None if j.subSelect.isDefined => sb.append(s" AS ${ident(j.table)}")
+        case None => ()
+      }
       if (j.typ != JoinType.Cross) {
         def qual(raw: String, defaultTable: String): String = raw.split('.') match {
           case Array(t, c) => s"${ident(t)}.${ident(c)}"

@@ -177,7 +177,10 @@ object Translator {
 
     // joins: qualify bare key names with the owning table so chained joins work
     for (j <- sel.joins) {
-      val resolved = resolve(j.table).alias(j.name)
+      val resolved = j.subSelect
+        .map(select(_, resolve))
+        .getOrElse(resolve(j.table))
+        .alias(j.name)
       val right = if (j.broadcastHint) broadcast(resolved) else resolved
       df = j.typ match {
         case JoinType.Cross => df.crossJoin(right)

@@ -439,6 +439,7 @@ object QueryWire {
         jn.put("type", joinTypeTag(j.typ))
         j.as.foreach(jn.put("as", _))
         if (j.broadcastHint) jn.put("broadcast", true)
+        j.subSelect.foreach(sub => jn.set[ObjectNode]("sub_select", selectNode(sub)))
         js.add(jn)
       }
       o.set[ArrayNode]("joins", js)
@@ -478,7 +479,8 @@ object QueryWire {
         on = iter(jn.get("on")).map(p => (p.get(0).asText(), p.get(1).asText())).toSeq,
         typ = parseJoinType(jn.get("type").asText()),
         as = Option(jn.get("as")).map(_.asText()),
-        broadcastHint = Option(jn.get("broadcast")).exists(_.asBoolean()))
+        broadcastHint = Option(jn.get("broadcast")).exists(_.asBoolean()),
+        subSelect = Option(jn.get("sub_select")).map(parseSelect))
     }.toSeq).getOrElse(Nil),
     groupBy = Option(n.get("group_by")).map(iter(_).map(parseCol).toSeq).getOrElse(Nil),
     having = Option(n.get("having")).map(parseExpr),
