@@ -103,8 +103,11 @@ class QueryWirePropertySpec extends AnyFunSuite {
     joins <- Gen.listOfN(1, Gen.zip(
       Gen.oneOf(JoinType.Inner, JoinType.Left, JoinType.Right, JoinType.Full,
         JoinType.Semi, JoinType.Anti, JoinType.Cross),
-      Gen.oneOf(true, false))).map(_.map { case (t, b) =>
-        Join("dim", Seq(("k1", "k2")), t, as = Some("d"), broadcastHint = b) })
+      Gen.oneOf(true, false),
+      if (nestDepth <= 0) Gen.const(None: Option[Select])
+      else Gen.option(Gen.lzy(selectGen(0))))).map(_.map { case (t, b, sub) =>
+        Join("dim", Seq(("k1", "k2")), t, as = Some("d"), broadcastHint = b,
+          subSelect = sub) })
     grouping <- Gen.oneOf(GroupingMode.Plain, GroupingMode.Rollup, GroupingMode.Cube,
       GroupingMode.Sets(Seq(Seq("a", "b"), Seq("b"), Seq.empty)))
     groupBy <- Gen.listOfN(2, nameGen.map(Col(_)))
