@@ -1249,6 +1249,21 @@ FROM aug ORDER BY doc_id""".stripMargin
           .orderBy("chunk_id"),
         Some(graft.text.Packing.chunkStatsOracle("documents", "doc_id", "text", ctxLen = 512))),
 
+      // END-TO-END corpus preparation: clean → decontaminate → stratified
+      // sample as ONE fused plan (one corpus shuffle total); every stage is
+      // its own gate-checked operator, this row proves the COMPOSITION
+      RegisteredQuery(
+        "q_corpus_prepare",
+        (s, dir) => {
+          val docs = Tables.resolve(s, dir)("documents")
+          graft.llm.CorpusPipeline.prepare(
+              docs,
+              bench = docs.where(pmod(col("doc_id"), lit(50)) === 0))
+            .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+        },
+        Some(graft.llm.CorpusPipeline.prepareOracle(
+          "documents", benchWhereSql = "doc_id % 50 = 0"))),
+
       // fixed-bin histogram: one partial-agg'd pass, ≤nBins rows out
       RegisteredQuery(
         "q_histogram",

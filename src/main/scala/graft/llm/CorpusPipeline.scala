@@ -32,6 +32,21 @@ object CorpusPipeline {
     Dedup.dedupExact(gated, textCol, idCol)
   }
 
+  /** CTE chain (no leading WITH) ending in relation `cleaned` — the
+    * lang+quality+dedup stages as a composable fragment.
+    */
+  def cleanCtes(table: String, idCol: String = "doc_id", textCol: String = "text",
+                langKeep: String = "en", minTokens: Int = 20,
+                maxStopRatio: Double = 1.0): String = {
+    val stopRatio =
+      s"CAST(len(list_filter(t, x -> x IN (${TextFunctions.sqlList(TextFunctions.Stopwords)}))) AS DOUBLE) / len(t)"
+    s"""${TextFunctions.langPredCtes(table, textCol, "*")},
+       |gated AS (SELECT * FROM lp WHERE lang_pred = '$langKeep' AND len(t) >= $minTokens
+       |  AND $stopRatio <= $maxStopRatio),
+       |cleaned AS (SELECT * FROM gated QUALIFY
+       |  $idCol = min($idCol) OVER (PARTITION BY CAST(('0x'||substr(md5($textCol),1,15)) AS BIGINT)))""".stripMargin
+  }
+
   /** DuckDB oracle: the same three stages in SQL. The lang-id CTE chain
     * comes from [[TextFunctions.langPredCtes]] — the ONE place that SQL
     * shape lives (same for the marker/stopword constants), so this oracle
@@ -40,14 +55,43 @@ object CorpusPipeline {
   def cleanOracle(table: String, idCol: String = "doc_id", textCol: String = "text",
                   keepCols: Seq[String] = Seq("doc_id", "lang", "n_chars"),
                   langKeep: String = "en", minTokens: Int = 20,
-                  maxStopRatio: Double = 1.0): String = {
-    val stopRatio =
-      s"CAST(len(list_filter(t, x -> x IN (${TextFunctions.sqlList(TextFunctions.Stopwords)}))) AS DOUBLE) / len(t)"
-    s"""${TextFunctions.langPredCtes(table, textCol, "*")},
-       |gated AS (SELECT * FROM lp WHERE lang_pred = '$langKeep' AND len(t) >= $minTokens
-       |  AND $stopRatio <= $maxStopRatio)
-       |SELECT ${keepCols.mkString(", ")} FROM gated QUALIFY
-       |  $idCol = min($idCol) OVER (PARTITION BY CAST(('0x'||substr(md5($textCol),1,15)) AS BIGINT))
-       |ORDER BY $idCol""".stripMargin
+                  maxStopRatio: Double = 1.0): String =
+    s"""${cleanCtes(table, idCol, textCol, langKeep, minTokens, maxStopRatio)}
+SELECT ${keepCols.mkString(", ")} FROM cleaned ORDER BY $idCol""".stripMargin
+
+  /** End-to-end corpus preparation: clean (lang gate → quality gate → exact
+    * dedup) → benchmark decontamination → deterministic stratified
+    * sampling, composed as ONE lazily-fused plan. Scale shape of the whole
+    * flow: the gates and the sampling predicate are codegen'd filters in
+    * scan stages, dedup contributes its single fingerprint shuffle of gate
+    * survivors, decontamination broadcasts the benchmark gram set (zero
+    * corpus shuffle) — so the entire preparation costs ONE corpus shuffle
+    * end to end.
+    */
+  def prepare(docs: DataFrame, bench: DataFrame,
+              textCol: String = "text", idCol: String = "doc_id",
+              strataCol: String = "lang",
+              rates: Seq[(String, Int)] = Seq("en" -> 70), defaultPct: Int = 10,
+              decontaminateN: Int = 5): DataFrame = {
+    val cleaned = clean(docs, textCol, idCol)
+    val decon = Decontaminate.clean(cleaned, idCol, textCol, bench, n = decontaminateN)
+    graft.text.CorpusFilters.stratifiedSample(
+      decon, key = col(textCol), strata = col(strataCol), rates, defaultPct)
   }
+
+  /** Oracle for [[prepare]] with the benchmark as a filtered subset of the
+    * table — the three stage fragments chained through one WITH clause.
+    */
+  def prepareOracle(table: String, benchWhereSql: String,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    keepCols: Seq[String] = Seq("doc_id", "lang", "n_chars"),
+                    strataCol: String = "lang",
+                    rates: Seq[(String, Int)] = Seq("en" -> 70), defaultPct: Int = 10,
+                    decontaminateN: Int = 5): String =
+    s"""${cleanCtes(table, idCol, textCol)},
+${Decontaminate.overlapCtes("cleaned", idCol, textCol, table, benchWhereSql, decontaminateN)}
+SELECT ${keepCols.mkString(", ")} FROM cleaned
+WHERE $idCol NOT IN (SELECT doc_id_ FROM ov WHERE n_overlap >= 1)
+  AND ${graft.text.CorpusFilters.stratifiedKeepSql(textCol, strataCol, rates, defaultPct)}
+ORDER BY $idCol""".stripMargin
 }

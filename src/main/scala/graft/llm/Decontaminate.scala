@@ -91,6 +91,20 @@ $alias AS (SELECT doc_id_, list_transform(list_distinct(CASE WHEN len(t) < $n TH
   x -> CAST(('0x'||substr(md5(x),1,15)) AS BIGINT)) AS hs FROM ${alias}_t)"""
   }
 
+  /** CTE chain (no leading WITH) ending in `ov` = (doc_id_, n_overlap) for
+    * overlapping docs of `corpusRel` (a table OR an upstream CTE name) vs
+    * the benchmark subset of `benchTable` — the composable fragment
+    * [[flagOracle]] and [[CorpusPipeline.prepareOracle]] both build on.
+    */
+  def overlapCtes(
+      corpusRel: String, idCol: String, textCol: String,
+      benchTable: String, benchWhereSql: String, n: Int): String =
+    s"""${gramCte(corpusRel, idCol, textCol, n, "cg", "")},
+${gramCte(benchTable, idCol, textCol, n, "bg", benchWhereSql)},
+bset AS (SELECT DISTINCT unnest(hs) AS gram_h FROM bg),
+ch AS (SELECT doc_id_, unnest(hs) AS gram_h FROM cg),
+ov AS (SELECT doc_id_, count(*) AS n_overlap FROM ch JOIN bset USING (gram_h) GROUP BY doc_id_)"""
+
   /** Oracle for [[flag]] with the benchmark defined as a filtered subset of
     * the same table (`benchWhereSql`), e.g. `doc_id % 50 = 0`.
     */
@@ -99,11 +113,7 @@ $alias AS (SELECT doc_id_, list_transform(list_distinct(CASE WHEN len(t) < $n TH
       benchWhereSql: String, n: Int = 5, minOverlap: Int = 1,
       keepCols: Seq[String] = Seq.empty): String = {
     val extra = if (keepCols.isEmpty) "" else keepCols.map(c => s"d.$c").mkString(", ", ", ", "")
-    s"""WITH ${gramCte(table, idCol, textCol, n, "cg", "")},
-${gramCte(table, idCol, textCol, n, "bg", benchWhereSql)},
-bset AS (SELECT DISTINCT unnest(hs) AS gram_h FROM bg),
-ch AS (SELECT doc_id_, unnest(hs) AS gram_h FROM cg),
-ov AS (SELECT doc_id_, count(*) AS n_overlap FROM ch JOIN bset USING (gram_h) GROUP BY doc_id_)
+    s"""WITH ${overlapCtes(table, idCol, textCol, table, benchWhereSql, n)}
 SELECT d.$idCol$extra, coalesce(o.n_overlap, 0) AS n_overlap,
   coalesce(o.n_overlap, 0) >= $minOverlap AS contaminated
 FROM $table d LEFT JOIN ov o ON o.doc_id_ = d.$idCol ORDER BY d.$idCol""".stripMargin
