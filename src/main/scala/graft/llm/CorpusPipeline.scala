@@ -59,24 +59,30 @@ object CorpusPipeline {
     s"""${cleanCtes(table, idCol, textCol, langKeep, minTokens, maxStopRatio)}
 SELECT ${keepCols.mkString(", ")} FROM cleaned ORDER BY $idCol""".stripMargin
 
-  /** End-to-end corpus preparation: clean (lang gate → quality gate → exact
-    * dedup) → benchmark decontamination → deterministic stratified
-    * sampling, composed as ONE lazily-fused plan. Scale shape of the whole
-    * flow: the gates and the sampling predicate are codegen'd filters in
-    * scan stages, dedup contributes its single fingerprint shuffle of gate
-    * survivors, decontamination broadcasts the benchmark gram set (zero
-    * corpus shuffle) — so the entire preparation costs ONE corpus shuffle
-    * end to end.
+  /** End-to-end corpus preparation: benchmark decontamination → clean
+    * (lang gate → quality gate → exact dedup) → deterministic stratified
+    * sampling, composed as ONE lazily-fused plan.
+    *
+    * Decontamination runs FIRST. Semantically the order is neutral for
+    * EXACT dedup (contamination is text-determined, so a duplicate group is
+    * uniformly contaminated or uniformly clean); the ordering is a pure
+    * plan win: the dirty-id derivation reads the RAW scan (explode →
+    * broadcast gram match — zero corpus shuffle; only MATCHED gram rows
+    * enter its tiny count shuffle) instead of re-deriving the cleaned
+    * corpus — which would repeat the dedup shuffle. The full pipeline
+    * costs exactly one corpus-width shuffle (exact-dedup's fingerprint
+    * exchange over gate survivors); the gates and the sampling predicate
+    * are codegen'd scan-stage filters throughout.
     */
   def prepare(docs: DataFrame, bench: DataFrame,
               textCol: String = "text", idCol: String = "doc_id",
               strataCol: String = "lang",
               rates: Seq[(String, Int)] = Seq("en" -> 70), defaultPct: Int = 10,
               decontaminateN: Int = 5): DataFrame = {
-    val cleaned = clean(docs, textCol, idCol)
-    val decon = Decontaminate.clean(cleaned, idCol, textCol, bench, n = decontaminateN)
+    val decon = Decontaminate.clean(docs, idCol, textCol, bench, n = decontaminateN)
+    val cleaned = clean(decon, textCol, idCol)
     graft.text.CorpusFilters.stratifiedSample(
-      decon, key = col(textCol), strata = col(strataCol), rates, defaultPct)
+      cleaned, key = col(textCol), strata = col(strataCol), rates, defaultPct)
   }
 
   /** Oracle for [[prepare]] with the benchmark as a filtered subset of the
@@ -88,10 +94,11 @@ SELECT ${keepCols.mkString(", ")} FROM cleaned ORDER BY $idCol""".stripMargin
                     strataCol: String = "lang",
                     rates: Seq[(String, Int)] = Seq("en" -> 70), defaultPct: Int = 10,
                     decontaminateN: Int = 5): String =
-    s"""${cleanCtes(table, idCol, textCol)},
-${Decontaminate.overlapCtes("cleaned", idCol, textCol, table, benchWhereSql, decontaminateN)}
+    s"""WITH ${Decontaminate.overlapCtes(table, idCol, textCol, table, benchWhereSql, decontaminateN)},
+decon AS (SELECT * FROM $table
+  WHERE $idCol NOT IN (SELECT doc_id_ FROM ov WHERE n_overlap >= 1)),
+${cleanCtes("decon", idCol, textCol).stripPrefix("WITH ")}
 SELECT ${keepCols.mkString(", ")} FROM cleaned
-WHERE $idCol NOT IN (SELECT doc_id_ FROM ov WHERE n_overlap >= 1)
-  AND ${graft.text.CorpusFilters.stratifiedKeepSql(textCol, strataCol, rates, defaultPct)}
+WHERE ${graft.text.CorpusFilters.stratifiedKeepSql(textCol, strataCol, rates, defaultPct)}
 ORDER BY $idCol""".stripMargin
 }

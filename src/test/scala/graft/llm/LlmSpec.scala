@@ -183,6 +183,35 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("prepare pipeline plan: one corpus-width shuffle, gram sides broadcast") {
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = CorpusPipeline.prepare(d, d.where(pmod(col("doc_id"), lit(50)) === 0))
+      .queryExecution.executedPlan.toString
+    // shuffle exchanges: dedup window (corpus-width) + matched-gram count +
+    // benchmark gram distinct — nothing else; gram matching itself broadcasts
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 3, s"unexpected extra shuffles ($shuffles):\n$plan")
+    assert("BroadcastExchange".r.findAllIn(plan).length >= 2, plan)
+    assert("Window".r.findAllIn(plan).length === 1, "exactly one corpus window (dedup)")
+  }
+
+  test("prepare end-to-end semantics: contaminated group removed, clean dup group keeps one") {
+    import spark.implicits._
+    // en texts passing the 20-token gate
+    val dirty = "the cat and the dog and a fish for it is a good day to be in the park now"
+    val cleanT = "the bird and the bee and a tree for it is a fine day to see the stars up above"
+    val docs = Seq(
+      (1L, dirty, "en", 1L), (2L, dirty, "en", 1L),   // contaminated dup group
+      (4L, cleanT, "en", 1L), (5L, cleanT, "en", 1L), // clean dup group
+      (6L, "too short", "en", 1L)                     // fails the token gate
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val bench = Seq((99L, dirty)).toDF("doc_id", "text")
+    val out = CorpusPipeline.prepare(docs, bench, rates = Seq("en" -> 100), defaultPct = 100)
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq === Seq(4L))
+  }
+
   test("dedupIncremental: store dups dropped, in-batch dups keep min id") {
     import spark.implicits._
     import graft.text.TextFunctions.fingerprint
