@@ -1191,6 +1191,20 @@ FROM aug ORDER BY doc_id""".stripMargin
           .orderBy("vec_id"),
         Some(graft.llm.EmbeddingOps.quantizeOracle("embeddings", "vec_id", "embedding"))),
 
+      // IVF over int8 codes at full probe: float-centroid routing +
+      // integer-dot scoring on the compressed store — provably equals int8
+      // brute force whatever the seeded k-means converged to
+      RegisteredQuery(
+        "q_ann_ivf_int8",
+        (s, dir) => {
+          val emb = Tables.resolve(s, dir)("embeddings")
+          graft.llm.IvfIndex.build(emb, nLists = 8)
+            .searchInt8(emb.where(col("vec_id") < 8), k = 4, nProbe = 8)
+            .orderBy("query_id", "rank")
+        },
+        Some(graft.llm.EmbeddingOps.int8KnnOracle(
+          "embeddings", "vec_id", "embedding", "vec_id < 8", k = 4, dim = 64))),
+
       // ANN over the COMPRESSED store: int8 codes both sides, exact integer
       // dot, top-k via the bounded-buffer aggregator (no window sort of the
       // scored pairs)

@@ -54,6 +54,33 @@ final case class IvfIndex(
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast(LongType)).where(col("rank") <= k)
   }
+
+  /** IVF over the COMPRESSED store (the FAISS IVF-flat-int8 shape): probe
+    * routing uses the float centroids exactly as [[search]], but candidate
+    * scoring runs on int8 codes ([[EmbeddingOps.quantizeInt8]]) with an
+    * exact integer dot, and top-k flows through the bounded-buffer
+    * [[graft.functions.TopK]] aggregate (≤k candidates per query leave each
+    * map partition — no window sort of the scored pairs). At full probe
+    * this provably equals int8 brute force whatever the centroids
+    * converged to — which is what makes it oracle-checkable.
+    */
+  def searchInt8(queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val q = queries.select(
+        col(idCol).as("query_id"),
+        EmbeddingOps.quantizeInt8(col(vecCol)).as("qc"),
+        explode(probeLists(col(vecCol), nProbe)).as("list"))
+    val c = assigned.select(
+        col(idCol).as("neighbor_id"),
+        EmbeddingOps.quantizeInt8(col(vecCol)).as("cc"), col("list"))
+    val dot = aggregate(
+      zip_with(col("qc"), col("cc"), (a, b) => a.cast(LongType) * b.cast(LongType)),
+      lit(0L), (acc, x) => acc + x)
+    val scored = q.join(c, "list")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), dot.as("score"))
+    graft.functions.TopK.perGroup(scored, Seq("query_id"), col("score"), col("neighbor_id"), k)
+      .withColumnRenamed("id", "neighbor_id")
+  }
 }
 
 object IvfIndex {

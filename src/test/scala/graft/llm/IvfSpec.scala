@@ -33,4 +33,15 @@ class IvfSpec extends SparkSpec {
     // sanity: every list got members (quantizer isn't degenerate)
     assert(index.assigned.select("list").distinct().count() == 8)
   }
+
+  test("full-probe int8 search equals int8 brute force (centroid-independent)") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val index = IvfIndex.build(emb, nLists = 4)
+    val got = index.searchInt8(emb.where(col("vec_id") < 5), k = 6, nProbe = 4)
+      .orderBy("query_id", "rank").collect().toSeq
+    val brute = EmbeddingOps.int8Knn(emb, emb.where(col("vec_id") < 5), k = 6)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(got === brute)
+  }
 }
