@@ -253,6 +253,27 @@ object Registry {
         Some(SqlRenderer.compound(c)))
     },
 
+    // date extraction as computed group keys: monthly revenue rollup keyed
+    // on EXTRACT(YEAR)/EXTRACT(MONTH) of the order timestamp
+    adt("q_date_extract", Select(
+      table = "orders",
+      columns = Seq(
+        Fn(ScalarFn.Extract("year"), Seq(Col("o_orderdate"))).as("y"),
+        Fn(ScalarFn.Extract("month"), Seq(Col("o_orderdate"))).as("m"),
+        CountStar.as("n"),
+        Cast(Agg(AggFn.Sum, Cast(Col("o_totalprice"), dec)), FxType.TF64).as("revenue")),
+      groupBy = Seq(Col("y"), Col("m")),
+      orderBy = Seq(Order.asc("y"), Order.asc("m")))),
+
+    // DATE_TRUNC month bucketing (timestamp-valued truncation cross-engine)
+    adt("q_date_trunc", Select(
+      table = "orders",
+      columns = Seq(
+        Col("o_orderkey"),
+        Fn(ScalarFn.DateTrunc("month"), Seq(Col("o_orderdate"))).as("month"),
+        Fn(ScalarFn.Extract("day"), Seq(Col("o_orderdate"))).as("dom")),
+      orderBy = Seq(Order.asc("o_orderkey")))),
+
     // C-extension string functions: SUBSTRING / TRIM / || concat / REPLACE
     adt("q_string_fns", Select(
       table = "customer",

@@ -148,6 +148,18 @@ object ScalarFn {
     */
   case object Concat     extends ScalarFn("CONCAT")
   case object Replace    extends ScalarFn("REPLACE")
+  /** EXTRACT(field FROM ts) — typed i64 on our surface (Spark's extraction
+    * fns return int, ANSI engines BIGINT; the translator widens).
+    */
+  final case class Extract(field: String) extends ScalarFn("EXTRACT") {
+    require(Extract.Fields.contains(field), s"unsupported EXTRACT field: $field")
+  }
+  object Extract { val Fields: Set[String] = Set("year", "month", "day", "hour", "minute", "second") }
+  /** DATE_TRUNC('unit', ts) — timestamp-valued truncation. */
+  final case class DateTrunc(unit: String) extends ScalarFn("DATE_TRUNC") {
+    require(DateTrunc.Units.contains(unit), s"unsupported DATE_TRUNC unit: $unit")
+  }
+  object DateTrunc { val Units: Set[String] = Set("year", "quarter", "month", "week", "day", "hour", "minute", "second") }
 }
 
 sealed abstract class AggFn(val sqlName: String)

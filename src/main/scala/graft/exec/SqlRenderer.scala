@@ -63,6 +63,12 @@ object SqlRenderer {
     case Fn(ScalarFn.Concat, args) =>
       // operator form: null-propagating on every engine (CONCAT() is not)
       s"(${args.map(columnExpr).mkString(" || ")})"
+    case Fn(ScalarFn.Extract(f), args) =>
+      s"CAST(EXTRACT(${f.toUpperCase} FROM ${columnExpr(args.head)}) AS BIGINT)"
+    case Fn(ScalarFn.DateTrunc(u), args) =>
+      // CAST normalizes engines that return DATE for day-or-coarser units
+      // (DuckDB) to the timestamp type Spark's date_trunc always yields
+      s"CAST(DATE_TRUNC('$u', ${columnExpr(args.head)}) AS TIMESTAMP)"
     case Fn(fn, args)    => s"${fn.sqlName}(${args.map(columnExpr).mkString(", ")})"
     case Agg(AggFn.Quantile(p), arg, _) =>
       s"PERCENTILE_CONT($p) WITHIN GROUP (ORDER BY ${columnExpr(arg)})"

@@ -73,6 +73,15 @@ object Translator {
         case ScalarFn.Trim    => trim(cs.head)
         case ScalarFn.Concat  => concat(cs: _*)
         case ScalarFn.Replace => replace(cs(0), cs(1), cs(2))
+        case ScalarFn.Extract(f) => (f match {
+          case "year"   => year(cs.head)
+          case "month"  => month(cs.head)
+          case "day"    => dayofmonth(cs.head)
+          case "hour"   => hour(cs.head)
+          case "minute" => minute(cs.head)
+          case "second" => second(cs.head)
+        }).cast("long") // ANSI engines return BIGINT
+        case ScalarFn.DateTrunc(u) => date_trunc(u, cs.head)
       }
     case Agg(fn, arg, distinct) =>
       val c = column(arg)

@@ -148,6 +148,8 @@ object QueryWire {
     case ScalarFn.Round => "round"
     case ScalarFn.Substring => "substring"; case ScalarFn.Trim => "trim"
     case ScalarFn.Concat => "concat"; case ScalarFn.Replace => "replace"
+    case ScalarFn.Extract(f) => s"extract($f)"
+    case ScalarFn.DateTrunc(u) => s"date_trunc($u)"
   }
   private def parseScalar(tag: String): ScalarFn = tag match {
     case "abs" => ScalarFn.Abs; case "ifnull" => ScalarFn.IfNull
@@ -156,6 +158,10 @@ object QueryWire {
     case "round" => ScalarFn.Round
     case "substring" => ScalarFn.Substring; case "trim" => ScalarFn.Trim
     case "concat" => ScalarFn.Concat; case "replace" => ScalarFn.Replace
+    case e if e.startsWith("extract(") =>
+      ScalarFn.Extract(e.stripPrefix("extract(").stripSuffix(")"))
+    case d if d.startsWith("date_trunc(") =>
+      ScalarFn.DateTrunc(d.stripPrefix("date_trunc(").stripSuffix(")"))
     case other => throw new IllegalArgumentException(s"unknown scalar fn: $other")
   }
 

@@ -52,7 +52,8 @@ class QueryWirePropertySpec extends AnyFunSuite {
 
   private val scalarGen: Gen[ScalarFn] = Gen.oneOf(
     ScalarFn.Abs, ScalarFn.Lower, ScalarFn.Upper, ScalarFn.Trim,
-    ScalarFn.CharLength, ScalarFn.Concat, ScalarFn.Coalesce)
+    ScalarFn.CharLength, ScalarFn.Concat, ScalarFn.Coalesce,
+    ScalarFn.Extract("month"), ScalarFn.DateTrunc("day"))
 
   private val aggGen: Gen[AggFn] = Gen.oneOf(
     Gen.const(AggFn.Max), Gen.const(AggFn.Min), Gen.const(AggFn.Sum),
