@@ -1202,14 +1202,20 @@ FROM aug ORDER BY doc_id""".stripMargin
           horizonUs = Some(48L * 3600 * 1000000)))),
 
       // int8 embedding quantization: 4× storage cut with integer codes from
-      // a fixed IEEE-double formula — bit-identical on any engine/layout
+      // a fixed IEEE-double formula — bit-identical on any engine/layout.
+      // Exploded to (vec_id, pos, code) scalar rows: the harness can't
+      // canonicalize array cells, and per-element rows are the stronger
+      // cell-by-cell check anyway.
       RegisteredQuery(
         "q_embed_quantize",
         (s, dir) => Tables.resolve(s, dir)("embeddings").select(
             col("vec_id"),
             graft.llm.EmbeddingOps.quantizeInt8(col("embedding")).as("qvec"),
             graft.llm.EmbeddingOps.rangeQ4(col("embedding")).as("m_q4"))
-          .orderBy("vec_id"),
+          .select(col("vec_id"), posexplode(col("qvec")), col("m_q4"))
+          .select(col("vec_id"), col("pos").cast("long").as("pos"),
+            col("col").cast("long").as("code"), col("m_q4"))
+          .orderBy("vec_id", "pos"),
         Some(graft.llm.EmbeddingOps.quantizeOracle("embeddings", "vec_id", "embedding"))),
 
       // IVF over int8 codes at full probe: float-centroid routing +

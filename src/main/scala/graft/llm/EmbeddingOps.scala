@@ -117,15 +117,23 @@ r AS (SELECT query_id, neighbor_id, score, row_number() OVER (PARTITION BY query
 SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, CAST(score AS DOUBLE) AS score
 FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
-  /** Oracle for [[quantizeInt8]] + [[rangeQ4]] over a list-of-float column. */
+  /** Oracle for [[quantizeInt8]] + [[rangeQ4]] over a list-of-float column,
+    * exploded to one (id, pos, code) row per element: the comparison
+    * harness canonicalizes scalar cells only (array cells are unhashable
+    * on the pandas side), and the exploded shape is also the stronger
+    * check — every code is verified cell-by-cell, not as an opaque list.
+    */
   def quantizeOracle(table: String, idCol: String, vecCol: String): String =
     s"""WITH t AS (SELECT $idCol,
   $vecCol AS v,
   list_max(list_transform($vecCol, x -> abs(CAST(x AS DOUBLE)))) AS m
-FROM $table)
-SELECT $idCol,
+FROM $table),
+q AS (SELECT $idCol,
   CASE WHEN m = 0 THEN list_transform(v, x -> 0)
        ELSE list_transform(v, x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / m) + 0.5) AS INTEGER)) END AS qvec,
   CAST(floor(m * 10000) AS BIGINT) AS m_q4
-FROM t ORDER BY $idCol""".stripMargin
+FROM t),
+e AS (SELECT $idCol, m_q4, qvec, unnest(generate_series(1, len(qvec))) AS i FROM q)
+SELECT $idCol, CAST(i - 1 AS BIGINT) AS pos, CAST(qvec[i] AS BIGINT) AS code, m_q4
+FROM e ORDER BY $idCol, pos""".stripMargin
 }

@@ -123,7 +123,7 @@ FROM st ORDER BY $idCol, chunk_id""".stripMargin
     s"""WITH t AS (SELECT $idCol, CAST(len(string_split($textCol, ' ')) AS BIGINT) AS n_tokens FROM $table),
 c AS (SELECT $idCol, n_tokens,
   sum(n_tokens) OVER (ORDER BY $idCol ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset FROM t),
-a AS (SELECT $idCol, n_tokens, start_offset // $ctxLen AS chunk_id FROM c)
+a AS (SELECT $idCol, n_tokens, CAST(start_offset // $ctxLen AS BIGINT) AS chunk_id FROM c)
 SELECT chunk_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens,
   min($idCol) AS first_doc, max($idCol) AS last_doc
 FROM a GROUP BY chunk_id ORDER BY chunk_id""".stripMargin
