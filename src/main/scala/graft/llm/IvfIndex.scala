@@ -5,7 +5,7 @@ import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** IVF (inverted-file) approximate nearest neighbor — the scale path beyond
   * sign-LSH: a coarse k-means quantizer assigns every vector to its nearest
@@ -87,42 +87,48 @@ object IvfIndex {
 
   /** Build the index: fit a seeded k-means coarse quantizer, assign every
     * corpus vector to its nearest centroid, persist the inverted lists.
+    *
+    * `trainFraction` samples the k-means training set: a COARSE quantizer
+    * only needs centroids representative of the density, not of every
+    * vector — FAISS trains IVF on ~1–10% of the corpus — so at scale the
+    * training pass must not be a full corpus scan. Defaults to 1.0 (full)
+    * so small-scale builds stay deterministic for the oracle gates; the
+    * full-probe ≡ brute-force identity holds for ANY centroid set, sampled
+    * or not (probing all lists scores every vector regardless of routing),
+    * which is what keeps a sampled build oracle-checkable.
     */
   def build(corpus: DataFrame, nLists: Int,
             idCol: String = "vec_id", vecCol: String = "embedding",
-            seed: Long = 42L, maxIter: Int = 8): IvfIndex = {
+            seed: Long = 42L, maxIter: Int = 8,
+            trainFraction: Double = 1.0): IvfIndex = {
+    require(trainFraction > 0.0 && trainFraction <= 1.0,
+      s"trainFraction must be in (0, 1], got $trainFraction")
     val sess = corpus.sparkSession
     import sess.implicits._
-    val train = corpus.select(col(idCol), col(vecCol))
+    val trainSrc =
+      if (trainFraction < 1.0) corpus.sample(withReplacement = false, trainFraction, seed)
+      else corpus
+    val train = trainSrc.select(col(idCol), col(vecCol))
       .map { r =>
         (r.getLong(0), Vectors.dense(r.getSeq[Float](1).map(_.toDouble).toArray))
       }.toDF(idCol, "features")
     // a COARSE quantizer doesn't need converged centroids — every extra
-    // k-means iteration is a full corpus pass, and probe-side recall is the
-    // knob that actually buys accuracy (nProbe), so default iterations low
+    // k-means iteration is a pass over the (sampled) training set, and
+    // probe-side recall is the knob that actually buys accuracy (nProbe),
+    // so default iterations low
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("features").fit(train)
     val centroids = model.clusterCenters.map(_.toArray)
-    val bcast = sess.sparkContext.broadcast(centroids)
-    val assignList = udf { (v: Seq[Float]) =>
-      val cs = bcast.value
-      var best = 0; var bestD = Double.MaxValue
-      var i = 0
-      while (i < cs.length) {
-        var d = 0.0; var j = 0
-        while (j < cs(i).length) { val t = v(j) - cs(i)(j); d += t * t; j += 1 }
-        if (d < bestD) { bestD = d; best = i }
-        i += 1
-      }
-      best
-    }
     // eager localCheckpoint, not persist: the inverted lists are reused by
     // every search, but the blocks are ContextCleaner-owned — dropping the
     // index frees them on GC; a CacheManager persist would leak across
     // repeated builds (nobody downstream could unpersist it).
+    // Assignment is the one build pass that touches EVERY corpus row, so it
+    // runs as a native codegen'd expression (argmin over the centroid
+    // matrix riding in the plan), not a ScalaUDF.
     val assigned = corpus.select(
         col(idCol), col(vecCol),
-        assignList(col(vecCol)).cast(IntegerType).as("list"))
+        graft.functions.NearestCentroid(col(vecCol), centroids).as("list"))
       .localCheckpoint(true)
     IvfIndex(assigned, centroids, idCol, vecCol)
   }

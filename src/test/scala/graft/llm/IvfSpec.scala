@@ -34,6 +34,31 @@ class IvfSpec extends SparkSpec {
     assert(index.assigned.select("list").distinct().count() == 8)
   }
 
+  test("sampled-training build: full probing still equals brute force") {
+    // the identity is centroid-independent — full probe scores every vector
+    // whatever the (sampled) k-means converged to — so the 100 TB-scale
+    // build path (train on a fraction, assign everything) loses nothing
+    val index = IvfIndex.build(emb, nLists = 8, trainFraction = 0.2)
+    val exact = neighborSets(Similarity.bruteForceKnn(emb, queries, k = 5))
+    val ivf = neighborSets(index.search(queries, k = 5, nProbe = 8))
+    assert(ivf == exact)
+    // every corpus vector got assigned a list despite the sampled training
+    assert(index.assigned.count() == emb.count())
+  }
+
+  test("native assignment matches the centroid argmin definition") {
+    val index = IvfIndex.build(emb, nLists = 4)
+    val cs = index.centroids
+    val rows = index.assigned.select("vec_id", "embedding", "list")
+      .where(col("vec_id") < 50).collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      val dists = cs.map(c => v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum)
+      assert(r.getInt(2) == dists.indexOf(dists.min),
+        s"vec ${r.getLong(0)} assigned ${r.getInt(2)}, argmin ${dists.indexOf(dists.min)}")
+    }
+  }
+
   test("full-probe int8 search equals int8 brute force (centroid-independent)") {
     import org.apache.spark.sql.functions.col
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
