@@ -31,6 +31,46 @@ object SavingCategory {
   case object Dataset extends SavingCategory { val wire: WireType = WireType.Dataset }
 }
 
+/** Index sort direction (reference indexes.rs:11 `Dir`). */
+sealed trait IndexDir
+object IndexDir {
+  case object Asc extends IndexDir
+  case object Desc extends IndexDir
+}
+
+/** One indexed key: field + direction (reference indexes.rs:17 SingleIndex
+  * key pair / CompoundIndexOptions keys entry).
+  */
+final case class IndexKey(field: String, dir: IndexDir = IndexDir.Asc)
+
+/** A named index over one or more keys — the union of the reference's
+  * Single/Compound IndexOptions (indexes.rs:47): a single-field model is a
+  * one-key compound. `text` is carried but inert, exactly like the
+  * reference (text search is commented out in
+  * generate_mongo_index_module, indexes.rs:70,82).
+  */
+final case class IndexModel(name: String, keys: Seq[IndexKey],
+                            unique: Boolean = false, text: Boolean = false) {
+  require(name.nonEmpty, "index name must be non-empty")
+  require(keys.nonEmpty, "index must cover at least one key")
+}
+
+object IndexModel {
+  private val Prefix = "idx" // reference indexes.rs:8 INDEXES_PREFIX
+
+  /** Reference single-index naming: `_idx_<field>` (indexes.rs:69). */
+  def single(field: String, dir: IndexDir = IndexDir.Asc,
+             unique: Boolean = false, text: Boolean = false): IndexModel =
+    IndexModel(s"_${Prefix}_$field", Seq(IndexKey(field, dir)), unique, text)
+
+  /** Reference compound naming: `_idx_<f1>_<f2>_…` with a trailing
+    * separator (indexes.rs:85-89 folds `name + '_'` per key).
+    */
+  def compound(keys: Seq[IndexKey], unique: Boolean = false,
+               text: Boolean = false): IndexModel =
+    IndexModel(s"_${Prefix}_${keys.map(_.field + "_").mkString}", keys, unique, text)
+}
+
 trait DocumentStore {
   /** Insert under a fresh id (reference insert → ObjectId). */
   def insert(fx: Fabrix, category: SavingCategory = SavingCategory.Column): String
@@ -43,6 +83,23 @@ trait DocumentStore {
     ids.flatMap(find(spark, _))
   def delete(id: String): Boolean
   def listIds: Seq[String]
+
+  // ------------------------- index management (reference ec.rs:172-230) --
+  // The default `_id` index is never listed, matching the reference's
+  // IndexOptions doc ("the default `_id` index is not included").
+
+  /** list_indexes: every declared index model. */
+  def listIndexes: Seq[IndexModel]
+  /** list_indexes_name (ec.rs:186). */
+  def listIndexNames: Seq[String] = listIndexes.map(_.name)
+  /** create_index (ec.rs:193): upserts by name, returns the index name —
+    * mirroring Mongo's idempotent create returning `index_name`.
+    */
+  def createIndex(model: IndexModel): String
+  /** drop_index by name (ec.rs:216); false if absent. */
+  def dropIndex(name: String): Boolean
+  /** drop_all_indexes (ec.rs:224). */
+  def dropAllIndexes(): Unit
 }
 
 object DocumentStore {
@@ -61,7 +118,7 @@ object DocumentStore {
 }
 
 /** Local filesystem implementation: one `<id>.json` per document. */
-final class JsonDirStore(dir: String) extends DocumentStore {
+final class JsonDirStore(val dir: String) extends DocumentStore {
   private val root: Path = {
     val p = Paths.get(dir)
     Files.createDirectories(p)
@@ -71,6 +128,7 @@ final class JsonDirStore(dir: String) extends DocumentStore {
   private def fileOf(id: String): Path = {
     require(id.nonEmpty && !id.exists(c => c == '/' || c == '\\' || c == 0),
       s"invalid document id: $id")
+    require(id != JsonDirStore.ManifestName, s"reserved document id: $id")
     root.resolve(s"$id.json")
   }
 
@@ -99,5 +157,72 @@ final class JsonDirStore(dir: String) extends DocumentStore {
       .map(_.getFileName.toString)
       .filter(_.endsWith(".json"))
       .map(_.stripSuffix(".json"))
+      .filter(_ != JsonDirStore.ManifestName)
       .toSeq.sorted
+
+  // ------------------------------------ index manifest (`_indexes.json`) --
+  // The JSON-dir store has nothing to physically index (every find is a
+  // direct file lookup), so index management is pure declared metadata — a
+  // manifest the way a real binding would hold the collection's index list.
+  // The API surface and naming mirror the reference exactly so a Mongo-
+  // backed implementation slots in behind the same trait.
+
+  private val manifest: Path = root.resolve(s"${JsonDirStore.ManifestName}.json")
+
+  private def readManifest(): Seq[IndexModel] = {
+    if (!Files.exists(manifest)) Seq.empty
+    else {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      om.readTree(Files.readString(manifest)).elements().asScala.map { n =>
+        IndexModel(
+          n.get("name").asText(),
+          n.get("keys").elements().asScala.map { k =>
+            IndexKey(k.get("field").asText(),
+              if (k.get("dir").asText() == "desc") IndexDir.Desc else IndexDir.Asc)
+          }.toSeq,
+          unique = n.get("unique").asBoolean(),
+          text = n.get("text").asBoolean())
+      }.toSeq
+    }
+  }
+
+  private def writeManifest(ms: Seq[IndexModel]): Unit = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = om.createArrayNode()
+    ms.foreach { m =>
+      val node = arr.addObject()
+      node.put("name", m.name)
+      node.put("unique", m.unique)
+      node.put("text", m.text)
+      val keys = node.putArray("keys")
+      m.keys.foreach { k =>
+        val kn = keys.addObject()
+        kn.put("field", k.field)
+        kn.put("dir", if (k.dir == IndexDir.Desc) "desc" else "asc")
+      }
+    }
+    Files.writeString(manifest, om.writeValueAsString(arr))
+  }
+
+  override def listIndexes: Seq[IndexModel] = readManifest()
+
+  override def createIndex(model: IndexModel): String = {
+    writeManifest(readManifest().filterNot(_.name == model.name) :+ model)
+    model.name
+  }
+
+  override def dropIndex(name: String): Boolean = {
+    val before = readManifest()
+    val after = before.filterNot(_.name == name)
+    if (after.size == before.size) false
+    else { writeManifest(after); true }
+  }
+
+  override def dropAllIndexes(): Unit =
+    if (Files.exists(manifest)) { Files.delete(manifest); () }
+}
+
+object JsonDirStore {
+  /** Reserved basename of the index manifest inside a store directory. */
+  val ManifestName = "_indexes"
 }

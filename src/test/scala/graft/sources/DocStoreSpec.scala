@@ -65,4 +65,37 @@ class DocStoreSpec extends SparkSpec {
     val store = freshStore()
     intercept[IllegalArgumentException](store.put("../evil", frame))
   }
+
+  test("index management: create/list/drop with reference naming") {
+    val store = freshStore()
+    assert(store.listIndexes.isEmpty)
+    // single-index naming `_idx_<field>` (reference indexes.rs:69)
+    val single = IndexModel.single("name", unique = true)
+    assert(store.createIndex(single) == "_idx_name")
+    // compound naming `_idx_<f1>_<f2>_` with trailing sep (indexes.rs:85-89)
+    val compound = IndexModel.compound(
+      Seq(IndexKey("id"), IndexKey("score", IndexDir.Desc)))
+    assert(store.createIndex(compound) == "_idx_id_score_")
+    assert(store.listIndexNames == Seq("_idx_name", "_idx_id_score_"))
+    // manifest round-trips full models (dirs, unique) through a reopen
+    val reopened = new JsonDirStore(store.dir)
+    assert(reopened.listIndexes == Seq(single, compound))
+    // create is an idempotent upsert by name
+    assert(reopened.createIndex(single.copy(unique = false)) == "_idx_name")
+    assert(reopened.listIndexes.count(_.name == "_idx_name") == 1)
+    assert(!reopened.listIndexes.find(_.name == "_idx_name").get.unique)
+    // drop
+    assert(reopened.dropIndex("_idx_name"))
+    assert(!reopened.dropIndex("_idx_name"))
+    reopened.dropAllIndexes()
+    assert(reopened.listIndexes.isEmpty)
+  }
+
+  test("index manifest is invisible to document CRUD") {
+    val store = freshStore()
+    store.createIndex(IndexModel.single("id"))
+    val id = store.insert(frame)
+    assert(store.listIds == Seq(id))
+    intercept[IllegalArgumentException](store.put("_indexes", frame))
+  }
 }
