@@ -114,7 +114,9 @@ object WindowFn {
   /** Windowed aggregate (moving sum/avg/min/max/count over the frame). */
   final case class WAgg(fn: AggFn, arg: ColumnExpr)      extends WindowFn
   /** n equal-height buckets over the partition order (i64 like the ranks). */
-  final case class Ntile(n: Int)                         extends WindowFn
+  final case class Ntile(n: Int) extends WindowFn {
+    require(n > 0, s"NTILE bucket count must be positive, got $n")
+  }
   /** (rank−1)/(rows−1) — exact IEEE division of two ints, engine-portable. */
   case object PercentRank                                extends WindowFn
   case object CumeDist                                   extends WindowFn

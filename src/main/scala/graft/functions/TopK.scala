@@ -84,10 +84,17 @@ object TopK {
   /** Top-k table: one row per (group, rank) with rank 1..k — the relational
     * form. `df.groupBy(keys).agg(...)` then posexplode; ranks are dense and
     * deterministic.
+    *
+    * Non-null contract: rows with a NULL score or id are dropped before
+    * ranking — the bounded buffer is primitive (Double, Long) and cannot
+    * hold nulls, and an unrankable candidate has no place in a top-k. (A
+    * plain window formulation would instead rank NULL scores last; callers
+    * wanting that semantics must rank nulls themselves.)
     */
   def perGroup(df: DataFrame, groupCols: Seq[String], score: Column, id: Column,
                k: Int): DataFrame = {
-    val g = df.groupBy(groupCols.map(col): _*)
+    val g = df.where(score.isNotNull && id.isNotNull)
+      .groupBy(groupCols.map(col): _*)
       .agg(TopK(k)(score, id).as("__topk"))
     g.select(groupCols.map(col) :+ posexplode(col("__topk")): _*)
       .select(groupCols.map(col) ++ Seq(

@@ -59,10 +59,14 @@ object StreamingFunnels {
         (user: Long, rows: Iterator[(Long, Long, Int, java.sql.Timestamp)], state: GroupState[FunnelState]) =>
           var s = state.getOption.getOrElse(FunnelState(0, -1L, -1L, Nil))
           val buf = s.buf ++ rows.map(r => (r._2, r._3))
-          // the watermark seals everything at-or-before it; fold that prefix
-          // in (ts, step) order — identical to the batch sort_array fold
+          // the watermark seals everything STRICTLY before it; events AT the
+          // watermark stay buffered — Spark's late-event filter only drops
+          // rows strictly older than the watermark, so an equal-ts event can
+          // still arrive in a later batch, and folding its already-seen
+          // equal-ts peers now would fix a tie order the batch fold decides
+          // with both rows in hand
           val wmUs = state.getCurrentWatermarkMs() * 1000L
-          val (ripe, pending) = buf.partition(_._1 <= wmUs)
+          val (ripe, pending) = buf.partition(_._1 < wmUs)
           var (step, t1, tprev) = (s.step, s.t1, s.tprev)
           ripe.sorted.foreach { case (t, stepIdx) =>
             val advance = step < k && stepIdx == step + 1 && (step == 0 || t > tprev)
