@@ -1232,6 +1232,26 @@ FROM aug ORDER BY doc_id""".stripMargin
         Some(graft.llm.EmbeddingOps.int8KnnOracle(
           "embeddings", "vec_id", "embedding", "vec_id < 8", k = 4, dim = 64))),
 
+      // PQ/ADC over a formulaic grid codebook: the real encode + ADC +
+      // bounded-buffer top-k machinery (a codebook is opaque data to those
+      // paths), with every float op replayed term-by-term by the oracle —
+      // the k-means FIT stays spec-verified (float-iterative)
+      RegisteredQuery(
+        "q_ann_pq",
+        (s, dir) => {
+          val emb = Tables.resolve(s, dir)("embeddings")
+          val cb = graft.llm.ProductQuantizer.gridCodebook(
+            m = 8, subDim = 8, ksub = 8, lo = -0.5, hi = 0.5)
+          val codes = cb.encode(emb, "vec_id", "embedding")
+          cb.search(codes, emb.where(col("vec_id") < 8), k = 4)
+            .select(col("query_id"), col("rank").cast("long").as("rank"),
+              col("neighbor_id"), col("adc_dist"))
+            .orderBy("query_id", "rank")
+        },
+        Some(graft.llm.ProductQuantizer.adcOracle(
+          "embeddings", "vec_id", "embedding", "vec_id < 8", k = 4,
+          m = 8, subDim = 8, ksub = 8, lo = -0.5, hi = 0.5))),
+
       // ANN over the COMPRESSED store: int8 codes both sides, exact integer
       // dot, top-k via the bounded-buffer aggregator (no window sort of the
       // scored pairs)

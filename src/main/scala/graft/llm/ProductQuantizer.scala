@@ -22,10 +22,12 @@ import org.apache.spark.sql.types.LongType
   * stage, top-k via the bounded-buffer [[graft.functions.TopK]] partial
   * aggregate).
   *
-  * Like [[IvfIndex]], training is seeded-deterministic but float-iterative,
-  * so PQ is spec-verified (recall on separable data, code determinism)
-  * rather than oracle-gated — the oracle-checkable members of the ladder
-  * are the int8 ops.
+  * Training is seeded-deterministic but float-iterative, so the k-means
+  * FIT is spec-verified (recall on separable data, code determinism). The
+  * encode/ADC/search machinery itself IS oracle-gated: a codebook is just
+  * data to those paths, so the gate injects a closed-form grid codebook
+  * ([[ProductQuantizer.gridCodebook]]) and the DuckDB oracle replays
+  * encode + ADC + top-k arithmetic exactly ([[ProductQuantizer.adcOracle]]).
   */
 final case class PqCodebook(
     codebooks: Array[Array[Array[Double]]], // m × ksub × subDim
@@ -117,5 +119,60 @@ object ProductQuantizer {
       model.clusterCenters.map(_.toArray)
     }
     PqCodebook(codebooks, m, subDim)
+  }
+
+  /** Closed-form codebook for oracle gating: centroid c of every subspace
+    * is the constant vector `lo + (hi-lo)·c/(ksub-1)` — a scalar
+    * quantization grid over the subvector. Encode/ADC treat a codebook as
+    * opaque data, so running the REAL operator over a formulaic codebook
+    * exercises exactly the code a trained codebook would, while the oracle
+    * can re-derive every centroid from the formula (no float-iterative
+    * k-means to replay).
+    */
+  def gridCodebook(m: Int, subDim: Int, ksub: Int, lo: Double, hi: Double): PqCodebook = {
+    require(ksub >= 2, s"grid codebook needs ksub >= 2, got $ksub")
+    val cbs = Array.tabulate(m)(_ => Array.tabulate(ksub)(c =>
+      Array.fill(subDim)(lo + (hi - lo) * c / (ksub - 1))))
+    PqCodebook(cbs, m, subDim)
+  }
+
+  /** DuckDB oracle for encode + ADC search over a [[gridCodebook]]: unrolls
+    * every subspace-distance sum term-by-term in the same left-associative
+    * order as the Scala loops, so each double is bit-identical across
+    * engines (IEEE arithmetic is deterministic once the expression tree is
+    * fixed; centroid literals are shortest-round-trip doubles). Argmin is
+    * `list_position(l, list_min(l)) - 1` — first occurrence of the min,
+    * matching the strict-< loop's tiebreak.
+    */
+  def adcOracle(table: String, idCol: String, vecCol: String, queryPred: String,
+                k: Int, m: Int, subDim: Int, ksub: Int, lo: Double, hi: Double): String = {
+    def g(c: Int): String = (lo + (hi - lo) * c / (ksub - 1)).toString
+    def dist(vc: String, s: Int, c: Int): String =
+      (0 until subDim).map { j =>
+        val idx = s * subDim + j + 1
+        s"(CAST($vc[$idx] AS DOUBLE) - ${g(c)}) * (CAST($vc[$idx] AS DOUBLE) - ${g(c)})"
+      }.mkString("(", " + ", ")")
+    def dlist(vc: String, s: Int): String =
+      (0 until ksub).map(c => dist(vc, s, c)).mkString("[", ", ", "]")
+    val encDists = (0 until m).map(s => s"${dlist("v", s)} AS d$s").mkString(",\n  ")
+    val codes = (0 until m)
+      .map(s => s"CAST(list_position(d$s, list_min(d$s)) - 1 AS INTEGER)")
+      .mkString("[", ", ", "]")
+    val qDists = (0 until m).map(s => s"${dlist("v", s)} AS q$s").mkString(",\n  ")
+    val adcSum = (0 until m).map(s => s"q.q$s[e.codes[${s + 1}] + 1]").mkString(" + ")
+    s"""WITH t AS (SELECT $idCol, $vecCol AS v FROM $table),
+ed AS (SELECT $idCol,
+  $encDists
+FROM t),
+enc AS (SELECT $idCol, $codes AS codes FROM ed),
+qd AS (SELECT $idCol AS query_id,
+  $qDists
+FROM t WHERE $queryPred),
+s AS (SELECT q.query_id, e.$idCol AS neighbor_id, $adcSum AS adc_dist
+  FROM qd q JOIN enc e ON e.$idCol != q.query_id),
+r AS (SELECT query_id, neighbor_id, adc_dist,
+  row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rank FROM s)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adc_dist
+FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 }

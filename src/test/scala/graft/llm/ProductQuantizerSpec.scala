@@ -47,6 +47,27 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(agree >= total * 9 / 10, s"cluster agreement $agree/$total")
   }
 
+  test("grid codebook: encode matches per-row argmin over the codebook") {
+    val pq = ProductQuantizer.gridCodebook(m = 4, subDim = 4, ksub = 8, lo = -0.5, hi = 0.5)
+    val rows = pq.encode(clustered, "vec_id", "embedding")
+      .join(clustered, "vec_id").where(col("vec_id") < 12)
+      .select("vec_id", "codes", "embedding").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Float](2)
+      val codes = r.getSeq[Int](1)
+      (0 until pq.m).foreach { s =>
+        val dists = pq.codebooks(s).map { c =>
+          (0 until pq.subDim).map { j =>
+            val t = v(s * pq.subDim + j) - c(j); t * t
+          }.sum
+        }
+        assert(codes(s) == dists.indexOf(dists.min),
+          s"vec ${r.getLong(0)} subspace $s: code ${codes(s)} vs argmin ${dists.indexOf(dists.min)}")
+      }
+    }
+  }
+
   test("ADC distance orders identical vectors first") {
     val pq = ProductQuantizer.fit(clustered, m = 4, ksub = 8)
     val codes = pq.encode(clustered, "vec_id", "embedding")
