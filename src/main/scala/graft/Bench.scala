@@ -29,9 +29,11 @@ object Bench {
     // Min over WHOLE-SUITE passes, not back-to-back repeats: this host shows
     // multi-MINUTE CPU-steal stall windows (a 0.4s query can read 30s, and
     // consecutive repeats land in the same window). Interleaving passes puts
-    // minutes between the two samples of each query, so a stall poisons at
-    // most one of them; the min is the steady-state cost of the plan.
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    // minutes between the samples of each query, so a stall poisons at most
+    // one of them; the min is the steady-state cost of the plan. Three
+    // passes by default: two leave a query with a single clean sample when
+    // a stall window eats one whole pass.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     // optional comma-separated subset for targeted iteration (dev only;
     // the driver never sets it, so the recorded bench always runs everything)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)

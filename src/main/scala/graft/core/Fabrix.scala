@@ -35,6 +35,25 @@ final case class Fabrix(df: DataFrame, indexTag: Option[IndexTag] = None) {
     indexTag.getOrElse(throw new IllegalStateException(
       "operation requires an index column; call setIndexTag or generateIndex first"))
 
+  /** Fail fast before a global-order window funnels a cluster-sized frame
+    * through one partition: `op` sorts ALL rows in a single task, which is
+    * correct but only sane for the driver-sized frames these parity APIs
+    * target. Bounded by [[Fabrix.PositionalMaxRowsKey]] (<= 0 disables).
+    * The count is one distributed pass — proportionally cheap next to the
+    * single-task sort it prevents.
+    */
+  private def guardGlobalOrder(op: String): Unit = {
+    val limit = df.sparkSession.conf
+      .get(Fabrix.PositionalMaxRowsKey, Fabrix.DefaultPositionalMaxRows.toString).toLong
+    if (limit > 0) {
+      val n = df.count()
+      if (n > limit) throw new IllegalStateException(
+        s"$op orders the whole frame in one partition and the frame has $n rows " +
+          s"(> ${Fabrix.PositionalMaxRowsKey}=$limit). Positional ops are " +
+          "in-memory-parity APIs, not bulk-data operators; raise the conf to override.")
+    }
+  }
+
   /** Designate an existing column as the index (fabrix.rs:202-231). */
   def setIndexTag(name: String): Fabrix = {
     val f = df.schema.fields.find(_.name == name).getOrElse(
@@ -51,12 +70,13 @@ final case class Fabrix(df: DataFrame, indexTag: Option[IndexTag] = None) {
   def generateIndex(orderBy: Seq[Column] = Nil): Fabrix = {
     val name = Fabrix.DefaultIndexName
     val out =
-      if (orderBy.nonEmpty)
+      if (orderBy.nonEmpty) {
         // row_number is a single-partition window: fine for frames that fit
         // one task; for big frames prefer the partition-layout path below.
+        guardGlobalOrder("generateIndex(orderBy)")
         df.withColumn(name, row_number().over(Window.orderBy(orderBy: _*)).cast(LongType) - 1)
           .select(name, df.columns.toIndexedSeq: _*)
-      else DenseIndex.withDenseIndex(df, name)
+      } else DenseIndex.withDenseIndex(df, name)
     Fabrix(out, Some(IndexTag(name, LongType)))
   }
 
@@ -201,6 +221,7 @@ final case class Fabrix(df: DataFrame, indexTag: Option[IndexTag] = None) {
     */
   def insertRowsAt(at: Int, rows: Seq[Seq[Any]]): Fabrix = {
     val tag = requireTag
+    guardGlobalOrder("insertRowsAt")
     val bucket = "__ins_bucket"; val seq = "__ins_seq"
     val idxName = Fabrix.DefaultIndexName
     // sort key = (bucket, old index | null for inserted, insertion seq):
@@ -278,6 +299,19 @@ final case class Fabrix(df: DataFrame, indexTag: Option[IndexTag] = None) {
 object Fabrix {
   /** Default index column name (fabrix-core/src/util.rs:8). */
   val DefaultIndexName = "index"
+
+  /** Conf key bounding the global-order positional ops (ordered
+    * [[Fabrix.generateIndex]], [[Fabrix.insertRowsAt]]): these sort the
+    * whole frame in ONE task by construction, so above this row count they
+    * fail fast instead of silently funneling a cluster-sized frame through
+    * a single partition. <= 0 disables the guard.
+    */
+  val PositionalMaxRowsKey = "spark.graft.positional.maxRows"
+
+  /** Default ceiling: generous for the in-memory-parity frames these APIs
+    * exist for, far below anything a 100 TB pipeline would produce.
+    */
+  val DefaultPositionalMaxRows: Long = 10_000_000L
 
   def apply(df: DataFrame, indexCol: String): Fabrix =
     Fabrix(df).setIndexTag(indexCol)

@@ -21,12 +21,23 @@ object ExcelValue {
   final case class Error(code: String) extends ExcelValue
 }
 
+/** One worksheet cell with full metadata — the reference's XlCell
+  * (fabrix-xl/src/ws.rs:31-46): typed `value` plus the cell's `formula`
+  * (may be empty), A1 `reference`, number-format `style` code, raw Excel
+  * `cellType` (s/str/b/e/inlineStr/"" for numeric), and the raw stored
+  * string `rawValue`.
+  */
+final case class XlCell(
+    reference: String, value: ExcelValue, formula: String,
+    style: String, cellType: String, rawValue: String)
+
 /** Minimal from-scratch XLSX reader over JDK zip + StAX — behavioral parity
   * with the reference's fabrix-xl streaming reader: workbook sheet map
   * (wb.rs:227-310), shared strings, 1900/1904 date systems (lib.rs:33-50),
   * per-cell typed parse (ws.rs:327-365), batched row iteration
-  * (ec.rs:188-236). Values-only (formula results, not formulas), like the
-  * reference's consumers.
+  * (ec.rs:188-236). [[XlsxReader.rowBatches]] streams typed values (what
+  * the reference's consumers use); [[XlsxReader.cellBatches]] carries the
+  * full per-cell metadata (formula/reference/style/type/raw — ws.rs:31-46).
   *
   * XLSX is a single-file driver-side format here, as in the reference; the
   * batch iterator bounds memory and feeds chunked ingestion (XlPipeline).
@@ -190,55 +201,124 @@ final class XlsxReader(path: String) extends AutoCloseable {
     acc - 1
   }
 
-  /** Stream a sheet's rows (dense, nulls filled) in `batchSize` chunks —
-    * the reference's XlSheetIter (fabrix-xl/src/ec.rs:188-236).
+  /** Column letters for a 0-based index — inverse of [[colIndex]]. */
+  private def colName(i0: Int): String = {
+    var i = i0 + 1; val sb = new StringBuilder
+    while (i > 0) { val rem = (i - 1) % 26; sb.insert(0, ('A' + rem).toChar); i = (i - 1) / 26 }
+    sb.toString
+  }
+
+  // ---- styles: cellXfs index → number-format code string --------------------
+  /** Builtin numFmt codes (ECMA-376 §18.8.30), mirroring the reference's
+    * standard_styles table (fabrix-xl/src/wb.rs:512-519).
     */
-  def rowBatches(sheet: String, batchSize: Int = 1024): Iterator[Vector[Vector[ExcelValue]]] = {
+  private val builtinFormatCodes: Map[Int, String] = Map(
+    0 -> "General", 1 -> "0", 2 -> "0.00", 3 -> "#,##0", 4 -> "#,##0.00",
+    9 -> "0%", 10 -> "0.00%", 11 -> "0.00E+00", 12 -> "# ?/?", 13 -> "# ??/??",
+    14 -> "mm-dd-yy", 15 -> "d-mmm-yy", 16 -> "d-mmm", 17 -> "mmm-yy",
+    18 -> "h:mm AM/PM", 19 -> "h:mm:ss AM/PM", 20 -> "h:mm", 21 -> "h:mm:ss",
+    22 -> "m/d/yy h:mm", 37 -> "#,##0 ;(#,##0)", 38 -> "#,##0 ;[Red](#,##0)",
+    39 -> "#,##0.00;(#,##0.00)", 40 -> "#,##0.00;[Red](#,##0.00)",
+    45 -> "mm:ss", 46 -> "[h]:mm:ss", 47 -> "mmss.0", 48 -> "##0.0E+0", 49 -> "@")
+
+  /** Per cellXfs xf: the number-format code string a cell's `s` attribute
+    * resolves to (custom formatCode wins over builtin; unknown ids → "" so
+    * indexes stay aligned). This is the reference XlCell's `style` field
+    * (fabrix-xl/src/ws.rs:38-39 via wb.rs find_styles).
+    */
+  private lazy val styleCodes: Vector[String] = {
+    open("xl/styles.xml").map { in =>
+      val r = xif.createXMLStreamReader(in)
+      val custom = mutable.Map[Int, String]()
+      val xfs = Vector.newBuilder[String]
+      var inCellXfs = false
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+            case "numFmt" =>
+              val id = attr(r, "numFmtId").map(_.toInt).getOrElse(-1)
+              custom(id) = attr(r, "formatCode").getOrElse("")
+            case "cellXfs" => inCellXfs = true
+            case "xf" if inCellXfs =>
+              val id = attr(r, "numFmtId").map(_.toInt).getOrElse(0)
+              xfs += custom.getOrElse(id, builtinFormatCodes.getOrElse(id, ""))
+            case _ =>
+          }
+          case XMLStreamConstants.END_ELEMENT if r.getLocalName == "cellXfs" =>
+            inCellXfs = false
+          case _ =>
+        }
+      }
+      r.close(); in.close()
+      xfs.result()
+    }.getOrElse(Vector.empty)
+  }
+
+  private def styleOf(s: Int): String =
+    if (s >= 0 && s < styleCodes.size) styleCodes(s) else ""
+
+  /** One parsed worksheet cell with full metadata — the reference's XlCell
+    * (fabrix-xl/src/ws.rs:31-46): typed value plus formula, A1 reference,
+    * number-format style, raw cell type, and raw stored string.
+    */
+  private def cellRowIter(sheet: String): Iterator[Vector[XlCell]] = {
     val ref = sheetRefs.find(_.name == sheet).getOrElse(
       throw new IllegalArgumentException(s"no sheet $sheet (have: ${sheetNames.mkString(",")})"))
     val target = relTargets.getOrElse(ref.rId, s"xl/worksheets/sheet1.xml")
     val in = open(target).getOrElse(throw new IllegalArgumentException(s"missing $target"))
     val r = xif.createXMLStreamReader(in)
 
-    val rowIter = new Iterator[Vector[ExcelValue]] {
-      private var nextRow: Vector[ExcelValue] = _
+    new Iterator[Vector[XlCell]] {
+      private var nextRow: Vector[XlCell] = _
       private var done = false
+      private var rowNum = 0
       advance()
 
       private def advance(): Unit = {
         nextRow = null
-        var cells = mutable.ArrayBuffer[(Int, ExcelValue)]()
+        var cells = mutable.ArrayBuffer[(Int, XlCell)]()
         var inRow = false
         var cellT = ""; var cellS = -1; var cellC = -1
+        var cellRaw: String = null; var cellFormula = ""
         var inV = false
         val sb = new StringBuilder
-        var isInline = false
         while (nextRow == null && !done) {
           if (!r.hasNext) { done = true; r.close(); in.close() }
           else r.next() match {
             case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
-              case "row" => inRow = true; cells = mutable.ArrayBuffer()
+              case "row" =>
+                inRow = true; cells = mutable.ArrayBuffer()
+                rowNum = attr(r, "r").map(_.toInt).getOrElse(rowNum + 1)
               case "c" if inRow =>
                 cellT = attr(r, "t").getOrElse("")
                 cellS = attr(r, "s").map(_.toInt).getOrElse(-1)
                 cellC = attr(r, "r").map(colIndex).getOrElse(cells.size)
+                cellRaw = null; cellFormula = ""
+              case "f" if inRow => cellFormula = r.getElementText
               case "v" if inRow => inV = true; sb.clear()
               case "t" if inRow && cellT == "inlineStr" =>
-                isInline = true; sb.clear(); sb.append(r.getElementText)
-                cells += ((cellC, cellValue("inlineStr", cellS, sb.toString)))
+                sb.clear(); sb.append(r.getElementText)
+                cellRaw = sb.toString
               case _ =>
             }
             case XMLStreamConstants.CHARACTERS if inV => sb.append(r.getText)
             case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
               case "v" =>
                 inV = false
-                cells += ((cellC, cellValue(cellT, cellS, sb.toString)))
-              case "c" => cellT = ""; cellS = -1; isInline = false
+                cellRaw = sb.toString
+              case "c" =>
+                if (cellRaw != null || cellFormula.nonEmpty) {
+                  val v = if (cellRaw != null) cellValue(cellT, cellS, cellRaw) else ExcelValue.None
+                  cells += ((cellC, XlCell(s"${colName(cellC)}$rowNum", v, cellFormula,
+                    styleOf(cellS), cellT, if (cellRaw == null) "" else cellRaw)))
+                }
+                cellT = ""; cellS = -1; cellRaw = null; cellFormula = ""
               case "row" =>
                 inRow = false
                 val width = cells.map(_._1).maxOption.map(_ + 1).getOrElse(0)
-                val arr = Vector.fill(width)(ExcelValue.None: ExcelValue).toArray
-                cells.foreach { case (i, v) => arr(i) = v }
+                val arr = Array.tabulate(width)(i =>
+                  XlCell(s"${colName(i)}$rowNum", ExcelValue.None, "", "", "", ""))
+                cells.foreach { case (i, c) => arr(i) = c }
                 nextRow = arr.toVector
               case "sheetData" => done = true; r.close(); in.close()
               case _ =>
@@ -249,12 +329,24 @@ final class XlsxReader(path: String) extends AutoCloseable {
       }
 
       def hasNext: Boolean = nextRow != null
-      def next(): Vector[ExcelValue] = {
+      def next(): Vector[XlCell] = {
         val out = nextRow; advance(); out
       }
     }
-    rowIter.grouped(batchSize).map(_.toVector)
   }
+
+  /** Stream a sheet's rows (dense, nulls filled) in `batchSize` chunks —
+    * the reference's XlSheetIter (fabrix-xl/src/ec.rs:188-236).
+    */
+  def rowBatches(sheet: String, batchSize: Int = 1024): Iterator[Vector[Vector[ExcelValue]]] =
+    cellRowIter(sheet).map(_.map(_.value)).grouped(batchSize).map(_.toVector)
+
+  /** Stream a sheet's rows WITH per-cell metadata (formula, A1 reference,
+    * style code, raw type/value) — the full reference XlCell surface
+    * (fabrix-xl/src/ws.rs:31-46), values-only consumers use [[rowBatches]].
+    */
+  def cellBatches(sheet: String, batchSize: Int = 1024): Iterator[Vector[Vector[XlCell]]] =
+    cellRowIter(sheet).grouped(batchSize).map(_.toVector)
 
   private def attr(r: XMLStreamReader, name: String): Option[String] =
     Option(r.getAttributeValue(null, name))

@@ -99,6 +99,24 @@ class FabrixSpec extends SparkSpec {
     assert(big.df.select("index").as[Long].collect().sorted.toSeq == (0L until 100L))
   }
 
+  test("global-order positional ops fail fast above the row-count guard") {
+    // a 100 TB user must not invoke a single-partition sort by accident:
+    // ordered generateIndex / insertRowsAt count first and refuse
+    spark.conf.set(Fabrix.PositionalMaxRowsKey, "50")
+    try {
+      val big = Fabrix(spark.range(100).toDF("n"), "n")
+      val exIdx = intercept[IllegalStateException](big.generateIndex(Seq($"n")))
+      assert(exIdx.getMessage.contains(Fabrix.PositionalMaxRowsKey))
+      val exIns = intercept[IllegalStateException](big.insertRowsAt(1, Seq(Seq(999L))))
+      assert(exIns.getMessage.contains(Fabrix.PositionalMaxRowsKey))
+      // under the limit both still work; <= 0 disables the guard entirely
+      assert(Fabrix(spark.range(10).toDF("n"), "n").generateIndex(Seq($"n"))
+        .df.count() == 10)
+      spark.conf.set(Fabrix.PositionalMaxRowsKey, "0")
+      assert(big.generateIndex(Seq($"n")).df.count() == 100)
+    } finally spark.conf.unset(Fabrix.PositionalMaxRowsKey)
+  }
+
   test("removeSlice / splitAt / popRow in index order") {
     assert(frame.removeSlice(1, 2).df.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
     val (h, t) = frame.splitAt(3)

@@ -71,6 +71,48 @@ class XlsxSpec extends SparkSpec {
     r.close()
   }
 
+  test("cellBatches carries formula/style/reference/type metadata per cell") {
+    // workbook shape with a formula cell (<f> + cached <v>), a custom
+    // number format, and a shared string — the reference XlCell fields
+    // (fabrix-xl/src/ws.rs:31-46)
+    val path = tmp("meta.xlsx")
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(path))
+    def entry(n: String, c: String): Unit = {
+      zos.putNextEntry(new ZipEntry(n)); zos.write(c.getBytes("UTF-8")); zos.closeEntry()
+    }
+    entry("xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="s1" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin)
+    entry("xl/_rels/workbook.xml.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/></Relationships>""".stripMargin)
+    entry("xl/sharedStrings.xml",
+      """<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="1" uniqueCount="1">
+        |<si><t>label</t></si></sst>""".stripMargin)
+    entry("xl/styles.xml",
+      """<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<numFmts count="1"><numFmt numFmtId="164" formatCode="0.000"/></numFmts>
+        |<cellXfs count="3"><xf numFmtId="0"/><xf numFmtId="164"/><xf numFmtId="9"/></cellXfs></styleSheet>""".stripMargin)
+    entry("xl/worksheets/sheet1.xml",
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" s="1"><v>2.5</v></c><c r="C1" s="2"><f>A2*B1</f><v>7.5</v></c></row>
+        |<row r="2"><c r="A2"><v>3</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    val r = new XlsxReader(path)
+    val rows = r.cellBatches("s1").toVector.flatten
+    val Vector(a1, b1, c1) = rows(0)
+    assert(a1 == XlCell("A1", ExcelValue.Str("label"), "", "", "s", "0"))
+    assert(b1 == XlCell("B1", ExcelValue.Num(2.5), "", "0.000", "", "2.5"))
+    // formula cell: cached value typed, formula text carried, builtin style
+    assert(c1 == XlCell("C1", ExcelValue.Num(7.5), "A2*B1", "0%", "", "7.5"))
+    assert(rows(1)(0) == XlCell("A2", ExcelValue.Num(3.0), "", "", "", "3"))
+    // the values-only view of the same sheet is unchanged
+    val vals = r.rowBatches("s1").toVector.flatten
+    assert(vals(0) == Vector(ExcelValue.Str("label"), ExcelValue.Num(2.5), ExcelValue.Num(7.5)))
+    r.close()
+  }
+
   test("sparse rows are null-filled by cell reference") {
     val path = tmp("sparse.xlsx")
     XlsxWriter.write(path, None, Iterator(Seq("a", null, "c"), Seq(null, "b", null)))
