@@ -41,27 +41,13 @@ final case class PqCodebook(
     d
   }
 
-  /** Encode vectors to m centroid ids: (`idCol`, codes array<int>). */
-  def encode(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val sess = df.sparkSession
-    val bc = sess.sparkContext.broadcast(codebooks)
-    val enc = udf { (v: Seq[Float]) =>
-      val cbs = bc.value
-      Array.tabulate(m) { s =>
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < cbs(s).length) {
-          var d = 0.0; var j = 0
-          val cent = cbs(s)(c)
-          while (j < cent.length) { val t = v(s * cent.length + j) - cent(j); d += t * t; j += 1 }
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
-        }
-        best
-      }
-    }
-    df.select(col(idCol), enc(col(vecCol)).as("codes"))
-  }
+  /** Encode vectors to m centroid ids: (`idCol`, codes array<int>).
+    * Encoding IS the compression pass — it touches every corpus row — so
+    * it runs as the native codegen'd [[graft.functions.PqEncode]]
+    * expression (codebook as a plan reference object), not a ScalaUDF.
+    */
+  def encode(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), graft.functions.PqEncode(col(vecCol), codebooks).as("codes"))
 
   /** ADC top-k: exact queries against the compressed corpus. `queries` must
     * be small (the per-query distance tables broadcast); corpus `codes`
@@ -75,21 +61,16 @@ final case class PqCodebook(
     val tables: Map[Long, Array[Array[Double]]] = qs.map { case (qid, v) =>
       qid -> Array.tabulate(m)(s => Array.tabulate(ksub)(c => sqDist(v, s, codebooks(s)(c))))
     }.toMap
-    val bc = sess.sparkContext.broadcast(tables)
-    val adc = udf { (qid: Long, cs: Seq[Int]) =>
-      val t = bc.value(qid)
-      var d = 0.0; var s = 0
-      while (s < t.length) { d += t(s)(cs(s)); s += 1 }
-      d
-    }
     import sess.implicits._
     val qIds = qs.map(_._1).toSeq.toDF("query_id")
+    // pair-scoring hot loop: native codegen'd table lookups (AdcDist), the
+    // per-query tables riding as a plan reference object
     val scored = codes.select(col(idCol).as("neighbor_id"), col("codes"))
       .crossJoin(broadcast(qIds))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         // TopK is max-first; ADC is a distance — negate so nearest ranks first
-        (-adc(col("query_id"), col("codes"))).as("score"))
+        (-graft.functions.AdcDist(col("query_id"), col("codes"), tables)).as("score"))
     graft.functions.TopK.perGroup(scored, Seq("query_id"), col("score"), col("neighbor_id"), k)
       .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
         (-col("score")).as("adc_dist"))
