@@ -845,6 +845,45 @@ SELECT doc_id, ${sniffMimeSql("p")} AS mime, ${mediaKindSql("p")} AS kind,
           raw"len(regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]')) AS n_bpe_tokens " +
           "FROM documents ORDER BY doc_id")),
 
+      // Misra-Gries heavy hitters per group: bounded k-counter summaries
+      // merged map-side — shuffle carries ≤k counters per (group,
+      // partition) regardless of item cardinality, where GROUP BY count
+      // shuffles every distinct key. Gate runs the exact regime (distinct
+      // langs ≤ k ⇒ no decrement fires ⇒ counts exact); the approximation
+      // guarantees are FreqSketchSpec's adversarial-stream cases
+      RegisteredQuery(
+        "q_freq_items",
+        (s, dir) => graft.functions.FreqItems.perGroup(
+            Tables.resolve(s, dir)("documents"),
+            Seq("source"), col("lang"), k = 32, top = 2)
+          .orderBy("source", "rank"),
+        Some("SELECT source, CAST(rnk AS BIGINT) AS rank, item, cnt FROM (" +
+          "SELECT source, lang AS item, count(*) AS cnt, " +
+          "row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, lang ASC) AS rnk " +
+          "FROM documents GROUP BY source, lang) WHERE rnk <= 2 ORDER BY source, rank")),
+
+      // bloom-prefiltered incremental dedup: same exact semantics as
+      // q_dedup_incremental (bloom positives verified by the anti-join, no
+      // false negatives exist), but bloom-negative rows — in steady state
+      // nearly the whole batch — bypass the store join's shuffle entirely;
+      // the oracle is the plain incremental definition, proving the bloom
+      // routing layer changes nothing
+      RegisteredQuery(
+        "q_dedup_bloom",
+        (s, dir) => {
+          import org.apache.spark.sql.functions.{lit, pmod}
+          val docs = Tables.resolve(s, dir)("documents")
+          val store = docs.where(pmod(col("doc_id"), lit(7)) === 0)
+            .select(fingerprint(col("text")).as("fp")).distinct()
+          graft.llm.Dedup.dedupIncrementalBloom(docs, store, "text", "doc_id",
+            expectedStoreItems = 4096, fpp = 0.03)
+            .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+        },
+        Some(graft.llm.Dedup.incrementalOracle(
+          "documents", "doc_id", "text",
+          storeWhereSql = "doc_id % 7 = 0",
+          keepCols = Seq("doc_id", "lang", "n_chars")))),
+
       // bottom-k (KMV) sketch per language: custom Aggregator with map-side
       // partial merge — shuffle carries ≤k hashes per (group, partition),
       // where the window formulation would shuffle-and-sort every row
@@ -1103,12 +1142,14 @@ SELECT lang, CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE) ELSE 15.0 * ${1L << 60} /
 
       // IVF ANN at full probe: every inverted list searched ⇒ provably equal
       // to brute-force top-k whatever the (seeded, float-iterative) k-means
-      // centroids converged to — which is what makes it oracle-checkable
+      // centroids converged to — which is what makes it oracle-checkable,
+      // and why the gate runs the 100 TB build path (k-means trained on a
+      // corpus SAMPLE) without losing exactness
       RegisteredQuery(
         "q_ann_ivf",
         (s, dir) => {
           val emb = Tables.resolve(s, dir)("embeddings")
-          IvfIndex.build(emb, nLists = 8)
+          IvfIndex.build(emb, nLists = 8, trainFraction = 0.25)
             .search(emb.where(col("vec_id") < 8), k = 4, nProbe = 8)
             .orderBy("query_id", "rank")
         },
@@ -1225,7 +1266,7 @@ FROM aug ORDER BY doc_id""".stripMargin
         "q_ann_ivf_int8",
         (s, dir) => {
           val emb = Tables.resolve(s, dir)("embeddings")
-          graft.llm.IvfIndex.build(emb, nLists = 8)
+          graft.llm.IvfIndex.build(emb, nLists = 8, trainFraction = 0.25)
             .searchInt8(emb.where(col("vec_id") < 8), k = 4, nProbe = 8)
             .orderBy("query_id", "rank")
         },

@@ -63,6 +63,43 @@ object Dedup {
     dedupExact(fresh, textCol, idCol)
   }
 
+  /** [[dedupIncremental]] with a bloom prefilter on the store — the shape
+    * for when the store is too big to broadcast: a bloom of the store's
+    * fingerprints (MBs for billions of keys, built once per batch, shipped
+    * to every task as a plan object) splits the batch in the scan stage.
+    * Bloom-NEGATIVE rows are definitely fresh (no false negatives) and
+    * bypass the store join entirely — in steady state that is almost the
+    * whole batch, so the anti-join shuffle carries only the bloom-positive
+    * sliver (true duplicates + `fpp` of the fresh rows). Positives are
+    * verified with the exact anti-join, so false positives cost a shuffled
+    * row, never a wrongly dropped one: the result is EXACTLY
+    * [[dedupIncremental]]'s, which is what keeps this oracle-checkable.
+    *
+    * The batch is scanned twice (once per branch) — a deliberate trade:
+    * map-side scans are cheap next to the corpus-wide join shuffle the
+    * negative branch skips.
+    */
+  def dedupIncrementalBloom(
+      batch: DataFrame, storeFps: DataFrame,
+      textCol: String, idCol: String,
+      expectedStoreItems: Long, fpp: Double = 0.03): DataFrame = {
+    // explicit treeAggregate rather than stat.bloomFilter: identical build
+    // shape (per-partition filters OR-merged up a tree) but total on an
+    // empty store, where the stat helper NPEs on its null aggregate buffer
+    val bloom = storeFps.select(col("fp").cast("long")).rdd
+      .treeAggregate(
+        org.apache.spark.util.sketch.BloomFilter.create(math.max(expectedStoreItems, 1L), fpp))(
+        (f, row) => { if (!row.isNullAt(0)) f.putLong(row.getLong(0)); f },
+        (a, b) => { a.mergeInPlace(b); a })
+    val withFp = batch.withColumn("__fp", fingerprint(col(textCol)))
+    val cand = graft.functions.BloomMightContain(col("__fp"), bloom)
+    val definitelyFresh = withFp.where(!cand)
+    val verified = withFp.where(cand)
+      .join(storeFps.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
+      .select(definitelyFresh.columns.map(col).toIndexedSeq: _*)
+    dedupExact(definitelyFresh.unionByName(verified).drop("__fp"), textCol, idCol)
+  }
+
   /** Oracle for [[dedupIncremental]] with the store defined as the
     * fingerprints of a filtered subset of the same table.
     */

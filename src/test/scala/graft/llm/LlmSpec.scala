@@ -228,4 +228,30 @@ class LlmSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(got.toSeq === Seq(2L, 4L))
   }
+
+  test("dedupIncrementalBloom: exact semantics, equal to the plain anti-join path") {
+    import spark.implicits._
+    import graft.text.TextFunctions.fingerprint
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val store = docs.where(pmod(col("doc_id"), lit(7)) === 0)
+      .select(fingerprint(col("text")).as("fp")).distinct()
+    val plain = Dedup.dedupIncremental(docs, store, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // a coarse fpp forces real false positives through the verify join —
+    // the result must not change (bloom is a routing layer, not semantics)
+    val bloom = Dedup.dedupIncrementalBloom(docs, store, "text", "doc_id",
+      expectedStoreItems = 16, fpp = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(bloom === plain)
+    // empty store: everything passes the bloom-negative branch, in-batch
+    // dedup still applies
+    val emptyStore = store.where(lit(false))
+    val noStore = Dedup.dedupIncrementalBloom(docs, emptyStore, "text", "doc_id",
+      expectedStoreItems = 1)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val exact = Dedup.dedupExact(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(noStore === exact)
+  }
 }
