@@ -51,6 +51,46 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("specifiedwindowframe(RowFrame, -2, currentrow$())"), p.take(800))
   }
 
+  test("native embedding expressions stay inside whole-stage codegen") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // codegen'd operators print with a `*(n)` stage prefix; an expression
+    // falling back to interpreted eval loses it — the corpus-wide pass
+    // these expressions exist for would silently stop being fused
+    def codegenLine(p: String, needle: String): Unit = {
+      val line = p.linesIterator.find(_.contains(needle)).getOrElse(
+        fail(s"$needle not in plan:\n${p.take(600)}"))
+      assert(line.trim.startsWith("*"), s"$needle not codegen'd: $line")
+    }
+    val enc = graft.llm.ProductQuantizer
+      .gridCodebook(m = 8, subDim = 8, ksub = 8, lo = -0.5, hi = 0.5)
+      .encode(emb, "vec_id", "embedding")
+    codegenLine(enc.queryExecution.executedPlan.toString, "pq_encode")
+    val assign = emb.select(
+      graft.functions.NearestCentroid(col("embedding"),
+        Array(Array.fill(64)(0.0), Array.fill(64)(0.5))).as("list"))
+    codegenLine(assign.queryExecution.executedPlan.toString, "nearest_centroid")
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(100, 0.03)
+    val probe = emb.select(
+      graft.functions.BloomMightContain(col("vec_id"), bloom).as("hit"))
+    codegenLine(probe.queryExecution.executedPlan.toString, "bloom_might_contain")
+  }
+
+  test("bloom dedup: only ONE store join, the negative branch bypasses it") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import graft.text.TextFunctions.fingerprint
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val store = docs.where(pmod(col("doc_id"), lit(7)) === 0)
+      .select(fingerprint(col("text")).as("fp")).distinct()
+    val p = graft.llm.Dedup
+      .dedupIncrementalBloom(docs, store, "text", "doc_id", expectedStoreItems = 1024)
+      .queryExecution.executedPlan.toString
+    // one anti join (the verified branch); the bloom-negative branch must
+    // reach the union join-free or the shuffle bypass is gone
+    assert(p.linesIterator.count(_.contains("LeftAnti")) == 1, p.take(1200))
+    assert(p.contains("Union"), p.take(1200))
+  }
+
   test("ADT broadcastHint pins a BroadcastHashJoin even with auto-broadcast off") {
     import graft.adt._
     import graft.exec.Translator
