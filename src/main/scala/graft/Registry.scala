@@ -728,6 +728,24 @@ object Registry {
           .orderBy("left_id", "right_id"),
         Some(Dedup.minhashOracle("documents", "doc_id", "text"))),
 
+      // incremental near-dup: batch bands equi-joined against the STORE's
+      // kept bands (no re-banding of history, no batch×store product) —
+      // the steady-state continuous-ingestion shape of q_dedup_minhash;
+      // oracle rebuilds the cross-frame candidates from the SAME band CTEs
+      RegisteredQuery(
+        "q_minhash_incremental",
+        (s, dir) => {
+          import org.apache.spark.sql.functions.{lit, pmod}
+          val docs = Tables.resolve(s, dir)("documents")
+          Dedup.minhashPairsAgainstStore(
+              docs.where(pmod(col("doc_id"), lit(7)) =!= 0),
+              docs.where(pmod(col("doc_id"), lit(7)) === 0),
+              "text", "doc_id")
+            .orderBy("batch_id", "store_id")
+        },
+        Some(Dedup.minhashIncrementalOracle("documents", "doc_id", "text",
+          batchWhereSql = "doc_id % 7 != 0", storeWhereSql = "doc_id % 7 = 0"))),
+
       // keep-best exact dedup: NEWEST copy survives (score = doc_id as a
       // recency stand-in — deliberately the opposite of dedupExact's
       // keep-min so the gate pins the score ordering, not the tiebreak)

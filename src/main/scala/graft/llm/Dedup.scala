@@ -219,20 +219,7 @@ SELECT ${keepCols.mkString(", ")} FROM k WHERE $idCol = keep ORDER BY $idCol""".
     // packing references it bands×rowsPerBand times, and CollapseProject
     // refuses to inline a non-cheap multi-referenced expression — a
     // STRUCTURAL once-per-row guarantee that doesn't lean on codegen CSE.
-    val k = bands * rowsPerBand
-    val prepared = src.select(
-        col(idCol),
-        minhashSignature(col(textCol), shingleN, k).as("__sig"),
-        shingleSet(col(textCol), shingleN).as("__s"))
-      .select(
-        col(idCol),
-        array((0 until bands).map { j =>
-          (0 until rowsPerBand)
-            .map(r => element_at(col("__sig"), j * rowsPerBand + r + 1))
-            .reduceLeft((a, m) => a * P + m)
-        }: _*).as("__bkeys"),
-        col("__s"))
-      .localCheckpoint(true)
+    val prepared = prepareBands(src, textCol, idCol, shingleN, bands, rowsPerBand)
     val banded = prepared.select(col(idCol), posexplode(col("__bkeys")).as(Seq("band", "bkey")))
     val a = banded.as("a"); val b = banded.as("b")
     val cand = a.join(b,
@@ -248,6 +235,96 @@ SELECT ${keepCols.mkString(", ")} FROM k WHERE $idCol = keep ORDER BY $idCol""".
       .join(sets.as("sb"), col("right_id") === col(s"sb.$idCol"))
       .select(col("left_id"), col("right_id"), jac.as("jaccard"))
       .where(col("jaccard") >= minJaccard)
+  }
+
+  /** (id, band keys, shingle set), eagerly checkpointed — the shared prep
+    * of every banded-LSH path; see the plan notes in [[dedupMinhashPairs]].
+    */
+  private def prepareBands(src: DataFrame, textCol: String, idCol: String,
+                           shingleN: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val k = bands * rowsPerBand
+    src.select(
+        col(idCol),
+        minhashSignature(col(textCol), shingleN, k).as("__sig"),
+        shingleSet(col(textCol), shingleN).as("__s"))
+      .select(
+        col(idCol),
+        array((0 until bands).map { j =>
+          (0 until rowsPerBand)
+            .map(r => element_at(col("__sig"), j * rowsPerBand + r + 1))
+            .reduceLeft((a, m) => a * P + m)
+        }: _*).as("__bkeys"),
+        col("__s"))
+      .localCheckpoint(true)
+  }
+
+  /** Near-duplicate pairs of a NEW batch against an existing STORE — the
+    * steady-state shape of continuous near-dup ingestion, where re-banding
+    * the historical corpus per batch is a non-starter: the store arrives
+    * already banded (persist [[prepareBands]]' (id, band keys, shingle set)
+    * columns when accepting docs; at 100 TB that store is parquet, not a
+    * recomputation). Candidates come from a band-key equi-join of the
+    * batch's exploded bands against the store's — O(bucket collisions),
+    * never batch × store — and survive on exact shingle-set Jaccard,
+    * verified against the store's kept sets.
+    *
+    * Returns (batch_id, store_id, jaccard ≥ minJaccard): the batch rows to
+    * REJECT (or cluster) against their store near-duplicates. Both frames
+    * must share the banding parameters.
+    */
+  def minhashPairsAgainstStore(
+      batch: DataFrame, store: DataFrame,
+      textCol: String, idCol: String,
+      shingleN: Int = 3,
+      bands: Int = DefaultBands,
+      rowsPerBand: Int = DefaultRowsPerBand,
+      minJaccard: Double = 0.5): DataFrame = {
+    val par = batch.sparkSession.sparkContext.defaultParallelism
+    def spread(df: DataFrame) =
+      if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val pb = prepareBands(spread(batch), textCol, idCol, shingleN, bands, rowsPerBand)
+    val ps = prepareBands(spread(store), textCol, idCol, shingleN, bands, rowsPerBand)
+    def explodeBands(p: DataFrame, as: String) = p
+      .select(col(idCol).as(as), posexplode(col("__bkeys")).as(Seq("band", "bkey")))
+    val cand = explodeBands(pb, "batch_id")
+      .join(explodeBands(ps, "store_id"), Seq("band", "bkey"))
+      .where(col("batch_id") =!= col("store_id"))
+      .select(col("batch_id"), col("store_id"))
+      .distinct()
+    val jac = size(array_intersect(col("sa.s"), col("sb.s"))).cast(DoubleType) /
+      size(array_union(col("sa.s"), col("sb.s")))
+    cand
+      .join(pb.select(col(idCol), col("__s").as("s")).as("sa"), col("batch_id") === col(s"sa.$idCol"))
+      .join(ps.select(col(idCol), col("__s").as("s")).as("sb"), col("store_id") === col(s"sb.$idCol"))
+      .select(col("batch_id"), col("store_id"), jac.as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
+  /** Oracle for [[minhashPairsAgainstStore]] with batch and store defined
+    * as filtered subsets of one table — same CTE constants as
+    * [[minhashPairCtes]] so the pair SQL cannot drift from the self-join
+    * gate's.
+    */
+  def minhashIncrementalOracle(
+      table: String, idCol: String, textCol: String,
+      batchWhereSql: String, storeWhereSql: String,
+      shingleN: Int = 3, bands: Int = DefaultBands, rowsPerBand: Int = DefaultRowsPerBand,
+      minJaccard: Double = 0.5): String = {
+    val ctes = minhashPairCtes(table, idCol, textCol, shingleN, bands, rowsPerBand)
+    // the shared CTEs' cand/verified relations are self-join-shaped
+    // (doc_id_ <), so rebuild the cross-frame candidate set from `bands`
+    // with the batch/store membership predicates instead
+    s"""WITH $ctes,
+xcand AS (SELECT DISTINCT a.doc_id_ AS batch_id, b.doc_id_ AS store_id
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.doc_id_ IN (SELECT $idCol FROM $table WHERE $batchWhereSql)
+    AND b.doc_id_ IN (SELECT $idCol FROM $table WHERE $storeWhereSql)
+    AND a.doc_id_ != b.doc_id_),
+xver AS (SELECT c.batch_id, c.store_id,
+  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) / len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard
+  FROM xcand c JOIN sh sa ON sa.doc_id_ = c.batch_id JOIN sh sb ON sb.doc_id_ = c.store_id)
+SELECT batch_id, store_id, jaccard FROM xver
+WHERE jaccard >= $minJaccard ORDER BY batch_id, store_id""".stripMargin
   }
 
   // ------------------------------------------------------------ SimHash ----

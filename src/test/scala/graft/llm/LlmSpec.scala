@@ -229,6 +229,24 @@ class LlmSpec extends SparkSpec {
     assert(got.toSeq === Seq(2L, 4L))
   }
 
+  test("minhashPairsAgainstStore equals the self-join pairs restricted to the split") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val batch = docs.where(pmod(col("doc_id"), lit(7)) =!= 0)
+    val store = docs.where(pmod(col("doc_id"), lit(7)) === 0)
+    val got = Dedup.minhashPairsAgainstStore(batch, store, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the full self-join's pairs, keeping only (batch, store) members —
+    // ordered (left < right) there, unordered across frames here
+    val full = Dedup.dedupMinhashPairs(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = full.flatMap { case (l, r, j) =>
+      Seq((l, r, j), (r, l, j))
+    }.filter { case (b, s, _) => b % 7 != 0 && s % 7 == 0 }.toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "split produced no cross pairs — gate would be vacuous")
+  }
+
   test("dedupIncrementalBloom: exact semantics, equal to the plain anti-join path") {
     import spark.implicits._
     import graft.text.TextFunctions.fingerprint
