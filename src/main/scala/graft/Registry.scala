@@ -1246,6 +1246,21 @@ FROM aug ORDER BY doc_id""".stripMargin
           CorpusFilters.stratifiedKeepSql("text", "lang", Seq("en" -> 60, "de" -> 30), 10) +
           " ORDER BY doc_id")),
 
+      // fixed-N per-group sample: lowest-n content-hash ranks per group via
+      // the bounded-buffer TopK aggregate (≤n pairs leave each map
+      // partition — no window sort of whale groups); hash folded to 53
+      // bits so the aggregator's double score orders exactly like the
+      // oracle's BIGINT
+      RegisteredQuery(
+        "q_sample_n_per_group",
+        (s, dir) => CorpusFilters.sampleNPerGroup(
+            Tables.resolve(s, dir)("documents"),
+            Seq("lang"), key = col("text"), id = col("doc_id"), n = 3)
+          .select(col("lang"), col("rank").cast("long").as("rank"), col("id"))
+          .orderBy("lang", "rank"),
+        Some(CorpusFilters.sampleNPerGroupSql(
+          "documents", Seq("lang"), "text", "doc_id", n = 3))),
+
       // ordered-step funnel (view → click → purchase, 48h first-touch
       // horizon): one-pass sorted fold per user vs the oracle's k-pass
       // iterative-min definition — the gate proves them the same walk

@@ -120,6 +120,48 @@ object CorpusFilters {
     s"${splitBucketSql(keyE, 100)} < (CASE $cases ELSE $defaultPct END)"
   }
 
+  /** Deterministic fixed-size per-group sample: the `n` rows of each group
+    * whose content hash ranks lowest (ties → lowest id) — "exactly N docs
+    * per domain", the other half of corpus mixing beside the percentage
+    * form above. Hash-ranked, so the sample is stable under re-sharding
+    * and engine choice like [[stratifiedSample]]; fixed-N, unlike the
+    * percentage form, so whale groups can't flood the mixture.
+    *
+    * Scale shape: rides [[graft.functions.TopK]]'s bounded buffer — each
+    * map partition ships ≤n (hash, id) pairs per group instead of
+    * window-sorting every group member, exactly the whale-domain case a
+    * 100 TB corpus has. Returns (group cols, rank, id) — join back by id
+    * for the rows.
+    */
+  /** 53-bit sampling hash: [[graft.text.TextFunctions.hash60]] folded into
+    * the double-exact range, because the rank rides [[TopK]]'s (Double,
+    * Long) buffer — every distinct 53-bit value survives the double
+    * round-trip, so operator and oracle order identically (a raw 60-bit
+    * hash could see two distinct values round to one double and flip a
+    * near-collision's tiebreak).
+    */
+  private val SampleHashMod = 1L << 53
+
+  def sampleNPerGroup(df: DataFrame, groupCols: Seq[String],
+                      key: Column, id: Column, n: Int): DataFrame =
+    graft.functions.TopK
+      .perGroup(df.withColumn("__sk", -(hash60(key) % SampleHashMod)),
+        groupCols, col("__sk"), id, n)
+      .withColumn("rank", col("rank").cast("long"))
+      .drop("score")
+
+  /** Oracle for [[sampleNPerGroup]]: the window formulation over the same
+    * folded hash, ascending (TopK is max-first, hence the negation).
+    */
+  def sampleNPerGroupSql(table: String, groupEs: Seq[String], keyE: String,
+                         idE: String, n: Int): String = {
+    val g = groupEs.mkString(", ")
+    val h = s"(CAST(('0x'||substr(md5($keyE),1,15)) AS BIGINT) % $SampleHashMod)"
+    s"""SELECT $g, CAST(rnk AS BIGINT) AS rank, $idE AS id FROM (
+  SELECT $g, $idE, row_number() OVER (PARTITION BY $g ORDER BY $h ASC, $idE ASC) AS rnk FROM $table)
+WHERE rnk <= $n ORDER BY $g, rank""".stripMargin
+  }
+
   // ------------------------------------------------- vocabulary / OOV ----
 
   /** Top-N corpus vocabulary by token frequency, ties broken by token text —

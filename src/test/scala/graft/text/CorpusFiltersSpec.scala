@@ -109,4 +109,24 @@ class CorpusFiltersSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(got.toSeq === Seq((1L, 4L, 2L, 0.5), (2L, 3L, 0L, 0.0)))
   }
+
+  test("sampleNPerGroup: window-form equality, partitioning independence, fixed size") {
+    import org.apache.spark.sql.functions._
+    import graft.text.TextFunctions.hash60
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy((hash60(col("text")) % (1L << 53)).asc, col("doc_id").asc)
+    val expected = docs
+      .withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= 3)
+      .select("lang", "rank", "doc_id").orderBy("lang", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    for (parts <- Seq(1, 5)) {
+      val got = CorpusFilters.sampleNPerGroup(
+          docs.repartition(parts), Seq("lang"), col("text"), col("doc_id"), n = 3)
+        .select("lang", "rank", "id").orderBy("lang", "rank")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got === expected, s"parts=$parts")
+      assert(got.groupBy(_._1).forall(_._2.size == 3))
+    }
+  }
 }
