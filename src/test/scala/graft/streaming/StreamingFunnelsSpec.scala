@@ -76,4 +76,56 @@ class StreamingFunnelsSpec extends SparkSpec {
       assert(got(u) === s, s"user $u: stream ${got(u)} vs batch $s")
     }
   }
+
+  test("event exactly AT the watermark stays buffered until the watermark passes it") {
+    // Spark only drops rows STRICTLY older than the watermark, so an
+    // equal-ts peer may still arrive in a later batch — sealing at-or-below
+    // would fold a tie before all its peers are in hand. Three one-event
+    // files for one user: W, W+1s, W+2s with a 1s delay; after the second
+    // file the watermark is exactly W and the W event must NOT have folded.
+    val dir2 = "/tmp/graft_funnel_boundary"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir2))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir2))
+    def writeOne(name: String, offsetSec: Int): Unit = {
+      graft.llm.EventWindows.withNanosAsLong(spark) {
+        spark.range(0, 1, 1, numPartitions = 1).select(
+            lit(9000L + offsetSec).as("event_id"),
+            expr(s"CAST((unix_micros(TIMESTAMP '2030-01-01 00:00:0$offsetSec') * 1000) AS LONG)").as("ts"),
+            lit(1L).as("user_id"),
+            lit("view").as("event_type"),
+            lit(0.0).as("value"),
+            lit("{}").as("props"))
+          .write.mode("overwrite").parquet(s"$dir2/stage")
+      }
+      val f = new java.io.File(s"$dir2/stage").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(s"$dir2/$name"))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir2/stage"))
+    }
+    writeOne("a_w.parquet", 0)
+    writeOne("b_w1.parquet", 1)
+    writeOne("c_w2.parquet", 2)
+    writeOne("d_w3.parquet", 3)
+    val stream = graft.llm.EventWindows.withNanosAsLong(spark) {
+      spark.readStream.schema(StreamingWindows.EventsRawSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir2)
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        .withWatermark("ts", "1 second")
+    }
+    val q = StreamingFunnels.funnelProgress(stream, steps)
+      .writeStream.format("memory").queryName("funnel_boundary")
+      .outputMode(StreamingFunnels.FunnelOutputMode).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val snaps = spark.table("funnel_boundary")
+      .select("steps_completed", "n_buffered")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    // batch 3 runs with watermark == W exactly (the watermark lags one
+    // batch): the W event must still be buffered — the <= seal this test
+    // pins against would fold it here and show (1, 2) instead of (0, 3)
+    assert(snaps.contains((0, 3)), s"boundary event folded early: $snaps")
+    assert(!snaps.contains((1, 2)), s"at-watermark fold happened: $snaps")
+    // batch 4: watermark == W+1s has PASSED W, the W event folds to step 1
+    assert(snaps.contains((1, 3)), s"sealed fold missing: $snaps")
+  }
 }
