@@ -1033,6 +1033,18 @@ SELECT lang, CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE) ELSE 15.0 * ${1L << 60} /
           .orderBy("user_id", "session_start"),
         Some(EventWindows.sessionizedOracle("events"))),
 
+      // behavioral sequence assembly: first-5 event types per user in
+      // strict (ts, event_id) order concatenated to a training-ready
+      // string — one user shuffle, ordering inside the aggregated array
+      // (no window sort of the raw stream); truncation exercised cross-
+      // engine (avg events/user exceeds the cut)
+      RegisteredQuery(
+        "q_action_sequences",
+        (s, dir) => EventWindows.actionSequences(
+            EventWindows.readEvents(s, s"$dir/events.parquet"), maxEvents = 5)
+          .orderBy("user_id"),
+        Some(EventWindows.actionSequencesOracle("events", maxEvents = 5))),
+
       // range join: purchases inside a ±30min window around an error by the
       // same user — bucketized equi-join encoding (never a nested loop)
       RegisteredQuery(

@@ -109,4 +109,44 @@ object EventWindows {
        |  CAST(sum(CAST($valueCol AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
        |FROM numbered GROUP BY $keyCol, sid
        |ORDER BY $keyCol, session_start""".stripMargin
+
+  /** Per-user action sequences for behavioral sequence modeling: the first
+    * `maxEvents` event types per user in strict (ts, event id) order —
+    * tie-broken total order, so the assembled string is engine- and
+    * partitioning-independent — joined into one training-ready token
+    * string. One shuffle (the user groupBy); ordering happens inside the
+    * aggregated struct array, not a window sort over the raw stream.
+    *
+    * Truncation contract: the aggregate collects a user's full event list
+    * before the `maxEvents` cut, like every collect_list rollup — bounded
+    * by the per-user event count, not the corpus. For whale users beyond
+    * memory, pre-filter with [[graft.functions.BottomK]] on the packed
+    * (ts, id) order key to bound state per group at the cost of a second
+    * shuffle; at typical per-user rates this single-shuffle form is the
+    * right default.
+    */
+  def actionSequences(events: DataFrame, maxEvents: Int,
+                      userCol: String = "user_id", tsCol: String = "ts",
+                      typeCol: String = "event_type", idCol: String = "event_id"): DataFrame = {
+    val ordered = slice(
+      array_sort(collect_list(struct(
+        unix_micros(col(tsCol).cast("timestamp")).as("t"),
+        col(idCol).as("i"), col(typeCol).as("e")))),
+      1, maxEvents)
+    events.groupBy(col(userCol))
+      .agg(ordered.as("__seq"))
+      .select(col(userCol),
+        size(col("__seq")).cast("long").as("n_events"),
+        concat_ws(" ", transform(col("__seq"), s => s.getField("e"))).as("sequence"))
+  }
+
+  /** Oracle for [[actionSequences]] — the window-rank formulation. */
+  def actionSequencesOracle(table: String, maxEvents: Int,
+                            userCol: String = "user_id", tsCol: String = "ts",
+                            typeCol: String = "event_type", idCol: String = "event_id"): String =
+    s"""WITH e AS (SELECT $userCol, $typeCol,
+  row_number() OVER (PARTITION BY $userCol ORDER BY $tsCol, $idCol) AS rn FROM $table)
+SELECT $userCol, CAST(count(*) AS BIGINT) AS n_events,
+  string_agg($typeCol, ' ' ORDER BY rn) AS sequence
+FROM e WHERE rn <= $maxEvents GROUP BY $userCol ORDER BY $userCol""".stripMargin
 }

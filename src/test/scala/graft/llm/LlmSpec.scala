@@ -229,6 +229,26 @@ class LlmSpec extends SparkSpec {
     assert(got.toSeq === Seq(2L, 4L))
   }
 
+  test("actionSequences: tie-broken order, truncation, partitioning independence") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // same-ts ties resolve by event_id; maxEvents cuts AFTER the sort
+    val ev = Seq(
+      (3L, 100L, 1L, "c"), (1L, 100L, 1L, "a"), (2L, 100L, 1L, "b"),
+      (4L, 200L, 1L, "d"),
+      (5L, 50L, 2L, "x")
+    ).toDF("event_id", "t_us", "user_id", "event_type")
+      .select(col("event_id"), expr("timestamp_micros(t_us)").as("ts"),
+        col("user_id"), col("event_type"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      EventWindows.actionSequences(df, maxEvents = 3)
+        .orderBy("user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val expected = Seq((1L, 3L, "a b c"), (2L, 1L, "x"))
+    assert(run(ev) === expected)
+    assert(run(ev.repartition(7)) === expected)
+  }
+
   test("minhashPairsAgainstStore equals the self-join pairs restricted to the split") {
     import org.apache.spark.sql.functions.{col, lit, pmod}
     val docs = spark.read.parquet(s"$sf/documents.parquet")
