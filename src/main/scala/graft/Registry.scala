@@ -878,7 +878,9 @@ SELECT doc_id, ${sniffMimeSql("p")} AS mime, ${mediaKindSql("p")} AS kind,
         Some("SELECT source, CAST(rnk AS BIGINT) AS rank, item, cnt FROM (" +
           "SELECT source, lang AS item, count(*) AS cnt, " +
           "row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, lang ASC) AS rnk " +
-          "FROM documents GROUP BY source, lang) WHERE rnk <= 2 ORDER BY source, rank")),
+          // NULL items are skipped by the sketch (FreqSketch contract)
+          "FROM documents WHERE lang IS NOT NULL GROUP BY source, lang) " +
+          "WHERE rnk <= 2 ORDER BY source, rank")),
 
       // bloom-prefiltered incremental dedup: same exact semantics as
       // q_dedup_incremental (bloom positives verified by the anti-join, no

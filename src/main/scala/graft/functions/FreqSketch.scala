@@ -23,39 +23,68 @@ import org.apache.spark.sql.functions._
   * Output is (item, count) best-first with the deterministic
   * (count desc, item asc) total order, like [[TopKByScore]]/[[BottomK]].
   */
-class FreqSketch(k: Int) extends Aggregator[String, Map[String, Long], Seq[(String, Long)]] {
+class FreqSketch(k: Int)
+    extends Aggregator[String, java.util.HashMap[String, java.lang.Long], Seq[(String, Long)]] {
   require(k > 0, "k must be positive")
 
-  override def zero: Map[String, Long] = Map.empty
+  private type Buf = java.util.HashMap[String, java.lang.Long]
 
-  override def reduce(buf: Map[String, Long], item: String): Map[String, Long] =
-    if (item == null) buf
-    else buf.get(item) match {
-      case Some(c) => buf.updated(item, c + 1)
-      case None if buf.size < k => buf.updated(item, 1L)
-      case None =>
-        // classic MG step: a new item with a full summary decrements every
-        // counter (the new item's single count cancels against them)
-        buf.iterator.collect { case (i, c) if c > 1 => (i, c - 1) }.toMap
-    }
+  override def zero: Buf = new Buf()
 
-  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-    val sum = b.foldLeft(a) { case (acc, (i, c)) =>
-      acc.updated(i, acc.getOrElse(i, 0L) + c)
-    }
-    if (sum.size <= k) sum
+  // buffer mutated in place (Aggregator permits it, like TopKByScore's
+  // array buffer): the high-cardinality steady state hits the full-buffer
+  // decrement on nearly every row, and an immutable-map rebuild there would
+  // allocate O(k) per input row on the corpus-wide pass
+  override def reduce(buf: Buf, item: String): Buf = {
+    if (item == null) return buf
+    val c = buf.get(item)
+    if (c != null) buf.put(item, c + 1L)
+    else if (buf.size < k) buf.put(item, 1L)
     else {
-      // subtract the (k+1)-th largest count, drop what hits zero
-      val cut = sum.valuesIterator.toArray.sorted(Ordering[Long].reverse).apply(k)
-      sum.iterator.collect { case (i, c) if c > cut => (i, c - cut) }.toMap
+      // classic MG step: a new item with a full summary decrements every
+      // counter (the new item's single count cancels against them)
+      val it = buf.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue <= 1L) it.remove() else e.setValue(e.getValue - 1L)
+      }
     }
+    buf
   }
 
-  override def finish(buf: Map[String, Long]): Seq[(String, Long)] =
-    buf.toSeq.sortBy { case (i, c) => (-c, i) }
+  override def merge(a: Buf, b: Buf): Buf = {
+    val itb = b.entrySet().iterator()
+    while (itb.hasNext) {
+      val e = itb.next()
+      val cur = a.get(e.getKey)
+      a.put(e.getKey, if (cur == null) e.getValue else cur + e.getValue)
+    }
+    if (a.size > k) {
+      // subtract the (k+1)-th largest count, drop what hits zero
+      val counts = new Array[Long](a.size)
+      val itc = a.values().iterator()
+      var i = 0
+      while (itc.hasNext) { counts(i) = itc.next(); i += 1 }
+      java.util.Arrays.sort(counts)
+      val cut = counts(counts.length - 1 - k)
+      val ita = a.entrySet().iterator()
+      while (ita.hasNext) {
+        val e = ita.next()
+        if (e.getValue <= cut) ita.remove() else e.setValue(e.getValue - cut)
+      }
+    }
+    a
+  }
 
-  override def bufferEncoder: Encoder[Map[String, Long]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  override def finish(buf: Buf): Seq[(String, Long)] = {
+    val out = Seq.newBuilder[(String, Long)]
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); out += ((e.getKey, e.getValue.longValue())) }
+    out.result().sortBy { case (i, c) => (-c, i) }
+  }
+
+  override def bufferEncoder: Encoder[Buf] =
+    org.apache.spark.sql.Encoders.kryo[Buf]
   override def outputEncoder: Encoder[Seq[(String, Long)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
 }

@@ -58,13 +58,18 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
 
 object PqEncode {
 
-  /** Null-tracking core: null on any null element. */
+  /** Null-tracking core: null on any null element or a vector whose length
+    * doesn't match the codebook's m × subDim — encoding a phantom zero-
+    * padded tail would produce plausible-looking but meaningless codes
+    * (mirrors the oracle, where an out-of-range list index yields NULL).
+    */
   def encodeBoxed(v: ArrayData, cbs: Array[Array[Array[Double]]],
                   isDouble: Boolean): ArrayData = {
     val n = v.numElements()
+    val m = cbs.length
+    if (m == 0 || cbs(0).length == 0 || n != m * cbs(0)(0).length) return null
     var p = 0
     while (p < n) { if (v.isNullAt(p)) return null; p += 1 }
-    val m = cbs.length
     val codes = new Array[Int](m)
     var s = 0
     while (s < m) {
@@ -77,8 +82,8 @@ object PqEncode {
         var d = 0.0
         var j = 0
         while (j < cent.length) {
-          val idx = s * cent.length + j
-          val x = if (idx < n) { if (isDouble) v.getDouble(idx) else v.getFloat(idx).toDouble } else 0.0
+          val x = if (isDouble) v.getDouble(s * cent.length + j)
+                  else v.getFloat(s * cent.length + j).toDouble
           val t = x - cent(j)
           d += t * t
           j += 1
@@ -140,13 +145,16 @@ case class AdcDist(left: Expression, right: Expression,
 object AdcDist {
 
   /** Null-tracking core: null for an unknown query id, a null code element,
-    * or a code outside the table's centroid range.
+    * a code outside the table's centroid range, or a codes array whose
+    * length differs from the table's m — summing a shared prefix would
+    * rank a corrupt row artificially near every query instead of failing.
     */
   def distBoxed(qid: Long, codes: ArrayData,
                 tables: java.util.HashMap[java.lang.Long, Array[Array[Double]]]): java.lang.Double = {
     val t = tables.get(qid)
     if (t == null) return null
-    val m = if (t.length < codes.numElements()) t.length else codes.numElements()
+    val m = t.length
+    if (codes.numElements() != m) return null
     var d = 0.0
     var s = 0
     while (s < m) {

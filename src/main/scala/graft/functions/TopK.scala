@@ -109,9 +109,12 @@ object TopK {
   def perGroupOracle(table: String, groupCols: Seq[String], scoreSql: String,
                      idSql: String, k: Int): String = {
     val g = groupCols.mkString(", ")
+    // the IS NOT NULL filter encodes perGroup's drop-nulls contract — a
+    // bare window form would rank NULL scores last instead of skipping them
     s"""SELECT $g, CAST(row_number() OVER w AS BIGINT) AS rank,
   CAST($idSql AS BIGINT) AS id, CAST($scoreSql AS DOUBLE) AS score
 FROM $table
+WHERE $scoreSql IS NOT NULL AND $idSql IS NOT NULL
 WINDOW w AS (PARTITION BY $g ORDER BY $scoreSql DESC, $idSql ASC)
 QUALIFY row_number() OVER w <= $k
 ORDER BY $g, rank""".stripMargin

@@ -93,7 +93,10 @@ object Dedup {
         (a, b) => { a.mergeInPlace(b); a })
     val withFp = batch.withColumn("__fp", fingerprint(col(textCol)))
     val cand = graft.functions.BloomMightContain(col("__fp"), bloom)
-    val definitelyFresh = withFp.where(!cand)
+    // NULL text → NULL fingerprint → NULL probe: route to the fresh branch
+    // (a NULL join key can never match the store in the anti-join either),
+    // keeping the bloom path row-for-row identical to dedupIncremental
+    val definitelyFresh = withFp.where(cand.isNull || !cand)
     val verified = withFp.where(cand)
       .join(storeFps.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
       .select(definitelyFresh.columns.map(col).toIndexedSeq: _*)

@@ -132,16 +132,13 @@ object CorpusFilters {
     * window-sorting every group member, exactly the whale-domain case a
     * 100 TB corpus has. Returns (group cols, rank, id) — join back by id
     * for the rows.
+    *
+    * The hash is folded to 53 bits ([[SampleHashMod]]) because the rank
+    * rides TopK's (Double, Long) buffer — every distinct 53-bit value
+    * survives the double round-trip, so operator and oracle order
+    * identically (a raw 60-bit hash could see two distinct values round
+    * to one double and flip a near-collision's tiebreak).
     */
-  /** 53-bit sampling hash: [[graft.text.TextFunctions.hash60]] folded into
-    * the double-exact range, because the rank rides [[TopK]]'s (Double,
-    * Long) buffer — every distinct 53-bit value survives the double
-    * round-trip, so operator and oracle order identically (a raw 60-bit
-    * hash could see two distinct values round to one double and flip a
-    * near-collision's tiebreak).
-    */
-  private val SampleHashMod = 1L << 53
-
   def sampleNPerGroup(df: DataFrame, groupCols: Seq[String],
                       key: Column, id: Column, n: Int): DataFrame =
     graft.functions.TopK
@@ -150,6 +147,9 @@ object CorpusFilters {
       .withColumn("rank", col("rank").cast("long"))
       .drop("score")
 
+  /** Double-exact sampling-hash range (see [[sampleNPerGroup]]). */
+  private val SampleHashMod = 1L << 53
+
   /** Oracle for [[sampleNPerGroup]]: the window formulation over the same
     * folded hash, ascending (TopK is max-first, hence the negation).
     */
@@ -157,8 +157,10 @@ object CorpusFilters {
                          idE: String, n: Int): String = {
     val g = groupEs.mkString(", ")
     val h = s"(CAST(('0x'||substr(md5($keyE),1,15)) AS BIGINT) % $SampleHashMod)"
+    // NULL key/id rows are unrankable and dropped (TopK.perGroup contract)
     s"""SELECT $g, CAST(rnk AS BIGINT) AS rank, $idE AS id FROM (
-  SELECT $g, $idE, row_number() OVER (PARTITION BY $g ORDER BY $h ASC, $idE ASC) AS rnk FROM $table)
+  SELECT $g, $idE, row_number() OVER (PARTITION BY $g ORDER BY $h ASC, $idE ASC) AS rnk
+  FROM $table WHERE $keyE IS NOT NULL AND $idE IS NOT NULL)
 WHERE rnk <= $n ORDER BY $g, rank""".stripMargin
   }
 

@@ -260,8 +260,13 @@ final class XlsxReader(path: String) extends AutoCloseable {
   /** One parsed worksheet cell with full metadata — the reference's XlCell
     * (fabrix-xl/src/ws.rs:31-46): typed value plus formula, A1 reference,
     * number-format style, raw cell type, and raw stored string.
+    *
+    * `withMeta = false` is the values-only fast path ([[rowBatches]]): it
+    * skips the per-cell A1-reference string build and style lookup and
+    * shares one empty pad cell, so values-only ingestion of a large sheet
+    * doesn't pay for metadata it immediately discards.
     */
-  private def cellRowIter(sheet: String): Iterator[Vector[XlCell]] = {
+  private def cellRowIter(sheet: String, withMeta: Boolean): Iterator[Vector[XlCell]] = {
     val ref = sheetRefs.find(_.name == sheet).getOrElse(
       throw new IllegalArgumentException(s"no sheet $sheet (have: ${sheetNames.mkString(",")})"))
     val target = relTargets.getOrElse(ref.rId, s"xl/worksheets/sheet1.xml")
@@ -309,15 +314,19 @@ final class XlsxReader(path: String) extends AutoCloseable {
               case "c" =>
                 if (cellRaw != null || cellFormula.nonEmpty) {
                   val v = if (cellRaw != null) cellValue(cellT, cellS, cellRaw) else ExcelValue.None
-                  cells += ((cellC, XlCell(s"${colName(cellC)}$rowNum", v, cellFormula,
-                    styleOf(cellS), cellT, if (cellRaw == null) "" else cellRaw)))
+                  val ref = if (withMeta) s"${colName(cellC)}$rowNum" else ""
+                  val style = if (withMeta) styleOf(cellS) else ""
+                  cells += ((cellC, XlCell(ref, v, cellFormula,
+                    style, cellT, if (cellRaw == null) "" else cellRaw)))
                 }
                 cellT = ""; cellS = -1; cellRaw = null; cellFormula = ""
               case "row" =>
                 inRow = false
                 val width = cells.map(_._1).maxOption.map(_ + 1).getOrElse(0)
-                val arr = Array.tabulate(width)(i =>
-                  XlCell(s"${colName(i)}$rowNum", ExcelValue.None, "", "", "", ""))
+                val arr =
+                  if (withMeta) Array.tabulate(width)(i =>
+                    XlCell(s"${colName(i)}$rowNum", ExcelValue.None, "", "", "", ""))
+                  else Array.fill(width)(XlsxReader.EmptyCell)
                 cells.foreach { case (i, c) => arr(i) = c }
                 nextRow = arr.toVector
               case "sheetData" => done = true; r.close(); in.close()
@@ -339,17 +348,22 @@ final class XlsxReader(path: String) extends AutoCloseable {
     * the reference's XlSheetIter (fabrix-xl/src/ec.rs:188-236).
     */
   def rowBatches(sheet: String, batchSize: Int = 1024): Iterator[Vector[Vector[ExcelValue]]] =
-    cellRowIter(sheet).map(_.map(_.value)).grouped(batchSize).map(_.toVector)
+    cellRowIter(sheet, withMeta = false).map(_.map(_.value)).grouped(batchSize).map(_.toVector)
 
   /** Stream a sheet's rows WITH per-cell metadata (formula, A1 reference,
     * style code, raw type/value) — the full reference XlCell surface
     * (fabrix-xl/src/ws.rs:31-46), values-only consumers use [[rowBatches]].
     */
   def cellBatches(sheet: String, batchSize: Int = 1024): Iterator[Vector[Vector[XlCell]]] =
-    cellRowIter(sheet).grouped(batchSize).map(_.toVector)
+    cellRowIter(sheet, withMeta = true).grouped(batchSize).map(_.toVector)
 
   private def attr(r: XMLStreamReader, name: String): Option[String] =
     Option(r.getAttributeValue(null, name))
 
   def close(): Unit = zip.close()
+}
+
+object XlsxReader {
+  /** Shared pad for absent cells on the values-only path. */
+  private[xl] val EmptyCell = XlCell("", ExcelValue.None, "", "", "", "")
 }

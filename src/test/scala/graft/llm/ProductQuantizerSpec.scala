@@ -68,6 +68,22 @@ class ProductQuantizerSpec extends SparkSpec {
     }
   }
 
+  test("encode and ADC yield NULL on dimension mismatch, never a silent prefix") {
+    import spark.implicits._
+    val pq = ProductQuantizer.gridCodebook(m = 4, subDim = 4, ksub = 4, lo = -0.5, hi = 0.5)
+    // 8-dim vector against a 16-dim codebook: phantom zero-padding would
+    // produce plausible-looking garbage codes — must be NULL instead
+    val bad = Seq((1L, Seq.fill(8)(0.1f))).toDF("vec_id", "embedding")
+    assert(pq.encode(bad, "vec_id", "embedding").select("codes").head().isNullAt(0))
+    // short codes array against m=4 tables: prefix-summing would rank the
+    // corrupt row artificially near every query — must be NULL instead
+    val tables = Map(7L -> Array.fill(4)(Array.fill(4)(1.0)))
+    val shortCodes = Seq((7L, Seq(0, 1))).toDF("qid", "codes")
+    val d = shortCodes.select(
+      graft.functions.AdcDist(col("qid"), col("codes"), tables).as("d"))
+    assert(d.head().isNullAt(0))
+  }
+
   test("ADC distance orders identical vectors first") {
     val pq = ProductQuantizer.fit(clustered, m = 4, ksub = 8)
     val codes = pq.encode(clustered, "vec_id", "embedding")
