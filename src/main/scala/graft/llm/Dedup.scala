@@ -303,6 +303,27 @@ SELECT ${keepCols.mkString(", ")} FROM k WHERE $idCol = keep ORDER BY $idCol""".
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** The filter form of [[minhashPairsAgainstStore]]: the batch with every
+    * row that near-duplicates ANY store doc removed — what a steady-state
+    * ingest actually applies, mirroring how [[dedupIncremental]] is the
+    * filter form of exact store dedup. One extra anti-join on the (small)
+    * matched-id set; in-batch near-dups are NOT collapsed here (cluster
+    * them with [[DedupClusters]] if needed — a different, heavier
+    * operation than rejecting known-seen content).
+    */
+  def dedupMinhashIncremental(
+      batch: DataFrame, store: DataFrame,
+      textCol: String, idCol: String,
+      shingleN: Int = 3,
+      bands: Int = DefaultBands,
+      rowsPerBand: Int = DefaultRowsPerBand,
+      minJaccard: Double = 0.5): DataFrame = {
+    val dupIds = minhashPairsAgainstStore(batch, store, textCol, idCol,
+        shingleN, bands, rowsPerBand, minJaccard)
+      .select(col("batch_id").as(idCol)).distinct()
+    batch.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** Oracle for [[minhashPairsAgainstStore]] with batch and store defined
     * as filtered subsets of one table — same CTE constants as
     * [[minhashPairCtes]] so the pair SQL cannot drift from the self-join

@@ -250,6 +250,7 @@ class LlmSpec extends SparkSpec {
   }
 
   test("minhashPairsAgainstStore equals the self-join pairs restricted to the split") {
+    import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, pmod}
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val batch = docs.where(pmod(col("doc_id"), lit(7)) =!= 0)
@@ -265,6 +266,11 @@ class LlmSpec extends SparkSpec {
     }.filter { case (b, s, _) => b % 7 != 0 && s % 7 == 0 }.toSet
     assert(got === expected)
     assert(got.nonEmpty, "split produced no cross pairs — gate would be vacuous")
+    // the filter form drops exactly the batch side of those pairs
+    val kept = Dedup.dedupMinhashIncremental(batch, store, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    val batchIds = batch.select("doc_id").as[Long].collect().toSet
+    assert(kept === batchIds -- got.map(_._1))
   }
 
   test("dedupIncrementalBloom: exact semantics, equal to the plain anti-join path") {
