@@ -58,16 +58,19 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
 
 object PqEncode {
 
-  /** Null-tracking core: null on any null element or a vector whose length
-    * doesn't match the codebook's m × subDim — encoding a phantom zero-
-    * padded tail would produce plausible-looking but meaningless codes
-    * (mirrors the oracle, where an out-of-range list index yields NULL).
+  /** Null-tracking core: null on any null element, a vector whose length
+    * doesn't match the codebook's m × subDim, or a ragged codebook (any
+    * centroid off the uniform subDim) — encoding against a phantom zero-
+    * padded tail or reading past the vector would produce plausible-
+    * looking but meaningless codes. Oracles must filter mismatched rows
+    * the same way (see ProductQuantizer.adcOracle's length guard).
     */
   def encodeBoxed(v: ArrayData, cbs: Array[Array[Array[Double]]],
                   isDouble: Boolean): ArrayData = {
     val n = v.numElements()
     val m = cbs.length
     if (m == 0 || cbs(0).length == 0 || n != m * cbs(0)(0).length) return null
+    val subDim = cbs(0)(0).length
     var p = 0
     while (p < n) { if (v.isNullAt(p)) return null; p += 1 }
     val codes = new Array[Int](m)
@@ -79,6 +82,7 @@ object PqEncode {
       var c = 0
       while (c < cents.length) {
         val cent = cents(c)
+        if (cent.length != subDim) return null
         var d = 0.0
         var j = 0
         while (j < cent.length) {

@@ -240,6 +240,22 @@ SELECT ${keepCols.mkString(", ")} FROM k WHERE $idCol = keep ORDER BY $idCol""".
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** Band a frame for the vs-store near-dup paths: (id, `__bkeys` band-key
+    * array, `__s` shingle set). A steady-state ingest PERSISTS this for
+    * accepted docs (parquet beside the corpus) and passes it back with
+    * `storeBanded = true` — that is what makes "history is never re-banded"
+    * true in practice; calling the pair ops with a raw-text store re-bands
+    * it on every batch.
+    */
+  def bandStore(df: DataFrame, textCol: String, idCol: String,
+                shingleN: Int = 3,
+                bands: Int = DefaultBands,
+                rowsPerBand: Int = DefaultRowsPerBand): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val src = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    prepareBands(src, textCol, idCol, shingleN, bands, rowsPerBand)
+  }
+
   /** (id, band keys, shingle set), eagerly checkpointed — the shared prep
     * of every banded-LSH path; see the plan notes in [[dedupMinhashPairs]].
     */
@@ -263,13 +279,14 @@ SELECT ${keepCols.mkString(", ")} FROM k WHERE $idCol = keep ORDER BY $idCol""".
 
   /** Near-duplicate pairs of a NEW batch against an existing STORE — the
     * steady-state shape of continuous near-dup ingestion, where re-banding
-    * the historical corpus per batch is a non-starter: the store arrives
-    * already banded (persist [[prepareBands]]' (id, band keys, shingle set)
-    * columns when accepting docs; at 100 TB that store is parquet, not a
-    * recomputation). Candidates come from a band-key equi-join of the
-    * batch's exploded bands against the store's — O(bucket collisions),
-    * never batch × store — and survive on exact shingle-set Jaccard,
-    * verified against the store's kept sets.
+    * the historical corpus per batch is a non-starter: persist
+    * [[bandStore]]'s (id, band keys, shingle set) frame when accepting
+    * docs (at 100 TB that store is parquet) and pass it here with
+    * `storeBanded = true`; the raw-text default re-bands the store and is
+    * only right for one-off runs. Candidates come from a band-key
+    * equi-join of the batch's exploded bands against the store's —
+    * O(bucket collisions), never batch × store — and survive on exact
+    * shingle-set Jaccard, verified against the store's kept sets.
     *
     * Returns (batch_id, store_id, jaccard ≥ minJaccard): the batch rows to
     * REJECT (or cluster) against their store near-duplicates. Both frames
@@ -281,12 +298,12 @@ SELECT ${keepCols.mkString(", ")} FROM k WHERE $idCol = keep ORDER BY $idCol""".
       shingleN: Int = 3,
       bands: Int = DefaultBands,
       rowsPerBand: Int = DefaultRowsPerBand,
-      minJaccard: Double = 0.5): DataFrame = {
-    val par = batch.sparkSession.sparkContext.defaultParallelism
-    def spread(df: DataFrame) =
-      if (df.rdd.getNumPartitions < par) df.repartition(par) else df
-    val pb = prepareBands(spread(batch), textCol, idCol, shingleN, bands, rowsPerBand)
-    val ps = prepareBands(spread(store), textCol, idCol, shingleN, bands, rowsPerBand)
+      minJaccard: Double = 0.5,
+      storeBanded: Boolean = false): DataFrame = {
+    val pb = bandStore(batch, textCol, idCol, shingleN, bands, rowsPerBand)
+    val ps =
+      if (storeBanded) store  // a persisted [[bandStore]] frame
+      else bandStore(store, textCol, idCol, shingleN, bands, rowsPerBand)
     def explodeBands(p: DataFrame, as: String) = p
       .select(col(idCol).as(as), posexplode(col("__bkeys")).as(Seq("band", "bkey")))
     val cand = explodeBands(pb, "batch_id")
@@ -317,9 +334,10 @@ SELECT ${keepCols.mkString(", ")} FROM k WHERE $idCol = keep ORDER BY $idCol""".
       shingleN: Int = 3,
       bands: Int = DefaultBands,
       rowsPerBand: Int = DefaultRowsPerBand,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5,
+      storeBanded: Boolean = false): DataFrame = {
     val dupIds = minhashPairsAgainstStore(batch, store, textCol, idCol,
-        shingleN, bands, rowsPerBand, minJaccard)
+        shingleN, bands, rowsPerBand, minJaccard, storeBanded)
       .select(col("batch_id").as(idCol)).distinct()
     batch.join(dupIds, Seq(idCol), "left_anti")
   }

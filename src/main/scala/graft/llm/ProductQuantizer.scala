@@ -141,7 +141,9 @@ object ProductQuantizer {
       .mkString("[", ", ", "]")
     val qDists = (0 until m).map(s => s"${dlist("v", s)} AS q$s").mkString(",\n  ")
     val adcSum = (0 until m).map(s => s"q.q$s[e.codes[${s + 1}] + 1]").mkString(" + ")
-    s"""WITH t AS (SELECT $idCol, $vecCol AS v FROM $table),
+    // length guard mirrors PqEncode's NULL-on-dimension-mismatch: rows whose
+    // vector doesn't match m × subDim drop out on BOTH sides
+    s"""WITH t AS (SELECT $idCol, $vecCol AS v FROM $table WHERE len($vecCol) = ${m * subDim}),
 ed AS (SELECT $idCol,
   $encDists
 FROM t),

@@ -271,6 +271,13 @@ class LlmSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     val batchIds = batch.select("doc_id").as[Long].collect().toSet
     assert(kept === batchIds -- got.map(_._1))
+    // a pre-banded store (the steady-state path: history banded once,
+    // persisted, never recomputed) gives identical pairs
+    val banded = Dedup.bandStore(store, "text", "doc_id")
+    val gotBanded = Dedup.minhashPairsAgainstStore(batch, banded, "text", "doc_id",
+        storeBanded = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gotBanded === got)
   }
 
   test("dedupIncrementalBloom: exact semantics, equal to the plain anti-join path") {

@@ -75,6 +75,15 @@ class ProductQuantizerSpec extends SparkSpec {
     // produce plausible-looking garbage codes — must be NULL instead
     val bad = Seq((1L, Seq.fill(8)(0.1f))).toDF("vec_id", "embedding")
     assert(pq.encode(bad, "vec_id", "embedding").select("codes").head().isNullAt(0))
+    // over-LONG vectors are a mismatch too (the oracle length-filters both
+    // directions), and a ragged codebook must never read past the vector
+    val long = Seq((1L, Seq.fill(20)(0.1f))).toDF("vec_id", "embedding")
+    assert(pq.encode(long, "vec_id", "embedding").select("codes").head().isNullAt(0))
+    val ragged = graft.functions.PqEncode(col("embedding"),
+      Array(Array(Array.fill(3)(0.0)), Array(Array.fill(5)(0.0))))
+    val rag = Seq((1L, Seq.fill(6)(0.1f))).toDF("vec_id", "embedding")
+      .select(ragged.as("codes"))
+    assert(rag.head().isNullAt(0))
     // short codes array against m=4 tables: prefix-summing would rank the
     // corrupt row artificially near every query — must be NULL instead
     val tables = Map(7L -> Array.fill(4)(Array.fill(4)(1.0)))
