@@ -115,37 +115,42 @@ object EventWindows {
     * tie-broken total order, so the assembled string is engine- and
     * partitioning-independent — joined into one training-ready token
     * string. One shuffle (the user groupBy); ordering happens inside the
-    * aggregated struct array, not a window sort over the raw stream.
+    * bounded aggregation buffer, not a window sort over the raw stream.
     *
-    * Truncation contract: the aggregate collects a user's full event list
-    * before the `maxEvents` cut, like every collect_list rollup — bounded
-    * by the per-user event count, not the corpus. For whale users beyond
-    * memory, pre-filter with [[graft.functions.BottomK]] on the packed
-    * (ts, id) order key to bound state per group at the cost of a second
-    * shuffle; at typical per-user rates this single-shuffle form is the
-    * right default.
+    * Bounded-state contract: the cut happens INSIDE the aggregate
+    * ([[graft.functions.FirstK]], the payload variant of the bounded-buffer
+    * family) — each (user, partition) buffer holds ≤ `maxEvents` (ts, id,
+    * type) entries and map-side partial aggregation ships ≤ `maxEvents`
+    * entries per user per partition into the exchange. A whale user (bot,
+    * SDK misfire) with 10⁸ events costs one comparison per event locally
+    * and bounded memory everywhere, where a `collect_list` + `slice`
+    * formulation would buffer the whole history in one task.
+    *
+    * Non-null contract: rows with a NULL ts or event id are unrankable and
+    * dropped before aggregation (same contract as
+    * [[graft.functions.TopK.perGroup]]); the oracle encodes the same filter.
     */
   def actionSequences(events: DataFrame, maxEvents: Int,
                       userCol: String = "user_id", tsCol: String = "ts",
                       typeCol: String = "event_type", idCol: String = "event_id"): DataFrame = {
-    val ordered = slice(
-      array_sort(collect_list(struct(
-        unix_micros(col(tsCol).cast("timestamp")).as("t"),
-        col(idCol).as("i"), col(typeCol).as("e")))),
-      1, maxEvents)
-    events.groupBy(col(userCol))
-      .agg(ordered.as("__seq"))
+    val t = unix_micros(col(tsCol).cast("timestamp"))
+    events.where(t.isNotNull && col(idCol).isNotNull)
+      .groupBy(col(userCol))
+      .agg(graft.functions.FirstK(maxEvents)(t, col(idCol), col(typeCol)).as("__seq"))
       .select(col(userCol),
         size(col("__seq")).cast("long").as("n_events"),
-        concat_ws(" ", transform(col("__seq"), s => s.getField("e"))).as("sequence"))
+        concat_ws(" ", transform(col("__seq"), s => s.getField("_3"))).as("sequence"))
   }
 
-  /** Oracle for [[actionSequences]] — the window-rank formulation. */
+  /** Oracle for [[actionSequences]] — the window-rank formulation. The IS
+    * NOT NULL filter encodes the drop-unrankable-rows contract.
+    */
   def actionSequencesOracle(table: String, maxEvents: Int,
                             userCol: String = "user_id", tsCol: String = "ts",
                             typeCol: String = "event_type", idCol: String = "event_id"): String =
     s"""WITH e AS (SELECT $userCol, $typeCol,
-  row_number() OVER (PARTITION BY $userCol ORDER BY $tsCol, $idCol) AS rn FROM $table)
+  row_number() OVER (PARTITION BY $userCol ORDER BY $tsCol, $idCol) AS rn FROM $table
+  WHERE $tsCol IS NOT NULL AND $idCol IS NOT NULL)
 SELECT $userCol, CAST(count(*) AS BIGINT) AS n_events,
   string_agg($typeCol, ' ' ORDER BY rn) AS sequence
 FROM e WHERE rn <= $maxEvents GROUP BY $userCol ORDER BY $userCol""".stripMargin

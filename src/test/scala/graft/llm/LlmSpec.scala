@@ -249,6 +249,33 @@ class LlmSpec extends SparkSpec {
     assert(run(ev.repartition(7)) === expected)
   }
 
+  test("actionSequences: whale user stays bounded (partial agg, ≤maxEvents buffer)") {
+    import org.apache.spark.sql.functions.{col, concat, expr, lit}
+    // one user with 200k events across many partitions — the collect_list
+    // formulation would buffer all 200k structs in one task; the bounded
+    // aggregate keeps ≤maxEvents per (user, partition) and the result is
+    // exactly the first maxEvents in (ts, id) order
+    val whale = spark.range(0, 200000)
+      .select(lit(1L).as("user_id"),
+        expr("timestamp_micros(cast((id * 2654435761) % 100000000 AS BIGINT))").as("ts"),
+        concat(lit("e"), col("id") % 13).as("event_type"), col("id").as("event_id"))
+    val df = EventWindows.actionSequences(whale, maxEvents = 4)
+    // plan pin: the cut is a map-side partial aggregate, not collect_list
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_firstkbykey"), s"expected partial_firstkbykey in:\n$plan")
+    assert(!plan.contains("collect_list"), s"unexpected collect_list in:\n$plan")
+    val got = df.collect()
+    assert(got.length === 1)
+    assert(got.head.getLong(1) === 4L)
+    // cross-check against the window formulation on the same data
+    val win = whale
+      .select(col("event_type"),
+        expr("row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)").as("rn"))
+      .where(col("rn") <= 4).orderBy("rn")
+      .select("event_type").collect().map(_.getString(0)).mkString(" ")
+    assert(got.head.getString(2) === win)
+  }
+
   test("minhashPairsAgainstStore equals the self-join pairs restricted to the split") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, pmod}
