@@ -105,13 +105,21 @@ object IvfIndex {
       s"trainFraction must be in (0, 1], got $trainFraction")
     val sess = corpus.sparkSession
     import sess.implicits._
-    val trainSrc =
-      if (trainFraction < 1.0) corpus.sample(withReplacement = false, trainFraction, seed)
-      else corpus
-    val train = trainSrc.select(col(idCol), col(vecCol))
+    def features(src: DataFrame): DataFrame = src.select(col(idCol), col(vecCol))
       .map { r =>
         (r.getLong(0), Vectors.dense(r.getSeq[Float](1).map(_.toDouble).toArray))
       }.toDF(idCol, "features")
+    val train =
+      if (trainFraction < 1.0) {
+        // checkpoint the sample so the k-means iterations (and the count
+        // below) read cached blocks, not the corpus
+        val sampled = features(corpus.sample(withReplacement = false, trainFraction, seed))
+          .localCheckpoint(true)
+        // fewer sampled rows than centroids cannot seed k-means (KMeans
+        // would throw or produce degenerate centroids) — tiny corpora fall
+        // back to the full frame
+        if (sampled.count() >= nLists) sampled else features(corpus)
+      } else features(corpus)
     // a COARSE quantizer doesn't need converged centroids — every extra
     // k-means iteration is a pass over the (sampled) training set, and
     // probe-side recall is the knob that actually buys accuracy (nProbe),

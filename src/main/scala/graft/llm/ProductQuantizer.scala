@@ -52,12 +52,32 @@ final case class PqCodebook(
   /** ADC top-k: exact queries against the compressed corpus. `queries` must
     * be small (the per-query distance tables broadcast); corpus `codes`
     * stream through the scan stage and ship ≤k candidates per query.
+    *
+    * The query set materializes on the driver (the ADC tables are per-query
+    * broadcast state), so it is bounded by
+    * [[ProductQuantizer.MaxQueryRowsKey]] — an oversized query frame fails
+    * fast instead of OOMing the driver, the same fail-fast contract as
+    * `spark.graft.positional.maxRows`. The check rides the collect itself
+    * (fetch limit+1 rows, raise past the limit): no second job, and never
+    * materializes more than limit+1 rows.
     */
   def search(codes: DataFrame, queries: DataFrame, k: Int,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val sess = codes.sparkSession
-    val qs = queries.select(col(idCol), col(vecCol)).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val limit = sess.conf.get(ProductQuantizer.MaxQueryRowsKey,
+      ProductQuantizer.DefaultMaxQueryRows.toString).toLong
+    val projected = queries.select(col(idCol), col(vecCol))
+    val rows =
+      if (limit > 0) {
+        val r = projected.limit(math.min(limit + 1, Int.MaxValue.toLong).toInt).collect()
+        if (r.length > limit) throw new IllegalStateException(
+          s"PQ ADC search materializes the query set on the driver (per-query " +
+            s"distance tables are broadcast state) and the query frame has more than " +
+            s"${ProductQuantizer.MaxQueryRowsKey}=$limit rows. Queries are the small " +
+            "side by contract; raise the conf to override.")
+        r
+      } else projected.collect()
+    val qs = rows.map(r => (r.getLong(0), r.getSeq[Float](1)))
     val tables: Map[Long, Array[Array[Double]]] = qs.map { case (qid, v) =>
       qid -> Array.tabulate(m)(s => Array.tabulate(ksub)(c => sqDist(v, s, codebooks(s)(c))))
     }.toMap
@@ -79,24 +99,64 @@ final case class PqCodebook(
 
 object ProductQuantizer {
 
+  /** Conf key bounding the driver-materialized ADC query set
+    * ([[PqCodebook.search]]); <= 0 disables. Same fail-fast pattern as
+    * `spark.graft.positional.maxRows` (graft.core.Fabrix): APIs that
+    * materialize a frame driver-side by design must refuse cluster-sized
+    * input instead of OOMing.
+    */
+  val MaxQueryRowsKey = "spark.graft.ann.maxQueryRows"
+
+  /** Default ceiling: at m=8/ksub=256 each query's ADC table is ~16 KB, so
+    * 4096 queries broadcast ~64 MB — generous for a re-ranking or eval
+    * batch, far below a corpus-sized frame.
+    */
+  val DefaultMaxQueryRows: Long = 4096L
+
   /** Train per-subspace codebooks with seeded k-means (seed offset by
     * subspace index so subspaces train independently but reproducibly).
+    *
+    * `trainFraction` samples the training set ONCE: a PQ codebook, like an
+    * IVF coarse quantizer ([[IvfIndex.build]]), needs centroids
+    * representative of the density, not of every vector — FAISS trains on
+    * ~1–10% of the corpus — so at scale the fit must not scan the full
+    * corpus, let alone once per subspace. Exactly ONE pass over the
+    * (sampled) corpus splits every vector into its m subvectors into a
+    * cached long frame; the m seeded k-means fits then iterate over that
+    * cache and never touch the corpus again. Defaults to 1.0 (full) so
+    * small-scale fits stay deterministic; a sample smaller than `ksub`
+    * cannot seed k centroids, so tiny corpora fall back to the full frame.
     */
   def fit(corpus: DataFrame, m: Int, ksub: Int,
           idCol: String = "vec_id", vecCol: String = "embedding",
-          seed: Long = 42L, maxIter: Int = 8): PqCodebook = {
+          seed: Long = 42L, maxIter: Int = 8,
+          trainFraction: Double = 1.0): PqCodebook = {
+    require(trainFraction > 0.0 && trainFraction <= 1.0,
+      s"trainFraction must be in (0, 1], got $trainFraction")
     val sess = corpus.sparkSession
     import sess.implicits._
     val dim = corpus.select(size(col(vecCol))).head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subDim = dim / m
+    // eager localCheckpoint, not persist, for the same lifecycle reason as
+    // IvfIndex.build: blocks are ContextCleaner-owned, freed when the frame
+    // is collected — a CacheManager persist would leak across repeated fits
+    def subvectors(src: DataFrame): DataFrame = src.flatMap { r =>
+      val v = r.getSeq[Float](0)
+      Iterator.tabulate(m)(s =>
+        (s, Vectors.dense(Array.tabulate(subDim)(j => v(s * subDim + j).toDouble))))
+    }.toDF("s", "features").localCheckpoint(true)
+    val vecs = corpus.select(col(vecCol))
+    val sub = {
+      if (trainFraction < 1.0) {
+        val sampled = subvectors(vecs.sample(withReplacement = false, trainFraction, seed))
+        // count reads the checkpoint, not the corpus; / m gives source rows
+        if (sampled.count() / m >= ksub) sampled else subvectors(vecs)
+      } else subvectors(vecs)
+    }
     val codebooks = Array.tabulate(m) { s =>
-      val train = corpus.select(col(vecCol)).map { r =>
-        val v = r.getSeq[Float](0)
-        Tuple1(Vectors.dense(Array.tabulate(subDim)(j => v(s * subDim + j).toDouble)))
-      }.toDF("features")
       val model = new KMeans().setK(ksub).setSeed(seed + s).setMaxIter(maxIter)
-        .setFeaturesCol("features").fit(train)
+        .setFeaturesCol("features").fit(sub.where(col("s") === s))
       model.clusterCenters.map(_.toArray)
     }
     PqCodebook(codebooks, m, subDim)

@@ -47,6 +47,27 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(agree >= total * 9 / 10, s"cluster agreement $agree/$total")
   }
 
+  test("sampled fit (trainFraction) still retrieves cluster mates; tiny samples fall back") {
+    // codebooks are opaque to encode/ADC, so a sampled fit exercises exactly
+    // the same search path — recall on separable data is the correctness bar
+    val pq = ProductQuantizer.fit(clustered, m = 4, ksub = 8, trainFraction = 0.5)
+    val codes = pq.encode(clustered, "vec_id", "embedding")
+    val queries = clustered.where(col("vec_id") < 6)
+    val got = pq.search(codes, queries, k = 10)
+      .join(clustered.select(col("vec_id").as("neighbor_id"), col("cluster").as("n_cluster")), "neighbor_id")
+      .join(clustered.select(col("vec_id").as("query_id"), col("cluster").as("q_cluster")), "query_id")
+    val agree = got.where(col("n_cluster") === col("q_cluster")).count()
+    val total = got.count()
+    assert(total === 6L * 10)
+    assert(agree >= total * 9 / 10, s"cluster agreement $agree/$total")
+    // a fraction too small to seed ksub centroids falls back to the full
+    // frame — and must then equal the unsampled fit exactly (same seed,
+    // same data, same layout)
+    val tiny = ProductQuantizer.fit(clustered, m = 4, ksub = 8, trainFraction = 0.001)
+    val full = ProductQuantizer.fit(clustered, m = 4, ksub = 8)
+    assert(tiny.codebooks.flatten.flatten.toSeq === full.codebooks.flatten.flatten.toSeq)
+  }
+
   test("grid codebook: encode matches per-row argmin over the codebook") {
     val pq = ProductQuantizer.gridCodebook(m = 4, subDim = 4, ksub = 8, lo = -0.5, hi = 0.5)
     val rows = pq.encode(clustered, "vec_id", "embedding")
@@ -91,6 +112,20 @@ class ProductQuantizerSpec extends SparkSpec {
     val d = shortCodes.select(
       graft.functions.AdcDist(col("qid"), col("codes"), tables).as("d"))
     assert(d.head().isNullAt(0))
+  }
+
+  test("oversized query frame fails fast instead of collecting to the driver") {
+    val pq = ProductQuantizer.gridCodebook(m = 4, subDim = 4, ksub = 8, lo = -0.5, hi = 0.5)
+    val codes = pq.encode(clustered, "vec_id", "embedding")
+    spark.conf.set(ProductQuantizer.MaxQueryRowsKey, "10")
+    try {
+      val e = intercept[IllegalStateException] {
+        pq.search(codes, clustered, k = 3) // 90 queries > 10
+      }
+      assert(e.getMessage.contains(ProductQuantizer.MaxQueryRowsKey))
+      // within the bound the search runs normally
+      assert(pq.search(codes, clustered.where(col("vec_id") < 5), k = 3).count() === 15)
+    } finally spark.conf.unset(ProductQuantizer.MaxQueryRowsKey)
   }
 
   test("ADC distance orders identical vectors first") {
