@@ -173,15 +173,21 @@ final class JsonDirStore(val dir: String) extends DocumentStore {
     if (!Files.exists(manifest)) Seq.empty
     else {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      om.readTree(Files.readString(manifest)).elements().asScala.map { n =>
-        IndexModel(
-          n.get("name").asText(),
-          n.get("keys").elements().asScala.map { k =>
-            IndexKey(k.get("field").asText(),
-              if (k.get("dir").asText() == "desc") IndexDir.Desc else IndexDir.Asc)
-          }.toSeq,
-          unique = n.get("unique").asBoolean(),
-          text = n.get("text").asBoolean())
+      // a hand-edited or older-format manifest must degrade gracefully, not
+      // NPE every index API: path() never returns null, asText/asBoolean
+      // take defaults, and entries with no usable name or keys are skipped
+      om.readTree(Files.readString(manifest)).elements().asScala.flatMap { n =>
+        val name = n.path("name").asText("")
+        val keys = n.path("keys").elements().asScala.flatMap { k =>
+          val field = k.path("field").asText("")
+          if (field.isEmpty) None
+          else Some(IndexKey(field,
+            if (k.path("dir").asText("asc") == "desc") IndexDir.Desc else IndexDir.Asc))
+        }.toSeq
+        if (name.isEmpty || keys.isEmpty) None
+        else Some(IndexModel(name, keys,
+          unique = n.path("unique").asBoolean(false),
+          text = n.path("text").asBoolean(false)))
       }.toSeq
     }
   }
@@ -225,4 +231,77 @@ final class JsonDirStore(val dir: String) extends DocumentStore {
 object JsonDirStore {
   /** Reserved basename of the index manifest inside a store directory. */
   val ManifestName = "_indexes"
+}
+
+/** Database/collection admin verbs — the connection-level surface above a
+  * single collection-shaped [[DocumentStore]] (reference ec.rs:147-167
+  * `show_dbs`/`show_collections`, ec.rs:232-249
+  * `drop_database`/`drop_collection`). The reference executor holds the
+  * current database/collection as mutable state (`set_database` /
+  * `set_collection`, ec.rs:128-144); here the namespace is explicit
+  * arguments to the same verbs. Like [[DynConn]], this is a driver-side
+  * service concern — executors/tasks never see it.
+  */
+trait DocumentCatalog {
+  /** show_dbs: database names (ec.rs:148). */
+  def listDatabases: Seq[String]
+  /** show_collections: collection names in a database (ec.rs:159). */
+  def listCollections(db: String): Seq[String]
+  /** Open a collection as a [[DocumentStore]] (the `schema::<T>()` handle
+    * the reference CRUD verbs run against).
+    */
+  def store(db: String, collection: String): DocumentStore
+  /** drop_database (ec.rs:232); false if it did not exist. */
+  def dropDatabase(db: String): Boolean
+  /** drop_collection (ec.rs:243); false if it did not exist. */
+  def dropCollection(db: String, collection: String): Boolean
+}
+
+/** Filesystem catalog: `<root>/<db>/<collection>/<id>.json` — each
+  * collection directory IS a [[JsonDirStore]]. `store` creates the
+  * directory eagerly (a Mongo collection appears on first write; a
+  * directory-backed one on open — both idempotent).
+  */
+final class JsonDirCatalog(rootDir: String) extends DocumentCatalog {
+  private val root: Path = {
+    val p = Paths.get(rootDir)
+    Files.createDirectories(p)
+    p
+  }
+
+  private def checked(name: String): String = {
+    require(name.nonEmpty && name != "." && name != ".." &&
+      !name.exists(c => c == '/' || c == '\\' || c == 0),
+      s"invalid namespace name: $name")
+    name
+  }
+
+  private def listDirs(p: Path): Seq[String] =
+    if (!Files.isDirectory(p)) Seq.empty
+    else Files.list(p).iterator().asScala
+      .filter(Files.isDirectory(_))
+      .map(_.getFileName.toString)
+      .toSeq.sorted
+
+  private def deleteRecursively(p: Path): Boolean =
+    if (!Files.exists(p)) false
+    else {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+      true
+    }
+
+  override def listDatabases: Seq[String] = listDirs(root)
+
+  override def listCollections(db: String): Seq[String] =
+    listDirs(root.resolve(checked(db)))
+
+  override def store(db: String, collection: String): DocumentStore =
+    new JsonDirStore(root.resolve(checked(db)).resolve(checked(collection)).toString)
+
+  override def dropDatabase(db: String): Boolean =
+    deleteRecursively(root.resolve(checked(db)))
+
+  override def dropCollection(db: String, collection: String): Boolean =
+    deleteRecursively(root.resolve(checked(db)).resolve(checked(collection)))
 }

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.llm.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Continuously near-dup-deduplicating ingest: the streaming composition of
+  * the batch pieces that already define the semantics —
+  * [[graft.llm.Dedup.dedupMinhashIncremental]] (reject batch rows that
+  * near-duplicate accepted history) + [[graft.llm.Dedup.bandStore]] (persist
+  * accepted docs' band keys and shingle sets so history is NEVER re-banded)
+  * — behind a `foreachBatch` sink like [[StreamingSink]].
+  *
+  * Per micro-batch: (1) drop rows whose id is already in the band store
+  * (replay guard), (2) reject near-dups of the store via the banded
+  * equi-join (`storeBanded = true` — the store frame is read back as
+  * parquet band entries, O(bucket collisions) per batch, history never
+  * re-shingled), (3) append survivors to the corpus sink and their band
+  * entries to the store. In-batch near-dups are NOT collapsed, matching the
+  * batch operator's contract (cluster with [[graft.llm.DedupClusters]] when
+  * needed).
+  *
+  * Delivery: `foreachBatch` is at-least-once. The exact-id guard makes a
+  * replayed batch a no-op once its band entries landed; a crash BETWEEN the
+  * corpus append and the store append can duplicate that one batch's corpus
+  * rows on replay (corpus is written first — at-least-once duplicates,
+  * never loses). Same contract as [[StreamingSink]]'s Append.
+  */
+object DedupIngest {
+
+  def start(stream: DataFrame, corpusDir: String, bandStoreDir: String,
+            textCol: String = "text", idCol: String = "doc_id",
+            shingleN: Int = 3,
+            bands: Int = Dedup.DefaultBands,
+            rowsPerBand: Int = Dedup.DefaultRowsPerBand,
+            minJaccard: Double = 0.5): StreamingQuery =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestBatch(batch, corpusDir, bandStoreDir, textCol, idCol,
+          shingleN, bands, rowsPerBand, minJaccard)
+      }
+      .start()
+
+  /** One ingest step — also the batch-land fold step, so N micro-batches
+    * through [[start]] land exactly the state of folding files through this
+    * by hand (DedupIngestSpec pins that equivalence against the raw batch
+    * operators).
+    */
+  def ingestBatch(batch: DataFrame, corpusDir: String, bandStoreDir: String,
+                  textCol: String, idCol: String,
+                  shingleN: Int, bands: Int, rowsPerBand: Int,
+                  minJaccard: Double): Unit = {
+    val spark = batch.sparkSession
+    val storePath = new org.apache.hadoop.fs.Path(bandStoreDir)
+    val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh =
+      if (!fs.exists(storePath)) batch
+      else {
+        val store = spark.read.parquet(bandStoreDir)
+        // exact-id replay guard first: a re-delivered batch whose band
+        // entries already landed is dropped here, so replay is a no-op (the
+        // near-dup join alone would re-ACCEPT replayed rows — a row's match
+        // against itself is excluded by id)
+        val unseen = batch.join(store.select(col(idCol)), Seq(idCol), "left_anti")
+        Dedup.dedupMinhashIncremental(unseen, store, textCol, idCol,
+          shingleN, bands, rowsPerBand, minJaccard, storeBanded = true)
+      }
+    // eager materialization: survivors feed TWO writes, which must see the
+    // same rows exactly once
+    val accepted = fresh.localCheckpoint(true)
+    accepted.write.mode("append").parquet(corpusDir)
+    Dedup.bandStore(accepted, textCol, idCol, shingleN, bands, rowsPerBand)
+      .write.mode("append").parquet(bandStoreDir)
+  }
+}

@@ -98,4 +98,47 @@ class DocStoreSpec extends SparkSpec {
     assert(store.listIds == Seq(id))
     intercept[IllegalArgumentException](store.put("_indexes", frame))
   }
+
+  test("corrupt manifest entries degrade gracefully instead of NPE") {
+    val store = freshStore()
+    store.createIndex(IndexModel.single("name"))
+    // hand-edit the manifest: one valid entry, one missing keys, one with a
+    // keyless object, one missing name — only the valid one must survive
+    val manifest = java.nio.file.Paths.get(store.dir, "_indexes.json")
+    java.nio.file.Files.writeString(manifest,
+      """[{"name":"_idx_name","keys":[{"field":"name"}]},
+        |{"name":"no_keys"},
+        |{"name":"empty_keys","keys":[{}]},
+        |{"keys":[{"field":"orphan"}]}]""".stripMargin)
+    assert(store.listIndexNames == Seq("_idx_name"))
+    // defaults fill absent dir/unique/text fields
+    val m = store.listIndexes.head
+    assert(m.keys == Seq(IndexKey("name", IndexDir.Asc)) && !m.unique && !m.text)
+  }
+
+  test("catalog: show_dbs / show_collections / drop verbs (reference ec.rs:147-167,232-249)") {
+    val cat = new JsonDirCatalog(s"/tmp/graft_catalog_${java.util.UUID.randomUUID()}")
+    assert(cat.listDatabases.isEmpty)
+    val s1 = cat.store("db1", "people")
+    cat.store("db1", "orders")
+    cat.store("db2", "logs")
+    assert(cat.listDatabases == Seq("db1", "db2"))
+    assert(cat.listCollections("db1") == Seq("orders", "people"))
+    assert(cat.listCollections("nope").isEmpty)
+    // a catalog-opened store is a full DocumentStore (CRUD + indexes)
+    val id = s1.insert(frame)
+    assert(cat.store("db1", "people").find(spark, id).isDefined)
+    // drop_collection removes documents and manifest alike
+    s1.createIndex(IndexModel.single("id"))
+    assert(cat.dropCollection("db1", "people"))
+    assert(!cat.dropCollection("db1", "people"))
+    assert(cat.listCollections("db1") == Seq("orders"))
+    // drop_database removes the whole namespace
+    assert(cat.dropDatabase("db1"))
+    assert(cat.listDatabases == Seq("db2"))
+    assert(!cat.dropDatabase("db1"))
+    // namespace names are path-safe
+    intercept[IllegalArgumentException](cat.store("../evil", "c"))
+    intercept[IllegalArgumentException](cat.dropDatabase(".."))
+  }
 }

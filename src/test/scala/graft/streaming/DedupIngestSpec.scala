@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.llm.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** The streaming near-dup ingest lands exactly the state of folding the
+  * same files through the batch operators (dedupMinhashIncremental +
+  * bandStore) by hand — the L63/L64 oracles define the per-step semantics;
+  * this pins the composition.
+  */
+class DedupIngestSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  /** Stage each split as one parquet file with strictly increasing mtimes,
+    * so `maxFilesPerTrigger = 1` replays them as micro-batches in split
+    * order (FileStreamSource orders by modification time).
+    */
+  private def stage(dir: String, splits: Seq[DataFrame]): Unit = {
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    splits.zipWithIndex.foreach { case (df, i) =>
+      val tmp = s"$dir/_stage_$i"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$dir/batch_$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(1700000000000L + i * 600000L))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
+  private def wipe(dirs: String*): Unit =
+    dirs.foreach(d => org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+
+  test("N micro-batches equal the batch incremental fold over the same files") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val splits = (0 until 3).map(i => docs.where(pmod(col("doc_id"), lit(3)) === i))
+    val src = "/tmp/graft_dedup_ingest_src"
+    stage(src, splits)
+
+    val (sCorpus, sStore) = ("/tmp/graft_di_stream_corpus", "/tmp/graft_di_stream_store")
+    wipe(sCorpus, sStore)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = DedupIngest.start(stream, sCorpus, sStore)
+    try q.processAllAvailable() finally q.stop()
+
+    // hand-fold the BATCH operators over the same splits in the same order
+    var corpusIds = Set.empty[Long]
+    var store: Option[DataFrame] = None
+    splits.foreach { b =>
+      val accepted = store match {
+        case None => b
+        case Some(s) =>
+          Dedup.dedupMinhashIncremental(
+            b.join(s.select("doc_id"), Seq("doc_id"), "left_anti"), s,
+            "text", "doc_id", storeBanded = true)
+      }
+      val acc = accepted.localCheckpoint(true)
+      corpusIds ++= acc.select("doc_id").collect().map(_.getLong(0))
+      val banded = Dedup.bandStore(acc, "text", "doc_id")
+      store = Some(store.map(_.unionByName(banded)).getOrElse(banded).localCheckpoint(true))
+    }
+
+    val streamed = spark.read.parquet(sCorpus).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed === corpusIds)
+    assert(streamed.size < docs.count(), "ingest rejected nothing — vacuous")
+    // the band store holds exactly the accepted docs' band entries
+    val storeIds = spark.read.parquet(sStore).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(storeIds === corpusIds)
+
+    // replaying an already-ingested batch is a no-op (at-least-once guard)
+    DedupIngest.ingestBatch(splits.head, sCorpus, sStore,
+      "text", "doc_id", 3, Dedup.DefaultBands, Dedup.DefaultRowsPerBand, 0.5)
+    assert(spark.read.parquet(sCorpus).count() === streamed.size.toLong)
+  }
+}
