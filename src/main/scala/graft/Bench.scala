@@ -1,4 +1,5 @@
 package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every registered query against SPARK_GRAFT_SF_DIR and
@@ -10,6 +11,12 @@ import org.apache.spark.sql.SparkSession
   * discards rows at the sink — the honest cost of the full plan. Query
   * failures are NOT swallowed into a fast-looking time: the query gets
   * value -1 and its message lands in an "errors" object.
+  *
+  * Besides wall time, each query records shuffle bytes (read + write, summed
+  * over tasks) and peak single-task execution memory, from listener task
+  * metrics. Wall time at a small scale factor hides scale regressions — a
+  * plan that starts shuffling 10× more data can still clear the 2× time bar
+  * at sf0.1 while falling over at 100×; the bytes are the early warning.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -26,6 +33,31 @@ object Bench {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"; case '\r' => "\\r"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     }
+    // Per-task metric accumulation. Queries run sequentially, so a running
+    // counter snapshotted around each run attributes bytes per query; the
+    // listener bus is async, so snapshots wait for the counter to go quiet
+    // (settle) instead of racing the tail of the event stream.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    val peakTaskMem = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          shuffleBytes.addAndGet(
+            m.shuffleReadMetrics.totalBytesRead + m.shuffleWriteMetrics.bytesWritten)
+          peakTaskMem.getAndAccumulate(m.peakExecutionMemory, math.max)
+        }
+      }
+    })
+    def settle(): Long = {
+      var prev = shuffleBytes.get(); var stable = 0; var waited = 0
+      while (stable < 3 && waited < 2000) {
+        Thread.sleep(25); waited += 25
+        val cur = shuffleBytes.get()
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
+      prev
+    }
     // Min over WHOLE-SUITE passes, not back-to-back repeats: this host shows
     // multi-MINUTE CPU-steal stall windows (a 0.4s query can read 30s, and
     // consecutive repeats land in the same window). Interleaving passes puts
@@ -40,21 +72,31 @@ object Bench {
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val best = scala.collection.mutable.Map[String, Double]().withDefaultValue(Double.MaxValue)
+    // max over passes: shuffle bytes are plan-determined and stable, but an
+    // AQE re-plan or stray attribution should surface, not vanish in a min
+    val shuf = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val peak = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
     val errs = scala.collection.mutable.Map[String, String]()
     for (_ <- 0 until iters; (name, fn) <- names if !errs.contains(name)) {
+      val before = settle()
+      peakTaskMem.set(0)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case e: Throwable => errs(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}" }
       best(name) = math.min(best(name), (System.nanoTime() - t0) / 1e9)
+      shuf(name) = math.max(shuf(name), settle() - before)
+      peak(name) = math.max(peak(name), peakTaskMem.get())
     }
     val results = names.map { case (name, _) =>
       (name, if (errs.contains(name)) -1.0 else best(name), errs.get(name))
     }
     val qs = results.map { case (k, v, _) => s"\"${esc(k)}\":$v" }.mkString("{", ",", "}")
+    val sb = results.map { case (k, _, _) => s"\"${esc(k)}\":${shuf(k)}" }.mkString("{", ",", "}")
+    val pm = results.map { case (k, _, _) => s"\"${esc(k)}\":${peak(k)}" }.mkString("{", ",", "}")
     val errJson = results.collect { case (k, _, Some(m)) => s"\"${esc(k)}\":\"${esc(m)}\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sb,"peak_task_mem":$pm,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

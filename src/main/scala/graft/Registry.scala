@@ -871,10 +871,23 @@ SELECT doc_id, ${sniffMimeSql("p")} AS mime, ${mediaKindSql("p")} AS kind,
       // guarantees are FreqSketchSpec's adversarial-stream cases
       RegisteredQuery(
         "q_freq_items",
-        (s, dir) => graft.functions.FreqItems.perGroup(
-            Tables.resolve(s, dir)("documents"),
-            Seq("source"), col("lang"), k = 32, top = 2)
-          .orderBy("source", "rank"),
+        (s, dir) => {
+          val docs = Tables.resolve(s, dir)("documents")
+          // exact-regime precondition: if the data generator ever widens
+          // lang cardinality past k, this gate would silently compare an
+          // approximate sketch against exact GROUP BY counts and fail
+          // confusingly — surface that as a clear precondition error
+          import org.apache.spark.sql.functions.{countDistinct, max}
+          val maxDistinct = docs.groupBy("source")
+            .agg(countDistinct(col("lang")).as("d")).agg(max(col("d")))
+            .head.getLong(0)
+          require(maxDistinct <= 32,
+            s"q_freq_items exact-regime precondition broken: a source has " +
+              s"$maxDistinct distinct langs > k=32; counts would be approximate")
+          graft.functions.FreqItems.perGroup(
+              docs, Seq("source"), col("lang"), k = 32, top = 2)
+            .orderBy("source", "rank")
+        },
         Some("SELECT source, CAST(rnk AS BIGINT) AS rank, item, cnt FROM (" +
           "SELECT source, lang AS item, count(*) AS cnt, " +
           "row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, lang ASC) AS rnk " +

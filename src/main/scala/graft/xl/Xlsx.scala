@@ -135,11 +135,11 @@ final class XlsxReader(path: String) extends AutoCloseable {
         r.next() match {
           case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
             case "numFmt" =>
-              val id = attr(r, "numFmtId").map(_.toInt).getOrElse(-1)
+              val id = attr(r, "numFmtId").flatMap(_.toIntOption).getOrElse(-1)
               custom(id) = attr(r, "formatCode").getOrElse("")
             case "cellXfs" => inCellXfs = true
             case "xf" if inCellXfs =>
-              val id = attr(r, "numFmtId").map(_.toInt).getOrElse(0)
+              val id = attr(r, "numFmtId").flatMap(_.toIntOption).getOrElse(0)
               val kind =
                 if (custom.contains(id)) {
                   val code = custom(id).toLowerCase.replaceAll("\\[[^]]*\\]", "")
@@ -236,11 +236,11 @@ final class XlsxReader(path: String) extends AutoCloseable {
         r.next() match {
           case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
             case "numFmt" =>
-              val id = attr(r, "numFmtId").map(_.toInt).getOrElse(-1)
+              val id = attr(r, "numFmtId").flatMap(_.toIntOption).getOrElse(-1)
               custom(id) = attr(r, "formatCode").getOrElse("")
             case "cellXfs" => inCellXfs = true
             case "xf" if inCellXfs =>
-              val id = attr(r, "numFmtId").map(_.toInt).getOrElse(0)
+              val id = attr(r, "numFmtId").flatMap(_.toIntOption).getOrElse(0)
               xfs += custom.getOrElse(id, builtinFormatCodes.getOrElse(id, ""))
             case _ =>
           }
@@ -293,10 +293,10 @@ final class XlsxReader(path: String) extends AutoCloseable {
             case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
               case "row" =>
                 inRow = true; cells = mutable.ArrayBuffer()
-                rowNum = attr(r, "r").map(_.toInt).getOrElse(rowNum + 1)
+                rowNum = attr(r, "r").flatMap(_.toIntOption).getOrElse(rowNum + 1)
               case "c" if inRow =>
                 cellT = attr(r, "t").getOrElse("")
-                cellS = attr(r, "s").map(_.toInt).getOrElse(-1)
+                cellS = attr(r, "s").flatMap(_.toIntOption).getOrElse(-1)
                 cellC = attr(r, "r").map(colIndex).getOrElse(cells.size)
                 cellRaw = null; cellFormula = ""
               case "f" if inRow => cellFormula = r.getElementText
@@ -312,7 +312,11 @@ final class XlsxReader(path: String) extends AutoCloseable {
                 inV = false
                 cellRaw = sb.toString
               case "c" =>
-                if (cellRaw != null || cellFormula.nonEmpty) {
+                // a formula-only cell (an <f> with no cached <v>) has no
+                // VALUE: the values-only path skips it entirely so it never
+                // widens a dense row, while the metadata path emits it as an
+                // ExcelValue.None cell carrying its formula (ws.rs:41)
+                if (cellRaw != null || (withMeta && cellFormula.nonEmpty)) {
                   val v = if (cellRaw != null) cellValue(cellT, cellS, cellRaw) else ExcelValue.None
                   val ref = if (withMeta) s"${colName(cellC)}$rowNum" else ""
                   val style = if (withMeta) styleOf(cellS) else ""

@@ -60,6 +60,34 @@ class FreqSketchSpec extends SparkSpec {
     }
   }
 
+  test("99%-one-group skew: partial agg bounds state, results stay exact") {
+    // the SCALING.md claim: grouped heavy hitters on a whale group column
+    // are skew-safe BY CONSTRUCTION — 99% of rows in one group still reduce
+    // to one ≤k summary per (group, partition) before the exchange
+    val n = 200000
+    val df = spark.range(0, n).select(
+      when(col("id") % 100 =!= 0, lit("whale")).otherwise(concat(lit("g"), col("id") % 7)).as("grp"),
+      concat(lit("item"), col("id") % 11).as("item"))
+    // plan pin: the map-side partial pass is present (the summary, not the
+    // raw rows, crosses the exchange)
+    val q = FreqItems.perGroup(df, Seq("grp"), col("item"), k = 32, top = 3)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_freqsketch"), s"expected partial_freqsketch in:\n$plan")
+    // distinct items (11) << k (32): the exact regime, so the skewed group's
+    // counts must equal GROUP BY exactly, under any partitioning
+    val expected = df.groupBy("grp", "item").agg(count("*").as("cnt"))
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("grp").orderBy(col("cnt").desc, col("item").asc)).cast("long"))
+      .where(col("rank") <= 3).orderBy("grp", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getString(1), r.getLong(2))).toSeq
+    for (parts <- Seq(4, 32)) {
+      val got = FreqItems.perGroup(df.repartition(parts), Seq("grp"), col("item"), k = 32, top = 3)
+        .orderBy("grp", "rank")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+      assert(got === expected, s"parts=$parts")
+    }
+  }
+
   test("null items are ignored") {
     val df = Seq(Some("a"), None, Some("a"), Some("b"), None).toDF("item")
     val got = FreqItems.topItems(df, col("item"), k = 8, top = 8)
