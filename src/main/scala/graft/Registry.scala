@@ -19,6 +19,13 @@ final case class RegisteredQuery(
   */
 object Registry {
 
+  /** Per-dataset-dir cache of the q_freq_items exact-regime precondition
+    * (max distinct langs per source) — a property of the files, computed
+    * once, not once per bench pass.
+    */
+  private[graft] val freqItemsPrecondition =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   /** Every Select registered through [[adt]], by name — the wire-codec spec
     * round-trips each one so QueryWire provably covers the live IR surface.
     */
@@ -877,10 +884,15 @@ SELECT doc_id, ${sniffMimeSql("p")} AS mime, ${mediaKindSql("p")} AS kind,
           // lang cardinality past k, this gate would silently compare an
           // approximate sketch against exact GROUP BY counts and fail
           // confusingly — surface that as a clear precondition error
-          import org.apache.spark.sql.functions.{countDistinct, max}
-          val maxDistinct = docs.groupBy("source")
-            .agg(countDistinct(col("lang")).as("d")).agg(max(col("d")))
-            .head.getLong(0)
+          // memoized per dataset dir: the check is one small aggregation,
+          // but gates run repeatedly (bench passes) and the answer is a
+          // property of the files, not the run
+          val maxDistinct = Registry.freqItemsPrecondition.computeIfAbsent(dir, _ => {
+            import org.apache.spark.sql.functions.{countDistinct, max}
+            docs.groupBy("source")
+              .agg(countDistinct(col("lang")).as("d")).agg(max(col("d")))
+              .head.getLong(0)
+          })
           require(maxDistinct <= 32,
             s"q_freq_items exact-regime precondition broken: a source has " +
               s"$maxDistinct distinct langs > k=32; counts would be approximate")
