@@ -26,6 +26,12 @@ object Registry {
   private[graft] val freqItemsPrecondition =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** q_sample_mix quotas: uneven on purpose (some above the per-source row
+    * count at small SFs — groups smaller than their quota emit all rows).
+    */
+  private[graft] val MixQuotas =
+    Map("src0" -> 12, "src1" -> 4, "src3" -> 7, "src7" -> 1)
+
   /** Every Select registered through [[adt]], by name — the wire-codec spec
     * round-trips each one so QueryWire provably covers the live IR surface.
     */
@@ -1299,6 +1305,32 @@ FROM aug ORDER BY doc_id""".stripMargin
           .orderBy("lang", "rank"),
         Some(CorpusFilters.sampleNPerGroupSql(
           "documents", Seq("lang"), "text", "doc_id", n = 3))),
+
+      // curriculum source mixing: per-source quotas over the same bounded
+      // hash-rank machinery (k = max quota), quota cut via a broadcast map
+      // literal — the "30k web / 10k code / 2k math" mixture assembly step
+      RegisteredQuery(
+        "q_sample_mix",
+        (s, dir) => CorpusFilters.mixSources(
+            Tables.resolve(s, dir)("documents"),
+            "source", key = col("text"), id = col("doc_id"),
+            quotas = Registry.MixQuotas)
+          .select(col("source"), col("rank").cast("long").as("rank"), col("id"))
+          .orderBy("source", "rank"),
+        Some(CorpusFilters.mixSourcesSql(
+          "documents", "source", "text", "doc_id", Registry.MixQuotas))),
+
+      // deterministic training-shard assignment: content-hash mod nShards,
+      // pure scan-stage arithmetic (zero shuffle) — a document's shard
+      // never depends on partitioning or ingestion order, so re-runs never
+      // move docs between shards
+      RegisteredQuery(
+        "q_shard_assign",
+        (s, dir) => CorpusFilters.assignShards(
+            Tables.resolve(s, dir)("documents"), key = col("text"), nShards = 16)
+          .select("doc_id", "shard").orderBy("doc_id"),
+        Some("SELECT doc_id, " + CorpusFilters.assignShardsSql("text", 16) +
+          " AS shard FROM documents ORDER BY doc_id")),
 
       // ordered-step funnel (view → click → purchase, 48h first-touch
       // horizon): one-pass sorted fold per user vs the oracle's k-pass

@@ -150,6 +150,80 @@ object CorpusFilters {
   /** Double-exact sampling-hash range (see [[sampleNPerGroup]]). */
   private val SampleHashMod = 1L << 53
 
+  /** Deterministic curriculum mix: per-source document quotas — the
+    * "30k from web, 10k from code, 2k from math" step that assembles a
+    * training mixture from a filtered corpus. [[sampleNPerGroup]]
+    * generalized to a per-group N: rank every quoted source's docs by
+    * content hash (bounded TopK buffer, k = the largest quota), then keep
+    * each source's lowest `quota(source)` ranks via a broadcast map
+    * literal — codegen'd `element_at`, no join. Sources absent from
+    * `quotas` are excluded entirely (quota 0).
+    *
+    * Hash-ranked like the rest of the sampling family, so the mixture is
+    * stable under re-sharding, re-ingestion order, and engine choice, and
+    * nested quotas agree: lowering a quota yields a subset of the larger
+    * mixture (ranks don't depend on the quota).
+    */
+  def mixSources(df: DataFrame, sourceCol: String, key: Column, id: Column,
+                 quotas: Map[String, Int]): DataFrame = {
+    require(quotas.nonEmpty, "mixSources needs at least one source quota")
+    require(quotas.values.forall(_ > 0), s"quotas must be positive: $quotas")
+    val kmax = quotas.values.max
+    val quoted = df.where(col(sourceCol).isin(quotas.keys.toSeq: _*))
+    sampleNPerGroup(quoted, Seq(sourceCol), key, id, kmax)
+      .where(col("rank") <= element_at(typedlit(quotas), col(sourceCol)))
+  }
+
+  /** Oracle for [[mixSources]] — the window formulation with a CASE quota. */
+  def mixSourcesSql(table: String, sourceE: String, keyE: String, idE: String,
+                    quotas: Map[String, Int]): String = {
+    val h = s"(CAST(('0x'||substr(md5($keyE),1,15)) AS BIGINT) % $SampleHashMod)"
+    val srcs = quotas.keys.toSeq.sorted.map(s => s"'$s'").mkString(", ")
+    val cases = quotas.toSeq.sortBy(_._1)
+      .map { case (s, n) => s"WHEN $sourceE = '$s' THEN $n" }.mkString(" ")
+    s"""SELECT $sourceE, CAST(rnk AS BIGINT) AS rank, $idE AS id FROM (
+  SELECT $sourceE, $idE, row_number() OVER (PARTITION BY $sourceE ORDER BY $h ASC, $idE ASC) AS rnk
+  FROM $table WHERE $sourceE IN ($srcs) AND $keyE IS NOT NULL AND $idE IS NOT NULL)
+WHERE rnk <= (CASE $cases END) ORDER BY $sourceE, rank""".stripMargin
+  }
+
+  /** Deterministic training-shard assignment: shard = content-hash mod
+    * `nShards`. Content-keyed like the sampling family, so a document's
+    * shard never depends on partitioning, ingestion order, or engine — the
+    * property a resumable multi-epoch training job needs (re-materializing
+    * the corpus never moves a document between shards, so data loaders can
+    * checkpoint per shard).
+    *
+    * Scale shape: pure scan-stage codegen'd arithmetic — ZERO shuffle for
+    * the assignment itself. Materializing shard FILES is
+    * [[writeShards]]' hive-partitioned write; that shuffle belongs to the
+    * write, not the operator.
+    */
+  def assignShards(df: DataFrame, key: Column, nShards: Int,
+                   shardCol: String = "shard"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    df.withColumn(shardCol, (hash60(key) % nShards).cast("int"))
+  }
+
+  /** Oracle fragment for [[assignShards]]'s shard column. */
+  def assignShardsSql(keyE: String, nShards: Int): String =
+    s"CAST((CAST(('0x'||substr(md5($keyE),1,15)) AS BIGINT) % $nShards) AS INTEGER)"
+
+  /** Materialize training shards: one hive partition per shard, rows
+    * within a shard ordered by (content hash, id) — fully deterministic
+    * file content, re-runnable to byte-identical shards modulo parquet
+    * encoding. One shuffle (the repartition on shard); the within-shard
+    * sort is per-partition and spill-backed, never a global sort.
+    */
+  def writeShards(df: DataFrame, key: Column, id: Column, nShards: Int,
+                  outDir: String, shardCol: String = "shard"): Unit =
+    assignShards(df, key, nShards, shardCol)
+      .withColumn("__wk", hash60(key))
+      .repartition(nShards, col(shardCol))
+      .sortWithinPartitions(col("__wk"), id)
+      .drop("__wk")
+      .write.partitionBy(shardCol).mode("overwrite").parquet(outDir)
+
   /** Oracle for [[sampleNPerGroup]]: the window formulation over the same
     * folded hash, ascending (TopK is max-first, hence the negation).
     */

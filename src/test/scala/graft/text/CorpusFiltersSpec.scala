@@ -129,4 +129,59 @@ class CorpusFiltersSpec extends SparkSpec {
       assert(got.groupBy(_._1).forall(_._2.size == 3))
     }
   }
+
+  test("mixSources: per-source quotas, exclusion, and nested-subset monotonicity") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val quotas = Map("src0" -> 3, "src1" -> 1, "src3" -> 2)
+    val got = CorpusFilters.mixSources(docs, "source", col("text"), col("doc_id"), quotas)
+      .select("source", "rank", "id").orderBy("source", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // quota respected per source; unquoted sources absent
+    val bySrc = got.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(bySrc.keySet === quotas.keySet.filter(s => bySrc.contains(s)))
+    got.groupBy(_._1).foreach { case (s, rows) => assert(rows.size <= quotas(s), s) }
+    // equals sampleNPerGroup at each source's own quota (nested-subset:
+    // ranks don't depend on the quota)
+    quotas.foreach { case (s, n) =>
+      val solo = CorpusFilters.sampleNPerGroup(
+          docs.where(col("source") === s), Seq("source"), col("text"), col("doc_id"), n)
+        .select("source", "rank", "id").orderBy("rank")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got.filter(_._1 == s) === solo, s)
+    }
+    // a quota larger than the group emits the whole group
+    val big = CorpusFilters.mixSources(docs, "source", col("text"), col("doc_id"),
+      Map("src0" -> 100000))
+    assert(big.count() === docs.where(col("source") === "src0").count())
+  }
+
+  test("assignShards is content-keyed and writeShards materializes deterministic shards") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val a = CorpusFilters.assignShards(docs, col("text"), nShards = 8)
+      .select("doc_id", "shard").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(a.values.toSet.subsetOf((0 until 8).toSet))
+    // partitioning-independent: same assignment from any layout
+    val b = CorpusFilters.assignShards(docs.repartition(7), col("text"), nShards = 8)
+      .select("doc_id", "shard").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(a === b)
+    // materialized shards: hive layout, every doc in its assigned shard,
+    // and a re-run reproduces identical per-shard id sequences
+    def writeAndRead(dir: String): Map[Int, Seq[Long]] = {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      CorpusFilters.writeShards(docs, col("text"), col("doc_id"), nShards = 8, dir)
+      (0 until 8).flatMap { s =>
+        val p = new java.io.File(s"$dir/shard=$s")
+        if (!p.exists()) None
+        else Some(s -> spark.read.parquet(p.toString)
+          .select("doc_id").collect().map(_.getLong(0)).toSeq)
+      }.toMap
+    }
+    val run1 = writeAndRead("/tmp/graft_shards_1")
+    val run2 = writeAndRead("/tmp/graft_shards_2")
+    assert(run1 === run2)
+    run1.foreach { case (s, ids) => ids.foreach(id => assert(a(id) === s)) }
+    assert(run1.values.map(_.size).sum === docs.count())
+  }
 }
