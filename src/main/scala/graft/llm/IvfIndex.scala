@@ -81,6 +81,23 @@ final case class IvfIndex(
     graft.functions.TopK.perGroup(scored, Seq("query_id"), col("score"), col("neighbor_id"), k)
       .withColumnRenamed("id", "neighbor_id")
   }
+
+  /** Incremental maintenance for continuous ingest: assign a NEW batch
+    * against the EXISTING centroids and union its inverted-list entries —
+    * the FAISS `add` shape. No retraining, no reassignment of history
+    * (assignment depends only on the centroids, so the result is exactly
+    * what a fresh build with these centroids would assign); one codegen'd
+    * pass over the batch. Re-train (a new [[IvfIndex.build]]) only when
+    * drift degrades probe recall — searches are unaffected in the
+    * full-probe limit either way.
+    */
+  def add(batch: DataFrame): IvfIndex = {
+    val newAssigned = batch.select(
+        col(idCol), col(vecCol),
+        graft.functions.NearestCentroid(col(vecCol), centroids).as("list"))
+      .localCheckpoint(true)
+    copy(assigned = assigned.unionByName(newAssigned))
+  }
 }
 
 object IvfIndex {

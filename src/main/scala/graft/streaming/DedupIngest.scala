@@ -73,4 +73,46 @@ object DedupIngest {
     Dedup.bandStore(accepted, textCol, idCol, shingleN, bands, rowsPerBand)
       .write.mode("append").parquet(bandStoreDir)
   }
+
+  /** EXACT-dedup ingest: the same foreachBatch composition over the
+    * fingerprint store ([[graft.llm.Dedup.dedupIncremental]] /
+    * [[graft.llm.Dedup.dedupIncrementalBloom]]) — per micro-batch, drop
+    * rows whose content fingerprint is already in the store (which also
+    * makes replay a natural no-op: a replayed row's fingerprint landed with
+    * its first delivery), collapse in-batch duplicates to the lowest id,
+    * append survivors to the corpus and their fingerprints to the store.
+    * `expectedStoreItems > 0` routes through the bloom prefilter — the
+    * steady-state shape where nearly the whole batch bypasses the store
+    * join's shuffle.
+    */
+  def startExact(stream: DataFrame, corpusDir: String, fpStoreDir: String,
+                 textCol: String = "text", idCol: String = "doc_id",
+                 expectedStoreItems: Long = 0L): StreamingQuery =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestBatchExact(batch, corpusDir, fpStoreDir, textCol, idCol, expectedStoreItems)
+      }
+      .start()
+
+  /** One exact-dedup ingest step (see [[startExact]]). */
+  def ingestBatchExact(batch: DataFrame, corpusDir: String, fpStoreDir: String,
+                       textCol: String, idCol: String,
+                       expectedStoreItems: Long): Unit = {
+    import graft.text.TextFunctions.fingerprint
+    val spark = batch.sparkSession
+    val storePath = new org.apache.hadoop.fs.Path(fpStoreDir)
+    val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh =
+      if (!fs.exists(storePath)) Dedup.dedupExact(batch, textCol, idCol)
+      else {
+        val store = spark.read.parquet(fpStoreDir)
+        if (expectedStoreItems > 0)
+          Dedup.dedupIncrementalBloom(batch, store, textCol, idCol, expectedStoreItems)
+        else Dedup.dedupIncremental(batch, store, textCol, idCol)
+      }
+    val accepted = fresh.localCheckpoint(true)
+    accepted.write.mode("append").parquet(corpusDir)
+    accepted.select(fingerprint(col(textCol)).as("fp"))
+      .write.mode("append").parquet(fpStoreDir)
+  }
 }

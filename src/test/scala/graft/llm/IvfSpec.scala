@@ -46,6 +46,24 @@ class IvfSpec extends SparkSpec {
     assert(index.assigned.count() == emb.count())
   }
 
+  test("incremental add: assignment identical to a fresh build with the same centroids") {
+    val half = emb.where(col("vec_id") % 2 === 0)
+    val rest = emb.where(col("vec_id") % 2 === 1)
+    val grown = IvfIndex.build(half, nLists = 8).add(rest)
+    // every vector landed, assigned by the SAME rule a full build applies
+    val full = grown.copy(assigned = emb.select(
+      col("vec_id"), col("embedding"),
+      graft.functions.NearestCentroid(col("embedding"), grown.centroids).as("list")))
+    val a = grown.assigned.select("vec_id", "list").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val b = full.assigned.select("vec_id", "list").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(a === b)
+    // and full-probe search over the grown index is still exact
+    val exact = neighborSets(Similarity.bruteForceKnn(emb, queries, k = 5))
+    assert(neighborSets(grown.search(queries, k = 5, nProbe = 8)) === exact)
+  }
+
   test("native assignment matches the centroid argmin definition") {
     val index = IvfIndex.build(emb, nLists = 4)
     val cs = index.centroids

@@ -82,4 +82,56 @@ class DedupIngestSpec extends SparkSpec {
       "text", "doc_id", 3, Dedup.DefaultBands, Dedup.DefaultRowsPerBand, 0.5)
     assert(spark.read.parquet(sCorpus).count() === streamed.size.toLong)
   }
+
+  test("exact ingest: micro-batches equal the incremental fold; bloom path identical; replay no-op") {
+    import graft.text.TextFunctions.fingerprint
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    // the corpus has near-dups but no byte-identical text — inject exact
+    // duplicates of batch-0 content into later batches (fresh ids), the
+    // case this ingest exists to reject
+    val base = (0 until 3).map(i => docs.where(pmod(col("doc_id"), lit(3)) === i))
+    val replayedContent = (i: Int) => base.head.limit(5)
+      .select((col("doc_id") + lit(1000000 * i)).as("doc_id"), col("text"))
+    val splits = base.head +: base.tail.zipWithIndex.map {
+      case (b, i) => b.unionByName(replayedContent(i + 1))
+    }
+    val src = "/tmp/graft_dedup_ingest_exact_src"
+    stage(src, splits)
+
+    val (sCorpus, sStore) = ("/tmp/graft_die_corpus", "/tmp/graft_die_store")
+    wipe(sCorpus, sStore)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = DedupIngest.startExact(stream, sCorpus, sStore)
+    try q.processAllAvailable() finally q.stop()
+
+    // fold the batch operators by hand over the same splits in order
+    var corpusIds = Set.empty[Long]
+    var store: Option[org.apache.spark.sql.DataFrame] = None
+    splits.foreach { b =>
+      val accepted = (store match {
+        case None => Dedup.dedupExact(b, "text", "doc_id")
+        case Some(s) => Dedup.dedupIncremental(b, s, "text", "doc_id")
+      }).localCheckpoint(true)
+      corpusIds ++= accepted.select("doc_id").collect().map(_.getLong(0))
+      val fps = accepted.select(fingerprint(col("text")).as("fp"))
+      store = Some(store.map(_.unionByName(fps)).getOrElse(fps).localCheckpoint(true))
+    }
+    val streamed = spark.read.parquet(sCorpus).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed === corpusIds)
+    assert(streamed.size.toLong < splits.map(_.count()).sum, "nothing deduped — vacuous")
+
+    // bloom-routed ingest over the same files lands the identical corpus
+    val (bCorpus, bStore) = ("/tmp/graft_die_bcorpus", "/tmp/graft_die_bstore")
+    wipe(bCorpus, bStore)
+    splits.foreach(b => DedupIngest.ingestBatchExact(
+      b, bCorpus, bStore, "text", "doc_id", expectedStoreItems = 4096))
+    assert(spark.read.parquet(bCorpus).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === streamed)
+
+    // replay is a no-op: the replayed rows' fingerprints are in the store
+    DedupIngest.ingestBatchExact(splits.head, sCorpus, sStore, "text", "doc_id", 0L)
+    assert(spark.read.parquet(sCorpus).count() === streamed.size.toLong)
+  }
 }
