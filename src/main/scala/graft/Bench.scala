@@ -39,6 +39,7 @@ object Bench {
     // (settle) instead of racing the tail of the event stream.
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
     val peakTaskMem = new java.util.concurrent.atomic.AtomicLong(0)
+    val taskEvents = new java.util.concurrent.atomic.AtomicLong(0)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
         val m = te.taskMetrics
@@ -47,16 +48,20 @@ object Bench {
             m.shuffleReadMetrics.totalBytesRead + m.shuffleWriteMetrics.bytesWritten)
           peakTaskMem.getAndAccumulate(m.peakExecutionMemory, math.max)
         }
+        taskEvents.incrementAndGet()
       }
     })
+    // quiesce on the task-END counter, not the shuffle counter: a
+    // zero-shuffle query never moves the latter, so its in-flight events
+    // would bleed into (and its peak memory be claimed by) the next query
     def settle(): Long = {
-      var prev = shuffleBytes.get(); var stable = 0; var waited = 0
+      var prev = taskEvents.get(); var stable = 0; var waited = 0
       while (stable < 3 && waited < 2000) {
         Thread.sleep(25); waited += 25
-        val cur = shuffleBytes.get()
+        val cur = taskEvents.get()
         if (cur == prev) stable += 1 else { stable = 0; prev = cur }
       }
-      prev
+      shuffleBytes.get()
     }
     // Min over WHOLE-SUITE passes, not back-to-back repeats: this host shows
     // multi-MINUTE CPU-steal stall windows (a 0.4s query can read 30s, and

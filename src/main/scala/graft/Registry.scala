@@ -895,9 +895,9 @@ SELECT doc_id, ${sniffMimeSql("p")} AS mime, ${mediaKindSql("p")} AS kind,
           // property of the files, not the run
           val maxDistinct = Registry.freqItemsPrecondition.computeIfAbsent(dir, _ => {
             import org.apache.spark.sql.functions.{countDistinct, max}
-            docs.groupBy("source")
-              .agg(countDistinct(col("lang")).as("d")).agg(max(col("d")))
-              .head.getLong(0)
+            val row = docs.groupBy("source")
+              .agg(countDistinct(col("lang")).as("d")).agg(max(col("d"))).head
+            if (row.isNullAt(0)) 0L else row.getLong(0) // empty table: trivially fine
           })
           require(maxDistinct <= 32,
             s"q_freq_items exact-regime precondition broken: a source has " +

@@ -28,11 +28,19 @@ class FirstKByKey(k: Int)
     extends Aggregator[(Long, Long, String), Array[(Long, Long, String)], Seq[(Long, Long, String)]] {
   require(k > 0, "k must be positive")
 
+  // UTF-8 BYTE order, not String.compareTo's UTF-16 code-unit order: Spark
+  // compares string struct fields as UTF8String binary, and the two orders
+  // diverge for supplementary characters (surrogate pairs sort before
+  // U+E000..U+FFFF in UTF-16 but after in UTF-8) — the array_sort
+  // equivalence this aggregator documents requires the byte order. Only
+  // reached on (t, id) ties, so the allocation is off the hot path.
   private def cmpPayload(x: String, y: String): Int =
     if (x == null && y == null) 0
     else if (x == null) -1
     else if (y == null) 1
-    else x.compareTo(y)
+    else java.util.Arrays.compareUnsigned(
+      x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   /** true when a orders strictly before b. */
   @inline private def before(a: (Long, Long, String), b: (Long, Long, String)): Boolean =

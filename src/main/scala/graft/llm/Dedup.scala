@@ -299,8 +299,15 @@ SELECT ${keepCols.mkString(", ")} FROM k WHERE $idCol = keep ORDER BY $idCol""".
       bands: Int = DefaultBands,
       rowsPerBand: Int = DefaultRowsPerBand,
       minJaccard: Double = 0.5,
-      storeBanded: Boolean = false): DataFrame = {
-    val pb = bandStore(batch, textCol, idCol, shingleN, bands, rowsPerBand)
+      storeBanded: Boolean = false,
+      batchBanded: Boolean = false): DataFrame = {
+    // batchBanded lets a caller that needs the batch's band frame for its
+    // own purposes (the streaming ingest persists accepted docs' bands)
+    // compute it ONCE and pass it here, instead of shingling+minhashing
+    // the batch a second time
+    val pb =
+      if (batchBanded) batch
+      else bandStore(batch, textCol, idCol, shingleN, bands, rowsPerBand)
     val ps =
       if (storeBanded) store  // a persisted [[bandStore]] frame
       else bandStore(store, textCol, idCol, shingleN, bands, rowsPerBand)

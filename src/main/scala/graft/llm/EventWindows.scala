@@ -133,10 +133,14 @@ object EventWindows {
   def actionSequences(events: DataFrame, maxEvents: Int,
                       userCol: String = "user_id", tsCol: String = "ts",
                       typeCol: String = "event_type", idCol: String = "event_id"): DataFrame = {
+    // filter on the CAST values, not the raw columns: a non-castable ts or
+    // id is just as unrankable as a NULL one (and the aggregate's Long
+    // fields cannot hold the null a failed cast produces)
     val t = unix_micros(col(tsCol).cast("timestamp"))
-    events.where(t.isNotNull && col(idCol).isNotNull)
+    val i = col(idCol).cast("long")
+    events.where(t.isNotNull && i.isNotNull)
       .groupBy(col(userCol))
-      .agg(graft.functions.FirstK(maxEvents)(t, col(idCol), col(typeCol)).as("__seq"))
+      .agg(graft.functions.FirstK(maxEvents)(t, i, col(typeCol)).as("__seq"))
       .select(col(userCol),
         size(col("__seq")).cast("long").as("n_events"),
         concat_ws(" ", transform(col("__seq"), s => s.getField("_3"))).as("sequence"))

@@ -69,7 +69,10 @@ final case class PqCodebook(
     val projected = queries.select(col(idCol), col(vecCol))
     val rows =
       if (limit > 0) {
-        val r = projected.limit(math.min(limit + 1, Int.MaxValue.toLong).toInt).collect()
+        // clamp BEFORE the +1: limit = Long.MaxValue ("disable it the
+        // obvious way") must not overflow into limit(0) and silently
+        // return an empty search
+        val r = projected.limit((math.min(limit, Int.MaxValue - 1L) + 1L).toInt).collect()
         if (r.length > limit) throw new IllegalStateException(
           s"PQ ADC search materializes the query set on the driver (per-query " +
             s"distance tables are broadcast state) and the query frame has more than " +

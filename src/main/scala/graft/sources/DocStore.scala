@@ -152,13 +152,16 @@ final class JsonDirStore(val dir: String) extends DocumentStore {
 
   override def delete(id: String): Boolean = Files.deleteIfExists(fileOf(id))
 
-  override def listIds: Seq[String] =
-    Files.list(root).iterator().asScala
+  override def listIds: Seq[String] = {
+    val s = Files.list(root)
+    try s.iterator().asScala
       .map(_.getFileName.toString)
       .filter(_.endsWith(".json"))
       .map(_.stripSuffix(".json"))
       .filter(_ != JsonDirStore.ManifestName)
       .toSeq.sorted
+    finally s.close() // the DirectoryStream fd is not GC-bound
+  }
 
   // ------------------------------------ index manifest (`_indexes.json`) --
   // The JSON-dir store has nothing to physically index (every find is a
@@ -278,16 +281,22 @@ final class JsonDirCatalog(rootDir: String) extends DocumentCatalog {
 
   private def listDirs(p: Path): Seq[String] =
     if (!Files.isDirectory(p)) Seq.empty
-    else Files.list(p).iterator().asScala
-      .filter(Files.isDirectory(_))
-      .map(_.getFileName.toString)
-      .toSeq.sorted
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala
+        .filter(Files.isDirectory(_))
+        .map(_.getFileName.toString)
+        .toSeq.sorted
+      finally s.close() // directory-stream fds are not GC-bound
+    }
 
   private def deleteRecursively(p: Path): Boolean =
     if (!Files.exists(p)) false
     else {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(Files.delete)
+      finally s.close()
       true
     }
 

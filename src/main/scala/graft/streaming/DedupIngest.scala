@@ -52,10 +52,12 @@ object DedupIngest {
                   shingleN: Int, bands: Int, rowsPerBand: Int,
                   minJaccard: Double): Unit = {
     val spark = batch.sparkSession
-    val storePath = new org.apache.hadoop.fs.Path(bandStoreDir)
-    val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fresh =
-      if (!fs.exists(storePath)) batch
+    // the batch is shingled+minhashed exactly ONCE: this band frame serves
+    // both the vs-store candidate join and the store append for survivors
+    def banded(df: DataFrame) =
+      Dedup.bandStore(df, textCol, idCol, shingleN, bands, rowsPerBand)
+    val (accepted, acceptedBands) =
+      if (!hasData(spark, bandStoreDir)) (batch.localCheckpoint(true), banded(batch))
       else {
         val store = spark.read.parquet(bandStoreDir)
         // exact-id replay guard first: a re-delivered batch whose band
@@ -63,15 +65,32 @@ object DedupIngest {
         // near-dup join alone would re-ACCEPT replayed rows — a row's match
         // against itself is excluded by id)
         val unseen = batch.join(store.select(col(idCol)), Seq(idCol), "left_anti")
-        Dedup.dedupMinhashIncremental(unseen, store, textCol, idCol,
-          shingleN, bands, rowsPerBand, minJaccard, storeBanded = true)
+        val pb = banded(unseen)
+        val dupIds = Dedup.minhashPairsAgainstStore(pb, store, textCol, idCol,
+            shingleN, bands, rowsPerBand, minJaccard,
+            storeBanded = true, batchBanded = true)
+          .select(col("batch_id").as(idCol)).distinct().localCheckpoint(true)
+        // eager materialization: survivors feed TWO writes, which must see
+        // the same rows exactly once
+        (unseen.join(dupIds, Seq(idCol), "left_anti").localCheckpoint(true),
+          pb.join(dupIds, Seq(idCol), "left_anti"))
       }
-    // eager materialization: survivors feed TWO writes, which must see the
-    // same rows exactly once
-    val accepted = fresh.localCheckpoint(true)
     accepted.write.mode("append").parquet(corpusDir)
-    Dedup.bandStore(accepted, textCol, idCol, shingleN, bands, rowsPerBand)
-      .write.mode("append").parquet(bandStoreDir)
+    acceptedBands.write.mode("append").parquet(bandStoreDir)
+  }
+
+  /** Does the store directory hold actual data files? A bare `exists` check
+    * wedges the ingest after a crash mid-first-write: the directory exists
+    * (with only `_temporary`/`_SUCCESS` debris) but `read.parquet` throws on
+    * every subsequent batch. Debris-only directories count as "no store".
+    */
+  private def hasData(spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
   }
 
   /** EXACT-dedup ingest: the same foreachBatch composition over the
@@ -100,10 +119,8 @@ object DedupIngest {
                        expectedStoreItems: Long): Unit = {
     import graft.text.TextFunctions.fingerprint
     val spark = batch.sparkSession
-    val storePath = new org.apache.hadoop.fs.Path(fpStoreDir)
-    val fs = storePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fresh =
-      if (!fs.exists(storePath)) Dedup.dedupExact(batch, textCol, idCol)
+      if (!hasData(spark, fpStoreDir)) Dedup.dedupExact(batch, textCol, idCol)
       else {
         val store = spark.read.parquet(fpStoreDir)
         if (expectedStoreItems > 0)

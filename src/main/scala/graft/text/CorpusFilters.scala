@@ -220,7 +220,12 @@ WHERE rnk <= (CASE $cases END) ORDER BY $sourceE, rank""".stripMargin
     assignShards(df, key, nShards, shardCol)
       .withColumn("__wk", hash60(key))
       .repartition(nShards, col(shardCol))
-      .sortWithinPartitions(col("__wk"), id)
+      // the shard column leads the sort: the dynamic-partition write
+      // requires partition-columns-first ordering, so this prefix keeps
+      // the planner from inserting a SECOND sort on shard (which would
+      // both double the sort cost and leave the (hash, id) order at the
+      // mercy of that sort's stability)
+      .sortWithinPartitions(col(shardCol), col("__wk"), id)
       .drop("__wk")
       .write.partitionBy(shardCol).mode("overwrite").parquet(outDir)
 

@@ -312,11 +312,14 @@ final class XlsxReader(path: String) extends AutoCloseable {
                 inV = false
                 cellRaw = sb.toString
               case "c" =>
-                // a formula-only cell (an <f> with no cached <v>) has no
-                // VALUE: the values-only path skips it entirely so it never
-                // widens a dense row, while the metadata path emits it as an
-                // ExcelValue.None cell carrying its formula (ws.rs:41)
-                if (cellRaw != null || (withMeta && cellFormula.nonEmpty)) {
+                // a formula-only cell (an <f> with no cached <v>) occupies
+                // its column position in BOTH modes — values-only as an
+                // ExcelValue.None cell (it can widen a dense row; that is
+                // deliberate: skipping it would desync the cells.size
+                // fallback index of any following r-less cell and shift
+                // every later column), metadata mode carrying its formula
+                // (ws.rs:41)
+                if (cellRaw != null || cellFormula.nonEmpty) {
                   val v = if (cellRaw != null) cellValue(cellT, cellS, cellRaw) else ExcelValue.None
                   val ref = if (withMeta) s"${colName(cellC)}$rowNum" else ""
                   val style = if (withMeta) styleOf(cellS) else ""

@@ -90,7 +90,7 @@ class DedupIngestSpec extends SparkSpec {
     // duplicates of batch-0 content into later batches (fresh ids), the
     // case this ingest exists to reject
     val base = (0 until 3).map(i => docs.where(pmod(col("doc_id"), lit(3)) === i))
-    val replayedContent = (i: Int) => base.head.limit(5)
+    val replayedContent = (i: Int) => base.head.orderBy("doc_id").limit(5)
       .select((col("doc_id") + lit(1000000 * i)).as("doc_id"), col("text"))
     val splits = base.head +: base.tail.zipWithIndex.map {
       case (b, i) => b.unionByName(replayedContent(i + 1))
