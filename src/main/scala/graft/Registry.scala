@@ -32,6 +32,14 @@ object Registry {
   private[graft] val MixQuotas =
     Map("src0" -> 12, "src1" -> 4, "src3" -> 7, "src7" -> 1)
 
+  /** q_quality_rules thresholds: word bounds tuned to SPLIT the synthetic
+    * corpus (10–99 words/doc) so the gate output carries real variety;
+    * minStopwords=1 because the word-soup generator provides function
+    * words but not densely.
+    */
+  private[graft] val GateGopherRules =
+    graft.text.CorpusFilters.GopherRules(minWords = 30, maxWords = 80, minStopwords = 1)
+
   /** Every Select registered through [[adt]], by name — the wire-codec spec
     * round-trips each one so QueryWire provably covers the live IR surface.
     */
@@ -861,6 +869,21 @@ SELECT doc_id, ${sniffMimeSql("p")} AS mime, ${mediaKindSql("p")} AS kind,
         },
         Some(qualityOracle("documents", "doc_id", "text"))),
 
+      // Gopher-style quality rule bundle: the published web-corpus
+      // heuristics (word count / mean token length / symbol ratio / alpha
+      // fraction / stopword floor) integerized so every threshold compare
+      // is exact cross-engine — scan-stage arithmetic, zero shuffle
+      RegisteredQuery(
+        "q_quality_rules",
+        (s, dir) => graft.text.CorpusFilters.gopherFlags(
+            Tables.resolve(s, dir)("documents"),
+            "text", Registry.GateGopherRules)
+          .select("doc_id", "words_ok", "mean_len_ok", "symbol_ok",
+            "alpha_ok", "stopword_ok", "keep")
+          .orderBy("doc_id"),
+        Some(graft.text.CorpusFilters.gopherFlagsSql(
+          "documents", "doc_id", "text", Registry.GateGopherRules))),
+
       // token counting: whitespace + BPE-ish regex (word runs + punctuation)
       RegisteredQuery(
         "q_token_count",
@@ -1212,7 +1235,7 @@ SELECT lang, CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE) ELSE 15.0 * ${1L << 60} /
         "q_ann_ivf",
         (s, dir) => {
           val emb = Tables.resolve(s, dir)("embeddings")
-          IvfIndex.build(emb, nLists = 8, trainFraction = 0.25)
+          IvfIndex.build(emb, nLists = 8, trainFraction = 0.25, maxIter = 3)
             .search(emb.where(col("vec_id") < 8), k = 4, nProbe = 8)
             .orderBy("query_id", "rank")
         },
@@ -1370,7 +1393,7 @@ FROM aug ORDER BY doc_id""".stripMargin
         "q_ann_ivf_int8",
         (s, dir) => {
           val emb = Tables.resolve(s, dir)("embeddings")
-          graft.llm.IvfIndex.build(emb, nLists = 8, trainFraction = 0.25)
+          graft.llm.IvfIndex.build(emb, nLists = 8, trainFraction = 0.25, maxIter = 3)
             .searchInt8(emb.where(col("vec_id") < 8), k = 4, nProbe = 8)
             .orderBy("query_id", "rank")
         },

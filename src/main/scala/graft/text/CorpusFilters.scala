@@ -150,6 +150,82 @@ object CorpusFilters {
   /** Double-exact sampling-hash range (see [[sampleNPerGroup]]). */
   private val SampleHashMod = 1L << 53
 
+  /** Gopher-style document quality rules (Rae et al. 2021 §A1.1, the
+    * published web-corpus heuristics), integerized so every comparison is
+    * exact integer arithmetic — no float ratio whose rounding could differ
+    * at a threshold boundary between engines:
+    *
+    *  - `wordsOk`:    token count within [minWords, maxWords]
+    *  - `meanLenOk`:  mean token length within [minMeanLen, maxMeanLen]
+    *                  (as `minMeanLen·n ≤ Σlen ≤ maxMeanLen·n`)
+    *  - `symbolOk`:   `#`/`...` symbol count ≤ maxSymbolPer10Words per 10
+    *                  words (cross-multiplied)
+    *  - `alphaOk`:    words containing a letter ≥ minAlphaPer10Words per 10
+    *  - `stopwordOk`: at least minStopwords stopword hits
+    *
+    * All scan-stage Column arithmetic — zero shuffle; `keep` is the AND.
+    */
+  final case class GopherRules(
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Int = 3, maxMeanLen: Int = 10,
+      maxSymbolPer10Words: Int = 1,
+      minAlphaPer10Words: Int = 8,
+      minStopwords: Int = 2)
+
+  /** Per-rule booleans (see [[GopherRules]]) as named columns on `df`. */
+  def gopherFlags(df: DataFrame, textCol: String, r: GopherRules): DataFrame = {
+    val text = col(textCol)
+    val t = tokens(text)
+    val n = size(t).cast("long")
+    val sumLen = sumTokenLen(text)
+    val symbols =
+      (length(text) - length(regexp_replace(text, "#", ""))).cast("long") +
+        ((length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3).cast("long")
+    val alphaWords = size(filter(t, w => w.rlike("[A-Za-z]"))).cast("long")
+    df.withColumn("words_ok", n >= r.minWords && n <= r.maxWords)
+      .withColumn("mean_len_ok",
+        sumLen >= lit(r.minMeanLen.toLong) * n && sumLen <= lit(r.maxMeanLen.toLong) * n)
+      .withColumn("symbol_ok", symbols * 10 <= lit(r.maxSymbolPer10Words.toLong) * n)
+      .withColumn("alpha_ok", alphaWords * 10 >= lit(r.minAlphaPer10Words.toLong) * n)
+      .withColumn("stopword_ok",
+        graft.text.TextFunctions.stopwordCount(text) >= r.minStopwords)
+      .withColumn("keep",
+        col("words_ok") && col("mean_len_ok") && col("symbol_ok") &&
+          col("alpha_ok") && col("stopword_ok"))
+  }
+
+  /** The filter form: rows passing every rule. */
+  def gopherFilter(df: DataFrame, textCol: String, r: GopherRules = GopherRules()): DataFrame =
+    gopherFlags(df, textCol, r).where(col("keep"))
+      .drop("words_ok", "mean_len_ok", "symbol_ok", "alpha_ok", "stopword_ok", "keep")
+
+  /** Oracle for [[gopherFlags]] — the same integer arithmetic in SQL. */
+  def gopherFlagsSql(table: String, idCol: String, textCol: String,
+                     r: GopherRules): String = {
+    import graft.text.TextFunctions.{sqlList, Stopwords}
+    s"""WITH g AS (
+  SELECT $idCol,
+    CAST(len(string_split($textCol, ' ')) AS BIGINT) AS n,
+    CAST(list_sum(list_transform(string_split($textCol, ' '), x -> length(x))) AS BIGINT) AS sum_len,
+    CAST(length($textCol) - length(replace($textCol, '#', ''))
+      + (length($textCol) - length(replace($textCol, '...', ''))) / 3 AS BIGINT) AS symbols,
+    CAST(len(list_filter(string_split($textCol, ' '), x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+    CAST(len(list_filter(string_split($textCol, ' '), x -> x IN (${sqlList(Stopwords)}))) AS BIGINT) AS stop_n
+  FROM $table)
+SELECT $idCol,
+  (n >= ${r.minWords} AND n <= ${r.maxWords}) AS words_ok,
+  (sum_len >= ${r.minMeanLen} * n AND sum_len <= ${r.maxMeanLen} * n) AS mean_len_ok,
+  (symbols * 10 <= ${r.maxSymbolPer10Words} * n) AS symbol_ok,
+  (alpha_words * 10 >= ${r.minAlphaPer10Words} * n) AS alpha_ok,
+  (stop_n >= ${r.minStopwords}) AS stopword_ok,
+  (n >= ${r.minWords} AND n <= ${r.maxWords}
+    AND sum_len >= ${r.minMeanLen} * n AND sum_len <= ${r.maxMeanLen} * n
+    AND symbols * 10 <= ${r.maxSymbolPer10Words} * n
+    AND alpha_words * 10 >= ${r.minAlphaPer10Words} * n
+    AND stop_n >= ${r.minStopwords}) AS keep
+FROM g ORDER BY $idCol""".stripMargin
+  }
+
   /** Deterministic curriculum mix: per-source document quotas — the
     * "30k from web, 10k from code, 2k from math" step that assembles a
     * training mixture from a filtered corpus. [[sampleNPerGroup]]

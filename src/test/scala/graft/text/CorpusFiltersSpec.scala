@@ -130,6 +130,37 @@ class CorpusFiltersSpec extends SparkSpec {
     }
   }
 
+  test("gopherFlags: each rule fires on its adversarial input; filter is the AND") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val good = (1 to 60).map(i => s"the word$i").mkString(" ") // 120 words, has stopwords, alpha
+    val rows = Seq(
+      (1L, good),                                             // passes everything
+      (2L, "too short"),                                      // words_ok fails
+      (3L, (1 to 60).map(_ => "a").mkString(" ")),            // mean_len_ok fails (mean 1)
+      (4L, (1 to 60).map(_ => "the ####").mkString(" ")),     // symbol_ok fails
+      (5L, (1 to 60).map(_ => "the 123 456").mkString(" ")),  // alpha_ok fails (1/3 alpha)
+      (6L, (1 to 60).map(i => s"word$i").mkString(" "))       // stopword_ok fails
+    ).toDF("doc_id", "text")
+    val r = CorpusFilters.GopherRules(minWords = 50, maxWords = 500, minStopwords = 1)
+    val got = CorpusFilters.gopherFlags(rows, "text", r)
+      .select("doc_id", "words_ok", "mean_len_ok", "symbol_ok",
+        "alpha_ok", "stopword_ok", "keep")
+      .orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getBoolean(1), x.getBoolean(2),
+        x.getBoolean(3), x.getBoolean(4), x.getBoolean(5), x.getBoolean(6)))
+    assert(got(0) === ((1L, true, true, true, true, true, true)))
+    assert(!got(1)._2 && !got(1)._7, "short doc must fail words_ok")
+    assert(got(2)._2 && !got(2)._3, "single-char words must fail mean_len_ok")
+    assert(!got(3)._4, "hash-heavy doc must fail symbol_ok")
+    assert(!got(4)._5, "digit-heavy doc must fail alpha_ok")
+    assert(!got(5)._6, "no-stopword doc must fail stopword_ok")
+    // filter form keeps exactly the all-true rows, original schema
+    val kept = CorpusFilters.gopherFilter(rows, "text", r)
+    assert(kept.columns.toSeq === Seq("doc_id", "text"))
+    assert(kept.select("doc_id").as[Long].collect().toSeq === Seq(1L))
+  }
+
   test("mixSources: per-source quotas, exclusion, and nested-subset monotonicity") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sf/documents.parquet")
