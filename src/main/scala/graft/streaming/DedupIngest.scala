@@ -79,6 +79,36 @@ object DedupIngest {
     acceptedBands.write.mode("append").parquet(bandStoreDir)
   }
 
+  /** Compact an ingest store: every micro-batch appends its own parquet
+    * files, so a long-running ingest accumulates thousands of small files —
+    * the classic small-files problem (per-file open cost starts to dominate
+    * the vs-store read at 100× batch counts). Rewrites the store to
+    * `targetPartitions` files and atomically swaps it in (write to a
+    * sibling temp dir, rename old → trash, temp → store, delete trash), so
+    * a crash leaves either the old or the new store, never a half state.
+    * Run between batches (the ingest reads the store at batch start, so
+    * compaction concurrent with a RUNNING batch races the swap — pause the
+    * stream or schedule compaction on the foreachBatch thread).
+    */
+  def compactStore(spark: org.apache.spark.sql.SparkSession, storeDir: String,
+                   targetPartitions: Int): Unit = {
+    require(targetPartitions > 0, "targetPartitions must be positive")
+    if (!hasData(spark, storeDir)) return
+    val p = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(storeDir + "__compact_tmp")
+    val trash = new org.apache.hadoop.fs.Path(storeDir + "__compact_old")
+    fs.delete(tmp, true); fs.delete(trash, true)
+    spark.read.parquet(storeDir).repartition(targetPartitions)
+      .write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(p, trash)) throw new java.io.IOException(s"compact: cannot move $p aside")
+    if (!fs.rename(tmp, p)) { // restore on failure so the store survives
+      fs.rename(trash, p)
+      throw new java.io.IOException(s"compact: cannot swap $tmp into place")
+    }
+    fs.delete(trash, true)
+  }
+
   /** Does the store directory hold actual data files? A bare `exists` check
     * wedges the ingest after a crash mid-first-write: the directory exists
     * (with only `_temporary`/`_SUCCESS` debris) but `read.parquet` throws on

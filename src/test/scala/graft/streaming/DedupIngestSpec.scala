@@ -133,5 +133,18 @@ class DedupIngestSpec extends SparkSpec {
     // replay is a no-op: the replayed rows' fingerprints are in the store
     DedupIngest.ingestBatchExact(splits.head, sCorpus, sStore, "text", "doc_id", 0L)
     assert(spark.read.parquet(sCorpus).count() === streamed.size.toLong)
+
+    // compaction: same content, fewer files, ingest keeps working after
+    def fpSet() = spark.read.parquet(sStore).select("fp")
+      .collect().map(_.getLong(0)).toSet
+    def partFiles() = new java.io.File(sStore).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val before = fpSet()
+    assert(partFiles() > 1, "append stream produced a single file — compaction vacuous")
+    DedupIngest.compactStore(spark, sStore, targetPartitions = 1)
+    assert(fpSet() === before)
+    assert(partFiles() === 1)
+    DedupIngest.ingestBatchExact(splits.head, sCorpus, sStore, "text", "doc_id", 0L)
+    assert(spark.read.parquet(sCorpus).count() === streamed.size.toLong)
   }
 }
