@@ -276,6 +276,20 @@ class LlmSpec extends SparkSpec {
     assert(got.head.getString(2) === win)
   }
 
+  test("sessionized plan: spill-backed per-partition sort + merging sessions, no window sort") {
+    // pins the SCALING.md posture: session_window is an AGGREGATE — hash
+    // exchange on user, per-partition (non-global) external sort, streaming
+    // session merge — so a whale user costs wall-clock, not task memory
+    val ev = EventWindows.readEvents(spark, s"$sf/events.parquet")
+    val plan = EventWindows.sessionized(ev).queryExecution.executedPlan.toString
+    assert(plan.contains("MergingSessions"), s"expected MergingSessions in:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning(user_id"), s"expected user hash exchange in:\n$plan")
+    // the sort is per-partition: SortExec prints `global=false` as ", false,"
+    val sortLine = plan.linesIterator.find(_.trim.startsWith("+- Sort [user_id")).getOrElse("")
+    assert(sortLine.contains("], false, "), s"expected non-global sort, got: $sortLine")
+    assert(!plan.contains("WindowExec"), s"unexpected window in:\n$plan")
+  }
+
   test("minhashPairsAgainstStore equals the self-join pairs restricted to the split") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, pmod}
