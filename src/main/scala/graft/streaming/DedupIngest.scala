@@ -83,9 +83,13 @@ object DedupIngest {
     * files, so a long-running ingest accumulates thousands of small files —
     * the classic small-files problem (per-file open cost starts to dominate
     * the vs-store read at 100× batch counts). Rewrites the store to
-    * `targetPartitions` files and atomically swaps it in (write to a
-    * sibling temp dir, rename old → trash, temp → store, delete trash), so
-    * a crash leaves either the old or the new store, never a half state.
+    * `targetPartitions` files and swaps it in (write to a sibling temp
+    * dir, rename old → trash, temp → store, delete trash). A crash between
+    * the two renames leaves the store briefly missing with the only copy
+    * at the trash path — the NEXT compactStore call detects that and
+    * restores it before anything else runs, so no state is ever lost; run
+    * compaction (or at least a compactStore call, which recovers and
+    * early-returns) before trusting an ingest that may have raced a crash.
     * Run between batches (the ingest reads the store at batch start, so
     * compaction concurrent with a RUNNING batch races the swap — pause the
     * stream or schedule compaction on the foreachBatch thread).
@@ -93,13 +97,29 @@ object DedupIngest {
   def compactStore(spark: org.apache.spark.sql.SparkSession, storeDir: String,
                    targetPartitions: Int): Unit = {
     require(targetPartitions > 0, "targetPartitions must be positive")
-    if (!hasData(spark, storeDir)) return
+    // sibling work dirs via Path (normalizes trailing slashes — raw string
+    // concat would nest them INSIDE the store and wedge the swap)
     val p = new org.apache.hadoop.fs.Path(storeDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(storeDir + "__compact_tmp")
-    val trash = new org.apache.hadoop.fs.Path(storeDir + "__compact_old")
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + "__compact_tmp")
+    val trash = new org.apache.hadoop.fs.Path(p.getParent, p.getName + "__compact_old")
+    // recovery: a crash between the two renames below leaves the store
+    // missing and the only copy at `trash` — restore it FIRST, before the
+    // hasData early-return could bootstrap an empty history (and before
+    // anything deletes trash)
+    if (!hasData(spark, p.toString) && fs.exists(trash)) {
+      fs.delete(p, true) // debris-only dir, if any
+      if (!fs.rename(trash, p))
+        throw new java.io.IOException(s"compact: cannot restore $trash to $p")
+    }
+    if (!hasData(spark, p.toString)) return
+    // the store exists, so any surviving trash/tmp is from a COMPLETED or
+    // abandoned run — safe to clear
     fs.delete(tmp, true); fs.delete(trash, true)
-    spark.read.parquet(storeDir).repartition(targetPartitions)
+    // coalesce, not repartition: merging small files needs no exchange —
+    // a narrow merge of input splits per output file (size balance across
+    // the target files is not a goal here)
+    spark.read.parquet(p.toString).coalesce(targetPartitions)
       .write.mode("overwrite").parquet(tmp.toString)
     if (!fs.rename(p, trash)) throw new java.io.IOException(s"compact: cannot move $p aside")
     if (!fs.rename(tmp, p)) { // restore on failure so the store survives

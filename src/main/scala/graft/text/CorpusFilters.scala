@@ -172,34 +172,49 @@ object CorpusFilters {
       minAlphaPer10Words: Int = 8,
       minStopwords: Int = 2)
 
-  /** Per-rule booleans (see [[GopherRules]]) as named columns on `df`. */
-  def gopherFlags(df: DataFrame, textCol: String, r: GopherRules): DataFrame = {
-    val text = col(textCol)
+  /** The five rule predicates as (name, Column) pairs — the single source
+    * both the flag view and the filter build from.
+    */
+  private def gopherPredicates(text: Column, r: GopherRules): Seq[(String, Column)] = {
     val t = tokens(text)
     val n = size(t).cast("long")
     val sumLen = sumTokenLen(text)
-    val symbols =
-      (length(text) - length(regexp_replace(text, "#", ""))).cast("long") +
-        ((length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3).cast("long")
+    // non-overlapping match counting, same idiom as nUrls/nEmails above
+    val symbols = (regexp_count(text, lit("#")) +
+      regexp_count(text, lit("\\.\\.\\."))).cast("long")
     val alphaWords = size(filter(t, w => w.rlike("[A-Za-z]"))).cast("long")
-    df.withColumn("words_ok", n >= r.minWords && n <= r.maxWords)
-      .withColumn("mean_len_ok",
-        sumLen >= lit(r.minMeanLen.toLong) * n && sumLen <= lit(r.maxMeanLen.toLong) * n)
-      .withColumn("symbol_ok", symbols * 10 <= lit(r.maxSymbolPer10Words.toLong) * n)
-      .withColumn("alpha_ok", alphaWords * 10 >= lit(r.minAlphaPer10Words.toLong) * n)
-      .withColumn("stopword_ok",
-        graft.text.TextFunctions.stopwordCount(text) >= r.minStopwords)
-      .withColumn("keep",
-        col("words_ok") && col("mean_len_ok") && col("symbol_ok") &&
-          col("alpha_ok") && col("stopword_ok"))
+    Seq(
+      "words_ok" -> (n >= r.minWords && n <= r.maxWords),
+      "mean_len_ok" ->
+        (sumLen >= lit(r.minMeanLen.toLong) * n && sumLen <= lit(r.maxMeanLen.toLong) * n),
+      "symbol_ok" -> (symbols * 10 <= lit(r.maxSymbolPer10Words.toLong) * n),
+      "alpha_ok" -> (alphaWords * 10 >= lit(r.minAlphaPer10Words.toLong) * n),
+      "stopword_ok" ->
+        (graft.text.TextFunctions.stopwordCount(text) >= r.minStopwords))
   }
 
-  /** The filter form: rows passing every rule. */
-  def gopherFilter(df: DataFrame, textCol: String, r: GopherRules = GopherRules()): DataFrame =
-    gopherFlags(df, textCol, r).where(col("keep"))
-      .drop("words_ok", "mean_len_ok", "symbol_ok", "alpha_ok", "stopword_ok", "keep")
+  /** Per-rule booleans (see [[GopherRules]]) as named columns on `df`, plus
+    * their AND as `keep`. The six names are part of this API's contract —
+    * pre-existing columns with those names are overwritten.
+    */
+  def gopherFlags(df: DataFrame, textCol: String, r: GopherRules): DataFrame = {
+    val preds = gopherPredicates(col(textCol), r)
+    val flagged = preds.foldLeft(df) { case (d, (name, p)) => d.withColumn(name, p) }
+    flagged.withColumn("keep", preds.map(_._2).reduce(_ && _))
+  }
 
-  /** Oracle for [[gopherFlags]] — the same integer arithmetic in SQL. */
+  /** The filter form: rows passing every rule. Applies the predicates
+    * directly in the WHERE — no columns added, so the input schema (and
+    * any caller column that happens to be named `keep`) passes through
+    * untouched.
+    */
+  def gopherFilter(df: DataFrame, textCol: String, r: GopherRules = GopherRules()): DataFrame =
+    df.where(gopherPredicates(col(textCol), r).map(_._2).reduce(_ && _))
+
+  /** Oracle for [[gopherFlags]] — the same integer arithmetic in SQL; each
+    * predicate is written exactly once (`keep` references the flag aliases
+    * laterally, like the Spark side ANDs the same predicate Columns).
+    */
   def gopherFlagsSql(table: String, idCol: String, textCol: String,
                      r: GopherRules): String = {
     import graft.text.TextFunctions.{sqlList, Stopwords}
@@ -207,8 +222,7 @@ object CorpusFilters {
   SELECT $idCol,
     CAST(len(string_split($textCol, ' ')) AS BIGINT) AS n,
     CAST(list_sum(list_transform(string_split($textCol, ' '), x -> length(x))) AS BIGINT) AS sum_len,
-    CAST(length($textCol) - length(replace($textCol, '#', ''))
-      + (length($textCol) - length(replace($textCol, '...', ''))) / 3 AS BIGINT) AS symbols,
+    CAST(${countSql(textCol, "#")} + ${countSql(textCol, "\\.\\.\\.")} AS BIGINT) AS symbols,
     CAST(len(list_filter(string_split($textCol, ' '), x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
     CAST(len(list_filter(string_split($textCol, ' '), x -> x IN (${sqlList(Stopwords)}))) AS BIGINT) AS stop_n
   FROM $table)
@@ -218,11 +232,7 @@ SELECT $idCol,
   (symbols * 10 <= ${r.maxSymbolPer10Words} * n) AS symbol_ok,
   (alpha_words * 10 >= ${r.minAlphaPer10Words} * n) AS alpha_ok,
   (stop_n >= ${r.minStopwords}) AS stopword_ok,
-  (n >= ${r.minWords} AND n <= ${r.maxWords}
-    AND sum_len >= ${r.minMeanLen} * n AND sum_len <= ${r.maxMeanLen} * n
-    AND symbols * 10 <= ${r.maxSymbolPer10Words} * n
-    AND alpha_words * 10 >= ${r.minAlphaPer10Words} * n
-    AND stop_n >= ${r.minStopwords}) AS keep
+  (words_ok AND mean_len_ok AND symbol_ok AND alpha_ok AND stopword_ok) AS keep
 FROM g ORDER BY $idCol""".stripMargin
   }
 

@@ -146,5 +146,14 @@ class DedupIngestSpec extends SparkSpec {
     assert(partFiles() === 1)
     DedupIngest.ingestBatchExact(splits.head, sCorpus, sStore, "text", "doc_id", 0L)
     assert(spark.read.parquet(sCorpus).count() === streamed.size.toLong)
+
+    // simulate a crash between the two swap renames (store moved aside,
+    // replacement never landed): the next compactStore call must restore
+    // the stashed copy instead of letting ingest bootstrap empty history
+    val stash = new java.io.File(sStore + "__compact_old")
+    assert(new java.io.File(sStore).renameTo(stash))
+    DedupIngest.compactStore(spark, sStore, targetPartitions = 1)
+    assert(fpSet() === before, "crash recovery must restore the stashed store")
+    assert(!stash.exists())
   }
 }
