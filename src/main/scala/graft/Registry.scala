@@ -1420,6 +1420,26 @@ FROM aug ORDER BY doc_id""".stripMargin
           "embeddings", "vec_id", "embedding", "vec_id < 8", k = 4,
           m = 8, subDim = 8, ksub = 8, lo = -0.5, hi = 0.5))),
 
+      // IVF-PQ, the standard big-corpus ANN composition: coarse-centroid
+      // routing + ADC over m-byte PQ codes, bounded top-k. Full probe ≡
+      // plain ADC search for ANY centroid set, so the same ADC oracle
+      // gates the composed operator
+      RegisteredQuery(
+        "q_ann_ivfpq",
+        (s, dir) => {
+          val emb = Tables.resolve(s, dir)("embeddings")
+          val cb = graft.llm.ProductQuantizer.gridCodebook(
+            m = 8, subDim = 8, ksub = 8, lo = -0.5, hi = 0.5)
+          graft.llm.IvfIndex.build(emb, nLists = 8, trainFraction = 0.25, maxIter = 3)
+            .searchPq(cb, emb.where(col("vec_id") < 8), k = 4, nProbe = 8)
+            .select(col("query_id"), col("rank").cast("long").as("rank"),
+              col("neighbor_id"), col("adc_dist"))
+            .orderBy("query_id", "rank")
+        },
+        Some(graft.llm.ProductQuantizer.adcOracle(
+          "embeddings", "vec_id", "embedding", "vec_id < 8", k = 4,
+          m = 8, subDim = 8, ksub = 8, lo = -0.5, hi = 0.5))),
+
       // ANN over the COMPRESSED store: int8 codes both sides, exact integer
       // dot, top-k via the bounded-buffer aggregator (no window sort of the
       // scored pairs)

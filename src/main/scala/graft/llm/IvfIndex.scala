@@ -82,6 +82,36 @@ final case class IvfIndex(
       .withColumnRenamed("id", "neighbor_id")
   }
 
+  /** IVF-PQ — the standard big-corpus ANN shape (FAISS IndexIVFPQ):
+    * coarse-centroid probe routing exactly as [[search]], candidate
+    * scoring by ADC over the PQ-compressed codes ([[PqCodebook]]), top-k
+    * through the bounded-buffer [[graft.functions.TopK]] aggregate. The
+    * corpus is stored as m-byte codes (encoded in the scan stage by the
+    * codegen'd PqEncode, never decompressed); per-query ADC tables ride as
+    * broadcast plan state; comparisons are O(Σ probed-list sizes) table
+    * lookups. At full probe this provably equals [[PqCodebook.search]]
+    * whatever the coarse centroids converged to — which is what keeps the
+    * composition oracle-checkable by the same ADC oracle.
+    */
+  def searchPq(pq: PqCodebook, queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val corpusCodes = assigned.select(
+      col(idCol).as("neighbor_id"),
+      graft.functions.PqEncode(col(vecCol), pq.codebooks).as("codes"),
+      col("list"))
+    val (_, tables) = pq.adcQueryTables(queries, idCol, vecCol)
+    val q = queries.select(
+      col(idCol).as("query_id"),
+      explode(probeLists(col(vecCol), nProbe)).as("list"))
+    val scored = q.join(corpusCodes, "list")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        // TopK is max-first; ADC is a distance — negate so nearest ranks first
+        (-graft.functions.AdcDist(col("query_id"), col("codes"), tables)).as("score"))
+    graft.functions.TopK.perGroup(scored, Seq("query_id"), col("score"), col("neighbor_id"), k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
+        (-col("score")).as("adc_dist"))
+  }
+
   /** Incremental maintenance for continuous ingest: assign a NEW batch
     * against the EXISTING centroids and union its inverted-list entries —
     * the FAISS `add` shape. No retraining, no reassignment of history

@@ -61,10 +61,14 @@ final case class PqCodebook(
     * (fetch limit+1 rows, raise past the limit): no second job, and never
     * materializes more than limit+1 rows.
     */
-  def search(codes: DataFrame, queries: DataFrame, k: Int,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val sess = codes.sparkSession
-    val limit = sess.conf.get(ProductQuantizer.MaxQueryRowsKey,
+  /** Driver-side ADC prep shared by [[search]] and
+    * [[IvfIndex.searchPq]]: the guarded query collect plus each query's
+    * m × ksub exact subspace-distance table (the per-query broadcast
+    * state `AdcDist` rides on).
+    */
+  private[llm] def adcQueryTables(queries: DataFrame, idCol: String, vecCol: String)
+      : (Seq[Long], Map[Long, Array[Array[Double]]]) = {
+    val limit = queries.sparkSession.conf.get(ProductQuantizer.MaxQueryRowsKey,
       ProductQuantizer.DefaultMaxQueryRows.toString).toLong
     val projected = queries.select(col(idCol), col(vecCol))
     val rows =
@@ -84,8 +88,15 @@ final case class PqCodebook(
     val tables: Map[Long, Array[Array[Double]]] = qs.map { case (qid, v) =>
       qid -> Array.tabulate(m)(s => Array.tabulate(ksub)(c => sqDist(v, s, codebooks(s)(c))))
     }.toMap
+    (qs.map(_._1).toSeq, tables)
+  }
+
+  def search(codes: DataFrame, queries: DataFrame, k: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sess = codes.sparkSession
+    val (ids, tables) = adcQueryTables(queries, idCol, vecCol)
     import sess.implicits._
-    val qIds = qs.map(_._1).toSeq.toDF("query_id")
+    val qIds = ids.toDF("query_id")
     // pair-scoring hot loop: native codegen'd table lookups (AdcDist), the
     // per-query tables riding as a plan reference object
     val scored = codes.select(col(idCol).as("neighbor_id"), col("codes"))

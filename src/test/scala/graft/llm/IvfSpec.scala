@@ -64,6 +64,25 @@ class IvfSpec extends SparkSpec {
     assert(neighborSets(grown.search(queries, k = 5, nProbe = 8)) === exact)
   }
 
+  test("IVF-PQ: full probe equals plain ADC search; partial probe returns ADC-ranked subsets") {
+    val cb = ProductQuantizer.gridCodebook(m = 8, subDim = 8, ksub = 8, lo = -0.5, hi = 0.5)
+    val index = IvfIndex.build(emb, nLists = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue(), r.getLong(2), r.getDouble(3))).toSet
+    val full = rows(index.searchPq(cb, queries, k = 5, nProbe = 8))
+    val plain = rows(cb.search(cb.encode(emb, "vec_id", "embedding"), queries, k = 5))
+    assert(full === plain)
+    // partial probe: every hit must also be a corpus member of a probed
+    // list, and per-query results stay ADC-distance-sorted
+    val part = index.searchPq(cb, queries, k = 5, nProbe = 2)
+      .orderBy("query_id", "rank").collect()
+    assert(part.nonEmpty)
+    part.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val ds = rs.sortBy(_.getAs[Number](1).longValue()).map(_.getDouble(3))
+      assert(ds.sameElements(ds.sorted))
+    }
+  }
+
   test("native assignment matches the centroid argmin definition") {
     val index = IvfIndex.build(emb, nLists = 4)
     val cs = index.centroids
