@@ -82,27 +82,46 @@ final case class IvfIndex(
       .withColumnRenamed("id", "neighbor_id")
   }
 
+  /** The PQ-compressed corpus for [[searchPq]]: (neighbor_id, codes, list),
+    * encoded ONCE (codegen'd PqEncode pass over the assigned frame) and
+    * eagerly checkpointed. Compute per (index, codebook) and hand to every
+    * [[searchPq]] call — this is the FAISS IndexIVFPQ shape, where codes
+    * are stored at build/add time so a search touches only probed lists,
+    * never the float corpus.
+    */
+  def pqCodes(pq: PqCodebook): DataFrame =
+    assigned.select(
+        col(idCol).as("neighbor_id"),
+        graft.functions.PqEncode(col(vecCol), pq.codebooks).as("codes"),
+        col("list"))
+      .localCheckpoint(true)
+
   /** IVF-PQ — the standard big-corpus ANN shape (FAISS IndexIVFPQ):
     * coarse-centroid probe routing exactly as [[search]], candidate
     * scoring by ADC over the PQ-compressed codes ([[PqCodebook]]), top-k
-    * through the bounded-buffer [[graft.functions.TopK]] aggregate. The
-    * corpus is stored as m-byte codes (encoded in the scan stage by the
-    * codegen'd PqEncode, never decompressed); per-query ADC tables ride as
-    * broadcast plan state; comparisons are O(Σ probed-list sizes) table
-    * lookups. At full probe this provably equals [[PqCodebook.search]]
-    * whatever the coarse centroids converged to — which is what keeps the
-    * composition oracle-checkable by the same ADC oracle.
+    * through the bounded-buffer [[graft.functions.TopK]] aggregate.
+    * Per-query ADC tables ride as broadcast plan state; comparisons are
+    * O(Σ probed-list sizes) table lookups. At full probe this provably
+    * equals [[PqCodebook.search]] whatever the coarse centroids converged
+    * to — which is what keeps the composition oracle-checkable by the same
+    * ADC oracle.
+    *
+    * Pass [[pqCodes]] as `corpusCodes` for repeated searches: without it,
+    * each call re-encodes the corpus inline (one scan-stage pass — fine
+    * for a one-shot query batch, wasteful for a serving loop).
     */
-  def searchPq(pq: PqCodebook, queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
-    val corpusCodes = assigned.select(
-      col(idCol).as("neighbor_id"),
-      graft.functions.PqEncode(col(vecCol), pq.codebooks).as("codes"),
-      col("list"))
+  def searchPq(pq: PqCodebook, queries: DataFrame, k: Int, nProbe: Int,
+               corpusCodes: Option[DataFrame] = None): DataFrame = {
+    val codesDf = corpusCodes.getOrElse(
+      assigned.select(
+        col(idCol).as("neighbor_id"),
+        graft.functions.PqEncode(col(vecCol), pq.codebooks).as("codes"),
+        col("list")))
     val (_, tables) = pq.adcQueryTables(queries, idCol, vecCol)
     val q = queries.select(
       col(idCol).as("query_id"),
       explode(probeLists(col(vecCol), nProbe)).as("list"))
-    val scored = q.join(corpusCodes, "list")
+    val scored = q.join(codesDf, "list")
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         // TopK is max-first; ADC is a distance — negate so nearest ranks first

@@ -49,9 +49,10 @@ final case class PqCodebook(
   def encode(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol), graft.functions.PqEncode(col(vecCol), codebooks).as("codes"))
 
-  /** ADC top-k: exact queries against the compressed corpus. `queries` must
-    * be small (the per-query distance tables broadcast); corpus `codes`
-    * stream through the scan stage and ship ≤k candidates per query.
+  /** Driver-side ADC prep shared by [[search]] and
+    * [[IvfIndex.searchPq]]: the guarded query collect plus each query's
+    * m × ksub exact subspace-distance table (the per-query broadcast
+    * state `AdcDist` rides on).
     *
     * The query set materializes on the driver (the ADC tables are per-query
     * broadcast state), so it is bounded by
@@ -60,11 +61,6 @@ final case class PqCodebook(
     * `spark.graft.positional.maxRows`. The check rides the collect itself
     * (fetch limit+1 rows, raise past the limit): no second job, and never
     * materializes more than limit+1 rows.
-    */
-  /** Driver-side ADC prep shared by [[search]] and
-    * [[IvfIndex.searchPq]]: the guarded query collect plus each query's
-    * m × ksub exact subspace-distance table (the per-query broadcast
-    * state `AdcDist` rides on).
     */
   private[llm] def adcQueryTables(queries: DataFrame, idCol: String, vecCol: String)
       : (Seq[Long], Map[Long, Array[Array[Double]]]) = {
@@ -91,6 +87,11 @@ final case class PqCodebook(
     (qs.map(_._1).toSeq, tables)
   }
 
+  /** ADC top-k: exact queries against the compressed corpus. `queries` must
+    * be small (the per-query distance tables broadcast, guarded by
+    * [[adcQueryTables]]); corpus `codes` stream through the scan stage and
+    * ship ≤k candidates per query.
+    */
   def search(codes: DataFrame, queries: DataFrame, k: Int,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val sess = codes.sparkSession

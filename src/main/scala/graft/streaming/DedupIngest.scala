@@ -52,6 +52,7 @@ object DedupIngest {
                   shingleN: Int, bands: Int, rowsPerBand: Int,
                   minJaccard: Double): Unit = {
     val spark = batch.sparkSession
+    restoreIfStashed(spark, bandStoreDir)
     // the batch is shingled+minhashed exactly ONCE: this band frame serves
     // both the vs-store candidate join and the store append for survivors
     def banded(df: DataFrame) =
@@ -102,16 +103,14 @@ object DedupIngest {
     val p = new org.apache.hadoop.fs.Path(storeDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + "__compact_tmp")
-    val trash = new org.apache.hadoop.fs.Path(p.getParent, p.getName + "__compact_old")
+    val trash = trashPath(p)
     // recovery: a crash between the two renames below leaves the store
     // missing and the only copy at `trash` — restore it FIRST, before the
     // hasData early-return could bootstrap an empty history (and before
-    // anything deletes trash)
-    if (!hasData(spark, p.toString) && fs.exists(trash)) {
-      fs.delete(p, true) // debris-only dir, if any
-      if (!fs.rename(trash, p))
-        throw new java.io.IOException(s"compact: cannot restore $trash to $p")
-    }
+    // anything deletes trash). Ingest steps run the same restore at entry
+    // (restoreIfStashed), so a restarted stream can never bootstrap a
+    // fresh store while history sits in the trash.
+    restoreIfStashed(spark, storeDir)
     if (!hasData(spark, p.toString)) return
     // the store exists, so any surviving trash/tmp is from a COMPLETED or
     // abandoned run — safe to clear
@@ -127,6 +126,26 @@ object DedupIngest {
       throw new java.io.IOException(s"compact: cannot swap $tmp into place")
     }
     fs.delete(trash, true)
+  }
+
+  private def trashPath(p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(p.getParent, p.getName + "__compact_old")
+
+  /** If the store is missing/empty but a compaction stash exists (a crash
+    * landed between [[compactStore]]'s two swap renames), restore the stash
+    * before anything reads — or bootstraps over — the store. Runs at the
+    * top of every ingest step AND compactStore, so no code path can treat
+    * a mid-swap store as absent while the only copy sits in the stash.
+    */
+  private def restoreIfStashed(spark: org.apache.spark.sql.SparkSession, storeDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val trash = trashPath(p)
+    if (!hasData(spark, p.toString) && fs.exists(trash)) {
+      fs.delete(p, true) // debris-only dir, if any
+      if (!fs.rename(trash, p))
+        throw new java.io.IOException(s"compact recovery: cannot restore $trash to $p")
+    }
   }
 
   /** Does the store directory hold actual data files? A bare `exists` check
@@ -169,6 +188,7 @@ object DedupIngest {
                        expectedStoreItems: Long): Unit = {
     import graft.text.TextFunctions.fingerprint
     val spark = batch.sparkSession
+    restoreIfStashed(spark, fpStoreDir)
     val fresh =
       if (!hasData(spark, fpStoreDir)) Dedup.dedupExact(batch, textCol, idCol)
       else {

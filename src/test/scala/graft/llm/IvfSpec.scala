@@ -72,11 +72,28 @@ class IvfSpec extends SparkSpec {
     val full = rows(index.searchPq(cb, queries, k = 5, nProbe = 8))
     val plain = rows(cb.search(cb.encode(emb, "vec_id", "embedding"), queries, k = 5))
     assert(full === plain)
-    // partial probe: every hit must also be a corpus member of a probed
-    // list, and per-query results stay ADC-distance-sorted
-    val part = index.searchPq(cb, queries, k = 5, nProbe = 2)
+    // the precomputed-codes serving path is the same search
+    val stored = index.pqCodes(cb)
+    assert(rows(index.searchPq(cb, queries, k = 5, nProbe = 8, Some(stored))) === full)
+    // partial probe: every hit must come from one of the query's nProbe
+    // nearest lists (recomputed here from the centroids in plain Scala),
+    // and per-query results stay ADC-distance-sorted
+    val nProbe = 2
+    val assignedList = index.assigned.select("vec_id", "list").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val queryVecs = queries.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def probed(v: Seq[Float]): Set[Int] =
+      index.centroids.zipWithIndex.map { case (c, i) =>
+        (c.zip(v).map { case (x, y) => (x - y) * (x - y) }.sum, i)
+      }.sortBy(identity).take(nProbe).map(_._2).toSet
+    val part = index.searchPq(cb, queries, k = 5, nProbe = nProbe)
       .orderBy("query_id", "rank").collect()
     assert(part.nonEmpty)
+    part.foreach { r =>
+      assert(probed(queryVecs(r.getLong(0))).contains(assignedList(r.getLong(2))),
+        s"hit ${r.getLong(2)} not in query ${r.getLong(0)}'s probed lists")
+    }
     part.groupBy(_.getLong(0)).foreach { case (_, rs) =>
       val ds = rs.sortBy(_.getAs[Number](1).longValue()).map(_.getDouble(3))
       assert(ds.sameElements(ds.sorted))

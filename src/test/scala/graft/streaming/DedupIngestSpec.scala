@@ -148,12 +148,20 @@ class DedupIngestSpec extends SparkSpec {
     assert(spark.read.parquet(sCorpus).count() === streamed.size.toLong)
 
     // simulate a crash between the two swap renames (store moved aside,
-    // replacement never landed): the next compactStore call must restore
-    // the stashed copy instead of letting ingest bootstrap empty history
+    // replacement never landed): the next INGEST step must restore the
+    // stashed copy — not bootstrap a fresh store over it — so the replayed
+    // batch still dedups against pre-crash history
     val stash = new java.io.File(sStore + "__compact_old")
     assert(new java.io.File(sStore).renameTo(stash))
+    DedupIngest.ingestBatchExact(splits.head, sCorpus, sStore, "text", "doc_id", 0L)
+    assert(!stash.exists(), "ingest must restore the stash before reading the store")
+    assert(fpSet() === before, "restored history must be intact")
+    assert(spark.read.parquet(sCorpus).count() === streamed.size.toLong,
+      "replayed batch must still no-op against the restored history")
+    // a compactStore call recovers the same way
+    assert(new java.io.File(sStore).renameTo(stash))
     DedupIngest.compactStore(spark, sStore, targetPartitions = 1)
-    assert(fpSet() === before, "crash recovery must restore the stashed store")
+    assert(fpSet() === before, "compact recovery must restore the stashed store")
     assert(!stash.exists())
   }
 }
