@@ -1329,6 +1329,17 @@ FROM aug ORDER BY doc_id""".stripMargin
         Some(CorpusFilters.sampleNPerGroupSql(
           "documents", Seq("lang"), "text", "doc_id", n = 3))),
 
+      // global fixed-N sample: lowest-n content-hash ranks corpus-wide via
+      // the bounded TopK as a global partial+final aggregate — each map
+      // partition ships <=n pairs, no global sort
+      RegisteredQuery(
+        "q_sample_n",
+        (s, dir) => graft.text.CorpusFilters.sampleN(
+            Tables.resolve(s, dir)("documents"),
+            key = col("text"), id = col("doc_id"), n = 25)
+          .select(col("rank"), col("id")).orderBy("rank"),
+        Some(graft.text.CorpusFilters.sampleNSql("documents", "text", "doc_id", 25))),
+
       // curriculum source mixing: per-source quotas over the same bounded
       // hash-rank machinery (k = max quota), quota cut via a broadcast map
       // literal — the "30k web / 10k code / 2k math" mixture assembly step

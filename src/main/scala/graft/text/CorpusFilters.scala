@@ -150,6 +150,30 @@ object CorpusFilters {
   /** Double-exact sampling-hash range (see [[sampleNPerGroup]]). */
   private val SampleHashMod = 1L << 53
 
+  /** Global fixed-N sample: the `n` documents whose content hash ranks
+    * lowest corpus-wide — [[sampleNPerGroup]] with no grouping (the TopK
+    * aggregate runs as a global partial+final pair: each map partition
+    * ships ≤n pairs, the final merge keeps n — no global sort). Same
+    * determinism contract as the rest of the sampling family: stable under
+    * re-sharding, re-ordering, engine choice, and nested (a smaller n is a
+    * prefix of a larger n's sample).
+    */
+  def sampleN(df: DataFrame, key: Column, id: Column, n: Int): DataFrame =
+    graft.functions.TopK
+      .perGroup(df.withColumn("__sk", -(hash60(key) % SampleHashMod)),
+        Seq.empty, col("__sk"), id, n)
+      .withColumn("rank", col("rank").cast("long"))
+      .drop("score")
+
+  /** Oracle for [[sampleN]] — the global window formulation. */
+  def sampleNSql(table: String, keyE: String, idE: String, n: Int): String = {
+    val h = s"(CAST(('0x'||substr(md5($keyE),1,15)) AS BIGINT) % $SampleHashMod)"
+    s"""SELECT CAST(rnk AS BIGINT) AS rank, $idE AS id FROM (
+  SELECT $idE, row_number() OVER (ORDER BY $h ASC, $idE ASC) AS rnk
+  FROM $table WHERE $keyE IS NOT NULL AND $idE IS NOT NULL)
+WHERE rnk <= $n ORDER BY rank""".stripMargin
+  }
+
   /** Gopher-style document quality rules (Rae et al. 2021 §A1.1, the
     * published web-corpus heuristics), integerized so every comparison is
     * exact integer arithmetic — no float ratio whose rounding could differ

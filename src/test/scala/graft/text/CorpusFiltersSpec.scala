@@ -130,6 +130,24 @@ class CorpusFiltersSpec extends SparkSpec {
     }
   }
 
+  test("sampleN: global hash-rank sample, nested prefix, partitioning independence") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def run(df: org.apache.spark.sql.DataFrame, n: Int) =
+      CorpusFilters.sampleN(df, col("text"), col("doc_id"), n)
+        .orderBy("rank").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val s10 = run(docs, 10)
+    assert(s10.size === 10 && s10.map(_._1) === (1L to 10L))
+    assert(run(docs.repartition(7), 10) === s10)
+    // nested: a smaller sample is a prefix of a larger one
+    assert(run(docs, 20).take(10) === s10)
+    // plan: global TopK aggregate, no window
+    val plan = CorpusFilters.sampleN(docs, col("text"), col("doc_id"), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topkbyscore"), s"expected global partial TopK in:\n$plan")
+    assert(!plan.contains("WindowExec"), s"unexpected window in:\n$plan")
+  }
+
   test("gopherFlags: each rule fires on its adversarial input; filter is the AND") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
