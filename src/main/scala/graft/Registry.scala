@@ -1075,6 +1075,24 @@ SELECT lang, CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE) ELSE 15.0 * ${1L << 60} /
         Some(Similarity.cosineDupOracle("embeddings", "vec_id", "embedding",
           minScore = 30000000L, dim = 64))),
 
+      // SemDeDup: coarse-quantizer clustering (deterministic sign-pattern
+      // centroids, integer-exact assignment) + the paper's upper-triangular
+      // within-cluster drop rule — pair comparisons confined to clusters
+      RegisteredQuery(
+        "q_semantic_dedup",
+        (s, dir) => {
+          import graft.llm.SemanticDedup
+          val cents = SemanticDedup.signCentroids(
+            activeDims = Seq(1, 17, 33), dim = 64)
+          SemanticDedup.semanticDedup(
+              Tables.resolve(s, dir)("embeddings"), cents, minScore = 30000000L)
+            .orderBy("vec_id")
+        },
+        Some(graft.llm.SemanticDedup.oracle(
+          "embeddings", "vec_id", "embedding",
+          graft.llm.SemanticDedup.signCentroids(Seq(1, 17, 33), dim = 64),
+          minScore = 30000000L, dim = 64))),
+
       // tumbling event-time window aggregation (decimal-sum determinism)
       RegisteredQuery(
         "q_events_window",

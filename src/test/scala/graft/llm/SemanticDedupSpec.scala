@@ -1,0 +1,81 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+/** SemDeDup verified against a local replay of the paper's upper-triangular
+  * rule, plus the scale contracts: equi-join pair stage (never a cartesian),
+  * partitioning independence, threshold monotonicity, and the k-means
+  * configuration.
+  */
+class SemanticDedupSpec extends SparkSpec {
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+  private val cents = SemanticDedup.signCentroids(Seq(1, 17, 33), dim = 64)
+  private val MinScore = 30000000L
+
+  private def keepMap(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Boolean)] =
+    df.select("vec_id", "cluster", "keep").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+
+  test("keep flag replays the upper-triangular rule exactly") {
+    val got = keepMap(SemanticDedup.semanticDedup(emb, cents, MinScore))
+
+    // local brute-force replay over the same quantized integers
+    val rows = SemanticDedup.assignQuantized(emb, cents)
+      .select("vec_id", "embedding", "cluster").collect()
+      .map { r =>
+        val qv = r.getSeq[Float](1).map(x => math.floor(x.toDouble * Similarity.QuantScale).toLong).toArray
+        (r.getLong(0), qv, r.getLong(2))
+      }.sortBy(_._1)
+    val expected = rows.map { case (id, qv, cl) =>
+      val dup = rows.exists { case (jid, jqv, jcl) =>
+        jcl == cl && jid < id &&
+          qv.zip(jqv).map { case (a, b) => a * b }.sum >= MinScore
+      }
+      id -> (cl, !dup)
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("assignment is the nearest centroid with lowest-index tiebreak") {
+    val rows = SemanticDedup.assignQuantized(emb, cents)
+      .select("vec_id", "embedding", "cluster").collect()
+    rows.foreach { r =>
+      val qv = r.getSeq[Float](1).map(x => math.floor(x.toDouble * Similarity.QuantScale)).toArray
+      val dists = cents.map(c => qv.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum)
+      assert(r.getLong(2) == dists.indexOf(dists.min))
+    }
+  }
+
+  test("result is independent of input partitioning") {
+    val a = keepMap(SemanticDedup.semanticDedup(emb.repartition(7), cents, MinScore))
+    val b = keepMap(SemanticDedup.semanticDedup(emb.repartition(3), cents, MinScore))
+    assert(a == b)
+  }
+
+  test("a higher threshold never drops a row a lower one kept") {
+    val loose = keepMap(SemanticDedup.semanticDedup(emb, cents, MinScore))
+    val strict = keepMap(SemanticDedup.semanticDedup(emb, cents, MinScore * 2))
+    loose.foreach { case (id, (_, keep)) => if (keep) assert(strict(id)._2) }
+  }
+
+  test("pair stage is an equi-join on the cluster id, never a cartesian") {
+    val plan = SemanticDedup.semanticDedup(emb, cents, MinScore)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("k-means configuration: full coverage and one survivor per ε-ball") {
+    val out = SemanticDedup.semanticDedupKMeans(
+      emb, nClusters = 8, minScore = MinScore, trainFraction = 0.5, maxIter = 3)
+    val m = keepMap(out)
+    assert(m.size == emb.count())
+    // the lowest id of every cluster has no earlier cluster-mate → always kept
+    m.groupBy(_._2._1).foreach { case (_, members) =>
+      val lowest = members.keys.min
+      assert(members(lowest)._2, s"lowest id $lowest of its cluster must be kept")
+    }
+  }
+}
