@@ -616,6 +616,53 @@ object Registry {
         },
         Some("SELECT * FROM supplier ORDER BY s_suppkey")),
 
+      // copy-on-write lake merge: upsert a batch (updates incl. partition-
+      // moving ones + inserts) into a hive-partitioned lake, rewriting only
+      // touched partitions; read-back vs a plain SQL upsert oracle
+      RegisteredQuery(
+        "q_lake_merge",
+        (s, dir) => {
+          import graft.sources.LakeMerge
+          import org.apache.spark.sql.functions.{col, lit, when}
+          val lake = "/tmp/graft_lake_merge"
+          // fresh lake per run: stale inserted keys from a previous run are
+          // not in the batch and would otherwise survive the re-merge
+          val lp = new org.apache.hadoop.fs.Path(lake)
+          lp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(lp, true)
+          val orders = Tables.resolve(s, dir)("orders")
+            .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+          // bootstrap, then merge: updates double the price (every 7th key;
+          // every 21st also MOVES partition to 1-URGENT) + inserts (every
+          // 13th key shifted past the key space)
+          LakeMerge.merge(s, lake, orders,
+            keyCols = Seq("o_orderkey"), partitionCols = Seq("o_orderpriority"))
+          val batch = orders.where(col("o_orderkey") % 7 === 0)
+            .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"),
+              when(col("o_orderkey") % 21 === 0, lit("1-URGENT"))
+                .otherwise(col("o_orderpriority")).as("o_orderpriority"))
+            .unionByName(orders.where(col("o_orderkey") % 13 === 0)
+              .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+                col("o_totalprice"), col("o_orderpriority")))
+          LakeMerge.merge(s, lake, batch,
+            keyCols = Seq("o_orderkey"), partitionCols = Seq("o_orderpriority"))
+          s.read.parquet(lake)
+            .select(col("o_orderkey"), col("o_totalprice"),
+              col("o_orderpriority").cast("string").as("o_orderpriority"))
+            .orderBy("o_orderkey")
+        },
+        Some("""WITH batch AS (
+  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+    CASE WHEN o_orderkey % 21 = 0 THEN '1-URGENT' ELSE o_orderpriority END AS o_orderpriority
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 13 = 0)
+SELECT o_orderkey, o_totalprice, o_orderpriority FROM batch
+UNION ALL
+SELECT o.o_orderkey, o.o_totalprice, o.o_orderpriority FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM batch b WHERE b.o_orderkey = o.o_orderkey)
+ORDER BY o_orderkey""")),
+
       // P6/U2 hconcat in the gate: positional zip of two projections of the
       // same scan (same partition layout on both sides ⇒ rows re-pair with
       // their own key order)

@@ -1,0 +1,198 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.functions.col
+
+/** Copy-on-write MERGE (upsert by key) into a hive-partitioned parquet lake
+  * — the Delta/Hudi CoW primitive on plain files: rewrite ONLY the
+  * partitions the batch touches, leave every other partition's files in
+  * place.
+  *
+  * Touched = partitions the batch lands in ∪ partitions holding OLD
+  * versions of batch keys. The second set is what makes partition-MOVING
+  * updates correct: when a row's partition value changes, its old partition
+  * must be rewritten to drop the stale copy — a merge that only rewrites
+  * the batch's own partitions leaves a duplicate behind (the classic CoW
+  * bug; spec-pinned).
+  *
+  * Scale shape: the rewrite cost is proportional to the touched partitions'
+  * data, not the lake — `kept` is a semi-join on the partition key (a
+  * runtime-filterable join Spark's dynamic partition pruning can push to
+  * the scan) then an anti-join on the batch keys (batch side small by
+  * contract, broadcastable). Nothing about the lake's untouched partitions
+  * is read back, rewritten, or shuffled beyond the pruned scan.
+  *
+  * Crash safety (same stash discipline as
+  * [[graft.streaming.DedupIngest.compactStore]]): the merged result is
+  * staged to a sibling `<lake>__merge_tmp` dir first; only a COMPLETE stage
+  * (its `_SUCCESS` marker exists) is then applied to the lake via dynamic
+  * partition overwrite. A crash while staging leaves the lake untouched
+  * (stale stage debris is cleared on the next merge); a crash while
+  * applying leaves a complete stage behind, and the next [[merge]] (or an
+  * explicit [[recover]]) REPLAYS the apply — per-partition overwrite from
+  * an identical stage is idempotent, so replay always converges to the
+  * committed merge.
+  *
+  * Reference anchor: the lake-side analog of the reference's SQL
+  * `SaveStrategy::Upsert` (fabrix-sql executor) — same upsert semantics,
+  * expressed as partition-scoped file rewrite instead of row DML.
+  */
+object LakeMerge {
+
+  /** Upsert `batch` into the partitioned lake at `lakeDir` by `keyCols`.
+    * Batch rows replace lake rows with equal keys; new keys append. The
+    * batch must carry the lake's full schema (including `partitionCols`).
+    * Bootstraps the lake (plain partitioned write) when it doesn't exist.
+    */
+  def merge(spark: SparkSession, lakeDir: String, batch: DataFrame,
+            keyCols: Seq[String], partitionCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    require(partitionCols.nonEmpty, "merge targets a partitioned lake")
+    require(keyCols.intersect(partitionCols).isEmpty,
+      s"key columns $keyCols must be disjoint from partition columns $partitionCols")
+    val lake = new Path(lakeDir)
+    val fs = lake.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = stagePath(lake)
+
+    // a complete stage from a crashed apply phase must land before anything
+    // reads the lake — the lake may hold a half-applied mix
+    replayIfStaged(spark, lake)
+
+    if (!hasData(spark, fs, lake)) {
+      fs.delete(stage, true)
+      batch.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(lakeDir)
+      return
+    }
+    fs.delete(stage, true) // incomplete debris from a crashed staging run
+
+    val base = spark.read.parquet(lakeDir)
+    val cols = base.columns.toSeq
+    val aligned = batch.select(cols.map(col): _*)
+    if (aligned.isEmpty) return // an empty batch touches nothing
+    val keys = aligned.select(keyCols.map(col): _*).distinct()
+    // old homes of updated keys ∪ new homes: the full touched set
+    val touched = base.join(keys, keyCols, "left_semi")
+      .select(partitionCols.map(col): _*)
+      .union(aligned.select(partitionCols.map(col): _*))
+      .distinct()
+    val kept = base.join(touched, partitionCols, "left_semi")
+      .join(keys, keyCols, "left_anti")
+    val merged = kept.unionByName(aligned)
+
+    // stage the touched partitions' new contents, then apply
+    merged.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(stage.toString)
+    // partitions evacuated by partition-moving updates have no rows in the
+    // stage, so dynamic overwrite won't rewrite them — record them in the
+    // stage so apply (and any replay) deletes their stale dirs
+    val emptied = touched.except(
+      spark.read.parquet(stage.toString).select(partitionCols.map(col): _*).distinct())
+    writeEmptied(spark, fs, stage, partitionCols, emptied)
+    applyStage(spark, fs, lake)
+  }
+
+  /** Replay a crashed merge's apply phase, if a complete stage exists. Safe
+    * (and a no-op) any other time.
+    */
+  def recover(spark: SparkSession, lakeDir: String): Unit =
+    replayIfStaged(spark, new Path(lakeDir))
+
+  // ----------------------------------------------------------- internals --
+
+  private def stagePath(lake: Path): Path =
+    new Path(lake.getParent, lake.getName + "__merge_tmp")
+
+  /** Dynamic-partition-overwrite the staged partitions into the lake, drop
+    * partition dirs the stage marked emptied, then clear the stage. Only
+    * called with a complete (_SUCCESS-marked) stage; idempotent.
+    */
+  private def applyStage(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+                         lake: Path): Unit = {
+    val stage = stagePath(lake)
+    val conf = spark.conf
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prior = conf.getOption(key)
+    conf.set(key, "dynamic")
+    try {
+      val staged = spark.read.parquet(stage.toString)
+      val parts = partitionColsOf(spark, stage)
+      // an unpartitioned stage would make the overwrite STATIC — wiping the
+      // whole lake instead of the touched partitions; refuse
+      require(parts.nonEmpty, s"stage $stage has no hive partition layout")
+      staged.write.mode("overwrite").partitionBy(parts: _*).parquet(lake.toString)
+    } finally {
+      prior match { case Some(v) => conf.set(key, v); case None => conf.unset(key) }
+    }
+    readEmptied(fs, stage).foreach { rel => fs.delete(new Path(lake, rel), true) }
+    fs.delete(stage, true)
+  }
+
+  /** The stage's partition columns, recovered from its hive directory
+    * layout (`a=v/b=w/part-…`), in nesting order.
+    */
+  private def partitionColsOf(spark: SparkSession, stage: Path): Seq[String] = {
+    val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(p: Path, acc: List[String]): List[String] =
+      fs.listStatus(p).find(st => st.isDirectory && st.getPath.getName.contains("=")) match {
+        case Some(st) => walk(st.getPath, st.getPath.getName.takeWhile(_ != '=') :: acc)
+        case None => acc.reverse
+      }
+    walk(stage, Nil)
+  }
+
+  private val EmptiedMarker = "_graft_emptied_partitions"
+
+  /** Record evacuated partitions as relative dir paths, one per line, in a
+    * marker file INSIDE the stage — written before apply starts, so a
+    * replayed apply deletes them too.
+    */
+  private def writeEmptied(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+                           stage: Path, partitionCols: Seq[String], emptied: DataFrame): Unit = {
+    val rows = emptied.collect() // ≤ touched-partition count — small by the
+                                 // hive-layout contract (partitions are few)
+    val lines = rows.map { r =>
+      partitionCols.zipWithIndex.map { case (c, i) =>
+        ExternalCatalogUtils.getPartitionPathString(c,
+          if (r.isNullAt(i)) null else r.get(i).toString)
+      }.mkString("/")
+    }
+    val out = fs.create(new Path(stage, EmptiedMarker), true)
+    try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readEmptied(fs: org.apache.hadoop.fs.FileSystem, stage: Path): Seq[String] = {
+    val p = new Path(stage, EmptiedMarker)
+    if (!fs.exists(p)) return Nil
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** A stage with its `_SUCCESS` marker is a committed merge whose apply
+    * may not have finished — replay it. A stage without one is debris from
+    * a crash mid-staging: the lake was never touched, so just drop it.
+    */
+  private def replayIfStaged(spark: SparkSession, lake: Path): Unit = {
+    val fs = lake.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = stagePath(lake)
+    if (!fs.exists(stage)) return
+    if (fs.exists(new Path(stage, "_SUCCESS"))) applyStage(spark, fs, lake)
+    else fs.delete(stage, true)
+  }
+
+  /** Data-file presence check (debris-only dirs count as absent), same
+    * contract as the ingest stores'.
+    */
+  private def hasData(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+                      dir: Path): Boolean =
+    fs.exists(dir) && {
+      def any(p: Path): Boolean = fs.listStatus(p).exists { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory) !n.startsWith("_") && !n.startsWith(".") && any(st.getPath)
+        else !n.startsWith("_") && !n.startsWith(".")
+      }
+      any(dir)
+    }
+}

@@ -1,0 +1,106 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions.col
+
+/** Copy-on-write merge contracts: upsert semantics, the partition-moving
+  * stale-copy pin, untouched partitions' files left physically in place,
+  * crash-stage replay, and the bootstrap / empty-batch edges.
+  */
+class LakeMergeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def freshDir(name: String): String = {
+    val d = s"/tmp/graft_lakemerge_spec/$name"
+    val p = new Path(d)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    d
+  }
+
+  private def baseRows = Seq(
+    (1L, 10.0, "a"), (2L, 20.0, "a"),
+    (3L, 30.0, "b"), (4L, 40.0, "b"),
+    (5L, 50.0, "c")).toDF("k", "v", "p")
+
+  private def readLake(dir: String): Map[Long, (Double, String)] =
+    spark.read.parquet(dir).select("k", "v", "p").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+
+  test("bootstrap + upsert: updates replace, inserts append, others persist") {
+    val lake = freshDir("upsert")
+    LakeMerge.merge(spark, lake, baseRows, Seq("k"), Seq("p"))
+    val batch = Seq((2L, 21.0, "a"), (6L, 60.0, "c")).toDF("k", "v", "p")
+    LakeMerge.merge(spark, lake, batch, Seq("k"), Seq("p"))
+    assert(readLake(lake) == Map(
+      1L -> (10.0, "a"), 2L -> (21.0, "a"), 3L -> (30.0, "b"),
+      4L -> (40.0, "b"), 5L -> (50.0, "c"), 6L -> (60.0, "c")))
+  }
+
+  test("partition-moving update leaves no stale copy in the old partition") {
+    val lake = freshDir("move")
+    LakeMerge.merge(spark, lake, baseRows, Seq("k"), Seq("p"))
+    // k=3 moves b → a; k=5 moves c → a, evacuating partition c entirely
+    val batch = Seq((3L, 31.0, "a"), (5L, 51.0, "a")).toDF("k", "v", "p")
+    LakeMerge.merge(spark, lake, batch, Seq("k"), Seq("p"))
+    val got = readLake(lake)
+    assert(got == Map(
+      1L -> (10.0, "a"), 2L -> (20.0, "a"), 3L -> (31.0, "a"),
+      4L -> (40.0, "b"), 5L -> (51.0, "a")))
+    // the evacuated partition's directory is gone, not just empty
+    val fs = new Path(lake).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(lake, "p=c")))
+  }
+
+  test("untouched partitions' files are not rewritten") {
+    val lake = freshDir("untouched")
+    LakeMerge.merge(spark, lake, baseRows, Seq("k"), Seq("p"))
+    val fs = new Path(lake).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def filesOf(part: String): Map[String, Long] =
+      fs.listStatus(new Path(lake, part)).filterNot(_.getPath.getName.startsWith("_"))
+        .map(st => st.getPath.toString -> st.getModificationTime).toMap
+    val before = filesOf("p=b")
+    LakeMerge.merge(spark, lake,
+      Seq((1L, 11.0, "a")).toDF("k", "v", "p"), Seq("k"), Seq("p"))
+    assert(filesOf("p=b") == before, "partition b had no touched rows")
+    assert(readLake(lake)(1L) == (11.0, "a"))
+  }
+
+  test("a complete crash stage is replayed by the next merge; an incomplete one is dropped") {
+    val lake = freshDir("replay")
+    LakeMerge.merge(spark, lake, baseRows, Seq("k"), Seq("p"))
+    val fs = new Path(lake).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new Path(s"${lake}__merge_tmp")
+
+    // fabricate the stage a crashed apply would leave: the merged contents
+    // of partition a with k=2 updated, plus the _SUCCESS commit marker
+    Seq((1L, 10.0, "a"), (2L, 22.0, "a")).toDF("k", "v", "p")
+      .write.partitionBy("p").parquet(stage.toString)
+    assert(fs.exists(new Path(stage, "_SUCCESS")))
+    LakeMerge.recover(spark, lake)
+    assert(readLake(lake)(2L) == (22.0, "a") && !fs.exists(stage))
+
+    // an incomplete stage (no _SUCCESS) must be discarded untouched-lake
+    Seq((2L, 99.0, "a")).toDF("k", "v", "p")
+      .write.partitionBy("p").parquet(stage.toString)
+    fs.delete(new Path(stage, "_SUCCESS"), false)
+    LakeMerge.recover(spark, lake)
+    assert(readLake(lake)(2L) == (22.0, "a") && !fs.exists(stage))
+  }
+
+  test("empty batch is a no-op") {
+    val lake = freshDir("empty")
+    LakeMerge.merge(spark, lake, baseRows, Seq("k"), Seq("p"))
+    val before = readLake(lake)
+    LakeMerge.merge(spark, lake, baseRows.limit(0), Seq("k"), Seq("p"))
+    assert(readLake(lake) == before)
+  }
+
+  test("key and partition columns must be disjoint") {
+    val lake = freshDir("disjoint")
+    intercept[IllegalArgumentException] {
+      LakeMerge.merge(spark, lake, baseRows, Seq("k", "p"), Seq("p"))
+    }
+  }
+}
