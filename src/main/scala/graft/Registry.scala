@@ -789,6 +789,15 @@ ORDER BY o_orderkey""")),
           .select("doc_id", "lang", "n_chars").orderBy("doc_id"),
         Some(Dedup.exactOracle("documents", "doc_id", "text", Seq("doc_id", "lang", "n_chars")))),
 
+      // exact substring dedup (corpus rewrite): repeated 4-token blocks
+      // removed everywhere but their first occurrence, docs reassembled —
+      // one fingerprint-window shuffle + one per-doc regroup
+      RegisteredQuery(
+        "q_dedup_spans",
+        (s, dir) => Dedup.dedupSpans(Tables.resolve(s, dir)("documents"), n = 4, minCount = 2)
+          .orderBy("doc_id"),
+        Some(Dedup.spansOracle("documents", "doc_id", "text", n = 4, minCount = 2))),
+
       // near-dup pairs: banded MinHash + LSH bucket join + exact-Jaccard verify
       RegisteredQuery(
         "q_dedup_minhash",

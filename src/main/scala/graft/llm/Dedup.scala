@@ -117,6 +117,73 @@ k AS (SELECT *, min($idCol) OVER (PARTITION BY fp) AS keep FROM f)
 SELECT ${keepCols.mkString(", ")} FROM k WHERE $idCol = keep ORDER BY $idCol""".stripMargin
   }
 
+  /** Exact SUBSTRING dedup — the corpus-REWRITE form of Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better"): instead
+    * of dropping whole documents, remove repeated spans from inside them.
+    * Documents are cut into consecutive non-overlapping `n`-token blocks; a
+    * block whose text occurs `minCount`+ times corpus-wide is removed
+    * everywhere EXCEPT its first occurrence (lowest (id, position) — so
+    * exactly one copy of every boilerplate span survives, like C4's
+    * repeated-span rule); documents are reassembled from their surviving
+    * blocks in order. Whitespace is single-space-normalized by the
+    * tokenize→reassemble round trip; a fully-boilerplate document stays in
+    * the output with empty text (row count is preserved).
+    *
+    * Scale shape: blocking is scan-stage array surgery (no shuffle); the
+    * occurrence rule is ONE window shuffle partitioned by the 60-bit block
+    * fingerprint (8 bytes — never the block text; same posture as
+    * [[dedupExact]], near-unique fingerprints so no whale partitions);
+    * reassembly is one groupBy(id) whose per-doc buffer is the document's
+    * own blocks — the same bounded per-doc state as chunkDocs. Mass-
+    * duplication of one span concentrates its fingerprint partition
+    * (memory, not wall-clock — see SCALING.md exact-dedup row).
+    */
+  def dedupSpans(df: DataFrame, n: Int, minCount: Long,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(n > 0, s"block size must be positive, got $n")
+    require(minCount >= 2, s"minCount < 2 would remove every non-first block, got $minCount")
+    val words = split(col(textCol), " ")
+    // ceil(size/n) in exact double arithmetic (sizes ≪ 2^52); split never
+    // yields an empty array, so nb >= 1 and sequence() never descends
+    val nb = floor((size(words).cast(DoubleType) + (n - 1)) / n).cast("int")
+    val blocks = transform(sequence(lit(0), nb - 1),
+      i => array_join(slice(words, i * n + 1, lit(n)), " "))
+    val ex = df.select(col(idCol), posexplode(blocks).as(Seq("pos", "btext")))
+      .withColumn("__bh", hash60(col("btext")))
+    val part = Window.partitionBy(col("__bh"))
+    val ranked = ex
+      .withColumn("__occ", row_number().over(part.orderBy(col(idCol), col("pos"))))
+      .withColumn("__cnt", count(lit(1)).over(part))
+    val rebuilt = ranked.where(col("__cnt") < minCount || col("__occ") === 1)
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("btext")))),
+          x => x.getField("btext")), " ").as(textCol))
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
+
+  /** DuckDB oracle for [[dedupSpans]]: same blocking (1-based list slices),
+    * same md5-60 fingerprint, same (id, pos) first-occurrence rule, same
+    * left-join-back empty-text contract. Parallel equal-length unnests zip
+    * positions with blocks.
+    */
+  def spansOracle(table: String, idCol: String, textCol: String,
+                  n: Int, minCount: Long): String = {
+    val bh = "CAST(('0x'||substr(md5(btext),1,15)) AS BIGINT)"
+    s"""WITH t AS (SELECT $idCol, string_split($textCol, ' ') AS w FROM $table),
+b AS (SELECT $idCol, list_transform(range((len(w) + ${n - 1}) // $n),
+  i -> array_to_string(w[i*$n+1 : i*$n+$n], ' ')) AS blocks FROM t),
+e AS (SELECT $idCol, unnest(range(len(blocks))) AS pos, unnest(blocks) AS btext FROM b),
+r AS (SELECT $idCol, pos, btext,
+  row_number() OVER (PARTITION BY $bh ORDER BY $idCol, pos) AS occ,
+  count(*) OVER (PARTITION BY $bh) AS cnt FROM e),
+k AS (SELECT $idCol, string_agg(btext, ' ' ORDER BY pos) AS $textCol
+  FROM r WHERE cnt < $minCount OR occ = 1 GROUP BY $idCol)
+SELECT d.$idCol, coalesce(k.$textCol, '') AS $textCol
+FROM $table d LEFT JOIN k ON d.$idCol = k.$idCol ORDER BY d.$idCol""".stripMargin
+  }
+
   /** Exact dedup keeping the BEST row per duplicate group instead of the
     * lowest id — `score` ranks the candidates. The score must come from a
     * NON-text column (version, recency, source rank): rows in an
