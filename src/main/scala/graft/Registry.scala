@@ -1620,6 +1620,29 @@ FROM aug ORDER BY doc_id""".stripMargin
         Some(graft.operators.Profiling.profileOracle(
           "customer", Seq("c_custkey", "c_name", "c_mktsegment", "c_nationkey")))),
 
+      // declarative data-quality rule set verified in ONE aggregation pass
+      // (per-mille thresholds cross-multiplied — integer-exact verdicts);
+      // includes a deliberately failing rule so both outcomes are exercised
+      RegisteredQuery(
+        "q_quality_checks",
+        (s, dir) => {
+          import graft.operators.QualityChecks._
+          check(Tables.resolve(s, dir)("orders"), Seq(
+            NotNull("o_orderkey", maxNullPerMille = 0),
+            Unique("o_orderkey"),
+            InRange("o_totalprice", lo = 0.0, hi = 400000.0, minPerMille = 900),
+            InSet("o_orderstatus", Seq("F", "O", "P"), minPerMille = 1000),
+            RowCountBetween(1000L, 100000000L)))
+            .orderBy("rule", "column", "metric")
+        },
+        Some(graft.operators.QualityChecks.oracle("orders", Seq(
+          graft.operators.QualityChecks.NotNull("o_orderkey", maxNullPerMille = 0),
+          graft.operators.QualityChecks.Unique("o_orderkey"),
+          graft.operators.QualityChecks.InRange("o_totalprice", 0.0, 400000.0, 900),
+          graft.operators.QualityChecks.InSet("o_orderstatus", Seq("F", "O", "P"), 1000),
+          graft.operators.QualityChecks.RowCountBetween(1000L, 100000000L))) +
+          " ORDER BY rule, \"column\", metric")),
+
       // Z-order (Morton) value: bit-interleaved two-dimensional clustering
       // key — pure integer shift arithmetic both engines replay exactly
       RegisteredQuery(
