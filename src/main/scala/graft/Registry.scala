@@ -626,9 +626,13 @@ object Registry {
           import org.apache.spark.sql.functions.{col, lit, when}
           val lake = "/tmp/graft_lake_merge"
           // fresh lake per run: stale inserted keys from a previous run are
-          // not in the batch and would otherwise survive the re-merge
+          // not in the batch and would otherwise survive the re-merge. The
+          // sibling stage dir must go too — a committed stage left by a
+          // killed prior run would replay into the freshly-wiped lake
           val lp = new org.apache.hadoop.fs.Path(lake)
-          lp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(lp, true)
+          val fsys = lp.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fsys.delete(lp, true)
+          fsys.delete(new org.apache.hadoop.fs.Path(lake + "__merge_tmp"), true)
           val orders = Tables.resolve(s, dir)("orders")
             .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
           // bootstrap, then merge: updates double the price (every 7th key;

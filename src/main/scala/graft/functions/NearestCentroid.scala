@@ -20,8 +20,10 @@ import org.apache.spark.sql.types._
   * the build that touches every row. This expression reads the unsafe array
   * data in place inside generated code.
   *
-  * Null semantics: a null vector or any null element yields NULL (the list
-  * id would be meaningless); mismatched dims compare over the shared prefix.
+  * Null semantics: a null vector, an EMPTY vector, or any null element
+  * yields NULL (the list id would be meaningless — an empty vector is
+  * equidistant from every centroid); mismatched non-zero dims compare over
+  * the shared prefix.
   */
 case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
     extends UnaryExpression {
@@ -62,10 +64,13 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
 
 object NearestCentroid {
 
-  /** Null-tracking core: null on empty centroid set or any null element. */
+  /** Null-tracking core: null on empty centroid set, empty vector, or any
+    * null element.
+    */
   def nearestBoxed(v: ArrayData, cs: Array[Array[Double]], isDouble: Boolean): java.lang.Integer = {
     if (cs.length == 0) return null
     val n = v.numElements()
+    if (n == 0) return null
     var j = 0
     while (j < n) { if (v.isNullAt(j)) return null; j += 1 }
     var best = 0

@@ -134,8 +134,11 @@ d AS (
     list_sum(list_transform(generate_series(1, $dim), i -> (qv[i]-cv[i])*(qv[i]-cv[i]))) AS dist
   FROM b CROSS JOIN c),
 a AS (
-  SELECT $idCol, qv, cid FROM (
-    SELECT $idCol, qv, cid,
+  -- a NULL dist (null/empty vector, or a null element) is NULL for EVERY
+  -- centroid of that row; match the operator's contract (NULL cluster,
+  -- never pairs, kept) instead of letting NULLS-LAST rank hand it cid 0
+  SELECT $idCol, qv, CASE WHEN dist IS NULL THEN NULL ELSE cid END AS cid FROM (
+    SELECT $idCol, qv, cid, dist,
       row_number() OVER (PARTITION BY $idCol ORDER BY dist ASC, cid ASC) AS rn
     FROM d) WHERE rn = 1),
 p AS (

@@ -50,9 +50,16 @@ object QualityChecks {
     val aggs = scala.collection.mutable.LinkedHashMap[String, Column](
       "__rows" -> count(lit(1)))
     def need(rawKey: String, a: => Column): String = {
-      // keys become column names resolved via col(): strip dots etc. so a
-      // double-valued bound can't read as a nested-field path
-      val key = rawKey.map(ch => if (ch.isLetterOrDigit || ch == '_') ch else '_')
+      // keys become column names resolved via col(): escape everything but
+      // letters/digits so a double-valued bound can't read as a nested-field
+      // path. The escape is INJECTIVE ('_' always introduces exactly 4 hex
+      // digits, literal '_' included) — two distinct rules can never
+      // sanitize to the same key and silently share a counter (e.g.
+      // InSet("a|b") vs InSet("a","b")); identical raw keys still dedup
+      // into one shared aggregate
+      val key = rawKey.flatMap { ch =>
+        if (ch.isLetterOrDigit) ch.toString else f"_${ch.toInt}%04x"
+      }
       if (!aggs.contains(key)) aggs(key) = a; key
     }
     // one aggregate expression list serving every rule
@@ -66,7 +73,9 @@ object QualityChecks {
             cnt(col(c).isNotNull && col(c) >= lo && col(c) <= hi)),
           need(s"__nn_$c", count(col(c))))
       case r @ InSet(c, vs, _) =>
-        r -> Seq(need(s"__is_${c}_${vs.mkString("|")}",
+        // length-prefix each value so the joined key is injective in the set
+        // (plain mkString("|") renders {"a|b"} and {"a","b"} identically)
+        r -> Seq(need(s"__is_${c}_" + vs.map(v => s"${v.length}~$v").mkString("|"),
             cnt(col(c).isInCollection(vs))), need(s"__nn_$c", count(col(c))))
       case r @ RowCountBetween(_, _) => r -> Seq.empty
     }

@@ -18,19 +18,24 @@ import org.apache.spark.sql.functions.col
   * bug; spec-pinned).
   *
   * Scale shape: the rewrite cost is proportional to the touched partitions'
-  * data, not the lake — `kept` is a semi-join on the partition key (a
-  * runtime-filterable join Spark's dynamic partition pruning can push to
-  * the scan) then an anti-join on the batch keys (batch side small by
-  * contract, broadcastable). Nothing about the lake's untouched partitions
-  * is read back, rewritten, or shuffled beyond the pruned scan.
+  * data, not the lake — `kept` is a null-SAFE semi-join on the partition
+  * key (null-safe so the `__HIVE_DEFAULT_PARTITION__` rows survive; the
+  * touched side stays a broadcastable few-row frame) then an anti-join on
+  * the batch keys (batch side small by contract, broadcastable). Nothing
+  * about the lake's untouched partitions is read back, rewritten, or
+  * shuffled beyond that scan.
   *
   * Crash safety (same stash discipline as
   * [[graft.streaming.DedupIngest.compactStore]]): the merged result is
   * staged to a sibling `<lake>__merge_tmp` dir first; only a COMPLETE stage
-  * (its `_SUCCESS` marker exists) is then applied to the lake via dynamic
-  * partition overwrite. A crash while staging leaves the lake untouched
-  * (stale stage debris is cleared on the next merge); a crash while
-  * applying leaves a complete stage behind, and the next [[merge]] (or an
+  * is then applied to the lake via dynamic partition overwrite. Stage
+  * completeness is marked by our own `_graft_commit` file — written AFTER
+  * both the staged parquet and the emptied-partitions marker, so a stage
+  * can never be replayed with its evacuation list missing (parquet's own
+  * `_SUCCESS` lands before the marker and must not define "complete"). A
+  * crash anywhere before the commit marker leaves the lake untouched (the
+  * uncommitted stage is cleared as debris on the next merge); a crash
+  * after it leaves a committed stage behind, and the next [[merge]] (or an
   * explicit [[recover]]) REPLAYS the apply — per-partition overwrite from
   * an identical stage is idempotent, so replay always converges to the
   * committed merge.
@@ -69,27 +74,42 @@ object LakeMerge {
 
     val base = spark.read.parquet(lakeDir)
     val cols = base.columns.toSeq
-    val aligned = batch.select(cols.map(col): _*)
-    if (aligned.isEmpty) return // an empty batch touches nothing
-    val keys = aligned.select(keyCols.map(col): _*).distinct()
-    // old homes of updated keys ∪ new homes: the full touched set
-    val touched = base.join(keys, keyCols, "left_semi")
-      .select(partitionCols.map(col): _*)
-      .union(aligned.select(partitionCols.map(col): _*))
-      .distinct()
-    val kept = base.join(touched, partitionCols, "left_semi")
-      .join(keys, keyCols, "left_anti")
-    val merged = kept.unionByName(aligned)
+    // the batch plan and the touched-partition set each feed several jobs
+    // below (staged write, evacuation diff) — cache both so an expensive
+    // batch source is evaluated once and the lake scanned once
+    val aligned = batch.select(cols.map(col): _*).persist()
+    try {
+      if (aligned.isEmpty) return // an empty batch touches nothing
+      val keys = aligned.select(keyCols.map(col): _*).distinct()
+      // old homes of updated keys ∪ new homes: the full touched set
+      val touched = base.join(keys, keyCols, "left_semi")
+        .select(partitionCols.map(col): _*)
+        .union(aligned.select(partitionCols.map(col): _*))
+        .distinct().persist()
+      try {
+        // null-SAFE partition match: a null partition value is in-contract
+        // (__HIVE_DEFAULT_PARTITION__), and a null-unsafe equi-join would
+        // silently drop the default partition's kept rows from the stage
+        val touchedT = touched.toDF(partitionCols.map("__t_" + _): _*)
+        val kept = base.join(touchedT,
+            partitionCols.map(c => col(c) <=> col("__t_" + c)).reduce(_ && _),
+            "left_semi")
+          .join(keys, keyCols, "left_anti")
+        val merged = kept.unionByName(aligned)
 
-    // stage the touched partitions' new contents, then apply
-    merged.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(stage.toString)
-    // partitions evacuated by partition-moving updates have no rows in the
-    // stage, so dynamic overwrite won't rewrite them — record them in the
-    // stage so apply (and any replay) deletes their stale dirs
-    val emptied = touched.except(
-      spark.read.parquet(stage.toString).select(partitionCols.map(col): _*).distinct())
-    writeEmptied(spark, fs, stage, partitionCols, emptied)
-    applyStage(spark, fs, lake)
+        // stage the touched partitions' new contents, then apply
+        merged.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(stage.toString)
+        // partitions evacuated by partition-moving updates have no rows in
+        // the stage, so dynamic overwrite won't rewrite them — record them
+        // in the stage so apply (and any replay) deletes their stale dirs
+        val emptied = touched.except(
+          spark.read.parquet(stage.toString).select(partitionCols.map(col): _*).distinct())
+        writeEmptied(spark, fs, stage, partitionCols, emptied)
+        // the commit point: only now is the stage complete enough to replay
+        fs.create(new Path(stage, CommitMarker), true).close()
+        applyStage(spark, fs, lake)
+      } finally touched.unpersist()
+    } finally aligned.unpersist()
   }
 
   /** Replay a crashed merge's apply phase, if a complete stage exists. Safe
@@ -105,7 +125,7 @@ object LakeMerge {
 
   /** Dynamic-partition-overwrite the staged partitions into the lake, drop
     * partition dirs the stage marked emptied, then clear the stage. Only
-    * called with a complete (_SUCCESS-marked) stage; idempotent.
+    * called with a committed (`_graft_commit`-marked) stage; idempotent.
     */
   private def applyStage(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
                          lake: Path): Unit = {
@@ -115,11 +135,20 @@ object LakeMerge {
     val prior = conf.getOption(key)
     conf.set(key, "dynamic")
     try {
-      val staged = spark.read.parquet(stage.toString)
+      val staged0 = spark.read.parquet(stage.toString)
       val parts = partitionColsOf(spark, stage)
       // an unpartitioned stage would make the overwrite STATIC — wiping the
       // whole lake instead of the touched partitions; refuse
       require(parts.nonEmpty, s"stage $stage has no hive partition layout")
+      // a stage whose every row sits in the default (null) partition infers
+      // that partition column as VOID, which partitionBy rejects; the cast
+      // is value-invisible (the column holds only nulls, and partition
+      // values live in directory names, not data files)
+      val staged = parts.foldLeft(staged0) { (df, p) =>
+        if (df.schema(p).dataType == org.apache.spark.sql.types.NullType)
+          df.withColumn(p, col(p).cast(org.apache.spark.sql.types.StringType))
+        else df
+      }
       staged.write.mode("overwrite").partitionBy(parts: _*).parquet(lake.toString)
     } finally {
       prior match { case Some(v) => conf.set(key, v); case None => conf.unset(key) }
@@ -142,6 +171,7 @@ object LakeMerge {
   }
 
   private val EmptiedMarker = "_graft_emptied_partitions"
+  private val CommitMarker = "_graft_commit"
 
   /** Record evacuated partitions as relative dir paths, one per line, in a
     * marker file INSIDE the stage — written before apply starts, so a
@@ -170,15 +200,17 @@ object LakeMerge {
     finally in.close()
   }
 
-  /** A stage with its `_SUCCESS` marker is a committed merge whose apply
-    * may not have finished — replay it. A stage without one is debris from
-    * a crash mid-staging: the lake was never touched, so just drop it.
+  /** A stage with the `_graft_commit` marker is a committed merge whose
+    * apply may not have finished — replay it. A stage without one is debris
+    * from a crash mid-staging (even if the staged parquet's own `_SUCCESS`
+    * landed, the evacuation list may be missing): the lake was never
+    * touched, so just drop it.
     */
   private def replayIfStaged(spark: SparkSession, lake: Path): Unit = {
     val fs = lake.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = stagePath(lake)
     if (!fs.exists(stage)) return
-    if (fs.exists(new Path(stage, "_SUCCESS"))) applyStage(spark, fs, lake)
+    if (fs.exists(new Path(stage, CommitMarker))) applyStage(spark, fs, lake)
     else fs.delete(stage, true)
   }
 

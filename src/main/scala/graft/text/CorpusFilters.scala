@@ -159,11 +159,7 @@ object CorpusFilters {
     * prefix of a larger n's sample).
     */
   def sampleN(df: DataFrame, key: Column, id: Column, n: Int): DataFrame =
-    graft.functions.TopK
-      .perGroup(df.withColumn("__sk", -(hash60(key) % SampleHashMod)),
-        Seq.empty, col("__sk"), id, n)
-      .withColumn("rank", col("rank").cast("long"))
-      .drop("score")
+    sampleNPerGroup(df, Seq.empty, key, id, n)
 
   /** Oracle for [[sampleN]] — the global window formulation. */
   def sampleNSql(table: String, keyE: String, idE: String, n: Int): String = {

@@ -67,6 +67,27 @@ class SemanticDedupSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("null, null-element, and empty vectors take a NULL cluster and are kept") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(Option(10.0f), Option(0.0f))),
+      (2L, Seq(Option(10.0f), Option(0.0f))),          // dup of 1 → dropped
+      (3L, null.asInstanceOf[Seq[Option[Float]]]),     // null vector
+      (4L, Seq.empty[Option[Float]]),                  // empty vector
+      (5L, Seq(Option(10.0f), Option.empty[Float])))   // null element
+      .toDF("vec_id", "embedding")
+    val c2 = SemanticDedup.signCentroids(Seq(0), dim = 2)
+    val got = SemanticDedup.semanticDedup(df, c2, minScore = 1L).collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getBoolean(2))).toMap
+    assert(got.size == 5)
+    assert(got(1L)._1 >= 0 && got(1L)._2, "first of the dup pair is kept")
+    assert(got(2L) == (got(1L)._1, false), "later identical vector is dropped")
+    Seq(3L, 4L, 5L).foreach { id =>
+      assert(got(id) == (-1L, true), s"row $id must take NULL cluster and be kept")
+    }
+  }
+
   test("k-means configuration: full coverage and one survivor per ε-ball") {
     val out = SemanticDedup.semanticDedupKMeans(
       emb, nClusters = 8, minScore = MinScore, trainFraction = 0.5, maxIter = 3)

@@ -56,6 +56,17 @@ class QualityChecksSpec extends SparkSpec {
     assert(got(("in_range", "v")), "nulls must not fail full in-range coverage")
   }
 
+  test("rules that differ only in non-alphanumeric chars get distinct counters") {
+    // InSet({"a|b"}) matches 1 of 3 rows; InSet({"a","b"}) matches 2 — a
+    // lossy aggregate-key sanitization would collapse both onto the first
+    // rule's counter and report 1000 twice
+    val df = Seq("a|b", "a", "b").toDF("cat")
+    val metrics = check(df, Seq(
+      InSet("cat", Seq("a|b")), InSet("cat", Seq("a", "b"))))
+      .select("metric").collect().map(_.getLong(0)).toSeq
+    assert(metrics == Seq(1000L, 2000L))
+  }
+
   test("any number of rules cost one scan and no join") {
     val docs = spark.read.parquet(s"$sf/orders.parquet")
     val plan = check(docs, Seq(

@@ -67,26 +67,43 @@ class LakeMergeSpec extends SparkSpec {
     assert(readLake(lake)(1L) == (11.0, "a"))
   }
 
-  test("a complete crash stage is replayed by the next merge; an incomplete one is dropped") {
+  test("a committed crash stage is replayed by the next merge; an uncommitted one is dropped") {
     val lake = freshDir("replay")
     LakeMerge.merge(spark, lake, baseRows, Seq("k"), Seq("p"))
     val fs = new Path(lake).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = new Path(s"${lake}__merge_tmp")
 
     // fabricate the stage a crashed apply would leave: the merged contents
-    // of partition a with k=2 updated, plus the _SUCCESS commit marker
+    // of partition a with k=2 updated, plus the _graft_commit marker
     Seq((1L, 10.0, "a"), (2L, 22.0, "a")).toDF("k", "v", "p")
+      .write.partitionBy("p").parquet(stage.toString)
+    fs.create(new Path(stage, "_graft_commit"), true).close()
+    LakeMerge.recover(spark, lake)
+    assert(readLake(lake)(2L) == (22.0, "a") && !fs.exists(stage))
+
+    // the crash WINDOW pin: a stage whose parquet finished (_SUCCESS
+    // present) but that never reached the commit marker must be treated as
+    // debris — the evacuation list may be missing, so replaying it could
+    // leave stale copies of moved keys
+    Seq((2L, 99.0, "a")).toDF("k", "v", "p")
       .write.partitionBy("p").parquet(stage.toString)
     assert(fs.exists(new Path(stage, "_SUCCESS")))
     LakeMerge.recover(spark, lake)
     assert(readLake(lake)(2L) == (22.0, "a") && !fs.exists(stage))
+  }
 
-    // an incomplete stage (no _SUCCESS) must be discarded untouched-lake
-    Seq((2L, 99.0, "a")).toDF("k", "v", "p")
-      .write.partitionBy("p").parquet(stage.toString)
-    fs.delete(new Path(stage, "_SUCCESS"), false)
-    LakeMerge.recover(spark, lake)
-    assert(readLake(lake)(2L) == (22.0, "a") && !fs.exists(stage))
+  test("rows in a NULL-valued partition survive a merge touching that partition") {
+    val lake = freshDir("nullpart")
+    val base = Seq((1L, 10.0, Option("a")), (2L, 20.0, Option.empty[String]),
+      (3L, 30.0, Option.empty[String])).toDF("k", "v", "p")
+    LakeMerge.merge(spark, lake, base, Seq("k"), Seq("p"))
+    // k=4 inserts into the default partition; k=2,k=3 must be kept through
+    // the rewrite (a null-unsafe partition semi-join would drop them)
+    val batch = Seq((4L, 40.0, Option.empty[String])).toDF("k", "v", "p")
+    LakeMerge.merge(spark, lake, batch, Seq("k"), Seq("p"))
+    val got = spark.read.parquet(lake).select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0, 4L -> 40.0))
   }
 
   test("empty batch is a no-op") {
