@@ -1661,6 +1661,25 @@ FROM aug ORDER BY doc_id""".stripMargin
           graft.operators.ZOrder.zValueSql("(l_partkey % 4096)", "(l_suppkey % 4096)", bits = 12) +
           " AS z FROM lineitem ORDER BY l_orderkey, l_linenumber")),
 
+      // integer-arithmetic PageRank over the bidirectional part-supplier
+      // graph: 5 damped power-iteration rounds, every step exact integer
+      // (score div outdeg, 85/100 damping) so the unrolled-CTE oracle
+      // replays it bit-for-bit
+      RegisteredQuery(
+        "q_pagerank",
+        (s, dir) => {
+          val li = Tables.resolve(s, dir)("lineitem")
+          val fwd = li.select(col("l_partkey").as("src"),
+            (col("l_suppkey") + 1000000L).as("dst")).distinct()
+          val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+          graft.operators.GraphRank.pageRankInt(edges, iters = 5).orderBy("id")
+        },
+        Some(graft.operators.GraphRank.oracleSql(
+          """SELECT src, dst FROM (SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst FROM lineitem)
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM (SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst FROM lineitem)""",
+          iters = 5))),
+
       // incremental exact dedup: batch vs historical fingerprint store
       // (anti-join known dups out BEFORE the in-batch shuffle)
       RegisteredQuery(

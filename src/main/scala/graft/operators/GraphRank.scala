@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank in EXACT integer arithmetic — link-graph centrality for corpus
+  * curation (rank domains/documents by the link structure before sampling
+  * or quality-weighting them, the CommonCrawl-preparation step every
+  * web-scale training pipeline runs).
+  *
+  * Why integer: the textbook float power iteration is not cross-engine
+  * replayable (per-partition sum order changes the low bits). Here every
+  * step is closed over the integers — scores start at `startScore`, each
+  * vertex emits `score div outdeg` along its out-edges, and the damped
+  * update is `base + (dampNum · Σ incoming) div dampDen` with
+  * `base = (startScore · (dampDen − dampNum)) div dampDen`. Integer sums
+  * are order-independent, so the result is bit-identical on any engine and
+  * any partitioning — the [[oracleSql]] replay is an unrolled k-layer CTE
+  * chain. Magnitudes stay far below 2⁶³: scores never exceed
+  * `startScore · n/outdeg` mass bounds and the damped sum is ≤
+  * `dampNum · n · startScore`.
+  *
+  * Semantics notes (both sides of the oracle agree): dangling vertices
+  * (outdeg 0) leak their mass — they keep receiving but never emit, the
+  * plain power-iteration behavior without the dangling-redistribution
+  * term; `div` truncation loses ≤1 unit per edge per round, which is the
+  * price of exactness (pick `startScore` large enough that the truncation
+  * is relative noise — 10⁶ gives 6 significant digits).
+  *
+  * Scale shape (100 TB link graph): each round is TWO shuffles — the
+  * contribution join keyed on `src` and the incoming-sum aggregate keyed
+  * on `dst` (partial-agg combines map-side, so the shuffle carries one
+  * partial per (dst, partition), not one row per edge). The edge list and
+  * the degree table are `localCheckpoint`ed once and re-read from block
+  * storage every round; lineage is truncated per round so plan depth stays
+  * O(1) in `iters`. Nothing is ever all-pairs and no per-vertex adjacency
+  * list is materialized. Whale vertices (a hub with 10⁸ in-links) are
+  * absorbed by the map-side partial sums — the reduce side sees one row
+  * per partition, the [[SkewJoin]] salting path is NOT needed for the
+  * aggregate (only a skewed contribution JOIN on a whale `src` would want
+  * it, and src fan-out is bounded by outdeg by construction).
+  *
+  * Reference scope note: fabrix has no graph operators — this extends the
+  * graph family ([[graft.llm.DedupClusters]] connected components) on the
+  * same iterate-with-checkpoint driver-loop shape.
+  */
+object GraphRank {
+
+  /** Integer PageRank over directed `edges` (`src`, `dst` long columns).
+    * Returns (`id`, `score`) for every vertex appearing as src or dst.
+    * Self-loops and duplicate edges count like any other edge (dedup
+    * upstream if the graph is a set).
+    */
+  def pageRankInt(edges: DataFrame, iters: Int = 5, startScore: Long = 1000000L,
+                  dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
+      s"damping $dampNum/$dampDen must be a fraction in [0, 1]")
+    require(startScore > 0, s"startScore must be positive, got $startScore")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint(true)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("__outdeg")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(true)
+    val baseAdd = (startScore * (dampDen - dampNum)) / dampDen
+    var scores = nodes.select(col("id"), lit(startScore).as("score"))
+    var i = 0
+    while (i < iters) {
+      scores = step(e, outdeg, nodes, scores, baseAdd, dampNum, dampDen)
+        .localCheckpoint(true)
+      i += 1
+    }
+    scores
+  }
+
+  /** One damped update round (un-checkpointed — [[pageRankInt]] truncates
+    * lineage after each call; exposed separately so the plan shape is
+    * spec-pinnable).
+    */
+  private[operators] def step(e: DataFrame, outdeg: DataFrame, nodes: DataFrame,
+                              scores: DataFrame, baseAdd: Long,
+                              dampNum: Long, dampDen: Long): DataFrame = {
+    val contribs = e
+      .join(outdeg, "src")
+      .join(scores.withColumnRenamed("id", "src"), "src")
+      .select(col("dst"), expr("score div __outdeg").as("__c"))
+    val inSums = contribs.groupBy("dst").agg(sum("__c").as("__in"))
+    nodes
+      .join(inSums.withColumnRenamed("dst", "id"), Seq("id"), "left")
+      .select(col("id"),
+        (lit(baseAdd) +
+          expr(s"($dampNum * coalesce(__in, CAST(0 AS BIGINT))) div $dampDen"))
+          .as("score"))
+  }
+
+  /** DuckDB replay of [[pageRankInt]]: the same integer recurrence unrolled
+    * into `iters` CTE layers over the edge set produced by `edgesSelect`
+    * (a SELECT yielding `src`, `dst`). `//` is DuckDB's floor division —
+    * identical to Spark's `div` on the non-negative values used here.
+    */
+  def oracleSql(edgesSelect: String, iters: Int = 5, startScore: Long = 1000000L,
+                dampNum: Long = 85, dampDen: Long = 100): String = {
+    val baseAdd = (startScore * (dampDen - dampNum)) / dampDen
+    val sb = new StringBuilder
+    sb.append(s"WITH e AS ($edgesSelect),\n")
+    sb.append("n AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),\n")
+    sb.append("od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),\n")
+    sb.append(s"s0 AS (SELECT id, CAST($startScore AS BIGINT) AS score FROM n)")
+    for (i <- 1 to iters) {
+      sb.append(s""",
+s$i AS (
+  SELECT n.id,
+    CAST($baseAdd + ($dampNum * COALESCE(m.acc, 0)) // $dampDen AS BIGINT) AS score
+  FROM n LEFT JOIN (
+    SELECT e.dst AS id, sum(s.score // od.outdeg) AS acc
+    FROM e JOIN s${i - 1} s ON s.id = e.src JOIN od ON od.src = e.src
+    GROUP BY e.dst) m ON n.id = m.id)""")
+    }
+    sb.append(s"\nSELECT id, score FROM s$iters ORDER BY id")
+    sb.toString
+  }
+}
