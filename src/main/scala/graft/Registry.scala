@@ -1680,6 +1680,38 @@ FROM aug ORDER BY doc_id""".stripMargin
   SELECT dst AS src, src AS dst FROM (SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst FROM lineitem)""",
           iters = 5))),
 
+      // incrementally-maintained aggregate store: three batch folds of
+      // partial aggregates must equal one direct aggregate over the union
+      // (decomposable merges; DECIMAL sum for cross-engine exactness)
+      RegisteredQuery(
+        "q_agg_incremental",
+        (s, dir) => {
+          import graft.operators.IncrementalAgg._
+          val store = "/tmp/graft_agg_incremental"
+          val p = new org.apache.hadoop.fs.Path(store)
+          val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          Seq(store, store + "__compact_tmp", store + "__compact_old")
+            .foreach(d => f.delete(new org.apache.hadoop.fs.Path(d), true))
+          val li = Tables.resolve(s, dir)("lineitem")
+            .withColumn("qty_dec", col("l_quantity").cast("decimal(18,6)"))
+          val specs = Seq(Count("cnt"), Sum("qty_dec", "sum_qty"),
+            Min("l_extendedprice", "min_price"), Max("l_extendedprice", "max_price"))
+          (0 until 3).foreach { b =>
+            update(s, store, li.where(pmod(col("l_orderkey"), lit(3)) === b),
+              Seq("l_returnflag", "l_linestatus"), specs)
+          }
+          read(s, store)
+            .select(col("l_returnflag"), col("l_linestatus"), col("cnt"),
+              col("sum_qty").cast("double").as("sum_qty"),
+              col("min_price"), col("max_price"))
+            .orderBy("l_returnflag", "l_linestatus")
+        },
+        Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""")),
+
       // incremental exact dedup: batch vs historical fingerprint store
       // (anti-join known dups out BEFORE the in-batch shuffle)
       RegisteredQuery(

@@ -98,69 +98,25 @@ object DedupIngest {
   def compactStore(spark: org.apache.spark.sql.SparkSession, storeDir: String,
                    targetPartitions: Int): Unit = {
     require(targetPartitions > 0, "targetPartitions must be positive")
-    // sibling work dirs via Path (normalizes trailing slashes — raw string
-    // concat would nest them INSIDE the store and wedge the swap)
-    val p = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + "__compact_tmp")
-    val trash = trashPath(p)
-    // recovery: a crash between the two renames below leaves the store
-    // missing and the only copy at `trash` — restore it FIRST, before the
-    // hasData early-return could bootstrap an empty history (and before
-    // anything deletes trash). Ingest steps run the same restore at entry
-    // (restoreIfStashed), so a restarted stream can never bootstrap a
-    // fresh store while history sits in the trash.
+    // recovery: a crash between the swap renames leaves the store missing
+    // and the only copy in the stash — restore it FIRST, before the hasData
+    // early-return could bootstrap an empty history. Ingest steps run the
+    // same restore at entry, so a restarted stream can never bootstrap a
+    // fresh store while history sits in the stash.
     restoreIfStashed(spark, storeDir)
-    if (!hasData(spark, p.toString)) return
-    // the store exists, so any surviving trash/tmp is from a COMPLETED or
-    // abandoned run — safe to clear
-    fs.delete(tmp, true); fs.delete(trash, true)
+    if (!hasData(spark, storeDir)) return
     // coalesce, not repartition: merging small files needs no exchange —
     // a narrow merge of input splits per output file (size balance across
     // the target files is not a goal here)
-    spark.read.parquet(p.toString).coalesce(targetPartitions)
-      .write.mode("overwrite").parquet(tmp.toString)
-    if (!fs.rename(p, trash)) throw new java.io.IOException(s"compact: cannot move $p aside")
-    if (!fs.rename(tmp, p)) { // restore on failure so the store survives
-      fs.rename(trash, p)
-      throw new java.io.IOException(s"compact: cannot swap $tmp into place")
-    }
-    fs.delete(trash, true)
+    graft.sources.AtomicStore.replace(spark, storeDir,
+      spark.read.parquet(storeDir), coalesceTo = targetPartitions)
   }
 
-  private def trashPath(p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
-    new org.apache.hadoop.fs.Path(p.getParent, p.getName + "__compact_old")
+  private def restoreIfStashed(spark: org.apache.spark.sql.SparkSession, storeDir: String): Unit =
+    graft.sources.AtomicStore.restoreIfStashed(spark, storeDir)
 
-  /** If the store is missing/empty but a compaction stash exists (a crash
-    * landed between [[compactStore]]'s two swap renames), restore the stash
-    * before anything reads — or bootstraps over — the store. Runs at the
-    * top of every ingest step AND compactStore, so no code path can treat
-    * a mid-swap store as absent while the only copy sits in the stash.
-    */
-  private def restoreIfStashed(spark: org.apache.spark.sql.SparkSession, storeDir: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val trash = trashPath(p)
-    if (!hasData(spark, p.toString) && fs.exists(trash)) {
-      fs.delete(p, true) // debris-only dir, if any
-      if (!fs.rename(trash, p))
-        throw new java.io.IOException(s"compact recovery: cannot restore $trash to $p")
-    }
-  }
-
-  /** Does the store directory hold actual data files? A bare `exists` check
-    * wedges the ingest after a crash mid-first-write: the directory exists
-    * (with only `_temporary`/`_SUCCESS` debris) but `read.parquet` throws on
-    * every subsequent batch. Debris-only directories count as "no store".
-    */
-  private def hasData(spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).exists { st =>
-      val n = st.getPath.getName
-      st.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }
-  }
+  private def hasData(spark: org.apache.spark.sql.SparkSession, dir: String): Boolean =
+    graft.sources.AtomicStore.hasData(spark, dir)
 
   /** EXACT-dedup ingest: the same foreachBatch composition over the
     * fingerprint store ([[graft.llm.Dedup.dedupIncremental]] /
