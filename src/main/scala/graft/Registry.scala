@@ -1712,6 +1712,16 @@ min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus""")),
 
+      // edit-distance similarity self-join (ED-Join): frequency-ordered
+      // q-gram prefix filter generates candidates losslessly, exact
+      // levenshtein verifies — the naive quadratic join is the oracle
+      RegisteredQuery(
+        "q_fuzzy_join",
+        (s, dir) => graft.text.EdJoin.selfJoin(
+            Tables.resolve(s, dir)("customer"), "c_custkey", "c_name", k = 1)
+          .orderBy("id_a", "id_b"),
+        Some(graft.text.EdJoin.oracleSql("customer", "c_custkey", "c_name", k = 1))),
+
       // incremental exact dedup: batch vs historical fingerprint store
       // (anti-join known dups out BEFORE the in-batch shuffle)
       RegisteredQuery(
