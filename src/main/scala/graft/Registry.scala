@@ -1712,6 +1712,15 @@ min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus""")),
 
+      // weekly cohort retention matrix over the event stream: date_trunc
+      // floors + integer day arithmetic, engine-replayable exactly
+      RegisteredQuery(
+        "q_retention",
+        (s, dir) => graft.operators.Retention.weeklyCohorts(
+            graft.llm.EventWindows.readEvents(s, s"$dir/events.parquet"), "user_id", "ts")
+          .orderBy("cohort_week", "week_offset"),
+        Some(graft.operators.Retention.weeklyOracle("events", "user_id", "ts"))),
+
       // edit-distance similarity self-join (ED-Join): frequency-ordered
       // q-gram prefix filter generates candidates losslessly, exact
       // levenshtein verifies — the naive quadratic join is the oracle
