@@ -1690,8 +1690,9 @@ FROM aug ORDER BY doc_id""".stripMargin
           val store = "/tmp/graft_agg_incremental"
           val p = new org.apache.hadoop.fs.Path(store)
           val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-          Seq(store, store + "__compact_tmp", store + "__compact_old")
-            .foreach(d => f.delete(new org.apache.hadoop.fs.Path(d), true))
+          import graft.sources.AtomicStore
+          Seq(p, AtomicStore.tmpPath(p), AtomicStore.stashPath(p))
+            .foreach(d => f.delete(d, true))
           val li = Tables.resolve(s, dir)("lineitem")
             .withColumn("qty_dec", col("l_quantity").cast("decimal(18,6)"))
           val specs = Seq(Count("cnt"), Sum("qty_dec", "sum_qty"),
@@ -1721,9 +1722,10 @@ ORDER BY l_returnflag, l_linestatus""")),
           .orderBy("cohort_week", "week_offset"),
         Some(graft.operators.Retention.weeklyOracle("events", "user_id", "ts"))),
 
-      // edit-distance similarity self-join (ED-Join): frequency-ordered
-      // q-gram prefix filter generates candidates losslessly, exact
-      // levenshtein verifies — the naive quadratic join is the oracle
+      // edit-distance similarity self-join (FastSS/SymSpell): deletion-
+      // neighborhood blocking generates candidates losslessly (ed<=k =>
+      // both strings delete to a shared subsequence), exact levenshtein
+      // verifies — the naive quadratic join is the oracle
       RegisteredQuery(
         "q_fuzzy_join",
         (s, dir) => graft.text.EdJoin.selfJoin(

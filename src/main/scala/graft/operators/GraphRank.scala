@@ -30,10 +30,11 @@ import org.apache.spark.sql.functions._
   * Scale shape (100 TB link graph): each round is TWO shuffles — the
   * contribution join keyed on `src` and the incoming-sum aggregate keyed
   * on `dst` (partial-agg combines map-side, so the shuffle carries one
-  * partial per (dst, partition), not one row per edge). The edge list and
-  * the degree table are `localCheckpoint`ed once and re-read from block
-  * storage every round; lineage is truncated per round so plan depth stays
-  * O(1) in `iters`. Nothing is ever all-pairs and no per-vertex adjacency
+  * partial per (dst, partition), not one row per edge). The loop-invariant
+  * outdeg join is paid ONCE up front: the degree-annotated edge list is
+  * `localCheckpoint`ed and re-read from block storage every round, so each
+  * round joins only the current scores; lineage is truncated per round so
+  * plan depth stays O(1) in `iters`. Nothing is ever all-pairs and no per-vertex adjacency
   * list is materialized. Whale vertices (a hub with 10⁸ in-links) are
   * absorbed by the map-side partial sums — the reduce side sees one row
   * per partition, the [[SkewJoin]] salting path is NOT needed for the
@@ -59,14 +60,19 @@ object GraphRank {
     require(startScore > 0, s"startScore must be positive, got $startScore")
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).localCheckpoint(true)
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("__outdeg")).localCheckpoint(true)
+    // outdeg is loop-invariant: join it onto the edge list ONCE and
+    // checkpoint the result, so each round pays only the scores join —
+    // not a redundant full-edge-list degree join per iteration
+    val eDeg = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("__outdeg")), "src")
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(true)
     val baseAdd = (startScore * (dampDen - dampNum)) / dampDen
     var scores = nodes.select(col("id"), lit(startScore).as("score"))
     var i = 0
     while (i < iters) {
-      scores = step(e, outdeg, nodes, scores, baseAdd, dampNum, dampDen)
+      scores = step(eDeg, nodes, scores, baseAdd, dampNum, dampDen)
         .localCheckpoint(true)
       i += 1
     }
@@ -77,11 +83,10 @@ object GraphRank {
     * lineage after each call; exposed separately so the plan shape is
     * spec-pinnable).
     */
-  private[operators] def step(e: DataFrame, outdeg: DataFrame, nodes: DataFrame,
+  private[operators] def step(eDeg: DataFrame, nodes: DataFrame,
                               scores: DataFrame, baseAdd: Long,
                               dampNum: Long, dampDen: Long): DataFrame = {
-    val contribs = e
-      .join(outdeg, "src")
+    val contribs = eDeg
       .join(scores.withColumnRenamed("id", "src"), "src")
       .select(col("dst"), expr("score div __outdeg").as("__c"))
     val inSums = contribs.groupBy("dst").agg(sum("__c").as("__in"))

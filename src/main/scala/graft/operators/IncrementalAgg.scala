@@ -71,7 +71,7 @@ object IncrementalAgg {
     AtomicStore.restoreIfStashed(spark, storeDir)
     val part = partial(batch, groupCols, specs)
     if (!AtomicStore.hasData(spark, storeDir)) {
-      part.write.mode("overwrite").parquet(storeDir)
+      AtomicStore.create(spark, storeDir, part)
       return
     }
     AtomicStore.replace(spark, storeDir,

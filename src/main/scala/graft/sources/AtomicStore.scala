@@ -48,6 +48,25 @@ object AtomicStore {
     fs.delete(stash, true)
   }
 
+  /** Bootstrap the store at `dir` crash-safely (caller has verified via
+    * [[hasData]] that no live store exists): stage the first batch to the
+    * tmp sibling, then rename into place. The live path never holds a
+    * partial write — a crash mid-bootstrap leaves only tmp debris, so the
+    * at-least-once replay bootstraps cleanly instead of folding the full
+    * batch onto a partial remnant that [[hasData]] would mistake for a
+    * valid store.
+    */
+  def create(spark: SparkSession, dir: String, df: DataFrame): Unit = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = tmpPath(p)
+    fs.delete(tmp, true)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(p, true) // debris-only dir, if any — caller verified no data
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"bootstrap: cannot move $tmp to $p")
+  }
+
   /** If the store is missing/empty but a stash exists (a crash landed
     * between [[replace]]'s two renames), restore the stash before anything
     * reads — or bootstraps over — the store.

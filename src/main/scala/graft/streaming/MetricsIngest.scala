@@ -13,13 +13,16 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * [[DedupIngest]] / [[LakeIngest]]).
   *
   * Delivery: `foreachBatch` is at-least-once, and a FOLD REPLAY IS NOT a
-  * no-op (counts would double) — the store swap is crash-safe
-  * (AtomicStore stash discipline: a killed fold leaves the old store or
-  * the new one, never a mix), so replay only arises when the sink
-  * succeeded but the checkpoint write did not. That window double-counts
-  * one batch: acceptable for monitoring metrics (the documented
-  * contract); where exactness across restarts is required, land batches
-  * to the lake (L76) and derive metrics from it.
+  * no-op (counts would double). `checkpointDir` is therefore REQUIRED —
+  * a restart resumes from the recorded source offsets, so the only
+  * replayable batch is the one whose fold succeeded but whose checkpoint
+  * commit did not (without a durable checkpoint a restart would re-fold
+  * the ENTIRE source into the surviving store). The store swap itself is
+  * crash-safe (AtomicStore stash discipline: a killed fold leaves the old
+  * store or the new one, never a mix). The residual one-batch
+  * double-count window is acceptable for monitoring metrics (the
+  * documented contract); where exactness across restarts is required,
+  * land batches to the lake (L76) and derive metrics from it.
   *
   * Scale: per micro-batch cost = one partial aggregate of the batch (map-
   * side combine) + a store-sized merge; see IncrementalAgg for the
@@ -28,8 +31,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object MetricsIngest {
 
   def start(stream: DataFrame, storeDir: String, groupCols: Seq[String],
-            specs: Seq[IncrementalAgg.AggSpec]): StreamingQuery =
+            specs: Seq[IncrementalAgg.AggSpec], checkpointDir: String): StreamingQuery =
     stream.writeStream.outputMode("update")
+      .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         ingestBatch(batch, storeDir, groupCols, specs)
       }

@@ -63,11 +63,11 @@ class GraphRankSpec extends SparkSpec {
 
   test("each round's incoming sum is a partial aggregate; no cartesian anywhere") {
     val e = edges
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("__outdeg"))
+    val eDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("__outdeg")), "src")
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val scores = nodes.select(col("id"), lit(1000000L).as("score"))
-    val plan = GraphRank.step(e, outdeg, nodes, scores, 150000L, 85L, 100L)
+    val plan = GraphRank.step(eDeg, nodes, scores, 150000L, 85L, 100L)
       .queryExecution.executedPlan.toString
     assert(plan.contains("partial_sum"), plan)
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)

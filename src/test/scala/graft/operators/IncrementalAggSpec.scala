@@ -21,9 +21,10 @@ class IncrementalAggSpec extends SparkSpec {
 
   private def freshDir(name: String): String = {
     val d = s"/tmp/graft_incagg_spec/$name"
-    Seq(d, d + "__compact_tmp", d + "__compact_old").foreach { x =>
-      val p = new Path(x)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val p = new Path(d)
+    import graft.sources.AtomicStore
+    Seq(p, AtomicStore.tmpPath(p), AtomicStore.stashPath(p)).foreach { x =>
+      x.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(x, true)
     }
     d
   }
@@ -77,10 +78,10 @@ class IncrementalAggSpec extends SparkSpec {
     // simulate the crash window: store renamed aside, nothing in its place
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fs.rename(p, new Path(dir + "__compact_old")))
+    assert(fs.rename(p, graft.sources.AtomicStore.stashPath(p)))
     assert(read(spark, dir).collect().toSet == before, "read() must restore the stash")
     // and update() on a stashed store folds into the RESTORED history
-    assert(fs.rename(p, new Path(dir + "__compact_old")))
+    assert(fs.rename(p, graft.sources.AtomicStore.stashPath(p)))
     update(spark, dir, li.limit(0), groupCols, specs)
     assert(read(spark, dir).collect().toSet == before)
   }

@@ -151,7 +151,8 @@ class DedupIngestSpec extends SparkSpec {
     // replacement never landed): the next INGEST step must restore the
     // stashed copy — not bootstrap a fresh store over it — so the replayed
     // batch still dedups against pre-crash history
-    val stash = new java.io.File(sStore + "__compact_old")
+    val stash = new java.io.File(
+      graft.sources.AtomicStore.stashPath(new org.apache.hadoop.fs.Path(sStore)).toString)
     assert(new java.io.File(sStore).renameTo(stash))
     DedupIngest.ingestBatchExact(splits.head, sCorpus, sStore, "text", "doc_id", 0L)
     assert(!stash.exists(), "ingest must restore the stash before reading the store")
