@@ -809,6 +809,18 @@ ORDER BY o_orderkey""")),
           .orderBy("left_id", "right_id"),
         Some(Dedup.minhashOracle("documents", "doc_id", "text"))),
 
+      // exact n-gram Jaccard similarity join: AllPairs/PPJoin prefix
+      // filtering over a df-ascending global shingle order generates
+      // candidates losslessly, exact set intersection verifies with a
+      // cross-multiplied integer threshold — the recall-1.0 complement
+      // of the banded-MinHash path, same shingle definition
+      RegisteredQuery(
+        "q_ngram_jaccard",
+        (s, dir) => graft.text.JaccardJoin.selfJoin(
+            Tables.resolve(s, dir)("documents"), "doc_id", "text")
+          .orderBy("id_a", "id_b"),
+        Some(graft.text.JaccardJoin.oracleSql("documents", "doc_id", "text"))),
+
       // incremental near-dup: batch bands equi-joined against the STORE's
       // kept bands (no re-banding of history, no batch×store product) —
       // the steady-state continuous-ingestion shape of q_dedup_minhash;

@@ -506,12 +506,24 @@ SELECT doc_id_ AS doc_id, $assemble AS simhash FROM sums ORDER BY doc_id_""".str
     * connected-components oracle in [[DedupClusters]] so the pair-generation
     * SQL cannot drift between the two gates.
     */
+  /** CTEs `toks` + `sh` yielding each row's distinct shingle set as
+    * `sh(doc_id_, s)` — the SQL mirror of [[TextFunctions.shingleSet]],
+    * shared by the MinHash and exact-Jaccard oracles so the shingle SQL
+    * cannot drift between gates.
+    */
+  private[graft] def shingleCtes(table: String, idCol: String, textCol: String,
+                                 n: Int): String = {
+    val shingleExpr = (0 until n).map(j => s"t[i+$j]").mkString("||' '||")
+    s"""toks AS (SELECT $idCol AS doc_id_, string_split($textCol, ' ') AS t FROM $table),
+sh AS (SELECT doc_id_, list_distinct(CASE WHEN len(t) < $n THEN [array_to_string(t, ' ')]
+  ELSE list_transform(generate_series(1, len(t)-${n - 1}), i -> $shingleExpr) END) AS s FROM toks)"""
+  }
+
   def minhashPairCtes(
       table: String, idCol: String, textCol: String,
       shingleN: Int, bands: Int, rowsPerBand: Int): String = {
     val k = bands * rowsPerBand
     val n = shingleN
-    val shingleExpr = (0 until n).map(j => s"t[i+$j]").mkString("||' '||")
     val sigTerms = (0 until k).map(i =>
       s"list_min(list_transform(h, x -> (${hashA(i)}*x+${hashB(i)}) % $P)) AS m$i").mkString(", ")
     val bandTerms = (0 until bands).map { j =>
@@ -519,9 +531,7 @@ SELECT doc_id_ AS doc_id, $assemble AS simhash FROM sums ORDER BY doc_id_""".str
         .reduceLeft((acc, m) => s"($acc*$P+$m)")
       s"SELECT doc_id_, $j AS band, $key AS bkey FROM sig"
     }.mkString(" UNION ALL ")
-    s"""toks AS (SELECT $idCol AS doc_id_, string_split($textCol, ' ') AS t FROM $table),
-sh AS (SELECT doc_id_, list_distinct(CASE WHEN len(t) < $n THEN [array_to_string(t, ' ')]
-  ELSE list_transform(generate_series(1, len(t)-${n - 1}), i -> $shingleExpr) END) AS s FROM toks),
+    s"""${shingleCtes(table, idCol, textCol, n)},
 hm AS (SELECT doc_id_, list_transform(s, x -> CAST(('0x'||substr(md5(x),1,15)) AS BIGINT) % $M) AS h FROM sh),
 sig AS (SELECT doc_id_, $sigTerms FROM hm),
 bands AS ($bandTerms),
