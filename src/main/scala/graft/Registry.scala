@@ -1725,6 +1725,17 @@ min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus""")),
 
+      // fixed-grid resample of the event stream: per-user hourly buckets,
+      // gaps forward-filled — epoch-aligned floors and a max reducer keep
+      // it engine-replayable; spine bounded by span, not event count
+      RegisteredQuery(
+        "q_resample",
+        (s, dir) => graft.operators.Resample.gapFillFfill(
+            graft.llm.EventWindows.readEvents(s, s"$dir/events.parquet"),
+            "user_id", "ts", "value")
+          .orderBy("user_id", "bucket"),
+        Some(graft.operators.Resample.gapFillOracle("events", "user_id", "ts", "value"))),
+
       // weekly cohort retention matrix over the event stream: date_trunc
       // floors + integer day arithmetic, engine-replayable exactly
       RegisteredQuery(
