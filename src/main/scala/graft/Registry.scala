@@ -1725,6 +1725,33 @@ min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus""")),
 
+      // SCD Type-2 dimension maintenance: three in-order change batches
+      // folded into the versioned store must equal the direct build
+      // (windows over (eff, seq); no-op changes collapse; late data rejected)
+      RegisteredQuery(
+        "q_scd2",
+        (s, dir) => {
+          import graft.operators.Scd2
+          import graft.sources.AtomicStore
+          val store = "/tmp/graft_scd2_store"
+          val p = new org.apache.hadoop.fs.Path(store)
+          val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          Seq(p, AtomicStore.tmpPath(p), AtomicStore.stashPath(p))
+            .foreach(x => f.delete(x, true))
+          val ch = Tables.resolve(s, dir)("orders").select(
+            col("o_custkey").as("k"), col("o_orderstatus").as("status"),
+            col("o_orderdate").as("eff"), col("o_orderkey").as("seq"))
+          val c1 = java.sql.Date.valueOf("1994-01-01")
+          val c2 = java.sql.Date.valueOf("1996-06-01")
+          Seq(ch.where(col("eff") < lit(c1)),
+              ch.where(col("eff") >= lit(c1) && col("eff") < lit(c2)),
+              ch.where(col("eff") >= lit(c2)))
+            .foreach(b => Scd2.update(s, store, b, "k", Seq("status"), "eff", "seq"))
+          Scd2.read(s, store).orderBy("k", "valid_from", "seq")
+        },
+        Some(graft.operators.Scd2.buildOracle("orders", "o_custkey",
+          Seq(("o_orderstatus", "status")), "o_orderdate", "o_orderkey"))),
+
       // fixed-grid resample of the event stream: per-user hourly buckets,
       // gaps forward-filled — epoch-aligned floors and a max reducer keep
       // it engine-replayable; spine bounded by span, not event count

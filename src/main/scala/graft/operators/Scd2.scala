@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension Type 2 maintenance — turn a change stream
+  * (key, attributes, effective time, change sequence) into versioned
+  * dimension rows `[valid_from, valid_to)` with an `is_current` flag, and
+  * fold new change batches into a persisted dimension incrementally. The
+  * warehouse primitive behind "what was this customer's segment WHEN the
+  * event happened" joins (the dimension-side complement of the as-of
+  * family, which solves the same question from the event side).
+  *
+  * Semantics: versions per key are ordered by (`effCol`, `seqCol`) —
+  * `seqCol` is the change-sequence tie-break every CDC stream carries
+  * (LSN, log offset, source PK); consecutive changes with identical
+  * attributes collapse to the first (the standard no-op-change rule);
+  * `valid_to` is the next surviving change's effective time, null while
+  * current. Everything is windows over (eff, seq) ordering — no floats,
+  * no engine hazards; the DuckDB oracle replays it bit-identically.
+  *
+  * Incremental contract: batches must arrive IN ORDER per key (each
+  * batch's changes at-or-after the key's stored history — the normal
+  * time-partitioned CDC shape). Under that contract
+  * `fold(batches) ≡ build(union(batches))` exactly: collapse only ever
+  * compares a batch's first change against the key's last stored version,
+  * which is the same comparison the direct build makes. Out-of-order
+  * deliveries are detected (`strict = true`, the default) and rejected —
+  * a late change CANNOT be folded correctly because already-collapsed
+  * no-op changes are unrecoverable; route late data through a rebuild.
+  *
+  * Scale shape: build is one hash shuffle on the key + per-key sort
+  * windows (spill-safe — no per-key array buffering); the fold rebuilds
+  * ONLY keys present in the batch (semi/anti split of the store) and the
+  * strict check is a semi-join-sized aggregate over those same keys. The
+  * store rewrite per fold goes through [[graft.sources.AtomicStore]]
+  * (crash = old store or new, never a mix); for a giant dimension,
+  * partition the store and rewrite only affected partitions via
+  * [[graft.sources.LakeMerge]] — the fold algebra is unchanged.
+  *
+  * Reference anchor: the versioned-dimension analog of S9's Upsert
+  * SaveStrategy (fabrix-sources upsert splits current rows; SCD2 keeps
+  * the history those upserts overwrite) — extension row.
+  */
+object Scd2 {
+
+  /** Versioned dimension from a complete change log: (`keyCol`, attrs...,
+    * `valid_from`, `seqCol`, `valid_to`, `is_current`).
+    */
+  def build(changes: DataFrame, keyCol: String, attrCols: Seq[String],
+            effCol: String, seqCol: String): DataFrame = {
+    require(attrCols.nonEmpty, "SCD2 needs at least one tracked attribute")
+    val ord = Window.partitionBy(keyCol).orderBy(col(effCol), col(seqCol))
+    val attrTuple = struct(attrCols.map(col): _*)
+    val kept = changes
+      .where(col(keyCol).isNotNull && col(effCol).isNotNull)
+      .withColumn("__prev", lag(attrTuple, 1).over(ord))
+      .where(col("__prev").isNull || !(attrTuple <=> col("__prev")))
+    val ord2 = Window.partitionBy(keyCol).orderBy(col(effCol), col(seqCol))
+    kept
+      .withColumn("valid_to", lead(col(effCol), 1).over(ord2))
+      .select((Seq(col(keyCol)) ++ attrCols.map(col) ++ Seq(
+        col(effCol).as("valid_from"), col(seqCol),
+        col("valid_to"), col("valid_to").isNull.as("is_current"))): _*)
+  }
+
+  /** Fold one in-order change batch into the dimension store at `storeDir`
+    * (bootstraps on first use). After n folds the store equals [[build]]
+    * over the concatenation — exactly, given the in-order contract.
+    */
+  def update(spark: SparkSession, storeDir: String, batch: DataFrame,
+             keyCol: String, attrCols: Seq[String], effCol: String,
+             seqCol: String, strict: Boolean = true): Unit = {
+    import graft.sources.AtomicStore
+    AtomicStore.restoreIfStashed(spark, storeDir)
+    if (!AtomicStore.hasData(spark, storeDir)) {
+      AtomicStore.create(spark, storeDir,
+        build(batch, keyCol, attrCols, effCol, seqCol))
+      return
+    }
+    val dim = spark.read.parquet(storeDir)
+    val keys = batch.select(col(keyCol)).distinct()
+    val affected = dim.join(keys, Seq(keyCol), "left_semi")
+    if (strict) {
+      // a batch change strictly before its key's last version is late data
+      val lastV = affected.groupBy(keyCol)
+        .agg(max(struct(col("valid_from").as("e"), col(seqCol).as("q"))).as("__last"))
+      val late = batch.join(lastV, Seq(keyCol))
+        .where(struct(col(effCol).as("e"), col(seqCol).as("q")) < col("__last")).count()
+      require(late == 0,
+        s"$late out-of-order change(s): batches must arrive in (eff, seq) order " +
+          "per key; already-collapsed no-op changes make late folds unsound — rebuild instead")
+    }
+    // stored versions ARE the key's surviving change log: replay them with
+    // the batch through the same build
+    val versionCols = (Seq(col(keyCol)) ++ attrCols.map(col) ++
+      Seq(col("valid_from").as(effCol), col(seqCol)))
+    val rebuilt = build(
+      affected.select(versionCols: _*)
+        .unionByName(batch.select((Seq(col(keyCol)) ++ attrCols.map(col) ++
+          Seq(col(effCol), col(seqCol))): _*)),
+      keyCol, attrCols, effCol, seqCol)
+    val untouched = dim.join(keys, Seq(keyCol), "left_anti")
+    AtomicStore.replace(spark, storeDir, untouched.unionByName(rebuilt))
+  }
+
+  /** The maintained dimension: every version of every key seen so far. */
+  def read(spark: SparkSession, storeDir: String): DataFrame = {
+    graft.sources.AtomicStore.restoreIfStashed(spark, storeDir)
+    spark.read.parquet(storeDir)
+  }
+
+  /** DuckDB replay of [[build]] — same (eff, seq) ordering, same collapse
+    * rule, same window-derived validity. `attrSql` are (expr, alias)
+    * pairs; the distinct-from collapse matches Spark's null-safe struct
+    * comparison.
+    */
+  def buildOracle(table: String, keyE: String, attrs: Seq[(String, String)],
+                  effE: String, seqE: String): String = {
+    val attrAliases = attrs.map(_._2)
+    val attrSel = attrs.map { case (e, a) => s"$e AS $a" }.mkString(", ")
+    val tup = attrAliases.mkString("(", ", ", ")")
+    s"""WITH ch AS (SELECT $keyE AS k, $attrSel, $effE AS eff, $seqE AS seq
+  FROM $table WHERE $keyE IS NOT NULL AND $effE IS NOT NULL),
+o AS (SELECT *, lag($tup) OVER (PARTITION BY k ORDER BY eff, seq) AS prev FROM ch),
+kept AS (SELECT k, ${attrAliases.mkString(", ")}, eff, seq FROM o
+  WHERE prev IS NULL OR $tup IS DISTINCT FROM prev)
+SELECT k, ${attrAliases.mkString(", ")}, eff AS valid_from, seq,
+  lead(eff) OVER (PARTITION BY k ORDER BY eff, seq) AS valid_to,
+  lead(eff) OVER (PARTITION BY k ORDER BY eff, seq) IS NULL AS is_current
+FROM kept ORDER BY k, valid_from, seq"""
+  }
+}

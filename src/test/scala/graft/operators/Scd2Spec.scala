@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** SCD2 contracts: hand-checked versioning, no-op collapse, tie ordering,
+  * fold-of-batches ≡ direct build under the in-order contract, late-data
+  * rejection, stash recovery, and the windows-only plan shape.
+  */
+class Scd2Spec extends SparkSpec {
+
+  private def d(s: String) = java.sql.Date.valueOf(s)
+
+  private def changesDf = {
+    import spark.implicits._
+    Seq(
+      (1L, "bronze", d("2024-01-01"), 10L),
+      (1L, "bronze", d("2024-02-01"), 20L), // no-op change, collapses
+      (1L, "silver", d("2024-03-01"), 30L),
+      (1L, "gold",   d("2024-03-01"), 31L), // same-day tie, seq orders it
+      (2L, "gold",   d("2024-01-15"), 11L)
+    ).toDF("k", "status", "eff", "seq")
+  }
+
+  private def freshDir(name: String): String = {
+    val dir = s"/tmp/graft_scd2_spec/$name"
+    val p = new Path(dir)
+    import graft.sources.AtomicStore
+    Seq(p, AtomicStore.tmpPath(p), AtomicStore.stashPath(p)).foreach { x =>
+      x.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(x, true)
+    }
+    dir
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select("k", "status", "valid_from", "seq", "valid_to", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.get(2).toString, r.getLong(3),
+        Option(r.get(4)).map(_.toString), r.getBoolean(5))).toSet
+
+  test("hand-checked versions: collapse, validity chain, same-day ties") {
+    assert(rows(Scd2.build(changesDf, "k", Seq("status"), "eff", "seq")) == Set(
+      (1L, "bronze", "2024-01-01", 10L, Some("2024-03-01"), false),
+      (1L, "silver", "2024-03-01", 30L, Some("2024-03-01"), false),
+      (1L, "gold",   "2024-03-01", 31L, None, true),
+      (2L, "gold",   "2024-01-15", 11L, None, true)))
+  }
+
+  test("fold of in-order batches equals the direct build") {
+    val dir = freshDir("fold")
+    val li = spark.read.parquet(s"$sf/orders.parquet").select(
+      col("o_custkey").as("k"), col("o_orderstatus").as("status"),
+      col("o_orderdate").as("eff"), col("o_orderkey").as("seq"))
+    val cuts = Seq(d("1994-01-01"), d("1996-06-01"))
+    Seq(
+      li.where(col("eff") < cuts(0)),
+      li.where(col("eff") >= cuts(0) && col("eff") < cuts(1)),
+      li.where(col("eff") >= cuts(1))
+    ).foreach(b => Scd2.update(spark, dir, b, "k", Seq("status"), "eff", "seq"))
+    assert(rows(Scd2.read(spark, dir)) ==
+      rows(Scd2.build(li, "k", Seq("status"), "eff", "seq")))
+  }
+
+  test("late data is rejected under strict, not silently mis-folded") {
+    import spark.implicits._
+    val dir = freshDir("late")
+    Scd2.update(spark, dir, changesDf, "k", Seq("status"), "eff", "seq")
+    val late = Seq((1L, "iron", d("2023-12-01"), 5L)).toDF("k", "status", "eff", "seq")
+    intercept[IllegalArgumentException](
+      Scd2.update(spark, dir, late, "k", Seq("status"), "eff", "seq"))
+    // an in-order continuation for an existing key folds fine
+    val next = Seq((2L, "silver", d("2024-06-01"), 40L)).toDF("k", "status", "eff", "seq")
+    Scd2.update(spark, dir, next, "k", Seq("status"), "eff", "seq")
+    val r = rows(Scd2.read(spark, dir))
+    assert(r.contains((2L, "gold", "2024-01-15", 11L, Some("2024-06-01"), false)) &&
+      r.contains((2L, "silver", "2024-06-01", 40L, None, true)))
+  }
+
+  test("a mid-swap crash stash is restored by the next entry point") {
+    val dir = freshDir("stash")
+    Scd2.update(spark, dir, changesDf, "k", Seq("status"), "eff", "seq")
+    val before = rows(Scd2.read(spark, dir))
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(p, graft.sources.AtomicStore.stashPath(p)))
+    assert(rows(Scd2.read(spark, dir)) == before)
+  }
+
+  test("plan: per-key windows and one key shuffle; no cartesian") {
+    val plan = Scd2.build(changesDf, "k", Seq("status"), "eff", "seq")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
