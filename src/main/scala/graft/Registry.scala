@@ -1752,6 +1752,31 @@ ORDER BY l_returnflag, l_linestatus""")),
         Some(graft.operators.Scd2.buildOracle("orders", "o_custkey",
           Seq(("o_orderstatus", "status")), "o_orderdate", "o_orderkey"))),
 
+      // temporal point-in-interval join: every order matched to the
+      // dimension version valid at its date — key equi-join (hash, never
+      // an inequality nested loop) with interval containment residual
+      RegisteredQuery(
+        "q_temporal_join",
+        (s, dir) => {
+          import graft.operators.Scd2
+          val ch = Tables.resolve(s, dir)("orders").select(
+            col("o_custkey").as("k"), col("o_orderstatus").as("status"),
+            col("o_orderdate").as("eff"), col("o_orderkey").as("seq"))
+          val dim = Scd2.build(ch, "k", Seq("status"), "eff", "seq")
+          val facts = Tables.resolve(s, dir)("orders").select(
+            col("o_orderkey"), col("o_custkey").as("k"), col("o_orderdate").as("ft"))
+          Scd2.asOfDimension(facts, dim, "k", "ft")
+            .select("o_orderkey", "k", "status", "valid_from")
+            .orderBy("o_orderkey")
+        },
+        Some(s"""WITH dim AS (${graft.operators.Scd2.buildOracleBody("orders", "o_custkey",
+            Seq(("o_orderstatus", "status")), "o_orderdate", "o_orderkey")})
+SELECT o.o_orderkey, o.o_custkey AS k, d.status, d.valid_from
+FROM orders o JOIN dim d ON o.o_custkey = d.k
+  AND o.o_orderdate >= d.valid_from
+  AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+ORDER BY o_orderkey""")),
+
       // fixed-grid resample of the event stream: per-user hourly buckets,
       // gaps forward-filled — epoch-aligned floors and a max reducer keep
       // it engine-replayable; spine bounded by span, not event count

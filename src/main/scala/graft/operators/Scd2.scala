@@ -111,13 +111,31 @@ object Scd2 {
     spark.read.parquet(storeDir)
   }
 
-  /** DuckDB replay of [[build]] — same (eff, seq) ordering, same collapse
-    * rule, same window-derived validity. `attrSql` are (expr, alias)
-    * pairs; the distinct-from collapse matches Spark's null-safe struct
-    * comparison.
+  /** Join facts to the dimension version valid at each fact's timestamp —
+    * the point-in-interval (temporal) join SCD2 exists to serve: equi-join
+    * on the key with the `[valid_from, valid_to)` containment as a
+    * residual join condition, so the plan is a HASH join on the key (the
+    * per-key version list is small by construction — one row per real
+    * change), never an inequality-driven nested loop. Facts before the
+    * key's first version (or with no dimension key) drop out, the inner
+    * temporal-join semantic.
     */
-  def buildOracle(table: String, keyE: String, attrs: Seq[(String, String)],
-                  effE: String, seqE: String): String = {
+  def asOfDimension(facts: DataFrame, dim: DataFrame, keyCol: String,
+                    tsCol: String): DataFrame = {
+    val d = dim.as("d"); val f = facts.as("f")
+    f.join(d,
+      col(s"f.$keyCol") === col(s"d.$keyCol") &&
+        col(s"f.$tsCol") >= col("d.valid_from") &&
+        (col("d.valid_to").isNull || col(s"f.$tsCol") < col("d.valid_to")))
+      .select((facts.columns.map(c => col(s"f.$c")) ++
+        dim.columns.filter(_ != keyCol).map(c => col(s"d.$c"))): _*)
+  }
+
+  /** [[buildOracle]] without the final ORDER BY — embeddable as a
+    * subquery/CTE body (nested WITH is legal DuckDB).
+    */
+  def buildOracleBody(table: String, keyE: String, attrs: Seq[(String, String)],
+                      effE: String, seqE: String): String = {
     val attrAliases = attrs.map(_._2)
     val attrSel = attrs.map { case (e, a) => s"$e AS $a" }.mkString(", ")
     val tup = attrAliases.mkString("(", ", ", ")")
@@ -129,6 +147,15 @@ kept AS (SELECT k, ${attrAliases.mkString(", ")}, eff, seq FROM o
 SELECT k, ${attrAliases.mkString(", ")}, eff AS valid_from, seq,
   lead(eff) OVER (PARTITION BY k ORDER BY eff, seq) AS valid_to,
   lead(eff) OVER (PARTITION BY k ORDER BY eff, seq) IS NULL AS is_current
-FROM kept ORDER BY k, valid_from, seq"""
+FROM kept"""
   }
+
+  /** DuckDB replay of [[build]] — same (eff, seq) ordering, same collapse
+    * rule, same window-derived validity. `attrs` are (expr, alias) pairs;
+    * the distinct-from collapse matches Spark's null-safe struct
+    * comparison.
+    */
+  def buildOracle(table: String, keyE: String, attrs: Seq[(String, String)],
+                  effE: String, seqE: String): String =
+    buildOracleBody(table, keyE, attrs, effE, seqE) + " ORDER BY k, valid_from, seq"
 }

@@ -87,6 +87,30 @@ class Scd2Spec extends SparkSpec {
     assert(rows(Scd2.read(spark, dir)) == before)
   }
 
+  test("asOfDimension: boundary goes to the new version; pre-history drops") {
+    import spark.implicits._
+    val dim = Scd2.build(changesDf, "k", Seq("status"), "eff", "seq")
+    val facts = Seq(
+      (100L, 1L, d("2024-02-15")), // inside bronze
+      (101L, 1L, d("2024-03-01")), // exactly at change: gold (zero-length silver skipped)
+      (102L, 1L, d("2023-06-01")), // before first version: drops
+      (103L, 9L, d("2024-01-01"))  // unknown key: drops
+    ).toDF("fid", "k", "ft")
+    val out = Scd2.asOfDimension(facts, dim, "k", "ft")
+      .select("fid", "status").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((100L, "bronze"), (101L, "gold")))
+  }
+
+  test("asOfDimension plan: hash join on the key, no nested loop") {
+    import spark.implicits._
+    val dim = Scd2.build(changesDf, "k", Seq("status"), "eff", "seq")
+    val facts = Seq((100L, 1L, d("2024-02-15"))).toDF("fid", "k", "ft")
+    val plan = Scd2.asOfDimension(facts, dim, "k", "ft")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("plan: per-key windows and one key shuffle; no cartesian") {
     val plan = Scd2.build(changesDf, "k", Seq("status"), "eff", "seq")
       .queryExecution.executedPlan.toString
