@@ -1725,6 +1725,40 @@ min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus""")),
 
+      // pivot with pinned values: one partial-agg'd group-by, |values|
+      // buffer slots per group — the hand-written conditional-aggregation
+      // plan, no discovery scan, no Expand
+      RegisteredQuery(
+        "q_pivot",
+        (s, dir) => graft.operators.Reshape.pivotAgg(
+            Tables.resolve(s, dir)("lineitem"),
+            Seq("l_returnflag"), "l_linestatus", Seq("F", "O", "P"),
+            Seq(sum(col("l_quantity").cast("decimal(18,6)")).cast("double")))
+          .orderBy("l_returnflag"),
+        Some("""SELECT l_returnflag,
+CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS F,
+CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS O,
+CAST(sum(CASE WHEN l_linestatus = 'P' THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS P
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+      // unpivot/melt: measures stacked to (metric, value) rows in the
+      // scan stage (Expand, zero shuffle)
+      RegisteredQuery(
+        "q_unpivot",
+        (s, dir) => graft.operators.Reshape.unpivot(
+            Tables.resolve(s, dir)("lineitem")
+              .select(col("l_orderkey"), col("l_linenumber"),
+                col("l_quantity").cast("double").as("qty"),
+                col("l_extendedprice").cast("double").as("price"),
+                col("l_discount").cast("double").as("disc")),
+            Seq("l_orderkey", "l_linenumber"), Seq("qty", "price", "disc"))
+          .orderBy("l_orderkey", "l_linenumber", "metric"),
+        Some("""SELECT l_orderkey, l_linenumber, m AS metric, v AS value FROM (
+SELECT l_orderkey, l_linenumber, 'qty' AS m, CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+UNION ALL SELECT l_orderkey, l_linenumber, 'price', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+UNION ALL SELECT l_orderkey, l_linenumber, 'disc', CAST(l_discount AS DOUBLE) FROM lineitem)
+ORDER BY l_orderkey, l_linenumber, metric""")),
+
       // SCD Type-2 dimension maintenance: three in-order change batches
       // folded into the versioned store must equal the direct build
       // (windows over (eff, seq); no-op changes collapse; late data rejected)
