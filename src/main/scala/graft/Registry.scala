@@ -26,6 +26,13 @@ object Registry {
   private[graft] val freqItemsPrecondition =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** Per-dataset-dir cache of the q_quantile_sketch exact-regime
+    * precondition (max orders per customer) — same memoization rationale
+    * as [[freqItemsPrecondition]].
+    */
+  private[graft] val quantileSketchPrecondition =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   /** q_sample_mix quotas: uneven on purpose (some above the per-source row
     * count at small SFs — groups smaller than their quota emit all rows).
     */
@@ -1724,6 +1731,34 @@ CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
 min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus""")),
+
+      // mergeable quantile summary in its EXACT regime (groups ≤ 2k ⇒ no
+      // compress ever fires ⇒ discrete quantile exact, quantile_disc
+      // parity); the approximation path is QuantileSketchSpec's territory
+      RegisteredQuery(
+        "q_quantile_sketch",
+        (s, dir) => {
+          val orders = Tables.resolve(s, dir)("orders")
+          val maxPerCust = Registry.quantileSketchPrecondition.computeIfAbsent(dir, _ => {
+            val row = orders.groupBy("o_custkey").agg(count(lit(1)).as("n"))
+              .agg(max(col("n"))).head
+            if (row.isNullAt(0)) 0L else row.getLong(0)
+          })
+          require(maxPerCust <= 128,
+            s"q_quantile_sketch exact-regime precondition broken: a customer has " +
+              s"$maxPerCust orders > 2k=128 — the sketch would compress and the " +
+              "exact oracle comparison becomes meaningless; regenerate or raise k")
+          graft.functions.Quantiles.perGroup(
+              orders.withColumn("__cents",
+                (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")),
+              Seq("o_custkey"), col("__cents"),
+              k = 64, qs = Seq((1L, 2L), (9L, 10L)), names = Seq("p50", "p90"))
+            .orderBy("o_custkey")
+        },
+        Some("""SELECT o_custkey,
+quantile_disc(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT), 0.5) AS p50,
+quantile_disc(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT), 0.9) AS p90
+FROM orders GROUP BY o_custkey ORDER BY o_custkey""")),
 
       // pivot with pinned values: one partial-agg'd group-by, |values|
       // buffer slots per group — the hand-written conditional-aggregation

@@ -1,0 +1,153 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import scala.collection.mutable.ArrayBuffer
+
+/** Serialized form of a [[QuantileSketch]] buffer: `levels(l)` holds
+  * values of weight 2^l; `parities(l)` is the deterministic-alternation
+  * bit for the next compaction of level l.
+  */
+final case class QSketchBuf(levels: ArrayBuffer[ArrayBuffer[Long]],
+                            parities: ArrayBuffer[Boolean])
+
+/** Mergeable multi-level quantile summary over INTEGER-valued columns
+  * (scale fractional inputs first — cents, micros; integer ranks are what
+  * keep the summary engine-exact) — the quantile member of the mergeable-
+  * summaries family beside [[FreqSketch]] (heavy hitters), [[BottomK]]
+  * (distinct estimate) and [[TopKByScore]]: a full-sort `percentile` over
+  * a 100 TB column shuffles everything; this ships an
+  * O(k·log(n/k))-entry summary per (group, partition) and merges
+  * summaries, so shuffle volume scales with k, not row count.
+  *
+  * Mechanics: the KLL compaction scheme (Karnin-Lang-Liberman 2016) with
+  * DETERMINISTIC alternation instead of coin flips (the paper's
+  * derandomization: one parity bit per level — same summary for the same
+  * fold order, no RNG in an aggregation buffer): values live in levels of
+  * weight 2^l and capacity 2k; a full level sorts, keeps alternate
+  * elements (parity flipping per compaction, which cancels the rank bias
+  * the fixed choice would accumulate), and promotes them to weight
+  * 2^(l+1). Each level-l compaction perturbs any rank by ≤ 2^l, and
+  * level counts fall geometrically, so total rank error stays O(n/k)
+  * with a small constant (spec-checked on adversarial streams across
+  * partitionings).
+  *
+  * EXACT regime: while a group folds ≤ 2k values no compaction ever
+  * fires, and the reported quantile is exactly the discrete quantile
+  * "smallest value whose cumulative count ≥ ⌈φ·n⌉" — DuckDB/Postgres
+  * `quantile_disc`/`percentile_disc` semantics, the regime the oracle
+  * gate runs in (like [[FreqSketch]]'s exact-count regime). Quantile
+  * fractions are integer pairs `(num, den)` — no float rank arithmetic
+  * anywhere.
+  */
+class QuantileSketch(k: Int, qs: Seq[(Long, Long)])
+    extends Aggregator[java.lang.Long, QSketchBuf, Seq[Long]] {
+  require(k > 1, s"summary size k must be > 1, got $k")
+  require(qs.nonEmpty, "at least one quantile fraction")
+  qs.foreach { case (n, d) =>
+    require(d > 0 && n > 0 && n <= d, s"quantile $n/$d must be a fraction in (0, 1]")
+  }
+
+  private val cap = 2 * k
+
+  override def zero: QSketchBuf =
+    QSketchBuf(ArrayBuffer(new ArrayBuffer[Long]()), ArrayBuffer(false))
+
+  override def reduce(buf: QSketchBuf, v: java.lang.Long): QSketchBuf = {
+    if (v == null) return buf
+    buf.levels(0) += v.longValue()
+    if (buf.levels(0).length >= cap) compact(buf, 0)
+    buf
+  }
+
+  override def merge(a: QSketchBuf, b: QSketchBuf): QSketchBuf = {
+    while (a.levels.length < b.levels.length) {
+      a.levels += new ArrayBuffer[Long](); a.parities += false
+    }
+    var l = 0
+    while (l < b.levels.length) { a.levels(l) ++= b.levels(l); l += 1 }
+    l = 0
+    while (l < a.levels.length) { // cascade bottom-up
+      if (a.levels(l).length >= cap) compact(a, l)
+      l += 1
+    }
+    a
+  }
+
+  /** Sort level l, promote alternate elements to level l+1 (parity
+    * alternates per compaction; an odd leftover stays behind).
+    */
+  private def compact(buf: QSketchBuf, l: Int): Unit = {
+    if (l + 1 == buf.levels.length) {
+      buf.levels += new ArrayBuffer[Long](); buf.parities += false
+    }
+    val lvl = buf.levels(l)
+    val sorted = lvl.toArray
+    java.util.Arrays.sort(sorted)
+    val even = sorted.length - (sorted.length & 1)
+    val start = if (buf.parities(l)) 1 else 0
+    buf.parities(l) = !buf.parities(l)
+    val up = buf.levels(l + 1)
+    var i = start
+    while (i < even) { up += sorted(i); i += 2 }
+    lvl.clear()
+    if (even < sorted.length) lvl += sorted(even) // odd carry keeps weight 2^l
+    if (up.length >= cap) compact(buf, l + 1)
+  }
+
+  /** One value per requested fraction: smallest value with cumulative
+    * weight ≥ ⌈num·W/den⌉ over the weighted union of levels (empty
+    * input → empty).
+    */
+  override def finish(buf: QSketchBuf): Seq[Long] = {
+    var n = 0
+    var l = 0
+    while (l < buf.levels.length) { n += buf.levels(l).length; l += 1 }
+    if (n == 0) return Seq.empty
+    val vs = new Array[Long](n)
+    val ws = new Array[Long](n)
+    var i = 0
+    l = 0
+    while (l < buf.levels.length) {
+      val w = 1L << l
+      buf.levels(l).foreach { v => vs(i) = v; ws(i) = w; i += 1 }
+      l += 1
+    }
+    val order = (0 until n).sortBy(vs(_))
+    val total = ws.sum
+    qs.map { case (num, den) =>
+      val r = (num * total + den - 1) / den
+      var cum = 0L; var j = 0
+      while (cum < r) { cum += ws(order(j)); j += 1 }
+      vs(order(j - 1))
+    }
+  }
+
+  override def bufferEncoder: Encoder[QSketchBuf] =
+    org.apache.spark.sql.Encoders.kryo[QSketchBuf]
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}
+
+object Quantiles {
+
+  /** Aggregate column: array of discrete quantiles of `value` (cast to
+    * long) at the integer fractions `qs`, summary size `k`.
+    */
+  def apply(k: Int, qs: Seq[(Long, Long)])(value: Column): Column =
+    udaf(new QuantileSketch(k, qs)).apply(value.cast("long"))
+
+  /** Per-group quantiles as columns: one row per group, one column per
+    * requested fraction (named by `names`).
+    */
+  def perGroup(df: DataFrame, groupCols: Seq[String], value: Column,
+               k: Int, qs: Seq[(Long, Long)], names: Seq[String]): DataFrame = {
+    require(names.length == qs.length, "one name per fraction")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(Quantiles(k, qs)(value).as("__q"))
+      .select(groupCols.map(col) ++ names.zipWithIndex.map { case (n, i) =>
+        element_at(col("__q"), i + 1).as(n)
+      }: _*)
+  }
+}
