@@ -1732,6 +1732,16 @@ min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus""")),
 
+      // inverted index: per-doc distinct terms in the scan stage, one
+      // term-keyed shuffle, posting lists bounded by the BottomK buffer
+      // (df still counts everything — truncation visible, not silent)
+      RegisteredQuery(
+        "q_inverted_index",
+        (s, dir) => graft.text.InvertedIndex.buildFlat(
+            Tables.resolve(s, dir)("documents"), "doc_id", "text", maxPostings = 32)
+          .orderBy("term", "pos"),
+        Some(graft.text.InvertedIndex.oracleSql("documents", "doc_id", "text", 32))),
+
       // mergeable quantile summary in its EXACT regime (groups ≤ 2k ⇒ no
       // compress ever fires ⇒ discrete quantile exact, quantile_disc
       // parity); the approximation path is QuantileSketchSpec's territory
