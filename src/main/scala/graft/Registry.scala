@@ -33,6 +33,12 @@ object Registry {
   private[graft] val quantileSketchPrecondition =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** Per-dataset-dir cache of the q_kmv_set_ops exact-regime precondition
+    * (total distinct text fingerprints) — same memoization rationale.
+    */
+  private[graft] val kmvSetPrecondition =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   /** q_sample_mix quotas: uneven on purpose (some above the per-source row
     * count at small SFs — groups smaller than their quota emit all rows).
     */
@@ -1946,5 +1952,183 @@ ORDER BY o_orderkey""")),
         }))
   }
 
-  def all: Seq[RegisteredQuery] = relational ++ rowOps ++ sourceOps ++ llmOps ++ corpusOps
+  /** Round-6 scale-technique surface: sketch algebra (CMS point counts,
+    * KMV set operations), runtime-filter and salted joins, semi-structured
+    * JSON access, and variable-offset media header parsing.
+    */
+  val scaleOps: Seq[RegisteredQuery] = {
+    import graft.functions.{BottomK, CountMinSketch, MediaDims}
+    import graft.text.TextFunctions.fingerprint
+    import org.apache.spark.sql.functions._
+    Seq(
+      // semi-structured access: JSON path extraction in the scan stage
+      // (get_json_object + schema'd from_json agree row-for-row), one
+      // event_type shuffle for the stats
+      RegisteredQuery(
+        "q_json_extract",
+        (s, dir) => {
+          val ev = Tables.resolve(s, dir)("events")
+          val k = get_json_object(col("props"), "$.k").cast("long")
+          val k2 = from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
+            .getField("k")
+          ev.select(col("event_type"), k.as("k"), k2.as("k2"))
+            .groupBy("event_type")
+            .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
+              sum(col("k")).as("sum_k"), min(col("k")).as("min_k"),
+              max(col("k")).as("max_k"),
+              count(when(col("k") <=> col("k2"), 1)).as("n_agree"))
+            .orderBy("event_type")
+        },
+        Some("""WITH e AS (SELECT event_type,
+  TRY_CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k FROM events)
+SELECT event_type, count(*) AS n, count(k) AS n_k,
+  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k,
+  count(*) AS n_agree
+FROM e GROUP BY event_type ORDER BY event_type""")),
+
+      // salted skew join: the explicit whale-key tool — salt fans the big
+      // side over buckets, the small side replicates; the aggregated result
+      // is provably salt-independent (the oracle is the plain join)
+      RegisteredQuery(
+        "q_skew_join",
+        (s, dir) => {
+          val t = Tables.resolve(s, dir)
+          graft.operators.SkewJoin.saltedJoin(
+              t("orders"), t("customer"), "o_custkey", "c_custkey", buckets = 8)
+            .groupBy("c_nationkey")
+            .agg(count(lit(1)).as("n_orders"),
+              sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+            .orderBy("c_nationkey")
+        },
+        Some("""SELECT c_nationkey, count(*) AS n_orders,
+CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+      // runtime-filter join pruning: bloom over the filtered dim keys
+      // probes in the fact SCAN stage, so non-matching fact rows never
+      // reach the join shuffle; inner-join semantics exactly preserved
+      RegisteredQuery(
+        "q_bloom_prune",
+        (s, dir) => {
+          val t = Tables.resolve(s, dir)
+          val dim = t("part").where(col("p_size") === 15)
+          graft.operators.RuntimeFilter.bloomPrunedJoin(
+              t("lineitem"), dim, "l_partkey", "p_partkey", expectedDimKeys = 1L << 14)
+            .groupBy("p_brand")
+            .agg(count(lit(1)).as("n"),
+              sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sum_qty"))
+            .orderBy("p_brand")
+        },
+        Some("""SELECT p_brand, count(*) AS n,
+CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size = 15 GROUP BY p_brand ORDER BY p_brand""")),
+
+      // Count-Min point-frequency estimates: ONE fixed-size counter matrix
+      // aggregated over the corpus (bounded buffer, element-wise merge);
+      // the oracle replays the identical md5 bucket arithmetic, so the
+      // comparison is exact even when buckets collide
+      RegisteredQuery(
+        "q_cms_counts",
+        (s, dir) => {
+          val docs = Tables.resolve(s, dir)("documents")
+          val (depth, width) = (3, 64)
+          val sk = docs.agg(CountMinSketch(depth, width)(
+            CountMinSketch.buckets(col("lang"), depth, width)).as("sk"))
+          docs.select("lang").where(col("lang").isNotNull).distinct()
+            .crossJoin(broadcast(sk))
+            .select(col("lang"),
+              CountMinSketch.estimate(col("sk"), col("lang"), depth, width).as("est"))
+            .orderBy("lang")
+        },
+        Some(CountMinSketch.estimateOracle("documents", "lang", 3, 64))),
+
+      // KMV set algebra: per-source distinct sketches merged pairwise —
+      // union by sorted-distinct merge, intersection by inclusion–
+      // exclusion. Exact regime (total distinct ≤ k, asserted) so the
+      // oracle is plain COUNT(DISTINCT); estimate behavior is spec
+      // territory (BottomKSpec)
+      RegisteredQuery(
+        "q_kmv_set_ops",
+        (s, dir) => {
+          val k = 8192
+          val docs = Tables.resolve(s, dir)("documents")
+          val total = Registry.kmvSetPrecondition.computeIfAbsent(dir, _ =>
+            docs.select(fingerprint(col("text"))).distinct().count())
+          require(total <= k,
+            s"q_kmv_set_ops exact-regime precondition broken: $total distinct " +
+              s"fingerprints > k=$k — pair-union sketches would truncate and the " +
+              "exact oracle comparison becomes meaningless; raise k")
+          val per = docs.select(col("source"), fingerprint(col("text")).as("fp"))
+            .groupBy("source").agg(BottomK.distinct(k)(col("fp")).as("sk"))
+          val a = per.select(col("source").as("source_a"), col("sk").as("ska"))
+          val b = per.select(col("source").as("source_b"), col("sk").as("skb"))
+          a.join(b, col("source_a") < col("source_b"))
+            .select(col("source_a"), col("source_b"),
+              size(col("ska")).cast("long").as("nd_a"),
+              size(col("skb")).cast("long").as("nd_b"),
+              size(BottomK.kmvMerge(col("ska"), col("skb"), k)).cast("long").as("nd_union"))
+            .withColumn("nd_intersect", col("nd_a") + col("nd_b") - col("nd_union"))
+            .orderBy("source_a", "source_b")
+        },
+        Some("""WITH fp AS (SELECT source,
+  CAST(('0x'||substr(md5(text),1,15)) AS BIGINT) AS fp FROM documents),
+d AS (SELECT source, count(DISTINCT fp) AS nd FROM fp GROUP BY source),
+pair AS (SELECT a.source AS sa, b.source AS sb FROM d a JOIN d b ON a.source < b.source),
+un AS (SELECT p.sa, p.sb, count(DISTINCT f.fp) AS ndu FROM pair p
+  JOIN fp f ON f.source = p.sa OR f.source = p.sb GROUP BY p.sa, p.sb)
+SELECT p.sa AS source_a, p.sb AS source_b, da.nd AS nd_a, db.nd AS nd_b,
+  un.ndu AS nd_union, da.nd + db.nd - un.ndu AS nd_intersect
+FROM pair p
+JOIN d da ON da.source = p.sa JOIN d db ON db.source = p.sb
+JOIN un ON un.sa = p.sa AND un.sb = p.sb
+ORDER BY source_a, source_b""")),
+
+      // variable-offset media headers: synthetic PNG/GIF/JPEG/BMP payloads
+      // (endianness and segment layout all real) parsed back by the native
+      // media_dims expression inside whole-stage codegen; the oracle
+      // recomputes dims from the columns they were embedded from
+      RegisteredQuery(
+        "q_media_dims",
+        (s, dir) => {
+          val w = (pmod(col("n_chars"), lit(4000)) + 1).cast("int")
+          val h = (pmod(col("doc_id"), lit(3000)) + 1).cast("int")
+          def be(c: org.apache.spark.sql.Column, d: Int) = lpad(hex(c), d, "0")
+          def le16(c: org.apache.spark.sql.Column) = {
+            val x = be(c, 4); concat(substring(x, 3, 2), substring(x, 1, 2))
+          }
+          def le32(c: org.apache.spark.sql.Column) = {
+            val x = be(c, 8)
+            concat(substring(x, 7, 2), substring(x, 5, 2), substring(x, 3, 2), substring(x, 1, 2))
+          }
+          // JPEG APP0 length varies per doc to force a real segment walk
+          val pad = pmod(col("doc_id"), lit(8)).cast("int")
+          val rot = pmod(col("doc_id"), lit(4))
+          val payloadHex =
+            when(rot === 0, concat(lit("89504E470D0A1A0A0000000D49484452"), be(w, 8), be(h, 8)))
+              .when(rot === 1, concat(lit("474946383961"), le16(w), le16(h), lit("00")))
+              .when(rot === 2, concat(lit("FFD8FFE0"), be(pad + 7, 4), lit("4A46494600"),
+                lit("00000000000000").substr(lit(1), (pad * 2).cast("int")),
+                lit("FFC0001108"), be(h, 4), be(w, 4), lit("03011100021101031101FFD9")))
+              .otherwise(concat(lit("424D000000000000000036000000" + "28000000"),
+                le32(w), le32(h), lit("0100180000000000")))
+          Tables.resolve(s, dir)("documents")
+            .select(col("doc_id"), MediaDims(unhex(payloadHex)).as("d"))
+            .select(col("doc_id"),
+              col("d").getField("format").as("format"),
+              col("d").getField("width").as("width"),
+              col("d").getField("height").as("height"))
+            .orderBy("doc_id")
+        },
+        Some("""SELECT doc_id,
+  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'jpeg' ELSE 'bmp' END AS format,
+  CAST(n_chars % 4000 + 1 AS INT) AS width,
+  CAST(doc_id % 3000 + 1 AS INT) AS height
+FROM documents ORDER BY doc_id""")))
+  }
+
+  def all: Seq[RegisteredQuery] =
+    relational ++ rowOps ++ sourceOps ++ llmOps ++ corpusOps ++ scaleOps
 }

@@ -83,6 +83,22 @@ object BottomK {
   /** KMV (distinct) variant — feeds [[kmvEstimate]]. */
   def distinct(k: Int)(c: Column): Column = udaf(new BottomK(k, distinct = true)).apply(c)
 
+  /** Merge two DISTINCT bottom-k sketches into the distinct bottom-k of
+    * the UNION of their underlying sets — the closure property that makes
+    * KMV a set-algebra sketch, not just a counter: sketch(A) ⊕ sketch(B) =
+    * sketch(A ∪ B) exactly (both sides retain the k smallest distinct
+    * hashes, and every union member smaller than both k-th minima is
+    * present in one input). Feeding the merge to [[kmvEstimate]] gives
+    * |A ∪ B|; inclusion–exclusion then gives |A ∩ B| — per-pair corpus
+    * overlap WITHOUT re-touching either corpus, from two k-length arrays.
+    * Pure codegen'd array arithmetic (sort ∘ distinct ∘ concat, truncated
+    * at k) — no UDF, no re-aggregation.
+    */
+  def kmvMerge(a: Column, b: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions.{array_distinct, array_sort, concat, slice}
+    slice(array_sort(array_distinct(concat(a, b))), 1, k)
+  }
+
   /** Distinct-count estimate from a DISTINCT bottom-k sketch over hashes
     * uniform in [0, m): fewer than k values means the sketch saw every
     * distinct hash (exact count); otherwise the classic KMV estimator

@@ -71,6 +71,25 @@ class BottomKSpec extends SparkSpec {
     assert(exact == 10.0)
   }
 
+  test("kmvMerge: sketch(A) ⊕ sketch(B) equals sketch(A ∪ B), both regimes") {
+    val k = 16
+    def sketch(xs: Seq[Int]): Seq[Long] = xs.toDF("x")
+      .select(graft.text.TextFunctions.fingerprint(col("x").cast("string")).as("v"))
+      .agg(BottomK.distinct(k)(col("v")).as("sk"))
+      .head().getSeq[Long](0)
+    def mergeCols(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+      Seq((a, b)).toDF("a", "b")
+        .select(BottomK.kmvMerge(col("a"), col("b"), k))
+        .head().getSeq[Long](0)
+    // exact regime: |A ∪ B| < k
+    val (smallA, smallB) = ((1 to 5), (4 to 9))
+    assert(mergeCols(sketch(smallA), sketch(smallB)) === sketch(smallA ++ smallB))
+    // truncating regime: both sketches full, union still equals the
+    // directly-built union sketch (the KMV closure property)
+    val (bigA, bigB) = ((1 to 200), (150 to 400))
+    assert(mergeCols(sketch(bigA), sketch(bigB)) === sketch(bigA ++ bigB))
+  }
+
   test("plan shows partial aggregation below (upstream of) the exchange") {
     val plan = data.groupBy("g").agg(BottomK(4)(col("v")).as("sk"))
       .queryExecution.executedPlan.toString
