@@ -1967,7 +1967,10 @@ ORDER BY o_orderkey""")),
       RegisteredQuery(
         "q_json_extract",
         (s, dir) => {
-          val ev = Tables.resolve(s, dir)("events")
+          // readEvents, not Tables.resolve: the events parquet carries
+          // TIMESTAMP(NANOS), which Spark's reader rejects at schema
+          // resolution even for queries that never touch ts
+          val ev = graft.llm.EventWindows.readEvents(s, s"$dir/events.parquet")
           val k = get_json_object(col("props"), "$.k").cast("long")
           val k2 = from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
@@ -2126,7 +2129,110 @@ ORDER BY source_a, source_b""")),
   CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'jpeg' ELSE 'bmp' END AS format,
   CAST(n_chars % 4000 + 1 AS INT) AS width,
   CAST(doc_id % 3000 + 1 AS INT) AS height
-FROM documents ORDER BY doc_id""")))
+FROM documents ORDER BY doc_id""")),
+
+      // winsorization: per-group KLL p10/p90 bounds (exact regime, same
+      // precondition as q_quantile_sketch) + scan-stage clip — outlier-
+      // robust normalization with one group shuffle and one bounds join
+      RegisteredQuery(
+        "q_winsorize",
+        (s, dir) => {
+          val orders = Tables.resolve(s, dir)("orders")
+          val maxPerCust = Registry.quantileSketchPrecondition.computeIfAbsent(dir, _ => {
+            val row = orders.groupBy("o_custkey").agg(count(lit(1)).as("n"))
+              .agg(max(col("n"))).head
+            if (row.isNullAt(0)) 0L else row.getLong(0)
+          })
+          require(maxPerCust <= 128,
+            s"q_winsorize exact-regime precondition broken: a customer has " +
+              s"$maxPerCust orders > 2k=128 — the KLL summary would compress and " +
+              "the exact oracle comparison becomes meaningless; raise k")
+          val cents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          graft.functions.Quantiles.winsorizePerGroup(
+              orders.withColumn("__cents", cents),
+              Seq("o_custkey"), col("__cents"),
+              k = 64, lo = (1L, 10L), hi = (9L, 10L), outCol = "cents_w")
+            .select(col("o_orderkey"), col("o_custkey"), col("cents_w"))
+            .orderBy("o_orderkey")
+        },
+        Some("""WITH b AS (SELECT o_custkey,
+  quantile_disc(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT), 0.1) AS lo,
+  quantile_disc(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT), 0.9) AS hi
+  FROM orders GROUP BY o_custkey)
+SELECT o_orderkey, o.o_custkey,
+  least(greatest(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT), lo), hi) AS cents_w
+FROM orders o JOIN b ON o.o_custkey = b.o_custkey
+ORDER BY o_orderkey""")),
+
+      // TPC-H Q3 shape (shipping priority): selective dim broadcast into a
+      // fact-fact join, DECIMAL revenue for cross-engine exactness, top-10
+      // via TakeOrdered — the canonical "big join, small driver" plan
+      RegisteredQuery(
+        "q_tpch_q3",
+        (s, dir) => {
+          val t = Tables.resolve(s, dir)
+          val cutoff = lit("1998-06-01").cast("timestamp")
+          val rev = col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+          t("lineitem").where(col("l_shipdate") > cutoff)
+            .join(t("orders").where(col("o_orderdate") < cutoff),
+              col("l_orderkey") === col("o_orderkey"))
+            .join(broadcast(t("customer").where(col("c_mktsegment") === "BUILDING")),
+              col("o_custkey") === col("c_custkey"))
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(sum(rev).cast("double").as("revenue"))
+            .orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)
+            .limit(10)
+        },
+        Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC LIMIT 10""")),
+
+      // TPC-H Q5 shape (local supplier volume): six-table join — two fact
+      // tables shuffled on their keys, every dimension broadcast, region
+      // filter pruning nation before it ever touches the facts
+      RegisteredQuery(
+        "q_tpch_q5",
+        (s, dir) => {
+          val t = Tables.resolve(s, dir)
+          val rev = col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+          val asiaNations = t("nation")
+            .join(broadcast(t("region").where(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))
+          t("lineitem")
+            .join(t("orders").where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+              col("l_orderkey") === col("o_orderkey"))
+            .join(t("customer"), col("o_custkey") === col("c_custkey"))
+            .join(broadcast(t("supplier")),
+              col("l_suppkey") === col("s_suppkey") &&
+                col("c_nationkey") === col("s_nationkey"))
+            .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(sum(rev).cast("double").as("revenue"))
+            .orderBy(col("revenue").desc, col("n_name").asc)
+        },
+        Some("""SELECT n_name,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name ORDER BY revenue DESC, n_name ASC""")))
   }
 
   def all: Seq[RegisteredQuery] =

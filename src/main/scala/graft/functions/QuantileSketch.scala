@@ -150,4 +150,25 @@ object Quantiles {
         element_at(col("__q"), i + 1).as(n)
       }: _*)
   }
+
+  /** Winsorization: clip `value` to its per-group [lo, hi] discrete
+    * quantiles — the outlier-robust normalization step (feature prep,
+    * label clipping) a curation pipeline runs over skewed numerics.
+    * Appended as column `outCol`.
+    *
+    * Scale shape: the bounds frame is ONE row per group (a per-group KLL
+    * summary, bounded buffer, map-side partial merge), the clip join is
+    * group-keyed (broadcastable when groups are few), and the clip itself
+    * is scan-stage `least`/`greatest` — no window over row data, no
+    * second pass at corpus width.
+    */
+  def winsorizePerGroup(df: DataFrame, groupCols: Seq[String], value: Column,
+                        k: Int, lo: (Long, Long), hi: (Long, Long),
+                        outCol: String): DataFrame = {
+    val bounds = perGroup(df, groupCols, value, k, Seq(lo, hi), Seq("__lo", "__hi"))
+    df.join(bounds, groupCols)
+      .withColumn(outCol,
+        least(greatest(value.cast("long"), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
 }

@@ -48,7 +48,12 @@ object EdJoin {
   def selfJoin(df: DataFrame, idCol: String, strCol: String, k: Int): DataFrame = {
     require(k == 1 || k == 2,
       s"deletion blocking covers k in {1, 2}, got $k (for coarser matching use minhash)")
-    val base = df.select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
+    // variant generation is the CPU-heavy stage (O(len·k) string surgery
+    // per row in the scan); a small parquet file arrives as ONE partition,
+    // which would serialize it — spread the input first
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val src = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val base = src.select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
       .where(col("s").isNotNull)
       .withColumn("len", length(col("s")))
 

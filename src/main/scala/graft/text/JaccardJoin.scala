@@ -71,10 +71,24 @@ object JaccardJoin {
       .withColumn("__rn", row_number().over(
         Window.partitionBy("__id").orderBy(col("__df"), col("__h"))))
       .where(col("__rn") <= col("__sz") - need + lit(1))
-      .select(col("__h"), col("__id"))
+      .select(col("__h"), col("__id"), col("__sz"), col("__rn"))
 
+    // candidate pruning BEFORE the exact verify (both filters lossless,
+    // standard AllPairs/PPJoin theory — they only reject pairs the verify
+    // would reject, so the qualifying set is unchanged):
+    //  - length filter: Jaccard ≥ τ forces τ·|B| ≤ |A| (and symmetrically),
+    //    so wildly mismatched sizes never reach the intersect;
+    //  - position filter: a collision at prefix positions (i, j) bounds the
+    //    overlap by 1 + min(|A|−i, |B|−j), and Jaccard ≥ τ needs overlap
+    //    ≥ ⌈τ/(1+τ)·(|A|+|B|)⌉ — cross-multiplied to stay integer-exact.
+    // The verify stage's cost is one array_intersect per CANDIDATE, so
+    // pruning here is what keeps the tail stage off the bench profile.
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.__h") === col("b.__h") && col("a.__id") < col("b.__id"))
+        col("a.__h") === col("b.__h") && col("a.__id") < col("b.__id") &&
+          col("b.__sz") * minNum <= col("a.__sz") * minDen &&
+          col("a.__sz") * minNum <= col("b.__sz") * minDen &&
+          (lit(1) + least(col("a.__sz") - col("a.__rn"), col("b.__sz") - col("b.__rn"))) *
+            (minNum + minDen) >= lit(minNum) * (col("a.__sz") + col("b.__sz")))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .distinct()
 

@@ -77,6 +77,23 @@ class QuantileSketchSpec extends SparkSpec {
     assert(plan.contains("partial_"), plan)
   }
 
+  test("winsorize: values clip to the group's [p-lo, p-hi], in-range rows untouched") {
+    import spark.implicits._
+    val df = ((1 to 100).map(("g1", _)) ++ Seq(("g2", 5), ("g2", 50), ("g2", 500)))
+      .toDF("g", "v")
+    val out = graft.functions.Quantiles.winsorizePerGroup(
+        df, Seq("g"), col("v"), k = 64, lo = (1L, 10L), hi = (9L, 10L), outCol = "w")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val g1 = out.filter(_._1 == "g1")
+    // exact regime: p10 of 1..100 (disc) = 10, p90 = 90
+    assert(g1.forall { case (_, v, w) => w == math.max(10, math.min(90, v)).toLong })
+    assert(g1.count { case (_, v, w) => w.toInt == v } === 81)
+    // tiny group: disc quantiles are members; bounds clip only the tails
+    val g2 = out.filter(_._1 == "g2").map(t => t._2 -> t._3).toMap
+    assert(g2(50) === 50L)
+    assert(g2(5) >= 5L && g2(500) <= 500L)
+  }
+
   test("invalid k or fractions are rejected") {
     intercept[IllegalArgumentException](new QuantileSketch(1, Seq((1L, 2L))))
     intercept[IllegalArgumentException](new QuantileSketch(8, Seq()))
