@@ -33,18 +33,26 @@ object EventWindows {
     }
   }
 
-  /** Read an events table whose parquet `ts` is TIMESTAMP(NANOS) — Spark's
-    * reader rejects nano precision outright, so read nanos as Long (legacy
-    * conf, scoped via [[withNanosAsLong]]) and rebuild a micro-precision
-    * TIMESTAMP_NTZ. Truncation (DIV 1000) matches DuckDB's own nanos→micros
-    * read behavior, so both engines see identical values. Requires session
-    * timeZone=UTC (set by Verify/Bench) for the instant→NTZ rebase to be the
-    * identity.
+  /** Read an events table, normalizing `ts` to micro-precision TIMESTAMP_NTZ
+    * whatever the physical storage is. Handles all three shapes the data
+    * generator has produced: TIMESTAMP(NANOS) (Spark rejects nano precision
+    * outright, so read nanos as Long via the scoped legacy conf and rebuild;
+    * DIV 1000 truncation matches DuckDB's own nanos→micros read), plain
+    * TIMESTAMP(MICROS) NTZ (pass through), and instant-semantics TIMESTAMP
+    * (rebase to NTZ — identity under the UTC session Verify/Bench set).
     */
   def readEvents(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     withNanosAsLong(spark) {
-      spark.read.parquet(path)
-        .withColumn("ts", expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      val df = spark.read.parquet(path)
+      df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts", expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+        case TimestampNTZType => df
+        case TimestampType    => df.withColumn("ts", col("ts").cast(TimestampNTZType))
+        case other =>
+          throw new IllegalArgumentException(s"unsupported events ts type: $other")
+      }
     }
 
   /** Tumbling-window count + sum per (window, event_type). */

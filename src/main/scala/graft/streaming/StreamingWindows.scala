@@ -16,7 +16,9 @@ import org.apache.spark.sql.types._
   */
 object StreamingWindows {
 
-  /** Events schema as stored (ts = TIMESTAMP(NANOS) read as Long nanos). */
+  /** Events schema in the raw nanos shape (ts = TIMESTAMP(NANOS) read as
+    * Long nanos) — used by specs that synthesize nanos-long fixtures.
+    */
   val EventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -25,15 +27,27 @@ object StreamingWindows {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream over an events parquet path; rebuilds the nano `ts`
-    * into a micro-precision TIMESTAMP. Unlike the batch reader this stays on
-    * instant (with-timezone) semantics — Spark watermarks require TIMESTAMP,
-    * not TIMESTAMP_NTZ. Under a UTC session the wall-clock values coincide.
+  /** File-source stream over an events parquet path; normalizes `ts` to a
+    * micro-precision instant TIMESTAMP whatever the physical storage is
+    * (nanos-as-Long, TIMESTAMP_NTZ micros, or instant TIMESTAMP — the same
+    * three shapes [[graft.llm.EventWindows.readEvents]] handles). A stream
+    * source needs its schema up front, so probe it with a cheap batch footer
+    * read of the same path. Unlike the batch reader this ends on instant
+    * (with-timezone) semantics — Spark watermarks require TIMESTAMP, not
+    * TIMESTAMP_NTZ. Under a UTC session the wall-clock values coincide.
     */
-  def readEventsStream(spark: SparkSession, path: String): DataFrame =
+  def readEventsStream(spark: SparkSession, path: String,
+                       options: Map[String, String] = Map.empty): DataFrame =
     graft.llm.EventWindows.withNanosAsLong(spark) {
-      spark.readStream.schema(EventsRawSchema).parquet(path)
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      val stored = spark.read.parquet(path).schema
+      val src = spark.readStream.schema(stored).options(options).parquet(path)
+      stored("ts").dataType match {
+        case LongType          => src.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        case TimestampNTZType  => src.withColumn("ts", col("ts").cast(TimestampType))
+        case TimestampType     => src
+        case other =>
+          throw new IllegalArgumentException(s"unsupported events ts type: $other")
+      }
     }
 
   /** Streaming exact dedup: drop payloads already seen, keyed by the 60-bit

@@ -27,11 +27,13 @@ class StreamingFunnelsSpec extends SparkSpec {
     val ev = graft.llm.EventWindows.readEvents(spark, s"$sf/events.parquet")
     val users = ev.select("user_id").distinct()
     (1 to 2).foreach { i =>
-      graft.llm.EventWindows.withNanosAsLong(spark) {
+      {
         users.select(
             (col("user_id") * 0 + 1000000 + i).cast("long").as("event_id"),
-            // nanos-long ts far beyond every real event, increasing per file
-            expr(s"CAST((unix_micros(TIMESTAMP '2030-0$i-01 00:00:00') * 1000) AS LONG)").as("ts"),
+            // ts far beyond every real event, increasing per file; written in
+            // the same NTZ-micros shape as the staged real events file so the
+            // directory stream sees one schema
+            expr(s"TIMESTAMP_NTZ '2030-0$i-01 00:00:00'").as("ts"),
             col("user_id"),
             lit("view").as("event_type"),
             lit(0.0).as("value"),
@@ -49,13 +51,9 @@ class StreamingFunnelsSpec extends SparkSpec {
 
   test("sealed snapshots equal the batch funnel walk") {
     stage()
-    val stream = graft.llm.EventWindows.withNanosAsLong(spark) {
-      spark.readStream.schema(StreamingWindows.EventsRawSchema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-        .withWatermark("ts", "1 second")
-    }
+    val stream = StreamingWindows
+      .readEventsStream(spark, dir, Map("maxFilesPerTrigger" -> "1"))
+      .withWatermark("ts", "1 second")
     val q = StreamingFunnels.funnelProgress(stream, steps)
       .writeStream.format("memory").queryName("funnel_stream")
       .outputMode(StreamingFunnels.FunnelOutputMode).start()
@@ -87,10 +85,10 @@ class StreamingFunnelsSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir2))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir2))
     def writeOne(name: String, offsetSec: Int): Unit = {
-      graft.llm.EventWindows.withNanosAsLong(spark) {
+      {
         spark.range(0, 1, 1, numPartitions = 1).select(
             lit(9000L + offsetSec).as("event_id"),
-            expr(s"CAST((unix_micros(TIMESTAMP '2030-01-01 00:00:0$offsetSec') * 1000) AS LONG)").as("ts"),
+            expr(s"TIMESTAMP_NTZ '2030-01-01 00:00:0$offsetSec'").as("ts"),
             lit(1L).as("user_id"),
             lit("view").as("event_type"),
             lit(0.0).as("value"),
@@ -106,13 +104,9 @@ class StreamingFunnelsSpec extends SparkSpec {
     writeOne("b_w1.parquet", 1)
     writeOne("c_w2.parquet", 2)
     writeOne("d_w3.parquet", 3)
-    val stream = graft.llm.EventWindows.withNanosAsLong(spark) {
-      spark.readStream.schema(StreamingWindows.EventsRawSchema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(dir2)
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-        .withWatermark("ts", "1 second")
-    }
+    val stream = StreamingWindows
+      .readEventsStream(spark, dir2, Map("maxFilesPerTrigger" -> "1"))
+      .withWatermark("ts", "1 second")
     val q = StreamingFunnels.funnelProgress(stream, steps)
       .writeStream.format("memory").queryName("funnel_boundary")
       .outputMode(StreamingFunnels.FunnelOutputMode).start()

@@ -20,12 +20,9 @@ class StreamingSinkSpec extends SparkSpec {
     }
   }
 
-  private def stream(dir: String) = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(StreamingWindows.EventsRawSchema)
-      .option("maxFilesPerTrigger", 1).parquet(dir)
+  private def stream(dir: String) =
+    StreamingWindows.readEventsStream(spark, dir, Map("maxFilesPerTrigger" -> "1"))
       .select(col("event_id"), col("event_type"), col("value"))
-  }
 
   test("Replace: batch 0 creates, later batches append") {
     val dir = "/tmp/graft_sink_replace"
