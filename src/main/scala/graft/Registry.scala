@@ -2213,8 +2213,58 @@ JOIN region ON n_regionkey = r_regionkey
 WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '1997-01-01'
   AND o_orderdate < TIMESTAMP '1998-01-01'
-GROUP BY n_name ORDER BY revenue DESC, n_name ASC""")))
+GROUP BY n_name ORDER BY revenue DESC, n_name ASC""")),
+
+      // exact triangle counting (degree-oriented wedge join, O(m^1.5))
+      // over the part co-purchase graph: parts sharing an order, edges
+      // canonicalized inside the operator; per-vertex participation
+      // counts including the zero-triangle vertices
+      RegisteredQuery(
+        "q_triangle_count",
+        (s, dir) => {
+          val li = Tables.resolve(s, dir)("lineitem")
+            .where(col("l_quantity") >= 20)
+            .select(col("l_orderkey"), col("l_partkey"))
+          val edges = li.as("a").join(li.as("b"),
+              col("a.l_orderkey") === col("b.l_orderkey") &&
+                col("a.l_partkey") < col("b.l_partkey"))
+            .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+          graft.operators.Triangles.perVertex(edges)
+        },
+        Some(graft.operators.Triangles.perVertexOracle(
+          """SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_quantity >= 20 AND b.l_quantity >= 20"""))),
+
+      // BM25 relevance scoring, integer-exact: rational tf saturation as
+      // one integer division, per-term ln quantized once (QuantizedDot
+      // discipline) — postings filtered to the query BEFORE any shuffle
+      RegisteredQuery(
+        "q_bm25",
+        (s, dir) => graft.text.Bm25.score(
+          Tables.resolve(s, dir)("documents"), "doc_id", "text",
+          Bm25QueryTerms),
+        Some(graft.text.Bm25.oracleSql("documents", "doc_id", "text",
+          Bm25QueryTerms))),
+
+      // 2-D skyline (Pareto frontier): earliest-and-cheapest orders —
+      // one groupBy(x) aggregate + a domain-bounded running min, never a
+      // quadratic dominance join
+      RegisteredQuery(
+        "q_skyline",
+        (s, dir) => graft.operators.Skyline.skyline2d(
+            Tables.resolve(s, dir)("orders"), "o_orderdate", "o_totalprice")
+          .select("o_orderkey", "o_orderdate", "o_totalprice"),
+        Some(graft.operators.Skyline.oracleSql("orders", "o_orderdate",
+          "o_totalprice", Seq("o_orderkey", "o_orderdate", "o_totalprice")))))
   }
+
+  /** Query terms for the q_bm25 gate — drawn from the synthetic document
+    * vocabulary with a spread of document frequencies (rare → stopword-
+    * like, the latter exercising the negative-idf branch cross-engine).
+    */
+  private def Bm25QueryTerms: Seq[String] = Seq("spark", "vector", "merge", "table")
 
   def all: Seq[RegisteredQuery] =
     relational ++ rowOps ++ sourceOps ++ llmOps ++ corpusOps ++ scaleOps
