@@ -2248,6 +2248,23 @@ GROUP BY n_name ORDER BY revenue DESC, n_name ASC""")),
         Some(graft.text.Bm25.oracleSql("documents", "doc_id", "text",
           Bm25QueryTerms))),
 
+      // PMI collocations: scan-stage bigram zip, one bigram shuffle,
+      // vocabulary-sized count joins; identical IEEE double chain + one
+      // quantized ln on both engines
+      RegisteredQuery(
+        "q_collocations",
+        (s, dir) => graft.text.Collocations.pmi(
+          Tables.resolve(s, dir)("documents"), "text", minCount = 5L),
+        Some(graft.text.Collocations.oracleSql("documents", "text", minCount = 5L))),
+
+      // event-type transition matrix: one user-keyed window pass, then a
+      // |types|^2-bounded pair count — pure integers
+      RegisteredQuery(
+        "q_event_transitions",
+        (s, dir) => graft.llm.EventWindows.eventTransitions(
+          graft.llm.EventWindows.readEvents(s, s"$dir/events.parquet")),
+        Some(graft.llm.EventWindows.eventTransitionsOracle("events"))),
+
       // 2-D skyline (Pareto frontier): earliest-and-cheapest orders —
       // one groupBy(x) aggregate + a domain-bounded running min, never a
       // quadratic dominance join

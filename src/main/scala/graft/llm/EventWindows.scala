@@ -166,4 +166,44 @@ object EventWindows {
 SELECT $userCol, CAST(count(*) AS BIGINT) AS n_events,
   string_agg($typeCol, ' ' ORDER BY rn) AS sequence
 FROM e WHERE rn <= $maxEvents GROUP BY $userCol ORDER BY $userCol""".stripMargin
+
+  /** Event-type transition matrix — counts of consecutive (from → to)
+    * event types per user stream, in strict (ts, event id) order: the
+    * Markov-chain estimation step behind behavioral modeling, anomaly
+    * scoring (improbable transitions), and session simulation. Pure
+    * integer counts — bit-identical on any engine.
+    *
+    * Scale shape: ONE shuffle (hash by user for the lead window; the
+    * per-user sort is the same intrinsic cost as [[sessionized]]), then
+    * the pair count aggregates map-side into at most |types|² rows.
+    * Whale-user caveat: the window sorts each user's whole stream in one
+    * task — the same hazard [[sessionized]] carries, and the same
+    * mitigation applies (pre-filter with [[actionSequences]]' FirstK cut
+    * when a bounded prefix is acceptable).
+    */
+  def eventTransitions(events: DataFrame, userCol: String = "user_id",
+                       tsCol: String = "ts", typeCol: String = "event_type",
+                       idCol: String = "event_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    events
+      .where(col(tsCol).isNotNull && col(idCol).isNotNull)
+      .select(col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .where(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** DuckDB replay of [[eventTransitions]] — same lead window, same
+    * total order, same null contracts.
+    */
+  def eventTransitionsOracle(table: String, userCol: String = "user_id",
+                             tsCol: String = "ts", typeCol: String = "event_type",
+                             idCol: String = "event_id"): String =
+    s"""WITH o AS (SELECT $typeCol AS from_type,
+  lead($typeCol) OVER (PARTITION BY $userCol ORDER BY $tsCol, $idCol) AS to_type
+  FROM $table WHERE $tsCol IS NOT NULL AND $idCol IS NOT NULL)
+SELECT from_type, to_type, count(*) AS n
+FROM o WHERE to_type IS NOT NULL GROUP BY from_type, to_type"""
 }

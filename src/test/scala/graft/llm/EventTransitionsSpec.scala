@@ -1,0 +1,44 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Transition-matrix counts vs a hand walk: per-user adjacency only,
+  * total (ts, id) order, tie-break determinism, null contract.
+  */
+class EventTransitionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ev(rows: (Long, Long, Long, String)*) =
+    rows.toDF("event_id", "ts_n", "user_id", "event_type")
+      .select(col("event_id"), expr("timestamp_micros(ts_n)").as("ts"),
+        col("user_id"), col("event_type"))
+
+  test("counts consecutive pairs per user, never across users") {
+    val got = EventWindows.eventTransitions(ev(
+        (1L, 10L, 1L, "view"), (2L, 20L, 1L, "click"), (3L, 30L, 1L, "buy"),
+        (4L, 10L, 2L, "view"), (5L, 20L, 2L, "click")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(("view", "click") -> 2L, ("click", "buy") -> 1L))
+  }
+
+  test("equal timestamps break ties on event id (total order)") {
+    val got = EventWindows.eventTransitions(ev(
+        (2L, 10L, 1L, "b"), (1L, 10L, 1L, "a"), (3L, 10L, 1L, "c")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(("a", "b") -> 1L, ("b", "c") -> 1L))
+  }
+
+  test("single-event users contribute nothing; result partitioning-independent") {
+    val rows = (1L to 120L).map { i =>
+      (i, (i * 37) % 50, i % 10, Seq("v", "c", "p")((i % 3).toInt))
+    }
+    val base = ev(rows: _*)
+    val one = EventWindows.eventTransitions(base.repartition(1))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val many = EventWindows.eventTransitions(base.repartition(7))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(one === many && one.values.sum === (120L - 10L))
+  }
+}
