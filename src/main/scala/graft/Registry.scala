@@ -2248,6 +2248,20 @@ GROUP BY n_name ORDER BY revenue DESC, n_name ASC""")),
         Some(graft.text.Bm25.oracleSql("documents", "doc_id", "text",
           Bm25QueryTerms))),
 
+      // grouped OLS trend: four decimal partials per (group, partition),
+      // sign-split truncating division — exact rational slope, no float
+      RegisteredQuery(
+        "q_grouped_trend",
+        (s, dir) => graft.operators.GroupedTrend.slope(
+          Tables.resolve(s, dir)("orders")
+            .withColumn("x_days", datediff(col("o_orderdate"), lit("1992-01-01")))
+            .withColumn("cents",
+              (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")),
+          Seq("o_custkey"), "x_days", "cents"),
+        Some(graft.operators.GroupedTrend.oracleSql("orders", Seq("o_custkey"),
+          xSql = "date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))",
+          ySql = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))),
+
       // PMI collocations: scan-stage bigram zip, one bigram shuffle,
       // vocabulary-sized count joins; identical IEEE double chain + one
       // quantized ln on both engines

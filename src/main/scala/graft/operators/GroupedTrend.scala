@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-group least-squares trend (slope of y over x) — the grouped
+  * regression primitive behind drift detection (is this customer's spend
+  * rising?), metric trend scans, and cohort health scoring.
+  *
+  * The OLS slope is a RATIONAL of four sums:
+  *
+  *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+  *
+  * so with integer-valued x and y every term is exact: sums accumulate in
+  * DECIMAL(38,0) (order-independent, no float drift at any partitioning),
+  * and the quantized slope is emitted via SIGN-SPLIT truncating division
+  * `sign(num) · ((|num|·SCALE) div den)` — both engines divide
+  * non-negative values, so floor-vs-truncate divergence on negative
+  * numerators cannot occur. den = 0 (a single distinct x, slope
+  * undefined) yields NULL.
+  *
+  * Scale shape (100 TB fact table): ONE shuffle — the groupBy — carrying
+  * four decimal partials per (group, partition) whatever the group sizes;
+  * a whale group costs map-side accumulation only (the
+  * decomposable-aggregate discipline of [[IncrementalAgg]]), never a
+  * buffered value list.
+  *
+  * Reference scope note: fabrix has no regression operators — extension
+  * surface beside the analytics family ([[Profiling]], [[Skyline]]).
+  */
+object GroupedTrend {
+
+  /** Quantization scale: slope in units of 1/SCALE (y-units per x-unit). */
+  val Scale: Long = 10000L
+
+  /** (groupCols*, n, slope_q) per group; `xCol`/`yCol` must be
+    * integer-valued (cast upstream — cents, epoch days, counts).
+    */
+  def slope(df: DataFrame, groupCols: Seq[String], xCol: String,
+            yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must not be empty")
+    val dec = "decimal(38,0)"
+    val x = col(xCol).cast("long").cast(dec)
+    val y = col(yCol).cast("long").cast(dec)
+    df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("__sx"), sum(y).as("__sy"),
+        sum((x * y).cast(dec)).as("__sxy"),
+        sum((x * x).cast(dec)).as("__sxx"))
+      .withColumn("__num",
+        (col("n").cast(dec) * col("__sxy") - col("__sx") * col("__sy")).cast(dec))
+      .withColumn("__den",
+        (col("n").cast(dec) * col("__sxx") - col("__sx") * col("__sx")).cast(dec))
+      .withColumn("slope_q",
+        when(col("__den") === lit(0).cast(dec), lit(null).cast("long"))
+          .otherwise((signum(col("__num")).cast("long") *
+            expr(s"CAST((abs(__num) * $Scale) div __den AS BIGINT)"))))
+      .select(groupCols.map(col) ++ Seq(col("n"), col("slope_q")): _*)
+  }
+
+  /** DuckDB replay of [[slope]] — HUGEINT sums (exact 128-bit), the same
+    * sign-split truncating division (`//` on non-negative HUGEINTs is the
+    * same truncation as Spark's `div`).
+    */
+  def oracleSql(table: String, groupCols: Seq[String], xSql: String,
+                ySql: String): String = {
+    val g = groupCols.mkString(", ")
+    s"""WITH s AS (
+  SELECT $g, CAST(count(*) AS BIGINT) AS n,
+    sum(CAST($xSql AS HUGEINT)) AS sx, sum(CAST($ySql AS HUGEINT)) AS sy,
+    sum(CAST($xSql AS HUGEINT) * CAST($ySql AS HUGEINT)) AS sxy,
+    sum(CAST($xSql AS HUGEINT) * CAST($xSql AS HUGEINT)) AS sxx
+  FROM $table WHERE ($xSql) IS NOT NULL AND ($ySql) IS NOT NULL GROUP BY $g)
+SELECT $g, n,
+  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+       ELSE CAST(CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END
+         * ((abs(n * sxy - sx * sy) * $Scale) // (n * sxx - sx * sx)) AS BIGINT)
+  END AS slope_q
+FROM s"""
+  }
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Exact grouped OLS slope: hand-checked lines, sign handling, degenerate
+  * groups, partitioning independence, partial-agg plan shape.
+  */
+class GroupedTrendSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def run(rows: Seq[(String, Long, Long)], parts: Int = 4): Map[String, Option[Long]] =
+    GroupedTrend.slope(rows.toDF("g", "x", "y").repartition(parts),
+        Seq("g"), "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+
+  test("exact lines recover their slope exactly") {
+    val rows = Seq(
+      // y = 3x + 7 → slope_q = 3·10⁴
+      ("up", 1L, 10L), ("up", 2L, 13L), ("up", 5L, 22L),
+      // y = -2x → slope_q = -2·10⁴
+      ("down", 0L, 0L), ("down", 3L, -6L), ("down", 10L, -20L),
+      // constant y → slope 0
+      ("flat", 1L, 9L), ("flat", 4L, 9L), ("flat", 6L, 9L))
+    assert(run(rows) === Map(
+      "up" -> Some(30000L), "down" -> Some(-20000L), "flat" -> Some(0L)))
+  }
+
+  test("non-integer slope truncates toward zero on both signs") {
+    // two points: slope 1/3 → 3333; and slope -1/3 → -3333 (toward zero,
+    // NOT floor's -3334 — the sign-split contract)
+    val rows = Seq(("p", 0L, 0L), ("p", 3L, 1L), ("q", 0L, 0L), ("q", 3L, -1L))
+    assert(run(rows) === Map("p" -> Some(3333L), "q" -> Some(-3333L)))
+  }
+
+  test("single point and single distinct x are NULL (undefined slope)") {
+    val rows = Seq(("one", 5L, 9L), ("same", 2L, 1L), ("same", 2L, 5L))
+    assert(run(rows) === Map("one" -> None, "same" -> None))
+  }
+
+  test("partitioning-independent (decimal sums, no float drift)") {
+    val rows = (1L to 500L).map(i => ("g", i, i * 17 - 3))
+    for (parts <- Seq(1, 13)) {
+      assert(run(rows, parts) === Map("g" -> Some(170000L)), s"parts $parts")
+    }
+  }
+
+  test("plan: partial aggregation before the exchange (no value buffering)") {
+    val df = GroupedTrend.slope(
+      (1L to 100L).map(i => ("g", i, i)).toDF("g", "x", "y"), Seq("g"), "x", "y")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial"), plan.take(2000))
+  }
+}
