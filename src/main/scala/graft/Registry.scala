@@ -2114,6 +2114,64 @@ ORDER BY source_a, source_b""")),
   CAST(doc_id % 3000 + 1 AS INT) AS height
 FROM documents ORDER BY doc_id""")),
 
+      // audio metadata: WAV RIFF chunk walk (variable LIST chunk before
+      // fmt forces a real walk) + FLAC STREAMINFO bitfields, one native
+      // codegen'd expression; oracle recomputes from the generating cols
+      RegisteredQuery(
+        "q_audio_meta",
+        (s, dir) => {
+          def le16(c: org.apache.spark.sql.Column) = {
+            val x = lpad(hex(c), 4, "0")
+            concat(substring(x, 3, 2), substring(x, 1, 2))
+          }
+          def le32(c: org.apache.spark.sql.Column) = {
+            val x = lpad(hex(c), 8, "0")
+            concat(substring(x, 7, 2), substring(x, 5, 2),
+              substring(x, 3, 2), substring(x, 1, 2))
+          }
+          val sr = expr(
+            "CAST(element_at(array(8000,16000,44100,48000), CAST(doc_id % 4 AS INT) + 1) AS BIGINT)")
+          val ch = expr("n_chars % 2 + 1")
+          val dataSize = expr("n_chars * 64")
+          val byteRate = sr * ch * lit(2)
+          val lsize = expr("CAST(doc_id % 7 AS INT)")
+          val listChunk = concat(lit("4C495354"), le32(lsize),
+            expr("repeat('41', CAST(doc_id % 7 AS INT))"),
+            expr("CASE WHEN doc_id % 7 % 2 = 1 THEN '00' ELSE '' END"))
+          val fmtChunk = concat(lit("666D7420"), lit("10000000"), lit("0100"),
+            le16(ch), le32(sr), le32(byteRate), le16(ch * 2), lit("1000"))
+          val wavHex = concat(lit("52494646"), lit("00000000"), lit("57415645"),
+            listChunk, fmtChunk, lit("64617461"), le32(dataSize))
+          val samples = expr("n_chars * 50")
+          val srE = "CAST(element_at(array(8000,16000,44100,48000), CAST(doc_id % 4 AS INT) + 1) AS BIGINT)"
+          val flacHex = concat(lit("664C6143"), lit("00"), lit("000022"),
+            lit("10001000000000000000"),
+            lpad(hex(expr(s"$srE div 4096")), 2, "0"),
+            lpad(hex(expr(s"($srE div 16) % 256")), 2, "0"),
+            lpad(hex(expr(s"($srE % 16) * 16 + (n_chars % 2) * 2")), 2, "0"),
+            lit("F0"),
+            lpad(hex(samples), 8, "0"))
+          Tables.resolve(s, dir)("documents")
+            .select(col("doc_id"),
+              graft.functions.AudioMeta(unhex(
+                when(pmod(col("doc_id"), lit(2)) === 0, wavHex).otherwise(flacHex)))
+                .as("a"))
+            .select(col("doc_id"),
+              col("a.format").as("format"), col("a.channels").as("channels"),
+              col("a.sample_rate").as("sample_rate"), col("a.bits").as("bits"),
+              col("a.duration_ms").as("duration_ms"))
+        },
+        Some("""WITH p AS (SELECT doc_id, n_chars,
+  CAST([8000,16000,44100,48000][CAST(doc_id % 4 AS INT) + 1] AS BIGINT) AS sr,
+  n_chars % 2 + 1 AS ch FROM documents)
+SELECT doc_id,
+  CASE doc_id % 2 WHEN 0 THEN 'wav' ELSE 'flac' END AS format,
+  CAST(ch AS INT) AS channels, CAST(sr AS INT) AS sample_rate, 16 AS bits,
+  CAST(CASE doc_id % 2
+    WHEN 0 THEN (n_chars * 64 * 1000) // (sr * ch * 2)
+    ELSE (n_chars * 50 * 1000) // sr END AS BIGINT) AS duration_ms
+FROM p""")),
+
       // winsorization: per-group KLL p10/p90 bounds (exact regime, same
       // precondition as q_quantile_sketch) + scan-stage clip — outlier-
       // robust normalization with one group shuffle and one bounds join
