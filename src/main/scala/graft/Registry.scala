@@ -2281,7 +2281,7 @@ GROUP BY n_name ORDER BY revenue DESC, n_name ASC""")),
         "q_triangle_count",
         (s, dir) => {
           val li = Tables.resolve(s, dir)("lineitem")
-            .where(col("l_quantity") >= 20)
+            .where(col("l_quantity") >= 30)
             .select(col("l_orderkey"), col("l_partkey"))
           val edges = li.as("a").join(li.as("b"),
               col("a.l_orderkey") === col("b.l_orderkey") &&
@@ -2293,7 +2293,7 @@ GROUP BY n_name ORDER BY revenue DESC, n_name ASC""")),
           """SELECT a.l_partkey AS src, b.l_partkey AS dst
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  WHERE a.l_quantity >= 20 AND b.l_quantity >= 20"""))),
+  WHERE a.l_quantity >= 30 AND b.l_quantity >= 30"""))),
 
       // BM25 relevance scoring, integer-exact: rational tf saturation as
       // one integer division, per-term ln quantized once (QuantizedDot
@@ -2305,6 +2305,17 @@ GROUP BY n_name ORDER BY revenue DESC, n_name ASC""")),
           Bm25QueryTerms),
         Some(graft.text.Bm25.oracleSql("documents", "doc_id", "text",
           Bm25QueryTerms))),
+
+      // deterministic weighted systematic sampling: integer grid walk
+      // along the two-level-prefix cumulative weight axis — no RNG, no
+      // float priorities, heavy rows legitimately repeat
+      RegisteredQuery(
+        "q_weighted_sample",
+        (s, dir) => graft.text.WeightedSample.systematic(
+          Tables.resolve(s, dir)("documents"), "doc_id",
+          col("n_chars").cast("long"), step = 10000L),
+        Some(graft.text.WeightedSample.oracleSql(
+          "documents", "doc_id", "n_chars", step = 10000L))),
 
       // grouped OLS trend: four decimal partials per (group, partition),
       // sign-split truncating division — exact rational slope, no float

@@ -109,4 +109,26 @@ class PlanSpec extends SparkSpec {
       assert(!unhinted.contains("BroadcastHashJoin"), unhinted.take(600))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("q_bm25: term stats ride broadcast joins, never a corpus-side shuffle join") {
+    val p = planOf("q_bm25")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("q_skyline: frontier joins back as a broadcast, no range-partition sort") {
+    val p = planOf("q_skyline")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p.take(800))
+  }
+
+  test("q_triangle_count: no cartesian/nested-loop anywhere in the wedge pipeline") {
+    val p = planOf("q_triangle_count")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p.take(800))
+  }
+
+  test("q_grouped_trend: partial aggregation before the exchange") {
+    val p = planOf("q_grouped_trend")
+    assert(p.contains("partial"), p.take(800))
+  }
 }
