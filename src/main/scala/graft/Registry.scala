@@ -2306,6 +2306,35 @@ GROUP BY n_name ORDER BY revenue DESC, n_name ASC""")),
         Some(graft.text.Bm25.oracleSql("documents", "doc_id", "text",
           Bm25QueryTerms))),
 
+      // interval-overlap join: both sides grid-cell exploded, equi-join
+      // on cell, exactly-once via first-joint-cell arithmetic (no
+      // post-join distinct, no nested loop)
+      RegisteredQuery(
+        "q_interval_overlap",
+        (s, dir) => {
+          val o = Tables.resolve(s, dir)("orders")
+          val big = o.where(col("o_totalprice") > 400000)
+            .select(col("o_orderkey").as("a_key"),
+              col("o_orderdate").as("a_start"),
+              (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("a_end"))
+          val huge = o.where(col("o_totalprice") > 420000)
+            .select(col("o_orderkey").as("b_key"),
+              col("o_orderdate").as("b_start"),
+              (col("o_orderdate") + expr("INTERVAL 10 DAYS")).as("b_end"))
+          graft.operators.RangeJoin.overlapJoin(
+              big, huge, "a_start", "a_end", "b_start", "b_end",
+              bucket = "7 days")
+            .select("a_key", "b_key")
+        },
+        Some(graft.operators.RangeJoin.overlapOracle(
+          leftSql = "SELECT o_orderkey AS a_key, o_orderdate AS a_start, " +
+            "o_orderdate + INTERVAL 7 DAY AS a_end FROM orders WHERE o_totalprice > 400000",
+          rightSql = "SELECT o_orderkey AS b_key, o_orderdate AS b_start, " +
+            "o_orderdate + INTERVAL 10 DAY AS b_end FROM orders WHERE o_totalprice > 420000",
+          leftStart = "a_start", leftEnd = "a_end",
+          rightStart = "b_start", rightEnd = "b_end",
+          on = Nil, selectSql = "l.a_key, r.b_key"))),
+
       // deterministic weighted systematic sampling: integer grid walk
       // along the two-level-prefix cumulative weight axis — no RNG, no
       // float priorities, heavy rows legitimately repeat

@@ -76,4 +76,55 @@ object RangeJoin {
     val conds = (keys :+ s"l.$tsCol >= r.$startCol" :+ s"l.$tsCol $endOp r.$endCol").mkString(" AND ")
     s"SELECT $selectSql FROM ($leftSql) l JOIN ($rightSql) r ON $conds"
   }
+
+  /** Interval × interval OVERLAP join — pair rows whose `[start, end)`
+    * windows intersect (optionally under equi-keys). The raw
+    * `la < rb && ra < lb` condition has no equi-part, so Catalyst would
+    * nested-loop it; here BOTH sides explode into covered grid cells and
+    * equi-join on the cell. A pair sharing k cells would emit k times —
+    * instead of a post-join distinct (a full-output shuffle), each pair is
+    * kept only in its FIRST JOINT cell, `max(cell(leftStart),
+    * cell(rightStart))`: if the intervals overlap, the later start lies
+    * inside both windows, so both sides cover that cell — exactly-once
+    * emission by pure arithmetic.
+    *
+    * Cost: each side inflates by ceil(len/bucket)+1 — choose `bucket`
+    * near the typical interval length; the residual predicate removes
+    * same-cell non-overlaps.
+    */
+  def overlapJoin(left: DataFrame, right: DataFrame,
+                  leftStart: String, leftEnd: String,
+                  rightStart: String, rightEnd: String,
+                  on: Seq[(String, String)] = Nil,
+                  bucket: String = "1 day",
+                  halfOpen: Boolean = true): DataFrame = {
+    val cell = "__oj_cell"
+    def cellOf(c: org.apache.spark.sql.Column) =
+      floor(unix_micros(c.cast("timestamp")) / bucketMicros(bucket))
+    val l = left.withColumn(cell, explode(
+      sequence(cellOf(col(leftStart)), cellOf(col(leftEnd)))))
+    val r = right.withColumn(cell, explode(
+      sequence(cellOf(col(rightStart)), cellOf(col(rightEnd)))))
+    val overlap =
+      if (halfOpen) l(leftStart) < r(rightEnd) && r(rightStart) < l(leftEnd)
+      else l(leftStart) <= r(rightEnd) && r(rightStart) <= l(leftEnd)
+    val firstJoint = greatest(cellOf(l(leftStart)), cellOf(r(rightStart)))
+    l.join(r, l(cell) === r(cell) &&
+        on.map { case (a, b) => l(a) === r(b) }
+          .foldLeft(overlap && l(cell) === firstJoint)(_ && _))
+      .drop(cell)
+  }
+
+  /** DuckDB oracle for [[overlapJoin]] — the plain inequality form. */
+  def overlapOracle(leftSql: String, rightSql: String,
+                    leftStart: String, leftEnd: String,
+                    rightStart: String, rightEnd: String,
+                    on: Seq[(String, String)], selectSql: String,
+                    halfOpen: Boolean = true): String = {
+    val op = if (halfOpen) "<" else "<="
+    val keys = on.map { case (a, b) => s"l.$a = r.$b" }
+    val conds = (keys :+ s"l.$leftStart $op r.$rightEnd" :+
+      s"r.$rightStart $op l.$leftEnd").mkString(" AND ")
+    s"SELECT $selectSql FROM ($leftSql) l JOIN ($rightSql) r ON $conds"
+  }
 }

@@ -58,4 +58,50 @@ class RangeJoinSpec extends SparkSpec {
     assert(got === Set((1L, 100L), (2L, 100L), (4L, 101L),
       (1L, 101L), (2L, 101L), (3L, 101L), (4L, 100L)))
   }
+
+  // ---------------------------------------------------- overlap join --
+
+  private lazy val winsA = Seq(
+    (1L, ts("2024-01-01 00:00:00"), ts("2024-01-05 00:00:00")),
+    (2L, ts("2024-01-10 00:00:00"), ts("2024-01-11 00:00:00")),
+    (3L, ts("2024-02-01 00:00:00"), ts("2024-02-02 00:00:00"))
+  ).toDF("ak", "as_", "ae")
+
+  private lazy val winsB = Seq(
+    (10L, ts("2024-01-04 12:00:00"), ts("2024-01-06 00:00:00")), // overlaps A1
+    (11L, ts("2024-01-05 00:00:00"), ts("2024-01-07 00:00:00")), // abuts A1 (half-open: no)
+    (12L, ts("2024-01-01 00:00:00"), ts("2024-01-20 00:00:00")), // spans A1+A2
+    (13L, ts("2024-03-01 00:00:00"), ts("2024-03-02 00:00:00"))  // disjoint
+  ).toDF("bk", "bs", "be")
+
+  private def overlapPairs(halfOpen: Boolean, bucket: String = "1 day") =
+    RangeJoin.overlapJoin(winsA, winsB, "as_", "ae", "bs", "be",
+        bucket = bucket, halfOpen = halfOpen)
+      .select("ak", "bk").as[(Long, Long)].collect().toList
+
+  test("overlap join: intersecting windows pair exactly once, abutting excluded half-open") {
+    val got = overlapPairs(halfOpen = true)
+    assert(got.size === got.toSet.size, s"duplicate pairs: $got")
+    assert(got.toSet === Set((1L, 10L), (1L, 12L), (2L, 12L)))
+  }
+
+  test("overlap join: closed semantics admit the abutting window") {
+    assert(overlapPairs(halfOpen = false).toSet ===
+      Set((1L, 10L), (1L, 11L), (1L, 12L), (2L, 12L)))
+  }
+
+  test("overlap join: bucket-size independent, exactly-once under any grid") {
+    for (b <- Seq("1 hour", "7 days", "1 minute")) {
+      val got = overlapPairs(halfOpen = true, bucket = b)
+      assert(got.size === got.toSet.size, s"dups at bucket $b")
+      assert(got.toSet === Set((1L, 10L), (1L, 12L), (2L, 12L)), s"bucket $b")
+    }
+  }
+
+  test("overlap join plans as an equi-join, not a nested loop") {
+    val plan = RangeJoin.overlapJoin(winsA, winsB, "as_", "ae", "bs", "be")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"overlap join fell back to a nested loop:\n$plan")
+  }
 }
