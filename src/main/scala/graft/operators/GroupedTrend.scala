@@ -60,6 +60,47 @@ object GroupedTrend {
       .select(groupCols.map(col) ++ Seq(col("n"), col("slope_q")): _*)
   }
 
+  /** The four trend sums as [[IncrementalAgg]] specs over the columns
+    * [[withTrendColumns]] derives — count/sum are decomposable, so a
+    * per-batch fold through the maintained store equals the direct
+    * [[slope]] over the union of batches exactly (the materialized-view
+    * form of trend tracking: the slope of a 100 TB history stays current
+    * at one partial-aggregate pass per batch).
+    */
+  def trendSpecs: Seq[IncrementalAgg.AggSpec] = Seq(
+    IncrementalAgg.Count("__tn"),
+    IncrementalAgg.Sum("__tx", "__tsx"), IncrementalAgg.Sum("__ty", "__tsy"),
+    IncrementalAgg.Sum("__txy", "__tsxy"), IncrementalAgg.Sum("__txx", "__tsxx"))
+
+  /** Derive the decimal input columns [[trendSpecs]] aggregates. */
+  def withTrendColumns(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val x = col(xCol).cast("long").cast(dec)
+    val y = col(yCol).cast("long").cast(dec)
+    df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .withColumn("__tx", x).withColumn("__ty", y)
+      .withColumn("__txy", (x * y).cast(dec))
+      .withColumn("__txx", (x * x).cast(dec))
+  }
+
+  /** Finish a store read (or any frame carrying the [[trendSpecs]] sum
+    * columns) into (groupCols*, n, slope_q) — the same quantization and
+    * NULL contract as [[slope]].
+    */
+  def slopeFromSums(sums: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val dec = "decimal(38,0)"
+    sums
+      .withColumn("__num",
+        (col("__tn").cast(dec) * col("__tsxy") - col("__tsx") * col("__tsy")).cast(dec))
+      .withColumn("__den",
+        (col("__tn").cast(dec) * col("__tsxx") - col("__tsx") * col("__tsx")).cast(dec))
+      .withColumn("slope_q",
+        when(col("__den") === lit(0).cast(dec), lit(null).cast("long"))
+          .otherwise((signum(col("__num")).cast("long") *
+            expr(s"CAST((abs(__num) * $Scale) div __den AS BIGINT)"))))
+      .select(groupCols.map(col) ++ Seq(col("__tn").as("n"), col("slope_q")): _*)
+  }
+
   /** DuckDB replay of [[slope]] — HUGEINT sums (exact 128-bit), the same
     * sign-split truncating division (`//` on non-negative HUGEINTs is the
     * same truncation as Spark's `div`).

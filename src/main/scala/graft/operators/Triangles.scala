@@ -91,6 +91,30 @@ object Triangles {
       .select(col("id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
 
+  /** Co-occurrence (bipartite-projection) edge builder with a bounded
+    * fan-out: pairs of items sharing a group key, where each group
+    * contributes pairs only among its `maxPerGroup` SMALLEST distinct
+    * items ([[graft.functions.BottomK]] — deterministic, bounded-buffer).
+    * The unbounded projection fans out quadratically on a whale group (a
+    * bot "order" with 10⁴ items = 5·10⁷ pairs from one key); the cut is
+    * the visible-truncation discipline: group size can be audited
+    * upstream, and k² bounds every group's contribution.
+    */
+  def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
+                        maxPerGroup: Int): DataFrame = {
+    require(maxPerGroup >= 2, s"maxPerGroup must be >= 2, got $maxPerGroup")
+    df.select(col(groupCol).as("__g"), col(itemCol).cast("long").as("__i"))
+      .where(col("__i").isNotNull)
+      .distinct()
+      .groupBy("__g")
+      .agg(graft.functions.BottomK(maxPerGroup)(col("__i")).as("__items"))
+      .select(explode(expr(
+        """flatten(transform(__items, (x, i) ->
+          |  transform(slice(__items, i + 2, size(__items) - i - 1),
+          |    y -> struct(x AS src, y AS dst))))""".stripMargin)).as("e"))
+      .select(col("e.src"), col("e.dst"))
+  }
+
   /** DuckDB replay of [[perVertex]] over the same canonical edges: the
     * textbook three-way ordered join a<b<c (id order suffices for
     * counting — orientation only matters for the distributed bound), then

@@ -53,4 +53,27 @@ class GroupedTrendSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("partial"), plan.take(2000))
   }
+
+  test("incremental fold through the maintained store equals the direct slope") {
+    val store = "/tmp/graft_trend_store"
+    val p = new org.apache.hadoop.fs.Path(store)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import graft.sources.AtomicStore
+    Seq(p, AtomicStore.tmpPath(p), AtomicStore.stashPath(p))
+      .foreach(d => f.delete(d, true))
+    val rows = (1L to 300L).map(i => (s"g${i % 5}", i, i * ((i % 5) + 1) + (i % 13)))
+    val all = rows.toDF("g", "x", "y")
+    (0 until 3).foreach { b =>
+      IncrementalAgg.update(spark, store,
+        GroupedTrend.withTrendColumns(
+          rows.filter(_._2 % 3 == b).toDF("g", "x", "y"), "x", "y"),
+        Seq("g"), GroupedTrend.trendSpecs)
+    }
+    val folded = GroupedTrend.slopeFromSums(
+        IncrementalAgg.read(spark, store), Seq("g"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val direct = GroupedTrend.slope(all, Seq("g"), "x", "y")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(folded === direct)
+  }
 }

@@ -73,6 +73,23 @@ class TrianglesSpec extends SparkSpec {
     }
   }
 
+  test("coOccurrenceEdges: ordered pairs within groups, duplicates collapse, whale groups truncate") {
+    val df = Seq(
+      (1L, 30L), (1L, 10L), (1L, 20L), (1L, 10L), // dup item
+      (2L, 5L), (2L, 6L),
+      (3L, 9L)                                      // singleton: no pairs
+    ).toDF("g", "item")
+    val got = Triangles.coOccurrenceEdges(df, "g", "item", maxPerGroup = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((10L, 20L), (10L, 30L), (20L, 30L), (5L, 6L)))
+
+    // whale group: 100 items but k=4 → C(4,2)=6 pairs among the 4 smallest
+    val whale = (1L to 100L).map(i => (9L, i)).toDF("g", "item")
+    val cut = Triangles.coOccurrenceEdges(whale, "g", "item", maxPerGroup = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cut === Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+  }
+
   test("whale hub: a star core plus one closing edge stays bounded and exact") {
     // star: hub 0 connected to 1..200; one edge (1,2) closes one triangle.
     // Orientation sends every star edge OUT of the leaf (degree 1 or 2 <
