@@ -2129,8 +2129,11 @@ FROM documents ORDER BY doc_id""")),
             concat(substring(x, 7, 2), substring(x, 5, 2),
               substring(x, 3, 2), substring(x, 1, 2))
           }
-          val sr = expr(
-            "CAST(element_at(array(8000,16000,44100,48000), CAST(doc_id % 4 AS INT) + 1) AS BIGINT)")
+          // single source of truth for the sample-rate expression — the
+          // WAV (Column) and FLAC (string-interpolated) branches must
+          // encode the same rate the oracle derives
+          val srE = "CAST(element_at(array(8000,16000,44100,48000), CAST(doc_id % 4 AS INT) + 1) AS BIGINT)"
+          val sr = expr(srE)
           val ch = expr("n_chars % 2 + 1")
           val dataSize = expr("n_chars * 64")
           val byteRate = sr * ch * lit(2)
@@ -2143,7 +2146,6 @@ FROM documents ORDER BY doc_id""")),
           val wavHex = concat(lit("52494646"), lit("00000000"), lit("57415645"),
             listChunk, fmtChunk, lit("64617461"), le32(dataSize))
           val samples = expr("n_chars * 50")
-          val srE = "CAST(element_at(array(8000,16000,44100,48000), CAST(doc_id % 4 AS INT) + 1) AS BIGINT)"
           val flacHex = concat(lit("664C6143"), lit("00"), lit("000022"),
             lit("10001000000000000000"),
             lpad(hex(expr(s"$srE div 4096")), 2, "0"),

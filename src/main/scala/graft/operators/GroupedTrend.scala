@@ -39,25 +39,12 @@ object GroupedTrend {
   def slope(df: DataFrame, groupCols: Seq[String], xCol: String,
             yCol: String): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must not be empty")
-    val dec = "decimal(38,0)"
-    val x = col(xCol).cast("long").cast(dec)
-    val y = col(yCol).cast("long").cast(dec)
-    df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+    val sums = withTrendColumns(df, xCol, yCol)
       .groupBy(groupCols.map(col): _*)
-      .agg(
-        count(lit(1)).as("n"),
-        sum(x).as("__sx"), sum(y).as("__sy"),
-        sum((x * y).cast(dec)).as("__sxy"),
-        sum((x * x).cast(dec)).as("__sxx"))
-      .withColumn("__num",
-        (col("n").cast(dec) * col("__sxy") - col("__sx") * col("__sy")).cast(dec))
-      .withColumn("__den",
-        (col("n").cast(dec) * col("__sxx") - col("__sx") * col("__sx")).cast(dec))
-      .withColumn("slope_q",
-        when(col("__den") === lit(0).cast(dec), lit(null).cast("long"))
-          .otherwise((signum(col("__num")).cast("long") *
-            expr(s"CAST((abs(__num) * $Scale) div __den AS BIGINT)"))))
-      .select(groupCols.map(col) ++ Seq(col("n"), col("slope_q")): _*)
+      .agg(count(lit(1)).as("__tn"),
+        sum(col("__tx")).as("__tsx"), sum(col("__ty")).as("__tsy"),
+        sum(col("__txy")).as("__tsxy"), sum(col("__txx")).as("__tsxx"))
+    slopeFromSums(sums, groupCols)
   }
 
   /** The four trend sums as [[IncrementalAgg]] specs over the columns

@@ -17,7 +17,8 @@ import org.apache.spark.sql.types._
 object StreamingWindows {
 
   /** Events schema in the raw nanos shape (ts = TIMESTAMP(NANOS) read as
-    * Long nanos) — used by specs that synthesize nanos-long fixtures.
+    * Long nanos) — the [[readEventsStream]] fallback when the path has no
+    * files yet to probe.
     */
   val EventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -39,7 +40,13 @@ object StreamingWindows {
   def readEventsStream(spark: SparkSession, path: String,
                        options: Map[String, String] = Map.empty): DataFrame =
     graft.llm.EventWindows.withNanosAsLong(spark) {
-      val stored = spark.read.parquet(path).schema
+      // probe the stored shape with a batch footer read; an empty or
+      // not-yet-populated directory cannot be probed — fall back to the
+      // raw nanos schema so the stream still starts cleanly and waits
+      // for files (the pre-probe behavior)
+      val stored =
+        try spark.read.parquet(path).schema
+        catch { case _: org.apache.spark.sql.AnalysisException => EventsRawSchema }
       val src = spark.readStream.schema(stored).options(options).parquet(path)
       stored("ts").dataType match {
         case LongType          => src.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))

@@ -21,7 +21,13 @@ import org.apache.spark.sql.functions._
   * to `floor(SCALE·ln(·))` — the [[graft.functions.QuantizedDot]]
   * discipline: quantize the few inputs, then stay closed over the
   * integers (the per-(doc,term) hot path multiplies and sums longs
-  * only). Magnitudes: idfQ ≤ SCALE·ln(N) ≈ 2·10⁷, tfQ ≤ 2.2·SCALE, so a
+  * only). Caveat on the quantized ln: JVM `Math.log` and a C libm are
+  * each within 1 ulp of the true value but not guaranteed to AGREE in
+  * the last ulp, so `floor` could differ when SCALE·ln lands within
+  * ~1 ulp of an integer — probability ≈ 2·SCALE·ulp ≈ 4·10⁻¹⁰ per
+  * distinct (N, df), i.e. negligible per query and deterministic for a
+  * fixed dataset (it either matches or it doesn't; it cannot flicker).
+  * Magnitudes: idfQ ≤ SCALE·ln(N) ≈ 2·10⁷, tfQ ≤ 2.2·SCALE, so a
   * per-doc score over q query terms stays ≤ q·5·10¹³ — far inside Long.
   *
   * Scale shape (100 TB corpus): tokens explode in the scan stage and are

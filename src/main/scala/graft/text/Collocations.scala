@@ -15,7 +15,10 @@ import org.apache.spark.sql.functions._
   * representable counts are correctly rounded, hence identical), take one
   * ln, and quantize to `floor(SCALE·ln)` — so the gate hash-matches; the
   * raw counts ride along unquantized, so the exact evidence is in the
-  * output too.
+  * output too. (Same 1-ulp ln caveat as [[Bm25]]: the two engines' log
+  * implementations could disagree in the last ulp exactly at a floor
+  * boundary — probability ≈ 4·10⁻¹⁰ per distinct count tuple, and
+  * deterministic for a fixed dataset.)
   *
   * Scale shape (100 TB corpus): bigram generation is scan-stage array
   * surgery ([[TextFunctions.shingles]] n=2 — the shifted zip, no
@@ -48,7 +51,12 @@ object Collocations {
     val uni = toks.select(explode(col("__toks")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("c"))
       .localCheckpoint(false)
-    val totalT = uni.agg(sum(col("c")).as("T"))
+    // every document splits to >= 1 token, so B = Σ(len−1) = T − n_docs
+    // exactly — one aggregate yields both corpus constants
+    val totals = toks.agg(
+        sum(size(col("__toks"))).cast("long").as("T"),
+        count(lit(1)).as("__nd"))
+      .withColumn("B", col("T") - col("__nd"))
     // adjacent pairs by zipping the token array with its own 1-shifted
     // slice (the shingles discipline: per-ROW evaluation, no interpreted
     // lambda re-eval); zip_with pads the tail with null → filtered out,
@@ -64,8 +72,7 @@ object Collocations {
     val joined = bi
       .join(uni.select(col("t").as("x"), col("c").as("c_x")), "x")
       .join(uni.select(col("t").as("y"), col("c").as("c_y")), "y")
-      .crossJoin(broadcast(totalT))
-      .crossJoin(broadcast(totalBigrams(toks)))
+      .crossJoin(broadcast(totals))
     // identical double expression tree on both engines: parenthesized
     // left-to-right so every intermediate is the same IEEE value
     val arg = col("c_xy").cast("double") * col("T").cast("double") /
@@ -75,13 +82,6 @@ object Collocations {
       floor(lit(Scale.toDouble) * log(arg)).cast("long").as("pmi_q"))
   }
 
-  /** Total adjacent-pair count B = Σ (len − 1 | len > 0) — over ALL
-    * bigrams, not just the minCount survivors, so probabilities are
-    * corpus-true whatever the pruning.
-    */
-  private def totalBigrams(toks: DataFrame): DataFrame =
-    toks.agg(sum(greatest(size(col("__toks")) - 1, lit(0))).cast("long").as("B"))
-
   /** DuckDB replay of [[pmi]] — same counts, same parenthesized double
     * chain, same floor quantization.
     */
@@ -90,16 +90,16 @@ object Collocations {
   SELECT string_split($textCol, ' ') AS tk FROM $table WHERE $textCol IS NOT NULL),
 uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c
   FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY t),
-tot AS (SELECT CAST(sum(c) AS BIGINT) AS tok_total FROM uni),
+tot AS (SELECT CAST(sum(len(tk)) AS BIGINT) AS tok_total,
+  CAST(sum(len(tk)) - count(*) AS BIGINT) AS bg_total FROM toks),
 pairs AS (SELECT tk[i] AS x, tk[i+1] AS y
   FROM toks, LATERAL (SELECT unnest(range(1, len(tk))) AS i)),
 bi AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy FROM pairs
-  GROUP BY x, y HAVING count(*) >= $minCount),
-btot AS (SELECT CAST(sum(greatest(len(tk) - 1, 0)) AS BIGINT) AS bg_total FROM toks)
+  GROUP BY x, y HAVING count(*) >= $minCount)
 SELECT bi.x, bi.y, bi.c_xy, ux.c AS c_x, uy.c AS c_y,
   CAST(floor(${Scale}.0 * ln(
     CAST(bi.c_xy AS DOUBLE) * CAST(tok_total AS DOUBLE) / CAST(bg_total AS DOUBLE)
       * CAST(tok_total AS DOUBLE) / CAST(ux.c AS DOUBLE) / CAST(uy.c AS DOUBLE)))
     AS BIGINT) AS pmi_q
-FROM bi JOIN uni ux ON bi.x = ux.t JOIN uni uy ON bi.y = uy.t, tot, btot"""
+FROM bi JOIN uni ux ON bi.x = ux.t JOIN uni uy ON bi.y = uy.t, tot"""
 }

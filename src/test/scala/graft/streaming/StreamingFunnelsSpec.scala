@@ -27,8 +27,7 @@ class StreamingFunnelsSpec extends SparkSpec {
     val ev = graft.llm.EventWindows.readEvents(spark, s"$sf/events.parquet")
     val users = ev.select("user_id").distinct()
     (1 to 2).foreach { i =>
-      {
-        users.select(
+      users.select(
             (col("user_id") * 0 + 1000000 + i).cast("long").as("event_id"),
             // ts far beyond every real event, increasing per file; written in
             // the same NTZ-micros shape as the staged real events file so the
@@ -39,7 +38,6 @@ class StreamingFunnelsSpec extends SparkSpec {
             lit(0.0).as("value"),
             lit("{}").as("props"))
           .write.mode("overwrite").parquet(s"$dir/closer_$i")
-      }
       // flatten into single files the stream reads after the real one
       val files = new java.io.File(s"$dir/closer_$i").listFiles()
         .filter(_.getName.endsWith(".parquet"))
@@ -85,16 +83,14 @@ class StreamingFunnelsSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir2))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir2))
     def writeOne(name: String, offsetSec: Int): Unit = {
-      {
-        spark.range(0, 1, 1, numPartitions = 1).select(
-            lit(9000L + offsetSec).as("event_id"),
-            expr(s"TIMESTAMP_NTZ '2030-01-01 00:00:0$offsetSec'").as("ts"),
-            lit(1L).as("user_id"),
-            lit("view").as("event_type"),
-            lit(0.0).as("value"),
-            lit("{}").as("props"))
-          .write.mode("overwrite").parquet(s"$dir2/stage")
-      }
+      spark.range(0, 1, 1, numPartitions = 1).select(
+          lit(9000L + offsetSec).as("event_id"),
+          expr(s"TIMESTAMP_NTZ '2030-01-01 00:00:0$offsetSec'").as("ts"),
+          lit(1L).as("user_id"),
+          lit("view").as("event_type"),
+          lit(0.0).as("value"),
+          lit("{}").as("props"))
+        .write.mode("overwrite").parquet(s"$dir2/stage")
       val f = new java.io.File(s"$dir2/stage").listFiles()
         .filter(_.getName.endsWith(".parquet")).head
       java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(s"$dir2/$name"))
