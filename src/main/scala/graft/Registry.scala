@@ -2308,6 +2308,15 @@ GROUP BY n_name ORDER BY revenue DESC, n_name ASC""")),
         Some(graft.text.Bm25.oracleSql("documents", "doc_id", "text",
           Bm25QueryTerms))),
 
+      // exact chi-square contingency cells: one pair-count shuffle,
+      // margins re-aggregated from the cell table and broadcast back;
+      // (oT−rc)²·S div (Trc) — rational, truncating div on non-negatives
+      RegisteredQuery(
+        "q_chisq_cells",
+        (s, dir) => graft.operators.Contingency.cells(
+          Tables.resolve(s, dir)("documents"), "lang", "source"),
+        Some(graft.operators.Contingency.cellsOracle("documents", "lang", "source"))),
+
       // interval-overlap join: both sides grid-cell exploded, equi-join
       // on cell, exactly-once via first-joint-cell arithmetic (no
       // post-join distinct, no nested loop)

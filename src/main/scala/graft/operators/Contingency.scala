@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact chi-square contingency analysis between two categorical columns
+  * — the feature-independence scan (is `lang` independent of `source`?
+  * does a quality label correlate with a domain?) run before
+  * stratification or leakage audits.
+  *
+  * The chi-square cell contribution is RATIONAL in the counts:
+  *
+  *   (o − e)²/e  with  e = r·c/T   ⟹   (o·T − r·c)² / (T·r·c)
+  *
+  * so with counts in DECIMAL(38,0) every cell is exact integer
+  * arithmetic, quantized by one truncating division (numerator and
+  * denominator are non-negative — no floor/truncate divergence). The
+  * statistic is the sum of the quantized contributions (truncation ≤ 1
+  * unit per cell, deterministic on any engine). Magnitude bound:
+  * (o·T − r·c)² ≤ T⁴ must fit DECIMAL(38) ⇒ T ≤ ~3·10⁹ rows; beyond
+  * that, pre-aggregate the pair counts upstream and feed them scaled.
+  *
+  * Scale shape: ONE shuffle — the (a, b) pair count with map-side
+  * partials; the margins are re-aggregates of the CELL table (|A|·|B|
+  * rows, not corpus rows) and ride broadcast joins back onto it.
+  *
+  * Reference scope note: fabrix has no statistics operators — extension
+  * surface beside [[GroupedTrend]] and [[Profiling]].
+  */
+object Contingency {
+
+  /** Quantization scale for cell contributions. */
+  val Scale: Long = 1000000L
+
+  /** Per-cell table: (aCol, bCol, o, contrib_q) — observed count and the
+    * quantized chi-square contribution of every observed cell.
+    * (Unobserved cells contribute r·c/T² · SCALE... — i.e. e·SCALE — to
+    * the true statistic; with every VALUE PAIR observed this is the full
+    * statistic. Cells with o = 0 simply don't appear, and [[chiSquare]]
+    * documents the convention.)
+    */
+  def cells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cellCounts = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).cast(dec).as("o"))
+      .localCheckpoint(false)
+    val ra = cellCounts.groupBy(col(aCol))
+      .agg(sum(col("o")).cast(dec).as("r"))
+    val cb = cellCounts.groupBy(col(bCol))
+      .agg(sum(col("o")).cast(dec).as("c"))
+    val tot = cellCounts.agg(sum(col("o")).cast(dec).as("t"))
+    cellCounts
+      .join(broadcast(ra), aCol)
+      .join(broadcast(cb), bCol)
+      .crossJoin(broadcast(tot))
+      .withColumn("__d", (col("o") * col("t") - col("r") * col("c")).cast(dec))
+      .select(col(aCol), col(bCol), col("o").cast("long").as("o"),
+        expr(s"CAST((CAST(__d * __d AS DECIMAL(38,0)) * $Scale) div " +
+          "CAST(t * r * c AS DECIMAL(38,0)) AS BIGINT)").as("contrib_q"))
+  }
+
+  /** The chi-square statistic (in 1/SCALE units) over observed cells,
+    * with the degrees of freedom (|A|−1)·(|B|−1): one row
+    * (chi2_q, dof).
+    */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cl = cells(df, aCol, bCol)
+    cl.agg(
+      sum(col("contrib_q")).as("chi2_q"),
+      ((countDistinct(col(aCol)) - 1) *
+        (countDistinct(col(bCol)) - 1)).as("dof"))
+  }
+
+  /** DuckDB replay of [[cells]] — HUGEINT margins, same truncating
+    * division.
+    */
+  def cellsOracle(table: String, aCol: String, bCol: String): String =
+    s"""WITH cc AS (SELECT $aCol, $bCol, CAST(count(*) AS HUGEINT) AS o
+  FROM $table WHERE $aCol IS NOT NULL AND $bCol IS NOT NULL GROUP BY $aCol, $bCol),
+ra AS (SELECT $aCol, sum(o) AS r FROM cc GROUP BY $aCol),
+cb AS (SELECT $bCol, sum(o) AS c FROM cc GROUP BY $bCol),
+tot AS (SELECT sum(o) AS t FROM cc)
+SELECT cc.$aCol, cc.$bCol, CAST(o AS BIGINT) AS o,
+  CAST(((o * t - r * c) * (o * t - r * c) * ${Scale}) // (t * r * c) AS BIGINT) AS contrib_q
+FROM cc JOIN ra USING ($aCol) JOIN cb USING ($bCol), tot"""
+}

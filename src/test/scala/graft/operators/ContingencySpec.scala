@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Exact chi-square: hand-checked 2×2 table, independence → zero,
+  * partitioning independence, dof.
+  */
+class ContingencySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("hand-checked 2x2 table") {
+    // classic example: o = [[10, 20], [30, 40]]; T=100, r=(30,70), c=(40,60)
+    // e = [[12,18],[28,42]]; chi2 = 4/12 + 4/18 + 4/28 + 4/42 = 0.7936507...
+    val rows =
+      Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(30)(("b", "x")) ++ Seq.fill(40)(("b", "y"))
+    val got = Contingency.chiSquare(rows.toDF("u", "v"), "u", "v")
+      .head()
+    // direct quantized computation: (o*T - r*c)^2 * S div (T*r*c)
+    def q(o: Long, r: Long, c: Long): Long = {
+      val d = o * 100 - r * c
+      d * d * 1000000L / (100L * r * c)
+    }
+    val want = q(10, 30, 40) + q(20, 30, 60) + q(30, 70, 40) + q(40, 70, 60)
+    assert(got.getLong(0) === want)
+    assert(got.getLong(1) === 1L) // (2-1)*(2-1)
+    // and the quantized statistic matches the float value to 1e-6 per cell
+    assert(math.abs(got.getLong(0) / 1e6 - 0.79365) < 1e-3)
+  }
+
+  test("perfect independence gives exactly zero") {
+    // o proportional to r*c in every cell
+    val rows =
+      Seq.fill(8)(("a", "x")) ++ Seq.fill(2)(("a", "y")) ++
+      Seq.fill(32)(("b", "x")) ++ Seq.fill(8)(("b", "y"))
+    val got = Contingency.chiSquare(rows.toDF("u", "v"), "u", "v").head()
+    assert(got.getLong(0) === 0L)
+  }
+
+  test("partitioning-independent") {
+    val rows = (1 to 400).map(i => (s"a${i % 3}", s"b${i % 5}", i))
+    val one = Contingency.cells(rows.toDF("u", "v", "i").repartition(1), "u", "v")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val many = Contingency.cells(rows.toDF("u", "v", "i").repartition(13), "u", "v")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(one === many && one.size === 15)
+  }
+}
