@@ -2406,6 +2406,95 @@ GROUP BY n_name ORDER BY revenue DESC, n_name ASC""")),
     */
   private def Bm25QueryTerms: Seq[String] = Seq("spark", "vector", "merge", "table")
 
+  /** Feature-engineering / validation operators (SURVEY L110+). */
+  val featureOps: Seq[RegisteredQuery] = {
+    import graft.operators._
+    import org.apache.spark.sql.functions._
+
+    Seq(
+      // trailing 30-day spend per customer: one key exchange + spill-backed
+      // per-key sort, integer-day RANGE frame, decimal-exact sums
+      RegisteredQuery(
+        "q_rolling_window",
+        (s, dir) => RollingWindow.trailingByDays(
+            Tables.resolve(s, dir)("orders"), "o_custkey", "o_orderdate",
+            "o_totalprice", windowDays = 30)
+          .select("o_orderkey", "o_custkey", "trail_n", "trail_sum"),
+        Some(RollingWindow.oracleSql("orders", "o_custkey", "o_orderdate",
+          "o_totalprice", windowDays = 30,
+          keepCols = Seq("o_orderkey", "o_custkey")))),
+
+      // hopping 2h windows slid hourly: scan-stage Expand (x2), ONE
+      // partial-agg'd shuffle — tumbling's cost profile with overlap
+      RegisteredQuery(
+        "q_hopping_window",
+        (s, dir) => graft.llm.EventWindows.hopping(
+          graft.llm.EventWindows.readEvents(s, s"$dir/events.parquet")),
+        Some(graft.llm.EventWindows.hoppingOracle("events"))),
+
+      // snapshot diff: one full-outer key join over two deterministic
+      // variants of orders; churn-sized output, null-safe comparison
+      RegisteredQuery(
+        "q_snapshot_diff",
+        (s, dir) => {
+          val o = Tables.resolve(s, dir)("orders")
+            .select("o_orderkey", "o_totalprice", "o_orderstatus")
+          val old = o.where(col("o_orderkey") % 5 =!= 0)
+          val nw = o.where(col("o_orderkey") % 7 =!= 0)
+            .withColumn("o_totalprice",
+              when(col("o_orderkey") % 11 === 0, col("o_totalprice") + 10.0)
+                .otherwise(col("o_totalprice")))
+          SnapshotDiff.diff(old, nw, Seq("o_orderkey"),
+              Seq("o_totalprice", "o_orderstatus"))
+            .select(col("o_orderkey"), col("status"),
+              array_join(col("diff_cols"), ",").as("diff_cols"))
+        },
+        Some(SnapshotDiff.oracleSql(
+          oldSql = "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 5 <> 0",
+          newSql = "SELECT o_orderkey, CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 7 <> 0",
+          keyCols = Seq("o_orderkey"), compareCols = Seq("o_totalprice", "o_orderstatus"),
+          // coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+          // array_join([]) is ''
+          projectSql = "o_orderkey, status, coalesce(array_to_string(diff_cols, ','), '') AS diff_cols"))),
+
+      // exact global deciles with no global sort: range repartition +
+      // DenseIndex offsets + NTILE's integer size rule
+      RegisteredQuery(
+        "q_quantile_buckets",
+        (s, dir) => QuantileBuckets.ntileExact(
+            Tables.resolve(s, dir)("orders"), "o_totalprice", "o_orderkey", k = 10)
+          .select("o_orderkey", "bucket"),
+        Some(QuantileBuckets.oracleSql("orders", "o_totalprice", "o_orderkey",
+          k = 10, keepCols = Seq("o_orderkey")))),
+
+      // deterministic contrastive negatives: md5-arithmetic partner index
+      // resolved by ONE equi-join on the dense id-order position
+      RegisteredQuery(
+        "q_negative_pairs",
+        (s, dir) => graft.llm.NegativeSampling.negativePairs(
+          Tables.resolve(s, dir)("documents"), "doc_id", k = 2),
+        Some(graft.llm.NegativeSampling.oracleSql("documents", "doc_id", k = 2))),
+
+      // per-group z-scores: three decimal partials per (group, partition),
+      // one broadcast join back, IEEE-identical standardization chain
+      RegisteredQuery(
+        "q_zscore_outliers",
+        (s, dir) => Outliers.zscore(
+            Tables.resolve(s, dir)("orders"), "o_orderpriority", "o_totalprice",
+            threshold = 1.5)
+          .select("o_orderkey", "o_orderpriority", "z_scaled", "is_outlier"),
+        Some(Outliers.oracleSql("orders", "o_orderpriority", "o_totalprice",
+          threshold = 1.5, keepCols = Seq("o_orderkey", "o_orderpriority")))),
+
+      // hashing-trick featurization: scan-stage md5 buckets, one
+      // partial-agg'd (doc, bucket) shuffle, vocabulary-free
+      RegisteredQuery(
+        "q_feature_hash",
+        (s, dir) => graft.text.FeatureHash.featurize(
+          Tables.resolve(s, dir)("documents"), "doc_id", "text", dim = 64),
+        Some(graft.text.FeatureHash.oracleSql("documents", "doc_id", "text", dim = 64))))
+  }
+
   def all: Seq[RegisteredQuery] =
-    relational ++ rowOps ++ sourceOps ++ llmOps ++ corpusOps ++ scaleOps
+    relational ++ rowOps ++ sourceOps ++ llmOps ++ corpusOps ++ scaleOps ++ featureOps
 }

@@ -74,6 +74,41 @@ object EventWindows {
       s"count(*) AS n_events, CAST(sum(CAST($valueCol AS DECIMAL(18,6))) AS DOUBLE) AS sum_value " +
       s"FROM $table GROUP BY 1, 2 ORDER BY 1, 2"
 
+  /** Hopping (sliding) windows: count + sum per (window, event_type) where
+    * windows of `size` start at every multiple of `slide` (epoch-aligned,
+    * like Spark's `window()` contract) — each event lands in size/slide
+    * overlapping windows. The smoothing form of [[tumbling]]: hourly-slid
+    * 2-hour buckets give trend curves without bucket-boundary cliffs.
+    *
+    * Scale shape: the overlap factor is a scan-stage Expand (size/slide
+    * rows per event — a constant, chosen small), then the identical ONE
+    * partial-agg'd shuffle as tumbling; no self-join, no window function.
+    * Exactness: decimal accumulation, integer window arithmetic.
+    */
+  def hopping(events: DataFrame, tsCol: String = "ts", size: String = "2 hours",
+              slide: String = "1 hour", typeCol: String = "event_type",
+              valueCol: String = "value"): DataFrame =
+    events
+      .groupBy(window(col(tsCol), size, slide).as("w"), col(typeCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
+      .select(col("w.start").as("w_start"), col(typeCol), col("n_events"), col("sum_value"))
+
+  /** DuckDB replay of [[hopping]] for size = k × slide: each event's k
+    * covering window starts are its slide-bucket minus 0..k−1 slides —
+    * a constant-factor unnest, then the same grouped aggregate.
+    */
+  def hoppingOracle(table: String, tsCol: String = "ts", slideSql: String = "INTERVAL 1 HOUR",
+                    hops: Int = 2, typeCol: String = "event_type",
+                    valueCol: String = "value"): String =
+    s"""WITH h AS (SELECT unnest(range($hops)) AS k),
+e AS (SELECT time_bucket($slideSql, $tsCol) - k * $slideSql AS w_start, $typeCol, $valueCol
+  FROM $table CROSS JOIN h)
+SELECT w_start, $typeCol, count(*) AS n_events,
+  CAST(sum(CAST($valueCol AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Per-user sessionization with Spark's built-in `session_window` (gap
     * windows, batch mode — the same expression works unchanged under
     * `readStream`, which is why it beats a hand-rolled gaps-and-islands

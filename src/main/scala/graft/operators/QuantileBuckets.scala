@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Exact global quantile bucketing (NTILE) without a global sort — assign
+  * every row its k-quantile bucket by exact rank on (orderCol, idCol). The
+  * curriculum primitive: bucket documents by difficulty / quality score
+  * into k tiers, then schedule training over tiers; also the exact form of
+  * equal-frequency binning for feature discretization.
+  *
+  * The naive formulation — `ntile(k) OVER (ORDER BY v)` — funnels the
+  * entire corpus through ONE task (empty-partition window). This
+  * implementation computes the same answer from a range repartition:
+  *
+  *  1. `repartitionByRange(v, id)` puts rows in globally ordered
+  *     partitions (sampled boundaries — affects the SPLIT, never the
+  *     result);
+  *  2. a per-partition sort (parallel, spill-backed) plus
+  *     [[graft.core.DenseIndex]]'s tiny offset pass yields each row's
+  *     exact 0-based global rank;
+  *  3. bucket follows from (rank, n, k) by NTILE's integer size rule —
+  *     first `n mod k` buckets hold `⌈n/k⌉` rows, the rest `⌊n/k⌋`.
+  *
+  * Total cost: one range exchange + parallel sorts + a numPartitions-row
+  * offset pass — nothing corpus-wide in one task. Ties: the idCol
+  * tiebreak makes the order total, so ranks (hence buckets) are unique
+  * and engine-independent.
+  */
+object QuantileBuckets {
+
+  /** Input columns plus `bucket` (1-based, 1..k). `idCol` must be a
+    * unique non-null key (the tiebreak that makes NTILE deterministic).
+    */
+  def ntileExact(df: DataFrame, orderCol: String, idCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val sorted = df.repartitionByRange(col(orderCol), col(idCol))
+      .sortWithinPartitions(orderCol, idCol)
+    val ranked = graft.core.DenseIndex.withDenseIndex(sorted, "__rank")
+    val nDf = ranked.agg(count(lit(1)).cast(LongType).as("__n"))
+    // NTILE size rule in pure integer arithmetic: q = n div k, r = n mod k;
+    // 0-based rank i → bucket (0-based) = i div (q+1) when i < r*(q+1)
+    // (the widened buckets), else r + (i − r*(q+1)) div q. q = 0 (k > n)
+    // never reaches the second branch: r = n and every i < n = r*(q+1).
+    val bucket0 = expr(
+      s"""CASE WHEN __rank < (__n % $k) * (__n div $k + 1)
+         THEN __rank div (__n div $k + 1)
+         ELSE (__n % $k) + (__rank - (__n % $k) * (__n div $k + 1)) div (__n div $k)
+         END""")
+    ranked.crossJoin(broadcast(nDf))
+      .withColumn("bucket", (bucket0 + 1).cast(LongType))
+      .drop("__rank", "__n")
+  }
+
+  /** DuckDB replay — the window NTILE the distributed form is provably
+    * equivalent to (the oracle can afford the single-partition window).
+    */
+  def oracleSql(table: String, orderCol: String, idCol: String, k: Int,
+                keepCols: Seq[String]): String = {
+    val cols = keepCols.mkString(", ")
+    s"""SELECT $cols, CAST(ntile($k) OVER (ORDER BY $orderCol, $idCol) AS BIGINT) AS bucket
+FROM $table ORDER BY $orderCol, $idCol""".stripMargin
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact NTILE vs the window formulation, uneven splits, k > n, and the
+  * no-single-partition-window plan contract.
+  */
+class QuantileBucketsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def windowNtile(df: org.apache.spark.sql.DataFrame, k: Int) =
+    df.withColumn("bucket",
+      ntile(k).over(Window.orderBy(col("v"), col("id"))).cast("long"))
+
+  private def check(n: Int, k: Int, parts: Int = 5): Unit = {
+    val df = (1 to n).map(i => ((i * 7919L) % 1000, i.toLong))
+      .toDF("v", "id").repartition(parts)
+    val got = QuantileBuckets.ntileExact(df, "v", "id", k)
+      .select("id", "bucket").as[(Long, Long)].collect().toMap
+    val want = windowNtile(df, k)
+      .select("id", "bucket").as[(Long, Long)].collect().toMap
+    assert(got === want, s"n=$n k=$k")
+  }
+
+  test("equals window NTILE when k divides n") { check(100, 10) }
+  test("uneven split: first n mod k buckets are one row larger") { check(103, 10) }
+  test("k > n: each row its own bucket, ranks dense from 1") { check(4, 10) }
+  test("n = 1") { check(1, 3) }
+  test("ties on v: id tiebreak keeps buckets deterministic") {
+    val df = (1 to 50).map(i => (7L, i.toLong)).toDF("v", "id")
+    val got = QuantileBuckets.ntileExact(df, "v", "id", 7)
+      .select("id", "bucket").as[(Long, Long)].collect().toMap
+    val want = windowNtile(df, 7).select("id", "bucket")
+      .as[(Long, Long)].collect().toMap
+    assert(got === want)
+  }
+
+  test("partitioning-independent: same buckets from 1 and 8 input partitions") {
+    val base = (1 to 97).map(i => ((i * 104729L) % 500, i.toLong)).toDF("v", "id")
+    val a = QuantileBuckets.ntileExact(base.coalesce(1), "v", "id", 8)
+      .select("id", "bucket").as[(Long, Long)].collect().toMap
+    val b = QuantileBuckets.ntileExact(base.repartition(8), "v", "id", 8)
+      .select("id", "bucket").as[(Long, Long)].collect().toMap
+    assert(a === b)
+  }
+
+  test("plan: range partitioning, no single-partition window over row data") {
+    val df = (1 to 200).map(i => (i.toLong % 37, i.toLong)).toDF("v", "id")
+    val plan = QuantileBuckets.ntileExact(df, "v", "id", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"))
+    // the only Window in the plan is DenseIndex's numPartitions-row offset
+    // cumsum — NTILE itself is arithmetic, not a window function
+    assert(!plan.contains("ntile"))
+  }
+}
