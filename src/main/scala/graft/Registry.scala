@@ -2492,8 +2492,51 @@ GROUP BY n_name ORDER BY revenue DESC, n_name ASC""")),
         "q_feature_hash",
         (s, dir) => graft.text.FeatureHash.featurize(
           Tables.resolve(s, dir)("documents"), "doc_id", "text", dim = 64),
-        Some(graft.text.FeatureHash.oracleSql("documents", "doc_id", "text", dim = 64))))
+        Some(graft.text.FeatureHash.oracleSql("documents", "doc_id", "text", dim = 64))),
+
+      // KLL-cutpoint quintiles: ONE sketch aggregate + broadcast cuts,
+      // no repartition — the production path next to q_quantile_buckets'
+      // exact rank; exact regime (capacity 2k=8192 ≥ corpus) is asserted
+      RegisteredQuery(
+        "q_bucket_cutpoints",
+        (s, dir) => {
+          val docs = Tables.resolve(s, dir)("documents")
+          val n = Registry.cutpointsPrecondition.computeIfAbsent(dir, _ => docs.count())
+          require(n <= 8192,
+            s"q_bucket_cutpoints exact-regime precondition broken: $n documents " +
+              "> 2k=8192 — the sketch would compact and the exact oracle " +
+              "comparison becomes meaningless; raise sketchK")
+          graft.operators.QuantileBuckets.bucketByCutpoints(
+              docs, "n_chars", k = 5, sketchK = 4096)
+            .select("doc_id", "n_chars", "bucket")
+        },
+        Some(graft.operators.QuantileBuckets.cutpointsOracleSql(
+          "documents", "CAST(n_chars AS BIGINT)", k = 5,
+          keepCols = Seq("t.doc_id", "t.n_chars")))),
+
+      // fastText-style linear scoring over hashed features: integer
+      // milli-unit weights → exact, order-independent dot product; the
+      // weight array rides the plan, scoring is scan-stage + featurize's
+      // one shuffle
+      RegisteredQuery(
+        "q_linear_score",
+        (s, dir) => graft.text.FeatureHash.scoreLinear(
+          Tables.resolve(s, dir)("documents"), "doc_id", "text", GateWeights),
+        Some(graft.text.FeatureHash.scoreOracleSql(
+          "documents", "doc_id", "text", GateWeights))))
   }
+
+  /** q_linear_score weights: a deterministic Fibonacci-hash spread in
+    * [−500, 500] — stands in for a trained, milli-unit-quantized model.
+    */
+  private def GateWeights: Array[Long] =
+    Array.tabulate(64)(b => ((b * 2654435761L) % 1001L) - 500L)
+
+  /** Per-dataset-dir cache of the q_bucket_cutpoints exact-regime
+    * precondition (corpus row count ≤ sketch capacity).
+    */
+  private[graft] val cutpointsPrecondition =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   def all: Seq[RegisteredQuery] =
     relational ++ rowOps ++ sourceOps ++ llmOps ++ corpusOps ++ scaleOps ++ featureOps

@@ -62,4 +62,54 @@ object QuantileBuckets {
     s"""SELECT $cols, CAST(ntile($k) OVER (ORDER BY $orderCol, $idCol) AS BIGINT) AS bucket
 FROM $table ORDER BY $orderCol, $idCol""".stripMargin
   }
+
+  /** Quantile-CUTPOINT bucketing — the cheaper production path when exact
+    * NTILE's range repartition is overkill: ONE KLL-summary aggregate over
+    * the value column yields the k−1 cut values (discrete quantiles at
+    * i/k), and bucket assignment is scan-stage arithmetic against the
+    * broadcast cut array — `1 + |{cuts < v}|`, so bucket boundaries sit ON
+    * corpus values and ties share a bucket (equal values can never split,
+    * unlike [[ntileExact]]'s id tiebreak).
+    *
+    * Cost: one partial-agg'd aggregate (the KLL buffer is O(k·log(n/k))
+    * per partition) + a 1-row broadcast — NO repartition of the data, no
+    * sort, no second shuffle. Sketch capacity ≥ distinct weight mass makes
+    * the cuts exact (the [[graft.functions.QuantileSketch]] exact regime —
+    * the gate runs there); at 100 TB the same code runs approximate with
+    * KLL's rank-error guarantee.
+    */
+  def bucketByCutpoints(df: DataFrame, valueCol: String, k: Int,
+                        sketchK: Int = 4096): DataFrame = {
+    require(k > 1, s"k must be at least 2, got $k")
+    val fracs = (1L until k.toLong).map(i => (i, k.toLong))
+    val cuts = df.agg(
+      graft.functions.Quantiles(sketchK, fracs)(col(valueCol)).as("__cuts"))
+    df.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        (aggregate(col("__cuts"), lit(0L),
+          (acc, c) => acc + when(c < col(valueCol).cast("long"), 1L).otherwise(0L)) + 1L)
+          .cast(LongType))
+      .drop("__cuts")
+  }
+
+  /** DuckDB replay of [[bucketByCutpoints]] in the exact regime: cut i =
+    * the smallest value whose cumulative count reaches ⌈i·n/k⌉ (the KLL
+    * finish rule with unit weights), bucket = 1 + count of cuts strictly
+    * below the value.
+    */
+  def cutpointsOracleSql(table: String, valueSql: String, k: Int,
+                         keepCols: Seq[String]): String = {
+    val cols = keepCols.mkString(", ")
+    s"""WITH v AS (SELECT $valueSql AS v FROM $table),
+c AS (SELECT v, sum(count(*)) OVER (ORDER BY v) AS cum FROM v GROUP BY v),
+n AS (SELECT count(*) AS n FROM v),
+cuts AS (
+  SELECT i, min(c.v) AS cut
+  FROM (SELECT unnest(range(1, $k)) AS i), c, n
+  WHERE c.cum >= (i * n.n + $k - 1) // $k
+  GROUP BY i)
+SELECT $cols,
+  1 + (SELECT count(*) FROM cuts WHERE cuts.cut < ($valueSql)) AS bucket
+FROM $table t""".stripMargin
+  }
 }

@@ -48,4 +48,49 @@ b AS (SELECT $idCol,
   CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT) % $dim AS bucket
   FROM t WHERE tok <> '')
 SELECT $idCol, bucket, count(*) AS tf FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Linear-model inference over hashed features — score(doc) =
+    * Σ_buckets tf(bucket) · w(bucket), the fastText-style quality-filter
+    * scoring pass that decides keep/drop for every document in the
+    * corpus. Weights are INTEGER (train in float, quantize once to
+    * milli-units): the dot product is then exact integer arithmetic —
+    * order-independent, engine-independent, hashable — and a threshold
+    * comparison on it is stable under any partitioning.
+    *
+    * Scale shape: the weight vector (dim entries) rides into the plan as
+    * a broadcast-sized array literal evaluated scan-stage via
+    * `element_at`; scoring reuses [[featurize]]'s one partial-agg'd
+    * shuffle and adds a per-document sum — nothing new crosses the wire.
+    * dim is bounded by the literal size (~10⁶ is fine; a 2²⁰-dim model is
+    * 8 MB of plan — switch to a broadcast join on bucket beyond that).
+    */
+  def scoreLinear(df: DataFrame, idCol: String, textCol: String,
+                  weights: Array[Long]): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    val dim = weights.length
+    featurize(df, idCol, textCol, dim)
+      .withColumn("__w", element_at(
+        array(weights.toIndexedSeq.map(w => lit(w)): _*), col("bucket").cast("int") + 1))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf") * col("__w")).as("score"))
+  }
+
+  /** DuckDB replay of [[scoreLinear]]: same featurize CTEs, weight lookup
+    * from an inline VALUES list, same integer dot product.
+    */
+  def scoreOracleSql(table: String, idCol: String, textCol: String,
+                     weights: Array[Long]): String = {
+    val dim = weights.length
+    val values = weights.zipWithIndex
+      .map { case (w, i) => s"($i, ${w}::BIGINT)" }.mkString(", ")
+    s"""WITH t AS (SELECT $idCol, unnest(string_split($textCol, ' ')) AS tok FROM $table),
+b AS (SELECT $idCol,
+  CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT) % $dim AS bucket
+  FROM t WHERE tok <> ''),
+f AS (SELECT $idCol, bucket, count(*) AS tf FROM b GROUP BY 1, 2),
+w(bucket, wt) AS (VALUES $values)
+SELECT f.$idCol, sum(f.tf * w.wt) AS score
+FROM f JOIN w ON f.bucket = w.bucket
+GROUP BY f.$idCol ORDER BY f.$idCol""".stripMargin
+  }
 }

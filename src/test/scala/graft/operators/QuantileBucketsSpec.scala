@@ -47,6 +47,42 @@ class QuantileBucketsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("cutpoints (exact regime): ties share a bucket, buckets are monotone in v") {
+    val df = (1 to 200).map(i => ((i % 20).toLong, i.toLong)).toDF("v", "id")
+    val got = QuantileBuckets.bucketByCutpoints(df, "v", k = 4, sketchK = 512)
+      .select("v", "bucket").as[(Long, Long)].collect()
+    // ties: every row with the same v has the same bucket
+    assert(got.groupBy(_._1).values.forall(_.map(_._2).toSet.size == 1))
+    // monotone: larger v never gets a smaller bucket
+    val byV = got.toMap
+    assert(byV.toSeq.sortBy(_._1).map(_._2) === byV.toSeq.sortBy(_._1).map(_._2).sorted)
+    assert(got.map(_._2).toSet.subsetOf((1L to 4L).toSet))
+  }
+
+  test("cutpoints (exact regime): distinct uniform values split evenly") {
+    val df = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("v", "id")
+    val sizes = QuantileBuckets.bucketByCutpoints(df, "v", k = 5, sketchK = 512)
+      .groupBy("bucket").count().as[(Long, Long)].collect().toMap
+    assert(sizes === Map(1L -> 20L, 2L -> 20L, 3L -> 20L, 4L -> 20L, 5L -> 20L))
+  }
+
+  test("cutpoints: partitioning-independent in the exact regime") {
+    val base = (1 to 150).map(i => ((i * 37L) % 61, i.toLong)).toDF("v", "id")
+    val a = QuantileBuckets.bucketByCutpoints(base.coalesce(1), "v", 6, 512)
+      .select("id", "bucket").as[(Long, Long)].collect().toMap
+    val b = QuantileBuckets.bucketByCutpoints(base.repartition(8), "v", 6, 512)
+      .select("id", "bucket").as[(Long, Long)].collect().toMap
+    assert(a === b)
+  }
+
+  test("cutpoints plan: no repartition of row data — one aggregate + broadcast join") {
+    val df = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("v", "id")
+    val plan = QuantileBuckets.bucketByCutpoints(df, "v", 4, 512)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("plan: range partitioning, no single-partition window over row data") {
     val df = (1 to 200).map(i => (i.toLong % 37, i.toLong)).toDF("v", "id")
     val plan = QuantileBuckets.ntileExact(df, "v", "id", 10)

@@ -48,6 +48,36 @@ class FeatureHashSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("scoreLinear equals the brute-force hashed dot product") {
+    val dim = 16
+    val w = Array.tabulate(dim)(b => (b * 7L) - 50L)
+    val got = FeatureHash.scoreLinear(docs, "id", "text", w)
+      .as[(Long, Long)].collect().toMap
+    val brute = docs.select($"id", $"text").as[(Long, String)].collect().flatMap {
+      case (id, text) =>
+        val toks = text.split(" ", -1).filter(_.nonEmpty)
+        if (toks.isEmpty) None
+        else Some(id -> toks.map(t =>
+          w((graft.functions.Md5Prefix60.hash60(
+            org.apache.spark.unsafe.types.UTF8String.fromString(t)) % dim).toInt)).sum)
+    }.toMap
+    assert(got === brute)
+  }
+
+  test("scoreLinear: empty documents produce no score row") {
+    val w = Array.fill(8)(1L)
+    val ids = FeatureHash.scoreLinear(docs, "id", "text", w)
+      .select("id").as[Long].collect().toSet
+    assert(ids === Set(1L, 2L, 4L)) // doc 3 is empty
+  }
+
+  test("scoreLinear with all-ones weights returns the token count") {
+    val w = Array.fill(32)(1L)
+    val got = FeatureHash.scoreLinear(docs, "id", "text", w)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 6L, 2L -> 3L, 4L -> 1L))
+  }
+
   test("plan: partial aggregation before the exchange") {
     val plan = FeatureHash.featurize(docs, "id", "text", 16)
       .queryExecution.executedPlan.toString
