@@ -2514,6 +2514,71 @@ GROUP BY n_name ORDER BY revenue DESC, n_name ASC""")),
           "documents", "CAST(n_chars AS BIGINT)", k = 5,
           keepCols = Seq("t.doc_id", "t.n_chars")))),
 
+      // ISO-BMFF container metadata: synthetic MP4/MOV payloads (real box
+      // tree — ftyp, a variable-length free box, moov with a sibling child
+      // before mvhd, v0 AND v1 mvhd layouts) walked back by the native
+      // video_meta expression in whole-stage codegen; oracle recomputes
+      // from the embedding columns
+      RegisteredQuery(
+        "q_video_meta",
+        (s, dir) => {
+          def be(c: org.apache.spark.sql.Column, d: Int) = lpad(hex(c), d, "0")
+          val ts = (pmod(col("n_chars"), lit(48000)) + 1000).cast("long")
+          val dur = (pmod(col("doc_id"), lit(100000L)) * 600 + 1).cast("long")
+          val rot = pmod(col("doc_id"), lit(3))
+          val pad = pmod(col("doc_id"), lit(8)).cast("int")
+          val brandHex = when(rot === 0, lit("69736F6D")) // isom
+            .when(rot === 1, lit("71742020")) // 'qt  '
+            .otherwise(lit("6D703432")) // mp42
+          val ftyp = concat(lit("0000001066747970"), brandHex, lit("00000000"))
+          val free = concat(be(pad + 8, 8), lit("66726565"),
+            lit("00000000000000").substr(lit(1), (pad * 2).cast("int")))
+          // rate, volume+reserved, reserved2(8B), unity matrix(36B),
+          // pre_defined(24B), next_track — 80 bytes shared by v0 and v1
+          val matrixHex = Seq("00010000", "00000000", "00000000",
+            "00000000", "00010000", "00000000",
+            "00000000", "00000000", "40000000").mkString
+          val tailHex = "00010000" + "01000000" + ("0" * 16) + matrixHex +
+            ("0" * 48) + "00000002"
+          assert(tailHex.length == 160, s"mvhd tail ${tailHex.length}")
+          val mvhdTail = lit(tailHex)
+          val mvhdV0 = concat(lit("0000006C6D766864"), lit("00000000"),
+            lit("0000000000000000"), be(ts, 8), be(dur, 8), mvhdTail)
+          val mvhdV1 = concat(lit("000000786D766864"), lit("01000000"),
+            lit("00000000000000000000000000000000"), be(ts, 8), be(dur, 16), mvhdTail)
+          val moov = when(rot === 2,
+              concat(lit("000000886D6F6F76"), lit("0000000866726565"), mvhdV1))
+            .otherwise(concat(lit("0000007C6D6F6F76"), lit("0000000866726565"), mvhdV0))
+          val payload = concat(ftyp, free, moov)
+          Tables.resolve(s, dir)("documents")
+            .select(col("doc_id"),
+              graft.functions.VideoMeta(unhex(payload)).as("v"))
+            .select(col("doc_id"),
+              col("v").getField("brand").as("brand"),
+              col("v").getField("timescale").as("timescale"),
+              col("v").getField("duration").as("duration"),
+              col("v").getField("duration_ms").as("duration_ms"))
+            .orderBy("doc_id")
+        },
+        Some("""SELECT doc_id,
+  CASE doc_id % 3 WHEN 0 THEN 'isom' WHEN 1 THEN 'qt  ' ELSE 'mp42' END AS brand,
+  CAST(n_chars % 48000 + 1000 AS INT) AS timescale,
+  CAST((doc_id % 100000) * 600 + 1 AS BIGINT) AS duration,
+  ((doc_id % 100000) * 600 + 1) * 1000 // (n_chars % 48000 + 1000) AS duration_ms
+FROM documents ORDER BY doc_id""")),
+
+      // deflate compressibility filter: scan-stage native expression; no
+      // SQL engine replays zlib, so the gate is rows-only (oracle = None,
+      // the L7-style contract) and semantics are spec-pinned
+      RegisteredQuery(
+        "q_compression_ratio",
+        (s, dir) => Tables.resolve(s, dir)("documents")
+          .select(col("doc_id"),
+            graft.functions.CompressionRatio(col("text")).as("ratio_bp"))
+          .where(col("ratio_bp") > 0)
+          .orderBy("doc_id"),
+        None),
+
       // fastText-style linear scoring over hashed features: integer
       // milli-unit weights → exact, order-independent dot product; the
       // weight array rides the plan, scoring is scan-stage + featurize's

@@ -89,6 +89,23 @@ object StreamingWindows {
         sum(col(valueCol).cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
       .select(col("w.start").as("w_start"), col(typeCol), col("n_events"), col("sum_value"))
 
+  /** Watermarked hopping (sliding) windows — the same `window(size, slide)`
+    * expression as [[graft.llm.EventWindows.hopping]], so the batch gate is
+    * the streaming oracle. State is keyed by (window, type) like tumbling,
+    * ×(size/slide) windows in the horizon — still bounded by the watermark,
+    * independent of input rate.
+    */
+  def hopping(events: DataFrame, size: String = "2 hours", slide: String = "1 hour",
+              lateness: String = "2 hours", tsCol: String = "ts",
+              typeCol: String = "event_type", valueCol: String = "value"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), size, slide).as("w"), col(typeCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
+      .select(col("w.start").as("w_start"), col(typeCol), col("n_events"), col("sum_value"))
+
   /** Watermarked per-user session windows — the same `session_window`
     * expression as [[graft.llm.EventWindows.sessionized]], so the batch gate
     * query is the oracle for the streaming path. Session state merges

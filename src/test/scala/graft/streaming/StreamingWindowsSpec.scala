@@ -80,6 +80,24 @@ class StreamingWindowsSpec extends SparkSpec {
     got.foreach { g => assert(byKey((g.get(0), g.getString(1))) == g) }
   }
 
+  test("streaming hopping windows (complete mode) equal the batch hopping aggregation") {
+    import org.apache.spark.sql.functions.col
+    val stream = StreamingWindows.hopping(
+      StreamingWindows.readEventsStream(spark, streamDir))
+    val q = stream.writeStream.format("memory").queryName("sw_hopping")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("sw_hopping")
+      .select(col("w_start").cast("timestamp_ntz").as("w_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("w_start", "event_type").collect()
+    val batchHop = EventWindows.hopping(
+        EventWindows.readEvents(spark, s"$sf/events.parquet"))
+      .orderBy("w_start", "event_type").collect()
+    assert(got.length == batchHop.length && got.nonEmpty)
+    got.zip(batchHop).foreach { case (g, b) => assert(g == b) }
+  }
+
   test("streaming session windows (complete mode) equal the batch sessionization") {
     import org.apache.spark.sql.functions.col
     val stream = StreamingWindows.sessionized(
