@@ -138,6 +138,10 @@ object VideoMeta {
       i += size
     }
     if (brand == null || timescale <= 0 || duration < 0) return null
+    // a structurally valid u64 duration can still overflow the *1000 ms
+    // conversion — that payload is "not parseable" (NULL), never a wrapped
+    // negative duration_ms
+    if (duration > Long.MaxValue / 1000L) return null
     InternalRow(UTF8String.fromString(brand), timescale, duration,
       duration * 1000L / timescale)
   }

@@ -34,8 +34,13 @@ object NegativeSampling {
     require(k > 0, s"k must be positive, got $k")
     val ids = df.select(col(idCol))
       .repartitionByRange(col(idCol)).sortWithinPartitions(idCol)
+    // lazy checkpoint: idx is consumed twice (anchors and the partner
+    // lookup) and DenseIndex evaluates its input twice — pin the indexed
+    // frame so the id sort runs once, not once per consumer
     val idx = graft.core.DenseIndex.withDenseIndex(ids, "__idx")
-    val nDf = idx.agg(count(lit(1)).as("__n"))
+      .localCheckpoint(false)
+    // count from the RAW input: it doesn't need the sorted lineage
+    val nDf = df.agg(count(lit(1)).as("__n"))
     val anchors = idx.crossJoin(broadcast(nDf))
       .select(col(idCol).as("anchor_id"), col("__idx"), col("__n"),
         explode(sequence(lit(0L), lit((k - 1).toLong))).as("j"))

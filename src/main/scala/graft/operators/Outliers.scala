@@ -46,12 +46,15 @@ object Outliers {
     val std = sqrt(variance)
     val z = (col(valueCol).cast(DoubleType) - mean) / std
     // guard on variance (not std): a constant group's variance can round to
-    // a tiny NEGATIVE double, and sqrt of a negative must never evaluate
+    // a tiny NEGATIVE double, and sqrt of a negative must never evaluate.
+    // coalesce: a NULL value row has NULL z even in a live group — the
+    // flag contract is "false whenever z is NULL", not NULL (which would
+    // silently drop the row from a `where(!is_outlier)` keep-filter)
     df.join(broadcast(stats), groupCol)
       .withColumn("z_scaled",
         when(variance > 0.0, floor(z * lit(1e4)).cast(LongType)))
       .withColumn("is_outlier",
-        when(variance > 0.0, abs(z) > threshold).otherwise(lit(false)))
+        coalesce(when(variance > 0.0, abs(z) > threshold), lit(false)))
       .drop("__cnt", "__s", "__ss")
   }
 
@@ -75,9 +78,9 @@ SELECT $cols,
   CASE WHEN d.variance > 0
     THEN CAST(floor((CAST(t.$valueCol AS DOUBLE) - d.mean) / sqrt(d.variance) * 1e4) AS BIGINT)
   END AS z_scaled,
-  CASE WHEN d.variance > 0
+  coalesce(CASE WHEN d.variance > 0
     THEN abs((CAST(t.$valueCol AS DOUBLE) - d.mean) / sqrt(d.variance)) > $threshold
-  ELSE false END AS is_outlier
+  END, false) AS is_outlier
 FROM $table t JOIN d ON t.$groupCol = d.$groupCol""".stripMargin
   }
 }

@@ -38,7 +38,10 @@ object QuantileBuckets {
     val sorted = df.repartitionByRange(col(orderCol), col(idCol))
       .sortWithinPartitions(orderCol, idCol)
     val ranked = graft.core.DenseIndex.withDenseIndex(sorted, "__rank")
-    val nDf = ranked.agg(count(lit(1)).cast(LongType).as("__n"))
+    // count from the RAW input, not the ranked frame: the total row count
+    // doesn't need the range sort, so the expensive sorted lineage has ONE
+    // consumer (DenseIndex's own two passes are inherent and documented)
+    val nDf = df.agg(count(lit(1)).cast(LongType).as("__n"))
     // NTILE size rule in pure integer arithmetic: q = n div k, r = n mod k;
     // 0-based rank i → bucket (0-based) = i div (q+1) when i < r*(q+1)
     // (the widened buckets), else r + (i − r*(q+1)) div q. q = 0 (k > n)
@@ -55,12 +58,15 @@ object QuantileBuckets {
 
   /** DuckDB replay — the window NTILE the distributed form is provably
     * equivalent to (the oracle can afford the single-partition window).
+    * NULLS FIRST spelled out: Spark's ascending sorts put NULLs first,
+    * DuckDB's default is NULLS LAST — a NULL-bearing order column would
+    * silently diverge otherwise.
     */
   def oracleSql(table: String, orderCol: String, idCol: String, k: Int,
                 keepCols: Seq[String]): String = {
     val cols = keepCols.mkString(", ")
-    s"""SELECT $cols, CAST(ntile($k) OVER (ORDER BY $orderCol, $idCol) AS BIGINT) AS bucket
-FROM $table ORDER BY $orderCol, $idCol""".stripMargin
+    s"""SELECT $cols, CAST(ntile($k) OVER (ORDER BY $orderCol NULLS FIRST, $idCol) AS BIGINT) AS bucket
+FROM $table ORDER BY $orderCol NULLS FIRST, $idCol""".stripMargin
   }
 
   /** Quantile-CUTPOINT bucketing — the cheaper production path when exact
@@ -81,6 +87,16 @@ FROM $table ORDER BY $orderCol, $idCol""".stripMargin
   def bucketByCutpoints(df: DataFrame, valueCol: String, k: Int,
                         sketchK: Int = 4096): DataFrame = {
     require(k > 1, s"k must be at least 2, got $k")
+    // the sketch operates on longs; a fractional column would silently
+    // truncate (scores in [0,1) all collapse to 0) — fail fast instead,
+    // callers scale to integer units first (cents, basis points, micros)
+    df.schema(valueCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"bucketByCutpoints needs an integral value column (scale fractional " +
+          s"values to integer units first); $valueCol is ${other.catalogString}")
+    }
     val fracs = (1L until k.toLong).map(i => (i, k.toLong))
     val cuts = df.agg(
       graft.functions.Quantiles(sketchK, fracs)(col(valueCol)).as("__cuts"))

@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   * caught before training on it.
   *
   * Null contract: column comparison is null-safe (`<=>`) — NULL→NULL is
-  * unchanged, NULL→value is a change; keys are assumed non-null (a NULL
-  * key never equi-joins and would misreport as added+removed).
+  * unchanged, NULL→value is a change. The key join is ALSO null-safe, so
+  * one NULL-keyed row per side pairs up like any key; keys are still
+  * expected unique and non-null — m NULL-keyed rows against n fan out
+  * into m·n joined rows, the same blowup any duplicated key causes.
   *
   * Scale shape (100 TB): ONE hash equi-join on the key columns (full
   * outer) — both sides shuffle once on the key, or the smaller snapshot
