@@ -2579,6 +2579,50 @@ FROM documents ORDER BY doc_id""")),
           .orderBy("doc_id"),
         None),
 
+      // join-explosion guard: exact Σ nl·nr pre-check from two partial-
+      // agg'd count aggregates, then the join Spark would have planned;
+      // the raise path is spec-pinned, the pass-through hash-matches
+      RegisteredQuery(
+        "q_guarded_join",
+        (s, dir) => {
+          val t = Tables.resolve(s, dir)
+          graft.operators.GuardedJoin.inner(
+              t("orders"), t("customer").withColumnRenamed("c_custkey", "o_custkey"),
+              Seq("o_custkey"), maxOutputRows = 10000000L)
+            .select("o_orderkey", "o_custkey", "c_name")
+        },
+        Some("SELECT o_orderkey, o_custkey, c_name FROM orders " +
+          "JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey")),
+
+      // k-anonymity suppression: one quasi-id groupBy + a broadcast
+      // null-safe anti-join against the under-k cohorts
+      RegisteredQuery(
+        "q_k_anonymity",
+        (s, dir) => graft.operators.Anonymity.suppress(
+            Tables.resolve(s, dir)("documents"), Seq("lang", "source"), k = 30L)
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id"),
+        Some(graft.operators.Anonymity.suppressOracleSql(
+          "documents", Seq("lang", "source"), k = 30L,
+          keepCols = Seq("doc_id", "lang", "source")))),
+
+      // integer half-life recency decay: scan-stage bit-shift arithmetic,
+      // bit-identical on any engine — no float pow/exp
+      RegisteredQuery(
+        "q_decay_score",
+        (s, dir) => graft.operators.DecayScore.withDecay(
+            Tables.resolve(s, dir)("orders")
+              .withColumn("cents",
+                (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")),
+            "cents", "o_orderdate", asOfDate = "1999-01-01", halfLifeDays = 365)
+          .select("o_orderkey", "cents", "decayed"),
+        Some(graft.operators.DecayScore.oracleSql(
+          "orders",
+          scoreSql = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
+          dateSql = "o_orderdate", asOfDate = "1999-01-01", halfLifeDays = 365,
+          keepCols = Seq("o_orderkey",
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents")))),
+
       // fastText-style linear scoring over hashed features: integer
       // milli-unit weights → exact, order-independent dot product; the
       // weight array rides the plan, scoring is scan-stage + featurize's

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Join-explosion guard — estimate an equi-join's EXACT output size from
+  * per-key counts before running it, and fail fast (with the offending
+  * keys) when it exceeds a budget. The production mishap this prevents is
+  * mundane and expensive: a dimension table that silently picked up
+  * duplicate keys turns a 10⁹-row fact join into 10¹²+ output rows, and
+  * the job discovers it only by dying hours in (or worse, by writing the
+  * garbage). The guard turns that into an immediate, attributed error.
+  *
+  * Exactness: for an inner equi-join, |output| = Σ_key nₗ(key)·nᵣ(key) —
+  * not an estimate. Computing it costs two partial-agg'd count
+  * aggregates (shuffle = distinct keys, not rows) and a key-sized join —
+  * negligible next to the join being guarded, and the aggregates' scans
+  * typically come from cache/files the join reads anyway.
+  *
+  * Scale shape: all pre-checks are decomposable aggregates; the only
+  * driver materialization is the single summary row plus the top-`show`
+  * offending keys (bounded). The guarded join itself is whatever Spark
+  * would have planned — the guard adds no hint and changes no semantics.
+  */
+object GuardedJoin {
+
+  /** Thrown when the exact inner-join output size exceeds the budget. */
+  final class JoinBudgetExceeded(msg: String) extends IllegalStateException(msg)
+
+  /** Inner equi-join on `keys`, or [[JoinBudgetExceeded]] if the exact
+    * output row count would exceed `maxOutputRows`. The error names the
+    * `show` worst keys by per-key output contribution.
+    */
+  def inner(left: DataFrame, right: DataFrame, keys: Seq[String],
+            maxOutputRows: Long, show: Int = 5): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    require(maxOutputRows > 0, s"maxOutputRows must be positive, got $maxOutputRows")
+    val kc = keys.map(col)
+    val lc = left.groupBy(kc: _*).agg(count(lit(1)).as("__nl"))
+    val rc = right.groupBy(kc: _*).agg(count(lit(1)).as("__nr"))
+    val perKey = lc.join(rc, keys).select(
+      kc :+ (col("__nl") * col("__nr")).as("__out"): _*)
+    val total = perKey.agg(sum("__out")).head()
+    val totalRows = if (total.isNullAt(0)) 0L else total.getLong(0)
+    if (totalRows > maxOutputRows) {
+      val worst = perKey.orderBy(col("__out").desc)
+        .limit(show).collect()
+        .map(r => keys.map(r.getAs[Any]).mkString("(", ",", ")") +
+          "→" + r.getAs[Long]("__out"))
+        .mkString(", ")
+      throw new JoinBudgetExceeded(
+        s"inner join on ${keys.mkString(",")} would produce $totalRows rows " +
+          s"(budget $maxOutputRows); worst keys: $worst")
+    }
+    left.join(right, keys)
+  }
+}
