@@ -21,8 +21,16 @@ import org.apache.spark.sql.types.LongType
   *
   * Everything stays DataFrame ops (codegen'd); the input is evaluated twice
   * (count pass + output pass) exactly like zipWithIndex's hidden count job —
-  * cache the input when that matters. Index assignment is deterministic for
+  * cache the INPUT when that matters. Index assignment is deterministic for
   * a fixed partition layout, same contract as zipWithIndex.
+  *
+  * Do NOT `persist()` the OUTPUT: correctness of the internal offset join
+  * relies on exchange reuse giving both evaluations of the input the same
+  * partition layout, and caching re-plans the subtree under AQE's
+  * cached-plan rules — the two evaluations decouple and rows silently
+  * drop (verified empirically). To pin the output for multiple consumers,
+  * `localCheckpoint` it (materializes one consistent snapshot); see
+  * [[graft.llm.NegativeSampling]].
   */
 object DenseIndex {
 

@@ -108,7 +108,9 @@ object VideoMeta {
       if (size < hdr) return null // malformed: box smaller than its header
       val at = i.toInt
       if (is(b, at + 4, "ftyp")) {
-        if (i + hdr + 4 > b.length) return null
+        // bound by the DECLARED size too: a size-8 ftyp must not read the
+        // next box's bytes as its brand
+        if (i + hdr + 4 > b.length || hdr + 4 > size) return null
         brand = fourcc(b, at + hdr)
       } else if (is(b, at + 4, "moov")) {
         // child walk: mvhd may sit after any number of sibling boxes
@@ -119,15 +121,18 @@ object VideoMeta {
           if (csize < chdr) return null
           val cat = j.toInt
           if (is(b, cat + 4, "mvhd")) {
+            // field reads bounded by the payload AND the declared box
+            // size — a truncated-size mvhd must not read its sibling's
+            // bytes as timescale/duration
             val p = j + chdr
-            if (p + 4 > b.length) return null
+            if (p + 4 > b.length || chdr + 4 > csize) return null
             val version = u8(b, p.toInt)
             if (version == 0) {
-              if (p + 20 > b.length) return null
+              if (p + 20 > b.length || chdr + 20 > csize) return null
               timescale = be32(b, p.toInt + 12).toInt
               duration = be32(b, p.toInt + 16)
             } else if (version == 1) {
-              if (p + 32 > b.length) return null
+              if (p + 32 > b.length || chdr + 32 > csize) return null
               timescale = be32(b, p.toInt + 20).toInt
               duration = be64(b, p.toInt + 24)
             } else return null

@@ -34,9 +34,15 @@ object NegativeSampling {
     require(k > 0, s"k must be positive, got $k")
     val ids = df.select(col(idCol))
       .repartitionByRange(col(idCol)).sortWithinPartitions(idCol)
-    // lazy checkpoint: idx is consumed twice (anchors and the partner
-    // lookup) and DenseIndex evaluates its input twice — pin the indexed
-    // frame so the id sort runs once, not once per consumer
+    // localCheckpoint, NOT persist: idx is consumed twice (anchors and
+    // the partner lookup) and DenseIndex evaluates its input twice, so
+    // the indexed frame must be pinned. persist() is empirically WRONG
+    // here: caching re-plans the subtree under AQE's cached-plan rules,
+    // which decouples DenseIndex's two internal evaluations of the range
+    // exchange (its offset join relies on exchange reuse for partition-id
+    // stability) and silently DROPS rows. The checkpoint materializes one
+    // consistent snapshot; the durability tradeoff (blocks die with their
+    // executor) is the same one the iterative operators already accept.
     val idx = graft.core.DenseIndex.withDenseIndex(ids, "__idx")
       .localCheckpoint(false)
     // count from the RAW input: it doesn't need the sorted lineage

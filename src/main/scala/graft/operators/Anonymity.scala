@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the audit is ONE partial-agg'd groupBy on the
   * quasi-identifier tuple (whale cohorts collapse map-side); suppression
-  * re-keys the rows once against the small under-k cohort list —
-  * broadcastable, since |violations| ≤ corpus/k only when near-uniform
-  * and is in practice tiny. No window, no second corpus pass.
+  * anti-joins the rows once against the violation list. The violation
+  * list is NOT inherently small — a mostly-unique quasi-identifier tuple
+  * (the typical failing dataset) makes nearly every cohort a violation,
+  * so the join is left to Catalyst/AQE: it broadcasts when the list fits
+  * and shuffles when it doesn't. No window, no second corpus pass.
   */
 object Anonymity {
 
@@ -35,10 +37,12 @@ object Anonymity {
   /** Rows whose quasi-identifier cohort has at least `k` members — the
     * released dataset. Implemented as a null-safe anti-join against the
     * under-k cohort list so NULL-valued cohorts suppress correctly too.
+    * No broadcast hint: the violation list can approach corpus size on a
+    * mostly-unique tuple, so the strategy choice stays with AQE.
     */
   def suppress(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
     val bad = audit(df, quasiCols, k).drop("n")
-    df.join(broadcast(bad),
+    df.join(bad,
       quasiCols.map(c => df(c) <=> bad(c)).reduce(_ && _), "left_anti")
   }
 

@@ -36,20 +36,26 @@ object GuardedJoin {
     require(keys.nonEmpty, "keys must be non-empty")
     require(maxOutputRows > 0, s"maxOutputRows must be positive, got $maxOutputRows")
     val kc = keys.map(col)
-    val lc = left.groupBy(kc: _*).agg(count(lit(1)).as("__nl"))
-    val rc = right.groupBy(kc: _*).agg(count(lit(1)).as("__nr"))
+    // DECIMAL(38,0) throughout: the guard exists precisely for the regime
+    // where nl*nr (or their sum) overflows a Long — 3e9×3e9 per key wraps
+    // silently without ANSI mode and throws past the JoinBudgetExceeded
+    // contract with it; decimal stays exact to 10^38
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val lc = left.groupBy(kc: _*).agg(count(lit(1)).cast(dec).as("__nl"))
+    val rc = right.groupBy(kc: _*).agg(count(lit(1)).cast(dec).as("__nr"))
     val perKey = lc.join(rc, keys).select(
-      kc :+ (col("__nl") * col("__nr")).as("__out"): _*)
-    val total = perKey.agg(sum("__out")).head()
-    val totalRows = if (total.isNullAt(0)) 0L else total.getLong(0)
-    if (totalRows > maxOutputRows) {
+      kc :+ (col("__nl") * col("__nr")).cast(dec).as("__out"): _*)
+    val total = perKey.agg(sum("__out").cast(dec)).head()
+    val totalRows = if (total.isNullAt(0)) BigDecimal(0)
+      else BigDecimal(total.getDecimal(0))
+    if (totalRows > BigDecimal(maxOutputRows)) {
       val worst = perKey.orderBy(col("__out").desc)
         .limit(show).collect()
         .map(r => keys.map(r.getAs[Any]).mkString("(", ",", ")") +
-          "→" + r.getAs[Long]("__out"))
+          "→" + r.getAs[java.math.BigDecimal]("__out").toBigInteger)
         .mkString(", ")
       throw new JoinBudgetExceeded(
-        s"inner join on ${keys.mkString(",")} would produce $totalRows rows " +
+        s"inner join on ${keys.mkString(",")} would produce ${totalRows.toBigInt} rows " +
           s"(budget $maxOutputRows); worst keys: $worst")
     }
     left.join(right, keys)

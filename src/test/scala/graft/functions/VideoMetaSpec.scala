@@ -85,6 +85,13 @@ class VideoMetaSpec extends SparkSpec {
     val badV = "0000006C6D766864" + "02000000" + ("0" * 16) +
       "00000258" + "00000BB8" + tail
     assert(parse(ftypIsom + "00000074" + "6D6F6F76" + badV) === None)
+    // mvhd declaring a size too small for its fields must NOT read its
+    // sibling's bytes as timescale/duration
+    val tinyMvhd = "0000000C6D766864" + "00000000" // declared 12 bytes
+    val sibling = "0000006C66726565" + ("0" * 200)
+    assert(parse(ftypIsom + "000000806D6F6F76" + tinyMvhd + sibling) === None)
+    // ftyp declaring size 8 must not read the next box as its brand
+    assert(parse("0000000866747970" + "000000746D6F6F76" + mvhdV0) === None)
   }
 
   test("interpreted eval matches codegen") {
