@@ -48,7 +48,48 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, s"quantized_dot expects 2 arguments, got ${args.length}")
         QuantizedDot(args.head, args(1))
+      }),
+    unary("simhash16", classOf[SimHash16],
+      "simhash16(shingles) - 16-bit SimHash of a string-array (shingle set) as INT; " +
+        "near-duplicates bucket by equality.", SimHash16(_)),
+    unary("media_dims", classOf[MediaDims],
+      "media_dims(bin) - struct<format,width,height> parsed from a PNG/GIF/JPEG/BMP " +
+        "header, NULL if unrecognized/truncated.", MediaDims(_)),
+    unary("audio_meta", classOf[AudioMeta],
+      "audio_meta(bin) - struct<format,channels,sample_rate,bits,duration_ms> from a " +
+        "WAV/FLAC header, NULL if unrecognized/truncated.", AudioMeta(_)),
+    unary("video_meta", classOf[VideoMeta],
+      "video_meta(bin) - struct<brand,timescale,duration,duration_ms> from an " +
+        "ISO-BMFF (MP4/MOV) header, NULL if unrecognized/truncated.", VideoMeta(_)),
+    unary("compression_ratio", classOf[CompressionRatio],
+      "compression_ratio(str|bin) - deflate(level 6) size in basis points of raw " +
+        "size; low values flag repetitive machine-generated text.", CompressionRatio(_)),
+    (FunctionIdentifier("minhash_k"),
+      new ExpressionInfo(classOf[MinHashK].getName, null, "minhash_k",
+        "minhash_k(shingles, k) - array of k MinHash values over a string-array " +
+          "(shingle set); k must be a literal INT.", ""),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"minhash_k expects 2 arguments, got ${args.length}")
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_k's k must be a literal INT, got $other")
+        }
+        MinHashK(args.head, k)
       }))
+  // NOT registered: BloomMightContain, NearestCentroid, PqEncode, AdcDist —
+  // they carry driver-built plan objects (a bloom filter, centroid/codebook
+  // matrices) that have no SQL-literal form; they are Column combinators only.
+
+  private def unary(name: String, cls: Class[_], usage: String,
+                    build: Expression => Expression):
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(cls.getName, null, name, usage, ""),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"$name expects 1 argument, got ${args.length}")
+        build(args.head)
+      })
 
   /** Register into a live session's function registry (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -51,6 +51,43 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("every registered function answers from SQL and matches its Column path") {
+    GraftExtensions.register(spark)
+    val probe = Seq(Tuple1("hello world of spark native functions and shingles"))
+      .toDF("s")
+    probe.createOrReplaceTempView("ext_all_probe")
+    val shingles = graft.text.TextFunctions.shingleSet(col("s"), 3)
+
+    val simSql = spark.sql(
+      "SELECT simhash16(array_distinct(transform(sequence(1, size(split(s,' '))-2), " +
+        "i -> concat_ws(' ', slice(split(s,' '), i, 3))))) FROM ext_all_probe")
+      .head().getLong(0)
+    val simCol = probe.select(SimHash16(shingles)).head().getLong(0)
+    assert(simSql === simCol)
+
+    val mhSql = spark.sql(
+      "SELECT minhash_k(array_distinct(transform(sequence(1, size(split(s,' '))-2), " +
+        "i -> concat_ws(' ', slice(split(s,' '), i, 3)))), 4) FROM ext_all_probe")
+      .head().getSeq[Long](0)
+    val mhCol = probe.select(MinHashK(shingles, 4)).head().getSeq[Long](0)
+    assert(mhSql === mhCol)
+
+    // media/audio/video/compression over literal payloads
+    assert(spark.sql(
+      "SELECT media_dims(unhex('89504E470D0A1A0A0000000D4948445200000280000001E0')).width")
+      .head().getInt(0) === 640)
+    val vm = spark.sql(
+      "SELECT video_meta(unhex('0000001066747970" + "69736F6D" + "00000000'))")
+      .head()
+    assert(vm.isNullAt(0))
+    assert(spark.sql("SELECT compression_ratio('')").head().getInt(0) === 10000)
+    assert(spark.sql("SELECT compression_ratio(repeat('ab', 500)) < 2000")
+      .head().getBoolean(0))
+    val wav = spark.sql(
+      "SELECT audio_meta(X'52494646FFFFFFFF57415645') IS NULL").head().getBoolean(0)
+    assert(wav) // RIFF/WAVE with no fmt/data chunks → NULL
+  }
+
   test("arity is enforced") {
     GraftExtensions.register(spark)
     val err = intercept[Exception] {
