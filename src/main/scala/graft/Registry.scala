@@ -2623,6 +2623,16 @@ FROM documents ORDER BY doc_id""")),
           keepCols = Seq("o_orderkey",
             "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents")))),
 
+      // touch attribution: conditional min/max STRUCT aggregates over a
+      // RANGE frame — one user exchange, running frame state, no
+      // events×events interval join
+      RegisteredQuery(
+        "q_attribution",
+        (s, dir) => graft.llm.Attribution.firstLastTouch(
+          graft.llm.EventWindows.readEvents(s, s"$dir/events.parquet"),
+          conversionType = "purchase"),
+        Some(graft.llm.Attribution.oracleSql("events", "purchase"))),
+
       // fastText-style linear scoring over hashed features: integer
       // milli-unit weights → exact, order-independent dot product; the
       // weight array rides the plan, scoring is scan-stage + featurize's
