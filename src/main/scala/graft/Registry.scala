@@ -2633,6 +2633,26 @@ FROM documents ORDER BY doc_id""")),
           conversionType = "purchase"),
         Some(graft.llm.Attribution.oracleSql("events", "purchase"))),
 
+      // PSI drift: two bucket-count aggregates + a buckets-sized join;
+      // quantized-ln per-bucket contributions hash cross-engine
+      RegisteredQuery(
+        "q_psi_drift",
+        (s, dir) => {
+          val o = Tables.resolve(s, dir)("orders")
+            .withColumn("cents",
+              (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+          graft.operators.Drift.psiByBucket(
+            o.where(col("o_orderkey") % 2 === 0),
+            o.where(col("o_orderkey") % 2 =!= 0),
+            "cents", PsiCuts)
+        },
+        Some(graft.operators.Drift.oracleSql(
+          refSql = "SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents " +
+            "FROM orders WHERE o_orderkey % 2 = 0",
+          curSql = "SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents " +
+            "FROM orders WHERE o_orderkey % 2 <> 0",
+          valueCol = "cents", cuts = PsiCuts))),
+
       // fastText-style linear scoring over hashed features: integer
       // milli-unit weights → exact, order-independent dot product; the
       // weight array rides the plan, scoring is scan-stage + featurize's
@@ -2644,6 +2664,14 @@ FROM documents ORDER BY doc_id""")),
         Some(graft.text.FeatureHash.scoreOracleSql(
           "documents", "doc_id", "text", GateWeights))))
   }
+
+  /** q_psi_drift cut points: fixed cents boundaries spanning the synthetic
+    * order-price range — the frozen train-time binning drift is measured
+    * against.
+    */
+  private def PsiCuts: Seq[Long] =
+    Seq(5000000L, 10000000L, 15000000L, 20000000L, 25000000L,
+      30000000L, 35000000L, 40000000L)
 
   /** q_linear_score weights: a deterministic Fibonacci-hash spread in
     * [−500, 500] — stands in for a trained, milli-unit-quantized model.

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** PSI drift: hand-computed contributions, identical-distribution zero,
+  * empty-bucket nulls, and the bounded-join plan shape.
+  */
+class DriftSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def df(vs: Seq[Long]) = vs.map(Tuple1(_)).toDF("v")
+
+  test("identical distributions: every occupied bucket has psi_q in {-1, 0}") {
+    // floor of an exactly-zero product is 0; tiny negative round-off → -1
+    val d = df(Seq(1L, 5L, 9L, 14L, 20L))
+    val got = Drift.psiByBucket(d, d, "v", Seq(10L))
+      .select("psi_q").as[Option[Long]].collect()
+    assert(got.forall(o => o.contains(0L) || o.contains(-1L)))
+  }
+
+  test("hand-computed two-bucket drift") {
+    // ref: 3 low 1 high; cur: 1 low 3 high; cut at 10
+    val ref = df(Seq(1L, 2L, 3L, 11L))
+    val cur = df(Seq(4L, 12L, 13L, 14L))
+    val got = Drift.psiByBucket(ref, cur, "v", Seq(10L))
+      .select("bucket", "n_ref", "n_cur", "psi_q")
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._2 === 3L && got(1L)._3 === 1L)
+    val psiLow = (0.75 - 0.25) * math.log(0.75 / 0.25)
+    val psiHigh = (0.25 - 0.75) * math.log(0.25 / 0.75)
+    assert(got(1L)._4 === Some(math.floor(1e6 * psiLow).toLong))
+    assert(got(2L)._4 === Some(math.floor(1e6 * psiHigh).toLong))
+    // symmetric shift: both contributions positive (PSI always ≥ 0 per bucket)
+    assert(got.values.forall(_._4.get > 0))
+  }
+
+  test("bucket empty on one side: counted, psi_q NULL") {
+    val ref = df(Seq(1L, 2L))
+    val cur = df(Seq(11L, 12L))
+    val got = Drift.psiByBucket(ref, cur, "v", Seq(10L))
+      .select("bucket", "n_ref", "n_cur", "psi_q")
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    assert(got === Set((1L, 2L, 0L, None), (2L, 0L, 2L, None)))
+  }
+
+  test("null values are excluded from both counts and totals") {
+    val ref = Seq(Some(1L), None, Some(2L)).map(Tuple1(_)).toDF("v")
+    val cur = Seq(Some(3L), Some(4L)).map(Tuple1(_)).toDF("v")
+    val got = Drift.psiByBucket(ref, cur, "v", Seq(10L))
+      .select("n_ref", "n_cur").as[(Long, Long)].collect()
+    assert(got === Array((2L, 2L)))
+  }
+
+  test("cuts must be strictly increasing") {
+    intercept[IllegalArgumentException] {
+      Drift.psiByBucket(df(Seq(1L)), df(Seq(1L)), "v", Seq(10L, 10L))
+    }
+    intercept[IllegalArgumentException] {
+      Drift.psiByBucket(df(Seq(1L)), df(Seq(1L)), "v", Seq(20L, 10L))
+    }
+  }
+
+  test("plan: two aggregates + a buckets-sized join; no corpus-width join or window") {
+    val plan = Drift.psiByBucket(df(1L to 100L), df(1L to 100L), "v",
+        Seq(25L, 50L, 75L))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
