@@ -2653,6 +2653,16 @@ FROM documents ORDER BY doc_id""")),
             "FROM orders WHERE o_orderkey % 2 <> 0",
           valueCol = "cents", cuts = PsiCuts))),
 
+      // BPE merge training: corpus collapses to word counts once, rounds
+      // run vocabulary-sized; total-order pair selection is deterministic.
+      // No SQL oracle for an N-round fixpoint — rows-only gate, reference
+      // implementation in BpeTrainSpec
+      RegisteredQuery(
+        "q_bpe_merges",
+        (s, dir) => graft.text.BpeTrain.learnMerges(
+          Tables.resolve(s, dir)("documents"), "text", nMerges = 16, loopPartitions = 4),
+        None),
+
       // fastText-style linear scoring over hashed features: integer
       // milli-unit weights → exact, order-independent dot product; the
       // weight array rides the plan, scoring is scan-stage + featurize's

@@ -1,0 +1,148 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BPE merge-rule training (Sennrich et al. 2016) — learn the top-N
+  * byte-pair merges from a corpus, the step that builds a tokenizer's
+  * vocabulary before any model trains. Classic BPE is defined over WORD
+  * FREQUENCIES, and that is what makes it tractable at corpus scale: the
+  * corpus collapses to a (word, count) vocabulary in ONE pass, and every
+  * merge round after that runs over vocabulary-sized data — 100 TB of
+  * text with a 10⁸-word vocabulary never touches the corpus again.
+  *
+  * Determinism: pair selection is (count DESC, left ASC, right ASC) — a
+  * total order, so the learned merge list is bit-identical on any engine
+  * and partitioning. Merge application is the standard leftmost,
+  * non-overlapping fold ("aaa" under (a,a) → "aa","a").
+  *
+  * Scale shape per round: adjacent-pair counts are a partial-agg'd
+  * groupBy over vocab rows (pairs weighted by word count — a whale WORD
+  * is one vocab row, not |occurrences| rows); the argmax is a 1-row
+  * driver collect (the iterative-algorithm heartbeat, like k-means
+  * centroids); the merge applies as a scan-stage HOF fold over each
+  * word's symbol array; lineage is truncated per round
+  * ([[graft.operators.GraphRank]]'s checkpoint discipline — plan depth
+  * stays O(1) in rounds).
+  *
+  * No SQL oracle: replaying an N-round fixpoint needs either recursive
+  * list-fold CTEs or an unrolled N-layer query over array state — out of
+  * DuckDB's comfortable range — so the driver gate is rows-only and
+  * correctness is pinned by a from-scratch reference implementation in
+  * the spec (the L7/L120 contract).
+  */
+object BpeTrain {
+
+  /** End-of-word marker — distinguishes "low</w>" from the prefix "low". */
+  val Eow = "</w>"
+
+  /** (word, c) vocabulary with symbol arrays: chars plus the terminal
+    * [[Eow]] marker.
+    */
+  def vocabulary(df: DataFrame, textCol: String): DataFrame =
+    df.where(col(textCol).isNotNull)
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .withColumn("syms", concat(split(col("word"), ""), array(lit(Eow))))
+
+  /** Adjacent symbol pairs weighted by word count: (x, y, cnt). */
+  private def pairCounts(vocab: DataFrame): DataFrame =
+    vocab
+      .select(col("c"), explode(zip_with(col("syms"),
+        slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(0))),
+        (a, b) => struct(a.as("x"), b.as("y")))).as("p"))
+      .where(col("p.y").isNotNull)
+      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+      .agg(sum("c").as("cnt"))
+
+  /** Leftmost non-overlapping merge of adjacent (a, b) → a+b as a HOF
+    * fold — scan-stage, per-word cost O(len²) on short arrays. The
+    * codegen'd `array_contains` pre-test keeps the interpreted fold off
+    * the words that cannot contain the pair — the vast majority of the
+    * vocabulary for any one merge.
+    */
+  private def mergePair(syms: Column, a: String, b: String): Column =
+    when(array_contains(syms, a) && array_contains(syms, b),
+      aggregate(syms, array().cast("array<string>"),
+        (acc, s) =>
+          when(size(acc) > 0 && element_at(acc, -1) === a && s === b,
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(s)))))
+      .otherwise(syms)
+
+  /** The learned merge table (rank, left, right), rank 1 = first merge.
+    * Stops early when no pair reaches `minCount`.
+    */
+  def learnMerges(df: DataFrame, textCol: String, nMerges: Int,
+                  minCount: Long = 2L, loopPartitions: Int = 0): DataFrame = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    val spark = df.sparkSession
+    // the loop runs vocabulary-sized, not corpus-sized: re-partition the
+    // vocab down for the rounds (each round is a full job — 32 near-empty
+    // tasks per round is pure scheduling overhead). loopPartitions = 0
+    // keeps the corpus aggregation's layout; size it ~vocab/64MB when set.
+    val v0 = vocabulary(df, textCol)
+    var vocab = (if (loopPartitions > 0) v0.repartition(loopPartitions) else v0)
+      .localCheckpoint(false)
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String)]()
+    // scope the round queries away from corpus-tuned settings: each round
+    // is a vocabulary-sized job, and AQE's per-stage re-planning plus a
+    // corpus-sized shuffle width turn 2N tiny queries into 4-5N scheduled
+    // jobs of empty tasks — the rounds' wall-clock is pure orchestration
+    // otherwise. Restored after, like EventWindows.withNanosAsLong.
+    val scoped = Seq(
+      "spark.sql.adaptive.enabled" -> "false") ++
+      (if (loopPartitions > 0)
+        Seq("spark.sql.shuffle.partitions" -> loopPartitions.toString)
+      else Nil)
+    val prev = scoped.map { case (k, _) => k -> spark.conf.getOption(k) }
+    scoped.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      var done = false
+      while (!done && merges.length < nMerges) {
+        val top = pairCounts(vocab)
+          .orderBy(col("cnt").desc, col("x"), col("y")).limit(1).collect()
+        if (top.isEmpty || top.head.getLong(2) < minCount) done = true
+        else {
+          val (a, b) = (top.head.getString(0), top.head.getString(1))
+          merges += ((merges.length + 1, a, b))
+          vocab = vocab.withColumn("syms", mergePair(col("syms"), a, b))
+            .localCheckpoint(false)
+        }
+      }
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right")
+  }
+
+  /** BPE token count per document under a learned merge list: per word,
+    * apply the merges in rank order and count surviving symbols — the
+    * exact token counting / sequence-packing input for the trained
+    * vocabulary. The merge list compiles into nested scan-stage HOF
+    * folds, so keep it modest (≲ a few hundred) — a production-size
+    * vocabulary would move the fold into a native expression with the
+    * merges in a hash map, the same upgrade path MediaDims took.
+    */
+  def encode(df: DataFrame, idCol: String, textCol: String,
+             merges: Seq[(String, String)]): DataFrame = {
+    val word = col("__word")
+    val base = concat(split(word, ""), array(lit(Eow)))
+    val encoded = merges.foldLeft(base) { case (acc, (a, b)) =>
+      aggregate(acc, array().cast("array<string>"),
+        (ac, s) =>
+          when(size(ac) > 0 && element_at(ac, -1) === a && s === b,
+            concat(slice(ac, lit(1), size(ac) - 1), array(lit(a + b))))
+            .otherwise(concat(ac, array(s))))
+    }
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("__word"))
+      .where(word =!= "")
+      .withColumn("__n", size(encoded))
+      .groupBy(col(idCol))
+      .agg(sum(col("__n")).cast("long").as("n_bpe_tokens"))
+  }
+}
