@@ -50,7 +50,7 @@ object GraftExtensions {
         QuantizedDot(args.head, args(1))
       }),
     unary("simhash16", classOf[SimHash16],
-      "simhash16(shingles) - 16-bit SimHash of a string-array (shingle set) as INT; " +
+      "simhash16(shingles) - 16-bit SimHash of a string-array (shingle set) as BIGINT; " +
         "near-duplicates bucket by equality.", SimHash16(_)),
     unary("media_dims", classOf[MediaDims],
       "media_dims(bin) - struct<format,width,height> parsed from a PNG/GIF/JPEG/BMP " +

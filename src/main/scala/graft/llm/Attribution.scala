@@ -37,12 +37,27 @@ object Attribution {
     require(lookbackMicros.months == 0 && lookbackMicros.days == 0,
       s"lookback must be a sub-day interval (got '$lookback'): month/day arithmetic " +
         "is calendar-dependent and the RANGE frame works in exact microseconds")
-    val micros = unix_micros(col(tsCol).cast("timestamp"))
+    require(lookbackMicros.microseconds > 0,
+      s"lookback must be positive, got '$lookback'")
+    // micros measured in NTZ space (timestampdiff over TIMESTAMP_NTZ), not
+    // unix_micros(cast to TIMESTAMP): the instant cast rebases through the
+    // session timezone, which is NONLINEAR under DST — lookback membership
+    // would shift by an hour around transitions and diverge from the
+    // oracle's raw-timestamp comparison. Instant inputs are first made NTZ
+    // under the session zone (identity under the UTC sessions Verify/Bench
+    // pin).
+    val micros = expr(
+      s"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', " +
+        s"CAST($tsCol AS TIMESTAMP_NTZ))")
     val w = Window.partitionBy(col(userCol)).orderBy(micros)
       .rangeBetween(-lookbackMicros.microseconds, 0)
     val touch = when(col(typeCol) =!= conversionType,
       struct(micros.as("m"), col(idCol).cast("long").as("i"), col(typeCol).as("t")))
     events
+      // NULL users: a window partition would group them TOGETHER (NULL is
+      // one partition key) while the oracle's equi-join matches nothing —
+      // an unattributable stream is dropped on both sides
+      .where(col(userCol).isNotNull)
       .withColumn("__first", min(touch).over(w))
       .withColumn("__last", max(touch).over(w))
       .where(col(typeCol) === conversionType)
@@ -59,7 +74,7 @@ object Attribution {
                 userCol: String = "user_id", tsCol: String = "ts",
                 typeCol: String = "event_type", idCol: String = "event_id"): String =
     s"""WITH conv AS (SELECT $idCol AS conversion_id, $userCol, $tsCol
-  FROM $table WHERE $typeCol = '$conversionType'),
+  FROM $table WHERE $typeCol = '$conversionType' AND $userCol IS NOT NULL),
 t AS (SELECT c.conversion_id, e.$idCol AS tid, e.$typeCol AS ttype,
     row_number() OVER (PARTITION BY c.conversion_id ORDER BY e.$tsCol, e.$idCol) AS rn,
     count(*) OVER (PARTITION BY c.conversion_id) AS n

@@ -52,15 +52,29 @@ object Drift {
     require(cuts.nonEmpty, "cuts must be non-empty")
     require(cuts == cuts.sorted && cuts.distinct == cuts,
       "cuts must be strictly increasing")
+    // same integral-only guard as QuantileBuckets.bucketByCutpoints: a
+    // fractional score column would truncate every value (and Spark
+    // truncates where DuckDB rounds — the oracle would silently diverge)
+    Seq(ref, cur).foreach(_.schema(valueCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"psiByBucket needs an integral value column (scale fractional values " +
+          s"to integer units first); $valueCol is ${other.catalogString}")
+    })
     def sideCounts(df: DataFrame, out: String) = df
       .where(col(valueCol).isNotNull)
       .select(bucketOf(col(valueCol), cuts).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as(out))
     val r = sideCounts(ref, "n_ref")
     val c = sideCounts(cur, "n_cur")
+    // totals from the buckets-sized count tables, NOT a second corpus
+    // aggregate: every non-null row lands in exactly one bucket, so
+    // N = Σ n_ref — two tiny sums whose exchanges Catalyst reuses with
+    // the bucket counts, keeping the corpus passes at exactly two
     val totals = broadcast(
-      ref.where(col(valueCol).isNotNull).agg(count(lit(1)).as("__N"))
-        .crossJoin(cur.where(col(valueCol).isNotNull).agg(count(lit(1)).as("__M"))))
+      r.agg(coalesce(sum("n_ref"), lit(0L)).as("__N"))
+        .crossJoin(c.agg(coalesce(sum("n_cur"), lit(0L)).as("__M"))))
     val joined = r.join(c, Seq("bucket"), "full_outer")
       .select(col("bucket"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),

@@ -13,7 +13,10 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: pair selection is (count DESC, left ASC, right ASC) — a
   * total order, so the learned merge list is bit-identical on any engine
-  * and partitioning. Merge application is the standard leftmost,
+  * and partitioning. The string order is Spark's BINARY UTF-8 byte order
+  * (NOT Java's UTF-16 code-unit order — the two disagree between U+E000..
+  * U+FFFF and supplementary characters; any replaying implementation must
+  * compare UTF-8 bytes). Merge application is the standard leftmost,
   * non-overlapping fold ("aaa" under (a,a) → "aa","a").
   *
   * Scale shape per round: adjacent-pair counts are a partial-agg'd
@@ -23,7 +26,10 @@ import org.apache.spark.sql.functions._
   * centroids); the merge applies as a scan-stage HOF fold over each
   * word's symbol array; lineage is truncated per round
   * ([[graft.operators.GraphRank]]'s checkpoint discipline — plan depth
-  * stays O(1) in rounds).
+  * stays O(1) in rounds). Superseded round checkpoints are reclaimed by
+  * the ContextCleaner as the driver drops each round's reference (the
+  * [[graft.llm.Dedup]] prepareBands block-ownership discipline); peak
+  * storage while a round hands over is two vocab copies.
   *
   * No SQL oracle: replaying an N-round fixpoint needs either recursive
   * list-fold CTEs or an unrolled N-layer query over array state — out of
@@ -56,19 +62,27 @@ object BpeTrain {
       .groupBy(col("p.x").as("x"), col("p.y").as("y"))
       .agg(sum("c").as("cnt"))
 
-  /** Leftmost non-overlapping merge of adjacent (a, b) → a+b as a HOF
-    * fold — scan-stage, per-word cost O(len²) on short arrays. The
-    * codegen'd `array_contains` pre-test keeps the interpreted fold off
-    * the words that cannot contain the pair — the vast majority of the
-    * vocabulary for any one merge.
+  /** ONE definition of the leftmost non-overlapping merge fold of
+    * adjacent (a, b) → a+b — scan-stage, per-word cost O(len²) on short
+    * arrays; references `syms` exactly once (see [[encode]] for why that
+    * matters).
+    */
+  private def mergeFold(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, s) =>
+        when(size(acc) > 0 && element_at(acc, -1) === a && s === b,
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(s))))
+
+  /** [[mergeFold]] behind a codegen'd `array_contains` pre-test — keeps
+    * the interpreted fold off the words that cannot contain the pair (the
+    * vast majority of the vocabulary for any one merge). References
+    * `syms` three times, so ONLY apply it to a leaf column (the training
+    * rounds), never inside a column fold.
     */
   private def mergePair(syms: Column, a: String, b: String): Column =
     when(array_contains(syms, a) && array_contains(syms, b),
-      aggregate(syms, array().cast("array<string>"),
-        (acc, s) =>
-          when(size(acc) > 0 && element_at(acc, -1) === a && s === b,
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-            .otherwise(concat(acc, array(s)))))
+      mergeFold(syms, a, b))
       .otherwise(syms)
 
   /** The learned merge table (rank, left, right), rank 1 = first merge.
@@ -86,34 +100,22 @@ object BpeTrain {
     var vocab = (if (loopPartitions > 0) v0.repartition(loopPartitions) else v0)
       .localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String)]()
-    // scope the round queries away from corpus-tuned settings: each round
-    // is a vocabulary-sized job, and AQE's per-stage re-planning plus a
-    // corpus-sized shuffle width turn 2N tiny queries into 4-5N scheduled
-    // jobs of empty tasks — the rounds' wall-clock is pure orchestration
-    // otherwise. Restored after, like EventWindows.withNanosAsLong.
-    val scoped = Seq(
-      "spark.sql.adaptive.enabled" -> "false") ++
-      (if (loopPartitions > 0)
-        Seq("spark.sql.shuffle.partitions" -> loopPartitions.toString)
-      else Nil)
-    val prev = scoped.map { case (k, _) => k -> spark.conf.getOption(k) }
-    scoped.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
-      var done = false
-      while (!done && merges.length < nMerges) {
-        val top = pairCounts(vocab)
-          .orderBy(col("cnt").desc, col("x"), col("y")).limit(1).collect()
-        if (top.isEmpty || top.head.getLong(2) < minCount) done = true
-        else {
-          val (a, b) = (top.head.getString(0), top.head.getString(1))
-          merges += ((merges.length + 1, a, b))
-          vocab = vocab.withColumn("syms", mergePair(col("syms"), a, b))
-            .localCheckpoint(false)
-        }
+    // NOTE deliberately NOT tuning session confs (AQE, shuffle width) for
+    // the tiny round queries: session conf is shared mutable state and a
+    // concurrent workload on the same session would observe the change
+    // (verified as a flaky cross-suite race); the rounds pay a little
+    // per-stage re-planning instead. loopPartitions bounds the task count.
+    var done = false
+    while (!done && merges.length < nMerges) {
+      val top = pairCounts(vocab)
+        .orderBy(col("cnt").desc, col("x"), col("y")).limit(1).collect()
+      if (top.isEmpty || top.head.getLong(2) < minCount) done = true
+      else {
+        val (a, b) = (top.head.getString(0), top.head.getString(1))
+        merges += ((merges.length + 1, a, b))
+        vocab = vocab.withColumn("syms", mergePair(col("syms"), a, b))
+          .localCheckpoint(false)
       }
-    } finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
     }
     import spark.implicits._
     merges.toSeq.toDF("rank", "left", "right")
@@ -131,12 +133,12 @@ object BpeTrain {
              merges: Seq[(String, String)]): DataFrame = {
     val word = col("__word")
     val base = concat(split(word, ""), array(lit(Eow)))
+    // the SAME mergeFold as training, applied in rank order — but NOT
+    // mergePair: its pre-test references the accumulator three times, so
+    // folding it over N merges builds a 3^N expression tree (observed as
+    // an OOM at N = 10); the plain fold references acc once → linear
     val encoded = merges.foldLeft(base) { case (acc, (a, b)) =>
-      aggregate(acc, array().cast("array<string>"),
-        (ac, s) =>
-          when(size(ac) > 0 && element_at(ac, -1) === a && s === b,
-            concat(slice(ac, lit(1), size(ac) - 1), array(lit(a + b))))
-            .otherwise(concat(ac, array(s))))
+      mergeFold(acc, a, b)
     }
     df.where(col(textCol).isNotNull)
       .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("__word"))

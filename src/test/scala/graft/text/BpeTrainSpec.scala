@@ -24,8 +24,13 @@ class BpeTrainSpec extends SparkSpec {
           case _ =>
         }
       }
+      // UTF-8 byte order like Spark's binary string comparison, NOT Java's
+      // UTF-16 code-unit order (they disagree for supplementary chars)
+      def u8(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(_ & 0xff).toSeq
+      implicit val seqIntOrd: Ordering[Seq[Int]] = Ordering.Implicits.seqOrdering
       val best = counts.toSeq
-        .sortBy { case ((a, b), c) => (-c, a, b) }.headOption
+        .sortBy { case ((a, b), c) => (-c, u8(a), u8(b)) }.headOption
       best match {
         case Some(((a, b), c)) if c >= minCount =>
           out += ((a, b))
