@@ -35,8 +35,11 @@ object Drift {
   private val Scale = 1000000L
 
   /** Bucket id: 1 + |{cuts < v}| — [[QuantileBuckets.bucketByCutpoints]]'
-    * assignment arithmetic against literal cuts.
+    * assignment arithmetic against literal cuts. Public so a streaming
+    * ingest can bucket rows before folding them into a count store.
     */
+  def psiBucketColumn(v: Column, cuts: Seq[Long]): Column = bucketOf(v, cuts)
+
   private def bucketOf(v: Column, cuts: Seq[Long]): Column =
     (aggregate(array(cuts.map(lit): _*), lit(0L),
       (acc, c) => acc + when(c < v.cast(LongType), 1L).otherwise(0L)) + 1L)
@@ -62,12 +65,28 @@ object Drift {
         s"psiByBucket needs an integral value column (scale fractional values " +
           s"to integer units first); $valueCol is ${other.catalogString}")
     })
-    def sideCounts(df: DataFrame, out: String) = df
-      .where(col(valueCol).isNotNull)
-      .select(bucketOf(col(valueCol), cuts).as("bucket"))
-      .groupBy("bucket").agg(count(lit(1)).as(out))
-    val r = sideCounts(ref, "n_ref")
-    val c = sideCounts(cur, "n_cur")
+    psiFromCounts(bucketCounts(ref, valueCol, cuts, "n_ref"),
+      bucketCounts(cur, valueCol, cuts, "n_cur"))
+  }
+
+  /** One side's bucket-count table (bucket, `out`) — the maintained-store
+    * form of a distribution: feed it to [[graft.operators.IncrementalAgg]]
+    * (group by bucket, Count) to keep the CURRENT side continuously
+    * updated under streaming ingest, then [[psiFromCounts]] against the
+    * frozen reference counts each batch — monitoring without re-scanning
+    * history.
+    */
+  def bucketCounts(df: DataFrame, valueCol: String, cuts: Seq[Long],
+                   out: String): DataFrame = df
+    .where(col(valueCol).isNotNull)
+    .select(bucketOf(col(valueCol), cuts).as("bucket"))
+    .groupBy("bucket").agg(count(lit(1)).as(out))
+
+  /** PSI from two bucket-count tables (`bucket`, `n_ref`) / (`bucket`,
+    * `n_cur`) — the math stage of [[psiByBucket]], exposed so counts can
+    * come from a maintained store instead of a corpus scan.
+    */
+  def psiFromCounts(r: DataFrame, c: DataFrame): DataFrame = {
     // totals from the buckets-sized count tables, NOT a second corpus
     // aggregate: every non-null row lands in exactly one bucket, so
     // N = Σ n_ref — two tiny sums whose exchanges Catalyst reuses with

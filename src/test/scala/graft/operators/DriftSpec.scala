@@ -63,6 +63,33 @@ class DriftSpec extends SparkSpec {
     }
   }
 
+  test("maintained-store composition: N incremental batches equal the batch PSI") {
+    import org.apache.spark.sql.functions.lit
+    val store = "/tmp/graft_drift_store"
+    val p = new org.apache.hadoop.fs.Path(store)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import graft.sources.AtomicStore
+    Seq(p, AtomicStore.tmpPath(p), AtomicStore.stashPath(p)).foreach(d => fs.delete(d, true))
+    val cuts = Seq(20L, 40L, 60L)
+    val ref = df((1L to 80L).map(i => (i * 7) % 90))
+    val batches = Seq(df(Seq(5L, 25L, 45L)), df(Seq(65L, 66L)), df(Seq(10L, 30L)))
+    // fold each micro-batch's bucketed rows into the count store
+    batches.foreach { b =>
+      IncrementalAgg.update(spark, store,
+        b.where(col("v").isNotNull)
+          .select(Drift.psiBucketColumn(col("v"), cuts).as("bucket")),
+        Seq("bucket"), Seq(IncrementalAgg.Count("n_cur")))
+    }
+    val streamed = Drift.psiFromCounts(
+        Drift.bucketCounts(ref, "v", cuts, "n_ref"),
+        IncrementalAgg.read(spark, store))
+      .orderBy("bucket").collect().toSeq
+    val batch = Drift.psiByBucket(ref,
+        batches.reduce(_ unionByName _), "v", cuts)
+      .orderBy("bucket").collect().toSeq
+    assert(streamed === batch)
+  }
+
   test("plan: two aggregates + a buckets-sized join; no corpus-width join or window") {
     val plan = Drift.psiByBucket(df(1L to 100L), df(1L to 100L), "v",
         Seq(25L, 50L, 75L))
