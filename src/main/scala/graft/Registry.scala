@@ -2594,6 +2594,21 @@ FROM documents ORDER BY doc_id""")),
         Some("SELECT o_orderkey, o_custkey, c_name FROM orders " +
           "JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey")),
 
+      // sketch-tier join-size estimate: AMS inner product of two one-pass
+      // CMS sketches — the 2 KB answer to GuardedJoin's exact pre-check
+      RegisteredQuery(
+        "q_join_estimate",
+        (s, dir) => {
+          val t = Tables.resolve(s, dir)
+          GuardedJoin.estimateInnerRows(
+            t("orders").select(col("o_custkey").as("k")),
+            t("customer").select(col("c_custkey").as("k")),
+            "k")
+        },
+        Some(GuardedJoin.estimateOracleSql(
+          "(SELECT o_custkey AS k FROM orders)",
+          "(SELECT c_custkey AS k FROM customer)", "k"))),
+
       // k-anonymity suppression: one quasi-id groupBy + a broadcast
       // null-safe anti-join against the under-k cohorts
       RegisteredQuery(

@@ -88,6 +88,24 @@ object CountMinSketch {
       element_at(sketch, (b + lit(d.toLong * width + 1L)).cast("int"))
     }: _*)
 
+  /** AMS-style inner product of two finished sketches (same depth/width/
+    * seeds): min over depths of Σ_cell a·b — an upper bound on the true
+    * join size Σ_key n_a(key)·n_b(key) (collisions only ADD cross terms),
+    * within ε·N_a·N_b with probability 1−δ. This is the sketch tier of
+    * the join-explosion ladder: [[graft.operators.GuardedJoin]] computes
+    * the exact size with a key-sized join; two 2 KB sketches built in one
+    * pass per side answer the same question when even that pre-check is
+    * too heavy (or the sides are sketched ONCE and asked about many
+    * joins). The HOF runs on single sketch rows — never row data.
+    */
+  def innerProduct(a: Column, b: Column, depth: Int, width: Int): Column =
+    least((0 until depth).map { d =>
+      aggregate(
+        zip_with(slice(a, d * width + 1, width), slice(b, d * width + 1, width),
+          (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v)
+    }: _*)
+
   /** DuckDB oracle: replay the sketch exactly — per-item true counts,
     * bucketed by the same md5 arithmetic, summed per cell, min over
     * depths. True for ANY collision pattern, not just the exact regime.

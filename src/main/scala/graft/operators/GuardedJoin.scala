@@ -60,4 +60,50 @@ object GuardedJoin {
     }
     left.join(right, keys)
   }
+
+  /** The sketch tier of the same question: estimate the inner-join output
+    * size from two one-pass Count-Min sketches instead of the exact
+    * key-sized pre-join — an upper bound (within ε·N_l·N_r whp), for when
+    * even [[inner]]'s exact pre-check is too heavy or the sides are
+    * sketched once and asked about many joins. Returns a 1-row frame
+    * (`est_rows` BIGINT).
+    */
+  def estimateInnerRows(left: DataFrame, right: DataFrame, keyCol: String,
+                        depth: Int = 4, width: Int = 256): DataFrame = {
+    import graft.functions.CountMinSketch
+    def sketch(df: DataFrame, out: String) = df.agg(
+      CountMinSketch(depth, width)(
+        CountMinSketch.buckets(col(keyCol).cast("string"), depth, width)).as(out))
+    sketch(left, "__sl").crossJoin(sketch(right, "__sr"))
+      .select(CountMinSketch.innerProduct(col("__sl"), col("__sr"), depth, width)
+        .as("est_rows"))
+  }
+
+  /** DuckDB replay of [[estimateInnerRows]] — per-side true counts routed
+    * through the same md5 cell arithmetic, Σ products per depth, min.
+    * Exact for ANY collision pattern (it rebuilds the sketches, not the
+    * true join size).
+    */
+  def estimateOracleSql(leftTable: String, rightTable: String, keyCol: String,
+                        depth: Int = 4, width: Int = 256): String = {
+    def side(tag: String, table: String): String = {
+      val buckets = (0 until depth)
+        .map(d => s"CAST(('0x'||substr(md5('cms$d:'||CAST($keyCol AS VARCHAR)),1,15)) AS BIGINT) % $width AS b$d")
+        .mkString(", ")
+      s"""c$tag AS (SELECT $keyCol, count(*) AS cnt FROM $table
+  WHERE $keyCol IS NOT NULL GROUP BY $keyCol),
+bk$tag AS (SELECT cnt, $buckets FROM c$tag)"""
+    }
+    val cells = (0 until depth).flatMap(d => Seq(
+      s"pa$d AS (SELECT b$d AS cell, CAST(sum(cnt) AS BIGINT) AS t FROM bka GROUP BY 1)",
+      s"pb$d AS (SELECT b$d AS cell, CAST(sum(cnt) AS BIGINT) AS t FROM bkb GROUP BY 1)"))
+      .mkString(",\n")
+    val prods = (0 until depth)
+      .map(d => s"(SELECT coalesce(sum(pa$d.t * pb$d.t), 0) FROM pa$d JOIN pb$d USING (cell))")
+      .mkString(", ")
+    s"""WITH ${side("a", leftTable)},
+${side("b", rightTable)},
+$cells
+SELECT CAST(least($prods) AS BIGINT) AS est_rows""".stripMargin
+  }
 }

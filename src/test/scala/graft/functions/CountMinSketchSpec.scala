@@ -67,6 +67,27 @@ class CountMinSketchSpec extends SparkSpec {
     assert(est === Map("a" -> 2L, "b" -> 1L))
   }
 
+  test("inner product: exact join size in the collision-free regime, never under") {
+    import graft.operators.GuardedJoin
+    // left: key k repeated k times (k=1..6); right: each key twice
+    val l = (1 to 6).flatMap(k => Seq.fill(k)(k.toLong)).toDF("k")
+    val r = (1 to 6).flatMap(k => Seq.fill(2)(k.toLong)).toDF("k")
+    val exact = (1 to 6).map(k => k * 2L).sum // Σ n_l·n_r = 42
+    val est = GuardedJoin.estimateInnerRows(l, r, "k", depth = 4, width = 512)
+      .head().getLong(0)
+    assert(est >= exact)           // one-sided: collisions only add
+    assert(est <= exact + 50)      // 6 keys in 512 cells: almost surely exact
+  }
+
+  test("inner product: disjoint key sets estimate near zero") {
+    import graft.operators.GuardedJoin
+    val l = (1 to 20).map(_.toLong).toDF("k")
+    val r = (100 to 120).map(_.toLong).toDF("k")
+    val est = GuardedJoin.estimateInnerRows(l, r, "k", depth = 4, width = 512)
+      .head().getLong(0)
+    assert(est <= 5L) // true size 0; only hash collisions can contribute
+  }
+
   test("oracle SQL replays the same sketch (DuckDB-shaped arithmetic)") {
     // the oracle is plain SQL over md5; spot-check its Spark rendering of
     // the same formula agrees with the aggregator's buckets
