@@ -2687,7 +2687,46 @@ FROM documents ORDER BY doc_id""")),
         (s, dir) => graft.text.FeatureHash.scoreLinear(
           Tables.resolve(s, dir)("documents"), "doc_id", "text", GateWeights),
         Some(graft.text.FeatureHash.scoreOracleSql(
-          "documents", "doc_id", "text", GateWeights))))
+          "documents", "doc_id", "text", GateWeights))),
+
+      // CCNet-style unigram-LM quality scoring: bounded top-300 vocab +
+      // quantized-ln per-token costs; score pass is broadcast-join +
+      // per-doc partial-agg'd sums (no raw-text shuffle)
+      RegisteredQuery(
+        "q_lm_score",
+        (s, dir) => graft.text.UnigramLm.scoreSelf(
+            Tables.resolve(s, dir)("documents"), vocabSize = 300)
+          .orderBy("doc_id"),
+        Some(graft.text.UnigramLm.oracleSql("documents", vocabSize = 300))),
+
+      // token-budget corpus cut: rank by quantized mean NLL, keep docs
+      // while the running token total fits — two-level score-bucketed
+      // prefix sum (no total-order window over corpus rows); the oracle's
+      // direct running sum proves the decomposition
+      RegisteredQuery(
+        "q_budget_select",
+        (s, dir) => graft.text.BudgetSelect.selectByLmScore(
+            Tables.resolve(s, dir)("documents"), vocabSize = 300, budget = 15000L)
+          .orderBy("doc_id"),
+        Some(graft.text.BudgetSelect.lmOracleSql(
+          "documents", vocabSize = 300, budget = 15000L))),
+
+      // per-domain token cap (dominance control before mixing): every
+      // window in the plan is partitioned — (lang, score-bucket) rows,
+      // (lang) bucket totals — so no group ever funnels its rows globally
+      RegisteredQuery(
+        "q_budget_per_group",
+        (s, dir) => {
+          val d = Tables.resolve(s, dir)("documents")
+          graft.text.BudgetSelect.capPerGroup(
+              d, "doc_id", "lang", "n_chars",
+              graft.text.TextFunctions.nTokens(col("text")), budget = 5000L)
+            .orderBy("doc_id")
+        },
+        Some(graft.text.BudgetSelect.capPerGroupOracle(
+          "SELECT doc_id, lang, n_chars, " +
+            "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents",
+          "doc_id", "lang", "n_chars", budget = 5000L))))
   }
 
   /** q_psi_drift cut points: fixed cents boundaries spanning the synthetic

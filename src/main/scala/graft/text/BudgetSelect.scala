@@ -1,0 +1,171 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+
+/** Token-budget corpus selection: keep the best-scoring documents until a
+  * global token budget is filled — the data-mixing step that follows
+  * quality scoring ("train on the most natural 50 B tokens", a fixed-size
+  * high-quality cut of a larger corpus). Composes with
+  * [[UnigramLm]] (rank by quantized mean NLL) or any integral quality
+  * score; a document is kept iff the running token total through it — in
+  * (score asc, id asc) total order — is within the budget, so the cut is
+  * deterministic and engine-replayable.
+  *
+  * Scale shape (100 TB): the naive form is `sum(tokens) OVER (ORDER BY
+  * score, id)` — a total-order window that funnels the corpus into ONE
+  * task. This is the [[Packing]] two-level prefix sum instead, with the
+  * coarse level derived from the SCORE VALUE (bucket = score div
+  * `bucketWidth` — monotone, so buckets are contiguous runs of the total
+  * order): per-bucket cumsums run parallel (spill-backed external sort per
+  * bucket), bucket totals (~score-range/width rows) prefix-sum in one tiny
+  * task, offsets broadcast-join back. ONE corpus-width shuffle; the result
+  * is bucketing-independent by the prefix-sum algebra (the spec proves it).
+  *
+  * A score distribution concentrated in few buckets degrades to wall-clock
+  * skew (one bucket's external sort), never memory blowup — pick
+  * `bucketWidth` so the expected per-bucket mass is partition-sized. The
+  * score must be integral (the [[graft.operators.Drift]] rule: fractional
+  * scores would bucket/truncate differently across engines — scale to
+  * integer units first, e.g. milli-nats per token).
+  */
+object BudgetSelect {
+
+  /** Documents within the budget: (`idCol`, `scoreCol`, n_tokens,
+    * cum_tokens) for every document whose inclusive running token total in
+    * (score asc, id asc) order is ≤ `budget`. `tokens` is the per-document
+    * token count expression (e.g. [[TextFunctions.nTokens]]).
+    */
+  def selectWithinBudget(
+      df: DataFrame, idCol: String, scoreCol: String, tokens: Column,
+      budget: Long, bucketWidth: Long = 1000L): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    df.schema(scoreCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"selectWithinBudget needs an integral score column (scale fractional " +
+          s"scores to integer units first); $scoreCol is ${other.catalogString}")
+    }
+    val perDoc = df.select(
+      col(idCol).as("__id"),
+      col(scoreCol).cast(LongType).as("__score"),
+      tokens.cast(LongType).as("n_tokens"),
+      floor(col(scoreCol).cast(LongType).cast("double") / lit(bucketWidth.toDouble))
+        .cast(LongType).as("__bucket"))
+    // level 1: cumsum within each score bucket — parallel across buckets
+    val withinW = Window.partitionBy("__bucket").orderBy(col("__score").asc, col("__id").asc)
+    val within = perDoc.withColumn("__cum", sum("n_tokens").over(withinW))
+    // level 2: prefix offsets of bucket totals — one row per occupied
+    // bucket, so the single-partition window never touches corpus rows
+    val totalsW = Window.orderBy("__bucket")
+    val offsets = perDoc.groupBy("__bucket").agg(sum("n_tokens").as("__btot"))
+      .withColumn("__boff", coalesce(
+        sum("__btot").over(totalsW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__bucket", "__boff")
+    within.join(broadcast(offsets), "__bucket")
+      .withColumn("cum_tokens", col("__boff") + col("__cum"))
+      .where(col("cum_tokens") <= budget)
+      .select(col("__id").as(idCol), col("__score").as(scoreCol),
+        col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** Per-group token caps — "no domain may contribute more than `budget`
+    * tokens" (the C4/RefinedWeb-style dominance cap, run before mixing):
+    * within every `groupCol` value independently, keep the best-scoring
+    * documents while the group's running token total fits. Same two-level
+    * decomposition with the coarse level = (group, score bucket): row
+    * windows and the within-group bucket-offset windows are all
+    * partitioned — nothing global anywhere, whatever the group count. A
+    * whale DOMAIN parallelizes across its score buckets; only the
+    * bucket-totals frame (rows = occupied (group, bucket) pairs) funnels
+    * per group, and that is corpus/bucket-mass sized, not row sized.
+    */
+  def capPerGroup(
+      df: DataFrame, idCol: String, groupCol: String, scoreCol: String,
+      tokens: Column, budget: Long, bucketWidth: Long = 1000L): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    df.schema(scoreCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"capPerGroup needs an integral score column (scale fractional " +
+          s"scores to integer units first); $scoreCol is ${other.catalogString}")
+    }
+    val perDoc = df.select(
+      col(idCol).as("__id"),
+      col(groupCol).as("__grp"),
+      col(scoreCol).cast(LongType).as("__score"),
+      tokens.cast(LongType).as("n_tokens"),
+      floor(col(scoreCol).cast(LongType).cast("double") / lit(bucketWidth.toDouble))
+        .cast(LongType).as("__bucket"))
+    val withinW = Window.partitionBy("__grp", "__bucket")
+      .orderBy(col("__score").asc, col("__id").asc)
+    val within = perDoc.withColumn("__cum", sum("n_tokens").over(withinW))
+    val totalsW = Window.partitionBy("__grp").orderBy("__bucket")
+    val offsets = perDoc.groupBy("__grp", "__bucket").agg(sum("n_tokens").as("__btot"))
+      .withColumn("__boff", coalesce(
+        sum("__btot").over(totalsW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__grp", "__bucket", "__boff")
+    within.join(broadcast(offsets), Seq("__grp", "__bucket"))
+      .withColumn("cum_tokens", col("__boff") + col("__cum"))
+      .where(col("cum_tokens") <= budget)
+      .select(col("__id").as(idCol), col("__grp").as(groupCol),
+        col("__score").as(scoreCol), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** DuckDB replay of [[capPerGroup]] (integral score already on the
+    * table): per-group total-order running sum. `fromSql` is a subquery
+    * yielding (`idCol`, `groupCol`, `scoreCol`, `tokenSql` AS n_tokens).
+    */
+  def capPerGroupOracle(fromSql: String, idCol: String, groupCol: String,
+                        scoreCol: String, budget: Long): String =
+    s"""WITH cum AS (SELECT $idCol, $groupCol, $scoreCol, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY $groupCol
+       |      ORDER BY $scoreCol, $idCol ROWS UNBOUNDED PRECEDING) AS cum_tokens
+       |  FROM ($fromSql))
+       |SELECT $idCol, $groupCol, $scoreCol,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+       |FROM cum WHERE cum_tokens <= $budget
+       |ORDER BY $idCol""".stripMargin
+
+  /** [[UnigramLm]] composition: score the corpus against itself (top-V
+    * vocab), rank by integral milli-nats per token
+    * (⌊1000·nll_q/n_tokens⌋ — mean NLL, so length doesn't bias the cut),
+    * keep the most natural documents within the token budget.
+    */
+  def selectByLmScore(docs: DataFrame, vocabSize: Int, budget: Long,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      bucketWidth: Long = 1000L): DataFrame = {
+    val scored = UnigramLm.scoreSelf(docs, vocabSize, idCol, textCol)
+      .withColumn("mean_nll_mq",
+        floor(col("nll_q").cast("double") * 1000.0 / col("n_tokens").cast("double"))
+          .cast(LongType))
+      .select(col(idCol), col("mean_nll_mq"), col("n_tokens").as("__nt"))
+    selectWithinBudget(scored, idCol, "mean_nll_mq", col("__nt"), budget, bucketWidth)
+  }
+
+  /** DuckDB replay of [[selectByLmScore]] — the two-level prefix sum is
+    * algebraically the plain total-order running sum, so the oracle uses
+    * the direct window form over the [[UnigramLm.oracleSql]] CTE chain;
+    * the gate thereby proves the decomposition.
+    */
+  def lmOracleSql(table: String, vocabSize: Int, budget: Long,
+                  idCol: String = "doc_id", textCol: String = "text"): String =
+    s"""WITH lm AS (${UnigramLm.oracleSql(table, vocabSize, idCol, textCol)}),
+       |scored AS (SELECT $idCol,
+       |    CAST(floor(CAST(nll_q AS DOUBLE) * 1000.0 / CAST(n_tokens AS DOUBLE)) AS BIGINT)
+       |      AS mean_nll_mq,
+       |    n_tokens
+       |  FROM lm),
+       |cum AS (SELECT $idCol, mean_nll_mq, n_tokens,
+       |    sum(n_tokens) OVER (ORDER BY mean_nll_mq, $idCol ROWS UNBOUNDED PRECEDING)
+       |      AS cum_tokens
+       |  FROM scored)
+       |SELECT $idCol, mean_nll_mq, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(cum_tokens AS BIGINT) AS cum_tokens
+       |FROM cum WHERE cum_tokens <= $budget
+       |ORDER BY $idCol""".stripMargin
+}
