@@ -59,24 +59,39 @@ object UnigramLm {
     require(totalTokens > 0, "model must be trained on a non-empty corpus")
   }
 
+  /** The corpus token-count table (`term`, `cnt`) — ONE explode +
+    * partial-agg'd shuffle. Feed it to
+    * [[graft.operators.IncrementalAgg]] (group by term, Count) to maintain
+    * the counts as a store under continuous ingest, then [[fromCounts]]
+    * rebuilds the current model without re-scanning history.
+    */
+  def tokenCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+
   /** Train on a corpus: bounded top-`vocabSize` vocabulary + total count.
     * Whitespace tokenization ([[TextFunctions.tokens]] — empty tokens kept,
     * matching the corpus-stats family).
     */
-  def train(docs: DataFrame, textCol: String, vocabSize: Int): Model = {
+  def train(docs: DataFrame, textCol: String, vocabSize: Int): Model =
+    fromCounts(tokenCounts(docs, textCol), vocabSize)
+
+  /** Model from a (`term`, `cnt`) count table — the batch-train tail, and
+    * the rebuild step over a maintained count store. The table is persisted
+    * across the two jobs (total + top-V cut) so its lineage — a corpus
+    * explode in batch train — evaluates exactly once.
+    */
+  def fromCounts(counts: DataFrame, vocabSize: Int): Model = {
     require(vocabSize > 0, "vocabSize must be positive")
-    val counts = docs
-      .select(explode(TextFunctions.tokens(col(textCol))).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("cnt"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val c = counts.persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val total = counts.agg(coalesce(sum("cnt"), lit(0L))).head.getLong(0)
-      require(total > 0, s"no tokens found in $textCol")
-      val vocab = counts
+      val total = c.agg(coalesce(sum("cnt"), lit(0L))).head.getLong(0)
+      require(total > 0, "no tokens in the count table")
+      val vocab = c
         .orderBy(col("cnt").desc, col("term").asc).limit(vocabSize)
         .collect().map(r => (r.getString(0), r.getLong(1)))
       Model(vocab, total)
-    } finally { counts.unpersist() }
+    } finally { c.unpersist() }
   }
 
   /** Score documents under a trained model: one row per document with

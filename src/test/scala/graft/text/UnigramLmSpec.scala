@@ -68,6 +68,23 @@ class UnigramLmSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("maintained count store folded over batches ≡ batch train") {
+    import graft.operators.IncrementalAgg
+    val dir = java.nio.file.Files.createTempDirectory("lm_store").toString
+    val batches = Seq(corpus.where($"doc_id" === 1L), corpus.where($"doc_id" === 2L),
+      corpus.where($"doc_id" === 3L))
+    batches.foreach { b =>
+      IncrementalAgg.update(spark, dir,
+        b.select(org.apache.spark.sql.functions.explode(
+          TextFunctions.tokens($"text")).as("term")),
+        Seq("term"), Seq(IncrementalAgg.Count("cnt")))
+    }
+    val folded = UnigramLm.fromCounts(IncrementalAgg.read(spark, dir), vocabSize = 10)
+    val batch = UnigramLm.train(corpus, "text", vocabSize = 10)
+    assert(folded.totalTokens === batch.totalTokens)
+    assert(folded.vocab.toSeq === batch.vocab.toSeq)
+  }
+
   test("plan: vocab join broadcasts, per-doc sums partial-aggregate") {
     val m = UnigramLm.train(corpus, "text", vocabSize = 3)
     val plan = UnigramLm.scoreDocs(corpus, m)
