@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+import org.apache.spark.storage.StorageLevel
 
 /** Token-budget corpus selection: keep the best-scoring documents until a
   * global token budget is filled — the data-mixing step that follows
@@ -21,8 +22,12 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   * `bucketWidth` — monotone, so buckets are contiguous runs of the total
   * order): per-bucket cumsums run parallel (spill-backed external sort per
   * bucket), bucket totals (~score-range/width rows) prefix-sum in one tiny
-  * task, offsets broadcast-join back. ONE corpus-width shuffle; the result
-  * is bucketing-independent by the prefix-sum algebra (the spec proves it).
+  * task, offsets broadcast-join back. The 4-long-column projection feeding
+  * both branches of that self-join is persisted (MEMORY_AND_DISK;
+  * reclaimed by the ContextCleaner once unreferenced) so the upstream —
+  * for [[selectByLmScore]], the whole LM scoring job — evaluates once, and
+  * the corpus crosses the wire once. The result is bucketing-independent
+  * by the prefix-sum algebra (the spec proves it).
   *
   * A score distribution concentrated in few buckets degrades to wall-clock
   * skew (one bucket's external sort), never memory blowup — pick
@@ -30,8 +35,55 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   * score must be integral (the [[graft.operators.Drift]] rule: fractional
   * scores would bucket/truncate differently across engines — scale to
   * integer units first, e.g. milli-nats per token).
+  *
+  * Contracts shared by both entry points:
+  *  - rows with a NULL id, score, or group are EXCLUDED from selection
+  *    (they have no place in the total order; pre-clean with `coalesce`
+  *    if they must count) — the oracles filter identically;
+  *  - `idCol` must be unique per (group): the running sum uses an
+  *    explicit ROWS frame, so duplicate (score, id) rows would be cut
+  *    one-of-them-arbitrarily rather than both-or-neither.
   */
 object BudgetSelect {
+
+  private def requireIntegralScore(df: DataFrame, scoreCol: String, fn: String): Unit =
+    df.schema(scoreCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"$fn needs an integral score column (scale fractional scores to " +
+          s"integer units first); $scoreCol is ${other.catalogString}")
+    }
+
+  /** The shared two-level bounded prefix sum over (`grpCols`, score
+    * bucket): per-bucket ROWS-frame cumsums in parallel, bucket totals
+    * prefix-summed over the tiny aggregate frame, offsets broadcast back,
+    * budget filter. `perDoc` must carry `__id`, `__score`, `n_tokens`,
+    * `__bucket` (+ `grpCols`), already NULL-filtered.
+    */
+  private def boundedPrefixCut(perDoc: DataFrame, grpCols: Seq[String],
+                               budget: Long): DataFrame = {
+    val cached = perDoc.persist(StorageLevel.MEMORY_AND_DISK)
+    val keyCols = grpCols :+ "__bucket"
+    val withinW = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__score").asc, col("__id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = cached.withColumn("__cum", sum("n_tokens").over(withinW))
+    val totalsBase =
+      if (grpCols.isEmpty) Window.orderBy("__bucket")
+      else Window.partitionBy(grpCols.map(col): _*).orderBy("__bucket")
+    val totalsW = totalsBase.rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = cached.groupBy(keyCols.map(col): _*)
+      .agg(sum("n_tokens").as("__btot"))
+      .withColumn("__boff", coalesce(sum("__btot").over(totalsW), lit(0L)))
+      .select((keyCols :+ "__boff").map(col): _*)
+    within.join(broadcast(offsets), keyCols)
+      .withColumn("cum_tokens", col("__boff") + col("__cum"))
+      .where(col("cum_tokens") <= budget)
+  }
+
+  private def bucketCol(scoreCol: String, bucketWidth: Long): Column =
+    floor(col(scoreCol).cast(LongType).cast("double") / lit(bucketWidth.toDouble))
+      .cast(LongType)
 
   /** Documents within the budget: (`idCol`, `scoreCol`, n_tokens,
     * cum_tokens) for every document whose inclusive running token total in
@@ -43,31 +95,15 @@ object BudgetSelect {
       budget: Long, bucketWidth: Long = 1000L): DataFrame = {
     require(budget > 0, "budget must be positive")
     require(bucketWidth > 0, "bucketWidth must be positive")
-    df.schema(scoreCol).dataType match {
-      case ByteType | ShortType | IntegerType | LongType => ()
-      case other => throw new IllegalArgumentException(
-        s"selectWithinBudget needs an integral score column (scale fractional " +
-          s"scores to integer units first); $scoreCol is ${other.catalogString}")
-    }
-    val perDoc = df.select(
-      col(idCol).as("__id"),
-      col(scoreCol).cast(LongType).as("__score"),
-      tokens.cast(LongType).as("n_tokens"),
-      floor(col(scoreCol).cast(LongType).cast("double") / lit(bucketWidth.toDouble))
-        .cast(LongType).as("__bucket"))
-    // level 1: cumsum within each score bucket — parallel across buckets
-    val withinW = Window.partitionBy("__bucket").orderBy(col("__score").asc, col("__id").asc)
-    val within = perDoc.withColumn("__cum", sum("n_tokens").over(withinW))
-    // level 2: prefix offsets of bucket totals — one row per occupied
-    // bucket, so the single-partition window never touches corpus rows
-    val totalsW = Window.orderBy("__bucket")
-    val offsets = perDoc.groupBy("__bucket").agg(sum("n_tokens").as("__btot"))
-      .withColumn("__boff", coalesce(
-        sum("__btot").over(totalsW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("__bucket", "__boff")
-    within.join(broadcast(offsets), "__bucket")
-      .withColumn("cum_tokens", col("__boff") + col("__cum"))
-      .where(col("cum_tokens") <= budget)
+    requireIntegralScore(df, scoreCol, "selectWithinBudget")
+    val perDoc = df
+      .where(col(idCol).isNotNull && col(scoreCol).isNotNull)
+      .select(
+        col(idCol).as("__id"),
+        col(scoreCol).cast(LongType).as("__score"),
+        tokens.cast(LongType).as("n_tokens"),
+        bucketCol(scoreCol, bucketWidth).as("__bucket"))
+    boundedPrefixCut(perDoc, Seq.empty, budget)
       .select(col("__id").as(idCol), col("__score").as(scoreCol),
         col("n_tokens"), col("cum_tokens"))
   }
@@ -88,44 +124,34 @@ object BudgetSelect {
       tokens: Column, budget: Long, bucketWidth: Long = 1000L): DataFrame = {
     require(budget > 0, "budget must be positive")
     require(bucketWidth > 0, "bucketWidth must be positive")
-    df.schema(scoreCol).dataType match {
-      case ByteType | ShortType | IntegerType | LongType => ()
-      case other => throw new IllegalArgumentException(
-        s"capPerGroup needs an integral score column (scale fractional " +
-          s"scores to integer units first); $scoreCol is ${other.catalogString}")
-    }
-    val perDoc = df.select(
-      col(idCol).as("__id"),
-      col(groupCol).as("__grp"),
-      col(scoreCol).cast(LongType).as("__score"),
-      tokens.cast(LongType).as("n_tokens"),
-      floor(col(scoreCol).cast(LongType).cast("double") / lit(bucketWidth.toDouble))
-        .cast(LongType).as("__bucket"))
-    val withinW = Window.partitionBy("__grp", "__bucket")
-      .orderBy(col("__score").asc, col("__id").asc)
-    val within = perDoc.withColumn("__cum", sum("n_tokens").over(withinW))
-    val totalsW = Window.partitionBy("__grp").orderBy("__bucket")
-    val offsets = perDoc.groupBy("__grp", "__bucket").agg(sum("n_tokens").as("__btot"))
-      .withColumn("__boff", coalesce(
-        sum("__btot").over(totalsW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("__grp", "__bucket", "__boff")
-    within.join(broadcast(offsets), Seq("__grp", "__bucket"))
-      .withColumn("cum_tokens", col("__boff") + col("__cum"))
-      .where(col("cum_tokens") <= budget)
+    requireIntegralScore(df, scoreCol, "capPerGroup")
+    val perDoc = df
+      .where(col(idCol).isNotNull && col(scoreCol).isNotNull &&
+        col(groupCol).isNotNull)
+      .select(
+        col(idCol).as("__id"),
+        col(groupCol).as("__grp"),
+        col(scoreCol).cast(LongType).as("__score"),
+        tokens.cast(LongType).as("n_tokens"),
+        bucketCol(scoreCol, bucketWidth).as("__bucket"))
+    boundedPrefixCut(perDoc, Seq("__grp"), budget)
       .select(col("__id").as(idCol), col("__grp").as(groupCol),
         col("__score").as(scoreCol), col("n_tokens"), col("cum_tokens"))
   }
 
   /** DuckDB replay of [[capPerGroup]] (integral score already on the
-    * table): per-group total-order running sum. `fromSql` is a subquery
-    * yielding (`idCol`, `groupCol`, `scoreCol`, `tokenSql` AS n_tokens).
+    * table): per-group total-order running sum with the same NULL
+    * exclusions. `fromSql` is a subquery yielding (`idCol`, `groupCol`,
+    * `scoreCol`, n_tokens).
     */
   def capPerGroupOracle(fromSql: String, idCol: String, groupCol: String,
                         scoreCol: String, budget: Long): String =
     s"""WITH cum AS (SELECT $idCol, $groupCol, $scoreCol, n_tokens,
        |    sum(n_tokens) OVER (PARTITION BY $groupCol
        |      ORDER BY $scoreCol, $idCol ROWS UNBOUNDED PRECEDING) AS cum_tokens
-       |  FROM ($fromSql))
+       |  FROM ($fromSql)
+       |  WHERE $idCol IS NOT NULL AND $scoreCol IS NOT NULL
+       |    AND $groupCol IS NOT NULL)
        |SELECT $idCol, $groupCol, $scoreCol,
        |  CAST(n_tokens AS BIGINT) AS n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
        |FROM cum WHERE cum_tokens <= $budget

@@ -94,17 +94,21 @@ object UnigramLm {
     } finally { c.unpersist() }
   }
 
-  /** Score documents under a trained model: one row per document with
-    * `n_tokens`, `n_oov` (tokens outside the model vocabulary), and
-    * `nll_q` = Σ ⌊10⁶·ln(total/cnt)⌋ over its tokens (unseen → cnt 1).
-    * Rank ascending by `nll_q / n_tokens` for "most natural first".
+  /** Score documents under a trained model: one row per non-NULL-text
+    * document with `n_tokens`, `n_oov` (tokens outside the model
+    * vocabulary), and `nll_q` = Σ ⌊10⁶·ln(total/cnt)⌋ over its tokens
+    * (unseen → cnt 1). Rank ascending by `nll_q / n_tokens` for "most
+    * natural first". Rows with NULL `textCol` are EXCLUDED (a missing
+    * document has no token distribution to score; `coalesce` upstream if
+    * they must count as empty — empty string scores as one empty token).
     */
   def scoreDocs(docs: DataFrame, model: Model,
                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val vocabDf = model.vocab.toSeq.toDF("term", "cnt")
-    val toks = docs.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val toks = docs.where(col(textCol).isNotNull)
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
     // one division then one ln then one floor — the oracle replays the
     // identical double chain, keeping the float surface to a single ulp-
     // stable ln (see Drift)

@@ -56,6 +56,29 @@ class BudgetSelectSpec extends SparkSpec {
     assert(got === Seq((2L, 1L, 6L, 6L)))
   }
 
+  test("duplicate (score, id) rows: ROWS frame cuts one, not both-or-neither") {
+    // RANGE-frame ties would give BOTH rows cum=12 and cut both
+    val dup = Seq((7L, 3L, 6L), (7L, 3L, 6L)).toDF("id", "score", "ntok")
+    val got = BudgetSelect.selectWithinBudget(dup, "id", "score", col("ntok"), 6L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((7L, 3L, 6L, 6L)))
+  }
+
+  test("NULL id / score / group rows are excluded, matching the oracle") {
+    val d = Seq(
+      (Some(1L), Option("en"), Some(1L), 5L), // valid
+      (None, Option("en"), Some(1L), 5L),     // NULL id
+      (Some(3L), Option.empty[String], Some(1L), 5L), // NULL group
+      (Some(4L), Option("en"), Option.empty[Long], 5L) // NULL score
+    ).toDF("id", "grp", "score", "ntok")
+    val flat = BudgetSelect.selectWithinBudget(d, "id", "score", col("ntok"), 100L)
+      .select("id").as[Long].collect().toSet
+    assert(flat === Set(1L, 3L)) // group is irrelevant to the flat cut
+    val grouped = BudgetSelect.capPerGroup(d, "id", "grp", "score", col("ntok"), 100L)
+      .select("id").as[Long].collect().toSet
+    assert(grouped === Set(1L))
+  }
+
   test("fractional score column is rejected") {
     val frac = Seq((1L, 1.5, 3L)).toDF("id", "score", "ntok")
     val e = intercept[IllegalArgumentException] {

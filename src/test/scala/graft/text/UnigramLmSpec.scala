@@ -68,6 +68,14 @@ class UnigramLmSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("NULL-text rows are excluded from scoring (documented contract)") {
+    val m = UnigramLm.train(corpus, "text", vocabSize = 10)
+    val withNull = Seq((1L, Option("a b")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val ids = UnigramLm.scoreDocs(withNull, m).select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(1L))
+  }
+
   test("maintained count store folded over batches ≡ batch train") {
     import graft.operators.IncrementalAgg
     val dir = java.nio.file.Files.createTempDirectory("lm_store").toString
