@@ -582,6 +582,33 @@ object Registry {
         },
         Some("SELECT * FROM region ORDER BY r_regionkey")),
 
+      // opaque-file ingest (the multimodal on-ramp): deterministic payload
+      // files written from nation rows, read back via the binaryFile
+      // source; byte fidelity proven by md5 against the table-side hash
+      RegisteredQuery(
+        "q_binary_ingest",
+        (s, dir) => {
+          import org.apache.spark.sql.functions.{col, md5}
+          val out = "/tmp/graft_binary_ingest"
+          val d = new java.io.File(out)
+          d.mkdirs()
+          Option(d.listFiles()).foreach(_.filter(_.getName.endsWith(".bin"))
+            .foreach(_.delete()))
+          Tables.resolve(s, dir)("nation").select("n_nationkey", "n_name")
+            .collect().foreach { r => // 25 rows — contractually small
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(out, s"n_${r.get(0)}.bin"),
+                r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
+          BinaryFiles.read(s, out, glob = Some("*.bin"))
+            .select(col("file_name").as("fname"), col("n_bytes"),
+              md5(col("content")).as("content_md5"))
+            .orderBy("fname")
+        },
+        Some("SELECT 'n_' || n_nationkey || '.bin' AS fname, " +
+          "CAST(length(n_name) AS BIGINT) AS n_bytes, md5(n_name) AS content_md5 " +
+          "FROM nation ORDER BY fname")),
+
       // S7: XLSX write → chunked read-back (Excel numbers are doubles, so
       // integer columns come back DoubleType — cast to the oracle types)
       RegisteredQuery(
