@@ -2753,7 +2753,19 @@ FROM documents ORDER BY doc_id""")),
         Some(graft.text.BudgetSelect.capPerGroupOracle(
           "SELECT doc_id, lang, n_chars, " +
             "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents",
-          "doc_id", "lang", "n_chars", budget = 5000L))))
+          "doc_id", "lang", "n_chars", budget = 5000L))),
+
+      // domain-interleaved training order: global round-robin positions
+      // computed arithmetically (per-domain rank + broadcast domain
+      // inventory) — the oracle's global window proves the formula
+      RegisteredQuery(
+        "q_interleave",
+        (s, dir) => graft.operators.Interleave.byDomain(
+            Tables.resolve(s, dir)("documents").select("doc_id", "lang"),
+            "lang", Seq(col("doc_id")))
+          .orderBy("doc_id"),
+        Some(graft.operators.Interleave.oracleSql(
+          "SELECT doc_id, lang FROM documents", "doc_id", "lang"))))
   }
 
   /** q_psi_drift cut points: fixed cents boundaries spanning the synthetic
