@@ -2765,8 +2765,29 @@ FROM documents ORDER BY doc_id""")),
             "lang", Seq(col("doc_id")))
           .orderBy("doc_id"),
         Some(graft.operators.Interleave.oracleSql(
-          "SELECT doc_id, lang FROM documents", "doc_id", "lang"))))
+          "SELECT doc_id, lang FROM documents", "doc_id", "lang"))),
+
+      // weighted corpus mixing: per-mille domain weights split a total
+      // token budget (integer arithmetic), es carries no weight and is
+      // excluded; per-domain budgets ride as a scan-stage map lookup
+      RegisteredQuery(
+        "q_corpus_mix",
+        (s, dir) => graft.text.BudgetSelect.mixByWeights(
+            Tables.resolve(s, dir)("documents"), "doc_id", "lang", "n_chars",
+            graft.text.TextFunctions.nTokens(col("text")),
+            MixWeights, totalBudget = 12000L)
+          .orderBy("doc_id"),
+        Some(graft.text.BudgetSelect.mixOracle(
+          "SELECT doc_id, lang, n_chars, " +
+            "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents",
+          "doc_id", "lang", "n_chars", MixWeights, totalBudget = 12000L))))
   }
+
+  /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
+    * the synthetic languages; `es` deliberately unweighted (excluded).
+    */
+  private def MixWeights: Map[String, Long] =
+    Map("en" -> 500L, "fr" -> 200L, "de" -> 200L, "zh" -> 100L)
 
   /** q_psi_drift cut points: fixed cents boundaries spanning the synthetic
     * order-price range — the frozen train-time binning drift is measured

@@ -61,7 +61,7 @@ object BudgetSelect {
     * `__bucket` (+ `grpCols`), already NULL-filtered.
     */
   private def boundedPrefixCut(perDoc: DataFrame, grpCols: Seq[String],
-                               budget: Long): DataFrame = {
+                               budget: Column): DataFrame = {
     val cached = perDoc.persist(StorageLevel.MEMORY_AND_DISK)
     val keyCols = grpCols :+ "__bucket"
     val withinW = Window.partitionBy(keyCols.map(col): _*)
@@ -103,7 +103,7 @@ object BudgetSelect {
         col(scoreCol).cast(LongType).as("__score"),
         tokens.cast(LongType).as("n_tokens"),
         bucketCol(scoreCol, bucketWidth).as("__bucket"))
-    boundedPrefixCut(perDoc, Seq.empty, budget)
+    boundedPrefixCut(perDoc, Seq.empty, lit(budget))
       .select(col("__id").as(idCol), col("__score").as(scoreCol),
         col("n_tokens"), col("cum_tokens"))
   }
@@ -134,9 +134,73 @@ object BudgetSelect {
         col(scoreCol).cast(LongType).as("__score"),
         tokens.cast(LongType).as("n_tokens"),
         bucketCol(scoreCol, bucketWidth).as("__bucket"))
-    boundedPrefixCut(perDoc, Seq("__grp"), budget)
+    boundedPrefixCut(perDoc, Seq("__grp"), lit(budget))
       .select(col("__id").as(idCol), col("__grp").as(groupCol),
         col("__score").as(scoreCol), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** Weighted corpus mixing — the Pile/Dolma-style recipe step: split a
+    * total token budget across domains by per-mille weights
+    * (budget(d) = ⌊total·w(d)/1000⌋, integer arithmetic so the recipe is
+    * engine-replayable), then apply the per-domain cut. Domains ABSENT
+    * from `weightsPerMille` are excluded entirely (weight 0); weights
+    * need not sum to 1000 (over/under-allocate deliberately). Chain
+    * [[graft.operators.Interleave.byDomain]] on the result for the
+    * clump-free training order. Same plan shape as [[capPerGroup]] —
+    * the per-domain budget rides as a scan-stage literal-map lookup.
+    */
+  def mixByWeights(
+      df: DataFrame, idCol: String, groupCol: String, scoreCol: String,
+      tokens: Column, weightsPerMille: Map[String, Long], totalBudget: Long,
+      bucketWidth: Long = 1000L): DataFrame = {
+    require(totalBudget > 0, "totalBudget must be positive")
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(weightsPerMille.nonEmpty, "weightsPerMille must be non-empty")
+    require(weightsPerMille.values.forall(_ > 0),
+      "weights must be positive (omit a domain to exclude it)")
+    requireIntegralScore(df, scoreCol, "mixByWeights")
+    val budgets = weightsPerMille.map { case (d, w) => d -> totalBudget * w / 1000L }
+    require(budgets.values.forall(_ > 0),
+      "every weighted domain must get a positive token budget — raise " +
+        "totalBudget or the smallest weight")
+    val budgetMap = map(budgets.toSeq.sortBy(_._1).flatMap {
+      case (d, b) => Seq(lit(d), lit(b))
+    }: _*)
+    val perDoc = df
+      .where(col(idCol).isNotNull && col(scoreCol).isNotNull &&
+        col(groupCol).isin(budgets.keys.toSeq: _*))
+      .select(
+        col(idCol).as("__id"),
+        col(groupCol).as("__grp"),
+        col(scoreCol).cast(LongType).as("__score"),
+        tokens.cast(LongType).as("n_tokens"),
+        bucketCol(scoreCol, bucketWidth).as("__bucket"))
+    boundedPrefixCut(perDoc, Seq("__grp"), element_at(budgetMap, col("__grp")))
+      .select(col("__id").as(idCol), col("__grp").as(groupCol),
+        col("__score").as(scoreCol), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** DuckDB replay of [[mixByWeights]]: same integer budget arithmetic as
+    * a CASE over the weighted domains. `fromSql` yields (`idCol`,
+    * `groupCol`, `scoreCol`, n_tokens).
+    */
+  def mixOracle(fromSql: String, idCol: String, groupCol: String,
+                scoreCol: String, weightsPerMille: Map[String, Long],
+                totalBudget: Long): String = {
+    val budgets = weightsPerMille.toSeq.sortBy(_._1)
+      .map { case (d, w) => d -> totalBudget * w / 1000L }
+    val inList = budgets.map { case (d, _) => s"'$d'" }.mkString(", ")
+    val cases = budgets.map { case (d, b) => s"WHEN '$d' THEN $b" }.mkString(" ")
+    s"""WITH cum AS (SELECT $idCol, $groupCol, $scoreCol, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY $groupCol
+       |      ORDER BY $scoreCol, $idCol ROWS UNBOUNDED PRECEDING) AS cum_tokens
+       |  FROM ($fromSql)
+       |  WHERE $idCol IS NOT NULL AND $scoreCol IS NOT NULL
+       |    AND $groupCol IN ($inList))
+       |SELECT $idCol, $groupCol, $scoreCol,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+       |FROM cum WHERE cum_tokens <= CASE $groupCol $cases END
+       |ORDER BY $idCol""".stripMargin
   }
 
   /** DuckDB replay of [[capPerGroup]] (integral score already on the

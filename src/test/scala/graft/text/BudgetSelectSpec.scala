@@ -139,6 +139,28 @@ class BudgetSelectSpec extends SparkSpec {
       || plan.contains("windowspecdefinition(__grp"))
   }
 
+  test("mixByWeights: integer budget split, unweighted domains excluded") {
+    val d = Seq(
+      (1L, "en", 1L, 4L), (2L, "en", 2L, 4L), (3L, "en", 3L, 4L),
+      (4L, "fr", 1L, 3L), (5L, "fr", 2L, 3L),
+      (6L, "es", 1L, 9L)).toDF("id", "grp", "score", "ntok")
+    // total 10 → en ⌊10·800/1000⌋ = 8 (keeps two 4s), fr ⌊10·300/1000⌋ = 3
+    // (keeps one 3), es unweighted → excluded
+    val got = BudgetSelect.mixByWeights(d, "id", "grp", "score", col("ntok"),
+        Map("en" -> 800L, "fr" -> 300L), totalBudget = 10L)
+      .select("id").as[Long].collect().toSet
+    assert(got === Set(1L, 2L, 4L))
+  }
+
+  test("mixByWeights: zero-budget weights are rejected up front") {
+    val d = Seq((1L, "en", 1L, 4L)).toDF("id", "grp", "score", "ntok")
+    val e = intercept[IllegalArgumentException] {
+      BudgetSelect.mixByWeights(d, "id", "grp", "score", col("ntok"),
+        Map("en" -> 1L), totalBudget = 100L) // ⌊100/1000⌋ = 0
+    }
+    assert(e.getMessage.contains("positive token budget"))
+  }
+
   test("LM composition: cut ranks by mean NLL and replays the window oracle") {
     val corpus = Seq(
       (1L, "a a a a"),       // all top-vocab → lowest mean NLL
