@@ -27,33 +27,53 @@ import org.apache.spark.sql.types.LongType
   * array evaluated in the scan stage. No global sort, no second shuffle;
   * the gate proves the arithmetic against the window-form oracle.
   *
-  * Contracts: rows with a NULL domain or NULL order key are excluded;
-  * domain order is lexicographic; `orderCols` must totally order rows
-  * within every domain (append a unique id as tie-break — pass a
-  * fingerprint of the id for a deterministic shuffled curriculum instead
-  * of id order). Domain count is guarded (default ≤ 100k: the per-row
-  * aggregate is O(|domains|) — beyond that, interleave coarser units).
+  * Contracts: the domain column must be a STRING (languages, sources,
+  * dataset names — the native lexicographic order then agrees byte-wise
+  * with the oracle; a non-string domain would interleave by its string
+  * rendering, silently diverging from the window form); rows with a NULL
+  * domain or a NULL order key are excluded; `orderCols` must totally
+  * order rows within every domain (append a unique id as tie-break —
+  * pass a fingerprint of the id for a deterministic shuffled curriculum
+  * instead of id order). Domain count is guarded (default ≤ 1000: the
+  * inventory is a per-row O(|domains|) literal-array fold, the right
+  * shape for the languages/sources/datasets this orders — for a huge
+  * domain space, interleave coarser units).
   */
 object Interleave {
 
   /** (all input columns, `rank_in_domain`, `interleave_pos`), positions
-    * 1..n dense over the non-NULL rows.
+    * 1..n dense over the non-excluded rows.
     */
   def byDomain(df: DataFrame, domainCol: String, orderCols: Seq[Column],
-               maxDomains: Int = 100000): DataFrame = {
+               maxDomains: Int = 1000): DataFrame = {
     require(orderCols.nonEmpty, "orderCols must be non-empty")
-    val clean = df.where(col(domainCol).isNotNull)
+    require(df.schema(domainCol).dataType == org.apache.spark.sql.types.StringType,
+      s"byDomain needs a string domain column; $domainCol is " +
+        df.schema(domainCol).dataType.catalogString)
+    val clean = df.where(col(domainCol).isNotNull &&
+      orderCols.map(_.isNotNull).reduce(_ && _))
     val rankW = Window.partitionBy(col(domainCol)).orderBy(orderCols: _*)
+    // persisted across the inventory collect and the returned frame — the
+    // upstream evaluates once, and the sizes the positions are computed
+    // against are EXACTLY the ranks' run (a nondeterministic upstream
+    // re-evaluated could disagree and break the dense-permutation
+    // property); ContextCleaner reclaims the blocks once unreferenced
     val ranked = clean.withColumn("rank_in_domain",
-      row_number().over(rankW).cast(LongType))
+        row_number().over(rankW).cast(LongType))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bounded domain inventory: one partial-agg'd count, driver literal
     val sizes = ranked.groupBy(col(domainCol).as("__d"))
       .agg(count(lit(1)).as("__n"))
-      .collect().map(r => (r.get(0).toString, r.getLong(1)))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
       .sortBy(_._1)
     require(sizes.length <= maxDomains,
       s"${sizes.length} domains exceed maxDomains=$maxDomains — interleave " +
         "coarser units or raise the cap")
+    if (sizes.isEmpty) {
+      // empty input (or all rows excluded): an empty literal array has no
+      // struct type to fold over — return the empty frame directly
+      return ranked.withColumn("interleave_pos", lit(0L)).where(lit(false))
+    }
     val sizeArr = array(sizes.map { case (d, n) =>
       struct(lit(d).as("d"), lit(n).as("n"))
     }: _*)
@@ -63,7 +83,7 @@ object Interleave {
     val pos = aggregate(sizeArr, lit(1L),
       (acc, e) => acc
         + least(r - 1L, e.getField("n"))
-        + when(e.getField("d") < col(domainCol).cast("string")
+        + when(e.getField("d") < col(domainCol)
             && e.getField("n") >= r, 1L).otherwise(0L))
     ranked.withColumn("interleave_pos", pos)
   }
@@ -76,7 +96,8 @@ object Interleave {
     s"""WITH r AS (SELECT $idCol, $domainCol,
        |    CAST(row_number() OVER (PARTITION BY $domainCol ORDER BY $idCol) AS BIGINT)
        |      AS rank_in_domain
-       |  FROM ($fromSql) WHERE $domainCol IS NOT NULL)
+       |  FROM ($fromSql)
+       |  WHERE $domainCol IS NOT NULL AND $idCol IS NOT NULL)
        |SELECT $idCol, $domainCol, rank_in_domain,
        |  CAST(row_number() OVER (ORDER BY rank_in_domain, $domainCol) AS BIGINT)
        |    AS interleave_pos

@@ -189,8 +189,9 @@ object BudgetSelect {
                 totalBudget: Long): String = {
     val budgets = weightsPerMille.toSeq.sortBy(_._1)
       .map { case (d, w) => d -> totalBudget * w / 1000L }
-    val inList = budgets.map { case (d, _) => s"'$d'" }.mkString(", ")
-    val cases = budgets.map { case (d, b) => s"WHEN '$d' THEN $b" }.mkString(" ")
+    def q(d: String): String = "'" + d.replace("'", "''") + "'"
+    val inList = budgets.map { case (d, _) => q(d) }.mkString(", ")
+    val cases = budgets.map { case (d, b) => s"WHEN ${q(d)} THEN $b" }.mkString(" ")
     s"""WITH cum AS (SELECT $idCol, $groupCol, $scoreCol, n_tokens,
        |    sum(n_tokens) OVER (PARTITION BY $groupCol
        |      ORDER BY $scoreCol, $idCol ROWS UNBOUNDED PRECEDING) AS cum_tokens

@@ -50,6 +50,29 @@ class InterleaveSpec extends SparkSpec {
     assert(ids === Set(1L))
   }
 
+  test("empty input (or all rows excluded) yields an empty frame, not an error") {
+    val d = Seq((1L, Option.empty[String])).toDF("id", "dom")
+    assert(Interleave.byDomain(d, "dom", Seq(col("id"))).count() === 0L)
+    val none = Seq.empty[(Long, String)].toDF("id", "dom")
+    assert(Interleave.byDomain(none, "dom", Seq(col("id"))).count() === 0L)
+  }
+
+  test("NULL order keys are excluded (documented contract, oracle parity)") {
+    val d = Seq((Option(1L), "a"), (Option.empty[Long], "a"), (Option(3L), "a"))
+      .toDF("id", "dom")
+    val got = Interleave.byDomain(d, "dom", Seq(col("id")))
+      .select("id", "interleave_pos").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 1L), (3L, 2L)))
+  }
+
+  test("non-string domain columns are rejected") {
+    val d = Seq((1L, 10L)).toDF("id", "dom")
+    val e = intercept[IllegalArgumentException] {
+      Interleave.byDomain(d, "dom", Seq(col("id")))
+    }
+    assert(e.getMessage.contains("string domain"))
+  }
+
   test("domain cap is enforced") {
     val d = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "dom")
     val e = intercept[IllegalArgumentException] {
