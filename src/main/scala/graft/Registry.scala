@@ -2398,6 +2398,34 @@ GROUP BY n_name ORDER BY revenue DESC, n_name ASC""")),
           xSql = "date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))",
           ySql = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))),
 
+      // exact grouped Pearson correlation components (feature screening):
+      // one shuffle of five decimal partials; integers gated, the IEEE-
+      // sqrt double is spec-checked
+      RegisteredQuery(
+        "q_grouped_corr",
+        (s, dir) => graft.operators.GroupedTrend.correlation(
+            Tables.resolve(s, dir)("lineitem")
+              .withColumn("qty_c",
+                (col("l_quantity").cast("decimal(18,2)") * 100).cast("long"))
+              .withColumn("cents",
+                (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")),
+            Seq("l_returnflag"), "qty_c", "cents")
+          .drop("corr").orderBy("l_returnflag"),
+        Some(graft.operators.GroupedTrend.correlationOracle(
+          "lineitem", Seq("l_returnflag"),
+          xSql = "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)",
+          ySql = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))),
+
+      // functional-dependency mining: which partkeys ship from multiple
+      // suppliers — one partial-agg'd LHS groupBy, violation-sized output
+      RegisteredQuery(
+        "q_fd_check",
+        (s, dir) => graft.operators.Profiling.fdViolations(
+            Tables.resolve(s, dir)("lineitem"), Seq("l_partkey"), "l_suppkey")
+          .orderBy("l_partkey"),
+        Some(graft.operators.Profiling.fdViolationsOracle(
+          "lineitem", Seq("l_partkey"), "l_suppkey"))),
+
       // PMI collocations: scan-stage bigram zip, one bigram shuffle,
       // vocabulary-sized count joins; identical IEEE double chain + one
       // quantized ln on both engines

@@ -88,6 +88,70 @@ object GroupedTrend {
       .select(groupCols.map(col) ++ Seq(col("__tn").as("n"), col("slope_q")): _*)
   }
 
+  /** Per-group Pearson correlation in the same exact-integer discipline —
+    * the feature-screening sibling of [[slope]] ("which columns move
+    * together before we train on them"). Emits the three EXACT integer
+    * components
+    *
+    *   corr_num = n·Σxy − Σx·Σy,  var_x = n·Σx² − (Σx)²,
+    *   var_y = n·Σy² − (Σy)²     (so r = corr_num / √(var_x·var_y))
+    *
+    * which hash cross-engine (the gate checks these), plus the derived
+    * double `corr` for direct use — ONE double chain ending in an IEEE
+    * sqrt (correctly rounded by spec, so even the float agrees across
+    * engines; NULL when either variance is zero). Same ONE-shuffle /
+    * five-decimal-partials scale shape as [[slope]]; a whale group is
+    * map-side accumulation only.
+    */
+  def correlation(df: DataFrame, groupCols: Seq[String], xCol: String,
+                  yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must not be empty")
+    val dec = "decimal(38,0)"
+    val y = col(yCol).cast("long").cast(dec)
+    val sums = withTrendColumns(df, xCol, yCol)
+      .withColumn("__tyy", (y * y).cast(dec))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__tn"),
+        sum(col("__tx")).as("__tsx"), sum(col("__ty")).as("__tsy"),
+        sum(col("__txy")).as("__tsxy"), sum(col("__txx")).as("__tsxx"),
+        sum(col("__tyy")).as("__tsyy"))
+    sums
+      .withColumn("corr_num",
+        (col("__tn").cast(dec) * col("__tsxy") - col("__tsx") * col("__tsy")).cast(dec))
+      .withColumn("var_x",
+        (col("__tn").cast(dec) * col("__tsxx") - col("__tsx") * col("__tsx")).cast(dec))
+      .withColumn("var_y",
+        (col("__tn").cast(dec) * col("__tsyy") - col("__tsy") * col("__tsy")).cast(dec))
+      .withColumn("corr",
+        when(col("var_x") === lit(0).cast(dec) || col("var_y") === lit(0).cast(dec),
+          lit(null).cast("double"))
+          .otherwise(col("corr_num").cast("double") /
+            sqrt(col("var_x").cast("double") * col("var_y").cast("double"))))
+      .select(groupCols.map(col) ++ Seq(col("__tn").as("n"), col("corr_num"),
+        col("var_x"), col("var_y"), col("corr")): _*)
+  }
+
+  /** DuckDB replay of [[correlation]]'s integer components (floats aren't
+    * gated — CorrSpec covers the double; HUGEINT → the gate casts back to
+    * the DECIMAL(38,0) shapes Spark emits).
+    */
+  def correlationOracle(table: String, groupCols: Seq[String], xSql: String,
+                        ySql: String): String = {
+    val g = groupCols.mkString(", ")
+    s"""WITH s AS (
+  SELECT $g, CAST(count(*) AS BIGINT) AS n,
+    sum(CAST($xSql AS HUGEINT)) AS sx, sum(CAST($ySql AS HUGEINT)) AS sy,
+    sum(CAST($xSql AS HUGEINT) * CAST($ySql AS HUGEINT)) AS sxy,
+    sum(CAST($xSql AS HUGEINT) * CAST($xSql AS HUGEINT)) AS sxx,
+    sum(CAST($ySql AS HUGEINT) * CAST($ySql AS HUGEINT)) AS syy
+  FROM $table WHERE ($xSql) IS NOT NULL AND ($ySql) IS NOT NULL GROUP BY $g)
+SELECT $g, n,
+  CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS corr_num,
+  CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS var_x,
+  CAST(n * syy - sy * sy AS DECIMAL(38,0)) AS var_y
+FROM s"""
+  }
+
   /** DuckDB replay of [[slope]] — HUGEINT sums (exact 128-bit), the same
     * sign-split truncating division (`//` on non-negative HUGEINTs is the
     * same truncation as Spark's `div`).

@@ -68,4 +68,41 @@ CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s FROM $table
     }
     rows.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
   }
+
+  /** Functional-dependency violation scan: the keys where `lhsCols` does
+    * NOT determine `rhsCol` — data-contract mining ("is part → supplier
+    * really 1:1?") and the precursor to choosing dedup/merge keys. One
+    * partial-agg'd groupBy on the LHS (exact distinct via a two-level
+    * aggregate would need a second shuffle; `countDistinct` here is
+    * Spark's Expand-based exact form, still one logical pass); only
+    * violating keys come back — output is violation-sized, not key-sized.
+    * NULL LHS values group like values ([[graft.operators.Anonymity]]'s
+    * rule: a missing field narrows identity like a present one); NULL RHS
+    * counts as a distinct outcome only alongside non-NULLs via the
+    * separate `n_rhs_null` column (countDistinct ignores NULLs, so a key
+    * whose RHS is always NULL has n_rhs_values = 0 — not a violation).
+    */
+  def fdViolations(df: DataFrame, lhsCols: Seq[String], rhsCol: String): DataFrame = {
+    require(lhsCols.nonEmpty, "lhsCols must be non-empty")
+    df.groupBy(lhsCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col(rhsCol)).as("n_rhs_values"),
+        sum(when(col(rhsCol).isNull, 1L).otherwise(0L)).as("n_rhs_null"))
+      .where(col("n_rhs_values") > 1 ||
+        (col("n_rhs_values") >= 1 && col("n_rhs_null") > 0))
+  }
+
+  /** DuckDB replay of [[fdViolations]]. */
+  def fdViolationsOracle(table: String, lhsCols: Seq[String], rhsCol: String): String = {
+    val g = lhsCols.mkString(", ")
+    s"""SELECT $g, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(count(DISTINCT $rhsCol) AS BIGINT) AS n_rhs_values,
+       |  CAST(coalesce(count(*) FILTER (WHERE $rhsCol IS NULL), 0) AS BIGINT) AS n_rhs_null
+       |FROM $table GROUP BY $g
+       |HAVING count(DISTINCT $rhsCol) > 1
+       |  OR (count(DISTINCT $rhsCol) >= 1
+       |      AND count(*) FILTER (WHERE $rhsCol IS NULL) > 0)
+       |ORDER BY $g""".stripMargin
+  }
 }

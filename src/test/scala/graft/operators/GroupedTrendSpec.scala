@@ -76,4 +76,41 @@ class GroupedTrendSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(folded === direct)
   }
+
+  test("correlation: hand-checked components and the IEEE-sqrt double") {
+    import spark.implicits._
+    // g1: y = 2x exactly → r = 1; g2: y constant → var_y = 0 → NULL corr
+    val d = Seq(("g1", 1L, 2L), ("g1", 2L, 4L), ("g1", 3L, 6L),
+      ("g2", 1L, 5L), ("g2", 2L, 5L)).toDF("g", "x", "y")
+    val rows = GroupedTrend.correlation(d, Seq("g"), "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2).longValueExact(),
+          r.getDecimal(3).longValueExact(), r.getDecimal(4).longValueExact(),
+          Option(r.get(5)).map(_.asInstanceOf[Double]))).toMap
+    // g1: n=3 sx=6 sy=12 sxy=28 sxx=14 syy=56 → num=3·28−72=12,
+    // var_x=42−36=6, var_y=168−144=24; r = 12/√144 = 1
+    assert(rows("g1") === ((3L, 12L, 6L, 24L, Some(1.0))))
+    // g2: var_y = 0 → corr NULL, components still exact
+    val g2 = rows("g2")
+    assert(g2._4 === 0L && g2._5.isEmpty)
+  }
+
+  test("correlation: negative and near-zero relationships keep exact signs") {
+    import spark.implicits._
+    val d = ((1 to 50).map(i => ("neg", i.toLong, -3L * i + 7L)) ++
+      (1 to 50).map(i => ("mix", i.toLong, (i % 2).toLong))).toDF("g", "x", "y")
+    val rows = GroupedTrend.correlation(d, Seq("g"), "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getDecimal(2).longValueExact(), r.get(5).asInstanceOf[Double])).toMap
+    assert(rows("neg")._1 < 0L && math.abs(rows("neg")._2 + 1.0) < 1e-12)
+    assert(math.abs(rows("mix")._2) < 0.2)
+  }
+
+  test("correlation plan: one shuffle, partial aggregation before it") {
+    import spark.implicits._
+    val d = Seq(("g", 1L, 2L)).toDF("g", "x", "y")
+    val plan = GroupedTrend.correlation(d, Seq("g"), "x", "y")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"))
+  }
 }

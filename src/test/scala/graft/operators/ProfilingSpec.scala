@@ -51,4 +51,26 @@ class ProfilingSpec extends SparkSpec {
     val rowMajorFiles = filesTouched(df.sortBy(t => (t._1, t._2)).toSeq)
     assert(zFiles < rowMajorFiles, s"z=$zFiles rowMajor=$rowMajorFiles")
   }
+
+  test("fdViolations: only keys with >1 RHS value (or NULL alongside values)") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Option("a")), (1L, Option("a")),           // clean key
+      (2L, Option("a")), (2L, Option("b")),           // two values → violation
+      (3L, Option.empty[String]),                     // all-NULL RHS → clean
+      (4L, Option("a")), (4L, Option.empty[String])   // value + NULL → violation
+    ).toDF("k", "v")
+    val got = Profiling.fdViolations(d, Seq("k"), "v")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet === Set(2L, 4L))
+    assert(got(2L) === ((2L, 2L, 0L)))
+    assert(got(4L) === ((2L, 1L, 1L)))
+  }
+
+  test("fdViolations: a held dependency returns no rows") {
+    import spark.implicits._
+    val d = (1 to 100).map(i => (i.toLong % 10, s"v${i % 10}")).toDF("k", "v")
+    assert(Profiling.fdViolations(d, Seq("k"), "v").count() === 0L)
+  }
 }
