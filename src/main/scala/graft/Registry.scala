@@ -2426,6 +2426,15 @@ GROUP BY n_name ORDER BY revenue DESC, n_name ASC""")),
         Some(graft.operators.Profiling.fdViolationsOracle(
           "lineitem", Seq("l_partkey"), "l_suppkey"))),
 
+      // join-key concentration (measure before you salt): key counts +
+      // exact integer Herfindahl index from one groupBy + one key-sized agg
+      RegisteredQuery(
+        "q_skew_report",
+        (s, dir) => graft.operators.Profiling.keyConcentration(
+          Tables.resolve(s, dir)("lineitem"), Seq("l_suppkey")),
+        Some(graft.operators.Profiling.keyConcentrationOracle(
+          "lineitem", Seq("l_suppkey")))),
+
       // PMI collocations: scan-stage bigram zip, one bigram shuffle,
       // vocabulary-sized count joins; identical IEEE double chain + one
       // quantized ln on both engines

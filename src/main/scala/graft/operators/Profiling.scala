@@ -93,6 +93,42 @@ CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s FROM $table
         (col("n_rhs_values") >= 1 && col("n_rhs_null") > 0))
   }
 
+  /** Join-key concentration report — the "measure before you salt"
+    * diagnostic feeding [[SkewJoin]] decisions: key cardinality, the
+    * whale key's row count, and the Herfindahl concentration index as an
+    * exact integer (hhi_q = ⌊10⁶·Σnᵢ²/N²⌋ ∈ [0, 10⁶]; 10⁶ = one key owns
+    * everything, 10⁶/n_keys = uniform). Squares accumulate in
+    * DECIMAL(38,0) (a 10¹²-row key squares to 10²⁴ — past BIGINT, inside
+    * decimal), division is a single integer div both engines truncate
+    * identically. One partial-agg'd groupBy + one aggregate over the
+    * counts table (key-sized, not row-sized) — profiling a 100 TB join
+    * key costs one read.
+    */
+  def keyConcentration(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val dec = "decimal(38,0)"
+    val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
+    counts.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("__n")).as("n_rows"),
+        max(col("__n")).as("max_key_rows"),
+        sum((col("__n").cast(dec) * col("__n").cast(dec)).cast(dec)).as("__sq"))
+      .select(col("n_keys"), col("n_rows"), col("max_key_rows"),
+        expr(s"CAST((__sq * 1000000) div (CAST(n_rows AS $dec) * CAST(n_rows AS $dec)) AS BIGINT)")
+          .as("hhi_q"))
+  }
+
+  /** DuckDB replay of [[keyConcentration]] (HUGEINT squares). */
+  def keyConcentrationOracle(table: String, keyCols: Seq[String]): String = {
+    val g = keyCols.mkString(", ")
+    s"""WITH c AS (SELECT $g, CAST(count(*) AS HUGEINT) AS n FROM $table GROUP BY $g)
+       |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       |  CAST(sum(n) AS BIGINT) AS n_rows,
+       |  CAST(max(n) AS BIGINT) AS max_key_rows,
+       |  CAST((sum(n * n) * 1000000) // (sum(n) * sum(n)) AS BIGINT) AS hhi_q
+       |FROM c""".stripMargin
+  }
+
   /** DuckDB replay of [[fdViolations]]. */
   def fdViolationsOracle(table: String, lhsCols: Seq[String], rhsCol: String): String = {
     val g = lhsCols.mkString(", ")

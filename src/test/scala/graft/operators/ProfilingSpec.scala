@@ -68,6 +68,19 @@ class ProfilingSpec extends SparkSpec {
     assert(got(4L) === ((2L, 1L, 1L)))
   }
 
+  test("keyConcentration: hand-checked HHI for uniform, single, skewed keys") {
+    import spark.implicits._
+    def hhi(rows: Seq[String]): (Long, Long, Long, Long) =
+      Profiling.keyConcentration(rows.toDF("k"), Seq("k"))
+        .as[(Long, Long, Long, Long)].collect().head
+    // two uniform keys: (1+1)·10⁶/4 = 500000
+    assert(hhi(Seq("a", "b")) === ((2L, 2L, 1L, 500000L)))
+    // one key owns everything: 10⁶
+    assert(hhi(Seq("a", "a", "a")) === ((1L, 3L, 3L, 1000000L)))
+    // whale: (98² + 1 + 1)·10⁶/100² = 960600
+    assert(hhi(Seq.fill(98)("a") ++ Seq("b", "c")) === ((3L, 100L, 98L, 960600L)))
+  }
+
   test("fdViolations: a held dependency returns no rows") {
     import spark.implicits._
     val d = (1 to 100).map(i => (i.toLong % 10, s"v${i % 10}")).toDF("k", "v")
