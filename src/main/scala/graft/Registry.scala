@@ -2435,6 +2435,38 @@ GROUP BY n_name ORDER BY revenue DESC, n_name ASC""")),
         Some(graft.operators.Profiling.keyConcentrationOracle(
           "lineitem", Seq("l_suppkey")))),
 
+      // URL canonicalization + registrable domain (the on-ramp producing
+      // the domain column the per-domain operators consume): synthesized
+      // messy URLs exercise every rule; pure scan-stage string arithmetic
+      RegisteredQuery(
+        "q_url_canon",
+        (s, dir) => {
+          val idS = col("doc_id").cast("string")
+          val u = concat(
+            when(pmod(col("doc_id"), lit(2)) === 0, lit("HTTP://WWW."))
+              .otherwise(lit("HTTPS://")),
+            upper(col("source")), lit(".Example.CO.UK"),
+            when(pmod(col("doc_id"), lit(2)) === 0, lit(":80")).otherwise(lit(":8443")),
+            lit("/Docs/"), idS, lit("/?z=9&id="), idS,
+            lit("&lang="), col("lang"), lit("#s"))
+          Tables.resolve(s, dir)("documents").select(
+              col("doc_id"),
+              graft.text.Urls.canonicalizeUrl(u).as("canon_url"),
+              graft.text.Urls.host(u).as("host"),
+              graft.text.Urls.registrableDomain(graft.text.Urls.host(u)).as("domain"))
+            .orderBy("doc_id")
+        },
+        Some {
+          val urlSql = "CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.' ELSE 'HTTPS://' END" +
+            " || upper(source) || '.Example.CO.UK'" +
+            " || CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':8443' END" +
+            " || '/Docs/' || doc_id || '/?z=9&id=' || doc_id || '&lang=' || lang || '#s'"
+          val h = graft.text.Urls.hostSql(urlSql)
+          s"SELECT doc_id, ${graft.text.Urls.canonicalizeSql(urlSql)} AS canon_url, " +
+            s"$h AS host, ${graft.text.Urls.registrableDomainSql(h)} AS domain " +
+            "FROM documents ORDER BY doc_id"
+        }),
+
       // PMI collocations: scan-stage bigram zip, one bigram shuffle,
       // vocabulary-sized count joins; identical IEEE double chain + one
       // quantized ln on both engines

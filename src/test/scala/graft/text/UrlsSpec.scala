@@ -1,0 +1,59 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization and domain extraction: hand-checked rule
+  * applications, pass-through for non-URLs, and the scan-stage (no
+  * shuffle) plan shape.
+  */
+class UrlsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("u").select(Urls.canonicalizeUrl($"u")).as[String].collect().toSeq
+
+  test("canonicalize: fragment, case, www, default port, query sort, trailing slash") {
+    assert(canon("HTTPS://WWW.News.BBC.CO.UK:443/Path/Sub/?b=2&a=1#frag")
+      === Seq("https://news.bbc.co.uk/Path/Sub?a=1&b=2"))
+    assert(canon("http://Example.COM:8080/x/") === Seq("http://example.com:8080/x"))
+    assert(canon("http://example.com:80/x") === Seq("http://example.com/x"))
+    assert(canon("https://example.com") === Seq("https://example.com"))
+    assert(canon("https://example.com/") === Seq("https://example.com/"))
+  }
+
+  test("canonicalize: path case is preserved, dot-segments untouched") {
+    assert(canon("https://A.b/CaSe/../Path") === Seq("https://a.b/CaSe/../Path"))
+  }
+
+  test("non-URL input passes through untouched") {
+    assert(canon("not a url", "relative/path") === Seq("not a url", "relative/path"))
+  }
+
+  test("host: credentials and port stripped, lowercased") {
+    val h = Seq("https://user:pw@WWW.Ex.COM:8443/p").toDF("u")
+      .select(Urls.host($"u")).as[String].collect().head
+    assert(h === "www.ex.com")
+  }
+
+  test("registrableDomain: eTLD+1 heuristic incl. cc second-level registries") {
+    val cases = Seq(
+      "news.bbc.co.uk" -> "bbc.co.uk",
+      "a.b.example.com" -> "example.com",
+      "example.com" -> "example.com",
+      "localhost" -> "localhost",
+      "x.gov.br" -> "x.gov.br")
+    val got = cases.map(_._1).toDF("h")
+      .select($"h", Urls.registrableDomain($"h")).as[(String, String)]
+      .collect().toMap
+    cases.foreach { case (h, d) => assert(got(h) === d, h) }
+  }
+
+  test("plan: pure scan-stage projection, no exchange") {
+    val plan = Seq("https://a.b/c").toDF("u")
+      .select(Urls.canonicalizeUrl($"u"), Urls.registrableDomain(Urls.host($"u")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+}
