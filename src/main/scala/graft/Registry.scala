@@ -2435,6 +2435,21 @@ GROUP BY n_name ORDER BY revenue DESC, n_name ASC""")),
         Some(graft.operators.Profiling.keyConcentrationOracle(
           "lineitem", Seq("l_suppkey")))),
 
+      // referential-integrity audit: orphan scan against a parent with
+      // every 7th key withheld (anti-join + one aggregate)
+      RegisteredQuery(
+        "q_fk_orphans",
+        (s, dir) => {
+          val t = Tables.resolve(s, dir)
+          graft.operators.Profiling.fkOrphans(
+            t("orders"),
+            t("customer").where(col("c_custkey") % 7 =!= 0),
+            "o_custkey", "c_custkey")
+        },
+        Some(graft.operators.Profiling.fkOrphansOracle(
+          "orders", "SELECT c_custkey FROM customer WHERE c_custkey % 7 <> 0",
+          "o_custkey", "c_custkey"))),
+
       // URL canonicalization + registrable domain (the on-ramp producing
       // the domain column the per-domain operators consume): synthesized
       // messy URLs exercise every rule; pure scan-stage string arithmetic

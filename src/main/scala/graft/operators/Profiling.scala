@@ -129,6 +129,44 @@ CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s FROM $table
        |FROM c""".stripMargin
   }
 
+  /** Referential-integrity audit — the FK sibling of [[fdViolations]]:
+    * how many child rows point at no parent, and how many distinct
+    * orphan keys there are. One anti-join on the key (broadcast when the
+    * parent key set fits, shuffled equi-join otherwise — Catalyst's
+    * call) + one aggregate; NULL child keys are reported separately
+    * (SQL FK semantics: NULL references nothing and violates nothing).
+    */
+  def fkOrphans(child: DataFrame, parent: DataFrame,
+                childKey: String, parentKey: String): DataFrame = {
+    val nonNull = child.where(col(childKey).isNotNull)
+    val orphans = nonNull.join(
+      parent.select(col(parentKey).as(childKey)).where(col(childKey).isNotNull),
+      Seq(childKey), "left_anti")
+    val base = child.agg(
+      count(lit(1)).as("n_child_rows"),
+      sum(when(col(childKey).isNull, 1L).otherwise(0L)).as("n_null_keys"))
+    val orph = orphans.agg(
+      count(lit(1)).as("n_orphan_rows"),
+      countDistinct(col(childKey)).as("n_orphan_keys"))
+    base.crossJoin(orph)
+  }
+
+  /** DuckDB replay of [[fkOrphans]]. `parentSql` is a subquery yielding
+    * the parent key column.
+    */
+  def fkOrphansOracle(childTable: String, parentSql: String,
+                      childKey: String, parentKey: String): String =
+    s"""WITH o AS (SELECT c.$childKey FROM $childTable c
+       |  WHERE c.$childKey IS NOT NULL
+       |    AND NOT EXISTS (SELECT 1 FROM ($parentSql) p
+       |                    WHERE p.$parentKey = c.$childKey))
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM $childTable) AS n_child_rows,
+       |  (SELECT CAST(coalesce(count(*) FILTER (WHERE $childKey IS NULL), 0) AS BIGINT)
+       |     FROM $childTable) AS n_null_keys,
+       |  CAST(count(*) AS BIGINT) AS n_orphan_rows,
+       |  CAST(count(DISTINCT $childKey) AS BIGINT) AS n_orphan_keys
+       |FROM o""".stripMargin
+
   /** DuckDB replay of [[fdViolations]]. */
   def fdViolationsOracle(table: String, lhsCols: Seq[String], rhsCol: String): String = {
     val g = lhsCols.mkString(", ")

@@ -81,6 +81,26 @@ class ProfilingSpec extends SparkSpec {
     assert(hhi(Seq.fill(98)("a") ++ Seq("b", "c")) === ((3L, 100L, 98L, 960600L)))
   }
 
+  test("fkOrphans: orphan rows/keys counted, NULL child keys reported apart") {
+    import spark.implicits._
+    val child = Seq(Option(1L), Option(1L), Option(2L), Option(9L), Option.empty[Long])
+      .toDF("k")
+    val parent = Seq(1L, 3L).toDF("p")
+    val r = Profiling.fkOrphans(child, parent, "k", "p")
+      .as[(Long, Long, Long, Long)].collect().head
+    // 5 child rows, 1 NULL key, orphans: 2 and 9 → 2 rows over 2 keys
+    assert(r === ((5L, 1L, 2L, 2L)))
+  }
+
+  test("fkOrphans: a satisfied FK reports zero orphans") {
+    import spark.implicits._
+    val child = (1 to 50).map(i => i.toLong % 5).toDF("k")
+    val parent = (0 to 4).map(_.toLong).toDF("p")
+    val r = Profiling.fkOrphans(child, parent, "k", "p")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(r === ((50L, 0L, 0L, 0L)))
+  }
+
   test("fdViolations: a held dependency returns no rows") {
     import spark.implicits._
     val d = (1 to 100).map(i => (i.toLong % 10, s"v${i % 10}")).toDF("k", "v")
