@@ -2435,6 +2435,32 @@ GROUP BY n_name ORDER BY revenue DESC, n_name ASC""")),
         Some(graft.operators.Profiling.keyConcentrationOracle(
           "lineitem", Seq("l_suppkey")))),
 
+      // hybrid-retrieval rank fusion: two opposed per-lang rankings fused
+      // by integer-quantized RRF — candidate-list-sized union, one
+      // (query, doc) partial-agg'd shuffle
+      RegisteredQuery(
+        "q_rank_fusion",
+        (s, dir) => {
+          import org.apache.spark.sql.expressions.Window
+          val d = Tables.resolve(s, dir)("documents")
+          def sys(o: org.apache.spark.sql.Column*) = d
+            .withColumn("r", row_number().over(Window.partitionBy("lang").orderBy(o: _*)))
+            .where(col("r") <= 20).select("lang", "doc_id", "r")
+          graft.text.RankFusion.rrf(
+              Seq(sys(col("n_chars").asc, col("doc_id").asc),
+                sys(col("n_chars").desc, col("doc_id").asc)),
+              "lang", "doc_id", "r")
+            .orderBy("lang", "doc_id")
+        },
+        Some(graft.text.RankFusion.oracleSql(Seq(
+            "SELECT lang, doc_id, row_number() OVER " +
+              "(PARTITION BY lang ORDER BY n_chars, doc_id) AS r " +
+              "FROM documents QUALIFY r <= 20",
+            "SELECT lang, doc_id, row_number() OVER " +
+              "(PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS r " +
+              "FROM documents QUALIFY r <= 20"),
+          "lang", "doc_id", "r"))),
+
       // referential-integrity audit: orphan scan against a parent with
       // every 7th key withheld (anti-join + one aggregate)
       RegisteredQuery(
