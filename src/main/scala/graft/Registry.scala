@@ -2435,6 +2435,18 @@ GROUP BY n_name ORDER BY revenue DESC, n_name ASC""")),
         Some(graft.operators.Profiling.keyConcentrationOracle(
           "lineitem", Seq("l_suppkey")))),
 
+      // content-defined chunking: boundaries chosen by shingle-hash
+      // content (shift-resistant, ≈16-token expected chunks), pure
+      // scan-stage array surgery; chunk_fp enables chunk-level dedup
+      RegisteredQuery(
+        "q_cdc_chunks",
+        (s, dir) => graft.text.Packing.cdcChunks(
+            Tables.resolve(s, dir)("documents"), "doc_id", "text",
+            n = 3, divisor = 16L)
+          .orderBy("doc_id", "chunk_idx"),
+        Some(graft.text.Packing.cdcChunksOracle(
+          "documents", "doc_id", "text", n = 3, divisor = 16L))),
+
       // hybrid-retrieval rank fusion: two opposed per-lang rankings fused
       // by integer-quantized RRF — candidate-list-sized union, one
       // (query, doc) partial-agg'd shuffle

@@ -98,6 +98,77 @@ object Packing {
         concat_ws(" ", col("c.toks")).as("chunk_text"))
   }
 
+  /** Content-defined chunking — the shift-resistant sibling of
+    * [[chunkDocs]] and the standard remedy for fixed-block dedup's edit
+    * exposure (insert one token and every fixed block after it changes;
+    * CDC boundaries are chosen by CONTENT, so chunks after an edit
+    * realign): cut before token i whenever the hash of the n-token
+    * shingle STARTING at i satisfies `hash mod divisor = 0` — expected
+    * chunk length ≈ `divisor` tokens, boundaries reproducible from text
+    * alone. Emits each chunk's 60-bit fingerprint, so
+    * `groupBy("chunk_fp")` is chunk-level dedup directly.
+    *
+    * Pure per-row scan-stage array surgery (the [[chunkDocs]] posture):
+    * no shuffle, no state, trivially parallel; per-doc cost is O(tokens)
+    * hashes. Same md5-60 arithmetic the DuckDB oracle replays
+    * bit-identically ([[TextFunctions.hash60]]).
+    */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                n: Int = 3, divisor: Long = 16L): DataFrame = {
+    require(n > 0, "shingle width must be positive")
+    require(divisor > 0, "divisor must be positive")
+    val t = TextFunctions.tokens(col(textCol))
+    val sh = TextFunctions.shingles(col(textCol), n) // ordered: shingle i starts at token i
+    // boundary candidates are shingle START positions 2..numShingles —
+    // guarded: Spark's sequence(2, 1) would DESCEND, not come back empty
+    val boundaries = when(size(sh) >= 2,
+      filter(sequence(lit(2), size(sh)),
+        i => TextFunctions.hash60(element_at(sh, i)) % divisor === 0L))
+      .otherwise(array().cast("array<int>"))
+    val starts = concat(array(lit(1)), boundaries)
+    val chunks = transform(starts, (s0, j) => struct(
+      (j + 1).cast(LongType).as("chunk_idx"),
+      s0.cast(LongType).as("start_token"),
+      // next start (0-based get is NULL-safe past the end) or len+1
+      (coalesce(get(starts, j + 1), size(t) + 1) - s0).cast(LongType).as("n_toks")))
+    df.select(col(idCol), t.as("__t"), explode(chunks).as("c"))
+      .select(
+        col(idCol),
+        col("c.chunk_idx").as("chunk_idx"),
+        col("c.start_token").as("start_token"),
+        col("c.n_toks").as("n_tokens"),
+        TextFunctions.hash60(
+          concat_ws(" ", slice(col("__t"), col("c.start_token").cast("int"),
+            col("c.n_toks").cast("int")))).as("chunk_fp"))
+  }
+
+  /** DuckDB replay of [[cdcChunks]]: same ordered shingles, same md5-60
+    * boundary predicate, same slice fingerprints.
+    */
+  def cdcChunksOracle(table: String, idCol: String, textCol: String,
+                      n: Int = 3, divisor: Long = 16L): String = {
+    val shingleExpr = (0 until n).map(j => s"t[i+$j]").mkString("||' '||")
+    def h(x: String): String = s"CAST(('0x'||substr(md5($x),1,15)) AS BIGINT)"
+    s"""WITH toks AS (SELECT $idCol, string_split($textCol, ' ') AS t FROM $table),
+       |sh AS (SELECT $idCol, t, CASE WHEN len(t) < $n THEN [array_to_string(t, ' ')]
+       |  ELSE list_transform(generate_series(1, len(t)-${n - 1}), i -> $shingleExpr) END AS s
+       |  FROM toks),
+       |st AS (SELECT $idCol, t,
+       |  [1] || CASE WHEN len(s) >= 2
+       |    THEN list_filter(generate_series(2, len(s)),
+       |           i -> ${h("s[i]")} % $divisor = 0)
+       |    ELSE [] END AS starts
+       |  FROM sh),
+       |ex AS (SELECT $idCol, t, starts,
+       |  unnest(generate_series(1, len(starts))) AS j FROM st)
+       |SELECT $idCol, CAST(j AS BIGINT) AS chunk_idx,
+       |  CAST(starts[j] AS BIGINT) AS start_token,
+       |  CAST(coalesce(starts[j+1], len(t)+1) - starts[j] AS BIGINT) AS n_tokens,
+       |  ${h(s"array_to_string(t[starts[j] : coalesce(starts[j+1], len(t)+1) - 1], ' ')")}
+       |    AS chunk_fp
+       |FROM ex ORDER BY $idCol, chunk_idx""".stripMargin
+  }
+
   /** Oracle for [[chunkDocs]] — same windows via generate_series + list
     * slicing; chunk index recovered arithmetically from the start offset.
     */

@@ -2,6 +2,7 @@ package graft.text
 
 import graft.SparkSpec
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.functions._
 
 class PackingSpec extends SparkSpec {
@@ -72,5 +73,48 @@ class PackingSpec extends SparkSpec {
     val b = Packing.packAssignments(docs, "id", col("ntok"), 128, bucketSize = 1000)
       .orderBy("id").collect().toSeq
     assert(a === b)
+  }
+
+  test("cdcChunks: chunks tile the document exactly, boundaries content-chosen") {
+    val text = (1 to 200).map(i => s"w${(i * 7) % 23}").mkString(" ")
+    val docs = Seq((1L, text)).toDF("id", "text")
+    val rows = Packing.cdcChunks(docs, "id", "text", n = 3, divisor = 8L)
+      .orderBy("chunk_idx")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.head._2 === 1L)                       // first chunk starts at 1
+    assert(rows.map(_._3).sum === 200L)               // tiles the full doc
+    rows.sliding(2).foreach { case Array((_, s1, w1), (_, s2, _)) =>
+      assert(s2 === s1 + w1)                          // contiguous, no gaps
+    case _ => ()
+    }
+    assert(rows.length > 5) // divisor 8 → many chunks over 200 tokens
+  }
+
+  test("cdcChunks: shift resistance — an edit realigns later chunks") {
+    val base = (1 to 120).map(i => s"t${(i * 11) % 31}").mkString(" ")
+    val edited = "INSERTED " + base
+    val fps = Packing.cdcChunks(Seq((1L, base)).toDF("id", "text"), "id", "text",
+        n = 3, divisor = 8L)
+      .select("chunk_fp").as[Long].collect().toSet
+    val fpsEdited = Packing.cdcChunks(Seq((1L, edited)).toDF("id", "text"), "id", "text",
+        n = 3, divisor = 8L)
+      .select("chunk_fp").as[Long].collect().toSet
+    // most chunks survive a front insertion (fixed blocks would lose all)
+    val survived = fps.intersect(fpsEdited).size.toDouble / fps.size
+    assert(survived > 0.5, s"only ${survived * 100}% of chunks survived the edit")
+  }
+
+  test("cdcChunks: short docs yield one whole-document chunk") {
+    val docs = Seq((1L, "a b")).toDF("id", "text")
+    val rows = Packing.cdcChunks(docs, "id", "text").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(3) === 2L)
+  }
+
+  test("cdcChunks plan: no shuffle (scan-stage array surgery)") {
+    val docs = Seq((1L, "a b c d e")).toDF("id", "text")
+    val plan = Packing.cdcChunks(docs, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
   }
 }
