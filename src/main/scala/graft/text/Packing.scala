@@ -117,29 +117,43 @@ object Packing {
                 n: Int = 3, divisor: Long = 16L): DataFrame = {
     require(n > 0, "shingle width must be positive")
     require(divisor > 0, "divisor must be positive")
-    val t = TextFunctions.tokens(col(textCol))
-    val sh = TextFunctions.shingles(col(textCol), n) // ordered: shingle i starts at token i
-    // boundary candidates are shingle START positions 2..numShingles —
-    // guarded: Spark's sequence(2, 1) would DESCEND, not come back empty
-    val boundaries = when(size(sh) >= 2,
-      filter(sequence(lit(2), size(sh)),
-        i => TextFunctions.hash60(element_at(sh, i)) % divisor === 0L))
-      .otherwise(array().cast("array<int>"))
-    val starts = concat(array(lit(1)), boundaries)
-    val chunks = transform(starts, (s0, j) => struct(
-      (j + 1).cast(LongType).as("chunk_idx"),
+    // Every intermediate array is materialized as a COLUMN before a
+    // lambda touches it (the [[TextFunctions.shingles]] discipline):
+    // higher-order functions are interpreted with no subexpression
+    // elimination, so an EXPRESSION referenced in a lambda body
+    // re-evaluates per element — an element_at(shingles(text), i) form
+    // here was O(tokens³) per document. Attribute reads are O(1); each
+    // step below is one pass over its input array per row.
+    val base = df.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("__t"),
+      TextFunctions.shingles(col(textCol), n).as("__sh"))
+    // one pass: token position i+1 (the start of shingle index i,
+    // 0-based) is a boundary when the shingle hash hits the residue;
+    // position 1 is never a boundary (i >= 1)
+    val marks = transform(col("__sh"), (s, i) =>
+      when(i >= 1 && TextFunctions.hash60(s) % divisor === 0L, i + 1)
+        .otherwise(lit(null).cast("int")))
+    val withStarts = base.select(col(idCol), col("__t"),
+      concat(array(lit(1)), filter(marks, x => x.isNotNull)).as("__starts"))
+    // ends = starts shifted left by one, padded with len+1 — slices, not
+    // per-element indexing
+    val withBoth = withStarts.select(col(idCol), col("__t"), col("__starts"),
+      concat(
+        slice(col("__starts"), lit(2), greatest(size(col("__starts")) - 1, lit(0))),
+        array(size(col("__t")) + 1)).as("__ends"))
+    val zipped = zip_with(col("__starts"), col("__ends"), (s0, e0) => struct(
       s0.cast(LongType).as("start_token"),
-      // next start (0-based get is NULL-safe past the end) or len+1
-      (coalesce(get(starts, j + 1), size(t) + 1) - s0).cast(LongType).as("n_toks")))
-    df.select(col(idCol), t.as("__t"), explode(chunks).as("c"))
+      (e0 - s0).cast(LongType).as("n_toks"),
+      TextFunctions.hash60(concat_ws(" ", slice(col("__t"), s0, e0 - s0)))
+        .as("fp")))
+    withBoth
+      .select(col(idCol), posexplode(zipped).as(Seq("__pos", "c")))
       .select(
         col(idCol),
-        col("c.chunk_idx").as("chunk_idx"),
+        (col("__pos") + 1).cast(LongType).as("chunk_idx"),
         col("c.start_token").as("start_token"),
         col("c.n_toks").as("n_tokens"),
-        TextFunctions.hash60(
-          concat_ws(" ", slice(col("__t"), col("c.start_token").cast("int"),
-            col("c.n_toks").cast("int")))).as("chunk_fp"))
+        col("c.fp").as("chunk_fp"))
   }
 
   /** DuckDB replay of [[cdcChunks]]: same ordered shingles, same md5-60
