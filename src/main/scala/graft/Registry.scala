@@ -2435,6 +2435,15 @@ GROUP BY n_name ORDER BY revenue DESC, n_name ASC""")),
         Some(graft.operators.Profiling.keyConcentrationOracle(
           "lineitem", Seq("l_suppkey")))),
 
+      // value-distribution entropy in micro-nats (uniformity screen:
+      // near-constant vs key-like columns), quantized-ln discipline
+      RegisteredQuery(
+        "q_col_entropy",
+        (s, dir) => graft.operators.Profiling.columnEntropy(
+          Tables.resolve(s, dir)("orders"), "o_orderpriority"),
+        Some(graft.operators.Profiling.columnEntropyOracle(
+          "orders", "o_orderpriority"))),
+
       // content-defined chunking: boundaries chosen by shingle-hash
       // content (shift-resistant, ≈16-token expected chunks), pure
       // scan-stage array surgery; chunk_fp enables chunk-level dedup

@@ -129,6 +129,55 @@ CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s FROM $table
        |FROM c""".stripMargin
   }
 
+  /** Shannon entropy of a column's value distribution, quantized to
+    * micro-nats (the [[Drift]] ln discipline: per-value contribution
+    * ⌊10⁶·(nᵢ/N)·ln(N/nᵢ)⌋, exact integers cross-engine) — the
+    * uniformity screen that catches near-constant columns (entropy ≈ 0:
+    * useless as a feature or join key) and near-unique ones (entropy ≈
+    * ln N: a key, not a category) in one number. NULLs are excluded from
+    * the distribution and reported separately. One partial-agg'd value
+    * count + one value-sized aggregate; the total rides a 1-row
+    * broadcast, never a second corpus pass.
+    */
+  def columnEntropy(df: DataFrame, c: String): DataFrame = {
+    val counts = df.where(col(c).isNotNull)
+      .groupBy(col(c)).agg(count(lit(1)).as("__n"))
+    val nulls = df.agg(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"))
+    val totals = broadcast(counts.agg(
+      count(lit(1)).as("n_values"),
+      coalesce(sum("__n"), lit(0L)).as("n_rows")))
+    val contrib = floor(lit(1000000.0) *
+      (col("__n").cast("double") / col("n_rows").cast("double")) *
+      log(col("n_rows").cast("double") / col("__n").cast("double")))
+      .cast("long")
+    counts.crossJoin(totals)
+      .agg(
+        // grand agg over possibly-empty counts: coalesce keeps the
+        // all-NULL-column edge a (0, 0, n_nulls, 0) row, not a NULL row
+        coalesce(first(col("n_values")), lit(0L)).as("n_values"),
+        coalesce(first(col("n_rows")), lit(0L)).as("n_rows"),
+        coalesce(sum(contrib), lit(0L)).as("entropy_q"))
+      .crossJoin(broadcast(nulls))
+      .select(col("n_values"), col("n_rows"), col("n_nulls"), col("entropy_q"))
+  }
+
+  /** DuckDB replay of [[columnEntropy]] — same double chain, same floor. */
+  def columnEntropyOracle(table: String, c: String): String =
+    s"""WITH cnt AS (SELECT $c AS v, count(*) AS n FROM $table
+       |  WHERE $c IS NOT NULL GROUP BY 1),
+       |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_values,
+       |  CAST(coalesce(sum(n), 0) AS BIGINT) AS n_rows FROM cnt),
+       |nl AS (SELECT CAST(coalesce(count(*) FILTER (WHERE $c IS NULL), 0) AS BIGINT)
+       |  AS n_nulls FROM $table)
+       |SELECT nt.n_values, nt.n_rows, nl.n_nulls,
+       |  CAST(coalesce(sum(CAST(floor(1000000.0
+       |    * (CAST(n AS DOUBLE) / CAST(nt.n_rows AS DOUBLE))
+       |    * ln(CAST(nt.n_rows AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT)), 0) AS BIGINT)
+       |    AS entropy_q
+       |FROM cnt CROSS JOIN nt CROSS JOIN nl
+       |GROUP BY nt.n_values, nt.n_rows, nl.n_nulls""".stripMargin
+
   /** Referential-integrity audit — the FK sibling of [[fdViolations]]:
     * how many child rows point at no parent, and how many distinct
     * orphan keys there are. One anti-join on the key (broadcast when the

@@ -81,6 +81,22 @@ class ProfilingSpec extends SparkSpec {
     assert(hhi(Seq.fill(98)("a") ++ Seq("b", "c")) === ((3L, 100L, 98L, 960600L)))
   }
 
+  test("columnEntropy: constant ≈ 0, uniform = quantized ln k, NULLs apart") {
+    import spark.implicits._
+    def ent(vals: Seq[Option[String]]): (Long, Long, Long, Long) =
+      Profiling.columnEntropy(vals.toDF("v"), "v")
+        .as[(Long, Long, Long, Long)].collect().head
+    assert(ent(Seq.fill(10)(Option("x"))) === ((1L, 10L, 0L, 0L)))
+    // uniform over 4: 4 · ⌊10⁶·(1/4)·ln 4⌋
+    val q4 = math.floor(1000000.0 * 0.25 * math.log(4.0)).toLong
+    assert(ent(Seq("a", "b", "c", "d").map(Option(_))) === ((4L, 4L, 0L, 4 * q4)))
+    // NULLs excluded from the distribution, counted separately
+    assert(ent(Seq(Option("x"), Option("x"), Option.empty[String]))
+      === ((1L, 2L, 1L, 0L)))
+    // all-NULL edge: zero-entropy empty distribution, not a NULL row
+    assert(ent(Seq(Option.empty[String])) === ((0L, 0L, 1L, 0L)))
+  }
+
   test("fkOrphans: orphan rows/keys counted, NULL child keys reported apart") {
     import spark.implicits._
     val child = Seq(Option(1L), Option(1L), Option(2L), Option(9L), Option.empty[Long])
