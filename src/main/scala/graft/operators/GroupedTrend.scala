@@ -74,13 +74,20 @@ object GroupedTrend {
     * columns) into (groupCols*, n, slope_q) — the same quantization and
     * NULL contract as [[slope]].
     */
+  private val Dec = "decimal(38,0)"
+
+  /** The shared exact moment n·Σab − Σa·Σb in DECIMAL(38,0) — the
+    * numerator/denominator building block of [[slopeFromSums]] and every
+    * [[correlation]] component (one definition, no drift).
+    */
+  private def crossMoment(sab: String, sa: String, sb: String) =
+    (col("__tn").cast(Dec) * col(sab) - col(sa) * col(sb)).cast(Dec)
+
   def slopeFromSums(sums: DataFrame, groupCols: Seq[String]): DataFrame = {
-    val dec = "decimal(38,0)"
+    val dec = Dec
     sums
-      .withColumn("__num",
-        (col("__tn").cast(dec) * col("__tsxy") - col("__tsx") * col("__tsy")).cast(dec))
-      .withColumn("__den",
-        (col("__tn").cast(dec) * col("__tsxx") - col("__tsx") * col("__tsx")).cast(dec))
+      .withColumn("__num", crossMoment("__tsxy", "__tsx", "__tsy"))
+      .withColumn("__den", crossMoment("__tsxx", "__tsx", "__tsx"))
       .withColumn("slope_q",
         when(col("__den") === lit(0).cast(dec), lit(null).cast("long"))
           .otherwise((signum(col("__num")).cast("long") *
@@ -106,7 +113,7 @@ object GroupedTrend {
   def correlation(df: DataFrame, groupCols: Seq[String], xCol: String,
                   yCol: String): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must not be empty")
-    val dec = "decimal(38,0)"
+    val dec = Dec
     val y = col(yCol).cast("long").cast(dec)
     val sums = withTrendColumns(df, xCol, yCol)
       .withColumn("__tyy", (y * y).cast(dec))
@@ -116,12 +123,9 @@ object GroupedTrend {
         sum(col("__txy")).as("__tsxy"), sum(col("__txx")).as("__tsxx"),
         sum(col("__tyy")).as("__tsyy"))
     sums
-      .withColumn("corr_num",
-        (col("__tn").cast(dec) * col("__tsxy") - col("__tsx") * col("__tsy")).cast(dec))
-      .withColumn("var_x",
-        (col("__tn").cast(dec) * col("__tsxx") - col("__tsx") * col("__tsx")).cast(dec))
-      .withColumn("var_y",
-        (col("__tn").cast(dec) * col("__tsyy") - col("__tsy") * col("__tsy")).cast(dec))
+      .withColumn("corr_num", crossMoment("__tsxy", "__tsx", "__tsy"))
+      .withColumn("var_x", crossMoment("__tsxx", "__tsx", "__tsx"))
+      .withColumn("var_y", crossMoment("__tsyy", "__tsy", "__tsy"))
       .withColumn("corr",
         when(col("var_x") === lit(0).cast(dec) || col("var_y") === lit(0).cast(dec),
           lit(null).cast("double"))
@@ -138,18 +142,27 @@ object GroupedTrend {
   def correlationOracle(table: String, groupCols: Seq[String], xSql: String,
                         ySql: String): String = {
     val g = groupCols.mkString(", ")
-    s"""WITH s AS (
-  SELECT $g, CAST(count(*) AS BIGINT) AS n,
-    sum(CAST($xSql AS HUGEINT)) AS sx, sum(CAST($ySql AS HUGEINT)) AS sy,
-    sum(CAST($xSql AS HUGEINT) * CAST($ySql AS HUGEINT)) AS sxy,
-    sum(CAST($xSql AS HUGEINT) * CAST($xSql AS HUGEINT)) AS sxx,
-    sum(CAST($ySql AS HUGEINT) * CAST($ySql AS HUGEINT)) AS syy
-  FROM $table WHERE ($xSql) IS NOT NULL AND ($ySql) IS NOT NULL GROUP BY $g)
+    s"""WITH s AS (${sumsCteSql(table, g, xSql, ySql, withYY = true)})
 SELECT $g, n,
   CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS corr_num,
   CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS var_x,
   CAST(n * syy - sy * sy AS DECIMAL(38,0)) AS var_y
 FROM s"""
+  }
+
+  /** The HUGEINT sums subquery both oracles build on — one definition,
+    * matching [[withTrendColumns]]' NULL filter and integer casts.
+    */
+  private def sumsCteSql(table: String, g: String, xSql: String, ySql: String,
+                         withYY: Boolean): String = {
+    val yy = if (withYY)
+      s",\n    sum(CAST($ySql AS HUGEINT) * CAST($ySql AS HUGEINT)) AS syy" else ""
+    s"""
+  SELECT $g, CAST(count(*) AS BIGINT) AS n,
+    sum(CAST($xSql AS HUGEINT)) AS sx, sum(CAST($ySql AS HUGEINT)) AS sy,
+    sum(CAST($xSql AS HUGEINT) * CAST($ySql AS HUGEINT)) AS sxy,
+    sum(CAST($xSql AS HUGEINT) * CAST($xSql AS HUGEINT)) AS sxx$yy
+  FROM $table WHERE ($xSql) IS NOT NULL AND ($ySql) IS NOT NULL GROUP BY $g"""
   }
 
   /** DuckDB replay of [[slope]] — HUGEINT sums (exact 128-bit), the same
@@ -159,12 +172,7 @@ FROM s"""
   def oracleSql(table: String, groupCols: Seq[String], xSql: String,
                 ySql: String): String = {
     val g = groupCols.mkString(", ")
-    s"""WITH s AS (
-  SELECT $g, CAST(count(*) AS BIGINT) AS n,
-    sum(CAST($xSql AS HUGEINT)) AS sx, sum(CAST($ySql AS HUGEINT)) AS sy,
-    sum(CAST($xSql AS HUGEINT) * CAST($ySql AS HUGEINT)) AS sxy,
-    sum(CAST($xSql AS HUGEINT) * CAST($xSql AS HUGEINT)) AS sxx
-  FROM $table WHERE ($xSql) IS NOT NULL AND ($ySql) IS NOT NULL GROUP BY $g)
+    s"""WITH s AS (${sumsCteSql(table, g, xSql, ySql, withYY = false)})
 SELECT $g, n,
   CASE WHEN n * sxx - sx * sx = 0 THEN NULL
        ELSE CAST(CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END

@@ -71,10 +71,12 @@ CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s FROM $table
 
   /** Functional-dependency violation scan: the keys where `lhsCols` does
     * NOT determine `rhsCol` — data-contract mining ("is part → supplier
-    * really 1:1?") and the precursor to choosing dedup/merge keys. One
-    * partial-agg'd groupBy on the LHS (exact distinct via a two-level
-    * aggregate would need a second shuffle; `countDistinct` here is
-    * Spark's Expand-based exact form, still one logical pass); only
+    * really 1:1?") and the precursor to choosing dedup/merge keys.
+    * Physical shape (Spark's single-distinct rewrite): rows partial-
+    * aggregate map-side to (lhs, rhs) pairs → exchange on the pair →
+    * pairs partial-aggregate to lhs → exchange on lhs — TWO exchanges,
+    * but the second carries distinct PAIRS (dependency-violation-sized),
+    * never raw rows, and both are map-side-collapsed first. Only
     * violating keys come back — output is violation-sized, not key-sized.
     * NULL LHS values group like values ([[graft.operators.Anonymity]]'s
     * rule: a missing field narrows identity like a present one); NULL RHS
@@ -140,43 +142,44 @@ CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s FROM $table
     * broadcast, never a second corpus pass.
     */
   def columnEntropy(df: DataFrame, c: String): DataFrame = {
-    val counts = df.where(col(c).isNotNull)
-      .groupBy(col(c)).agg(count(lit(1)).as("__n"))
-    val nulls = df.agg(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"))
-    val totals = broadcast(counts.agg(
-      count(lit(1)).as("n_values"),
-      coalesce(sum("__n"), lit(0L)).as("n_rows")))
+    // ONE corpus pass: NULL groups like any value in the count table
+    // (value-sized), then every output derives from that table — the
+    // persist spans the totals and contribution jobs so the groupBy's
+    // corpus scan runs once (ContextCleaner reclaims the blocks)
+    val counts = df.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = counts.agg(
+      coalesce(sum(when(col("__v").isNotNull, lit(1L))), lit(0L)).as("n_values"),
+      coalesce(sum(when(col("__v").isNotNull, col("__n"))), lit(0L)).as("n_rows"),
+      coalesce(sum(when(col("__v").isNull, col("__n"))), lit(0L)).as("n_nulls"))
     val contrib = floor(lit(1000000.0) *
       (col("__n").cast("double") / col("n_rows").cast("double")) *
       log(col("n_rows").cast("double") / col("__n").cast("double")))
       .cast("long")
-    counts.crossJoin(totals)
-      .agg(
-        // grand agg over possibly-empty counts: coalesce keeps the
-        // all-NULL-column edge a (0, 0, n_nulls, 0) row, not a NULL row
-        coalesce(first(col("n_values")), lit(0L)).as("n_values"),
-        coalesce(first(col("n_rows")), lit(0L)).as("n_rows"),
-        coalesce(sum(contrib), lit(0L)).as("entropy_q"))
-      .crossJoin(broadcast(nulls))
+    val entq = counts.where(col("__v").isNotNull)
+      .crossJoin(broadcast(totals.select("n_rows")))
+      .agg(coalesce(sum(contrib), lit(0L)).as("entropy_q"))
+    totals.crossJoin(broadcast(entq))
       .select(col("n_values"), col("n_rows"), col("n_nulls"), col("entropy_q"))
   }
 
-  /** DuckDB replay of [[columnEntropy]] — same double chain, same floor. */
+  /** DuckDB replay of [[columnEntropy]] — same double chain, same floor;
+    * scalar subqueries keep it ONE row even for an empty or all-NULL
+    * column (the operator's documented edge).
+    */
   def columnEntropyOracle(table: String, c: String): String =
-    s"""WITH cnt AS (SELECT $c AS v, count(*) AS n FROM $table
-       |  WHERE $c IS NOT NULL GROUP BY 1),
-       |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_values,
-       |  CAST(coalesce(sum(n), 0) AS BIGINT) AS n_rows FROM cnt),
-       |nl AS (SELECT CAST(coalesce(count(*) FILTER (WHERE $c IS NULL), 0) AS BIGINT)
-       |  AS n_nulls FROM $table)
-       |SELECT nt.n_values, nt.n_rows, nl.n_nulls,
-       |  CAST(coalesce(sum(CAST(floor(1000000.0
+    s"""WITH cnt AS (SELECT $c AS v, count(*) AS n FROM $table GROUP BY 1),
+       |nt AS (SELECT
+       |  CAST(coalesce(count(*) FILTER (WHERE v IS NOT NULL), 0) AS BIGINT) AS n_values,
+       |  CAST(coalesce(sum(n) FILTER (WHERE v IS NOT NULL), 0) AS BIGINT) AS n_rows,
+       |  CAST(coalesce(sum(n) FILTER (WHERE v IS NULL), 0) AS BIGINT) AS n_nulls
+       |  FROM cnt)
+       |SELECT nt.n_values, nt.n_rows, nt.n_nulls,
+       |  coalesce((SELECT CAST(sum(CAST(floor(1000000.0
        |    * (CAST(n AS DOUBLE) / CAST(nt.n_rows AS DOUBLE))
-       |    * ln(CAST(nt.n_rows AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT)), 0) AS BIGINT)
-       |    AS entropy_q
-       |FROM cnt CROSS JOIN nt CROSS JOIN nl
-       |GROUP BY nt.n_values, nt.n_rows, nl.n_nulls""".stripMargin
+       |    * ln(CAST(nt.n_rows AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT)) AS BIGINT)
+       |    FROM cnt WHERE v IS NOT NULL), 0) AS entropy_q
+       |FROM nt""".stripMargin
 
   /** Referential-integrity audit — the FK sibling of [[fdViolations]]:
     * how many child rows point at no parent, and how many distinct

@@ -124,7 +124,10 @@ object Packing {
     // re-evaluates per element — an element_at(shingles(text), i) form
     // here was O(tokens³) per document. Attribute reads are O(1); each
     // step below is one pass over its input array per row.
-    val base = df.select(col(idCol),
+    // NULL text yields no chunks (explicit, matching the oracle filter —
+    // the null would otherwise silently propagate to zero rows here but
+    // to a spurious NULL-fingerprint row in a SQL replay)
+    val base = df.where(col(textCol).isNotNull).select(col(idCol),
       TextFunctions.tokens(col(textCol)).as("__t"),
       TextFunctions.shingles(col(textCol), n).as("__sh"))
     // one pass: token position i+1 (the start of shingle index i,
@@ -163,7 +166,8 @@ object Packing {
                       n: Int = 3, divisor: Long = 16L): String = {
     val shingleExpr = (0 until n).map(j => s"t[i+$j]").mkString("||' '||")
     def h(x: String): String = s"CAST(('0x'||substr(md5($x),1,15)) AS BIGINT)"
-    s"""WITH toks AS (SELECT $idCol, string_split($textCol, ' ') AS t FROM $table),
+    s"""WITH toks AS (SELECT $idCol, string_split($textCol, ' ') AS t FROM $table
+       |  WHERE $textCol IS NOT NULL),
        |sh AS (SELECT $idCol, t, CASE WHEN len(t) < $n THEN [array_to_string(t, ' ')]
        |  ELSE list_transform(generate_series(1, len(t)-${n - 1}), i -> $shingleExpr) END AS s
        |  FROM toks),

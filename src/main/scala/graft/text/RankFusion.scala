@@ -39,8 +39,9 @@ object RankFusion {
           rankCol: String, k: Int = 60): DataFrame = {
     require(rankings.nonEmpty, "need at least one ranking")
     require(k >= 0, "k must be non-negative")
-    val std = rankings.map(_.select(
-      col(queryCol), col(docCol), col(rankCol).cast("long").as("__rank")))
+    val std = rankings.zipWithIndex.map { case (r, s) => r.select(
+      col(queryCol), col(docCol), col(rankCol).cast("long").as("__rank"),
+      lit(s).as("__sys")) }
     val all = std.reduce(_ unionAll _)
       .withColumn("__rank",
         when(col(queryCol).isNull || col(docCol).isNull ||
@@ -51,9 +52,18 @@ object RankFusion {
     all
       .groupBy(col(queryCol), col(docCol))
       .agg(
-        count(lit(1)).as("n_systems"),
+        count(lit(1)).as("__cand"),
+        countDistinct(col("__sys")).as("n_systems"),
         min(col("__rank")).as("best_rank"),
         sum(expr(s"CAST($Scale div ($k + __rank) AS BIGINT)")).as("rrf_q"))
+      // a doc listed TWICE by one system would fabricate consensus —
+      // that's a malformed candidate list, and it fails loudly too
+      .select(col(queryCol), col(docCol),
+        when(col("__cand") =!= col("n_systems"),
+          raise_error(lit("rrf: duplicate (query, doc) within one system's " +
+            "candidate list")).cast("long"))
+          .otherwise(col("n_systems")).as("n_systems"),
+        col("best_rank"), col("rrf_q"))
   }
 
   /** DuckDB replay of [[rrf]] over system subqueries each yielding
@@ -61,11 +71,13 @@ object RankFusion {
     */
   def oracleSql(systemSqls: Seq[String], queryCol: String, docCol: String,
                 rankCol: String, k: Int = 60): String = {
-    val union = systemSqls
-      .map(s => s"SELECT $queryCol, $docCol, CAST($rankCol AS BIGINT) AS r FROM ($s)")
+    val union = systemSqls.zipWithIndex
+      .map { case (s, i) =>
+        s"SELECT $queryCol, $docCol, CAST($rankCol AS BIGINT) AS r, $i AS sys FROM ($s)"
+      }
       .mkString("\nUNION ALL\n")
     s"""WITH a AS ($union)
-       |SELECT $queryCol, $docCol, CAST(count(*) AS BIGINT) AS n_systems,
+       |SELECT $queryCol, $docCol, CAST(count(DISTINCT sys) AS BIGINT) AS n_systems,
        |  CAST(min(r) AS BIGINT) AS best_rank,
        |  CAST(sum($Scale // ($k + r)) AS BIGINT) AS rrf_q
        |FROM a GROUP BY $queryCol, $docCol

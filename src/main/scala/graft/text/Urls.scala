@@ -18,7 +18,9 @@ import org.apache.spark.sql.functions._
   * avoid constructs where Java regex and RE2 diverge).
   *
   * Canonicalization rules (documented contract — canonicalizers differ,
-  * this one is fixed): drop the fragment; lowercase scheme and host; drop
+  * this one is fixed): drop the fragment; drop userinfo (credentials are
+  * transport state, not page identity — the same page linked with and
+  * without them must get ONE dedup key); lowercase scheme and host; drop
   * default ports (http:80, https:443); drop a leading `www.`; sort query
   * parameters (byte order — `?b=2&a=1` ≡ `?a=1&b=2`); strip ONE trailing
   * slash from a non-root path. Dot-segments, percent-encoding case, and
@@ -30,13 +32,15 @@ object Urls {
   private def afterScheme(u: Column): Column =
     regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
 
-  /** Lowercased host without port / credentials (empty string when the
-    * input has no authority).
+  /** Lowercased host without port / credentials; empty string when the
+    * input has no `scheme://` authority (a non-URL row yields "" — not a
+    * garbage token — so it can't pollute a domain column downstream).
     */
   def host(u: Column): Column = {
+    val hasScheme = regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1) =!= ""
     val auth = regexp_extract(afterScheme(u), "^([^/?#]*)", 1)
     val noCred = regexp_replace(auth, "^[^@]*@", "")
-    lower(regexp_replace(noCred, ":[0-9]*$", ""))
+    when(hasScheme, lower(regexp_replace(noCred, ":[0-9]*$", ""))).otherwise(lit(""))
   }
 
   /** Heuristic eTLD+1 (public-suffix-lite): the last two host labels, or
@@ -66,7 +70,8 @@ object Urls {
     val noFrag = regexp_replace(u, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val rest = afterScheme(noFrag)
-    val auth = regexp_extract(rest, "^([^/?]*)", 1)
+    val auth0 = regexp_extract(rest, "^([^/?]*)", 1)
+    val auth = regexp_replace(auth0, "^[^@]*@", "") // userinfo dropped
     val pathq = regexp_replace(rest, "^[^/?]*", "")
     val port = regexp_extract(auth, ":([0-9]+)$", 1)
     val h0 = lower(regexp_replace(auth, ":[0-9]*$", ""))
@@ -94,7 +99,8 @@ object Urls {
     val after = s"regexp_replace($urlSql, '^[A-Za-z][A-Za-z0-9+.-]*://', '')"
     val auth = s"regexp_extract($after, '^([^/?#]*)', 1)"
     val noCred = s"regexp_replace($auth, '^[^@]*@', '')"
-    s"lower(regexp_replace($noCred, ':[0-9]*$$', ''))"
+    s"(CASE WHEN regexp_extract($urlSql, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) = '' THEN ''" +
+      s" ELSE lower(regexp_replace($noCred, ':[0-9]*$$', '')) END)"
   }
 
   /** SQL expression replaying [[registrableDomain]] over `hostSql`. */
@@ -113,7 +119,7 @@ object Urls {
     s"""(WITH u AS (SELECT $noFrag AS nf),
        |s AS (SELECT nf, lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
        |        regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM u),
-       |p AS (SELECT *, regexp_extract(rest, '^([^/?]*)', 1) AS auth,
+       |p AS (SELECT *, regexp_replace(regexp_extract(rest, '^([^/?]*)', 1), '^[^@]*@', '') AS auth,
        |        regexp_replace(rest, '^[^/?]*', '') AS pathq FROM s),
        |q AS (SELECT *, regexp_extract(auth, ':([0-9]+)$$', 1) AS port,
        |        regexp_replace(lower(regexp_replace(auth, ':[0-9]*$$', '')), '^www\\.', '') AS h,

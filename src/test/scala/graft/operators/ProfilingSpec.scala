@@ -122,4 +122,12 @@ class ProfilingSpec extends SparkSpec {
     val d = (1 to 100).map(i => (i.toLong % 10, s"v${i % 10}")).toDF("k", "v")
     assert(Profiling.fdViolations(d, Seq("k"), "v").count() === 0L)
   }
+
+  test("fdViolations plan: both exchanges are fed by partial aggregates") {
+    import spark.implicits._
+    val d = Seq((1L, "a")).toDF("k", "v")
+    val plan = Profiling.fdViolations(d, Seq("k"), "v")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("partial"))
+  }
 }

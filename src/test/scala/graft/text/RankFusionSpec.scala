@@ -42,6 +42,16 @@ class RankFusionSpec extends SparkSpec {
     intercept[Exception] { RankFusion.rrf(Seq(nullDoc), "q", "d", "r").collect() }
   }
 
+  test("duplicate (query, doc) within ONE system fails loudly, not as consensus") {
+    val dup = Seq(("q1", "x", 1L), ("q1", "x", 2L)).toDF("q", "d", "r")
+    intercept[Exception] { RankFusion.rrf(Seq(dup), "q", "d", "r").collect() }
+    // the same pair across DIFFERENT systems is legitimate consensus
+    val a = Seq(("q1", "x", 1L)).toDF("q", "d", "r")
+    val ok = RankFusion.rrf(Seq(a, a), "q", "d", "r")
+      .as[(String, String, Long, Long, Long)].collect().head
+    assert(ok._3 === 2L)
+  }
+
   test("plan: one partial-agg'd shuffle over the candidate union") {
     val a = Seq(("q1", "x", 1L)).toDF("q", "d", "r")
     val plan = RankFusion.rrf(Seq(a, a), "q", "d", "r")

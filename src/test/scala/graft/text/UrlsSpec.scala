@@ -31,10 +31,15 @@ class UrlsSpec extends SparkSpec {
     assert(canon("not a url", "relative/path") === Seq("not a url", "relative/path"))
   }
 
-  test("host: credentials and port stripped, lowercased") {
-    val h = Seq("https://user:pw@WWW.Ex.COM:8443/p").toDF("u")
-      .select(Urls.host($"u")).as[String].collect().head
-    assert(h === "www.ex.com")
+  test("canonicalize: userinfo dropped so credentialed links share a dedup key") {
+    assert(canon("https://user:PW@WWW.Ex.COM:8443/p") === Seq("https://ex.com:8443/p"))
+    assert(canon("https://www.ex.com:8443/p") === Seq("https://ex.com:8443/p"))
+  }
+
+  test("host: credentials and port stripped, lowercased; non-URL yields empty") {
+    val got = Seq("https://user:pw@WWW.Ex.COM:8443/p", "not a url", "relative/path")
+      .toDF("u").select(Urls.host($"u")).as[String].collect().toSeq
+    assert(got === Seq("www.ex.com", "", ""))
   }
 
   test("registrableDomain: eTLD+1 heuristic incl. cc second-level registries") {
