@@ -2435,6 +2435,15 @@ GROUP BY n_name ORDER BY revenue DESC, n_name ASC""")),
         Some(graft.operators.Profiling.keyConcentrationOracle(
           "lineitem", Seq("l_suppkey")))),
 
+      // one-call corpus data card: docs/tokens/langs/dup-rate from ONE
+      // scan, melted to (metric, value) for cross-version diffing
+      RegisteredQuery(
+        "q_data_card",
+        (s, dir) => graft.llm.CorpusReport.dataCard(
+            Tables.resolve(s, dir)("documents"))
+          .orderBy("metric"),
+        Some(graft.llm.CorpusReport.dataCardOracle("documents"))),
+
       // value-distribution entropy in micro-nats (uniformity screen:
       // near-constant vs key-like columns), quantized-ln discipline
       RegisteredQuery(
