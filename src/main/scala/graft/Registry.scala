@@ -39,6 +39,12 @@ object Registry {
   private[graft] val kmvSetPrecondition =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** Per-dataset-dir cache of the q_windowed_quantiles exact-regime
+    * precondition (max events per hourly bucket) — same rationale.
+    */
+  private[graft] val windowedQuantilesPrecondition =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   /** q_sample_mix quotas: uneven on purpose (some above the per-source row
     * count at small SFs — groups smaller than their quota emit all rows).
     */
@@ -2434,6 +2440,34 @@ GROUP BY n_name ORDER BY revenue DESC, n_name ASC""")),
           Tables.resolve(s, dir)("lineitem"), Seq("l_suppkey")),
         Some(graft.operators.Profiling.keyConcentrationOracle(
           "lineitem", Seq("l_suppkey")))),
+
+      // windowed quantiles (the p95-per-hour SLA monitor): grouped KLL in
+      // its exact regime over hourly buckets of milli-quantized values —
+      // bounded summaries per (window, partition), no per-window sort
+      RegisteredQuery(
+        "q_windowed_quantiles",
+        (s, dir) => {
+          val e = graft.llm.EventWindows.readEvents(s, s"$dir/events.parquet")
+          val maxPerHour = Registry.windowedQuantilesPrecondition.computeIfAbsent(dir, _ => {
+            val row = e.groupBy(date_trunc("hour", col("ts"))).agg(count(lit(1)).as("n"))
+              .agg(max(col("n"))).head
+            if (row.isNullAt(0)) 0L else row.getLong(0)
+          })
+          require(maxPerHour <= 256,
+            s"q_windowed_quantiles exact-regime precondition broken: an hour has " +
+              s"$maxPerHour events > 2k=256 — the sketch would compress and the " +
+              "exact oracle comparison becomes meaningless; regenerate or raise k")
+          graft.functions.Quantiles.perGroup(
+              e.withColumn("w_start", date_trunc("hour", col("ts")))
+                .withColumn("__mv", (col("value").cast("decimal(18,3)") * 1000).cast("long")),
+              Seq("w_start"), col("__mv"),
+              k = 128, qs = Seq((1L, 2L), (19L, 20L)), names = Seq("p50_mv", "p95_mv"))
+            .orderBy("w_start")
+        },
+        Some("""SELECT date_trunc('hour', ts) AS w_start,
+quantile_disc(CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT), 0.5) AS p50_mv,
+quantile_disc(CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT), 0.95) AS p95_mv
+FROM events GROUP BY 1 ORDER BY 1""")),
 
       // one-call corpus data card: docs/tokens/langs/dup-rate from ONE
       // scan, melted to (metric, value) for cross-version diffing
