@@ -2441,6 +2441,21 @@ GROUP BY n_name ORDER BY revenue DESC, n_name ASC""")),
         Some(graft.operators.Profiling.keyConcentrationOracle(
           "lineitem", Seq("l_suppkey")))),
 
+      // A/B comparison: per-arm exact moments (one shuffle of three
+      // decimal partials), control broadcast back; integer mean diffs
+      // gated, Welch t spec-checked
+      RegisteredQuery(
+        "q_ab_test",
+        (s, dir) => graft.operators.AbTest.compareToControl(
+            Tables.resolve(s, dir)("orders")
+              .withColumn("cents",
+                (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")),
+            "o_orderstatus", "cents", controlArm = "O")
+          .drop("welch_t").orderBy("arm"),
+        Some(graft.operators.AbTest.oracleSql(
+          "orders", "o_orderstatus",
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)", "O"))),
+
       // windowed quantiles (the p95-per-hour SLA monitor): grouped KLL in
       // its exact regime over hourly buckets of milli-quantized values —
       // bounded summaries per (window, partition), no per-window sort

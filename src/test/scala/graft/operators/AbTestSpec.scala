@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** A/B comparison: hand-checked moments, exact mean diff, Welch t sanity,
+  * degenerate-arm NULLs, and the partial-agg plan.
+  */
+class AbTestSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // control c: 10, 20 (mean 15); treatment t: 20, 40 (mean 30)
+  private def d = Seq(("c", 10L), ("c", 20L), ("t", 20L), ("t", 40L))
+    .toDF("arm", "v")
+
+  test("armStats: exact n, sums, variance numerator") {
+    val s = AbTest.armStats(d, "arm", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2).longValueExact(),
+          r.getDecimal(4).longValueExact())).toMap
+    assert(s("c") === ((2L, 30L, 2L * 500L - 900L))) // n·Σx²−(Σx)² = 1000−900
+    assert(s("t") === ((2L, 60L, 2L * 2000L - 3600L)))
+  }
+
+  test("compareToControl: exact milli mean diff and a positive t") {
+    val r = AbTest.compareToControl(d, "arm", "v", "c")
+      .as[(String, Long, Long, Long, Option[Double])].collect()
+    assert(r.length === 1)
+    val (arm, nA, nC, diff, t) = r.head
+    assert((arm, nA, nC) === (("t", 2L, 2L)))
+    assert(diff === 15000L) // mean 30 − mean 15 = 15.000
+    // s_t² = 400/2 = 200, s_c² = 100/2 = 50; se² = 200/2 + 50/2 = 125
+    assert(t.exists(v => v > 0.0 && math.abs(v - 15.0 / math.sqrt(125.0)) < 1e-12))
+  }
+
+  test("negative effects keep exact sign symmetry") {
+    val neg = Seq(("c", 30L), ("c", 40L), ("t", 10L), ("t", 20L)).toDF("arm", "v")
+    val r = AbTest.compareToControl(neg, "arm", "v", "c")
+      .as[(String, Long, Long, Long, Option[Double])].collect().head
+    assert(r._4 === -20000L)
+    assert(r._5.exists(_ < 0.0))
+  }
+
+  test("single-observation arm: integer diff still exact, t NULL") {
+    val tiny = Seq(("c", 10L), ("c", 20L), ("t", 33L)).toDF("arm", "v")
+    val r = AbTest.compareToControl(tiny, "arm", "v", "c")
+      .as[(String, Long, Long, Long, Option[Double])].collect().head
+    assert(r._4 === 18000L) // 33 − 15
+    assert(r._5.isEmpty)
+  }
+
+  test("fractional value column rejected; NULL arms/values excluded") {
+    val frac = Seq(("c", 1.5)).toDF("arm", "v")
+    intercept[IllegalArgumentException] { AbTest.armStats(frac, "arm", "v") }
+    val nulls = Seq((Option("c"), Option(1L)), (Option.empty[String], Option(2L)),
+      (Option("c"), Option.empty[Long])).toDF("arm", "v")
+    val s = AbTest.armStats(nulls, "arm", "v").collect()
+    assert(s.length === 1 && s.head.getLong(1) === 1L)
+  }
+
+  test("plan: one partial-agg'd shuffle, control broadcast back") {
+    val plan = AbTest.compareToControl(d, "arm", "v", "c")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"))
+    assert(plan.contains("Broadcast"))
+  }
+}
