@@ -2456,6 +2456,20 @@ GROUP BY n_name ORDER BY revenue DESC, n_name ASC""")),
           "orders", "o_orderstatus",
           "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)", "O"))),
 
+      // heterogeneous treatment effects: the A/B readout within every
+      // order-priority segment; control joins back keyed by segment
+      RegisteredQuery(
+        "q_ab_segmented",
+        (s, dir) => graft.operators.AbTest.compareToControlBySegment(
+            Tables.resolve(s, dir)("orders")
+              .withColumn("cents",
+                (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")),
+            "o_orderpriority", "o_orderstatus", "cents", controlArm = "O")
+          .drop("welch_t").orderBy("segment", "arm"),
+        Some(graft.operators.AbTest.segmentedOracleSql(
+          "orders", "o_orderpriority", "o_orderstatus",
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)", "O"))),
+
       // windowed quantiles (the p95-per-hour SLA monitor): grouped KLL in
       // its exact regime over hourly buckets of milli-quantized values —
       // bounded summaries per (window, partition), no per-window sort

@@ -81,6 +81,75 @@ object AbTest {
           .as("welch_t"))
   }
 
+  /** Heterogeneous treatment effects: [[compareToControl]] within every
+    * `segmentCol` value independently — "the lift is +2% overall but
+    * −5% on mobile". Same exact arithmetic; the control join is keyed by
+    * segment (broadcastable — the frame is segments×arms-sized), so
+    * nothing beyond the one (segment, arm) groupBy shuffles. Segments
+    * whose control arm is absent drop out (no baseline to compare).
+    */
+  def compareToControlBySegment(df: DataFrame, segmentCol: String,
+                                armCol: String, valueCol: String,
+                                controlArm: String): DataFrame = {
+    df.schema(valueCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"compareToControlBySegment needs an integral value column; " +
+          s"$valueCol is ${other.catalogString}")
+    }
+    val dec = "decimal(38,0)"
+    val x = col(valueCol).cast(LongType).cast(dec)
+    val stats = df
+      .where(col(segmentCol).isNotNull && col(armCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(segmentCol).as("segment"), col(armCol).as("arm"),
+        x.as("__x"), (x * x).cast(dec).as("__xx"))
+      .groupBy("segment", "arm")
+      .agg(count(lit(1)).as("n"),
+        sum("__x").as("sum_v"), sum("__xx").as("sumsq_v"))
+      .withColumn("var_num",
+        (col("n").cast(dec) * col("sumsq_v") - col("sum_v") * col("sum_v")).cast(dec))
+    val control = stats.where(col("arm") === controlArm)
+      .select(col("segment"), col("n").as("n_c"), col("sum_v").as("sum_c"),
+        col("var_num").as("var_num_c"))
+    val diffNum = (col("sum_v") * col("n_c").cast(dec) -
+      col("sum_c") * col("n").cast(dec)).cast(dec)
+    val diffDen = (col("n").cast(dec) * col("n_c").cast(dec)).cast(dec)
+    val varT = col("var_num").cast("double") /
+      (col("n").cast("double") * (col("n") - 1).cast("double"))
+    val varC = col("var_num_c").cast("double") /
+      (col("n_c").cast("double") * (col("n_c") - 1).cast("double"))
+    val se = sqrt(varT / col("n").cast("double") + varC / col("n_c").cast("double"))
+    stats.where(col("arm") =!= controlArm)
+      .join(broadcast(control), Seq("segment"))
+      .withColumn("__dn", diffNum)
+      .withColumn("__dd", diffDen)
+      .select(
+        col("segment"), col("arm"), col("n").as("n_arm"), col("n_c"),
+        (signum(col("__dn")).cast("long") *
+          expr("CAST((abs(__dn) * 1000) div __dd AS BIGINT)"))
+          .as("mean_diff_milli"),
+        when(col("n") >= 2 && col("n_c") >= 2 && se > 0.0,
+          (col("__dn").cast("double") / col("__dd").cast("double")) / se)
+          .as("welch_t"))
+  }
+
+  /** DuckDB replay of [[compareToControlBySegment]]'s integer surface. */
+  def segmentedOracleSql(table: String, segmentSql: String, armSql: String,
+                         valueSql: String, controlArm: String): String =
+    s"""WITH s AS (SELECT $segmentSql AS segment, $armSql AS arm,
+       |    CAST(count(*) AS BIGINT) AS n, sum(CAST($valueSql AS HUGEINT)) AS sum_v
+       |  FROM $table WHERE ($segmentSql) IS NOT NULL AND ($armSql) IS NOT NULL
+       |    AND ($valueSql) IS NOT NULL
+       |  GROUP BY 1, 2),
+       |c AS (SELECT segment, n AS n_c, sum_v AS sum_c FROM s WHERE arm = '$controlArm')
+       |SELECT s.segment, s.arm, s.n AS n_arm, c.n_c,
+       |  CAST(CASE WHEN s.sum_v * c.n_c - c.sum_c * s.n < 0 THEN -1 ELSE 1 END
+       |    * ((abs((s.sum_v * c.n_c - c.sum_c * s.n) * 1000)) // (s.n * c.n_c))
+       |    AS BIGINT) AS mean_diff_milli
+       |FROM s JOIN c USING (segment) WHERE s.arm <> '$controlArm'
+       |ORDER BY s.segment, s.arm""".stripMargin
+
   /** DuckDB replay of [[compareToControl]]'s integer surface (t is
     * spec-checked, not gated — the gate drops it).
     */

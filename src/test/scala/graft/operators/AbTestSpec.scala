@@ -58,6 +58,18 @@ class AbTestSpec extends SparkSpec {
     assert(s.length === 1 && s.head.getLong(1) === 1L)
   }
 
+  test("segmented: per-segment effects, control-less segments drop") {
+    val seg = Seq(
+      ("mobile", "c", 10L), ("mobile", "c", 20L), ("mobile", "t", 40L), ("mobile", "t", 50L),
+      ("web", "c", 100L), ("web", "t", 90L), ("web", "t", 80L),
+      ("tv", "t", 7L) // no control arm → dropped
+    ).toDF("seg", "arm", "v")
+    val r = AbTest.compareToControlBySegment(seg, "seg", "arm", "v", "c")
+      .as[(String, String, Long, Long, Long, Option[Double])].collect()
+      .map(t => t._1 -> t._5).toMap
+    assert(r === Map("mobile" -> 30000L, "web" -> -15000L))
+  }
+
   test("plan: one partial-agg'd shuffle, control broadcast back") {
     val plan = AbTest.compareToControl(d, "arm", "v", "c")
       .queryExecution.executedPlan.toString
