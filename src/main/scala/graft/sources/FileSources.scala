@@ -87,6 +87,24 @@ object Parquet {
   def read(spark: SparkSession, path: String, opts: ParquetReadOptions = ParquetReadOptions()): DataFrame =
     ReaderCommon.finish(spark.read.parquet(path), opts.columns, opts.projection, opts.nRows, opts.rowCountCol)
 
+  /** Read with row-level provenance — `__file` (basename) and `__row_idx`
+    * (position within that file, from the scan's `_metadata.row_index`
+    * virtual column) appended to every row. The audit key a training
+    * pipeline carries so any example traces back to its shard ("which
+    * file, which row produced this?"); free at scan time — the metadata
+    * struct is populated by the reader, no shuffle, no window, and
+    * (unlike `monotonically_increasing_id`) stable across partitioning
+    * and re-reads because it IS the file layout.
+    */
+  def readWithProvenance(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    val df = spark.read.parquet(path)
+    df.select(
+      (df.columns.map(col).toSeq :+
+        regexp_extract(col("_metadata.file_path"), "[^/]+$", 0).as("__file") :+
+        col("_metadata.row_index").as("__row_idx")): _*)
+  }
+
   def write(df: DataFrame, path: String, opts: ParquetWriteOptions = ParquetWriteOptions()): Unit = {
     // partition cols must LEAD the sort: FileFormatWriter requires ordering
     // by the partition columns and inserts its own sort (destroying sortBy

@@ -137,4 +137,20 @@ class FileSourcesSpec extends SparkSpec {
     val got = store.read(spark, "out").orderBy("id").collect().map(r => (r.getInt(0), r.getDouble(2)))
     assert(got.toSeq == Seq((2, 40.0), (3, 60.0)))
   }
+
+  test("readWithProvenance: file basename + stable in-file row positions") {
+    val dir = tmp()
+    Seq((10L, "a"), (11L, "b"), (12L, "c")).toDF("id", "s")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val rows = Parquet.readWithProvenance(spark, dir)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+    assert(rows.map(_._3).toSeq === Seq(0L, 1L, 2L)) // file order, 0-based
+    assert(rows.forall(_._2.endsWith(".parquet")))
+    // stable under re-read with different parallelism (it IS the layout)
+    val again = Parquet.readWithProvenance(spark, dir)
+      .repartition(4).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(again.toSeq === rows.map(t => (t._1, t._3)).toSeq)
+  }
 }
