@@ -2470,6 +2470,17 @@ GROUP BY n_name ORDER BY revenue DESC, n_name ASC""")),
           "orders", "o_orderpriority", "o_orderstatus",
           "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)", "O"))),
 
+      // sample-ratio-mismatch tripwire: observed arm counts vs intended
+      // per-mille-ish weights as exact cross-multiplied chi-square
+      RegisteredQuery(
+        "q_ab_srm",
+        (s, dir) => graft.operators.AbTest.sampleRatioCheck(
+            Tables.resolve(s, dir)("orders"), "o_orderstatus",
+            Map("O" -> 49L, "F" -> 49L, "P" -> 2L))
+          .orderBy("arm"),
+        Some(graft.operators.AbTest.srmOracleSql(
+          "orders", "o_orderstatus", Map("O" -> 49L, "F" -> 49L, "P" -> 2L)))),
+
       // windowed quantiles (the p95-per-hour SLA monitor): grouped KLL in
       // its exact regime over hourly buckets of milli-quantized values —
       // bounded summaries per (window, partition), no per-window sort

@@ -134,6 +134,73 @@ object AbTest {
           .as("welch_t"))
   }
 
+  /** Sample-ratio-mismatch check — the validity gate run BEFORE reading
+    * any effect: do the observed arm counts match the intended split?
+    * (A biased assignment silently invalidates every downstream
+    * comparison; SRM is the standard tripwire.) Per-arm chi-square
+    * contribution (nᵢ − eᵢ)²/eᵢ with eᵢ = N·wᵢ/W, computed as the exact
+    * cross-multiplied integer ⌊10⁶·(nᵢ·W − N·wᵢ)² / (N·wᵢ·W)⌋ — no
+    * float expected counts, so the statistic hashes cross-engine
+    * (compare Σ against the χ²(arms−1) critical value downstream).
+    * Arms observed but not in `weights` get NULL contributions (an
+    * unexpected arm IS the mismatch — surface it, don't fold it in);
+    * weighted arms with zero observations still appear with their full
+    * deficit. One partial-agg'd count + an arms-sized join.
+    */
+  def sampleRatioCheck(df: DataFrame, armCol: String,
+                       weights: Map[String, Long]): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.values.forall(_ > 0), "weights must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val w = weights.values.sum
+    val observed = df.where(col(armCol).isNotNull)
+      .groupBy(col(armCol).as("arm")).agg(count(lit(1)).as("n_obs"))
+    val expected = weights.toSeq.sortBy(_._1).toDF("arm", "weight")
+    val joined = observed.join(expected, Seq("arm"), "full_outer")
+      .select(col("arm"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        col("weight"))
+    val total = broadcast(joined.agg(
+      coalesce(sum("n_obs"), lit(0L)).as("__N")))
+    val dn = (col("n_obs").cast(dec) * lit(w).cast(dec) -
+      col("__N").cast(dec) * col("weight").cast(dec)).cast(dec)
+    val den = (col("__N").cast(dec) * col("weight").cast(dec) * lit(w).cast(dec)).cast(dec)
+    joined.crossJoin(total)
+      .withColumn("__dn", dn)
+      .withColumn("__dd", den)
+      .select(col("arm"), col("n_obs"), col("weight"),
+        when(col("weight").isNotNull && col("__dd") > lit(0).cast(dec),
+          expr("CAST((__dn * __dn * 1000000) div __dd AS BIGINT)"))
+          .as("chisq_q"))
+  }
+
+  /** DuckDB replay of [[sampleRatioCheck]]. */
+  def srmOracleSql(table: String, armSql: String,
+                   weights: Map[String, Long]): String = {
+    val w = weights.values.sum
+    val ws = weights.toSeq.sortBy(_._1)
+    val values = ws.map { case (a, wt) =>
+      s"('${a.replace("'", "''")}', CAST($wt AS BIGINT))"
+    }.mkString(", ")
+    s"""WITH obs AS (SELECT $armSql AS arm, CAST(count(*) AS BIGINT) AS n_obs
+       |  FROM $table WHERE ($armSql) IS NOT NULL GROUP BY 1),
+       |exp AS (SELECT * FROM (VALUES $values) v(arm, weight)),
+       |j AS (SELECT coalesce(obs.arm, exp.arm) AS arm,
+       |    coalesce(obs.n_obs, 0) AS n_obs, exp.weight
+       |  FROM obs FULL OUTER JOIN exp ON obs.arm = exp.arm),
+       |t AS (SELECT CAST(coalesce(sum(n_obs), 0) AS HUGEINT) AS N FROM j)
+       |SELECT j.arm, j.n_obs, j.weight,
+       |  CASE WHEN j.weight IS NOT NULL AND t.N * j.weight * $w > 0 THEN
+       |    CAST(((CAST(j.n_obs AS HUGEINT) * $w - t.N * j.weight)
+       |      * (CAST(j.n_obs AS HUGEINT) * $w - t.N * j.weight) * 1000000)
+       |      // (t.N * j.weight * $w) AS BIGINT)
+       |  END AS chisq_q
+       |FROM j CROSS JOIN t
+       |ORDER BY j.arm""".stripMargin
+  }
+
   /** DuckDB replay of [[compareToControlBySegment]]'s integer surface. */
   def segmentedOracleSql(table: String, segmentSql: String, armSql: String,
                          valueSql: String, controlArm: String): String =

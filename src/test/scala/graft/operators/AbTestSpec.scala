@@ -70,6 +70,29 @@ class AbTestSpec extends SparkSpec {
     assert(r === Map("mobile" -> 30000L, "web" -> -15000L))
   }
 
+  test("sampleRatioCheck: perfect split is zero, deficits and ghosts surface") {
+    val even = Seq("a", "a", "b", "b").map(Tuple1(_)).toDF("arm")
+    // hand: N=4, W=2, e=2 each, n=2 → contribution 0
+    val evMap = AbTest.sampleRatioCheck(even, "arm", Map("a" -> 1L, "b" -> 1L))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(evMap === Map("a" -> 0L, "b" -> 0L))
+    // skewed 3:1 against a 1:1 intent: (n·W − N·w)² ·10⁶ / (N·w·W) =
+    // (6−4)²·10⁶/8 = 500000 per arm
+    val skew = Seq("a", "a", "a", "b").map(Tuple1(_)).toDF("arm")
+    val sk = AbTest.sampleRatioCheck(skew, "arm", Map("a" -> 1L, "b" -> 1L))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(sk === Map("a" -> 500000L, "b" -> 500000L))
+    // unexpected arm → NULL contribution; weighted-but-absent arm keeps
+    // its full deficit
+    val ghost = Seq("a", "z").map(Tuple1(_)).toDF("arm")
+    val g = AbTest.sampleRatioCheck(ghost, "arm", Map("a" -> 1L, "b" -> 1L))
+      .collect().map(r => (r.getString(0), r.getLong(1), Option(r.get(3)))).toList
+      .sortBy(_._1)
+    assert(g.map(_._1) === List("a", "b", "z"))
+    assert(g(2)._3.isEmpty) // z: unexpected
+    assert(g(1)._2 === 0L && g(1)._3.nonEmpty) // b: absent but expected
+  }
+
   test("plan: one partial-agg'd shuffle, control broadcast back") {
     val plan = AbTest.compareToControl(d, "arm", "v", "c")
       .queryExecution.executedPlan.toString
