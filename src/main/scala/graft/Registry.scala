@@ -2470,6 +2470,24 @@ GROUP BY n_name ORDER BY revenue DESC, n_name ASC""")),
           "orders", "o_orderpriority", "o_orderstatus",
           "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)", "O"))),
 
+      // CUPED-adjusted comparison: pooled θ from arms-sized moment sums,
+      // raw and covariate-adjusted milli diffs side by side — all
+      // sign-split integer arithmetic
+      RegisteredQuery(
+        "q_ab_cuped",
+        (s, dir) => graft.operators.AbTest.cupedCompare(
+            Tables.resolve(s, dir)("orders")
+              .withColumn("cents",
+                (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+              .withColumn("x_days",
+                datediff(col("o_orderdate"), lit("1992-01-01")).cast("long")),
+            "o_orderstatus", "cents", "x_days", controlArm = "O")
+          .orderBy("arm"),
+        Some(graft.operators.AbTest.cupedOracleSql(
+          "orders", "o_orderstatus",
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
+          "date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))", "O"))),
+
       // sample-ratio-mismatch tripwire: observed arm counts vs intended
       // per-mille-ish weights as exact cross-multiplied chi-square
       RegisteredQuery(

@@ -134,6 +134,106 @@ object AbTest {
           .as("welch_t"))
   }
 
+  /** CUPED variance reduction — adjust the metric by a pre-experiment
+    * covariate before comparing: Y′ = Y − θ(X − X̄) with θ = cov(X,Y)/
+    * var(X) pooled, so covariate imbalance between arms (the thing that
+    * makes small effects unreadable) cancels instead of masquerading as
+    * an effect. All arithmetic stays engine-exact: per-arm moments (n,
+    * ΣX, ΣY, ΣXY, ΣXX) from ONE corpus pass, global moments DERIVED as
+    * sums of the arms-sized frame (no second scan), θ quantized to
+    * micro units by sign-split truncating division (the [[GroupedTrend]]
+    * rule — both engines divide non-negative values), and the adjusted
+    * difference ⌊dY − θ·dX⌋ composed from cross-multiplied integer
+    * milli diffs. Emits raw and adjusted diffs side by side — the spec's
+    * imbalanced-covariate case shows the raw diff misleading and the
+    * adjusted one recovering the true effect.
+    */
+  def cupedCompare(df: DataFrame, armCol: String, yCol: String, xCol: String,
+                   controlArm: String): DataFrame = {
+    Seq(yCol, xCol).foreach(c => df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"cupedCompare needs integral metric/covariate columns; $c is " +
+          other.catalogString)
+    })
+    val dec = "decimal(38,0)"
+    val x = col(xCol).cast(LongType).cast(dec)
+    val y = col(yCol).cast(LongType).cast(dec)
+    val arms = df
+      .where(col(armCol).isNotNull && col(yCol).isNotNull && col(xCol).isNotNull)
+      .select(col(armCol).as("arm"), x.as("__x"), y.as("__y"),
+        (x * y).cast(dec).as("__xy"), (x * x).cast(dec).as("__xx"))
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("__x").as("sx"), sum("__y").as("sy"),
+        sum("__xy").as("sxy"), sum("__xx").as("sxx"))
+    // pooled θ from the arms-sized frame — globals are sums of per-arm sums
+    val g = broadcast(arms.agg(
+      sum("n").as("gn"), sum("sx").as("gsx"), sum("sy").as("gsy"),
+      sum("sxy").as("gsxy"), sum("sxx").as("gsxx"))
+      .withColumn("__cov",
+        (col("gn").cast(dec) * col("gsxy") - col("gsx") * col("gsy")).cast(dec))
+      .withColumn("__var",
+        (col("gn").cast(dec) * col("gsxx") - col("gsx") * col("gsx")).cast(dec))
+      .select(when(col("__var") > lit(0).cast(dec),
+        signum(col("__cov")).cast("long") *
+          expr("CAST((abs(__cov) * 1000000) div __var AS BIGINT)"))
+        .as("theta_micro")))
+    val control = broadcast(arms.where(col("arm") === controlArm)
+      .select(col("n").as("n_c"), col("sx").as("sx_c"), col("sy").as("sy_c")))
+    val dyN = (col("sy") * col("n_c").cast(dec) - col("sy_c") * col("n").cast(dec)).cast(dec)
+    val dxN = (col("sx") * col("n_c").cast(dec) - col("sx_c") * col("n").cast(dec)).cast(dec)
+    val dd = (col("n").cast(dec) * col("n_c").cast(dec)).cast(dec)
+    arms.where(col("arm") =!= controlArm)
+      .crossJoin(control).crossJoin(g)
+      .withColumn("__dy", dyN).withColumn("__dx", dxN).withColumn("__dd", dd)
+      .withColumn("dy_milli", signum(col("__dy")).cast("long") *
+        expr("CAST((abs(__dy) * 1000) div __dd AS BIGINT)"))
+      .withColumn("dx_milli", signum(col("__dx")).cast("long") *
+        expr("CAST((abs(__dx) * 1000) div __dd AS BIGINT)"))
+      // θ·dX in milli: sign-split so both engines truncate identically
+      .withColumn("__adjterm",
+        (signum(col("theta_micro")) * signum(col("dx_milli"))).cast("long") *
+          expr("CAST((abs(theta_micro) * abs(dx_milli)) div 1000000 AS BIGINT)"))
+      .select(col("arm"), col("n").as("n_arm"), col("n_c"),
+        col("theta_micro"), col("dy_milli").as("mean_diff_milli"),
+        (col("dy_milli") - col("__adjterm")).as("adj_diff_milli"))
+  }
+
+  /** DuckDB replay of [[cupedCompare]] — same moment algebra, same
+    * sign-split truncating divisions.
+    */
+  def cupedOracleSql(table: String, armSql: String, ySql: String, xSql: String,
+                     controlArm: String): String =
+    s"""WITH s AS (SELECT $armSql AS arm, CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST($xSql AS HUGEINT)) AS sx, sum(CAST($ySql AS HUGEINT)) AS sy,
+       |    sum(CAST($xSql AS HUGEINT) * CAST($ySql AS HUGEINT)) AS sxy,
+       |    sum(CAST($xSql AS HUGEINT) * CAST($xSql AS HUGEINT)) AS sxx
+       |  FROM $table WHERE ($armSql) IS NOT NULL AND ($ySql) IS NOT NULL
+       |    AND ($xSql) IS NOT NULL GROUP BY 1),
+       |g AS (SELECT sum(n) AS gn, sum(sx) AS gsx, sum(sy) AS gsy,
+       |    sum(sxy) AS gsxy, sum(sxx) AS gsxx FROM s),
+       |th AS (SELECT CASE WHEN gn * gsxx - gsx * gsx > 0 THEN
+       |    CAST(CASE WHEN gn * gsxy - gsx * gsy < 0 THEN -1 ELSE 1 END
+       |      * ((abs(gn * gsxy - gsx * gsy) * 1000000) // (gn * gsxx - gsx * gsx))
+       |      AS BIGINT) END AS theta_micro FROM g),
+       |c AS (SELECT n AS n_c, sx AS sx_c, sy AS sy_c FROM s WHERE arm = '$controlArm'),
+       |d AS (SELECT s.arm, s.n AS n_arm, c.n_c, th.theta_micro,
+       |    s.sy * c.n_c - c.sy_c * s.n AS dyn,
+       |    s.sx * c.n_c - c.sx_c * s.n AS dxn,
+       |    CAST(s.n AS HUGEINT) * c.n_c AS dd
+       |  FROM s CROSS JOIN c CROSS JOIN th WHERE s.arm <> '$controlArm'),
+       |m AS (SELECT arm, n_arm, n_c, theta_micro,
+       |    CAST(CASE WHEN dyn < 0 THEN -1 ELSE 1 END
+       |      * ((abs(dyn) * 1000) // dd) AS BIGINT) AS dy_milli,
+       |    CAST(CASE WHEN dxn < 0 THEN -1 ELSE 1 END
+       |      * ((abs(dxn) * 1000) // dd) AS BIGINT) AS dx_milli
+       |  FROM d)
+       |SELECT arm, n_arm, n_c, theta_micro, dy_milli AS mean_diff_milli,
+       |  dy_milli - (CASE WHEN theta_micro * dx_milli < 0 THEN -1 ELSE 1 END
+       |    * CAST((abs(CAST(theta_micro AS HUGEINT)) * abs(dx_milli)) // 1000000 AS BIGINT))
+       |    AS adj_diff_milli
+       |FROM m ORDER BY arm""".stripMargin
+
   /** Sample-ratio-mismatch check — the validity gate run BEFORE reading
     * any effect: do the observed arm counts match the intended split?
     * (A biased assignment silently invalidates every downstream

@@ -70,6 +70,24 @@ class AbTestSpec extends SparkSpec {
     assert(r === Map("mobile" -> 30000L, "web" -> -15000L))
   }
 
+  test("cuped: imbalanced covariate adjusts out, hand-checked θ and diffs") {
+    // c: y = x on (10, 20); t: y = x + 5 on (30, 40) — the raw diff (25)
+    // is mostly covariate imbalance
+    val d = Seq(("c", 10L, 10L), ("c", 20L, 20L), ("t", 30L, 35L), ("t", 40L, 45L))
+      .toDF("arm", "x", "y")
+    val r = AbTest.cupedCompare(d, "arm", "y", "x", "c")
+      .as[(String, Long, Long, Long, Long, Long)].collect().head
+    // pooled: cov_num = 4·3350 − 100·110 = 2400, var_num = 4·3000 − 10⁴ = 2000
+    assert(r === (("t", 2L, 2L, 1200000L, 25000L, 1000L)))
+  }
+
+  test("cuped: zero covariate variance yields NULL θ and adjustment") {
+    val d = Seq(("c", 7L, 10L), ("c", 7L, 20L), ("t", 7L, 30L)).toDF("arm", "x", "y")
+    val r = AbTest.cupedCompare(d, "arm", "y", "x", "c").collect().head
+    assert(r.isNullAt(3) && r.isNullAt(5))
+    assert(r.getLong(4) === 15000L) // raw diff still exact
+  }
+
   test("sampleRatioCheck: perfect split is zero, deficits and ghosts surface") {
     val even = Seq("a", "a", "b", "b").map(Tuple1(_)).toDF("arm")
     // hand: N=4, W=2, e=2 each, n=2 → contribution 0
