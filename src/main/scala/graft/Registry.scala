@@ -1769,7 +1769,7 @@ ORDER BY l_returnflag, l_linestatus""")),
           .orderBy("term", "pos"),
         Some(graft.text.InvertedIndex.oracleSql("documents", "doc_id", "text", 32))),
 
-      // mergeable quantile summary in its EXACT regime (groups ≤ 2k ⇒ no
+      // mergeable quantile summary in its EXACT regime (groups < 2k ⇒ no
       // compress ever fires ⇒ discrete quantile exact, quantile_disc
       // parity); the approximation path is QuantileSketchSpec's territory
       RegisteredQuery(
@@ -1781,9 +1781,9 @@ ORDER BY l_returnflag, l_linestatus""")),
               .agg(max(col("n"))).head
             if (row.isNullAt(0)) 0L else row.getLong(0)
           })
-          require(maxPerCust <= 128,
+          require(maxPerCust < 128,
             s"q_quantile_sketch exact-regime precondition broken: a customer has " +
-              s"$maxPerCust orders > 2k=128 — the sketch would compress and the " +
+              s"$maxPerCust orders >= 2k=128 — the sketch would compress and the " +
               "exact oracle comparison becomes meaningless; regenerate or raise k")
           graft.functions.Quantiles.perGroup(
               orders.withColumn("__cents",
@@ -2219,9 +2219,9 @@ FROM p""")),
               .agg(max(col("n"))).head
             if (row.isNullAt(0)) 0L else row.getLong(0)
           })
-          require(maxPerCust <= 128,
+          require(maxPerCust < 128,
             s"q_winsorize exact-regime precondition broken: a customer has " +
-              s"$maxPerCust orders > 2k=128 — the KLL summary would compress and " +
+              s"$maxPerCust orders >= 2k=128 — the KLL summary would compress and " +
               "the exact oracle comparison becomes meaningless; raise k")
           val cents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
           graft.functions.Quantiles.winsorizePerGroup(
@@ -2511,9 +2511,9 @@ GROUP BY n_name ORDER BY revenue DESC, n_name ASC""")),
               .agg(max(col("n"))).head
             if (row.isNullAt(0)) 0L else row.getLong(0)
           })
-          require(maxPerHour <= 256,
+          require(maxPerHour < 256,
             s"q_windowed_quantiles exact-regime precondition broken: an hour has " +
-              s"$maxPerHour events > 2k=256 — the sketch would compress and the " +
+              s"$maxPerHour events >= 2k=256 — the sketch would compress and the " +
               "exact oracle comparison becomes meaningless; regenerate or raise k")
           graft.functions.Quantiles.perGroup(
               e.withColumn("w_start", date_trunc("hour", col("ts")))
@@ -2761,9 +2761,9 @@ FROM events GROUP BY 1 ORDER BY 1""")),
         (s, dir) => {
           val docs = Tables.resolve(s, dir)("documents")
           val n = Registry.cutpointsPrecondition.computeIfAbsent(dir, _ => docs.count())
-          require(n <= 8192,
+          require(n < 8192,
             s"q_bucket_cutpoints exact-regime precondition broken: $n documents " +
-              "> 2k=8192 — the sketch would compact and the exact oracle " +
+              ">= 2k=8192 — the sketch would compact and the exact oracle " +
               "comparison becomes meaningless; raise sketchK")
           graft.operators.QuantileBuckets.bucketByCutpoints(
               docs, "n_chars", k = 5, sketchK = 4096)

@@ -33,7 +33,7 @@ final case class QSketchBuf(levels: ArrayBuffer[ArrayBuffer[Long]],
   * with a small constant (spec-checked on adversarial streams across
   * partitionings).
   *
-  * EXACT regime: while a group folds ≤ 2k values no compaction ever
+  * EXACT regime: while a group folds FEWER THAN 2k values no compaction ever
   * fires, and the reported quantile is exactly the discrete quantile
   * "smallest value whose cumulative count ≥ ⌈φ·n⌉" — DuckDB/Postgres
   * `quantile_disc`/`percentile_disc` semantics, the regime the oracle

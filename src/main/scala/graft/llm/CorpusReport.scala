@@ -20,9 +20,9 @@ object CorpusReport {
 
   /** (metric, value) rows: n_docs, total_tokens, mean_tokens_milli
     * (⌊1000·total/docs⌋), n_langs, n_distinct_texts (by 60-bit
-    * fingerprint), n_exact_dup_rows (docs − distincts). NULL text counts
-    * as zero tokens and its own fingerprint bucket is excluded from the
-    * distinct count.
+    * fingerprint), n_exact_dup_rows (non-NULL-text docs − distincts — a
+    * NULL text is MISSING, not a duplicate of anything, so it joins
+    * neither side of the dup ratio). NULL text counts as zero tokens.
     */
   def dataCard(docs: DataFrame, textCol: String = "text",
                langCol: String = "lang"): DataFrame = {
@@ -32,6 +32,7 @@ object CorpusReport {
     val one = docs.agg(
       count(lit(1)).as("n_docs"),
       coalesce(sum(t), lit(0L)).as("total_tokens"),
+      coalesce(sum(when(col(textCol).isNotNull, 1L)), lit(0L)).as("n_texts"),
       countDistinct(col(langCol)).as("n_langs"),
       countDistinct(when(col(textCol).isNotNull, fingerprint(col(textCol))))
         .as("n_distinct_texts"))
@@ -44,7 +45,7 @@ object CorpusReport {
         |         ELSE CAST(total_tokens * 1000 div n_docs AS BIGINT) END,
         |  'n_langs', n_langs,
         |  'n_distinct_texts', n_distinct_texts,
-        |  'n_exact_dup_rows', n_docs - n_distinct_texts
+        |  'n_exact_dup_rows', n_texts - n_distinct_texts
         |) AS (metric, value)""".stripMargin))
   }
 
@@ -57,6 +58,8 @@ object CorpusReport {
     val fp = s"CAST(('0x'||substr(md5($textCol),1,15)) AS BIGINT)"
     s"""WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(coalesce(sum($tok), 0) AS BIGINT) AS total_tokens,
+       |  CAST(coalesce(count(*) FILTER (WHERE $textCol IS NOT NULL), 0) AS BIGINT)
+       |    AS n_texts,
        |  CAST(count(DISTINCT $langCol) AS BIGINT) AS n_langs,
        |  CAST(count(DISTINCT CASE WHEN $textCol IS NOT NULL THEN $fp END) AS BIGINT)
        |    AS n_distinct_texts
@@ -67,7 +70,7 @@ object CorpusReport {
        |  CASE WHEN n_docs = 0 THEN 0 ELSE total_tokens * 1000 // n_docs END FROM a
        |UNION ALL SELECT 'n_langs', n_langs FROM a
        |UNION ALL SELECT 'n_distinct_texts', n_distinct_texts FROM a
-       |UNION ALL SELECT 'n_exact_dup_rows', n_docs - n_distinct_texts FROM a
+       |UNION ALL SELECT 'n_exact_dup_rows', n_texts - n_distinct_texts FROM a
        |ORDER BY metric""".stripMargin
   }
 }

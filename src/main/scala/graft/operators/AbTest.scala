@@ -24,17 +24,23 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   */
 object AbTest {
 
+  /** Shared integral-column guard (the Drift rule) — one definition for
+    * every entry point, so the contract cannot drift.
+    */
+  private def requireIntegral(df: DataFrame, c: String, fn: String): Unit =
+    df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"$fn needs an integral column (scale to integer units first); " +
+          s"$c is ${other.catalogString}")
+    }
+
   /** Per-arm exact moments: (arm, n, sum_v, sumsq_v, var_num) where
     * var_num = n·Σx² − (Σx)² (sample variance = var_num / (n·(n−1))).
     * NULL arms and NULL values are excluded.
     */
   def armStats(df: DataFrame, armCol: String, valueCol: String): DataFrame = {
-    df.schema(valueCol).dataType match {
-      case ByteType | ShortType | IntegerType | LongType => ()
-      case other => throw new IllegalArgumentException(
-        s"armStats needs an integral value column (scale to integer units " +
-          s"first); $valueCol is ${other.catalogString}")
-    }
+    requireIntegral(df, valueCol, "armStats")
     val dec = "decimal(38,0)"
     val x = col(valueCol).cast(LongType).cast(dec)
     df.where(col(armCol).isNotNull && col(valueCol).isNotNull)
@@ -53,8 +59,18 @@ object AbTest {
     */
   def compareToControl(df: DataFrame, armCol: String, valueCol: String,
                        controlArm: String): DataFrame = {
+    // the arms frame is persisted across the control lookup and the
+    // returned readout (one corpus aggregation, ContextCleaner reclaims);
+    // a missing control arm — a typo'd label, a broken assignment — is a
+    // LOUD error, never a silently empty readout
     val stats = armStats(df, armCol, valueCol)
-    val control = broadcast(stats.where(col("arm") === controlArm)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cRows = stats.where(col("arm") === controlArm).collect()
+    require(cRows.nonEmpty,
+      s"control arm '$controlArm' has no observations — check the arm label")
+    val c = cRows.head
+    val control = broadcast(stats.sparkSession.createDataFrame(
+      java.util.List.of(c), c.schema)
       .select(col("n").as("n_c"), col("sum_v").as("sum_c"),
         col("var_num").as("var_num_c")))
     val dec = "decimal(38,0)"
@@ -91,12 +107,7 @@ object AbTest {
   def compareToControlBySegment(df: DataFrame, segmentCol: String,
                                 armCol: String, valueCol: String,
                                 controlArm: String): DataFrame = {
-    df.schema(valueCol).dataType match {
-      case ByteType | ShortType | IntegerType | LongType => ()
-      case other => throw new IllegalArgumentException(
-        s"compareToControlBySegment needs an integral value column; " +
-          s"$valueCol is ${other.catalogString}")
-    }
+    requireIntegral(df, valueCol, "compareToControlBySegment")
     val dec = "decimal(38,0)"
     val x = col(valueCol).cast(LongType).cast(dec)
     val stats = df
@@ -150,12 +161,7 @@ object AbTest {
     */
   def cupedCompare(df: DataFrame, armCol: String, yCol: String, xCol: String,
                    controlArm: String): DataFrame = {
-    Seq(yCol, xCol).foreach(c => df.schema(c).dataType match {
-      case ByteType | ShortType | IntegerType | LongType => ()
-      case other => throw new IllegalArgumentException(
-        s"cupedCompare needs integral metric/covariate columns; $c is " +
-          other.catalogString)
-    })
+    Seq(yCol, xCol).foreach(requireIntegral(df, _, "cupedCompare"))
     val dec = "decimal(38,0)"
     val x = col(xCol).cast(LongType).cast(dec)
     val y = col(yCol).cast(LongType).cast(dec)
@@ -166,6 +172,9 @@ object AbTest {
       .groupBy("arm")
       .agg(count(lit(1)).as("n"), sum("__x").as("sx"), sum("__y").as("sy"),
         sum("__xy").as("sxy"), sum("__xx").as("sxx"))
+      // persisted: the θ aggregate, the control lookup, and the readout
+      // all read this arms-sized frame — one corpus pass total
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // pooled θ from the arms-sized frame — globals are sums of per-arm sums
     val g = broadcast(arms.agg(
       sum("n").as("gn"), sum("sx").as("gsx"), sum("sy").as("gsy"),
@@ -178,7 +187,12 @@ object AbTest {
         signum(col("__cov")).cast("long") *
           expr("CAST((abs(__cov) * 1000000) div __var AS BIGINT)"))
         .as("theta_micro")))
-    val control = broadcast(arms.where(col("arm") === controlArm)
+    val cRows = arms.where(col("arm") === controlArm).collect()
+    require(cRows.nonEmpty,
+      s"control arm '$controlArm' has no observations — check the arm label")
+    val c = cRows.head
+    val control = broadcast(arms.sparkSession.createDataFrame(
+      java.util.List.of(c), c.schema)
       .select(col("n").as("n_c"), col("sx").as("sx_c"), col("sy").as("sy_c")))
     val dyN = (col("sy") * col("n_c").cast(dec) - col("sy_c") * col("n").cast(dec)).cast(dec)
     val dxN = (col("sx") * col("n_c").cast(dec) - col("sx_c") * col("n").cast(dec)).cast(dec)
@@ -190,10 +204,14 @@ object AbTest {
         expr("CAST((abs(__dy) * 1000) div __dd AS BIGINT)"))
       .withColumn("dx_milli", signum(col("__dx")).cast("long") *
         expr("CAST((abs(__dx) * 1000) div __dd AS BIGINT)"))
-      // θ·dX in milli: sign-split so both engines truncate identically
+      // θ·dX in milli: sign-split so both engines truncate identically;
+      // the magnitudes multiply in DECIMAL(38,0) — a long×long product
+      // here overflows (ANSI raise / silent wrap) at |θ·dX| > 2⁶³ while
+      // the HUGEINT oracle sails on
       .withColumn("__adjterm",
         (signum(col("theta_micro")) * signum(col("dx_milli"))).cast("long") *
-          expr("CAST((abs(theta_micro) * abs(dx_milli)) div 1000000 AS BIGINT)"))
+          expr("CAST((abs(CAST(theta_micro AS DECIMAL(38,0))) * " +
+            "abs(CAST(dx_milli AS DECIMAL(38,0)))) div 1000000 AS BIGINT)"))
       .select(col("arm"), col("n").as("n_arm"), col("n_c"),
         col("theta_micro"), col("dy_milli").as("mean_diff_milli"),
         (col("dy_milli") - col("__adjterm")).as("adj_diff_milli"))
@@ -229,8 +247,9 @@ object AbTest {
        |      * ((abs(dxn) * 1000) // dd) AS BIGINT) AS dx_milli
        |  FROM d)
        |SELECT arm, n_arm, n_c, theta_micro, dy_milli AS mean_diff_milli,
-       |  dy_milli - (CASE WHEN theta_micro * dx_milli < 0 THEN -1 ELSE 1 END
-       |    * CAST((abs(CAST(theta_micro AS HUGEINT)) * abs(dx_milli)) // 1000000 AS BIGINT))
+       |  dy_milli - (CASE WHEN (theta_micro < 0) <> (dx_milli < 0) THEN -1 ELSE 1 END
+       |    * CAST((abs(CAST(theta_micro AS HUGEINT)) * abs(CAST(dx_milli AS HUGEINT)))
+       |        // 1000000 AS BIGINT))
        |    AS adj_diff_milli
        |FROM m ORDER BY arm""".stripMargin
 

@@ -20,7 +20,9 @@ class CorpusReportSpec extends SparkSpec {
     assert(card("mean_tokens_milli") === 2000L) // 8000/4
     assert(card("n_langs") === 3L)
     assert(card("n_distinct_texts") === 2L)
-    assert(card("n_exact_dup_rows") === 2L) // 4 docs − 2 distinct texts
+    // 3 non-NULL texts − 2 distinct: the NULL-text doc is missing data,
+    // not a duplicate
+    assert(card("n_exact_dup_rows") === 1L)
   }
 
   test("empty corpus yields a zeroed card, not NULLs") {
