@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
@@ -24,6 +24,8 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   */
 object AbTest {
 
+  private val Dec = "decimal(38,0)"
+
   /** Shared integral-column guard (the Drift rule) — one definition for
     * every entry point, so the contract cannot drift.
     */
@@ -35,66 +37,90 @@ object AbTest {
           s"$c is ${other.catalogString}")
     }
 
+  /** The shared moment pipeline: NULL-filter, decimal projection, keyed
+    * groupBy of (n, Σx, Σx²), variance numerator — one definition for the
+    * global and segmented readouts.
+    */
+  private def moments(df: DataFrame, keyCols: Seq[(String, String)],
+                      valueCol: String): DataFrame = {
+    val x = col(valueCol).cast(LongType).cast(Dec)
+    val outKeys = keyCols.map { case (src, out) => col(src).as(out) }
+    val keyNames = keyCols.map(_._2)
+    df.where(keyCols.map(k => col(k._1).isNotNull)
+        .reduce(_ && _) && col(valueCol).isNotNull)
+      .select(outKeys :+ x.as("__x") :+ (x * x).cast(Dec).as("__xx"): _*)
+      .groupBy(keyNames.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum("__x").as("sum_v"), sum("__xx").as("sumsq_v"))
+      .withColumn("var_num",
+        (col("n").cast(Dec) * col("sumsq_v") - col("sum_v") * col("sum_v")).cast(Dec))
+  }
+
+  /** The shared diff/Welch readout over a stats frame already joined with
+    * its control columns (n_c, sum_c, var_num_c): appends
+    * `mean_diff_milli` (exact sign-split integer) and `welch_t` (the one
+    * double chain; NULL on degenerate arms) after the given lead columns.
+    */
+  private def readout(joined: DataFrame, leadCols: Seq[Column]): DataFrame = {
+    val diffNum = (col("sum_v") * col("n_c").cast(Dec) -
+      col("sum_c") * col("n").cast(Dec)).cast(Dec)
+    val diffDen = (col("n").cast(Dec) * col("n_c").cast(Dec)).cast(Dec)
+    val varT = col("var_num").cast("double") /
+      (col("n").cast("double") * (col("n") - 1).cast("double"))
+    val varC = col("var_num_c").cast("double") /
+      (col("n_c").cast("double") * (col("n_c") - 1).cast("double"))
+    val se = sqrt(varT / col("n").cast("double") + varC / col("n_c").cast("double"))
+    joined
+      .withColumn("__dn", diffNum)
+      .withColumn("__dd", diffDen)
+      .select(leadCols ++ Seq(
+        col("n").as("n_arm"), col("n_c"),
+        (signum(col("__dn")).cast("long") *
+          expr("CAST((abs(__dn) * 1000) div __dd AS BIGINT)"))
+          .as("mean_diff_milli"),
+        when(col("n") >= 2 && col("n_c") >= 2 && se > 0.0,
+          (col("__dn").cast("double") / col("__dd").cast("double")) / se)
+          .as("welch_t")): _*)
+  }
+
+  /** Materialize the control arm's single stats row as a broadcastable
+    * 1-row frame, raising LOUDLY when the arm is absent — a typo'd label
+    * or broken assignment must never read as a silently empty readout.
+    */
+  private def controlFrame(stats: DataFrame, controlArm: String,
+                           renames: Seq[(String, String)]): DataFrame = {
+    val cRows = stats.where(col("arm") === controlArm).collect()
+    require(cRows.nonEmpty,
+      s"control arm '$controlArm' has no observations — check the arm label")
+    val c = cRows.head
+    broadcast(stats.sparkSession.createDataFrame(java.util.List.of(c), c.schema)
+      .select(renames.map { case (src, out) => col(src).as(out) }: _*))
+  }
+
   /** Per-arm exact moments: (arm, n, sum_v, sumsq_v, var_num) where
     * var_num = n·Σx² − (Σx)² (sample variance = var_num / (n·(n−1))).
     * NULL arms and NULL values are excluded.
     */
   def armStats(df: DataFrame, armCol: String, valueCol: String): DataFrame = {
     requireIntegral(df, valueCol, "armStats")
-    val dec = "decimal(38,0)"
-    val x = col(valueCol).cast(LongType).cast(dec)
-    df.where(col(armCol).isNotNull && col(valueCol).isNotNull)
-      .select(col(armCol).as("arm"), x.as("__x"),
-        (x * x).cast(dec).as("__xx"))
-      .groupBy("arm")
-      .agg(count(lit(1)).as("n"),
-        sum("__x").as("sum_v"), sum("__xx").as("sumsq_v"))
-      .withColumn("var_num",
-        (col("n").cast(dec) * col("sumsq_v") - col("sum_v") * col("sum_v")).cast(dec))
+    moments(df, Seq(armCol -> "arm"), valueCol)
   }
 
   /** Every treatment arm vs `controlArm`: exact integer mean difference in
     * milli-units plus Welch's t (NULL when either arm has n < 2 or zero
-    * variance denominators degenerate).
+    * variance denominators degenerate). Raises when the control arm has
+    * no observations.
     */
   def compareToControl(df: DataFrame, armCol: String, valueCol: String,
                        controlArm: String): DataFrame = {
-    // the arms frame is persisted across the control lookup and the
-    // returned readout (one corpus aggregation, ContextCleaner reclaims);
-    // a missing control arm — a typo'd label, a broken assignment — is a
-    // LOUD error, never a silently empty readout
+    // persisted: the control lookup and the readout both read the
+    // arms-sized frame — one corpus aggregation (ContextCleaner reclaims)
     val stats = armStats(df, armCol, valueCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cRows = stats.where(col("arm") === controlArm).collect()
-    require(cRows.nonEmpty,
-      s"control arm '$controlArm' has no observations — check the arm label")
-    val c = cRows.head
-    val control = broadcast(stats.sparkSession.createDataFrame(
-      java.util.List.of(c), c.schema)
-      .select(col("n").as("n_c"), col("sum_v").as("sum_c"),
-        col("var_num").as("var_num_c")))
-    val dec = "decimal(38,0)"
-    val diffNum = (col("sum_v") * col("n_c").cast(dec) -
-      col("sum_c") * col("n").cast(dec)).cast(dec)
-    val diffDen = (col("n").cast(dec) * col("n_c").cast(dec)).cast(dec)
-    // sample variances as doubles for the t denominator — one chain
-    val varT = col("var_num").cast("double") /
-      (col("n").cast("double") * (col("n") - 1).cast("double"))
-    val varC = col("var_num_c").cast("double") /
-      (col("n_c").cast("double") * (col("n_c") - 1).cast("double"))
-    val se = sqrt(varT / col("n").cast("double") + varC / col("n_c").cast("double"))
-    stats.where(col("arm") =!= controlArm)
-      .crossJoin(control)
-      .withColumn("__dn", diffNum)
-      .withColumn("__dd", diffDen)
-      .select(
-        col("arm"), col("n").as("n_arm"), col("n_c"),
-        (signum(col("__dn")).cast("long") *
-          expr("CAST((abs(__dn) * 1000) div __dd AS BIGINT)"))
-          .as("mean_diff_milli"),
-        when(col("n") >= 2 && col("n_c") >= 2 && se > 0.0,
-          (col("__dn").cast("double") / col("__dd").cast("double")) / se)
-          .as("welch_t"))
+    val control = controlFrame(stats, controlArm,
+      Seq("n" -> "n_c", "sum_v" -> "sum_c", "var_num" -> "var_num_c"))
+    readout(stats.where(col("arm") =!= controlArm).crossJoin(control),
+      Seq(col("arm")))
   }
 
   /** Heterogeneous treatment effects: [[compareToControl]] within every
@@ -108,41 +134,14 @@ object AbTest {
                                 armCol: String, valueCol: String,
                                 controlArm: String): DataFrame = {
     requireIntegral(df, valueCol, "compareToControlBySegment")
-    val dec = "decimal(38,0)"
-    val x = col(valueCol).cast(LongType).cast(dec)
-    val stats = df
-      .where(col(segmentCol).isNotNull && col(armCol).isNotNull &&
-        col(valueCol).isNotNull)
-      .select(col(segmentCol).as("segment"), col(armCol).as("arm"),
-        x.as("__x"), (x * x).cast(dec).as("__xx"))
-      .groupBy("segment", "arm")
-      .agg(count(lit(1)).as("n"),
-        sum("__x").as("sum_v"), sum("__xx").as("sumsq_v"))
-      .withColumn("var_num",
-        (col("n").cast(dec) * col("sumsq_v") - col("sum_v") * col("sum_v")).cast(dec))
+    val stats = moments(df, Seq(segmentCol -> "segment", armCol -> "arm"), valueCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val control = stats.where(col("arm") === controlArm)
       .select(col("segment"), col("n").as("n_c"), col("sum_v").as("sum_c"),
         col("var_num").as("var_num_c"))
-    val diffNum = (col("sum_v") * col("n_c").cast(dec) -
-      col("sum_c") * col("n").cast(dec)).cast(dec)
-    val diffDen = (col("n").cast(dec) * col("n_c").cast(dec)).cast(dec)
-    val varT = col("var_num").cast("double") /
-      (col("n").cast("double") * (col("n") - 1).cast("double"))
-    val varC = col("var_num_c").cast("double") /
-      (col("n_c").cast("double") * (col("n_c") - 1).cast("double"))
-    val se = sqrt(varT / col("n").cast("double") + varC / col("n_c").cast("double"))
-    stats.where(col("arm") =!= controlArm)
-      .join(broadcast(control), Seq("segment"))
-      .withColumn("__dn", diffNum)
-      .withColumn("__dd", diffDen)
-      .select(
-        col("segment"), col("arm"), col("n").as("n_arm"), col("n_c"),
-        (signum(col("__dn")).cast("long") *
-          expr("CAST((abs(__dn) * 1000) div __dd AS BIGINT)"))
-          .as("mean_diff_milli"),
-        when(col("n") >= 2 && col("n_c") >= 2 && se > 0.0,
-          (col("__dn").cast("double") / col("__dd").cast("double")) / se)
-          .as("welch_t"))
+    readout(
+      stats.where(col("arm") =!= controlArm).join(broadcast(control), Seq("segment")),
+      Seq(col("segment"), col("arm")))
   }
 
   /** CUPED variance reduction — adjust the metric by a pre-experiment
@@ -157,18 +156,18 @@ object AbTest {
     * difference ⌊dY − θ·dX⌋ composed from cross-multiplied integer
     * milli diffs. Emits raw and adjusted diffs side by side — the spec's
     * imbalanced-covariate case shows the raw diff misleading and the
-    * adjusted one recovering the true effect.
+    * adjusted one recovering the true effect. Raises when the control
+    * arm has no observations.
     */
   def cupedCompare(df: DataFrame, armCol: String, yCol: String, xCol: String,
                    controlArm: String): DataFrame = {
     Seq(yCol, xCol).foreach(requireIntegral(df, _, "cupedCompare"))
-    val dec = "decimal(38,0)"
-    val x = col(xCol).cast(LongType).cast(dec)
-    val y = col(yCol).cast(LongType).cast(dec)
+    val x = col(xCol).cast(LongType).cast(Dec)
+    val y = col(yCol).cast(LongType).cast(Dec)
     val arms = df
       .where(col(armCol).isNotNull && col(yCol).isNotNull && col(xCol).isNotNull)
       .select(col(armCol).as("arm"), x.as("__x"), y.as("__y"),
-        (x * y).cast(dec).as("__xy"), (x * x).cast(dec).as("__xx"))
+        (x * y).cast(Dec).as("__xy"), (x * x).cast(Dec).as("__xx"))
       .groupBy("arm")
       .agg(count(lit(1)).as("n"), sum("__x").as("sx"), sum("__y").as("sy"),
         sum("__xy").as("sxy"), sum("__xx").as("sxx"))
@@ -180,23 +179,18 @@ object AbTest {
       sum("n").as("gn"), sum("sx").as("gsx"), sum("sy").as("gsy"),
       sum("sxy").as("gsxy"), sum("sxx").as("gsxx"))
       .withColumn("__cov",
-        (col("gn").cast(dec) * col("gsxy") - col("gsx") * col("gsy")).cast(dec))
+        (col("gn").cast(Dec) * col("gsxy") - col("gsx") * col("gsy")).cast(Dec))
       .withColumn("__var",
-        (col("gn").cast(dec) * col("gsxx") - col("gsx") * col("gsx")).cast(dec))
-      .select(when(col("__var") > lit(0).cast(dec),
+        (col("gn").cast(Dec) * col("gsxx") - col("gsx") * col("gsx")).cast(Dec))
+      .select(when(col("__var") > lit(0).cast(Dec),
         signum(col("__cov")).cast("long") *
           expr("CAST((abs(__cov) * 1000000) div __var AS BIGINT)"))
         .as("theta_micro")))
-    val cRows = arms.where(col("arm") === controlArm).collect()
-    require(cRows.nonEmpty,
-      s"control arm '$controlArm' has no observations — check the arm label")
-    val c = cRows.head
-    val control = broadcast(arms.sparkSession.createDataFrame(
-      java.util.List.of(c), c.schema)
-      .select(col("n").as("n_c"), col("sx").as("sx_c"), col("sy").as("sy_c")))
-    val dyN = (col("sy") * col("n_c").cast(dec) - col("sy_c") * col("n").cast(dec)).cast(dec)
-    val dxN = (col("sx") * col("n_c").cast(dec) - col("sx_c") * col("n").cast(dec)).cast(dec)
-    val dd = (col("n").cast(dec) * col("n_c").cast(dec)).cast(dec)
+    val control = controlFrame(arms, controlArm,
+      Seq("n" -> "n_c", "sx" -> "sx_c", "sy" -> "sy_c"))
+    val dyN = (col("sy") * col("n_c").cast(Dec) - col("sy_c") * col("n").cast(Dec)).cast(Dec)
+    val dxN = (col("sx") * col("n_c").cast(Dec) - col("sx_c") * col("n").cast(Dec)).cast(Dec)
+    val dd = (col("n").cast(Dec) * col("n_c").cast(Dec)).cast(Dec)
     arms.where(col("arm") =!= controlArm)
       .crossJoin(control).crossJoin(g)
       .withColumn("__dy", dyN).withColumn("__dx", dxN).withColumn("__dd", dd)
@@ -272,25 +266,27 @@ object AbTest {
     require(weights.values.forall(_ > 0), "weights must be positive")
     val spark = df.sparkSession
     import spark.implicits._
-    val dec = "decimal(38,0)"
     val w = weights.values.sum
     val observed = df.where(col(armCol).isNotNull)
       .groupBy(col(armCol).as("arm")).agg(count(lit(1)).as("n_obs"))
     val expected = weights.toSeq.sortBy(_._1).toDF("arm", "weight")
+    // persisted: the total and the readout both read this arms-sized
+    // frame — one corpus aggregation
     val joined = observed.join(expected, Seq("arm"), "full_outer")
       .select(col("arm"),
         coalesce(col("n_obs"), lit(0L)).as("n_obs"),
         col("weight"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = broadcast(joined.agg(
       coalesce(sum("n_obs"), lit(0L)).as("__N")))
-    val dn = (col("n_obs").cast(dec) * lit(w).cast(dec) -
-      col("__N").cast(dec) * col("weight").cast(dec)).cast(dec)
-    val den = (col("__N").cast(dec) * col("weight").cast(dec) * lit(w).cast(dec)).cast(dec)
+    val dn = (col("n_obs").cast(Dec) * lit(w).cast(Dec) -
+      col("__N").cast(Dec) * col("weight").cast(Dec)).cast(Dec)
+    val den = (col("__N").cast(Dec) * col("weight").cast(Dec) * lit(w).cast(Dec)).cast(Dec)
     joined.crossJoin(total)
       .withColumn("__dn", dn)
       .withColumn("__dd", den)
       .select(col("arm"), col("n_obs"), col("weight"),
-        when(col("weight").isNotNull && col("__dd") > lit(0).cast(dec),
+        when(col("weight").isNotNull && col("__dd") > lit(0).cast(Dec),
           expr("CAST((__dn * __dn * 1000000) div __dd AS BIGINT)"))
           .as("chisq_q"))
   }
