@@ -45,6 +45,12 @@ object Registry {
   private[graft] val windowedQuantilesPrecondition =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** Per-dataset-dir cache of the q_quantile_store exact-regime
+    * precondition (max documents per lang) — same rationale.
+    */
+  private[graft] val quantileStorePrecondition =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   /** q_sample_mix quotas: uneven on purpose (some above the per-source row
     * count at small SFs — groups smaller than their quota emit all rows).
     */
@@ -2440,6 +2446,43 @@ GROUP BY n_name ORDER BY revenue DESC, n_name ASC""")),
           Tables.resolve(s, dir)("lineitem"), Seq("l_suppkey")),
         Some(graft.operators.Profiling.keyConcentrationOracle(
           "lineitem", Seq("l_suppkey")))),
+
+      // maintained quantile store: three batch folds of per-lang KLL
+      // summaries must equal one continuous aggregation (carried parity
+      // bits make the fold ≡ live aggregation; exact regime asserted)
+      RegisteredQuery(
+        "q_quantile_store",
+        (s, dir) => {
+          val docs = Tables.resolve(s, dir)("documents")
+          val maxPerLang = Registry.quantileStorePrecondition.computeIfAbsent(dir, _ => {
+            val row = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+              .agg(max(col("n"))).head
+            if (row.isNullAt(0)) 0L else row.getLong(0)
+          })
+          require(maxPerLang < 4096,
+            s"q_quantile_store exact-regime precondition broken: a lang has " +
+              s"$maxPerLang docs >= 2k=4096 — the summary would compact and the " +
+              "exact oracle comparison becomes meaningless; raise k")
+          val store = "/tmp/graft_quantile_store"
+          val p = new org.apache.hadoop.fs.Path(store)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          Seq(p, graft.sources.AtomicStore.tmpPath(p),
+            graft.sources.AtomicStore.stashPath(p)).foreach(fs.delete(_, true))
+          (0 until 3).foreach { b =>
+            graft.operators.QuantileStore.update(s, store,
+              docs.where(pmod(col("doc_id"), lit(3)) === b),
+              Seq("lang"), col("n_chars"), k = 2048)
+          }
+          graft.operators.QuantileStore.quantiles(
+              graft.operators.QuantileStore.read(s, store),
+              Seq("lang"), k = 2048, qs = Seq((1L, 2L), (9L, 10L)),
+              names = Seq("p50_chars", "p90_chars"))
+            .orderBy("lang")
+        },
+        Some("""SELECT lang,
+quantile_disc(n_chars, 0.5) AS p50_chars,
+quantile_disc(n_chars, 0.9) AS p90_chars
+FROM documents GROUP BY lang ORDER BY lang""")),
 
       // A/B comparison: per-arm exact moments (one shuffle of three
       // decimal partials), control broadcast back; integer mean diffs

@@ -43,91 +43,80 @@ final case class QSketchBuf(levels: ArrayBuffer[ArrayBuffer[Long]],
   */
 class QuantileSketch(k: Int, qs: Seq[(Long, Long)])
     extends Aggregator[java.lang.Long, QSketchBuf, Seq[Long]] {
-  require(k > 1, s"summary size k must be > 1, got $k")
-  require(qs.nonEmpty, "at least one quantile fraction")
-  qs.foreach { case (n, d) =>
-    require(d > 0 && n > 0 && n <= d, s"quantile $n/$d must be a fraction in (0, 1]")
-  }
-
+  KllOps.requireValidFractions(k, qs)
   private val cap = 2 * k
-
-  override def zero: QSketchBuf =
-    QSketchBuf(ArrayBuffer(new ArrayBuffer[Long]()), ArrayBuffer(false))
-
-  override def reduce(buf: QSketchBuf, v: java.lang.Long): QSketchBuf = {
-    if (v == null) return buf
-    buf.levels(0) += v.longValue()
-    if (buf.levels(0).length >= cap) compact(buf, 0)
-    buf
-  }
-
-  override def merge(a: QSketchBuf, b: QSketchBuf): QSketchBuf = {
-    while (a.levels.length < b.levels.length) {
-      a.levels += new ArrayBuffer[Long](); a.parities += false
-    }
-    var l = 0
-    while (l < b.levels.length) { a.levels(l) ++= b.levels(l); l += 1 }
-    l = 0
-    while (l < a.levels.length) { // cascade bottom-up
-      if (a.levels(l).length >= cap) compact(a, l)
-      l += 1
-    }
-    a
-  }
-
-  /** Sort level l, promote alternate elements to level l+1 (parity
-    * alternates per compaction; an odd leftover stays behind).
-    */
-  private def compact(buf: QSketchBuf, l: Int): Unit = {
-    if (l + 1 == buf.levels.length) {
-      buf.levels += new ArrayBuffer[Long](); buf.parities += false
-    }
-    val lvl = buf.levels(l)
-    val sorted = lvl.toArray
-    java.util.Arrays.sort(sorted)
-    val even = sorted.length - (sorted.length & 1)
-    val start = if (buf.parities(l)) 1 else 0
-    buf.parities(l) = !buf.parities(l)
-    val up = buf.levels(l + 1)
-    var i = start
-    while (i < even) { up += sorted(i); i += 2 }
-    lvl.clear()
-    if (even < sorted.length) lvl += sorted(even) // odd carry keeps weight 2^l
-    if (up.length >= cap) compact(buf, l + 1)
-  }
-
-  /** One value per requested fraction: smallest value with cumulative
-    * weight ≥ ⌈num·W/den⌉ over the weighted union of levels (empty
-    * input → empty).
-    */
-  override def finish(buf: QSketchBuf): Seq[Long] = {
-    var n = 0
-    var l = 0
-    while (l < buf.levels.length) { n += buf.levels(l).length; l += 1 }
-    if (n == 0) return Seq.empty
-    val vs = new Array[Long](n)
-    val ws = new Array[Long](n)
-    var i = 0
-    l = 0
-    while (l < buf.levels.length) {
-      val w = 1L << l
-      buf.levels(l).foreach { v => vs(i) = v; ws(i) = w; i += 1 }
-      l += 1
-    }
-    val order = (0 until n).sortBy(vs(_))
-    val total = ws.sum
-    qs.map { case (num, den) =>
-      val r = (num * total + den - 1) / den
-      var cum = 0L; var j = 0
-      while (cum < r) { cum += ws(order(j)); j += 1 }
-      vs(order(j - 1))
-    }
-  }
-
+  override def zero: QSketchBuf = KllOps.zero
+  override def reduce(buf: QSketchBuf, v: java.lang.Long): QSketchBuf =
+    KllOps.reduce(buf, v, cap)
+  override def merge(a: QSketchBuf, b: QSketchBuf): QSketchBuf =
+    KllOps.merge(a, b, cap)
+  override def finish(buf: QSketchBuf): Seq[Long] = KllOps.quantiles(buf, qs)
   override def bufferEncoder: Encoder[QSketchBuf] =
     org.apache.spark.sql.Encoders.kryo[QSketchBuf]
   override def outputEncoder: Encoder[Seq[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}
+
+/** Values → portable serialized summary — the build step of the
+  * maintained quantile store ([[graft.operators.QuantileStore]]): same
+  * buffer mechanics as [[QuantileSketch]] (delegated to [[KllOps]]), but
+  * the output is the (levels, parities) summary itself, storable and
+  * mergeable later.
+  */
+class QuantileSummaryAgg(k: Int)
+    extends Aggregator[java.lang.Long, QSketchBuf, KllSummary] {
+  require(k > 1, s"summary size k must be > 1, got $k")
+  private val cap = 2 * k
+  override def zero: QSketchBuf = KllOps.zero
+  override def reduce(buf: QSketchBuf, v: java.lang.Long): QSketchBuf =
+    KllOps.reduce(buf, v, cap)
+  override def merge(a: QSketchBuf, b: QSketchBuf): QSketchBuf =
+    KllOps.merge(a, b, cap)
+  override def finish(buf: QSketchBuf): KllSummary = KllOps.toSummary(buf)
+  override def bufferEncoder: Encoder[QSketchBuf] =
+    org.apache.spark.sql.Encoders.kryo[QSketchBuf]
+  override def outputEncoder: Encoder[KllSummary] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[KllSummary]()
+}
+
+/** Summaries → merged summary or quantiles — the fold/read steps of the
+  * maintained store: rehydrates each input summary and merges it with
+  * the SAME cascade a live aggregation would run (the carried parity
+  * bits make the fold exactly one continuous aggregation).
+  */
+class SummaryMergeAgg(k: Int, qs: Seq[(Long, Long)])
+    extends Aggregator[KllSummary, QSketchBuf, Seq[Long]] {
+  KllOps.requireValidFractions(k, qs)
+  private val cap = 2 * k
+  override def zero: QSketchBuf = KllOps.zero
+  override def reduce(buf: QSketchBuf, s: KllSummary): QSketchBuf =
+    if (s == null) buf else KllOps.merge(buf, KllOps.fromSummary(s), cap)
+  override def merge(a: QSketchBuf, b: QSketchBuf): QSketchBuf =
+    KllOps.merge(a, b, cap)
+  override def finish(buf: QSketchBuf): Seq[Long] = KllOps.quantiles(buf, qs)
+  override def bufferEncoder: Encoder[QSketchBuf] =
+    org.apache.spark.sql.Encoders.kryo[QSketchBuf]
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}
+
+/** The summary-output twin of [[SummaryMergeAgg]] — folds summaries into
+  * a NEW summary (the store-update aggregate).
+  */
+class SummaryFoldAgg(k: Int)
+    extends Aggregator[KllSummary, QSketchBuf, KllSummary] {
+  require(k > 1, s"summary size k must be > 1, got $k")
+  private val cap = 2 * k
+  override def zero: QSketchBuf = KllOps.zero
+  override def reduce(buf: QSketchBuf, s: KllSummary): QSketchBuf =
+    if (s == null) buf else KllOps.merge(buf, KllOps.fromSummary(s), cap)
+  override def merge(a: QSketchBuf, b: QSketchBuf): QSketchBuf =
+    KllOps.merge(a, b, cap)
+  override def finish(buf: QSketchBuf): KllSummary = KllOps.toSummary(buf)
+  override def bufferEncoder: Encoder[QSketchBuf] =
+    org.apache.spark.sql.Encoders.kryo[QSketchBuf]
+  override def outputEncoder: Encoder[KllSummary] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[KllSummary]()
 }
 
 object Quantiles {

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.functions.{QuantileSummaryAgg, SummaryFoldAgg, SummaryMergeAgg}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Continuously-maintained quantile summaries — the sketch-algebra
+  * sibling of [[IncrementalAgg]]: where that store folds ALGEBRAIC
+  * aggregates (count/sum/min/max), this one folds per-group KLL
+  * summaries, so p50/p95-per-window monitoring
+  * stays current under streaming ingest without ever re-scanning
+  * history. The missing piece algebraic stores can't cover: quantiles
+  * don't decompose into sums, but KLL summaries MERGE — and the carried
+  * compaction-parity bits make a fold across store generations behave
+  * exactly like one continuous aggregation (the derandomized-KLL
+  * determinism the batch gate relies on).
+  *
+  * Scale shape: per batch, one partial-agg'd groupBy ships
+  * O(k·log(n/k))-entry summaries per (group, partition); the store merge
+  * is store-sized (groups × summary), never history-sized. Same
+  * [[graft.sources.AtomicStore]] crash discipline as IncrementalAgg
+  * (fold replay is NOT a no-op — checkpoint the stream source; see
+  * [[graft.streaming.MetricsIngest]]).
+  */
+object QuantileStore {
+
+  /** The batch partial: one (groupCols*, summary) row per group. */
+  def partial(batch: DataFrame, groupCols: Seq[String], value: Column,
+              k: Int): DataFrame =
+    batch.groupBy(groupCols.map(col): _*)
+      .agg(udaf(new QuantileSummaryAgg(k)).apply(value.cast("long")).as("summary"))
+
+  /** Fold one batch into the store at `storeDir` (bootstraps on first
+    * use). After n calls the store's quantiles equal one continuous
+    * aggregation over the concatenated batches, whatever the batching.
+    */
+  def update(spark: SparkSession, storeDir: String, batch: DataFrame,
+             groupCols: Seq[String], value: Column, k: Int): Unit = {
+    import graft.sources.AtomicStore
+    AtomicStore.restoreIfStashed(spark, storeDir)
+    val part = partial(batch, groupCols, value, k)
+    if (!AtomicStore.hasData(spark, storeDir)) {
+      AtomicStore.create(spark, storeDir, part)
+      return
+    }
+    // a case-class-input UDAF takes the struct's FIELDS as its arguments
+    val merged = spark.read.parquet(storeDir).unionByName(part)
+      .groupBy(groupCols.map(col): _*)
+      .agg(udaf(new SummaryFoldAgg(k))
+        .apply(col("summary.levels"), col("summary.parities")).as("summary"))
+    AtomicStore.replace(spark, storeDir, merged)
+  }
+
+  /** The maintained summaries: one row per group seen so far. */
+  def read(spark: SparkSession, storeDir: String): DataFrame = {
+    graft.sources.AtomicStore.restoreIfStashed(spark, storeDir)
+    spark.read.parquet(storeDir)
+  }
+
+  /** Quantiles off a summary frame (a [[read]] result): one row per
+    * group, one column per fraction — the store-backed form of
+    * [[graft.functions.Quantiles.perGroup]].
+    */
+  def quantiles(store: DataFrame, groupCols: Seq[String], k: Int,
+                qs: Seq[(Long, Long)], names: Seq[String]): DataFrame = {
+    require(names.length == qs.length, "one name per fraction")
+    store.groupBy(groupCols.map(col): _*)
+      .agg(udaf(new SummaryMergeAgg(k, qs))
+        .apply(col("summary.levels"), col("summary.parities")).as("__q"))
+      .select(groupCols.map(col) ++ names.zipWithIndex.map { case (n, i) =>
+        element_at(col("__q"), i + 1).as(n)
+      }: _*)
+  }
+}
