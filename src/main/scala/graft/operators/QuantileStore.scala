@@ -51,6 +51,25 @@ object QuantileStore {
     AtomicStore.replace(spark, storeDir, merged)
   }
 
+  /** Continuous form: a stream folded into the store one micro-batch at
+    * a time — the [[graft.streaming.MetricsIngest]] shape with the KLL
+    * fold as the step. Same delivery contract: `foreachBatch` is
+    * at-least-once and a fold replay is NOT a no-op, so `checkpointDir`
+    * is required; the residual one-batch replay window slightly
+    * over-weights those values in the summary (acceptable for
+    * monitoring quantiles — land batches to the lake where exactness
+    * across restarts is required).
+    */
+  def start(stream: DataFrame, storeDir: String, groupCols: Seq[String],
+            valueCol: String, k: Int,
+            checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        update(batch.sparkSession, storeDir, batch, groupCols, col(valueCol), k)
+      }
+      .start()
+
   /** The maintained summaries: one row per group seen so far. */
   def read(spark: SparkSession, storeDir: String): DataFrame = {
     graft.sources.AtomicStore.restoreIfStashed(spark, storeDir)
