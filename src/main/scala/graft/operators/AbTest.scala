@@ -261,14 +261,25 @@ object AbTest {
     * deficit. One partial-agg'd count + an arms-sized join.
     */
   def sampleRatioCheck(df: DataFrame, armCol: String,
-                       weights: Map[String, Long]): DataFrame = {
+                       weights: Map[String, Long]): DataFrame =
+    sampleRatioFromCounts(
+      df.where(col(armCol).isNotNull)
+        .groupBy(col(armCol).as("arm")).agg(count(lit(1)).as("n_obs")),
+      weights)
+
+  /** [[sampleRatioCheck]] over a pre-counted (arm, n_obs) frame — e.g. an
+    * [[IncrementalAgg]]-maintained per-arm count store, so the SRM
+    * tripwire runs CONTINUOUSLY against live assignment counts (fold the
+    * stream via [[graft.streaming.MetricsIngest]] grouped by arm, read
+    * the store, check each batch) without re-scanning assignment history.
+    */
+  def sampleRatioFromCounts(observed: DataFrame,
+                            weights: Map[String, Long]): DataFrame = {
     require(weights.nonEmpty, "weights must be non-empty")
     require(weights.values.forall(_ > 0), "weights must be positive")
-    val spark = df.sparkSession
+    val spark = observed.sparkSession
     import spark.implicits._
     val w = weights.values.sum
-    val observed = df.where(col(armCol).isNotNull)
-      .groupBy(col(armCol).as("arm")).agg(count(lit(1)).as("n_obs"))
     val expected = weights.toSeq.sortBy(_._1).toDF("arm", "weight")
     // persisted: the total and the readout both read this arms-sized
     // frame — one corpus aggregation

@@ -111,6 +111,23 @@ class AbTestSpec extends SparkSpec {
     assert(g(1)._2 === 0L && g(1)._3.nonEmpty) // b: absent but expected
   }
 
+  test("sampleRatioFromCounts: a maintained count store drives the same check") {
+    import graft.operators.IncrementalAgg
+    val dir = java.nio.file.Files.createTempDirectory("srm_store").toString
+    val batches = Seq(Seq("a", "a", "b"), Seq("a", "b"), Seq("a"))
+    batches.foreach { b =>
+      IncrementalAgg.update(spark, dir, b.map(Tuple1(_)).toDF("arm"),
+        Seq("arm"), Seq(IncrementalAgg.Count("n_obs")))
+    }
+    val fromStore = AbTest.sampleRatioFromCounts(
+        IncrementalAgg.read(spark, dir), Map("a" -> 1L, "b" -> 1L))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val direct = AbTest.sampleRatioCheck(
+        batches.flatten.map(Tuple1(_)).toDF("arm"), "arm", Map("a" -> 1L, "b" -> 1L))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(fromStore === direct)
+  }
+
   test("plan: one partial-agg'd shuffle, control broadcast back") {
     val plan = AbTest.compareToControl(d, "arm", "v", "c")
       .queryExecution.executedPlan.toString
