@@ -1140,6 +1140,16 @@ SELECT lang, CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE) ELSE 15.0 * ${1L << 60} /
           .orderBy("doc_id"),
         Some(langIdOracle("documents", "doc_id", "lang", "text"))),
 
+      // language-ID confidence margin: top marker count minus runner-up
+      // (0 = tie or markerless — route to review, don't trust the label)
+      RegisteredQuery(
+        "q_lang_margin",
+        (s, dir) => Tables.resolve(s, dir)("documents")
+          .select(col("doc_id"), langId(col("text")).as("lang_pred"),
+            langIdMargin(col("text")).as("margin"))
+          .orderBy("doc_id"),
+        Some(langMarginOracle("documents", "doc_id", "text"))),
+
       // A4 rest: arbitrary exact quantiles through the ADT path (the
       // reference's quantile(p); interpolation matches ANSI PERCENTILE_CONT)
       adt("q_quantile", Select(

@@ -132,6 +132,18 @@ object TextFunctions {
       .foldRight(lit("und")) { case ((l, s), acc) => when(m > 0 && s === m, lit(l)).otherwise(acc) }
   }
 
+  /** Language-ID confidence margin: top marker count minus runner-up —
+    * the "how sure was the classifier" companion to [[langId]] (margin 0
+    * = a tie the [[LangOrder]] rule broke arbitrarily, or no markers at
+    * all: route those docs to review / drop instead of trusting the
+    * label). Exact integers via a sorted score array — scan-stage, and
+    * the oracle sorts the same list.
+    */
+  def langIdMargin(text: Column): Column = {
+    val sorted = sort_array(array(LangOrder.map(l => langScore(text, l)): _*), asc = false)
+    (element_at(sorted, 1) - element_at(sorted, 2)).cast("long")
+  }
+
   // -------------------------------------------------------- fingerprints --
 
   /** Whole-document fingerprint (md5-based 60-bit). Identical documents ⇒
@@ -197,5 +209,16 @@ FROM toks ORDER BY $idCol""".stripMargin
   def langIdOracle(table: String, idCol: String, langCol: String, textCol: String): String = {
     s"""${langPredCtes(table, textCol, s"$idCol, $langCol")}
 SELECT $idCol, $langCol, lang_pred FROM lp ORDER BY $idCol""".stripMargin
+  }
+
+  /** Oracle for [[langIdMargin]] alongside the prediction — same score
+    * CTEs, same descending sort of the score list.
+    */
+  def langMarginOracle(table: String, idCol: String, textCol: String): String = {
+    val list = LangOrder.map("s_" + _).mkString("[", ", ", "]")
+    s"""${langPredCtes(table, textCol, idCol)}
+SELECT $idCol, lang_pred,
+  CAST(list_sort($list, 'DESC')[1] - list_sort($list, 'DESC')[2] AS BIGINT) AS margin
+FROM lp ORDER BY $idCol""".stripMargin
   }
 }

@@ -55,6 +55,20 @@ class LlmSpec extends SparkSpec {
     assert(r(0) == "en" && r(2) == "de" && r(3) == "und")
   }
 
+  test("langIdMargin: confident docs score high, ties and markerless score 0") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the the the of and"), // en markers only → margin = en count
+      (2L, "the der"),            // one en vs one de marker → tie, margin 0
+      (3L, "zzz qqq")             // no markers anywhere → margin 0
+    ).toDF("doc_id", "text")
+    val m = d.select(col("doc_id"), TextFunctions.langIdMargin(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) === 5L)
+    assert(m(2L) === 0L)
+    assert(m(3L) === 0L)
+  }
+
   test("dedupExact keeps the lowest id per identical text") {
     val kept = Dedup.dedupExact(docs, "text", "doc_id")
       .select("doc_id").collect().map(_.getLong(0)).sorted
