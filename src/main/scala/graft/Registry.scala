@@ -1140,6 +1140,17 @@ SELECT lang, CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE) ELSE 15.0 * ${1L << 60} /
           .orderBy("doc_id"),
         Some(langIdOracle("documents", "doc_id", "lang", "text"))),
 
+      // character-class composition (encoding-noise screen): scan-stage
+      // delete-and-measure regex counts, n_other derived
+      RegisteredQuery(
+        "q_char_classes",
+        (s, dir) => Tables.resolve(s, dir)("documents")
+          .select(col("doc_id"), charClassCounts(col("text")).as("c"))
+          .select(col("doc_id"), col("c.n_chars"), col("c.n_alpha"),
+            col("c.n_digit"), col("c.n_space"), col("c.n_other"))
+          .orderBy("doc_id"),
+        Some(charClassOracle("documents", "doc_id", "text"))),
+
       // language-ID confidence margin: top marker count minus runner-up
       // (0 = tie or markerless — route to review, don't trust the label)
       RegisteredQuery(

@@ -144,6 +144,43 @@ object TextFunctions {
     (element_at(sorted, 1) - element_at(sorted, 2)).cast("long")
   }
 
+  /** Character-class composition: (n_chars, n_alpha, n_digit, n_space,
+    * n_other) — the encoding-noise screen beside the token-level quality
+    * metrics (mojibake, binary-in-text, markup soup all show up as an
+    * `n_other` spike before any tokenizer runs). ASCII classes only, so
+    * both engines count identical sets; each count is one
+    * delete-and-measure regex (`length(s) − length(remove(class))`),
+    * scan-stage, n_other derived by subtraction — one pass, no
+    * per-character explosion.
+    */
+  def charClassCounts(text: Column): Column = {
+    def without(pattern: String): Column =
+      length(text) - length(regexp_replace(text, pattern, ""))
+    val n = length(text).cast("long")
+    val alpha = without("[A-Za-z]").cast("long")
+    val digit = without("[0-9]").cast("long")
+    val space = without("[ ]").cast("long")
+    struct(
+      n.as("n_chars"), alpha.as("n_alpha"), digit.as("n_digit"),
+      space.as("n_space"), (n - alpha - digit - space).as("n_other"))
+  }
+
+  /** Oracle for [[charClassCounts]] — same delete-and-measure regexes
+    * (DuckDB needs the 'g' flag for replace-all; Spark's default).
+    */
+  def charClassOracle(table: String, idCol: String, textCol: String): String = {
+    def without(p: String): String =
+      s"length($textCol) - length(regexp_replace($textCol, '$p', '', 'g'))"
+    s"""SELECT $idCol,
+CAST(length($textCol) AS BIGINT) AS n_chars,
+CAST(${without("[A-Za-z]")} AS BIGINT) AS n_alpha,
+CAST(${without("[0-9]")} AS BIGINT) AS n_digit,
+CAST(${without("[ ]")} AS BIGINT) AS n_space,
+CAST(length($textCol) - (${without("[A-Za-z]")}) - (${without("[0-9]")})
+  - (${without("[ ]")}) AS BIGINT) AS n_other
+FROM $table ORDER BY $idCol""".stripMargin
+  }
+
   // -------------------------------------------------------- fingerprints --
 
   /** Whole-document fingerprint (md5-based 60-bit). Identical documents ⇒

@@ -69,6 +69,16 @@ class LlmSpec extends SparkSpec {
     assert(m(3L) === 0L)
   }
 
+  test("charClassCounts: hand-checked composition, classes partition the text") {
+    import spark.implicits._
+    val d = Seq((1L, "ab1 ?€x"), (2L, "")).toDF("doc_id", "text")
+    val r = d.select(col("doc_id"), TextFunctions.charClassCounts(col("text")).as("c"))
+      .select("doc_id", "c.n_chars", "c.n_alpha", "c.n_digit", "c.n_space", "c.n_other")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(r(0) === ((1L, 7L, 3L, 1L, 1L, 2L))) // a,b,x | 1 | ' ' | ?,€
+    assert(r(1) === ((2L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
   test("dedupExact keeps the lowest id per identical text") {
     val kept = Dedup.dedupExact(docs, "text", "doc_id")
       .select("doc_id").collect().map(_.getLong(0)).sorted
