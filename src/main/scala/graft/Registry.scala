@@ -1140,6 +1140,31 @@ SELECT lang, CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE) ELSE 15.0 * ${1L << 60} /
           .orderBy("doc_id"),
         Some(langIdOracle("documents", "doc_id", "lang", "text"))),
 
+      // tracking-parameter strip (utm_*/click-ids vary per LINK, not per
+      // page — left in, URL dedup collapses nothing): canonicalize then
+      // filter the sorted param array, all scan-stage
+      RegisteredQuery(
+        "q_url_tracking",
+        (s, dir) => {
+          import org.apache.spark.sql.functions.{col, concat, lit}
+          val idS = col("doc_id").cast("string")
+          val u = concat(lit("https://WWW."), col("source"),
+            lit(".example.com/p/"), idS,
+            lit("?utm_source=feed&z=1&gclid="), idS, lit("&id="), idS, lit("#f"))
+          Tables.resolve(s, dir)("documents").select(
+              col("doc_id"),
+              graft.text.Urls.stripTrackingParams(
+                graft.text.Urls.canonicalizeUrl(u)).as("dedup_url"))
+            .orderBy("doc_id")
+        },
+        Some {
+          val urlSql = "'https://WWW.' || source || '.example.com/p/' || doc_id" +
+            " || '?utm_source=feed&z=1&gclid=' || doc_id || '&id=' || doc_id || '#f'"
+          s"SELECT doc_id, ${graft.text.Urls.stripTrackingSql(
+            graft.text.Urls.canonicalizeSql(urlSql))} AS dedup_url " +
+            "FROM documents ORDER BY doc_id"
+        }),
+
       // character-class composition (encoding-noise screen): scan-stage
       // delete-and-measure regex counts, n_other derived
       RegisteredQuery(

@@ -91,6 +91,52 @@ object Urls {
       .otherwise(concat(scheme, lit("://"), h, portPart, trimmedPath, sortedQ))
   }
 
+  /** Tracking parameters stripped by [[stripTrackingParams]]: the
+    * campaign/click identifiers that vary per LINK, not per PAGE — left
+    * in, every ad click mints a "new" URL and URL-level dedup collapses
+    * nothing. Prefixes match `utm_*` wholesale; exact names cover the
+    * big click-id vendors.
+    */
+  val TrackingPrefixes: Seq[String] = Seq("utm_")
+  val TrackingParams: Seq[String] =
+    Seq("fbclid", "gclid", "msclkid", "mc_cid", "mc_eid", "igshid", "ref_src")
+
+  /** Drop tracking query parameters from an already-[[canonicalizeUrl]]'d
+    * URL (param order is already sorted, so removal keeps the canonical
+    * form canonical; a query left empty drops its `?`). Scan-stage array
+    * filtering — compose `stripTrackingParams(canonicalizeUrl(u))` for
+    * the full dedup key.
+    */
+  def stripTrackingParams(u: Column): Column = {
+    val base = regexp_extract(u, "^([^?]*)", 1)
+    val qBody = regexp_replace(regexp_replace(u, "^[^?]*", ""), "^\\?", "")
+    val kept = filter(split(qBody, "&"), p => {
+      val key = regexp_extract(p, "^([^=]*)", 1)
+      !TrackingPrefixes.map(pre => key.startsWith(pre))
+        .foldLeft(lit(false))(_ || _) && !key.isin(TrackingParams: _*)
+    })
+    when(qBody === "", u)
+      .otherwise(when(size(kept) === 0, base)
+        .otherwise(concat(base, lit("?"), concat_ws("&", kept))))
+  }
+
+  /** SQL expression replaying [[stripTrackingParams]] over `urlSql`. */
+  def stripTrackingSql(urlSql: String): String = {
+    val prefixConds = TrackingPrefixes
+      .map(p => s"(regexp_extract(p, '^([^=]*)', 1) LIKE '${p.replace("_", "\\_")}%' ESCAPE '\\')")
+      .mkString(" OR ")
+    val names = TrackingParams.map(n => s"'$n'").mkString(", ")
+    s"""(WITH u AS (SELECT regexp_extract($urlSql, '^([^?]*)', 1) AS base,
+       |    regexp_replace(regexp_replace($urlSql, '^[^?]*', ''), '^\\?', '') AS qbody),
+       |f AS (SELECT base, qbody,
+       |    list_filter(string_split(qbody, '&'),
+       |      p -> NOT ($prefixConds OR regexp_extract(p, '^([^=]*)', 1) IN ($names)))
+       |      AS kept FROM u)
+       |SELECT CASE WHEN qbody = '' THEN $urlSql
+       |  WHEN len(kept) = 0 THEN base
+       |  ELSE base || '?' || array_to_string(kept, '&') END FROM f)""".stripMargin
+  }
+
   // ------------------------------------------------- DuckDB oracle SQL ----
   // Same rule chain, same regexes (all RE2-safe), same array sort.
 

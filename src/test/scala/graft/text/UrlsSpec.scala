@@ -55,6 +55,18 @@ class UrlsSpec extends SparkSpec {
     cases.foreach { case (h, d) => assert(got(h) === d, h) }
   }
 
+  test("stripTrackingParams: utm/click-ids drop, real params and bare URLs survive") {
+    def strip(urls: String*): Seq[String] =
+      urls.toDF("u").select(Urls.stripTrackingParams($"u")).as[String].collect().toSeq
+    assert(strip("https://a.b/p?gclid=1&id=2&utm_source=x&z=3")
+      === Seq("https://a.b/p?id=2&z=3"))
+    assert(strip("https://a.b/p?utm_campaign=c") === Seq("https://a.b/p"))
+    assert(strip("https://a.b/p?id=2") === Seq("https://a.b/p?id=2"))
+    assert(strip("https://a.b/p") === Seq("https://a.b/p"))
+    // 'utmost=1' is NOT a utm_ param; 'ref_src' is a named tracker
+    assert(strip("https://a.b/p?utmost=1&ref_src=t") === Seq("https://a.b/p?utmost=1"))
+  }
+
   test("plan: pure scan-stage projection, no exchange") {
     val plan = Seq("https://a.b/c").toDF("u")
       .select(Urls.canonicalizeUrl($"u"), Urls.registrableDomain(Urls.host($"u")))
