@@ -1266,6 +1266,15 @@ SELECT lang, CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE) ELSE 15.0 * ${1L << 60} /
         (s, dir) => EventWindows.sessionized(EventWindows.readEvents(s, s"$dir/events.parquet")),
         Some(EventWindows.sessionizedOracle("events"))),
 
+      // inter-arrival burstiness fingerprint (bot/SDK-metronome screen):
+      // exact microsecond gap moments per user — one user shuffle
+      RegisteredQuery(
+        "q_inter_arrival",
+        (s, dir) => EventWindows.interArrivalStats(
+            EventWindows.readEvents(s, s"$dir/events.parquet"))
+          .orderBy("user_id"),
+        Some(EventWindows.interArrivalOracle("events"))),
+
       // behavioral sequence assembly: first-5 event types per user in
       // strict (ts, event_id) order concatenated to a training-ready
       // string — one user shuffle, ordering inside the aggregated array

@@ -241,4 +241,62 @@ FROM e WHERE rn <= $maxEvents GROUP BY $userCol ORDER BY $userCol""".stripMargin
   FROM $table WHERE $tsCol IS NOT NULL AND $idCol IS NOT NULL)
 SELECT from_type, to_type, count(*) AS n
 FROM o WHERE to_type IS NOT NULL GROUP BY from_type, to_type"""
+
+  /** Per-user inter-arrival statistics — the burstiness fingerprint that
+    * separates humans from SDK metronomes and bot floods (a user whose
+    * gap VARIANCE is tiny relative to the mean fires on a timer; one
+    * whose minimum gap is microseconds is a replay): exact microsecond
+    * gaps from a per-user lag over the (ts, event_id) total order, then
+    * n/Σ/Σ²/min/max in DECIMAL(38,0) — the [[graft.operators.GroupedTrend]]
+    * moment discipline, so `var_num = n·Σg² − (Σg)²` is an exact integer
+    * and the whole fingerprint hashes cross-engine (derive CV² =
+    * var_num/(Σg)² downstream).
+    *
+    * Scale: one user shuffle; the lag and the moments both ride it
+    * (spill-backed per-user sort, running sums — whale users cost
+    * wall-clock, never buffer growth).
+    */
+  def interArrivalStats(events: DataFrame, userCol: String = "user_id",
+                        tsCol: String = "ts", idCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val gap = (unix_micros(col(tsCol).cast("timestamp")) -
+      unix_micros(lag(col(tsCol), 1).over(w).cast("timestamp"))).cast(dec)
+    events
+      .where(col(tsCol).isNotNull && col(idCol).isNotNull)
+      .withColumn("__gap", gap)
+      .where(col("__gap").isNotNull)
+      .groupBy(col(userCol))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("__gap")).cast(dec).as("sum_gap_us"),
+        sum((col("__gap") * col("__gap")).cast(dec)).cast(dec).as("__sumsq"),
+        min(col("__gap")).cast("long").as("min_gap_us"),
+        max(col("__gap")).cast("long").as("max_gap_us"))
+      .withColumn("var_num",
+        (col("n_gaps").cast(dec) * col("__sumsq") -
+          col("sum_gap_us") * col("sum_gap_us")).cast(dec))
+      .select(col(userCol), col("n_gaps"), col("sum_gap_us"),
+        col("min_gap_us"), col("max_gap_us"), col("var_num"))
+  }
+
+  /** DuckDB replay of [[interArrivalStats]] — same lag order, same
+    * HUGEINT moments.
+    */
+  def interArrivalOracle(table: String, userCol: String = "user_id",
+                         tsCol: String = "ts", idCol: String = "event_id"): String =
+    s"""WITH g AS (SELECT $userCol,
+       |    CAST(epoch_us($tsCol) - epoch_us(lag($tsCol) OVER
+       |      (PARTITION BY $userCol ORDER BY $tsCol, $idCol)) AS HUGEINT) AS gap
+       |  FROM $table WHERE $tsCol IS NOT NULL AND $idCol IS NOT NULL),
+       |s AS (SELECT $userCol, CAST(count(*) AS BIGINT) AS n_gaps,
+       |    sum(gap) AS sg, sum(gap * gap) AS sgg,
+       |    CAST(min(gap) AS BIGINT) AS min_gap_us,
+       |    CAST(max(gap) AS BIGINT) AS max_gap_us
+       |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+       |SELECT $userCol, n_gaps,
+       |  CAST(sg AS DECIMAL(38,0)) AS sum_gap_us, min_gap_us, max_gap_us,
+       |  CAST(n_gaps * sgg - sg * sg AS DECIMAL(38,0)) AS var_num
+       |FROM s ORDER BY $userCol""".stripMargin
 }
