@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -56,6 +56,30 @@ object AsofJoin {
                   payload: Seq[String], suffix: String = "",
                   strict: Boolean = false, tieBreak: Option[String] = None): DataFrame =
     asofImpl(left, right, on, ts, payload, suffix, strict, tieBreak, forward = true)
+
+  /** Staleness-bounded as-of — the feature-store correctness knob on top
+    * of [[asofBackward]]: a match older than `maxGap` is WORSE than no
+    * match ("yesterday's price is not this trade's price"), so payloads
+    * from matches with ts_l − ts_r > maxGap are blanked to NULL while the
+    * row survives (the caller sees "no fresh feature", not a silently
+    * stale one). `maxGap` compares against the ts difference — an
+    * INTERVAL literal for timestamp columns, a numeric for numeric ts.
+    * Same single-shuffle machinery; the bound is a scan-stage post-filter
+    * on the carried match ts.
+    */
+  def asofBackwardWithin(left: DataFrame, right: DataFrame, on: Seq[String],
+                         ts: String, payload: Seq[String], maxGap: Column,
+                         suffix: String = "", strict: Boolean = false,
+                         tieBreak: Option[String] = None): DataFrame = {
+    val mts = ts + "__asof_m"
+    val joined = asofImpl(left, right, on, ts, payload :+ ts,
+      suffix = "__asof_m", strict = strict, tieBreak = tieBreak, forward = false)
+    val fresh = col(mts).isNotNull && (col(ts) - col(mts)) <= maxGap
+    joined.select(left.columns.map(col).toIndexedSeq ++
+      payload.map { p =>
+        when(fresh, col(p + "__asof_m")).as(p + suffix)
+      }: _*)
+  }
 
   /** Nearest-as-of join: the right row minimizing |ts_r − ts_l| per key,
     * ties (including an exact-ts match vs an equidistant future row)
@@ -135,6 +159,26 @@ object AsofJoin {
                  payload: Seq[(String, String)], tieBreak: Option[String] = None): String = {
     val lsel = leftCols.map(c => s"l.$c AS $c").mkString(", ")
     val rsel = payload.map { case (c, a) => s"r.$c AS $a" }.mkString(", ")
+    val rightSrc = tieBreak match {
+      case Some(tb) => s"SELECT * FROM $table WHERE $rightPred QUALIFY " +
+        s"row_number() OVER (PARTITION BY $key, $ts ORDER BY $tb DESC) = 1"
+      case None => s"SELECT * FROM $table WHERE $rightPred"
+    }
+    s"SELECT $lsel, $rsel FROM (SELECT * FROM $table WHERE $leftPred) l " +
+      s"ASOF LEFT JOIN ($rightSrc) r ON l.$key = r.$key AND l.$ts >= r.$ts"
+  }
+
+  /** DuckDB oracle for [[asofBackwardWithin]] — the same native ASOF JOIN
+    * with each payload wrapped in the staleness CASE.
+    */
+  def asofWithinOracle(table: String, leftPred: String, rightPred: String,
+                       key: String, ts: String, leftCols: Seq[String],
+                       payload: Seq[(String, String)], maxGapSql: String,
+                       tieBreak: Option[String] = None): String = {
+    val lsel = leftCols.map(c => s"l.$c AS $c").mkString(", ")
+    val rsel = payload.map { case (c, a) =>
+      s"CASE WHEN l.$ts - r.$ts <= $maxGapSql THEN r.$c END AS $a"
+    }.mkString(", ")
     val rightSrc = tieBreak match {
       case Some(tb) => s"SELECT * FROM $table WHERE $rightPred QUALIFY " +
         s"row_number() OVER (PARTITION BY $key, $ts ORDER BY $tb DESC) = 1"

@@ -73,4 +73,19 @@ class AsofJoinSpec extends SparkSpec {
       on = Seq("k"), ts = "ts", payload = Seq("tid"), suffix = "_q")
     assert(ok.columns.contains("tid_q"))
   }
+
+  test("asofBackwardWithin: stale matches blank to NULL, fresh ones survive") {
+    // trade A@30 matches quote A@20 (gap 10); trade A@5 has no match;
+    // trade C@50 has no match; with maxGap 5 the A@30 match is stale
+    val within = AsofJoin.asofBackwardWithin(trades, quotes,
+        on = Seq("k"), ts = "ts", payload = Seq("qid", "px"),
+        maxGap = lit(5L), tieBreak = Some("qid"))
+      .orderBy("tid").collect().map(r =>
+        (r.getAs[Long]("tid"), Option(r.getAs[Any]("qid"))))
+    val m = within.toMap
+    assert(m(10L).contains(3L)) // A@20 exact match, gap 0 ≤ 5
+    assert(m(11L).isEmpty)      // A@30 → quote A@20 is 10 stale
+    assert(m(13L).contains(5L)) // B@15 exact
+    assert(m(14L).isEmpty)      // C: no match at all
+  }
 }
