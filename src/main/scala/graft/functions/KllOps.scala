@@ -26,7 +26,15 @@ private[functions] object KllOps {
       a.levels += new ArrayBuffer[Long](); a.parities += false
     }
     var l = 0
-    while (l < b.levels.length) { a.levels(l) ++= b.levels(l); l += 1 }
+    while (l < b.levels.length) {
+      // where a has NO state at this level, adopt b's parity: a fresh
+      // buffer absorbing a rehydrated store summary then compacts exactly
+      // as the original buffer would have (lossless resumption); where
+      // BOTH sides have state, a's parity wins — the same rule a live
+      // running buffer applies to incoming partials
+      if (a.levels(l).isEmpty) a.parities(l) = b.parities(l)
+      a.levels(l) ++= b.levels(l); l += 1
+    }
     l = 0
     while (l < a.levels.length) { // cascade bottom-up
       if (a.levels(l).length >= cap) compact(a, l, cap)

@@ -280,10 +280,14 @@ object AbTest {
     val spark = observed.sparkSession
     import spark.implicits._
     val w = weights.values.sum
+    // a store fed by IncrementalAgg keeps NULL group keys; exclude them
+    // here so the store path matches sampleRatioCheck's raw-row filter
+    // (a NULL-arm row would otherwise inflate N for every arm)
+    val obs = observed.where(col("arm").isNotNull)
     val expected = weights.toSeq.sortBy(_._1).toDF("arm", "weight")
     // persisted: the total and the readout both read this arms-sized
     // frame — one corpus aggregation
-    val joined = observed.join(expected, Seq("arm"), "full_outer")
+    val joined = obs.join(expected, Seq("arm"), "full_outer")
       .select(col("arm"),
         coalesce(col("n_obs"), lit(0L)).as("n_obs"),
         col("weight"))

@@ -71,6 +71,11 @@ object AsofJoin {
                          ts: String, payload: Seq[String], maxGap: Column,
                          suffix: String = "", strict: Boolean = false,
                          tieBreak: Option[String] = None): DataFrame = {
+    // the inner asofImpl call only sees the internal suffix, so re-apply
+    // its collision guard against the FINAL output names
+    val clash = payload.map(_ + suffix).toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty,
+      s"asof payload collides with left columns: $clash (use suffix)")
     val mts = ts + "__asof_m"
     val joined = asofImpl(left, right, on, ts, payload :+ ts,
       suffix = "__asof_m", strict = strict, tieBreak = tieBreak, forward = false)
@@ -156,17 +161,10 @@ object AsofJoin {
     */
   def asofOracle(table: String, leftPred: String, rightPred: String,
                  key: String, ts: String, leftCols: Seq[String],
-                 payload: Seq[(String, String)], tieBreak: Option[String] = None): String = {
-    val lsel = leftCols.map(c => s"l.$c AS $c").mkString(", ")
-    val rsel = payload.map { case (c, a) => s"r.$c AS $a" }.mkString(", ")
-    val rightSrc = tieBreak match {
-      case Some(tb) => s"SELECT * FROM $table WHERE $rightPred QUALIFY " +
-        s"row_number() OVER (PARTITION BY $key, $ts ORDER BY $tb DESC) = 1"
-      case None => s"SELECT * FROM $table WHERE $rightPred"
-    }
-    s"SELECT $lsel, $rsel FROM (SELECT * FROM $table WHERE $leftPred) l " +
-      s"ASOF LEFT JOIN ($rightSrc) r ON l.$key = r.$key AND l.$ts >= r.$ts"
-  }
+                 payload: Seq[(String, String)], tieBreak: Option[String] = None): String =
+    asofOracleImpl(table, leftPred, rightPred, key, ts, leftCols, tieBreak,
+      joinOp = ">=",
+      rsel = payload.map { case (c, a) => s"r.$c AS $a" })
 
   /** DuckDB oracle for [[asofBackwardWithin]] — the same native ASOF JOIN
     * with each payload wrapped in the staleness CASE.
@@ -174,18 +172,28 @@ object AsofJoin {
   def asofWithinOracle(table: String, leftPred: String, rightPred: String,
                        key: String, ts: String, leftCols: Seq[String],
                        payload: Seq[(String, String)], maxGapSql: String,
-                       tieBreak: Option[String] = None): String = {
+                       tieBreak: Option[String] = None): String =
+    asofOracleImpl(table, leftPred, rightPred, key, ts, leftCols, tieBreak,
+      joinOp = ">=",
+      rsel = payload.map { case (c, a) =>
+        s"CASE WHEN l.$ts - r.$ts <= $maxGapSql THEN r.$c END AS $a"
+      })
+
+  /** Shared ASOF oracle scaffolding (left filter, tie-break pre-dedup,
+    * join direction) — one copy of the QUALIFY rule for every variant.
+    */
+  private def asofOracleImpl(table: String, leftPred: String, rightPred: String,
+                             key: String, ts: String, leftCols: Seq[String],
+                             tieBreak: Option[String], joinOp: String,
+                             rsel: Seq[String]): String = {
     val lsel = leftCols.map(c => s"l.$c AS $c").mkString(", ")
-    val rsel = payload.map { case (c, a) =>
-      s"CASE WHEN l.$ts - r.$ts <= $maxGapSql THEN r.$c END AS $a"
-    }.mkString(", ")
     val rightSrc = tieBreak match {
       case Some(tb) => s"SELECT * FROM $table WHERE $rightPred QUALIFY " +
         s"row_number() OVER (PARTITION BY $key, $ts ORDER BY $tb DESC) = 1"
       case None => s"SELECT * FROM $table WHERE $rightPred"
     }
-    s"SELECT $lsel, $rsel FROM (SELECT * FROM $table WHERE $leftPred) l " +
-      s"ASOF LEFT JOIN ($rightSrc) r ON l.$key = r.$key AND l.$ts >= r.$ts"
+    s"SELECT $lsel, ${rsel.mkString(", ")} FROM (SELECT * FROM $table WHERE $leftPred) l " +
+      s"ASOF LEFT JOIN ($rightSrc) r ON l.$key = r.$key AND l.$ts $joinOp r.$ts"
   }
 
   /** DuckDB oracle for [[asofForward]]: native ASOF LEFT JOIN with the
@@ -193,17 +201,10 @@ object AsofJoin {
     */
   def asofForwardOracle(table: String, leftPred: String, rightPred: String,
                         key: String, ts: String, leftCols: Seq[String],
-                        payload: Seq[(String, String)], tieBreak: Option[String] = None): String = {
-    val lsel = leftCols.map(c => s"l.$c AS $c").mkString(", ")
-    val rsel = payload.map { case (c, a) => s"r.$c AS $a" }.mkString(", ")
-    val rightSrc = tieBreak match {
-      case Some(tb) => s"SELECT * FROM $table WHERE $rightPred QUALIFY " +
-        s"row_number() OVER (PARTITION BY $key, $ts ORDER BY $tb DESC) = 1"
-      case None => s"SELECT * FROM $table WHERE $rightPred"
-    }
-    s"SELECT $lsel, $rsel FROM (SELECT * FROM $table WHERE $leftPred) l " +
-      s"ASOF LEFT JOIN ($rightSrc) r ON l.$key = r.$key AND l.$ts <= r.$ts"
-  }
+                        payload: Seq[(String, String)], tieBreak: Option[String] = None): String =
+    asofOracleImpl(table, leftPred, rightPred, key, ts, leftCols, tieBreak,
+      joinOp = "<=",
+      rsel = payload.map { case (c, a) => s"r.$c AS $a" })
 
   /** DuckDB oracle for [[asofNearest]]: brute left join + QUALIFY picking
     * the min-|Δts| right row, backward side preferred on ties — the

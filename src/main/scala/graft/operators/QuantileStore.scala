@@ -11,9 +11,13 @@ import org.apache.spark.sql.functions._
   * stays current under streaming ingest without ever re-scanning
   * history. The missing piece algebraic stores can't cover: quantiles
   * don't decompose into sums, but KLL summaries MERGE — and the carried
-  * compaction-parity bits make a fold across store generations behave
-  * exactly like one continuous aggregation (the derandomized-KLL
-  * determinism the batch gate relies on).
+  * compaction-parity bits make REHYDRATION lossless (a fresh buffer
+  * absorbing the stored summary adopts its parities, so it compacts
+  * exactly as if the buffer had never left memory). In the exact regime
+  * the folded store IS the direct aggregation (the gate's bar); in the
+  * compacting regime it carries the same O(n/k) rank-error bound as any
+  * KLL merge tree — merge-order differences move results within the
+  * bound, never outside it (spec-checked).
   *
   * Scale shape: per batch, one partial-agg'd groupBy ships
   * O(k·log(n/k))-entry summaries per (group, partition); the store merge
@@ -31,8 +35,9 @@ object QuantileStore {
       .agg(udaf(new QuantileSummaryAgg(k)).apply(value.cast("long")).as("summary"))
 
   /** Fold one batch into the store at `storeDir` (bootstraps on first
-    * use). After n calls the store's quantiles equal one continuous
-    * aggregation over the concatenated batches, whatever the batching.
+    * use). In the exact regime (group sizes < 2k) n folds equal the
+    * direct aggregation exactly, whatever the batching; past it, the
+    * KLL rank-error bound holds for any fold order.
     */
   def update(spark: SparkSession, storeDir: String, batch: DataFrame,
              groupCols: Seq[String], value: Column, k: Int): Unit = {

@@ -159,7 +159,10 @@ object TextFunctions {
     val n = length(text).cast("long")
     val alpha = without("[A-Za-z]").cast("long")
     val digit = without("[0-9]").cast("long")
-    val space = without("[ ]").cast("long")
+    // ASCII whitespace incl. tab/newline/CR/FF — ordinary multi-line text
+    // must NOT read as encoding noise; the explicit class is identical in
+    // Java regex and RE2
+    val space = without("[ \\t\\n\\r\\f]").cast("long")
     struct(
       n.as("n_chars"), alpha.as("n_alpha"), digit.as("n_digit"),
       space.as("n_space"), (n - alpha - digit - space).as("n_other"))
@@ -171,13 +174,14 @@ object TextFunctions {
   def charClassOracle(table: String, idCol: String, textCol: String): String = {
     def without(p: String): String =
       s"length($textCol) - length(regexp_replace($textCol, '$p', '', 'g'))"
+    val ws = "[ \\t\\n\\r\\f]"
     s"""SELECT $idCol,
 CAST(length($textCol) AS BIGINT) AS n_chars,
 CAST(${without("[A-Za-z]")} AS BIGINT) AS n_alpha,
 CAST(${without("[0-9]")} AS BIGINT) AS n_digit,
-CAST(${without("[ ]")} AS BIGINT) AS n_space,
+CAST(${without(ws)} AS BIGINT) AS n_space,
 CAST(length($textCol) - (${without("[A-Za-z]")}) - (${without("[0-9]")})
-  - (${without("[ ]")}) AS BIGINT) AS n_other
+  - (${without(ws)}) AS BIGINT) AS n_other
 FROM $table ORDER BY $idCol""".stripMargin
   }
 

@@ -126,13 +126,15 @@ object Urls {
       .map(p => s"(regexp_extract(p, '^([^=]*)', 1) LIKE '${p.replace("_", "\\_")}%' ESCAPE '\\')")
       .mkString(" OR ")
     val names = TrackingParams.map(n => s"'$n'").mkString(", ")
-    s"""(WITH u AS (SELECT regexp_extract($urlSql, '^([^?]*)', 1) AS base,
-       |    regexp_replace(regexp_replace($urlSql, '^[^?]*', ''), '^\\?', '') AS qbody),
-       |f AS (SELECT base, qbody,
+    s"""(WITH u0 AS (SELECT $urlSql AS orig),
+       |u AS (SELECT orig, regexp_extract(orig, '^([^?]*)', 1) AS base,
+       |    regexp_replace(regexp_replace(orig, '^[^?]*', ''), '^\\?', '') AS qbody
+       |  FROM u0),
+       |f AS (SELECT orig, base, qbody,
        |    list_filter(string_split(qbody, '&'),
        |      p -> NOT ($prefixConds OR regexp_extract(p, '^([^=]*)', 1) IN ($names)))
        |      AS kept FROM u)
-       |SELECT CASE WHEN qbody = '' THEN $urlSql
+       |SELECT CASE WHEN qbody = '' THEN orig
        |  WHEN len(kept) = 0 THEN base
        |  ELSE base || '?' || array_to_string(kept, '&') END FROM f)""".stripMargin
   }

@@ -79,6 +79,15 @@ class LlmSpec extends SparkSpec {
     assert(r(1) === ((2L, 0L, 0L, 0L, 0L, 0L)))
   }
 
+  test("charClassCounts: tabs and newlines are whitespace, not encoding noise") {
+    import spark.implicits._
+    val d = Seq((1L, "ab\tcd\nef\r")).toDF("doc_id", "text")
+    val r = d.select(TextFunctions.charClassCounts(col("text")).as("c"))
+      .select("c.n_chars", "c.n_alpha", "c.n_space", "c.n_other")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(r === ((9L, 6L, 3L, 0L)))
+  }
+
   test("dedupExact keeps the lowest id per identical text") {
     val kept = Dedup.dedupExact(docs, "text", "doc_id")
       .select("doc_id").collect().map(_.getLong(0)).sorted

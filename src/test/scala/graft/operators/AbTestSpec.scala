@@ -111,6 +111,14 @@ class AbTestSpec extends SparkSpec {
     assert(g(1)._2 === 0L && g(1)._3.nonEmpty) // b: absent but expected
   }
 
+  test("sampleRatioFromCounts: NULL-arm store rows are excluded like raw NULLs") {
+    val store = Seq((Option("a"), 50L), (Option("b"), 50L), (Option.empty[String], 100L))
+      .toDF("arm", "n_obs")
+    val r = AbTest.sampleRatioFromCounts(store, Map("a" -> 1L, "b" -> 1L))
+      .collect().map(r0 => r0.getString(0) -> r0.getLong(3)).toMap
+    assert(r === Map("a" -> 0L, "b" -> 0L)) // perfect split, NULL arm ignored
+  }
+
   test("sampleRatioFromCounts: a maintained count store drives the same check") {
     import graft.operators.IncrementalAgg
     val dir = java.nio.file.Files.createTempDirectory("srm_store").toString

@@ -74,6 +74,14 @@ class AsofJoinSpec extends SparkSpec {
     assert(ok.columns.contains("tid_q"))
   }
 
+  test("asofBackwardWithin: payload collision raises like asofBackward") {
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asofBackwardWithin(trades, quotes.withColumnRenamed("qid", "tid"),
+        on = Seq("k"), ts = "ts", payload = Seq("tid"), maxGap = lit(5L))
+    }
+    assert(e.getMessage.contains("collides"))
+  }
+
   test("asofBackwardWithin: stale matches blank to NULL, fresh ones survive") {
     // trade A@30 matches quote A@20 (gap 10); trade A@5 has no match;
     // trade C@50 has no match; with maxGap 5 the A@30 match is stale
