@@ -1341,6 +1341,34 @@ SELECT lang, CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE) ELSE 15.0 * ${1L << 60} /
           tieBreak = Some("event_id")) +
           " ORDER BY event_id")),
 
+      // conversion-window forward as-of: the next click only if it lands
+      // within 30 minutes — beyond-window reads as no-conversion
+      RegisteredQuery(
+        "q_asof_fwd_within",
+        (s, dir) => {
+          import graft.operators.AsofJoin
+          import org.apache.spark.sql.functions.expr
+          val ev = EventWindows.readEvents(s, s"$dir/events.parquet")
+          val purchases = ev.where(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts", "value")
+          val clicks = ev.where(col("event_type") === "click")
+            .select(col("user_id"), col("ts"),
+              col("event_id").as("click_id"), col("value").as("click_value"))
+          AsofJoin.asofForwardWithin(purchases, clicks,
+              on = Seq("user_id"), ts = "ts",
+              payload = Seq("click_id", "click_value"),
+              maxGap = expr("INTERVAL '30' MINUTE"), tieBreak = Some("click_id"))
+            .orderBy("event_id")
+        },
+        Some(AsofJoin.asofForwardWithinOracle("events",
+          leftPred = "event_type = 'purchase'", rightPred = "event_type = 'click'",
+          key = "user_id", ts = "ts",
+          leftCols = Seq("event_id", "user_id", "ts", "value"),
+          payload = Seq("event_id" -> "click_id", "value" -> "click_value"),
+          maxGapSql = "INTERVAL 30 MINUTE",
+          tieBreak = Some("event_id")) +
+          " ORDER BY event_id")),
+
       // staleness-bounded as-of (the feature-store freshness knob): a
       // match older than 30 minutes blanks to NULL — stale beats silent
       RegisteredQuery(

@@ -86,6 +86,39 @@ object AsofJoin {
       }: _*)
   }
 
+  /** Forward twin of [[asofBackwardWithin]]: the next right row at-or-
+    * after, blanked when it arrives later than `maxGap` — "the click
+    * within the 30-minute conversion window", with beyond-window matches
+    * reading as no-conversion rather than silently attributing.
+    */
+  def asofForwardWithin(left: DataFrame, right: DataFrame, on: Seq[String],
+                        ts: String, payload: Seq[String], maxGap: Column,
+                        suffix: String = "", strict: Boolean = false,
+                        tieBreak: Option[String] = None): DataFrame = {
+    val clash = payload.map(_ + suffix).toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty,
+      s"asof payload collides with left columns: $clash (use suffix)")
+    val mts = ts + "__asof_m"
+    val joined = asofImpl(left, right, on, ts, payload :+ ts,
+      suffix = "__asof_m", strict = strict, tieBreak = tieBreak, forward = true)
+    val fresh = col(mts).isNotNull && (col(mts) - col(ts)) <= maxGap
+    joined.select(left.columns.map(col).toIndexedSeq ++
+      payload.map { p =>
+        when(fresh, col(p + "__asof_m")).as(p + suffix)
+      }: _*)
+  }
+
+  /** DuckDB oracle for [[asofForwardWithin]]. */
+  def asofForwardWithinOracle(table: String, leftPred: String, rightPred: String,
+                              key: String, ts: String, leftCols: Seq[String],
+                              payload: Seq[(String, String)], maxGapSql: String,
+                              tieBreak: Option[String] = None): String =
+    asofOracleImpl(table, leftPred, rightPred, key, ts, leftCols, tieBreak,
+      joinOp = "<=",
+      rsel = payload.map { case (c, a) =>
+        s"CASE WHEN r.$ts - l.$ts <= $maxGapSql THEN r.$c END AS $a"
+      })
+
   /** Nearest-as-of join: the right row minimizing |ts_r − ts_l| per key,
     * ties (including an exact-ts match vs an equidistant future row)
     * preferring the backward side. Composed as backward + forward passes

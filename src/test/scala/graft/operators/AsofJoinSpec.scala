@@ -74,6 +74,17 @@ class AsofJoinSpec extends SparkSpec {
     assert(ok.columns.contains("tid_q"))
   }
 
+  test("asofForwardWithin: next match beyond the window reads as no-conversion") {
+    // trade A@5 → next quote A@10 (gap 5, in-window at 5); trade A@30 →
+    // next quote A@40 (gap 10, beyond a 5 window)
+    val within = AsofJoin.asofForwardWithin(trades, quotes,
+        on = Seq("k"), ts = "ts", payload = Seq("qid"),
+        maxGap = lit(5L), tieBreak = Some("qid"))
+      .collect().map(r => r.getAs[Long]("tid") -> Option(r.getAs[Any]("qid"))).toMap
+    assert(within(12L).contains(1L)) // A@5 → A@10, gap 5 ≤ 5
+    assert(within(11L).isEmpty)      // A@30 → A@40 is 10 beyond
+  }
+
   test("asofBackwardWithin: payload collision raises like asofBackward") {
     val e = intercept[IllegalArgumentException] {
       AsofJoin.asofBackwardWithin(trades, quotes.withColumnRenamed("qid", "tid"),
