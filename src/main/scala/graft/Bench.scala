@@ -101,7 +101,17 @@ object Bench {
     val errJson = results.collect { case (k, _, Some(m)) => s"\"${esc(k)}\":\"${esc(m)}\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sb,"peak_task_mem":$pm,"errors":$errJson,"sf":"$sfDir"}""")
+    // The driver records only the TAIL of this line (last ~2000 chars), so
+    // field order is survival order: per-query times (the headline metric)
+    // go LAST; the bulkier diagnostics sit up front where truncation can
+    // only cost us the diagnostics. The full line also lands in a file so
+    // nothing is ever lost locally.
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","shuffle_bytes":$sb,"peak_task_mem":$pm,"errors":$errJson,"queries":$qs}"""
+    println(line)
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+        line.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

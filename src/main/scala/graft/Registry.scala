@@ -1272,6 +1272,9 @@ SELECT lang, CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE) ELSE 15.0 * ${1L << 60} /
         "q_inter_arrival",
         (s, dir) => EventWindows.interArrivalStats(
             EventWindows.readEvents(s, s"$dir/events.parquet"))
+          // var_num exceeds 64-bit range in general: hash its canonical
+          // decimal string (the portable exact form; oracle matches)
+          .withColumn("var_num", col("var_num").cast("string"))
           .orderBy("user_id"),
         Some(EventWindows.interArrivalOracle("events"))),
 
@@ -2533,7 +2536,13 @@ GROUP BY n_name ORDER BY revenue DESC, n_name ASC""")),
               .withColumn("cents",
                 (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")),
             Seq("l_returnflag"), "qty_c", "cents")
-          .drop("corr").orderBy("l_returnflag"),
+          .drop("corr")
+          // the exact moments exceed 64-bit range in general: hash their
+          // canonical decimal strings (oracle projects VARCHAR to match)
+          .withColumn("corr_num", col("corr_num").cast("string"))
+          .withColumn("var_x", col("var_x").cast("string"))
+          .withColumn("var_y", col("var_y").cast("string"))
+          .orderBy("l_returnflag"),
         Some(graft.operators.GroupedTrend.correlationOracle(
           "lineitem", Seq("l_returnflag"),
           xSql = "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)",

@@ -37,10 +37,37 @@ object Dedup {
 
   /** Exact dedup: keep the lowest-id row per identical `textCol`. Single
     * shuffle on the 60-bit fingerprint; survivors keep all columns.
+    *
+    * Mass-duplication-safe by construction: the keeper is a PARTIAL-AGG'D
+    * `min(struct(id, rest…))` per fingerprint — a 10⁶×-duplicated
+    * fingerprint collapses to one candidate row per input partition
+    * map-side, so no task ever buffers (or sorts) the whole duplicate
+    * group the way a `min().over(partitionBy(fp))` window would. Struct
+    * ordering is field-by-field with `idCol` leading, so with unique ids
+    * the survivor is exactly the lowest-id row. Falls back to the
+    * group-then-semi-join form (two shuffles, same answer) when a column
+    * type is not orderable (maps), since structs containing one can't be
+    * `min`'d.
     */
   def dedupExact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val keep = min(col(idCol)).over(Window.partitionBy(fingerprint(col(textCol))))
-    df.withColumn("__keep", keep).where(col(idCol) === col("__keep")).drop("__keep")
+    val cols = df.columns.toIndexedSeq
+    val ordered = (idCol +: cols.filterNot(_ == idCol)).map(col)
+    val orderable = df.schema.fields.forall(f =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+    if (orderable)
+      df.withColumn("__fp", fingerprint(col(textCol)))
+        .groupBy(col("__fp"))
+        .agg(min(struct(ordered: _*)).as("__row"))
+        .select(cols.map(c => col(s"__row.`$c`").as(c)): _*)
+    else {
+      val withFp = df.withColumn("__fp", fingerprint(col(textCol)))
+      val keep = withFp.groupBy(col("__fp")).agg(min(col(idCol)).as("__kid"))
+        .withColumnRenamed("__fp", "__kfp")
+      withFp.join(keep,
+          col("__fp") <=> col("__kfp") && col(idCol) === col("__kid"),
+          "left_semi")
+        .drop("__fp")
+    }
   }
 
   /** Incremental exact dedup: dedup a NEW batch against an existing corpus
@@ -130,13 +157,16 @@ SELECT ${keepCols.mkString(", ")} FROM k WHERE $idCol = keep ORDER BY $idCol""".
     * the output with empty text (row count is preserved).
     *
     * Scale shape: blocking is scan-stage array surgery (no shuffle); the
-    * occurrence rule is ONE window shuffle partitioned by the 60-bit block
-    * fingerprint (8 bytes — never the block text; same posture as
-    * [[dedupExact]], near-unique fingerprints so no whale partitions);
-    * reassembly is one groupBy(id) whose per-doc buffer is the document's
-    * own blocks — the same bounded per-doc state as chunkDocs. Mass-
-    * duplication of one span concentrates its fingerprint partition
-    * (memory, not wall-clock — see SCALING.md exact-dedup row).
+    * occurrence rule is a PARTIAL-AGG'D per-fingerprint aggregate
+    * (`count` + `min(struct(id, pos))` — a 10⁶×-duplicated boilerplate
+    * span collapses to one partial row per input partition map-side,
+    * never a single-task window sort of the whole duplicate group),
+    * filtered to the repeated spans only (`cnt ≥ minCount` — the
+    * boilerplate sliver, tiny next to the corpus) and equi-joined back on
+    * the 60-bit fingerprint (8 bytes — never the block text; AQE
+    * broadcasts the rule side when it fits); reassembly is one
+    * groupBy(id) whose per-doc buffer is the document's own blocks — the
+    * same bounded per-doc state as chunkDocs.
     */
   def dedupSpans(df: DataFrame, n: Int, minCount: Long,
                  textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -150,11 +180,18 @@ SELECT ${keepCols.mkString(", ")} FROM k WHERE $idCol = keep ORDER BY $idCol""".
       i => array_join(slice(words, i * n + 1, lit(n)), " "))
     val ex = df.select(col(idCol), posexplode(blocks).as(Seq("pos", "btext")))
       .withColumn("__bh", hash60(col("btext")))
-    val part = Window.partitionBy(col("__bh"))
-    val ranked = ex
-      .withColumn("__occ", row_number().over(part.orderBy(col(idCol), col("pos"))))
-      .withColumn("__cnt", count(lit(1)).over(part))
-    val rebuilt = ranked.where(col("__cnt") < minCount || col("__occ") === 1)
+    // drop-rules: one row per REPEATED span fingerprint, carrying its
+    // first occurrence (min (id, pos) — the surviving copy)
+    val rules = ex.groupBy(col("__bh").as("__rh"))
+      .agg(count(lit(1)).as("__cnt"),
+        min(struct(col(idCol).as("__fid"), col("pos").as("__fpos"))).as("__first"))
+      .where(col("__cnt") >= minCount)
+      .select(col("__rh"), col("__first.__fid").as("__fid"),
+        col("__first.__fpos").as("__fpos"))
+    val kept = ex.join(rules, col("__bh") === col("__rh"), "left")
+      .where(col("__rh").isNull ||
+        (col(idCol) === col("__fid") && col("pos") === col("__fpos")))
+    val rebuilt = kept
       .groupBy(col(idCol))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("btext")))),

@@ -277,12 +277,18 @@ FROM o WHERE to_type IS NOT NULL GROUP BY from_type, to_type"""
       .withColumn("var_num",
         (col("n_gaps").cast(dec) * col("__sumsq") -
           col("sum_gap_us") * col("sum_gap_us")).cast(dec))
-      .select(col(userCol), col("n_gaps"), col("sum_gap_us"),
+      .select(col(userCol), col("n_gaps"),
+        // per-user Σgap = last−first ts ≤ the corpus span in µs — provably
+        // long-range, so emit BIGINT (hashable by any engine)
+        col("sum_gap_us").cast("long").as("sum_gap_us"),
         col("min_gap_us"), col("max_gap_us"), col("var_num"))
   }
 
   /** DuckDB replay of [[interArrivalStats]] — same lag order, same
-    * HUGEINT moments.
+    * HUGEINT moments. `var_num` is projected as its canonical decimal
+    * string (gap² sums genuinely exceed 64-bit range, and 128-bit
+    * integers hash differently across engines — the string is the
+    * portable exact form; the gate casts the Spark side to match).
     */
   def interArrivalOracle(table: String, userCol: String = "user_id",
                          tsCol: String = "ts", idCol: String = "event_id"): String =
@@ -296,7 +302,7 @@ FROM o WHERE to_type IS NOT NULL GROUP BY from_type, to_type"""
        |    CAST(max(gap) AS BIGINT) AS max_gap_us
        |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
        |SELECT $userCol, n_gaps,
-       |  CAST(sg AS DECIMAL(38,0)) AS sum_gap_us, min_gap_us, max_gap_us,
-       |  CAST(n_gaps * sgg - sg * sg AS DECIMAL(38,0)) AS var_num
+       |  CAST(sg AS BIGINT) AS sum_gap_us, min_gap_us, max_gap_us,
+       |  CAST(n_gaps * sgg - sg * sg AS VARCHAR) AS var_num
        |FROM s ORDER BY $userCol""".stripMargin
 }

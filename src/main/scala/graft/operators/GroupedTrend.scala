@@ -136,17 +136,19 @@ object GroupedTrend {
   }
 
   /** DuckDB replay of [[correlation]]'s integer components (floats aren't
-    * gated — CorrSpec covers the double; HUGEINT → the gate casts back to
-    * the DECIMAL(38,0) shapes Spark emits).
+    * gated — CorrSpec covers the double). The moments exceed 64-bit range
+    * in general and 128-bit integers hash differently across engines, so
+    * each is projected as its canonical decimal string — the portable
+    * exact form; the gate casts the Spark DECIMAL(38,0) side to match.
     */
   def correlationOracle(table: String, groupCols: Seq[String], xSql: String,
                         ySql: String): String = {
     val g = groupCols.mkString(", ")
     s"""WITH s AS (${sumsCteSql(table, g, xSql, ySql, withYY = true)})
 SELECT $g, n,
-  CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS corr_num,
-  CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS var_x,
-  CAST(n * syy - sy * sy AS DECIMAL(38,0)) AS var_y
+  CAST(n * sxy - sx * sy AS VARCHAR) AS corr_num,
+  CAST(n * sxx - sx * sx AS VARCHAR) AS var_x,
+  CAST(n * syy - sy * sy AS VARCHAR) AS var_y
 FROM s"""
   }
 

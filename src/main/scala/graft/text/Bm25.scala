@@ -110,8 +110,8 @@ idf AS (SELECT term,
   CAST(floor(${Scale}.0 * ln((n_docs - df + 0.5) / (df + 0.5))) AS BIGINT) AS idf_q
   FROM dfs, stats)
 SELECT h.doc_id, count(*) AS n_hit_terms,
-  sum(i.idf_q * ((22 * h.tf * s.total_len * ${Scale}) //
-    (10 * h.tf * s.total_len + 3 * s.total_len + 9 * h.dl * s.n_docs))) AS score_scaled
+  CAST(sum(i.idf_q * ((22 * h.tf * s.total_len * ${Scale}) //
+    (10 * h.tf * s.total_len + 3 * s.total_len + 9 * h.dl * s.n_docs))) AS BIGINT) AS score_scaled
 FROM hits h JOIN idf i ON h.term = i.term, stats s
 GROUP BY h.doc_id"""
   }

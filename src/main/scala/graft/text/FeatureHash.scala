@@ -89,7 +89,7 @@ b AS (SELECT $idCol,
   FROM t WHERE tok <> ''),
 f AS (SELECT $idCol, bucket, count(*) AS tf FROM b GROUP BY 1, 2),
 w(bucket, wt) AS (VALUES $values)
-SELECT f.$idCol, sum(f.tf * w.wt) AS score
+SELECT f.$idCol, CAST(sum(f.tf * w.wt) AS BIGINT) AS score
 FROM f JOIN w ON f.bucket = w.bucket
 GROUP BY f.$idCol ORDER BY f.$idCol""".stripMargin
   }

@@ -49,6 +49,7 @@ object WeightedSample {
     s"""WITH c AS (SELECT $idCol, CAST($weightSql AS BIGINT) AS weight,
   sum(CAST($weightSql AS BIGINT)) OVER (ORDER BY $idCol ROWS UNBOUNDED PRECEDING) AS cum
   FROM $table)
-SELECT $idCol, weight, (cum // $step) - ((cum - weight) // $step) AS n_copies
+SELECT $idCol, weight,
+  CAST((cum // $step) - ((cum - weight) // $step) AS BIGINT) AS n_copies
 FROM c WHERE (cum // $step) - ((cum - weight) // $step) >= 1"""
 }

@@ -51,11 +51,29 @@ class DedupSpansSpec extends SparkSpec {
     assert(m(docs.repartition(7)) == m(docs.repartition(2)))
   }
 
-  test("plan: no cartesian, occurrence shuffle keyed on the fingerprint") {
+  test("plan: no cartesian, occurrence rule partial-agg'd on the fingerprint, no window") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = Dedup.dedupSpans(docs, n = 4, minCount = 2)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(plan.contains("hashpartitioning(__bh"), plan)
+    // mass-duplication posture: the occurrence rule must map-side combine
+    // (partial min/count per fingerprint), never window-sort the group
+    assert(plan.contains("partial_min") || plan.contains("partial min"), plan)
+    assert(!plan.contains("WindowExec"), plan)
+  }
+
+  test("one span duplicated far beyond partition size still dedups (whale fingerprint)") {
+    import spark.implicits._
+    // 20k copies of one 4-token span across 4 partitions — each copy is a
+    // whole document, plus one unique doc; partial agg must collapse the
+    // duplicate fingerprint map-side rather than buffer 20k rows in one task
+    val whale = (1L to 20000L).map(i => (i, "dup dup dup dup")) :+ (30000L, "u n i q")
+    val got = Dedup.dedupSpans(whale.toDF("doc_id", "text").repartition(4), n = 4, minCount = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 20001)
+    assert(got(1L) == "dup dup dup dup") // first occurrence survives
+    assert(got(2L) == "" && got(20000L) == "")
+    assert(got(30000L) == "u n i q")
   }
 }

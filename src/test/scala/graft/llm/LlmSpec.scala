@@ -94,6 +94,21 @@ class LlmSpec extends SparkSpec {
     assert(kept.toSeq == Seq(0L, 1L, 2L, 3L)) // 4 dropped (dup of 0)
   }
 
+  test("dedupExact is partial-agg'd (no window) and survives a whale fingerprint") {
+    import spark.implicits._
+    val whale = (1L to 20000L).map(i => (i, s"same text", s"s${i % 7}")) :+
+      ((30000L, "unique", "s0"))
+    val df = whale.toDF("doc_id", "text", "src").repartition(4)
+    val q = Dedup.dedupExact(df, "text", "doc_id")
+    val plan = q.queryExecution.executedPlan.toString
+    // mass-duplication posture: the keeper is a map-side-combined
+    // min(struct(id,…)) per fingerprint — never min().over(partitionBy(fp))
+    assert(plan.contains("partial_min"), plan)
+    assert(!plan.contains("WindowExec"), plan)
+    val kept = q.collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(kept == Map(1L -> "s1", 30000L -> "s0")) // lowest id keeps ITS OWN row
+  }
+
   test("dedupMinhashPairs finds near + exact dup pairs, never unrelated ones") {
     val pairs = Dedup.dedupMinhashPairs(docs, "text", "doc_id", minJaccard = 0.4)
       .select("left_id", "right_id").collect()
@@ -221,12 +236,14 @@ class LlmSpec extends SparkSpec {
     val d = spark.read.parquet(s"$sf/documents.parquet")
     val plan = CorpusPipeline.prepare(d, d.where(pmod(col("doc_id"), lit(50)) === 0))
       .queryExecution.executedPlan.toString
-    // shuffle exchanges: dedup window (corpus-width) + matched-gram count +
-    // benchmark gram distinct — nothing else; gram matching itself broadcasts
+    // shuffle exchanges: dedup keeper groupBy (corpus-width) + matched-gram
+    // count + benchmark gram distinct — nothing else; gram matching itself
+    // broadcasts
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(shuffles <= 3, s"unexpected extra shuffles ($shuffles):\n$plan")
     assert("BroadcastExchange".r.findAllIn(plan).length >= 2, plan)
-    assert("Window".r.findAllIn(plan).length === 1, "exactly one corpus window (dedup)")
+    // dedup is the partial-agg'd min(struct) form — no corpus window at all
+    assert(!plan.contains("WindowExec"), plan)
   }
 
   test("prepare end-to-end semantics: contaminated group removed, clean dup group keeps one") {

@@ -30,7 +30,10 @@ def norm(v):
     if isinstance(v, float):
         return v
     if isinstance(v, decimal.Decimal):
-        return float(v)
+        # EXACT: never floatify (a float round-trip once masked 5 driver
+        # hash failures). Integral decimals compare as ints; fractional
+        # ones stay Decimal (Decimal == Decimal is exact).
+        return int(v) if v == v.to_integral_value() else v
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat(timespec="microseconds")
     if isinstance(v, datetime.date):
@@ -81,9 +84,25 @@ def main():
             continue
         try:
             exp_rel = con.sql(oracle[name])
+            # The driver's hash provably fails on any result column typed
+            # HUGEINT or DECIMAL(38,0) (empirical law over all r6 gates),
+            # even when every cell value matches. Fail HERE so the class
+            # can't recur silently: cast the oracle's final projection to
+            # BIGINT (or canonical VARCHAR) instead.
+            bad_types = [(c, str(t)) for c, t in zip(exp_rel.columns, exp_rel.types)
+                         if "HUGEINT" in str(t).upper()
+                         or str(t).upper().replace(" ", "") == "DECIMAL(38,0)"]
+            if bad_types:
+                results[name] = f"ORACLE-TYPE (driver-hash-unsafe) {bad_types}"
+                continue
             exp_cols, exp = canon(exp_rel.fetchall(), exp_rel.columns)
         except Exception as e:
             results[name] = f"ORACLE-SQL-ERROR {e}"
+            continue
+        bad_spark = [(c, str(t)) for c, t in zip(got_rel.columns, got_rel.types)
+                     if str(t).upper().replace(" ", "") == "DECIMAL(38,0)"]
+        if bad_spark:
+            results[name] = f"OUTPUT-TYPE (driver-hash-unsafe) {bad_spark}"
             continue
         if got_cols != exp_cols:
             results[name] = f"SCHEMA-MISMATCH got={got_cols} exp={exp_cols}"
