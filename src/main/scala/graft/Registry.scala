@@ -2802,13 +2802,18 @@ FROM events GROUP BY 1 ORDER BY 1""")),
           Tables.resolve(s, dir)("documents"), "text", minCount = 5L),
         Some(graft.text.Collocations.oracleSql("documents", "text", minCount = 5L))),
 
-      // event-type transition matrix: one user-keyed window pass, then a
-      // |types|^2-bounded pair count — pure integers
+      // event-type transition matrix over a bounded per-user prefix:
+      // whale-safe FirstK aggregate (≤maxEvents per group-partition),
+      // pairs from scan-stage array surgery, |types|^2-bounded count —
+      // pure integers; truncation exercised cross-engine (avg events/user
+      // exceeds the cut)
       RegisteredQuery(
         "q_event_transitions",
         (s, dir) => graft.llm.EventWindows.eventTransitions(
-          graft.llm.EventWindows.readEvents(s, s"$dir/events.parquet")),
-        Some(graft.llm.EventWindows.eventTransitionsOracle("events"))),
+            graft.llm.EventWindows.readEvents(s, s"$dir/events.parquet"),
+            maxEvents = 8)
+          .orderBy("from_type", "to_type"),
+        Some(graft.llm.EventWindows.eventTransitionsOracle("events", maxEvents = 8))),
 
       // 2-D skyline (Pareto frontier): earliest-and-cheapest orders —
       // one groupBy(x) aggregate + a domain-bounded running min, never a

@@ -12,27 +12,35 @@ import scala.collection.mutable.ArrayBuffer
 private[functions] object KllOps {
 
   def zero: QSketchBuf =
-    QSketchBuf(ArrayBuffer(new ArrayBuffer[Long]()), ArrayBuffer(false))
+    QSketchBuf(ArrayBuffer(new ArrayBuffer[Long]()), ArrayBuffer(false),
+      ArrayBuffer(false))
 
   def reduce(buf: QSketchBuf, v: java.lang.Long, cap: Int): QSketchBuf = {
     if (v == null) return buf
     buf.levels(0) += v.longValue()
+    buf.touched(0) = true
     if (buf.levels(0).length >= cap) compact(buf, 0, cap)
     buf
   }
 
   def merge(a: QSketchBuf, b: QSketchBuf, cap: Int): QSketchBuf = {
     while (a.levels.length < b.levels.length) {
-      a.levels += new ArrayBuffer[Long](); a.parities += false
+      a.levels += new ArrayBuffer[Long](); a.parities += false; a.touched += false
     }
     var l = 0
     while (l < b.levels.length) {
-      // where a has NO state at this level, adopt b's parity: a fresh
-      // buffer absorbing a rehydrated store summary then compacts exactly
-      // as the original buffer would have (lossless resumption); where
-      // BOTH sides have state, a's parity wins — the same rule a live
-      // running buffer applies to incoming partials
-      if (a.levels(l).isEmpty) a.parities(l) = b.parities(l)
+      // where a's level has NEVER held state, adopt b's parity (and
+      // touched-ness): a fresh buffer absorbing a rehydrated store summary
+      // then compacts exactly as the original buffer would have (lossless
+      // resumption). An empty-but-TOUCHED level is different: it compacted
+      // cleanly to empty (even count, no odd carry) and its flipped parity
+      // is live state — a's parity wins there, the same rule a live
+      // running buffer applies to incoming partials.
+      if (!a.touched(l)) {
+        a.parities(l) = b.parities(l)
+        a.touched(l) = b.touched(l)
+      }
+      if (b.levels(l).nonEmpty) a.touched(l) = true
       a.levels(l) ++= b.levels(l); l += 1
     }
     l = 0
@@ -49,7 +57,9 @@ private[functions] object KllOps {
   def compact(buf: QSketchBuf, l: Int, cap: Int): Unit = {
     if (l + 1 == buf.levels.length) {
       buf.levels += new ArrayBuffer[Long](); buf.parities += false
+      buf.touched += false
     }
+    buf.touched(l + 1) = true // cap >= 2 promotes at least one element
     val lvl = buf.levels(l)
     val sorted = lvl.toArray
     java.util.Arrays.sort(sorted)
@@ -96,11 +106,14 @@ private[functions] object KllOps {
   def toSummary(buf: QSketchBuf): KllSummary =
     KllSummary(buf.levels.map(_.toSeq).toSeq, buf.parities.toSeq)
 
-  /** Rehydrate a portable summary into a mutable buffer. */
+  /** Rehydrate a portable summary into a mutable buffer. Every rehydrated
+    * level is touched by definition — the summary IS prior state.
+    */
   def fromSummary(s: KllSummary): QSketchBuf =
     QSketchBuf(
       ArrayBuffer.from(s.levels.map(l => ArrayBuffer.from(l))),
-      ArrayBuffer.from(s.parities))
+      ArrayBuffer.from(s.parities),
+      ArrayBuffer.fill(s.parities.length)(true))
 
   def requireValidFractions(k: Int, qs: Seq[(Long, Long)]): Unit = {
     require(k > 1, s"summary size k must be > 1, got $k")

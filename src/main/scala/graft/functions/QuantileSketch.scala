@@ -7,10 +7,17 @@ import scala.collection.mutable.ArrayBuffer
 
 /** Serialized form of a [[QuantileSketch]] buffer: `levels(l)` holds
   * values of weight 2^l; `parities(l)` is the deterministic-alternation
-  * bit for the next compaction of level l.
+  * bit for the next compaction of level l; `touched(l)` records whether
+  * the level has EVER held state (a level that compacted cleanly to empty
+  * is empty-but-touched, and its flipped parity is live state that a
+  * merge must not overwrite — only a genuinely fresh level adopts the
+  * other side's parity). Buffer-internal only (kryo-encoded); the
+  * portable [[KllSummary]] doesn't carry it — rehydrated levels are all
+  * touched by definition.
   */
 final case class QSketchBuf(levels: ArrayBuffer[ArrayBuffer[Long]],
-                            parities: ArrayBuffer[Boolean])
+                            parities: ArrayBuffer[Boolean],
+                            touched: ArrayBuffer[Boolean])
 
 /** Mergeable multi-level quantile summary over INTEGER-valued columns
   * (scale fractional inputs first — cents, micros; integer ranks are what

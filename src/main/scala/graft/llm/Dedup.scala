@@ -301,6 +301,19 @@ FROM $table d LEFT JOIN k ON d.$idCol = k.$idCol ORDER BY d.$idCol""".stripMargi
     * join on a compact Long key, never a cartesian — distinct the candidate
     * pairs, then join text back by id to verify exact Jaccard over shingle
     * sets. Returns (leftIdCol, rightIdCol, jaccard) with jaccard >= minJaccard.
+    *
+    * `maxBucket` bounds the DEGENERATE bucket: candidate generation is
+    * O(Σ bucket²), so a near-identical corpus (one bucket holding ~all N
+    * docs) goes quadratic. With a cap, each bucket's left side is its
+    * `maxBucket` lowest-id REPRESENTATIVES and every member still pairs
+    * against them — per-bucket candidates fall from n² to n·cap, and every
+    * member of an overflowing bucket stays reachable from the
+    * representative set (connected-component dedup over the pairs keeps
+    * the whole bucket in one cluster when members truly match the reps).
+    * The approximation is honest, not silent: pairs BETWEEN two
+    * non-representatives of an overflowing bucket are only found if a
+    * second band re-buckets them — audit with [[lshBucketOverflow]] before
+    * trusting a capped run. Default `Int.MaxValue` = exact (uncapped).
     */
   def dedupMinhashPairs(
       df: DataFrame,
@@ -309,7 +322,9 @@ FROM $table d LEFT JOIN k ON d.$idCol = k.$idCol ORDER BY d.$idCol""".stripMargi
       shingleN: Int = 3,
       bands: Int = DefaultBands,
       rowsPerBand: Int = DefaultRowsPerBand,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(maxBucket > 0, s"maxBucket must be positive, got $maxBucket")
     // single-file inputs arrive as one partition; the signature computation
     // is the expensive part, so spread it across the cluster first
     val par = df.sparkSession.sparkContext.defaultParallelism
@@ -328,7 +343,15 @@ FROM $table d LEFT JOIN k ON d.$idCol = k.$idCol ORDER BY d.$idCol""".stripMargi
     // STRUCTURAL once-per-row guarantee that doesn't lean on codegen CSE.
     val prepared = prepareBands(src, textCol, idCol, shingleN, bands, rowsPerBand)
     val banded = prepared.select(col(idCol), posexplode(col("__bkeys")).as(Seq("band", "bkey")))
-    val a = banded.as("a"); val b = banded.as("b")
+    // capped: the left side shrinks to ≤maxBucket lowest-id reps per bucket
+    // via a partial-agg'd bounded BottomK (a whale bucket collapses to
+    // maxBucket ids per input partition map-side, never a window sort)
+    val leftSide =
+      if (maxBucket == Int.MaxValue) banded
+      else banded.groupBy(col("band"), col("bkey"))
+        .agg(graft.functions.BottomK(maxBucket)(col(idCol)).as("__reps"))
+        .select(col("band"), col("bkey"), explode(col("__reps")).as(idCol))
+    val a = leftSide.as("a"); val b = banded.as("b")
     val cand = a.join(b,
         col(s"a.band") === col(s"b.band") && col(s"a.bkey") === col(s"b.bkey") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
@@ -358,6 +381,25 @@ FROM $table d LEFT JOIN k ON d.$idCol = k.$idCol ORDER BY d.$idCol""".stripMargi
     val par = df.sparkSession.sparkContext.defaultParallelism
     val src = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
     prepareBands(src, textCol, idCol, shingleN, bands, rowsPerBand)
+  }
+
+  /** Audit for a capped [[dedupMinhashPairs]] run: the (band, bkey,
+    * n_members) buckets whose population exceeds `maxBucket` — exactly the
+    * buckets where the cap approximates (non-representative pairs may be
+    * missed). Empty result ⇒ the capped run was exact. One partial-agg'd
+    * count shuffle; output is overflow-sized (degenerate corpora only).
+    */
+  def lshBucketOverflow(
+      df: DataFrame, textCol: String, idCol: String, maxBucket: Int,
+      shingleN: Int = 3,
+      bands: Int = DefaultBands,
+      rowsPerBand: Int = DefaultRowsPerBand): DataFrame = {
+    require(maxBucket > 0, s"maxBucket must be positive, got $maxBucket")
+    df.select(posexplode(bandKeys(col(textCol), shingleN, bands, rowsPerBand))
+        .as(Seq("band", "bkey")))
+      .groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("n_members"))
+      .where(col("n_members") > maxBucket)
   }
 
   /** (id, band keys, shingle set), eagerly checkpointed — the shared prep

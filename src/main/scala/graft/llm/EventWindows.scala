@@ -208,37 +208,72 @@ FROM e WHERE rn <= $maxEvents GROUP BY $userCol ORDER BY $userCol""".stripMargin
     * scoring (improbable transitions), and session simulation. Pure
     * integer counts — bit-identical on any engine.
     *
-    * Scale shape: ONE shuffle (hash by user for the lead window; the
-    * per-user sort is the same intrinsic cost as [[sessionized]]), then
-    * the pair count aggregates map-side into at most |types|² rows.
-    * Whale-user caveat: the window sorts each user's whole stream in one
-    * task — the same hazard [[sessionized]] carries, and the same
-    * mitigation applies (pre-filter with [[actionSequences]]' FirstK cut
-    * when a bounded prefix is acceptable).
+    * Scale shape: with `maxEvents > 0` (the default posture for behavioral
+    * modeling, where a bounded per-user prefix is the estimand anyway),
+    * the per-user stream rides the BOUNDED [[graft.functions.FirstK]]
+    * aggregate — ≤maxEvents (ts, id, type) triples per (user, partition)
+    * map-side, so a whale user costs each task a k-bounded insert, never a
+    * single-task sort of its whole stream — and consecutive pairs are
+    * scan-stage array surgery over the per-user prefix. With
+    * `maxEvents = 0` (unbounded, the exact full-stream matrix) the lead
+    * window is used: hash by user, spill-backed per-user sort — the same
+    * intrinsic cost and whale caveat as [[sessionized]].
     */
   def eventTransitions(events: DataFrame, userCol: String = "user_id",
                        tsCol: String = "ts", typeCol: String = "event_type",
-                       idCol: String = "event_id"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
-    events
-      .where(col(tsCol).isNotNull && col(idCol).isNotNull)
-      .select(col(typeCol).as("from_type"),
-        lead(col(typeCol), 1).over(w).as("to_type"))
-      .where(col("to_type").isNotNull)
-      .groupBy("from_type", "to_type")
-      .agg(count(lit(1)).as("n"))
+                       idCol: String = "event_id", maxEvents: Int = 0): DataFrame = {
+    require(maxEvents >= 0, s"maxEvents must be >= 0 (0 = unbounded), got $maxEvents")
+    if (maxEvents == 0) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+      events
+        .where(col(tsCol).isNotNull && col(idCol).isNotNull)
+        .select(col(typeCol).as("from_type"),
+          lead(col(typeCol), 1).over(w).as("to_type"))
+        .where(col("to_type").isNotNull)
+        .groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n"))
+    } else {
+      // same rankability contract as actionSequences: a ts/id that cannot
+      // cast is as unrankable as a NULL one
+      val t = unix_micros(col(tsCol).cast("timestamp"))
+      val i = col(idCol).cast("long")
+      events.where(t.isNotNull && i.isNotNull)
+        .groupBy(col(userCol))
+        .agg(graft.functions.FirstK(maxEvents)(t, i, col(typeCol)).as("__seq"))
+        // materialize the type array as an attribute BEFORE slicing: HOF
+        // lambdas re-evaluate expression (non-attribute) inputs per element
+        .select(transform(col("__seq"), s => s.getField("_3")).as("__types"))
+        .select(
+          slice(col("__types"), lit(1), size(col("__types")) - 1).as("from_arr"),
+          slice(col("__types"), lit(2), size(col("__types")) - 1).as("to_arr"))
+        .select(explode(arrays_zip(col("from_arr"), col("to_arr"))).as("__p"))
+        .select(col("__p.from_arr").as("from_type"), col("__p.to_arr").as("to_type"))
+        .groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n"))
+    }
   }
 
-  /** DuckDB replay of [[eventTransitions]] — same lead window, same
-    * total order, same null contracts.
+  /** DuckDB replay of [[eventTransitions]] — same total order, same null
+    * contracts; `maxEvents > 0` replays the bounded-prefix rule as a
+    * row_number cut before the lead.
     */
   def eventTransitionsOracle(table: String, userCol: String = "user_id",
                              tsCol: String = "ts", typeCol: String = "event_type",
-                             idCol: String = "event_id"): String =
-    s"""WITH o AS (SELECT $typeCol AS from_type,
+                             idCol: String = "event_id", maxEvents: Int = 0): String =
+    if (maxEvents == 0)
+      s"""WITH o AS (SELECT $typeCol AS from_type,
   lead($typeCol) OVER (PARTITION BY $userCol ORDER BY $tsCol, $idCol) AS to_type
   FROM $table WHERE $tsCol IS NOT NULL AND $idCol IS NOT NULL)
+SELECT from_type, to_type, count(*) AS n
+FROM o WHERE to_type IS NOT NULL GROUP BY from_type, to_type"""
+    else
+      s"""WITH e AS (SELECT $userCol, $typeCol,
+  row_number() OVER (PARTITION BY $userCol ORDER BY $tsCol, $idCol) AS rn
+  FROM $table WHERE $tsCol IS NOT NULL AND $idCol IS NOT NULL),
+o AS (SELECT $typeCol AS from_type,
+  lead($typeCol) OVER (PARTITION BY $userCol ORDER BY rn) AS to_type
+  FROM e WHERE rn <= $maxEvents)
 SELECT from_type, to_type, count(*) AS n
 FROM o WHERE to_type IS NOT NULL GROUP BY from_type, to_type"""
 

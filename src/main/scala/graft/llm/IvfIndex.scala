@@ -38,16 +38,34 @@ final case class IvfIndex(
     slice(transform(array_sort(dists), s => s.getField("l")), 1, nProbe)
   }
 
+  /** The probe equi-join, optionally salted: a CLUSTERED corpus can pack
+    * most vectors into one inverted list, and that hot `list` key then
+    * serializes the candidate scoring onto few tasks. With
+    * `saltBuckets > 0` the corpus side takes a uniform salt and the
+    * (small) probe side replicates `saltBuckets`×, fanning the whale
+    * list's comparisons across tasks — the join multiset (and therefore
+    * every search result) is provably unchanged, so salting is a pure
+    * balance knob. Measure first with
+    * [[graft.operators.Profiling.keyConcentration]] on `assigned("list")`.
+    */
+  private def probeJoin(probes: DataFrame, corpus: DataFrame,
+                        saltBuckets: Int): DataFrame =
+    if (saltBuckets <= 0) probes.join(corpus, "list")
+    else graft.operators.SkewJoin.saltedJoin(
+      corpus, probes, "list", "list", saltBuckets)
+
   /** Approximate top-k: score queries only against vectors in their nProbe
     * nearest lists (equi-join on list id after exploding the probe set).
+    * `saltBuckets` opts in to [[probeJoin]]'s hot-list salting.
     */
-  def search(queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+  def search(queries: DataFrame, k: Int, nProbe: Int,
+             saltBuckets: Int = 0): DataFrame = {
     val q = queries.select(
         col(idCol).as("query_id"),
         col(vecCol).as("qv_q"),
         explode(probeLists(col(vecCol), nProbe)).as("list"))
-    val scored = q.join(assigned.select(
-          col(idCol).as("neighbor_id"), col(vecCol).as("qv"), col("list")), "list")
+    val scored = probeJoin(q, assigned.select(
+          col(idCol).as("neighbor_id"), col(vecCol).as("qv"), col("list")), saltBuckets)
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         Similarity.quantizedDot(col("qv_q"), col("qv")).as("score"))
@@ -64,7 +82,8 @@ final case class IvfIndex(
     * this provably equals int8 brute force whatever the centroids
     * converged to — which is what makes it oracle-checkable.
     */
-  def searchInt8(queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+  def searchInt8(queries: DataFrame, k: Int, nProbe: Int,
+                 saltBuckets: Int = 0): DataFrame = {
     val q = queries.select(
         col(idCol).as("query_id"),
         EmbeddingOps.quantizeInt8(col(vecCol)).as("qc"),
@@ -75,7 +94,7 @@ final case class IvfIndex(
     val dot = aggregate(
       zip_with(col("qc"), col("cc"), (a, b) => a.cast(LongType) * b.cast(LongType)),
       lit(0L), (acc, x) => acc + x)
-    val scored = q.join(c, "list")
+    val scored = probeJoin(q, c, saltBuckets)
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), dot.as("score"))
     graft.functions.TopK.perGroup(scored, Seq("query_id"), col("score"), col("neighbor_id"), k)
@@ -111,7 +130,8 @@ final case class IvfIndex(
     * for a one-shot query batch, wasteful for a serving loop).
     */
   def searchPq(pq: PqCodebook, queries: DataFrame, k: Int, nProbe: Int,
-               corpusCodes: Option[DataFrame] = None): DataFrame = {
+               corpusCodes: Option[DataFrame] = None,
+               saltBuckets: Int = 0): DataFrame = {
     val codesDf = corpusCodes.getOrElse(
       assigned.select(
         col(idCol).as("neighbor_id"),
@@ -121,7 +141,7 @@ final case class IvfIndex(
     val q = queries.select(
       col(idCol).as("query_id"),
       explode(probeLists(col(vecCol), nProbe)).as("list"))
-    val scored = q.join(codesDf, "list")
+    val scored = probeJoin(q, codesDf, saltBuckets)
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         // TopK is max-first; ADC is a distance — negate so nearest ranks first

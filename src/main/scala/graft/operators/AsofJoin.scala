@@ -73,6 +73,12 @@ object AsofJoin {
                          tieBreak: Option[String] = None): DataFrame = {
     // the inner asofImpl call only sees the internal suffix, so re-apply
     // its collision guard against the FINAL output names
+    // the bound rides on an internal carry of the match ts (payload :+ ts);
+    // a payload already naming ts would duplicate that carry and fail with
+    // an ambiguous-column error far from this API — the match ts is carried
+    // regardless, so listing it is never needed
+    require(!payload.contains(ts),
+      s"payload must not contain the ts column '$ts' in the Within variants")
     val clash = payload.map(_ + suffix).toSet.intersect(left.columns.toSet)
     require(clash.isEmpty,
       s"asof payload collides with left columns: $clash (use suffix)")
@@ -95,6 +101,8 @@ object AsofJoin {
                         ts: String, payload: Seq[String], maxGap: Column,
                         suffix: String = "", strict: Boolean = false,
                         tieBreak: Option[String] = None): DataFrame = {
+    require(!payload.contains(ts),
+      s"payload must not contain the ts column '$ts' in the Within variants")
     val clash = payload.map(_ + suffix).toSet.intersect(left.columns.toSet)
     require(clash.isEmpty,
       s"asof payload collides with left columns: $clash (use suffix)")

@@ -28,11 +28,31 @@ import org.apache.spark.sql.functions._
   */
 object QuantileStore {
 
-  /** The batch partial: one (groupCols*, summary) row per group. */
+  /** The batch partial: one (groupCols*, summary, k) row per group. `k`
+    * rides in the store because it is PART of the summary's meaning: a
+    * fold or merge under a smaller cap would silently compact
+    * exact-regime summaries and break the exactness contract — so every
+    * entry point checks the caller's k against the stored one.
+    */
   def partial(batch: DataFrame, groupCols: Seq[String], value: Column,
               k: Int): DataFrame =
     batch.groupBy(groupCols.map(col): _*)
       .agg(udaf(new QuantileSummaryAgg(k)).apply(value.cast("long")).as("summary"))
+      .withColumn("k", lit(k))
+
+  /** Fail loudly when a summary frame was built with a different k than
+    * the caller is about to merge with (frames predating the k column
+    * pass — nothing to check against).
+    */
+  private def requireStoreK(df: DataFrame, k: Int, what: String): Unit =
+    if (df.columns.contains("k")) {
+      val r = df.agg(min(col("k")), max(col("k"))).head()
+      if (!r.isNullAt(0))
+        require(r.getInt(0) == k && r.getInt(1) == k,
+          s"$what carries summaries built with k=${r.getInt(0)}..${r.getInt(1)} " +
+            s"but the caller passed k=$k — merging under a different cap would " +
+            "compact exact-regime summaries silently; use the stored k")
+    }
 
   /** Fold one batch into the store at `storeDir` (bootstraps on first
     * use). In the exact regime (group sizes < 2k) n folds equal the
@@ -48,11 +68,16 @@ object QuantileStore {
       AtomicStore.create(spark, storeDir, part)
       return
     }
+    val stored0 = spark.read.parquet(storeDir)
+    requireStoreK(stored0, k, s"store $storeDir")
+    val stored = if (stored0.columns.contains("k")) stored0
+                 else stored0.withColumn("k", lit(k)) // legacy store: stamp it
     // a case-class-input UDAF takes the struct's FIELDS as its arguments
-    val merged = spark.read.parquet(storeDir).unionByName(part)
+    val merged = stored.unionByName(part)
       .groupBy(groupCols.map(col): _*)
       .agg(udaf(new SummaryFoldAgg(k))
         .apply(col("summary.levels"), col("summary.parities")).as("summary"))
+      .withColumn("k", lit(k))
     AtomicStore.replace(spark, storeDir, merged)
   }
 
@@ -88,6 +113,7 @@ object QuantileStore {
   def quantiles(store: DataFrame, groupCols: Seq[String], k: Int,
                 qs: Seq[(Long, Long)], names: Seq[String]): DataFrame = {
     require(names.length == qs.length, "one name per fraction")
+    requireStoreK(store, k, "summary frame")
     store.groupBy(groupCols.map(col): _*)
       .agg(udaf(new SummaryMergeAgg(k, qs))
         .apply(col("summary.levels"), col("summary.parities")).as("__q"))

@@ -105,6 +105,54 @@ object Scd2 {
     AtomicStore.replace(spark, storeDir, untouched.unionByName(rebuilt))
   }
 
+  /** Reorder-TOLERANT fold: the production CDC path where late deliveries
+    * are a fact of life. Alongside the dimension it retains the per-key
+    * CHANGE LOG (the raw, uncollapsed changes — which a CDC pipeline keeps
+    * anyway); each fold appends the batch to the log and rebuilds the
+    * dimension for AFFECTED KEYS ONLY from their full logged history. A
+    * late change is therefore exact, not rejected: after any sequence of
+    * folds, in any arrival order, the store equals
+    * `build(union of every change ever folded)` — the collapse rule is
+    * re-derived from the log, so no-op changes collapsed under a stale
+    * order are recovered.
+    *
+    * Scale shape: the log append is an APPEND-mode parquet write (new
+    * files, no rewrite of history); the rebuild reads only the affected
+    * keys' log rows (semi-join prune — with the log time- or
+    * key-partitioned, a partition-pruned scan) through the same one-key-
+    * shuffle [[build]]; the store rewrite stays AtomicStore-crash-safe.
+    * Trade vs [[update]]: strict mode never re-reads history (stored
+    * versions suffice); tolerant mode re-reads the affected slice of the
+    * log — the price of exactness under reordering.
+    *
+    * Idempotence note: replaying the SAME batch twice appends duplicate
+    * log rows; dedup upstream on (key, eff, seq) or give replays the same
+    * seq so the (eff, seq) order (and the collapse) is unchanged.
+    */
+  def updateTolerant(spark: SparkSession, storeDir: String, logDir: String,
+                     batch: DataFrame, keyCol: String, attrCols: Seq[String],
+                     effCol: String, seqCol: String): Unit = {
+    import graft.sources.AtomicStore
+    AtomicStore.restoreIfStashed(spark, storeDir)
+    val changeCols = (Seq(col(keyCol)) ++ attrCols.map(col) ++
+      Seq(col(effCol), col(seqCol)))
+    // localCheckpoint the batch first: it is read twice (log append + keys)
+    // and may itself be a derived frame
+    val b = batch.select(changeCols: _*).localCheckpoint(true)
+    b.write.mode("append").parquet(logDir)
+    val log = spark.read.parquet(logDir)
+    val keys = b.select(col(keyCol)).distinct()
+    val rebuilt = build(log.join(keys, Seq(keyCol), "left_semi"),
+      keyCol, attrCols, effCol, seqCol)
+    if (!AtomicStore.hasData(spark, storeDir))
+      AtomicStore.create(spark, storeDir, rebuilt)
+    else {
+      val untouched = spark.read.parquet(storeDir)
+        .join(keys, Seq(keyCol), "left_anti")
+      AtomicStore.replace(spark, storeDir, untouched.unionByName(rebuilt))
+    }
+  }
+
   /** The maintained dimension: every version of every key seen so far. */
   def read(spark: SparkSession, storeDir: String): DataFrame = {
     graft.sources.AtomicStore.restoreIfStashed(spark, storeDir)

@@ -18,6 +18,26 @@ class KllOpsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(resumed.levels.map(_.sorted.toSeq).toSeq === buf.levels.map(_.sorted.toSeq).toSeq)
   }
 
+  test("an empty-but-touched level keeps its flipped parity across merge") {
+    val cap = 8
+    // 8 values compact level 0 CLEANLY to empty (even count, no odd
+    // carry) — its flipped parity is live state, not an untouched level
+    val a = KllOps.zero
+    (1L to 8L).foreach(v => KllOps.reduce(a, v, cap))
+    assert(a.levels(0).isEmpty && a.parities(0) && a.touched(0))
+    val b = KllOps.zero
+    (101L to 103L).foreach(v => KllOps.reduce(b, v, cap))
+    assert(!b.parities(0))
+    val merged = KllOps.merge(a, b, cap)
+    assert(merged.parities(0), "clean-compaction parity must survive the merge")
+    // and the merge equals one continuous aggregation of the same stream
+    val cont = KllOps.zero
+    (1L to 8L).foreach(v => KllOps.reduce(cont, v, cap))
+    (101L to 103L).foreach(v => KllOps.reduce(cont, v, cap))
+    assert(merged.parities.toSeq === cont.parities.toSeq)
+    assert(merged.levels.map(_.sorted.toSeq).toSeq === cont.levels.map(_.sorted.toSeq).toSeq)
+  }
+
   test("resumed fold equals the uninterrupted fold, compactions included") {
     val cap = 8
     val direct = KllOps.zero

@@ -41,4 +41,36 @@ class EventTransitionsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(one === many && one.values.sum === (120L - 10L))
   }
+
+  test("bounded prefix equals the unbounded matrix when maxEvents covers every user") {
+    val rows = (1L to 120L).map { i =>
+      (i, (i * 37) % 50, i % 10, Seq("v", "c", "p")((i % 3).toInt))
+    }
+    val base = ev(rows: _*)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m(EventWindows.eventTransitions(base, maxEvents = 100)) ===
+      m(EventWindows.eventTransitions(base)))
+  }
+
+  test("bounded prefix truncates: only the first maxEvents per user contribute") {
+    val got = EventWindows.eventTransitions(ev(
+        (1L, 10L, 1L, "a"), (2L, 20L, 1L, "b"), (3L, 30L, 1L, "c"), (4L, 40L, 1L, "d")),
+        maxEvents = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(("a", "b") -> 1L, ("b", "c") -> 1L)) // (c,d) cut
+  }
+
+  test("whale user stays bounded: partial FirstK agg, no window sort") {
+    // one user with 30k events across 4 partitions: the bounded path must
+    // reduce each partition to <= maxEvents triples map-side
+    val rows = (1L to 30000L).map(i => (i, i, 1L, Seq("v", "c")((i % 2).toInt)))
+    val q = EventWindows.eventTransitions(ev(rows: _*).repartition(4), maxEvents = 5)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec"), plan)
+    assert(plan.contains("partial_firstkbykey") || plan.contains("FirstK"), plan)
+    val got = q.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // first 5 events are ids 1..5 -> types v c v c v
+    assert(got === Map(("v", "c") -> 2L, ("c", "v") -> 2L))
+  }
 }

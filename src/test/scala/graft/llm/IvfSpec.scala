@@ -34,6 +34,36 @@ class IvfSpec extends SparkSpec {
     assert(index.assigned.select("list").distinct().count() == 8)
   }
 
+  test("salted probe join: single-list-heavy corpus, results identical to unsalted") {
+    import spark.implicits._
+    // adversarial clustered corpus: 200 vectors piled around one direction
+    // (one inverted list swallows nearly everything) + a few outliers
+    val rows = (0L until 200L).map { i =>
+      (i, Array(1.0f + i * 1e-6f, 0.0f, 0.0f))
+    } ++ Seq((200L, Array(-1.0f, 0.0f, 0.0f)), (201L, Array(0.0f, -1.0f, 0.0f)),
+      (202L, Array(0.0f, 0.0f, -1.0f)))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val index = IvfIndex.build(corpus, nLists = 4)
+    val hot = index.assigned.groupBy("list").count()
+      .orderBy(col("count").desc).first().getLong(1)
+    assert(hot >= 100, s"corpus not skewed enough for the test (hot list $hot)")
+    val qs = corpus.where(col("vec_id") < 5 || col("vec_id") >= 200L)
+    val unsalted = index.search(qs, k = 3, nProbe = 4)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.get(1).asInstanceOf[Number].longValue, r.getLong(2))).toSet
+    val salted = index.search(qs, k = 3, nProbe = 4, saltBuckets = 8)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.get(1).asInstanceOf[Number].longValue, r.getLong(2))).toSet
+    assert(salted == unsalted)
+    val saltedInt8 = index.searchInt8(qs, k = 3, nProbe = 4, saltBuckets = 8)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.get(1).asInstanceOf[Number].longValue, r.getLong(2))).toSet
+    val unsaltedInt8 = index.searchInt8(qs, k = 3, nProbe = 4)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.get(1).asInstanceOf[Number].longValue, r.getLong(2))).toSet
+    assert(saltedInt8 == unsaltedInt8)
+  }
+
   test("sampled-training build: full probing still equals brute force") {
     // the identity is centroid-independent — full probe scores every vector
     // whatever the (sampled) k-means converged to — so the 100 TB-scale

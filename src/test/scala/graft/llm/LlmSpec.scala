@@ -118,6 +118,37 @@ class LlmSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }) // unrelated doc never pairs
   }
 
+  test("capped LSH bucket: one-text corpus stays n·cap, clusters stay connected") {
+    import spark.implicits._
+    val n = 100
+    val docs = (1L to n.toLong).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.dedupMinhashPairs(docs, "text", "doc_id", maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every band buckets ALL docs together; reps = lowest-2 ids {1, 2}, so
+    // candidates are (1, m) + (2, m) — n·cap-ish, never the n²/2 = 4950
+    val expected = ((2L to n.toLong).map(m => (1L, m)) ++
+      (3L to n.toLong).map(m => (2L, m))).toSet
+    assert(pairs == expected)
+    // every non-rep member is reachable from a representative: one cluster
+    assert((3L to n.toLong).forall(m => pairs.contains((1L, m))))
+    // the audit names the overflowing buckets (one per band)
+    val over = Dedup.lshBucketOverflow(docs, "text", "doc_id", maxBucket = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(over.length == Dedup.DefaultBands && over.forall(_._2 == n.toLong))
+  }
+
+  test("capped LSH with a roomy cap equals the uncapped pairs") {
+    val uncapped = Dedup.dedupMinhashPairs(docs, "text", "doc_id", minJaccard = 0.4)
+      .select("left_id", "right_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.dedupMinhashPairs(docs, "text", "doc_id", minJaccard = 0.4,
+        maxBucket = 1000)
+      .select("left_id", "right_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == uncapped)
+  }
+
   test("minhash signature is k values, invariant across partitioning") {
     val sig1 = docs.repartition(1).select(Dedup.minhashSignature(col("text"), 3, 8))
       .collect().map(_.getSeq[Long](0))

@@ -93,6 +93,18 @@ class AsofJoinSpec extends SparkSpec {
     assert(e.getMessage.contains("collides"))
   }
 
+  test("Within variants: a payload naming the ts column fails AT the API") {
+    Seq[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) => Any](
+      (l, r) => AsofJoin.asofBackwardWithin(l, r, on = Seq("k"), ts = "ts",
+        payload = Seq("qid", "ts"), maxGap = lit(5L)),
+      (l, r) => AsofJoin.asofForwardWithin(l, r, on = Seq("k"), ts = "ts",
+        payload = Seq("qid", "ts"), maxGap = lit(5L))
+    ).foreach { f =>
+      val e = intercept[IllegalArgumentException](f(trades, quotes))
+      assert(e.getMessage.contains("must not contain the ts column"))
+    }
+  }
+
   test("asofBackwardWithin: stale matches blank to NULL, fresh ones survive") {
     // trade A@30 matches quote A@20 (gap 10); trade A@5 has no match;
     // trade C@50 has no match; with maxGap 5 the A@30 match is stale

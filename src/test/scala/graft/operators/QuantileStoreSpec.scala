@@ -64,6 +64,29 @@ class QuantileStoreSpec extends SparkSpec {
     assert(math.abs(rank - n / 2) < n * 0.12, s"rank $rank vs ${n / 2}")
   }
 
+  test("k is persisted; a mismatched k fails loudly on update and quantiles") {
+    val dir = freshDir()
+    QuantileStore.update(spark, dir, Seq(("g", 1L), ("g", 2L)).toDF("g", "v"),
+      Seq("g"), col("v"), k = 64)
+    val eU = intercept[IllegalArgumentException] {
+      QuantileStore.update(spark, dir, Seq(("g", 3L)).toDF("g", "v"),
+        Seq("g"), col("v"), k = 8)
+    }
+    assert(eU.getMessage.contains("k=64") && eU.getMessage.contains("k=8"))
+    val eQ = intercept[IllegalArgumentException] {
+      QuantileStore.quantiles(QuantileStore.read(spark, dir), Seq("g"),
+        k = 8, qs = Seq((1L, 2L)), names = Seq("p50"))
+    }
+    assert(eQ.getMessage.contains("k=64"))
+    // the matching k still works after the failed attempts
+    QuantileStore.update(spark, dir, Seq(("g", 3L)).toDF("g", "v"),
+      Seq("g"), col("v"), k = 64)
+    val q = QuantileStore.quantiles(QuantileStore.read(spark, dir), Seq("g"),
+        k = 64, qs = Seq((1L, 2L)), names = Seq("p50"))
+      .as[(String, Long)].collect().toSeq
+    assert(q === Seq(("g", 2L)))
+  }
+
   test("store bootstrap, read-back, and empty-batch no-op") {
     val dir = freshDir()
     QuantileStore.update(spark, dir, Seq(("g", 1L)).toDF("g", "v"),

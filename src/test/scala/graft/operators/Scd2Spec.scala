@@ -77,6 +77,48 @@ class Scd2Spec extends SparkSpec {
       r.contains((2L, "silver", "2024-06-01", 40L, None, true)))
   }
 
+  test("tolerant fold: a LATE batch folds exactly — store equals build(union)") {
+    import spark.implicits._
+    val dir = freshDir("tolerant"); val log = freshDir("tolerant_log")
+    // fold the 2024 history first...
+    Scd2.updateTolerant(spark, dir, log, changesDf, "k", Seq("status"), "eff", "seq")
+    // ...then a LATE 2023 change for key 1 (strict update rejects this) and
+    // a brand-new key in the same batch
+    val late = Seq(
+      (1L, "iron", d("2023-12-01"), 5L),
+      (3L, "bronze", d("2024-02-02"), 50L)).toDF("k", "status", "eff", "seq")
+    Scd2.updateTolerant(spark, dir, log, late, "k", Seq("status"), "eff", "seq")
+    assert(rows(Scd2.read(spark, dir)) ==
+      rows(Scd2.build(changesDf.unionByName(late), "k", Seq("status"), "eff", "seq")))
+    // the late row reopened key 1's history: iron is its first version now
+    assert(rows(Scd2.read(spark, dir))
+      .contains((1L, "iron", "2023-12-01", 5L, Some("2024-01-01"), false)))
+  }
+
+  test("tolerant fold: late no-op change re-derives the collapse correctly") {
+    import spark.implicits._
+    val dir = freshDir("tolerant_noop"); val log = freshDir("tolerant_noop_log")
+    Scd2.updateTolerant(spark, dir, log, changesDf, "k", Seq("status"), "eff", "seq")
+    // late "bronze" between the two stored bronze changes: still a no-op
+    // chain — the rebuild must keep exactly one bronze version
+    val late = Seq((1L, "bronze", d("2024-01-15"), 15L)).toDF("k", "status", "eff", "seq")
+    Scd2.updateTolerant(spark, dir, log, late, "k", Seq("status"), "eff", "seq")
+    assert(rows(Scd2.read(spark, dir)) ==
+      rows(Scd2.build(changesDf.unionByName(late), "k", Seq("status"), "eff", "seq")))
+  }
+
+  test("tolerant fold of in-order batches also equals the direct build") {
+    val dir = freshDir("tolerant_inorder"); val log = freshDir("tolerant_inorder_log")
+    val li = spark.read.parquet(s"$sf/orders.parquet").select(
+      col("o_custkey").as("k"), col("o_orderstatus").as("status"),
+      col("o_orderdate").as("eff"), col("o_orderkey").as("seq"))
+    val cut = d("1995-01-01")
+    Seq(li.where(col("eff") < cut), li.where(col("eff") >= cut))
+      .foreach(b => Scd2.updateTolerant(spark, dir, log, b, "k", Seq("status"), "eff", "seq"))
+    assert(rows(Scd2.read(spark, dir)) ==
+      rows(Scd2.build(li, "k", Seq("status"), "eff", "seq")))
+  }
+
   test("a mid-swap crash stash is restored by the next entry point") {
     val dir = freshDir("stash")
     Scd2.update(spark, dir, changesDf, "k", Seq("status"), "eff", "seq")
