@@ -1186,6 +1186,25 @@ SELECT lang, CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE) ELSE 15.0 * ${1L << 60} /
           .orderBy("doc_id"),
         Some(langMarginOracle("documents", "doc_id", "text"))),
 
+      // PII audit: per-document pattern-hit counts over deterministically
+      // injected identifiers (the synthetic corpus carries none) — pure
+      // scan-stage regex, zero shuffle, engine-portable pattern subset
+      RegisteredQuery(
+        "q_pii_scan",
+        (s, dir) => graft.text.Pii.piiCounts(
+            piiInjected(Tables.resolve(s, dir)("documents")), "doc_id", "text")
+          .orderBy("doc_id"),
+        Some(graft.text.Pii.countsOracle("documents", "doc_id", PiiTextSql))),
+
+      // PII redaction: typed placeholders in rule order (email→ip→id→
+      // phone) — the redacted-corpus rewrite, scan-stage
+      RegisteredQuery(
+        "q_pii_redact",
+        (s, dir) => graft.text.Pii.redactDocs(
+            piiInjected(Tables.resolve(s, dir)("documents")), "doc_id", "text")
+          .orderBy("doc_id"),
+        Some(graft.text.Pii.redactOracle("documents", "doc_id", PiiTextSql, "text"))),
+
       // A4 rest: arbitrary exact quantiles through the ADT path (the
       // reference's quantile(p); interpolation matches ANSI PERCENTILE_CONT)
       adt("q_quantile", Select(
@@ -3196,6 +3215,34 @@ FROM documents ORDER BY doc_id""")),
   private def PsiCuts: Seq[Long] =
     Seq(5000000L, 10000000L, 15000000L, 20000000L, 25000000L,
       30000000L, 35000000L, 40000000L)
+
+  /** q_pii_* input: the synthetic corpus with deterministic doc_id-derived
+    * identifiers appended (emails always; an IPv4 every 3rd doc, a phone
+    * every 5th, an SSN-shaped id every 11th) — built IDENTICALLY on the
+    * Spark side ([[piiInjected]]) and in the oracle ([[PiiTextSql]]), so
+    * the gate exercises real pattern density instead of an all-zero scan.
+    */
+  private def piiInjected(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val idS = col("doc_id").cast("string")
+    val pad4 = lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")
+    d.withColumn("text", concat_ws(" ", col("text"),
+      concat(lit("u"), idS, lit("@ex"), pmod(col("doc_id"), lit(7)).cast("string"), lit(".org")),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit("10.0."), pmod(col("doc_id"), lit(200)).cast("string"),
+          lit("."), pmod(col("doc_id"), lit(250)).cast("string"))),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit("+1-555-"), pad4)),
+      when(pmod(col("doc_id"), lit(11)) === 0,
+        concat(lit("123-45-"), pad4))))
+  }
+
+  /** The oracle-side replica of [[piiInjected]]'s text expression. */
+  private def PiiTextSql: String =
+    "concat_ws(' ', text, 'u' || doc_id || '@ex' || (doc_id % 7) || '.org', " +
+      "CASE WHEN doc_id % 3 = 0 THEN '10.0.' || (doc_id % 200) || '.' || (doc_id % 250) END, " +
+      "CASE WHEN doc_id % 5 = 0 THEN '+1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') END, " +
+      "CASE WHEN doc_id % 11 = 0 THEN '123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') END)"
 
   /** q_linear_score weights: a deterministic Fibonacci-hash spread in
     * [−500, 500] — stands in for a trained, milli-unit-quantized model.
