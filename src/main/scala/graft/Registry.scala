@@ -1186,6 +1186,32 @@ SELECT lang, CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE) ELSE 15.0 * ${1L << 60} /
           .orderBy("doc_id"),
         Some(langMarginOracle("documents", "doc_id", "text"))),
 
+      // per-domain boilerplate line removal (CCNet/RefinedWeb shape): a
+      // line in >= minDocs distinct docs of a source is stripped from ALL
+      // of them; partial-agg'd distinct-doc rule on 60-bit line
+      // fingerprints, boilerplate-sized rule join, doc-bounded reassembly
+      RegisteredQuery(
+        "q_boilerplate_clean",
+        (s, dir) => graft.text.Boilerplate.removeFrequentLines(
+            linedDocs(Tables.resolve(s, dir)("documents")),
+            "doc_id", "text", "source", minDocs = 20)
+          .orderBy("doc_id"),
+        Some(graft.text.Boilerplate.removeOracle(
+          "documents", "doc_id", "source", LinedTextSql,
+          minDocs = 20, sepSql = "chr(10)", textAlias = "text"))),
+
+      // the audit twin: which lines would be stripped, with distinct-doc
+      // counts — review before you clean
+      RegisteredQuery(
+        "q_boilerplate_lines",
+        (s, dir) => graft.text.Boilerplate.frequentLines(
+            linedDocs(Tables.resolve(s, dir)("documents")),
+            "doc_id", "text", "source", minDocs = 20)
+          .orderBy("source", "line"),
+        Some(graft.text.Boilerplate.frequentOracle(
+          "documents", "doc_id", "source", LinedTextSql,
+          minDocs = 20, sepSql = "chr(10)"))),
+
       // PII audit: per-document pattern-hit counts over deterministically
       // injected identifiers (the synthetic corpus carries none) — pure
       // scan-stage regex, zero shuffle, engine-portable pattern subset
@@ -3236,6 +3262,31 @@ FROM documents ORDER BY doc_id""")),
       when(pmod(col("doc_id"), lit(11)) === 0,
         concat(lit("123-45-"), pad4))))
   }
+
+  /** q_boilerplate_* input: the one-line synthetic text broken into
+    * 8-word lines, plus a per-source boilerplate footer (present in EVERY
+    * doc of the source — the removable line) and a unique per-doc
+    * reference line (never removable) — built identically on the Spark
+    * side and in [[LinedTextSql]].
+    */
+  private def linedDocs(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val words = split(col("text"), " ")
+    val nb = floor((size(words).cast("double") + 7) / 8).cast("int")
+    val lines = transform(sequence(lit(0), nb - 1),
+      i => array_join(slice(words, i * 8 + 1, lit(8)), " "))
+    d.withColumn("text", concat_ws("\n",
+      array_join(lines, "\n"),
+      concat(lit("(c) "), col("source"), lit(" all rights reserved")),
+      concat(lit("ref "), col("doc_id").cast("string"))))
+  }
+
+  /** The oracle-side replica of [[linedDocs]]'s text expression. */
+  private def LinedTextSql: String =
+    "array_to_string(list_transform(range((len(string_split(text, ' ')) + 7) // 8), " +
+      "i -> array_to_string((string_split(text, ' '))[i*8+1 : i*8+8], ' ')), chr(10))" +
+      " || chr(10) || '(c) ' || source || ' all rights reserved'" +
+      " || chr(10) || 'ref ' || doc_id"
 
   /** The oracle-side replica of [[piiInjected]]'s text expression. */
   private def PiiTextSql: String =
