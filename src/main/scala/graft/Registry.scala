@@ -1186,6 +1186,16 @@ SELECT lang, CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE) ELSE 15.0 * ${1L << 60} /
           .orderBy("doc_id"),
         Some(langMarginOracle("documents", "doc_id", "text"))),
 
+      // intra-document repetition metrics (Gopher repetition-rule layer):
+      // top-word count + duplicated bi/tri-gram occurrences, all per-row
+      // scan-stage array arithmetic — zero shuffle
+      RegisteredQuery(
+        "q_repetition",
+        (s, dir) => graft.text.Repetition.metrics(
+            Tables.resolve(s, dir)("documents"), "doc_id", "text")
+          .orderBy("doc_id"),
+        Some(graft.text.Repetition.metricsOracle("documents", "doc_id", "text"))),
+
       // per-domain boilerplate line removal (CCNet/RefinedWeb shape): a
       // line in >= minDocs distinct docs of a source is stripped from ALL
       // of them; partial-agg'd distinct-doc rule on 60-bit line
