@@ -1186,6 +1186,49 @@ SELECT lang, CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE) ELSE 15.0 * ${1L << 60} /
           .orderBy("doc_id"),
         Some(langMarginOracle("documents", "doc_id", "text"))),
 
+      // blocked record linkage (Fellegi-Sunter integer weights): candidate
+      // pairs from a (nation, segment) blocking equi-join — never a
+      // cartesian — scored by null-safe field agreement, scan-stage
+      RegisteredQuery(
+        "q_record_linkage",
+        (s, dir) => {
+          import graft.operators.RecordLinkage
+          import org.apache.spark.sql.functions.{col, expr, lit, pmod}
+          val c = Tables.resolve(s, dir)("customer")
+          // sign-split the bucket division (Spark div truncates toward
+          // zero; DuckDB // floors — they only agree on non-negatives)
+          def side(par: Int) = c
+            .where(pmod(col("c_custkey"), lit(2)) === par)
+            .withColumn("bal_c",
+              (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long"))
+            .withColumn("bal_bucket",
+              expr("cast(signum(bal_c) as bigint) * (abs(bal_c) div 100000)"))
+            .withColumn("bal_sign", expr("cast(signum(bal_c) as bigint)"))
+          RecordLinkage.score(side(0), side(1),
+              blockOn = Seq("c_nationkey" -> "c_nationkey"),
+              fields = Seq(
+                RecordLinkage.FieldCompare("c_mktsegment", "c_mktsegment", 3L, -1L),
+                RecordLinkage.FieldCompare("bal_bucket", "bal_bucket", 5L, -1L),
+                RecordLinkage.FieldCompare("bal_sign", "bal_sign", 1L, -1L)),
+              aKey = "c_custkey", bKey = "c_custkey", minScore = 1L)
+            .orderBy("a_key", "b_key")
+        },
+        Some {
+          def sideSql(par: Int) =
+            "SELECT c_custkey, c_nationkey, c_mktsegment, " +
+              "CAST(sign(bal_c) * (abs(bal_c) // 100000) AS BIGINT) AS bal_bucket, " +
+              "CAST(sign(bal_c) AS BIGINT) AS bal_sign FROM " +
+              "(SELECT *, CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c " +
+              s"FROM customer WHERE c_custkey % 2 = $par)"
+          graft.operators.RecordLinkage.scoreOracle(sideSql(0), sideSql(1),
+            blockOn = Seq("c_nationkey" -> "c_nationkey"),
+            fields = Seq(
+              graft.operators.RecordLinkage.FieldCompare("c_mktsegment", "c_mktsegment", 3L, -1L),
+              graft.operators.RecordLinkage.FieldCompare("bal_bucket", "bal_bucket", 5L, -1L),
+              graft.operators.RecordLinkage.FieldCompare("bal_sign", "bal_sign", 1L, -1L)),
+            aKey = "c_custkey", bKey = "c_custkey", minScore = 1L)
+        }),
+
       // intra-document repetition metrics (Gopher repetition-rule layer):
       // top-word count + duplicated bi/tri-gram occurrences, all per-row
       // scan-stage array arithmetic — zero shuffle
