@@ -1186,6 +1186,17 @@ SELECT lang, CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE) ELSE 15.0 * ${1L << 60} /
           .orderBy("doc_id"),
         Some(langMarginOracle("documents", "doc_id", "text"))),
 
+      // corpus-overlap matrix: exact shingle-set Jaccard between SOURCES
+      // (feed-level overlap that decides acquisition/mixing policy) — one
+      // partial-agg'd (source, fingerprint) distinct + 8-byte-keyed
+      // intersection join; |sources|-sized matrix
+      RegisteredQuery(
+        "q_source_overlap",
+        (s, dir) => graft.text.SourceOverlap.overlapMatrix(
+            Tables.resolve(s, dir)("documents"), "source", "text")
+          .orderBy("src_a", "src_b"),
+        Some(graft.text.SourceOverlap.overlapOracle("documents", "source", "text"))),
+
       // blocked record linkage (Fellegi-Sunter integer weights): candidate
       // pairs from a (nation, segment) blocking equi-join — never a
       // cartesian — scored by null-safe field agreement, scan-stage
