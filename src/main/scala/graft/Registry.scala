@@ -1186,6 +1186,17 @@ SELECT lang, CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE) ELSE 15.0 * ${1L << 60} /
           .orderBy("doc_id"),
         Some(langMarginOracle("documents", "doc_id", "text"))),
 
+      // leakage-free train/val split: near-dup cluster members hash to
+      // the SAME side (keyed on the component representative), so no
+      // training document's near-duplicate leaks into validation
+      RegisteredQuery(
+        "q_leakage_split",
+        (s, dir) => graft.llm.LeakageSplit.leakageFreeSplit(
+            Tables.resolve(s, dir)("documents"), "text", "doc_id", trainPct = 80)
+          .orderBy("doc_id"),
+        Some(graft.llm.LeakageSplit.splitOracle(
+          "documents", "doc_id", "text", trainPct = 80))),
+
       // corpus-overlap matrix: exact shingle-set Jaccard between SOURCES
       // (feed-level overlap that decides acquisition/mixing policy) — one
       // partial-agg'd (source, fingerprint) distinct + 8-byte-keyed
