@@ -1186,6 +1186,21 @@ SELECT lang, CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE) ELSE 15.0 * ${1L << 60} /
           .orderBy("doc_id"),
         Some(langMarginOracle("documents", "doc_id", "text"))),
 
+      // per-doc n-gram novelty vs a reference corpus (graded sibling of
+      // decontamination): fraction of distinct grams the reference never
+      // saw — broadcast gram-set membership, one per-doc aggregate
+      RegisteredQuery(
+        "q_novelty",
+        (s, dir) => {
+          val d = Tables.resolve(s, dir)("documents")
+          graft.llm.Novelty.noveltyScores(
+              d, d.where(col("source") === "src0"), "doc_id", "text", "text")
+            .orderBy("doc_id")
+        },
+        Some(graft.llm.Novelty.noveltyOracle(
+          "documents", "SELECT * FROM documents WHERE source = 'src0'",
+          "doc_id", "text", "text"))),
+
       // leakage-free train/val split: near-dup cluster members hash to
       // the SAME side (keyed on the component representative), so no
       // training document's near-duplicate leaks into validation
