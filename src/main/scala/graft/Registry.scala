@@ -1186,6 +1186,23 @@ SELECT lang, CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE) ELSE 15.0 * ${1L << 60} /
           .orderBy("doc_id"),
         Some(langMarginOracle("documents", "doc_id", "text"))),
 
+      // token-distribution drift between corpus slices: PSI over the
+      // reference's top-V vocabulary + <oov>, sharing Drift's quantized-ln
+      // math — V+1 rows whatever the corpus size
+      RegisteredQuery(
+        "q_vocab_drift",
+        (s, dir) => {
+          val d = Tables.resolve(s, dir)("documents")
+          graft.text.VocabDrift.vocabDrift(
+              d.where(col("lang") === "en"), d.where(col("lang") === "fr"),
+              "text", vocabSize = 50)
+            .orderBy("bucket")
+        },
+        Some(graft.text.VocabDrift.vocabDriftOracle(
+          "SELECT * FROM documents WHERE lang = 'en'",
+          "SELECT * FROM documents WHERE lang = 'fr'",
+          "text", vocabSize = 50))),
+
       // per-doc n-gram novelty vs a reference corpus (graded sibling of
       // decontamination): fraction of distinct grams the reference never
       // saw — broadcast gram-set membership, one per-doc aggregate
