@@ -1186,6 +1186,17 @@ SELECT lang, CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE) ELSE 15.0 * ${1L << 60} /
           .orderBy("doc_id"),
         Some(langMarginOracle("documents", "doc_id", "text"))),
 
+      // discovered behavioral paths: top event-type trigrams over bounded
+      // per-user prefixes (FirstK) — between the transition matrix (k=2)
+      // and predefined funnels; deterministic TakeOrdered top-N
+      RegisteredQuery(
+        "q_event_paths",
+        (s, dir) => graft.llm.EventPaths.topPaths(
+          graft.llm.EventWindows.readEvents(s, s"$dir/events.parquet"),
+          pathLen = 3, maxEvents = 8, topN = 25),
+        Some(graft.llm.EventPaths.topPathsOracle(
+          "events", pathLen = 3, maxEvents = 8, topN = 25))),
+
       // token-distribution drift between corpus slices: PSI over the
       // reference's top-V vocabulary + <oov>, sharing Drift's quantized-ln
       // math — V+1 rows whatever the corpus size
