@@ -1186,6 +1186,72 @@ SELECT lang, CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE) ELSE 15.0 * ${1L << 60} /
           .orderBy("doc_id"),
         Some(langMarginOracle("documents", "doc_id", "text"))),
 
+      // small-file compaction: fragmented partitions rewrite to one file
+      // through the staged crash discipline; content is bit-identical
+      // (the oracle hashes it) — a physical re-layout, never semantic
+      RegisteredQuery(
+        "q_lake_compact",
+        (s, dir) => {
+          import org.apache.spark.sql.functions.col
+          val lake = "/tmp/graft_lake_compact"
+          val lp = new org.apache.hadoop.fs.Path(lake)
+          val fsys = lp.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fsys.delete(lp, true)
+          fsys.delete(new org.apache.hadoop.fs.Path(lake + "__merge_tmp"), true)
+          Tables.resolve(s, dir)("orders")
+            .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+            .repartition(16) // deliberately fragment every partition
+            .write.partitionBy("o_orderpriority").parquet(lake)
+          graft.sources.LakeCompact.compact(s, lake,
+            Seq("o_orderpriority"), targetBytes = 64L * 1024 * 1024)
+          s.read.parquet(lake)
+            .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+            .orderBy("o_orderkey")
+        },
+        Some("SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders " +
+          "ORDER BY o_orderkey")),
+
+      // per-group rank normalization: scores comparable across groups
+      // whose raw scales differ — exact ⌊SCALE·(rank−1)/(n−1)⌋ over a
+      // (value, id) total order; one group shuffle, spill-backed sort
+      RegisteredQuery(
+        "q_rank_normalize",
+        (s, dir) => graft.operators.QuantileNormalize.rankNormalize(
+            Tables.resolve(s, dir)("documents")
+              .select(col("doc_id"), col("lang"), col("n_chars")),
+            Seq("lang"), "n_chars", "doc_id")
+          .orderBy("doc_id"),
+        Some(graft.operators.QuantileNormalize.rankNormalizeOracle(
+          "documents", Seq("lang"), "n_chars", "doc_id",
+          selectCols = Seq("doc_id", "lang", "n_chars")))),
+
+      // copy-on-write DELETE by key (right-to-be-forgotten / retention):
+      // only partitions holding deleted keys rewrite; fully-deleted
+      // partitions evacuate through the same staged crash discipline
+      RegisteredQuery(
+        "q_lake_delete",
+        (s, dir) => {
+          import graft.sources.LakeMerge
+          import org.apache.spark.sql.functions.col
+          val lake = "/tmp/graft_lake_delete"
+          val lp = new org.apache.hadoop.fs.Path(lake)
+          val fsys = lp.getFileSystem(s.sparkContext.hadoopConfiguration)
+          fsys.delete(lp, true)
+          fsys.delete(new org.apache.hadoop.fs.Path(lake + "__merge_tmp"), true)
+          val orders = Tables.resolve(s, dir)("orders")
+            .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+          LakeMerge.merge(s, lake, orders,
+            keyCols = Seq("o_orderkey"), partitionCols = Seq("o_orderpriority"))
+          LakeMerge.delete(s, lake,
+            orders.where(col("o_orderkey") % 5 === 0).select("o_orderkey"),
+            keyCols = Seq("o_orderkey"), partitionCols = Seq("o_orderpriority"))
+          s.read.parquet(lake)
+            .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+            .orderBy("o_orderkey")
+        },
+        Some("SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders " +
+          "WHERE o_orderkey % 5 <> 0 ORDER BY o_orderkey")),
+
       // discovered behavioral paths: top event-type trigrams over bounded
       // per-user prefixes (FirstK) — between the transition matrix (k=2)
       // and predefined funnels; deterministic TakeOrdered top-N
@@ -1348,6 +1414,20 @@ SELECT lang, CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE) ELSE 15.0 * ${1L << 60} /
             piiInjected(Tables.resolve(s, dir)("documents")), "doc_id", "text")
           .orderBy("doc_id"),
         Some(graft.text.Pii.redactOracle("documents", "doc_id", PiiTextSql, "text"))),
+
+      // label-vs-prediction confusion matrix for the language detector:
+      // off-diagonal mass = labeling or detector error — |langs|²-bounded
+      // partial-agg'd pair count
+      RegisteredQuery(
+        "q_lang_confusion",
+        (s, dir) => {
+          import org.apache.spark.sql.functions.{count, lit}
+          Tables.resolve(s, dir)("documents")
+            .groupBy(col("lang"), langId(col("text")).as("lang_pred"))
+            .agg(count(lit(1)).as("n"))
+            .orderBy("lang", "lang_pred")
+        },
+        Some(langConfusionOracle("documents", "lang", "text"))),
 
       // A4 rest: arbitrary exact quantiles through the ADT path (the
       // reference's quantile(p); interpolation matches ANSI PERCENTILE_CONT)

@@ -112,6 +112,57 @@ object LakeMerge {
     } finally aligned.unpersist()
   }
 
+  /** Copy-on-write DELETE by key — the right-to-be-forgotten / retention
+    * primitive on the same machinery as [[merge]]: every lake row whose
+    * `keyCols` tuple appears in `keys` is removed, rewriting ONLY the
+    * partitions that held such rows. A partition deleted down to zero
+    * rows is evacuated through the same emptied-partitions marker (its
+    * directory is dropped, not left as an empty husk), and the stage /
+    * commit-marker / replay discipline is identical — a crash leaves the
+    * lake either untouched or convergent on replay, never missing a
+    * partition it should have kept.
+    *
+    * Scale shape: the touched set is a semi-join of the lake on the
+    * (small, broadcastable) key frame projected to partition values;
+    * only touched partitions' rows are read back and anti-joined. A
+    * deletion key that matches nothing touches nothing.
+    */
+  def delete(spark: SparkSession, lakeDir: String, keys0: DataFrame,
+             keyCols: Seq[String], partitionCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty, "delete needs at least one key column")
+    require(partitionCols.nonEmpty, "delete targets a partitioned lake")
+    val lake = new Path(lakeDir)
+    val fs = lake.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = stagePath(lake)
+    replayIfStaged(spark, lake)
+    if (!hasData(spark, fs, lake)) return // nothing to delete from
+    fs.delete(stage, true)
+    val base = spark.read.parquet(lakeDir)
+    val keys = keys0.select(keyCols.map(col): _*).distinct().persist()
+    try {
+      val touched = base.join(keys, keyCols, "left_semi")
+        .select(partitionCols.map(col): _*).distinct().persist()
+      try {
+        if (touched.isEmpty) return
+        val touchedT = touched.toDF(partitionCols.map("__t_" + _): _*)
+        val kept = base.join(touchedT,
+            partitionCols.map(c => col(c) <=> col("__t_" + c)).reduce(_ && _),
+            "left_semi")
+          .join(keys, keyCols, "left_anti")
+        kept.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(stage.toString)
+        // a delete can evacuate EVERY touched partition — the stage then has
+        // no readable parquet, and every touched partition is emptied
+        val stagedParts =
+          if (hasData(spark, fs, stage))
+            spark.read.parquet(stage.toString).select(partitionCols.map(col): _*).distinct()
+          else touched.limit(0)
+        writeEmptied(spark, fs, stage, partitionCols, touched.except(stagedParts))
+        fs.create(new Path(stage, CommitMarker), true).close()
+        applyStage(spark, fs, lake)
+      } finally touched.unpersist()
+    } finally keys.unpersist()
+  }
+
   /** Replay a crashed merge's apply phase, if a complete stage exists. Safe
     * (and a no-op) any other time.
     */
@@ -120,16 +171,23 @@ object LakeMerge {
 
   // ----------------------------------------------------------- internals --
 
-  private def stagePath(lake: Path): Path =
+  private[sources] def stagePath(lake: Path): Path =
     new Path(lake.getParent, lake.getName + "__merge_tmp")
 
   /** Dynamic-partition-overwrite the staged partitions into the lake, drop
     * partition dirs the stage marked emptied, then clear the stage. Only
     * called with a committed (`_graft_commit`-marked) stage; idempotent.
     */
-  private def applyStage(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
-                         lake: Path): Unit = {
+  private[sources] def applyStage(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+                                  lake: Path): Unit = {
     val stage = stagePath(lake)
+    // a stage with NO data files (a delete that evacuated every touched
+    // partition) has nothing to overwrite — only emptied dirs to drop
+    if (!hasData(spark, fs, stage)) {
+      readEmptied(fs, stage).foreach { rel => fs.delete(new Path(lake, rel), true) }
+      fs.delete(stage, true)
+      return
+    }
     val conf = spark.conf
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prior = conf.getOption(key)
@@ -171,13 +229,13 @@ object LakeMerge {
   }
 
   private val EmptiedMarker = "_graft_emptied_partitions"
-  private val CommitMarker = "_graft_commit"
+  private[sources] val CommitMarker = "_graft_commit"
 
   /** Record evacuated partitions as relative dir paths, one per line, in a
     * marker file INSIDE the stage — written before apply starts, so a
     * replayed apply deletes them too.
     */
-  private def writeEmptied(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+  private[sources] def writeEmptied(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
                            stage: Path, partitionCols: Seq[String], emptied: DataFrame): Unit = {
     val rows = emptied.collect() // ≤ touched-partition count — small by the
                                  // hive-layout contract (partitions are few)
@@ -206,7 +264,7 @@ object LakeMerge {
     * landed, the evacuation list may be missing): the lake was never
     * touched, so just drop it.
     */
-  private def replayIfStaged(spark: SparkSession, lake: Path): Unit = {
+  private[sources] def replayIfStaged(spark: SparkSession, lake: Path): Unit = {
     val fs = lake.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = stagePath(lake)
     if (!fs.exists(stage)) return
@@ -217,8 +275,8 @@ object LakeMerge {
   /** Data-file presence check (debris-only dirs count as absent), same
     * contract as the ingest stores'.
     */
-  private def hasData(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
-                      dir: Path): Boolean =
+  private[sources] def hasData(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+                               dir: Path): Boolean =
     fs.exists(dir) && {
       def any(p: Path): Boolean = fs.listStatus(p).exists { st =>
         val n = st.getPath.getName

@@ -252,6 +252,16 @@ FROM toks ORDER BY $idCol""".stripMargin
 SELECT $idCol, $langCol, lang_pred FROM lp ORDER BY $idCol""".stripMargin
   }
 
+  /** Oracle for the label-vs-prediction confusion matrix (the lang-id
+    * EVALUATION step: off-diagonal mass = labeling or detector error,
+    * routed to review before either is trusted) — same prediction CTEs,
+    * one partial-agg'd pair count.
+    */
+  def langConfusionOracle(table: String, langCol: String, textCol: String): String =
+    s"""${langPredCtes(table, textCol, langCol)}
+SELECT $langCol, lang_pred, CAST(count(*) AS BIGINT) AS n
+FROM lp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Oracle for [[langIdMargin]] alongside the prediction — same score
     * CTEs, same descending sort of the score list.
     */

@@ -21,7 +21,7 @@ class InterArrivalSpec extends SparkSpec {
     // n=2, Σ=30, Σ²=500, var_num = 2·500 − 900 = 100
     val d = (1 to 3).map(i => (1L, Seq(0L, 10L, 30L)(i - 1), "e"))
     val r = EventWindows.interArrivalStats(ev(d: _*))
-      .collect().map(r0 => (r0.getLong(1), r0.getDecimal(2).longValueExact(),
+      .collect().map(r0 => (r0.getLong(1), r0.getLong(2),
         r0.getLong(3), r0.getLong(4), r0.getDecimal(5).longValueExact())).head
     assert(r === ((2L, 30L, 10L, 20L, 100L)))
   }

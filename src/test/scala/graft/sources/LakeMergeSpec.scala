@@ -114,6 +114,54 @@ class LakeMergeSpec extends SparkSpec {
     assert(readLake(lake) == before)
   }
 
+  private def freshDirWithStage(name: String): String = {
+    val d = freshDir(name)
+    val st = new Path(d + "__merge_tmp")
+    st.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(st, true)
+    d
+  }
+
+  test("delete removes exactly the keyed rows, rewriting only touched partitions") {
+    val lake = freshDirWithStage("delete")
+    LakeMerge.merge(spark, lake, baseRows, Seq("k"), Seq("p"))
+    val fs = new Path(lake).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def filesOf(part: String) =
+      fs.listStatus(new Path(s"$lake/p=$part")).map(st => st.getPath.getName -> st.getModificationTime).toMap
+    val beforeB = filesOf("b")
+    LakeMerge.delete(spark, lake, Seq(Tuple1(1L)).toDF("k"), Seq("k"), Seq("p"))
+    assert(readLake(lake) == Map(
+      2L -> (20.0, "a"), 3L -> (30.0, "b"), 4L -> (40.0, "b"), 5L -> (50.0, "c")))
+    assert(filesOf("b") == beforeB, "untouched partition was rewritten")
+  }
+
+  test("delete evacuates a partition deleted down to zero rows") {
+    val lake = freshDirWithStage("delete_evac")
+    LakeMerge.merge(spark, lake, baseRows, Seq("k"), Seq("p"))
+    LakeMerge.delete(spark, lake, Seq(Tuple1(5L)).toDF("k"), Seq("k"), Seq("p"))
+    assert(readLake(lake) == Map(
+      1L -> (10.0, "a"), 2L -> (20.0, "a"), 3L -> (30.0, "b"), 4L -> (40.0, "b")))
+    val fs = new Path(lake).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$lake/p=c")), "emptied partition dir must be dropped")
+  }
+
+  test("delete with keys matching nothing is a no-op; repeat delete idempotent") {
+    val lake = freshDirWithStage("delete_noop")
+    LakeMerge.merge(spark, lake, baseRows, Seq("k"), Seq("p"))
+    LakeMerge.delete(spark, lake, Seq(Tuple1(99L)).toDF("k"), Seq("k"), Seq("p"))
+    assert(readLake(lake).size == 5)
+    LakeMerge.delete(spark, lake, Seq(Tuple1(3L)).toDF("k"), Seq("k"), Seq("p"))
+    LakeMerge.delete(spark, lake, Seq(Tuple1(3L)).toDF("k"), Seq("k"), Seq("p"))
+    assert(readLake(lake).keySet == Set(1L, 2L, 4L, 5L))
+  }
+
+  test("delete spanning several partitions, including a multi-key frame") {
+    val lake = freshDirWithStage("delete_multi")
+    LakeMerge.merge(spark, lake, baseRows, Seq("k"), Seq("p"))
+    LakeMerge.delete(spark, lake, Seq(1L, 3L, 5L).map(Tuple1(_)).toDF("k"),
+      Seq("k"), Seq("p"))
+    assert(readLake(lake) == Map(2L -> (20.0, "a"), 4L -> (40.0, "b")))
+  }
+
   test("key and partition columns must be disjoint") {
     val lake = freshDir("disjoint")
     intercept[IllegalArgumentException] {
