@@ -3473,10 +3473,12 @@ FROM documents ORDER BY doc_id""")),
     val nb = floor((size(words).cast("double") + 7) / 8).cast("int")
     val lines = transform(sequence(lit(0), nb - 1),
       i => array_join(slice(words, i * 8 + 1, lit(8)), " "))
-    d.withColumn("text", concat_ws("\n",
+    // NULL text stays NULL (concat_ws would SKIP the null and fabricate a
+    // footer-only doc while the oracle's ||-chain nulls out and drops it)
+    d.withColumn("text", when(col("text").isNotNull, concat_ws("\n",
       array_join(lines, "\n"),
       concat(lit("(c) "), col("source"), lit(" all rights reserved")),
-      concat(lit("ref "), col("doc_id").cast("string"))))
+      concat(lit("ref "), col("doc_id").cast("string")))))
   }
 
   /** The oracle-side replica of [[linedDocs]]'s text expression. */

@@ -49,7 +49,11 @@ object Dedup {
     * type is not orderable (maps), since structs containing one can't be
     * `min`'d.
     */
-  def dedupExact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def dedupExact(df0: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // NULL-id rows are unrankable and drop (both code paths — and the old
+    // keep-min-window form — agree; without this filter the struct-min
+    // path would ELECT a null-id row, since nulls sort first in structs)
+    val df = df0.where(col(idCol).isNotNull)
     val cols = df.columns.toIndexedSeq
     val ordered = (idCol +: cols.filterNot(_ == idCol)).map(col)
     val orderable = df.schema.fields.forall(f =>
@@ -325,6 +329,13 @@ FROM $table d LEFT JOIN k ON d.$idCol = k.$idCol ORDER BY d.$idCol""".stripMargi
       minJaccard: Double = 0.5,
       maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxBucket > 0, s"maxBucket must be positive, got $maxBucket")
+    if (maxBucket != Int.MaxValue) {
+      // the representative cut rides the BottomK(Long) aggregate
+      val t = df.schema(idCol).dataType
+      require(Seq("bigint", "int", "smallint", "tinyint").contains(t.simpleString),
+        s"maxBucket needs an integral id column (BottomK buffers longs); " +
+          s"$idCol is ${t.catalogString} — run uncapped or map ids to longs first")
+    }
     // single-file inputs arrive as one partition; the signature computation
     // is the expensive part, so spread it across the cluster first
     val par = df.sparkSession.sparkContext.defaultParallelism
@@ -397,6 +408,9 @@ FROM $table d LEFT JOIN k ON d.$idCol = k.$idCol ORDER BY d.$idCol""".stripMargi
     require(maxBucket > 0, s"maxBucket must be positive, got $maxBucket")
     df.select(posexplode(bandKeys(col(textCol), shingleN, bands, rowsPerBand))
         .as(Seq("band", "bkey")))
+      // NULL band keys (NULL text) never equi-join in the pair path, so
+      // they were never at risk — counting them would be a false alarm
+      .where(col("bkey").isNotNull)
       .groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("n_members"))
       .where(col("n_members") > maxBucket)
@@ -407,6 +421,9 @@ FROM $table d LEFT JOIN k ON d.$idCol = k.$idCol ORDER BY d.$idCol""".stripMargi
     */
   private def prepareBands(src: DataFrame, textCol: String, idCol: String,
                            shingleN: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    // same bound bandKeys enforces: packing 3+ minhashes (< P = 2^31 each)
+    // into one Long overflows — and under ANSI mode would throw mid-job
+    require(rowsPerBand <= 2, "band key packing supports rowsPerBand <= 2")
     val k = bands * rowsPerBand
     src.select(
         col(idCol),

@@ -66,8 +66,11 @@ seq AS (SELECT $userCol, list($typeCol ORDER BY rn) AS tl
 g AS (SELECT $userCol,
     unnest(list_transform(range(len(tl) - ${pathLen - 1}), i -> $terms)) AS path
   FROM seq)
+-- a NULL event type nulls its grams: the Spark side drops them via
+-- concat propagation + array_compact, so the oracle must too
 SELECT path, CAST(count(*) AS BIGINT) AS n_occ,
   CAST(count(DISTINCT $userCol) AS BIGINT) AS n_users
-FROM g GROUP BY 1 ORDER BY n_occ DESC, path ASC LIMIT $topN""".stripMargin
+FROM g WHERE path IS NOT NULL
+GROUP BY 1 ORDER BY n_occ DESC, path ASC LIMIT $topN""".stripMargin
   }
 }

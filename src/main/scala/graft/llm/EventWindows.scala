@@ -249,6 +249,9 @@ FROM e WHERE rn <= $maxEvents GROUP BY $userCol ORDER BY $userCol""".stripMargin
           slice(col("__types"), lit(2), size(col("__types")) - 1).as("to_arr"))
         .select(explode(arrays_zip(col("from_arr"), col("to_arr"))).as("__p"))
         .select(col("__p.from_arr").as("from_type"), col("__p.to_arr").as("to_type"))
+        // same NULL contract as the unbounded path (and the oracle):
+        // pairs ENDING in a NULL type drop, NULL from_type groups survive
+        .where(col("to_type").isNotNull)
         .groupBy("from_type", "to_type")
         .agg(count(lit(1)).as("n"))
     }

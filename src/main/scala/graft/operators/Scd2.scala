@@ -127,20 +127,35 @@ object Scd2 {
     *
     * Idempotence note: replaying the SAME batch twice appends duplicate
     * log rows; dedup upstream on (key, eff, seq) or give replays the same
-    * seq so the (eff, seq) order (and the collapse) is unchanged.
+    * seq so the (eff, seq) order (and the collapse) is unchanged. A crash
+    * BETWEEN the (atomic) log append and the store swap leaves the store
+    * lagging the log for the batch's keys — the next fold touching them
+    * heals exactly (the rebuild always reads the full logged history).
     */
   def updateTolerant(spark: SparkSession, storeDir: String, logDir: String,
                      batch: DataFrame, keyCol: String, attrCols: Seq[String],
                      effCol: String, seqCol: String): Unit = {
     import graft.sources.AtomicStore
+    import org.apache.hadoop.fs.Path
     AtomicStore.restoreIfStashed(spark, storeDir)
     val changeCols = (Seq(col(keyCol)) ++ attrCols.map(col) ++
       Seq(col(effCol), col(seqCol)))
     // localCheckpoint the batch first: it is read twice (log append + keys)
     // and may itself be a derived frame
     val b = batch.select(changeCols: _*).localCheckpoint(true)
-    b.write.mode("append").parquet(logDir)
-    val log = spark.read.parquet(logDir)
+    // ATOMIC log append: the batch lands as its own subdirectory, written
+    // hidden (Spark's file index skips dot-prefixed paths) and renamed
+    // visible in one filesystem op — a crash mid-write leaves invisible
+    // debris, never a half-appended batch folded into history
+    val logPath = new Path(logDir)
+    val fs = logPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(logPath)
+    val batchName = f"batch_${System.currentTimeMillis()}%013d_${fs.listStatus(logPath).length}%d"
+    val tmp = new Path(logPath, s".$batchName")
+    b.write.mode("overwrite").parquet(tmp.toString)
+    require(fs.rename(tmp, new Path(logPath, batchName)),
+      s"log append rename failed: $tmp -> $batchName")
+    val log = spark.read.option("recursiveFileLookup", "true").parquet(logDir)
     val keys = b.select(col(keyCol)).distinct()
     val rebuilt = build(log.join(keys, Seq(keyCol), "left_semi"),
       keyCol, attrCols, effCol, seqCol)

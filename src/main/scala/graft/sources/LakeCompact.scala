@@ -23,16 +23,23 @@ import org.apache.spark.sql.functions.col
   * torn partition. Compaction and merge share one stage path, so their
   * recovery disciplines compose (run [[LakeMerge.recover]] either way).
   *
+  * Candidate rows are read PER DIRECTORY (with `basePath` so partition
+  * values resolve), not by value filter — so a lake written externally
+  * with non-canonical directory names (`p=01` aliasing `p=1` under a
+  * numeric partition column) compacts correctly: the rows land under the
+  * canonical directory and every candidate directory the stage did not
+  * reproduce by name is evacuated through the emptied-partitions marker
+  * (alias husks are dropped, never double-counted).
+  *
   * Scale shape: the candidate scan is a driver-side directory listing
   * (bounded by the lake's partition/file COUNT, not its bytes — the
   * hive-layout contract that partitions are few); the rewrite reads only
-  * qualifying partitions (partition-pruned semi-join on literal values)
-  * and shuffles them once (`repartition` on the partition key) so each
-  * compacted partition lands as one file.
+  * qualifying directories and shuffles them once (`repartition` on the
+  * partition key) so each compacted partition lands as one file.
   */
 object LakeCompact {
 
-  /** One row per fragmented partition: (partitionCols*, n_files,
+  /** One row per fragmented partition: (partition_dir, n_files,
     * total_bytes). Driver-side listing, partition-count-sized.
     */
   def fragmented(spark: SparkSession, lakeDir: String,
@@ -40,13 +47,13 @@ object LakeCompact {
     import spark.implicits._
     val rows = listPartitions(spark, lakeDir, partitionCols)
       .filter { case (_, n, bytes) => n > 1 && bytes <= targetBytes }
-      .map { case (vals, n, bytes) => (vals.mkString("/"), n, bytes) }
+      .map { case (rel, n, bytes) => (stripValues(rel), n, bytes) }
     rows.toDF("partition_values", "n_files", "total_bytes")
   }
 
   /** Compact every qualifying partition to a single file. Returns the
-    * number of partitions rewritten (0 = nothing fragmented; the lake is
-    * untouched).
+    * number of partition directories rewritten (0 = nothing fragmented;
+    * the lake is untouched).
     */
   def compact(spark: SparkSession, lakeDir: String,
               partitionCols: Seq[String], targetBytes: Long): Int = {
@@ -63,52 +70,49 @@ object LakeCompact {
       .filter { case (_, n, bytes) => n > 1 && bytes <= targetBytes }
     if (candidates.isEmpty) return 0
 
-    val base = spark.read.parquet(lakeDir)
-    // partition-pruned selection: literal IN-list over the (few) candidate
-    // partition value tuples — the scan touches only their directories
-    val cond = candidates.map { case (vals, _, _) =>
-      partitionCols.zip(vals).map { case (c, v) =>
-        if (v == null) col(c).isNull else col(c) <=> org.apache.spark.sql.functions.lit(v)
-      }.reduce(_ && _)
-    }.reduce(_ || _)
-    val selected = base.where(cond)
+    // read the candidate DIRECTORIES (not a value filter): exactly their
+    // rows, once each, with partition values resolved via basePath
+    val selected = spark.read.option("basePath", lakeDir)
+      .parquet(candidates.map { case (rel, _, _) => s"$lakeDir/$rel" }: _*)
       // one task per partition value -> one file per compacted partition
       .repartition(candidates.length, partitionCols.map(col): _*)
     selected.write.mode("overwrite")
       .partitionBy(partitionCols: _*).parquet(stage.toString)
-    // compaction never empties a partition
-    LakeMerge.writeEmptied(spark, fs, stage, partitionCols, base.limit(0)
-      .select(partitionCols.map(col): _*))
+    // any candidate dir the stage did not reproduce BY NAME is a
+    // non-canonical alias whose rows now live under the canonical dir —
+    // evacuate the husk, or its rows would exist twice
+    val stagedRel = listPartitions(spark, stage.toString, partitionCols)
+      .map(_._1).toSet
+    val husks = candidates.map(_._1).filterNot(stagedRel.contains)
+    LakeMerge.writeEmptiedLines(fs, stage, husks)
     fs.create(new Path(stage, LakeMerge.CommitMarker), true).close()
     LakeMerge.applyStage(spark, fs, lake)
     candidates.length
   }
 
-  /** (partition values in `partitionCols` order, data-file count, total
-    * data bytes) per leaf partition directory. Values are the RAW hive
-    * directory strings (URL-decoded); `null` for the default partition.
+  /** (relative hive dir path `a=v/b=w`, data-file count, total data
+    * bytes) per leaf partition directory.
     */
-  private def listPartitions(spark: SparkSession, lakeDir: String,
-                             partitionCols: Seq[String]): Seq[(Seq[String], Long, Long)] = {
-    val lake = new Path(lakeDir)
-    val fs = lake.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(lake)) return Nil
-    def walk(p: Path, vals: List[String], depth: Int): Seq[(Seq[String], Long, Long)] =
+  private def listPartitions(spark: SparkSession, dir: String,
+                             partitionCols: Seq[String]): Seq[(String, Long, Long)] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    def walk(p: Path, rel: List[String], depth: Int): Seq[(String, Long, Long)] =
       if (depth == partitionCols.length) {
         val files = fs.listStatus(p).filter { st =>
           val n = st.getPath.getName
           st.isFile && !n.startsWith("_") && !n.startsWith(".")
         }
         if (files.isEmpty) Nil
-        else Seq((vals.reverse, files.length.toLong, files.map(_.getLen).sum))
+        else Seq((rel.reverse.mkString("/"), files.length.toLong, files.map(_.getLen).sum))
       } else fs.listStatus(p).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-        .flatMap { st =>
-          val raw = st.getPath.getName.dropWhile(_ != '=').drop(1)
-          val dec = java.net.URLDecoder.decode(raw, "UTF-8")
-          val v = if (dec == "__HIVE_DEFAULT_PARTITION__") null else dec
-          walk(st.getPath, v :: vals, depth + 1)
-        }
-    walk(lake, Nil, 0)
+        .flatMap(st => walk(st.getPath, st.getPath.getName :: rel, depth + 1))
+    walk(root, Nil, 0)
   }
+
+  /** `a=v/b=w` → `v/w` (the report's human-readable partition id). */
+  private def stripValues(rel: String): String =
+    rel.split('/').map(_.dropWhile(_ != '=').drop(1)).mkString("/")
 }

@@ -245,6 +245,15 @@ object LakeMerge {
           if (r.isNullAt(i)) null else r.get(i).toString)
       }.mkString("/")
     }
+    writeEmptiedLines(fs, stage, lines.toIndexedSeq)
+  }
+
+  /** Raw-relative-path form of the emptied marker — for callers that know
+    * the exact directory names to evacuate (e.g. compaction's
+    * non-canonical alias dirs), bypassing value re-encoding.
+    */
+  private[sources] def writeEmptiedLines(fs: org.apache.hadoop.fs.FileSystem,
+                                         stage: Path, lines: Seq[String]): Unit = {
     val out = fs.create(new Path(stage, EmptiedMarker), true)
     try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
   }

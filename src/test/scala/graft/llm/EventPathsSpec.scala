@@ -42,6 +42,14 @@ class EventPathsSpec extends SparkSpec {
     assert(got == Set("a>b", "b>c")) // c>d beyond the cut
   }
 
+  test("a NULL event type nulls its grams, which drop (no NULL path rows)") {
+    val got = EventPaths.topPaths(ev(
+        (1L, 10L, 1L, "a"), (2L, 20L, 1L, null.asInstanceOf[String]), (3L, 30L, 1L, "b")),
+        pathLen = 2, maxEvents = 10, topN = 10)
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set.empty[String]) // both grams touch the NULL step
+  }
+
   test("top-N ties break on path asc; whale user stays partial-agg'd") {
     val rows = (1L to 10000L).map(i =>
       (i, i, 1L, Seq("p", "q")((i % 2).toInt))) // one whale user

@@ -61,6 +61,18 @@ class EventTransitionsSpec extends SparkSpec {
     assert(got === Map(("a", "b") -> 1L, ("b", "c") -> 1L)) // (c,d) cut
   }
 
+  test("NULL event types: bounded and unbounded paths agree (pairs ending in NULL drop)") {
+    val rows = Seq(
+      (1L, 10L, 1L, "a"), (2L, 20L, 1L, null.asInstanceOf[String]), (3L, 30L, 1L, "b"))
+    val base = ev(rows: _*)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (Option(r.getString(0)), r.getString(1)) -> r.getLong(2)).toMap
+    val unbounded = m(EventWindows.eventTransitions(base))
+    val bounded = m(EventWindows.eventTransitions(base, maxEvents = 10))
+    assert(unbounded == Map((None, "b") -> 1L)) // (a,NULL) drops, (NULL,b) stays
+    assert(bounded == unbounded)
+  }
+
   test("whale user stays bounded: partial FirstK agg, no window sort") {
     // one user with 30k events across 4 partitions: the bounded path must
     // reduce each partition to <= maxEvents triples map-side

@@ -94,6 +94,15 @@ class LlmSpec extends SparkSpec {
     assert(kept.toSeq == Seq(0L, 1L, 2L, 3L)) // 4 dropped (dup of 0)
   }
 
+  test("dedupExact drops NULL-id rows (never elects one as survivor)") {
+    import spark.implicits._
+    val df = Seq((Some(5L), "same"), (None, "same"), (Some(7L), "other"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupExact(df, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(5L, 7L))
+  }
+
   test("dedupExact is partial-agg'd (no window) and survives a whale fingerprint") {
     import spark.implicits._
     val whale = (1L to 20000L).map(i => (i, s"same text", s"s${i % 7}")) :+

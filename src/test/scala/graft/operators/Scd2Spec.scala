@@ -107,6 +107,19 @@ class Scd2Spec extends SparkSpec {
       rows(Scd2.build(changesDf.unionByName(late), "k", Seq("status"), "eff", "seq")))
   }
 
+  test("tolerant fold ignores hidden crash debris in the change log") {
+    import spark.implicits._
+    val dir = freshDir("tolerant_debris"); val log = freshDir("tolerant_debris_log")
+    Scd2.updateTolerant(spark, dir, log, changesDf, "k", Seq("status"), "eff", "seq")
+    // a crashed append leaves a dot-prefixed temp dir: it must stay invisible
+    Seq((9L, "ghost", d("2020-01-01"), 1L)).toDF("k", "status", "eff", "seq")
+      .write.parquet(s"$log/.batch_crashed_tmp")
+    val next = Seq((2L, "silver", d("2024-06-01"), 40L)).toDF("k", "status", "eff", "seq")
+    Scd2.updateTolerant(spark, dir, log, next, "k", Seq("status"), "eff", "seq")
+    assert(rows(Scd2.read(spark, dir)) ==
+      rows(Scd2.build(changesDf.unionByName(next), "k", Seq("status"), "eff", "seq")))
+  }
+
   test("tolerant fold of in-order batches also equals the direct build") {
     val dir = freshDir("tolerant_inorder"); val log = freshDir("tolerant_inorder_log")
     val li = spark.read.parquet(s"$sf/orders.parquet").select(

@@ -65,6 +65,24 @@ class LakeCompactSpec extends SparkSpec {
     assert(stamp("big") == bigBefore && stamp("one") == oneBefore)
   }
 
+  test("non-canonical alias dirs (p=01 vs p=1) compact without duplicating rows") {
+    val lake = freshDir("alias")
+    // externally written lake: two directories aliasing one NUMERIC value
+    Seq((1L, 10L)).toDF("k", "v").repartition(2).write.parquet(s"$lake/p=01")
+    Seq((2L, 20L)).toDF("k", "v").repartition(2).write.parquet(s"$lake/p=1")
+    val before = spark.read.parquet(lake).select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(before == Map(1L -> 10L, 2L -> 20L))
+    val n = LakeCompact.compact(spark, lake, Seq("p"), targetBytes = 10L * 1024 * 1024)
+    assert(n == 2)
+    val after = spark.read.parquet(lake).select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == before, "rows must not duplicate or vanish")
+    val fs = new Path(lake).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$lake/p=01")), "alias husk must be evacuated")
+    assert(fs.exists(new Path(s"$lake/p=1")))
+  }
+
   test("the fragmentation report names exactly the qualifying partitions") {
     val lake = freshDir("report")
     (1L to 40L).map(i => (i, i, if (i % 2 == 0) "x" else "y"))
