@@ -1396,6 +1396,44 @@ SELECT lang, CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE) ELSE 15.0 * ${1L << 60} /
           "documents", "doc_id", "source", LinedTextSql,
           minDocs = 20, sepSql = "chr(10)"))),
 
+      // exact containment join (quotation / wholesale-inclusion detector —
+      // the asymmetric pairs Jaccard and MinHash both miss): smaller-side
+      // prefix filtering, exact verify, cross-multiplied threshold
+      RegisteredQuery(
+        "q_containment",
+        (s, dir) => graft.text.ContainmentJoin.selfJoin(
+            Tables.resolve(s, dir)("documents"), "doc_id", "text",
+            n = 3, minNum = 3, minDen = 5)
+          .orderBy("id_a", "id_b"),
+        Some(graft.text.ContainmentJoin.oracleSql(
+          "documents", "doc_id", "text", n = 3, minNum = 3, minDen = 5))),
+
+      // web-markup cleanliness signals (extraction-quality screen): tag/
+      // entity/URL/code-char counts over deterministically injected
+      // markup — scan-stage portable regex, zero shuffle
+      RegisteredQuery(
+        "q_markup_signals",
+        (s, dir) => {
+          import org.apache.spark.sql.functions._
+          val idS = col("doc_id").cast("string")
+          val injected = Tables.resolve(s, dir)("documents")
+            .withColumn("text", when(col("text").isNotNull, concat_ws(" ",
+              col("text"),
+              when(pmod(col("doc_id"), lit(2)) === 0,
+                concat(lit("<b class=\"hl\">doc "), idS, lit("</b> &amp; &#39;q&#39;"))),
+              when(pmod(col("doc_id"), lit(3)) === 0,
+                concat(lit("https://ex"), pmod(col("doc_id"), lit(9)).cast("string"),
+                  lit(".org/p/"), idS)),
+              when(pmod(col("doc_id"), lit(7)) === 0, lit("{ a; b; }")))))
+          graft.text.MarkupSignals.counts(injected, "doc_id", "text")
+            .orderBy("doc_id")
+        },
+        Some(graft.text.MarkupSignals.countsOracle("documents", "doc_id",
+          "concat_ws(' ', text, " +
+            "CASE WHEN doc_id % 2 = 0 THEN '<b class=\"hl\">doc ' || doc_id || '</b> &amp; &#39;q&#39;' END, " +
+            "CASE WHEN doc_id % 3 = 0 THEN 'https://ex' || (doc_id % 9) || '.org/p/' || doc_id END, " +
+            "CASE WHEN doc_id % 7 = 0 THEN '{ a; b; }' END)"))),
+
       // PII audit: per-document pattern-hit counts over deterministically
       // injected identifiers (the synthetic corpus carries none) — pure
       // scan-stage regex, zero shuffle, engine-portable pattern subset
@@ -3057,6 +3095,17 @@ FROM events GROUP BY 1 ORDER BY 1""")),
             maxEvents = 8)
           .orderBy("from_type", "to_type"),
         Some(graft.llm.EventWindows.eventTransitionsOracle("events", maxEvents = 8))),
+
+      // quantized Markov transition probabilities: the |types|²-bounded
+      // matrix re-aggregated for per-from totals (no second corpus pass),
+      // broadcast back, ⌊SCALE·n/Σ_from⌋ exact
+      RegisteredQuery(
+        "q_transition_probs",
+        (s, dir) => graft.llm.EventWindows.transitionProbs(
+            graft.llm.EventWindows.readEvents(s, s"$dir/events.parquet"),
+            maxEvents = 8)
+          .orderBy("from_type", "to_type"),
+        Some(graft.llm.EventWindows.transitionProbsOracle("events", maxEvents = 8))),
 
       // 2-D skyline (Pareto frontier): earliest-and-cheapest orders —
       // one groupBy(x) aggregate + a domain-bounded running min, never a

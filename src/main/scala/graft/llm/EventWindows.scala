@@ -257,6 +257,39 @@ FROM e WHERE rn <= $maxEvents GROUP BY $userCol ORDER BY $userCol""".stripMargin
     }
   }
 
+  /** [[eventTransitions]] normalized to a quantized Markov row-stochastic
+    * matrix: `p_scaled = ⌊SCALE·n/Σ_from⌋` per (from, to) — the estimated
+    * next-event distribution behind anomaly scoring ("this transition has
+    * probability 3e-5") and session simulation, integer-exact so it
+    * hashes cross-engine. The per-from totals come from re-aggregating
+    * the |types|²-bounded matrix (never a second corpus pass) and ride a
+    * broadcast join back.
+    */
+  def transitionProbs(events: DataFrame, userCol: String = "user_id",
+                      tsCol: String = "ts", typeCol: String = "event_type",
+                      idCol: String = "event_id", maxEvents: Int = 0,
+                      scale: Long = 1000000L): DataFrame = {
+    val m = eventTransitions(events, userCol, tsCol, typeCol, idCol, maxEvents)
+      .localCheckpoint(false)
+    val totals = m.groupBy(col("from_type").as("__ft"))
+      .agg(sum(col("n")).as("__tot"))
+    m.join(broadcast(totals), col("from_type") <=> col("__ft"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr(s"(n * $scale) div __tot").as("p_scaled"))
+  }
+
+  /** DuckDB replay of [[transitionProbs]]. */
+  def transitionProbsOracle(table: String, userCol: String = "user_id",
+                            tsCol: String = "ts", typeCol: String = "event_type",
+                            idCol: String = "event_id", maxEvents: Int = 0,
+                            scale: Long = 1000000L): String =
+    s"""WITH m AS (${eventTransitionsOracle(table, userCol, tsCol, typeCol, idCol, maxEvents)}),
+t AS (SELECT from_type AS ft, CAST(sum(n) AS BIGINT) AS tot FROM m GROUP BY 1)
+SELECT m.from_type, m.to_type, m.n,
+  CAST((m.n * $scale) // t.tot AS BIGINT) AS p_scaled
+FROM m JOIN t ON m.from_type IS NOT DISTINCT FROM t.ft
+ORDER BY m.from_type, m.to_type""".stripMargin
+
   /** DuckDB replay of [[eventTransitions]] — same total order, same null
     * contracts; `maxEvents > 0` replays the bounded-prefix rule as a
     * row_number cut before the lead.

@@ -1,0 +1,102 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Exact shingle-set CONTAINMENT self-join — pairs where the smaller
+  * document's shingle set is mostly inside the larger one's:
+  * `|A∩B| / min(|A|,|B|) ≥ τ`. The asymmetric complement of
+  * [[JaccardJoin]]: a 200-token quote embedded in a 20k-token page has
+  * near-zero Jaccard (so MinHash LSH and the Jaccard join both miss it)
+  * but containment ≈ 1 — this is the quotation / wholesale-inclusion
+  * detector behind L45-style contamination audits (benchmark questions
+  * pasted inside crawl pages) and subset dedup.
+  *
+  * Candidate generation is prefix filtering on the SMALLER side only
+  * (the containment-join adaptation of AllPairs: `|A∩B| ≥ ⌈τ·|A|⌉` for
+  * the smaller set A, so a df-ascending prefix of A of length
+  * `|A| − ⌈τ·|A|⌉ + 1` must hit the intersection — the larger side gets
+  * no lossless prefix because its required overlap FRACTION can be
+  * arbitrarily small, so it contributes its FULL shingle list to the
+  * index side). Exact verify on candidates; cross-multiplied integer
+  * threshold — bit-identical qualification on any engine.
+  *
+  * Scale shape: candidate cost is Σ over PROBE prefix entries of
+  * df(shingle) — the probe side carries only rarest-first prefixes, so a
+  * stopword shingle enters the probe only for documents where nothing
+  * rarer exists; shingles ship as 60-bit fingerprints; the verify join
+  * touches candidates only. A corpus-frequent shingle inflates the index
+  * side of its own key only (the equi-join salting posture applies to a
+  * pathological probe hit on it).
+  */
+object ContainmentJoin {
+
+  /** (id_a, id_b, n_inter, n_small, containment) with id_a < id_b and
+    * `n_inter·minDen ≥ minNum·n_small`, where n_small = min(|A|,|B|) over
+    * distinct n-token shingle sets.
+    */
+  def selfJoin(docs: DataFrame, idCol: String, textCol: String,
+               n: Int = 3, minNum: Long = 9, minDen: Long = 10): DataFrame = {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    require(minDen > 0 && minNum > 0 && minNum <= minDen,
+      s"threshold $minNum/$minDen must be a fraction in (0, 1]")
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val src = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    val base = src
+      .select(col(idCol).cast("long").as("__id"),
+        TextFunctions.shingleSet(col(textCol), n).as("__s"))
+      .localCheckpoint(true)
+
+    val ex = base.select(col("__id"), size(col("__s")).as("__sz"),
+        explode(col("__s")).as("__sh"))
+      .select(col("__id"), col("__sz"), TextFunctions.hash60(col("__sh")).as("__h"))
+    val dfreq = ex.groupBy("__h").agg(count(lit(1)).as("__df"))
+    val need = expr(s"($minNum * __sz + ${minDen - 1}) div $minDen")
+    // probe = rarest-first prefix of every doc (smaller-side filter);
+    // index = every doc's full shingle list
+    val prefix = ex.join(dfreq, "__h")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__id").orderBy(col("__df"), col("__h"))))
+      .where(col("__rn") <= col("__sz") - need + lit(1))
+      .select(col("__h").as("__ph"), col("__id").as("__pid"),
+        col("__sz").as("__psz"), col("__rn").as("__prn"))
+
+    // direction: the PROBE must be the smaller set ((sz, id) total order);
+    // position filter: a hit at probe prefix position i caps the overlap
+    // at 1 + (sz − i), which must still reach ⌈τ·sz⌉ (cross-multiplied)
+    val cand = prefix.join(ex,
+        col("__ph") === col("__h") && (
+          col("__psz") < col("__sz") ||
+            (col("__psz") === col("__sz") && col("__pid") =!= col("__id"))) &&
+          (lit(1) + col("__psz") - col("__prn")) * minDen >= lit(minNum) * col("__psz"))
+      .select(least(col("__pid"), col("__id")).as("id_a"),
+        greatest(col("__pid"), col("__id")).as("id_b"))
+      .distinct()
+
+    val inter = size(array_intersect(col("sa.__s"), col("sb.__s"))).cast("long")
+    val small = least(size(col("sa.__s")), size(col("sb.__s"))).cast("long")
+    cand
+      .join(base.as("sa"), col("id_a") === col("sa.__id"))
+      .join(base.as("sb"), col("id_b") === col("sb.__id"))
+      .where(inter * minDen >= lit(minNum) * small)
+      .select(col("id_a"), col("id_b"), inter.as("n_inter"), small.as("n_small"),
+        (inter.cast(DoubleType) / small.cast(DoubleType)).as("containment"))
+  }
+
+  /** DuckDB replay: the naive quadratic join with the shared shingle CTEs
+    * and the same cross-multiplied threshold.
+    */
+  def oracleSql(table: String, idCol: String, textCol: String,
+                n: Int = 3, minNum: Long = 9, minDen: Long = 10): String =
+    s"""WITH ${graft.llm.Dedup.shingleCtes(table, idCol, textCol, n)},
+sz AS (SELECT doc_id_, s, len(s) AS sz FROM sh)
+SELECT a.doc_id_ AS id_a, b.doc_id_ AS id_b,
+  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
+  CAST(least(a.sz, b.sz) AS BIGINT) AS n_small,
+  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / least(a.sz, b.sz) AS containment
+FROM sz a JOIN sz b ON a.doc_id_ < b.doc_id_
+WHERE len(list_intersect(a.s, b.s)) * $minDen >= $minNum * least(a.sz, b.sz)
+ORDER BY 1, 2"""
+}

@@ -73,6 +73,19 @@ class EventTransitionsSpec extends SparkSpec {
     assert(bounded == unbounded)
   }
 
+  test("transitionProbs: rows sum to ~SCALE per from_type, exact quantized division") {
+    val got = EventWindows.transitionProbs(ev(
+        (1L, 10L, 1L, "a"), (2L, 20L, 1L, "b"), (3L, 30L, 1L, "a"),
+        (4L, 40L, 1L, "c"), (5L, 50L, 1L, "a"), (6L, 60L, 1L, "b")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // from a: ->b twice, ->c once (totals 3); from b: ->a once (b at stream
+    // end contributes no pair); from c: ->a once
+    assert(got(("a", "b")) == ((2L, 666666L)))
+    assert(got(("a", "c")) == ((1L, 333333L)))
+    assert(got(("b", "a")) == ((1L, 1000000L)))
+    assert(got(("c", "a")) == ((1L, 1000000L)))
+  }
+
   test("whale user stays bounded: partial FirstK agg, no window sort") {
     // one user with 30k events across 4 partitions: the bounded path must
     // reduce each partition to <= maxEvents triples map-side
