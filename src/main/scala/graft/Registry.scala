@@ -1396,6 +1396,22 @@ SELECT lang, CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE) ELSE 15.0 * ${1L << 60} /
           "documents", "doc_id", "source", LinedTextSql,
           minDocs = 20, sepSql = "chr(10)"))),
 
+      // RFM customer-value segmentation: per-entity recency/frequency/
+      // monetary, each exact-NTILE'd without a global sort (three range
+      // exchanges + dense index), 1..k scores with recency inverted
+      RegisteredQuery(
+        "q_rfm",
+        (s, dir) => {
+          import org.apache.spark.sql.functions.col
+          graft.operators.Rfm.rfmScores(
+              Tables.resolve(s, dir)("orders"), "o_custkey", "o_orderdate",
+              (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"), k = 5)
+            .orderBy("o_custkey")
+        },
+        Some(graft.operators.Rfm.rfmOracle(
+          "orders", "o_custkey", "o_orderdate",
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)", k = 5))),
+
       // exact containment join (quotation / wholesale-inclusion detector —
       // the asymmetric pairs Jaccard and MinHash both miss): smaller-side
       // prefix filtering, exact verify, cross-multiplied threshold
