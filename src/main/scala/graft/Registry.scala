@@ -1396,6 +1396,23 @@ SELECT lang, CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE) ELSE 15.0 * ${1L << 60} /
           "documents", "doc_id", "source", LinedTextSql,
           minDocs = 20, sepSql = "chr(10)"))),
 
+      // embedding centroid drift between corpus slices: exact per-dim
+      // int8-code sums (cosine of sums = cosine of means, derived
+      // downstream) — the embedding-space sibling of vocab drift
+      RegisteredQuery(
+        "q_embed_drift",
+        (s, dir) => {
+          import org.apache.spark.sql.functions.{col, pmod, lit}
+          val e = Tables.resolve(s, dir)("embeddings")
+          graft.llm.EmbeddingOps.centroidSums(
+              e.where(pmod(col("vec_id"), lit(2)) === 0),
+              e.where(pmod(col("vec_id"), lit(2)) === 1), "embedding")
+            .orderBy("dim")
+        },
+        Some(graft.llm.EmbeddingOps.centroidSumsOracle(
+          "SELECT * FROM embeddings WHERE vec_id % 2 = 0",
+          "SELECT * FROM embeddings WHERE vec_id % 2 = 1", "embedding"))),
+
       // RFM customer-value segmentation: per-entity recency/frequency/
       // monetary, each exact-NTILE'd without a global sort (three range
       // exchanges + dense index), 1..k scores with recency inverted

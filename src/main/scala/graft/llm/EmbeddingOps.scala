@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Embedding-column storage/compression primitives: int8 quantization and
@@ -96,6 +96,64 @@ object EmbeddingOps {
       .select(col("query_id"), col("neighbor_id"), dot.as("score"))
     graft.functions.TopK.perGroup(scored, Seq("query_id"), col("score"), col("neighbor_id"), k)
       .withColumnRenamed("id", "neighbor_id")
+  }
+
+  /** Per-dimension centroid sums of two corpus slices over the int8
+    * codes — embedding-space DRIFT measurement ("did this month's corpus
+    * move semantically"): `(dim, sum_a, sum_b)` are EXACT integers (int8
+    * codes sum exactly), and since cosine is scale-invariant,
+    * cos(Σa, Σb) = cos(μa, μb) — derive the drift angle from the sums
+    * with ONE double chain (dot / √·√, see [[centroidCosine]]) without
+    * ever dividing inside the aggregate. The embedding-space sibling of
+    * the token-level [[graft.text.VocabDrift]].
+    *
+    * Scale shape: per side, one scan-stage quantize + posexplode and a
+    * partial-agg'd per-dimension sum (dim-bounded output); the join is
+    * dims × dims.
+    */
+  def centroidSums(a: DataFrame, b: DataFrame, vecCol: String): DataFrame = {
+    def sums(df: DataFrame, out: String) = df
+      .where(col(vecCol).isNotNull)
+      .select(posexplode(quantizeInt8(col(vecCol))).as(Seq("dim", "__q")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(sum(col("__q").cast("long")).as(out))
+    sums(a, "sum_a").join(sums(b, "sum_b").withColumnRenamed("dim", "__d"),
+        col("dim") === col("__d"), "full_outer")
+      .select(coalesce(col("dim"), col("__d")).as("dim"),
+        coalesce(col("sum_a"), lit(0L)).as("sum_a"),
+        coalesce(col("sum_b"), lit(0L)).as("sum_b"))
+  }
+
+  /** cos(μa, μb) from a [[centroidSums]] frame — exact integer dot and
+    * norms, one IEEE double chain at the end (NULL when a side is all
+    * zero). Collects the dim-bounded frame; returns the scalar.
+    */
+  def centroidCosine(sums: DataFrame): Option[Double] = {
+    val rows = sums.select("sum_a", "sum_b").collect()
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    rows.foreach { r =>
+      val x = r.getLong(0).toDouble; val y = r.getLong(1).toDouble
+      dot += x * y; na += x * x; nb += y * y
+    }
+    if (na == 0.0 || nb == 0.0) None
+    else Some(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  /** DuckDB replay of [[centroidSums]] with sides given as subqueries. */
+  def centroidSumsOracle(aSql: String, bSql: String, vecCol: String): String = {
+    def side(src: String, out: String) =
+      s"""SELECT dim, CAST(sum(c) AS BIGINT) AS $out
+  FROM (SELECT unnest(range(len(qc))) AS dim, unnest(qc) AS c
+    FROM (SELECT ${quantSql("v", "m")} AS qc
+      FROM (SELECT $vecCol AS v,
+        list_max(list_transform($vecCol, x -> abs(CAST(x AS DOUBLE)))) AS m
+        FROM ($src) WHERE $vecCol IS NOT NULL)))
+  GROUP BY 1"""
+    s"""WITH sa AS (${side(aSql, "sum_a")}),
+sb AS (${side(bSql, "sum_b")})
+SELECT CAST(coalesce(sa.dim, sb.dim) AS BIGINT) AS dim,
+  coalesce(sa.sum_a, 0) AS sum_a, coalesce(sb.sum_b, 0) AS sum_b
+FROM sa FULL OUTER JOIN sb ON sa.dim = sb.dim ORDER BY dim""".stripMargin
   }
 
   // ------------------------------------------------- DuckDB oracle SQL ----

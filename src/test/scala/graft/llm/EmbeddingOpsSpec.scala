@@ -70,4 +70,29 @@ class EmbeddingOpsSpec extends SparkSpec {
         .orderBy("vec_id").collect().toSeq
     assert(run(emb.repartition(1)) === run(emb.repartition(7)))
   }
+
+  test("centroidSums: exact per-dim sums; cosine of sums matches hand math") {
+    import spark.implicits._
+    val a = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val b = Seq((3L, Array(0.0f, 1.0f)), (4L, Array(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val sums = EmbeddingOps.centroidSums(a, b, "embedding")
+    val got = sums.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // a-vectors quantize to (127, 0) each -> sums (254, 0)
+    // b: (0,127) and (127,127) -> sums (127, 254)
+    assert(got == Map(0L -> ((254L, 127L)), 1L -> ((0L, 254L))))
+    val cos = EmbeddingOps.centroidCosine(sums).get
+    val expect = (254.0 * 127.0 + 0.0) /
+      (math.sqrt(254.0 * 254.0) * math.sqrt(127.0 * 127.0 + 254.0 * 254.0))
+    assert(math.abs(cos - expect) < 1e-12)
+  }
+
+  test("centroidCosine is None when a side is all zero") {
+    import spark.implicits._
+    val a = Seq((1L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val b = Seq((2L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(EmbeddingOps.centroidCosine(
+      EmbeddingOps.centroidSums(a, b, "embedding")).isEmpty)
+  }
 }
