@@ -1396,6 +1396,18 @@ SELECT lang, CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE) ELSE 15.0 * ${1L << 60} /
           "documents", "doc_id", "source", LinedTextSql,
           minDocs = 20, sepSql = "chr(10)"))),
 
+      // pairwise co-occurrence mining (frequently-bought-together): one
+      // basket-keyed self-equi-join over distinct (basket, item) with a
+      // whale-basket gate — exact integer support counts
+      RegisteredQuery(
+        "q_cooccurrence",
+        (s, dir) => graft.operators.CoOccurrence.pairs(
+            Tables.resolve(s, dir)("lineitem"), "l_orderkey", "l_partkey",
+            minCount = 2, maxBasket = 100)
+          .orderBy("item_a", "item_b"),
+        Some(graft.operators.CoOccurrence.pairsOracle(
+          "lineitem", "l_orderkey", "l_partkey", minCount = 2, maxBasket = 100))),
+
       // embedding centroid drift between corpus slices: exact per-dim
       // int8-code sums (cosine of sums = cosine of means, derived
       // downstream) — the embedding-space sibling of vocab drift
@@ -1591,6 +1603,16 @@ SELECT lang, CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE) ELSE 15.0 * ${1L << 60} /
           .withColumn("var_num", col("var_num").cast("string"))
           .orderBy("user_id"),
         Some(EventWindows.interArrivalOracle("events"))),
+
+      // per-user session statistics: sessions, bounce rate (exact
+      // quantized ratio), total events, engaged time — one session-sized
+      // rollup on top of the session_window aggregate
+      RegisteredQuery(
+        "q_session_stats",
+        (s, dir) => EventWindows.sessionStats(
+            EventWindows.readEvents(s, s"$dir/events.parquet"))
+          .orderBy("user_id"),
+        Some(EventWindows.sessionStatsOracle("events"))),
 
       // behavioral sequence assembly: first-5 event types per user in
       // strict (ts, event_id) order concatenated to a training-ready

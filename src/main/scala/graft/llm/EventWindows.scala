@@ -153,6 +153,48 @@ FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
        |FROM numbered GROUP BY $keyCol, sid
        |ORDER BY $keyCol, session_start""".stripMargin
 
+  /** Per-user session statistics — the engagement summary sessionization
+    * exists to feed: session count, bounce count/rate (single-event
+    * sessions), total events, and total ENGAGED time (first→last event
+    * per session — the `gap` padding session_window adds to `end` is
+    * subtracted back out, which is why `gapMicros` must equal `gap`).
+    * Rides [[sessionized]] (same exchange profile) plus one user-keyed
+    * partial-agg'd rollup of the session-sized frame; bounce rate is the
+    * exact quantized ratio.
+    */
+  def sessionStats(events: DataFrame, gap: String = "2 hours",
+                   gapMicros: Long = 7200000000L, keyCol: String = "user_id",
+                   tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    require(gapMicros > 0, s"gapMicros must be positive, got $gapMicros")
+    sessionized(events, gap, keyCol, tsCol, valueCol)
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"),
+        sum(col("n_events")).as("total_events"),
+        sum(unix_micros(col("session_end").cast("timestamp"))
+          - unix_micros(col("session_start").cast("timestamp"))
+          - gapMicros).as("engaged_us"))
+      .withColumn("bounce_scaled",
+        expr("(n_bounces * 1000000) div n_sessions"))
+  }
+
+  /** DuckDB replay of [[sessionStats]] over the shared gaps-and-islands
+    * session CTE.
+    */
+  def sessionStatsOracle(table: String, gapSql: String = "INTERVAL 2 HOUR",
+                         gapMicros: Long = 7200000000L, keyCol: String = "user_id",
+                         tsCol: String = "ts", valueCol: String = "value"): String =
+    s"""WITH s AS (${sessionizedOracle(table, gapSql, keyCol, tsCol, valueCol)})
+SELECT $keyCol, CAST(count(*) AS BIGINT) AS n_sessions,
+  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+  CAST(sum(n_events) AS BIGINT) AS total_events,
+  CAST(sum(epoch_us(session_end) - epoch_us(session_start) - $gapMicros) AS BIGINT)
+    AS engaged_us,
+  CAST((sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT)
+    AS bounce_scaled
+FROM s GROUP BY $keyCol ORDER BY $keyCol""".stripMargin
+
   /** Per-user action sequences for behavioral sequence modeling: the first
     * `maxEvents` event types per user in strict (ts, event id) order —
     * tie-broken total order, so the assembled string is engine- and
