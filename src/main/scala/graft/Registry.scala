@@ -1396,6 +1396,30 @@ SELECT lang, CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE) ELSE 15.0 * ${1L << 60} /
           "documents", "doc_id", "source", LinedTextSql,
           minDocs = 20, sepSql = "chr(10)"))),
 
+      // mutual-information cells between two categorical columns: the
+      // dependence MEASURE beside q_chisq_cells' TEST — same one-shuffle
+      // margins-rebroadcast shape, quantized-ln per observed cell
+      RegisteredQuery(
+        "q_mutual_info",
+        (s, dir) => graft.operators.Contingency.mutualInfoCells(
+            Tables.resolve(s, dir)("documents"), "lang", "source")
+          .orderBy("lang", "source"),
+        Some(graft.operators.Contingency.mutualInfoOracle(
+          "documents", "lang", "source"))),
+
+      // time-to-convert distribution for full funnel completers: KLL
+      // grand aggregate in the exact regime (converters < 2k)
+      RegisteredQuery(
+        "q_funnel_latency",
+        (s, dir) => graft.llm.EventFunnels.funnelLatency(
+          graft.llm.EventFunnels.funnel(
+            graft.llm.EventWindows.readEvents(s, s"$dir/events.parquet"),
+            steps = Seq("view", "click", "purchase"),
+            horizonUs = Some(48L * 3600 * 1000000))),
+        Some(graft.llm.EventFunnels.latencyOracle(
+          "events", Seq("view", "click", "purchase"),
+          horizonUs = Some(48L * 3600 * 1000000)))),
+
       // pairwise co-occurrence mining (frequently-bought-together): one
       // basket-keyed self-equi-join over distinct (basket, item) with a
       // whale-basket gate — exact integer support counts

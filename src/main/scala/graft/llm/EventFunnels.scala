@@ -86,6 +86,49 @@ object EventFunnels {
       .groupBy("step")
       .agg(sum(when(col("steps_completed") >= col("step"), 1L).otherwise(0L)).as("n_users"))
 
+  /** Time-to-convert distribution for FULL completers — the funnel
+    * chart's companion ("how long does view→purchase take, p50/p90"):
+    * one grand aggregate over [[funnel]]'s per-user frame folding
+    * `convert_us` through the KLL summary ([[graft.functions.QuantileSketch]]
+    * — bounded buffer per partition, EXACT below 2k values, the regime
+    * the gate asserts). Always exactly one row; an empty converter set
+    * yields (0, NULL…) on both engines.
+    */
+  def funnelLatency(perUser: DataFrame, k: Int = 4096,
+                    qs: Seq[(Long, Long)] =
+                      Seq((1L, 4L), (1L, 2L), (3L, 4L), (9L, 10L)),
+                    names: Seq[String] =
+                      Seq("p25_us", "p50_us", "p75_us", "p90_us")): DataFrame = {
+    require(names.length == qs.length, "one name per fraction")
+    val conv = perUser.where(col("convert_us").isNotNull)
+    conv.agg(count(lit(1)).as("n_converters"),
+        udaf(new graft.functions.QuantileSketch(k, qs))
+          .apply(col("convert_us")).as("__q"))
+      .select(col("n_converters") +: names.zipWithIndex.map { case (n, i) =>
+        try_element_at(col("__q"), lit(i + 1)).as(n)
+      }: _*)
+  }
+
+  /** DuckDB replay of [[funnelLatency]] in the exact regime —
+    * `quantile_disc` IS the "smallest value with cumulative count ≥ ⌈φ·n⌉"
+    * rule the KLL summary reports below compaction.
+    */
+  def latencyOracle(table: String, steps: Seq[String],
+                    horizonUs: Option[Long] = None,
+                    qs: Seq[(Long, Long)] =
+                      Seq((1L, 4L), (1L, 2L), (3L, 4L), (9L, 10L)),
+                    names: Seq[String] =
+                      Seq("p25_us", "p50_us", "p75_us", "p90_us"),
+                    userCol: String = "user_id", tsCol: String = "ts",
+                    typeCol: String = "event_type"): String = {
+    val qcols = qs.zip(names).map { case ((num, den), n) =>
+      s"CAST(quantile_disc(convert_us, $num.0/$den) AS BIGINT) AS $n"
+    }.mkString(", ")
+    s"""WITH f AS (${funnelOracle(table, steps, horizonUs, userCol, tsCol, typeCol)}),
+c AS (SELECT convert_us FROM f WHERE convert_us IS NOT NULL)
+SELECT CAST(count(*) AS BIGINT) AS n_converters, $qcols FROM c""".stripMargin
+  }
+
   // ------------------------------------------------- DuckDB oracle SQL ----
 
   /** Oracle for [[funnel]]: the k-pass iterative-min formulation (each step's

@@ -73,6 +73,57 @@ object Contingency {
         (countDistinct(col(bCol)) - 1)).as("dof"))
   }
 
+  /** Per-cell MUTUAL-INFORMATION contributions — the dependence MEASURE
+    * where chi-square is the dependence TEST: MI = Σ p_ij·ln(p_ij/(p_i·p_j))
+    * in nats quantifies HOW MUCH one column tells you about the other
+    * (feature selection ranks predictors by it). Same one-shuffle /
+    * margins-rebroadcast shape as [[cells]]; per cell the integer counts
+    * are exact and the single ln is quantized (the [[Drift]] discipline):
+    * `mi_q = ⌊SCALE · (o/T) · ln(o·T/(r·c))⌋` with the ratio formed by
+    * one cross-multiplied double division. Unobserved cells contribute 0
+    * to true MI (p·ln p → 0), so the observed-cell sum IS the statistic —
+    * cleaner than chi-square's convention. Sum `mi_q` for total MI (in
+    * 1/SCALE nats; truncation ≤ 1 unit per observed cell).
+    */
+  def mutualInfoCells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cellCounts = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).cast(dec).as("o"))
+      .localCheckpoint(false)
+    val ra = cellCounts.groupBy(col(aCol))
+      .agg(sum(col("o")).cast(dec).as("r"))
+    val cb = cellCounts.groupBy(col(bCol))
+      .agg(sum(col("o")).cast(dec).as("c"))
+    val tot = cellCounts.agg(sum(col("o")).cast(dec).as("t"))
+    val p = col("o").cast("double") / col("t").cast("double")
+    val ratio = (col("o").cast("double") * col("t").cast("double")) /
+      (col("r").cast("double") * col("c").cast("double"))
+    cellCounts
+      .join(broadcast(ra), aCol)
+      .join(broadcast(cb), bCol)
+      .crossJoin(broadcast(tot))
+      .select(col(aCol), col(bCol), col("o").cast("long").as("o"),
+        floor(lit(Scale.toDouble) * (p * log(ratio))).cast("long").as("mi_q"))
+  }
+
+  /** DuckDB replay of [[mutualInfoCells]] — same counts, same double
+    * chain, same quantized ln.
+    */
+  def mutualInfoOracle(table: String, aCol: String, bCol: String): String =
+    s"""WITH cc AS (SELECT $aCol, $bCol, CAST(count(*) AS BIGINT) AS o
+  FROM $table WHERE $aCol IS NOT NULL AND $bCol IS NOT NULL GROUP BY $aCol, $bCol),
+ra AS (SELECT $aCol, CAST(sum(o) AS BIGINT) AS r FROM cc GROUP BY $aCol),
+cb AS (SELECT $bCol, CAST(sum(o) AS BIGINT) AS c FROM cc GROUP BY $bCol),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS t FROM cc)
+SELECT cc.$aCol, cc.$bCol, o,
+  CAST(floor($Scale.0 * ((CAST(o AS DOUBLE) / CAST(t AS DOUBLE))
+    * ln((CAST(o AS DOUBLE) * CAST(t AS DOUBLE))
+      / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE))))) AS BIGINT) AS mi_q
+FROM cc JOIN ra USING ($aCol) JOIN cb USING ($bCol), tot
+ORDER BY cc.$aCol, cc.$bCol""".stripMargin
+
   /** DuckDB replay of [[cells]] — HUGEINT margins, same truncating
     * division.
     */

@@ -73,4 +73,25 @@ class EventFunnelsSpec extends SparkSpec {
       .orderBy("step").select("n_users").as[Long].collect()
     assert(got.toSeq === Seq(3L, 2L, 1L))
   }
+  test("funnelLatency: exact-regime quantiles over converter times") {
+    val e = mkEvents(
+      (1L, 10, "a"), (1L, 20, "b"), (1L, 30, "c"),   // convert 20s
+      (2L, 0, "a"), (2L, 5, "b"), (2L, 10, "c"),     // convert 10s
+      (3L, 0, "a"), (3L, 50, "b"), (3L, 100, "c"),   // convert 100s
+      (4L, 0, "a"))                                  // non-converter
+    val r = EventFunnels.funnelLatency(EventFunnels.funnel(e, steps))
+      .collect().head
+    assert(r.getLong(0) == 3L)
+    // sorted converts (us): 10s, 20s, 100s -> p25=10s p50=20s p75=100s p90=100s
+    assert(r.getLong(1) == 10000000L && r.getLong(2) == 20000000L)
+    assert(r.getLong(3) == 100000000L && r.getLong(4) == 100000000L)
+  }
+
+  test("funnelLatency with zero converters: one row, count 0, NULL quantiles") {
+    val e = mkEvents((1L, 10, "a"), (2L, 10, "b"))
+    val r = EventFunnels.funnelLatency(EventFunnels.funnel(e, steps))
+      .collect().head
+    assert(r.getLong(0) == 0L && r.isNullAt(1) && r.isNullAt(4))
+  }
+
 }

@@ -47,4 +47,24 @@ class ContingencySpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
     assert(one === many && one.size === 15)
   }
+  test("mutual information: hand-checked 2x2 and independence -> all-zero cells") {
+    val rows =
+      Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(30)(("b", "x")) ++ Seq.fill(40)(("b", "y"))
+    val got = Contingency.mutualInfoCells(rows.toDF("u", "v"), "u", "v")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    def mi(o: Double, r: Double, c: Double): Long =
+      math.floor(1e6 * (o / 100.0) * math.log(o * 100.0 / (r * c))).toLong
+    assert(got(("a", "x")) == ((10L, mi(10, 30, 40))))
+    assert(got(("b", "y")) == ((40L, mi(40, 70, 60))))
+    // total MI positive for a dependent table
+    assert(got.values.map(_._2).sum > 0)
+    // independent table: every cell's ratio is exactly 1 -> ln 1 = 0
+    val ind = Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(20)(("b", "x")) ++ Seq.fill(40)(("b", "y"))
+    val z = Contingency.mutualInfoCells(ind.toDF("u", "v"), "u", "v")
+      .collect().map(_.getLong(3))
+    assert(z.forall(_ == 0L))
+  }
+
 }
