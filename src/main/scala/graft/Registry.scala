@@ -1396,6 +1396,40 @@ SELECT lang, CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE) ELSE 15.0 * ${1L << 60} /
           "documents", "doc_id", "source", LinedTextSql,
           minDocs = 20, sepSql = "chr(10)"))),
 
+      // score-decile lift/calibration table: exact NTILE buckets (no
+      // global window) + quantized observed rate and lift vs base rate
+      RegisteredQuery(
+        "q_lift_table",
+        (s, dir) => {
+          import org.apache.spark.sql.functions.col
+          graft.operators.Calibration.liftTable(
+              Tables.resolve(s, dir)("orders")
+                .withColumn("price_c",
+                  (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")),
+              "price_c", "o_orderkey", col("o_orderstatus") === "F", k = 10)
+            .orderBy("bucket")
+        },
+        Some(graft.operators.Calibration.liftOracle(
+          "orders", "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
+          "o_orderkey", "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END", k = 10))),
+
+      // sorted-neighborhood linkage blocking: rank via the global-sort-
+      // free dense index, O(n·w) candidates from a rank-block equi-join
+      RegisteredQuery(
+        "q_sorted_neighborhood",
+        (s, dir) => {
+          import org.apache.spark.sql.functions.col
+          graft.operators.SortedNeighborhood.candidates(
+              Tables.resolve(s, dir)("customer")
+                .withColumn("bal_c",
+                  (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")),
+              "c_custkey", "bal_c", w = 3)
+            .orderBy("id_a", "id_b")
+        },
+        Some(graft.operators.SortedNeighborhood.candidatesOracle(
+          "customer", "c_custkey",
+          "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)", w = 3))),
+
       // mutual-information cells between two categorical columns: the
       // dependence MEASURE beside q_chisq_cells' TEST — same one-shuffle
       // margins-rebroadcast shape, quantized-ln per observed cell
