@@ -1506,10 +1506,10 @@ SELECT lang, CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE) ELSE 15.0 * ${1L << 60} /
         "q_containment",
         (s, dir) => graft.text.ContainmentJoin.selfJoin(
             Tables.resolve(s, dir)("documents"), "doc_id", "text",
-            n = 3, minNum = 3, minDen = 5)
+            n = 3, minNum = 4, minDen = 5)
           .orderBy("id_a", "id_b"),
         Some(graft.text.ContainmentJoin.oracleSql(
-          "documents", "doc_id", "text", n = 3, minNum = 3, minDen = 5))),
+          "documents", "doc_id", "text", n = 3, minNum = 4, minDen = 5))),
 
       // web-markup cleanliness signals (extraction-quality screen): tag/
       // entity/URL/code-char counts over deterministically injected

@@ -44,14 +44,19 @@ object ContainmentJoin {
       s"threshold $minNum/$minDen must be a fraction in (0, 1]")
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val src = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    // the 60-bit shingle FINGERPRINT set is the working representation
+    // end-to-end (the dedup-family hash-membership contract): the verify
+    // intersects long arrays — ~5× less shuffle than shingle strings and
+    // far cheaper set probes, which dominates this operator's profile
     val base = src
       .select(col(idCol).cast("long").as("__id"),
-        TextFunctions.shingleSet(col(textCol), n).as("__s"))
+        array_distinct(transform(
+          TextFunctions.shingleSet(col(textCol), n),
+          s => TextFunctions.hash60(s))).as("__s"))
       .localCheckpoint(true)
 
     val ex = base.select(col("__id"), size(col("__s")).as("__sz"),
-        explode(col("__s")).as("__sh"))
-      .select(col("__id"), col("__sz"), TextFunctions.hash60(col("__sh")).as("__h"))
+        explode(col("__s")).as("__h"))
     val dfreq = ex.groupBy("__h").agg(count(lit(1)).as("__df"))
     val need = expr(s"($minNum * __sz + ${minDen - 1}) div $minDen")
     // probe = rarest-first prefix of every doc (smaller-side filter);
@@ -85,13 +90,17 @@ object ContainmentJoin {
         (inter.cast(DoubleType) / small.cast(DoubleType)).as("containment"))
   }
 
-  /** DuckDB replay: the naive quadratic join with the shared shingle CTEs
-    * and the same cross-multiplied threshold.
+  /** DuckDB replay: the naive quadratic join over the same 60-bit
+    * fingerprint sets (shared shingle CTEs, then hashed + re-distincted —
+    * the hash-membership contract) and the same cross-multiplied
+    * threshold.
     */
   def oracleSql(table: String, idCol: String, textCol: String,
                 n: Int = 3, minNum: Long = 9, minDen: Long = 10): String =
     s"""WITH ${graft.llm.Dedup.shingleCtes(table, idCol, textCol, n)},
-sz AS (SELECT doc_id_, s, len(s) AS sz FROM sh)
+hs AS (SELECT doc_id_, list_distinct(list_transform(s,
+    x -> CAST(('0x'||substr(md5(x),1,15)) AS BIGINT))) AS s FROM sh),
+sz AS (SELECT doc_id_, s, len(s) AS sz FROM hs)
 SELECT a.doc_id_ AS id_a, b.doc_id_ AS id_b,
   CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
   CAST(least(a.sz, b.sz) AS BIGINT) AS n_small,
