@@ -1519,15 +1519,18 @@ SELECT lang, CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE) ELSE 15.0 * ${1L << 60} /
         (s, dir) => {
           import org.apache.spark.sql.functions._
           val idS = col("doc_id").cast("string")
+          // concat_ws on BOTH sides (never NULL whatever text is) — the
+          // piiInjected parity rule; a when-wrapper here would null out
+          // where the oracle's concat_ws doesn't
           val injected = Tables.resolve(s, dir)("documents")
-            .withColumn("text", when(col("text").isNotNull, concat_ws(" ",
+            .withColumn("text", concat_ws(" ",
               col("text"),
               when(pmod(col("doc_id"), lit(2)) === 0,
                 concat(lit("<b class=\"hl\">doc "), idS, lit("</b> &amp; &#39;q&#39;"))),
               when(pmod(col("doc_id"), lit(3)) === 0,
                 concat(lit("https://ex"), pmod(col("doc_id"), lit(9)).cast("string"),
                   lit(".org/p/"), idS)),
-              when(pmod(col("doc_id"), lit(7)) === 0, lit("{ a; b; }")))))
+              when(pmod(col("doc_id"), lit(7)) === 0, lit("{ a; b; }"))))
           graft.text.MarkupSignals.counts(injected, "doc_id", "text")
             .orderBy("doc_id")
         },

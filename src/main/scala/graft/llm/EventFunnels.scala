@@ -102,8 +102,7 @@ object EventFunnels {
     require(names.length == qs.length, "one name per fraction")
     val conv = perUser.where(col("convert_us").isNotNull)
     conv.agg(count(lit(1)).as("n_converters"),
-        udaf(new graft.functions.QuantileSketch(k, qs))
-          .apply(col("convert_us")).as("__q"))
+        graft.functions.Quantiles(k, qs)(col("convert_us")).as("__q"))
       .select(col("n_converters") +: names.zipWithIndex.map { case (n, i) =>
         try_element_at(col("__q"), lit(i + 1)).as(n)
       }: _*)

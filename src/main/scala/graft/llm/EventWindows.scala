@@ -157,15 +157,20 @@ FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     * exists to feed: session count, bounce count/rate (single-event
     * sessions), total events, and total ENGAGED time (first→last event
     * per session — the `gap` padding session_window adds to `end` is
-    * subtracted back out, which is why `gapMicros` must equal `gap`).
-    * Rides [[sessionized]] (same exchange profile) plus one user-keyed
-    * partial-agg'd rollup of the session-sized frame; bounce rate is the
-    * exact quantized ratio.
+    * subtracted back out; the micros are PARSED from `gap` itself, so
+    * the two can never drift). Rides [[sessionized]] (same exchange
+    * profile) plus one user-keyed partial-agg'd rollup of the
+    * session-sized frame; bounce rate is the exact quantized ratio.
     */
   def sessionStats(events: DataFrame, gap: String = "2 hours",
-                   gapMicros: Long = 7200000000L, keyCol: String = "user_id",
+                   keyCol: String = "user_id",
                    tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
-    require(gapMicros > 0, s"gapMicros must be positive, got $gapMicros")
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    require(iv != null && iv.months == 0,
+      s"session gap must be a fixed-length interval (no months): '$gap'")
+    val gapMicros = iv.days * 86400000000L + iv.microseconds
+    require(gapMicros > 0, s"session gap must be positive: '$gap'")
     sessionized(events, gap, keyCol, tsCol, valueCol)
       .groupBy(col(keyCol))
       .agg(

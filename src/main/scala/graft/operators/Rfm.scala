@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** RFM scoring — the classic customer-value segmentation (recency /
@@ -27,7 +27,8 @@ object Rfm {
     */
   def rfmScores(df: DataFrame, entityCol: String, dateCol: String,
                 cents: org.apache.spark.sql.Column, k: Int = 5): DataFrame = {
-    require(k >= 2, s"k must be >= 2, got $k")
+    require(k >= 2 && k <= 10,
+      s"k must be in 2..10 (the decimal segment code r*100+f*10+m collides beyond), got $k")
     val base = df
       .where(col(entityCol).isNotNull && col(dateCol).isNotNull)
       .groupBy(col(entityCol))
@@ -35,13 +36,18 @@ object Rfm {
         count(lit(1)).as("f_n"),
         sum(cents).as("m_cents"))
     val maxd = base.agg(max(col("__last")).as("__maxd"))
+    // each ntileExact consumes its input TWICE (range-sorted dense-index
+    // path + the row-count aggregate), and the three calls nest — without
+    // checkpoints the entity aggregate's lineage re-executes ~2^3 times;
+    // the frames are entity-count-sized, so eager checkpoints are cheap
     val withR = base.crossJoin(broadcast(maxd))
       .withColumn("r_days", datediff(col("__maxd"), col("__last")).cast("long"))
       .drop("__last", "__maxd")
+      .localCheckpoint(true)
     val rb = QuantileBuckets.ntileExact(withR, "r_days", entityCol, k)
-      .withColumnRenamed("bucket", "__rb")
+      .withColumnRenamed("bucket", "__rb").localCheckpoint(true)
     val fb = QuantileBuckets.ntileExact(rb, "f_n", entityCol, k)
-      .withColumnRenamed("bucket", "__fb")
+      .withColumnRenamed("bucket", "__fb").localCheckpoint(true)
     val mb = QuantileBuckets.ntileExact(fb, "m_cents", entityCol, k)
       .withColumnRenamed("bucket", "__mb")
     mb.select(col(entityCol), col("r_days"), col("f_n"), col("m_cents"),
@@ -63,9 +69,9 @@ object Rfm {
 r AS (SELECT *, CAST(date_diff('day', last_d, (SELECT max(last_d) FROM base)) AS BIGINT) AS r_days
   FROM base),
 s AS (SELECT *,
-    ntile($k) OVER (ORDER BY r_days, $entityCol) AS rb,
-    ntile($k) OVER (ORDER BY f_n, $entityCol) AS fb,
-    ntile($k) OVER (ORDER BY m_cents, $entityCol) AS mb
+    ntile($k) OVER (ORDER BY r_days NULLS FIRST, $entityCol) AS rb,
+    ntile($k) OVER (ORDER BY f_n NULLS FIRST, $entityCol) AS fb,
+    ntile($k) OVER (ORDER BY m_cents NULLS FIRST, $entityCol) AS mb
   FROM r)
 SELECT $entityCol, r_days, f_n, m_cents,
   CAST(${k + 1} - rb AS BIGINT) AS r_score, CAST(fb AS BIGINT) AS f_score,

@@ -21,7 +21,9 @@ import org.apache.spark.sql.types.DoubleType
   * no lossless prefix because its required overlap FRACTION can be
   * arbitrarily small, so it contributes its FULL shingle list to the
   * index side). Exact verify on candidates; cross-multiplied integer
-  * threshold — bit-identical qualification on any engine.
+  * threshold — bit-identical qualification on any engine. (The prefix
+  * cut is itself the probe-side position filter — see the candidate
+  * join note.)
   *
   * Scale shape: candidate cost is Σ over PROBE prefix entries of
   * df(shingle) — the probe side carries only rarest-first prefixes, so a
@@ -68,14 +70,17 @@ object ContainmentJoin {
       .select(col("__h").as("__ph"), col("__id").as("__pid"),
         col("__sz").as("__psz"), col("__rn").as("__prn"))
 
-    // direction: the PROBE must be the smaller set ((sz, id) total order);
-    // position filter: a hit at probe prefix position i caps the overlap
-    // at 1 + (sz − i), which must still reach ⌈τ·sz⌉ (cross-multiplied)
+    // direction: the PROBE must be the smaller set ((sz, id) total order).
+    // No extra position predicate: the prefix cut (rn ≤ sz − ⌈τ·sz⌉ + 1)
+    // already IS the probe-side position bound — "a hit at position i
+    // caps overlap at 1 + (sz − i) ≥ ⌈τ·sz⌉" rearranges to exactly that
+    // cut, so a further filter would never prune a surviving row (a real
+    // ppjoin-style tightening would need the INDEX side's position too,
+    // which full lists don't carry)
     val cand = prefix.join(ex,
         col("__ph") === col("__h") && (
           col("__psz") < col("__sz") ||
-            (col("__psz") === col("__sz") && col("__pid") =!= col("__id"))) &&
-          (lit(1) + col("__psz") - col("__prn")) * minDen >= lit(minNum) * col("__psz"))
+            (col("__psz") === col("__sz") && col("__pid") =!= col("__id"))))
       .select(least(col("__pid"), col("__id")).as("id_a"),
         greatest(col("__pid"), col("__id")).as("id_b"))
       .distinct()

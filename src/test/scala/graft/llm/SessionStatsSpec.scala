@@ -22,7 +22,7 @@ class SessionStatsSpec extends SparkSpec {
         (1L, 0L, 1.0), (1L, 400000L, 1.0), (1L, 5000000L, 1.0),
         // user 2: one two-event session
         (2L, 0L, 1.0), (2L, 100000L, 1.0)),
-        gap = "1 second", gapMicros = gapUs)
+        gap = "1 second")
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
     assert(got(1L) == ((2L, 1L, 3L, 400000L, 500000L)))
@@ -32,7 +32,7 @@ class SessionStatsSpec extends SparkSpec {
   test("all-bounce user reaches bounce_scaled == SCALE") {
     val got = EventWindows.sessionStats(ev(
         (1L, 0L, 1.0), (1L, 10000000L, 1.0), (1L, 20000000L, 1.0)),
-        gap = "1 second", gapMicros = 1000000L)
+        gap = "1 second")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(5))).toMap
     assert(got(1L) == ((3L, 1000000L)))
   }
