@@ -1396,6 +1396,33 @@ SELECT lang, CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE) ELSE 15.0 * ${1L << 60} /
           "documents", "doc_id", "source", LinedTextSql,
           minDocs = 20, sepSql = "chr(10)"))),
 
+      // maintained top-k leaderboard: high-water per-group ranking folded
+      // batch by batch (max is idempotent — fold ≡ direct, replay-safe);
+      // store merge is groups×k-sized, never history
+      RegisteredQuery(
+        "q_topk_store",
+        (s, dir) => {
+          import org.apache.spark.sql.functions.col
+          import graft.operators.TopKStore
+          val store = "/tmp/graft_topk_store"
+          val p = new org.apache.hadoop.fs.Path(store)
+          import graft.sources.AtomicStore
+          val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          Seq(p, AtomicStore.tmpPath(p), AtomicStore.stashPath(p))
+            .foreach(x => fsys.delete(x, true))
+          val o = Tables.resolve(s, dir)("orders")
+          val cuts = Seq("1994-01-01", "1996-06-01")
+          Seq(
+            o.where(col("o_orderdate") < cuts(0)),
+            o.where(col("o_orderdate") >= cuts(0) && col("o_orderdate") < cuts(1)),
+            o.where(col("o_orderdate") >= cuts(1))
+          ).foreach(b => TopKStore.update(s, store, b,
+            Seq("o_orderpriority"), col("o_totalprice"), col("o_custkey"), k = 10))
+          TopKStore.read(s, store).orderBy("o_orderpriority", "rank")
+        },
+        Some(graft.operators.TopKStore.oracleSql(
+          "orders", Seq("o_orderpriority"), "o_totalprice", "o_custkey", k = 10))),
+
       // score-decile lift/calibration table: exact NTILE buckets (no
       // global window) + quantized observed rate and lift vs base rate
       RegisteredQuery(
