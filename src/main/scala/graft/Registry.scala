@@ -1396,6 +1396,31 @@ SELECT lang, CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE) ELSE 15.0 * ${1L << 60} /
           "documents", "doc_id", "source", LinedTextSql,
           minDocs = 20, sepSql = "chr(10)"))),
 
+      // linkage normalization keys: canonical name form, digits-only,
+      // consonant skeleton, blocking prefix — scan-stage portable regex
+      RegisteredQuery(
+        "q_linkage_keys",
+        (s, dir) => {
+          import org.apache.spark.sql.functions.col
+          import graft.operators.LinkageKeys._
+          Tables.resolve(s, dir)("customer").select(
+              col("c_custkey"),
+              normName(col("c_name")).as("norm_name"),
+              digitsOnly(col("c_name")).as("digits"),
+              skeleton(col("c_name")).as("skel"),
+              prefixKey(col("c_name"), 4).as("pfx"))
+            .orderBy("c_custkey")
+        },
+        Some {
+          import graft.operators.LinkageKeys._
+          "SELECT c_custkey, " +
+            s"${normNameSql("c_name")} AS norm_name, " +
+            s"${digitsOnlySql("c_name")} AS digits, " +
+            s"${skeletonSql("c_name")} AS skel, " +
+            s"${prefixKeySql("c_name", 4)} AS pfx " +
+            "FROM customer ORDER BY c_custkey"
+        }),
+
       // maintained top-k leaderboard: high-water per-group ranking folded
       // batch by batch (max is idempotent — fold ≡ direct, replay-safe);
       // store merge is groups×k-sized, never history
