@@ -1396,6 +1396,19 @@ SELECT lang, CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE) ELSE 15.0 * ${1L << 60} /
           "documents", "doc_id", "source", LinedTextSql,
           minDocs = 20, sepSql = "chr(10)"))),
 
+      // subset dedup: drop documents wholly contained in a larger
+      // survivor (the cleanup policy the containment join feeds)
+      RegisteredQuery(
+        "q_subset_clean",
+        (s, dir) => graft.text.ContainmentJoin.dropContained(
+            Tables.resolve(s, dir)("documents"), "doc_id", "text",
+            n = 3, minNum = 4, minDen = 5)
+          .orderBy("doc_id"),
+        Some(graft.text.ContainmentJoin.dropContainedOracle(
+          "documents", "doc_id", "text",
+          keepCols = Seq("doc_id", "text", "lang", "source", "n_chars"),
+          n = 3, minNum = 4, minDen = 5))),
+
       // linkage normalization keys: canonical name form, digits-only,
       // consonant skeleton, blocking prefix — scan-stage portable regex
       RegisteredQuery(

@@ -92,7 +92,24 @@ object ContainmentJoin {
       .join(base.as("sb"), col("id_b") === col("sb.__id"))
       .where(inter * minDen >= lit(minNum) * small)
       .select(col("id_a"), col("id_b"), inter.as("n_inter"), small.as("n_small"),
-        (inter.cast(DoubleType) / small.cast(DoubleType)).as("containment"))
+        (inter.cast(DoubleType) / small.cast(DoubleType)).as("containment"),
+        // which side is the CONTAINED (smaller) document — ties to id_a,
+        // so the subset-dedup policy below is a total, deterministic rule
+        when(size(col("sa.__s")) <= size(col("sb.__s")), col("id_a"))
+          .otherwise(col("id_b")).as("contained_id"))
+  }
+
+  /** Subset dedup: drop every document that appears as the CONTAINED side
+    * of a qualifying pair (its content lives inside a larger survivor) —
+    * the cleanup policy [[selfJoin]] exists to feed. The drop list is
+    * pair-sized (anti-join, broadcastable); note a chain A ⊂ B ⊂ C drops
+    * both A and B in one pass (B is contained in C regardless of A).
+    */
+  def dropContained(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3, minNum: Long = 9, minDen: Long = 10): DataFrame = {
+    val contained = selfJoin(docs, idCol, textCol, n, minNum, minDen)
+      .select(col("contained_id").as("__cid")).distinct()
+    docs.join(contained, col(idCol) === col("__cid"), "left_anti")
   }
 
   /** DuckDB replay: the naive quadratic join over the same 60-bit
@@ -109,8 +126,20 @@ sz AS (SELECT doc_id_, s, len(s) AS sz FROM hs)
 SELECT a.doc_id_ AS id_a, b.doc_id_ AS id_b,
   CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
   CAST(least(a.sz, b.sz) AS BIGINT) AS n_small,
-  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / least(a.sz, b.sz) AS containment
+  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / least(a.sz, b.sz) AS containment,
+  CASE WHEN a.sz <= b.sz THEN a.doc_id_ ELSE b.doc_id_ END AS contained_id
 FROM sz a JOIN sz b ON a.doc_id_ < b.doc_id_
 WHERE len(list_intersect(a.s, b.s)) * $minDen >= $minNum * least(a.sz, b.sz)
 ORDER BY 1, 2"""
+
+  /** DuckDB replay of [[dropContained]] — keep rows whose id never
+    * appears as a contained side.
+    */
+  def dropContainedOracle(table: String, idCol: String, textCol: String,
+                          keepCols: Seq[String],
+                          n: Int = 3, minNum: Long = 9, minDen: Long = 10): String =
+    s"""WITH pairs AS (${oracleSql(table, idCol, textCol, n, minNum, minDen)})
+SELECT ${keepCols.mkString(", ")} FROM $table
+WHERE $idCol NOT IN (SELECT contained_id FROM pairs)
+ORDER BY $idCol"""
 }

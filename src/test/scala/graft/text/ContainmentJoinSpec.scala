@@ -44,6 +44,18 @@ class ContainmentJoinSpec extends SparkSpec {
     assert(got((1L, 2L))._1 == got((1L, 2L))._2)
   }
 
+  test("dropContained removes the quote, keeps the page; chains drop in one pass") {
+    val quote = "the five boxing wizards jump quickly at dawn"
+    val page = ("filler words here across quite many tokens " * 8) + quote +
+      " and then much more trailing content follows to the end"
+    val df = Seq((1L, quote), (2L, page), (3L, "fully unrelated text about joins"))
+      .toDF("doc_id", "text")
+    val kept = ContainmentJoin.dropContained(df, "doc_id", "text", n = 3,
+        minNum = 9, minDen = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+  }
+
   test("plan: no cartesian; candidates keyed on the shingle fingerprint") {
     val df = Seq((1L, "a b c d"), (2L, "a b c d e f")).toDF("doc_id", "text")
     val plan = ContainmentJoin.selfJoin(df, "doc_id", "text")
