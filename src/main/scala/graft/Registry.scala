@@ -1396,6 +1396,18 @@ SELECT lang, CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE) ELSE 15.0 * ${1L << 60} /
           "documents", "doc_id", "source", LinedTextSql,
           minDocs = 20, sepSql = "chr(10)"))),
 
+      // one-pass table profile (DESCRIBE at corpus scale): per column,
+      // row/null counts + exact-replayable KMV distinct estimate from a
+      // single grand aggregate
+      RegisteredQuery(
+        "q_table_profile",
+        (s, dir) => graft.operators.Profiling.tableProfile(
+            Tables.resolve(s, dir)("documents"),
+            Seq("doc_id", "text", "lang", "source", "n_chars"), k = 64)
+          .orderBy("col_name"),
+        Some(graft.operators.Profiling.tableProfileOracle(
+          "documents", Seq("doc_id", "text", "lang", "source", "n_chars"), k = 64))),
+
       // subset dedup: drop documents wholly contained in a larger
       // survivor (the cleanup policy the containment join feeds)
       RegisteredQuery(

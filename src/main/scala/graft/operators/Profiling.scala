@@ -50,7 +50,7 @@ count(*) AS n FROM $table WHERE $expr IS NOT NULL GROUP BY 1 ORDER BY 1""".strip
     val one = df.agg(aggs.head, aggs.tail: _*)
     val melted = cols.map { c =>
       struct(
-        lit(c).as("column"),
+        lit(c).as("col_name"),
         col("__rows").as("n_rows"),
         (col("__rows") - col(s"__nn_$c")).as("n_nulls"),
         col(s"__nd_$c").as("n_distinct"),
@@ -231,4 +231,69 @@ CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s FROM $table
        |      AND count(*) FILTER (WHERE $rhsCol IS NULL) > 0)
        |ORDER BY $g""".stripMargin
   }
+  /** One-pass table profile with BOUNDED state — the corpus-scale
+    * sibling of [[profile]]: that one's exact `count_distinct` plans a
+    * per-column distinct expansion (state proportional to each column's
+    * cardinality); this one carries a fixed k-length KMV sketch per
+    * column instead, so profiling a 100-column, 10⁹-distinct table is
+    * still one scan with k·100 longs of aggregate state. Values canonicalize to their string form with NULL mapped to
+    * a sentinel ("<NULL>" — so a column's NULL presence shows up as one
+    * distinct value, deterministically on any engine); columns whose
+    * string rendering is engine-dependent (doubles) should be scaled or
+    * cast upstream — the contract is integers/strings/dates.
+    *
+    * The estimate is the exact-replayable KMV of [[graft.functions.BottomK]]
+    * (L43): exact below k distinct values, (k−1)·M/h_k beyond — no RNG,
+    * no HLL seed, oracle-checkable bit-for-bit.
+    */
+  def tableProfile(df: DataFrame, cols: Seq[String], k: Int = 64): DataFrame = {
+    require(cols.nonEmpty, "at least one column to profile")
+    val m60 = 1L << 60
+    def esc(c: String) = col(s"`$c`")
+    val aggs = cols.flatMap { c =>
+      val sc = coalesce(esc(c).cast("string"), lit("<NULL>"))
+      Seq(
+        count(esc(c)).as(s"__nn_$c"),
+        graft.functions.BottomK.distinct(k)(
+          graft.text.TextFunctions.fingerprint(sc)).as(s"__sk_$c"))
+    }
+    val allAggs = count(lit(1)).as("__n") +: aggs
+    val one = df.agg(allAggs.head, allAggs.tail: _*)
+    val rows = array(cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col("__n").as("n_rows"),
+        col(s"__nn_$c").as("n_nonnull"),
+        (col("__n") - col(s"__nn_$c")).as("n_null"),
+        graft.functions.BottomK.kmvEstimate(col(s"__sk_$c"), k, m60)
+          .as("est_distinct"),
+        size(col(s"__sk_$c")).cast("long").as("sk_size"))
+    }: _*)
+    one.select(explode(rows).as("p")).select(
+      col("p.col_name"), col("p.n_rows"), col("p.n_nonnull"), col("p.n_null"),
+      col("p.est_distinct"), col("p.sk_size"))
+  }
+
+  /** DuckDB replay of [[tableProfile]] — per-column UNION ALL over the
+    * same sentinel/fingerprint/KMV arithmetic.
+    */
+  def tableProfileOracle(table: String, cols: Seq[String], k: Int = 64): String = {
+    val m60 = 1L << 60
+    val parts = cols.map { c =>
+      val sc = s"coalesce(CAST($c AS VARCHAR), '<NULL>')"
+      val hv = s"CAST(('0x'||substr(md5($sc),1,15)) AS BIGINT)"
+      s"""SELECT '$c' AS col_name,
+  (SELECT CAST(count(*) AS BIGINT) FROM $table) AS n_rows,
+  (SELECT CAST(count($c) AS BIGINT) FROM $table) AS n_nonnull,
+  (SELECT CAST(count(*) - count($c) AS BIGINT) FROM $table) AS n_null,
+  (SELECT CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
+          ELSE ${(k - 1).toDouble} * $m60 / (SELECT hv FROM
+            (SELECT DISTINCT $hv AS hv FROM $table) ORDER BY hv LIMIT 1 OFFSET ${k - 1})
+     END FROM (SELECT DISTINCT $hv AS hv FROM $table)) AS est_distinct,
+  (SELECT CAST(least(count(*), $k) AS BIGINT)
+     FROM (SELECT DISTINCT $hv AS hv FROM $table)) AS sk_size"""
+    }
+    parts.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
 }
