@@ -50,7 +50,7 @@ count(*) AS n FROM $table WHERE $expr IS NOT NULL GROUP BY 1 ORDER BY 1""".strip
     val one = df.agg(aggs.head, aggs.tail: _*)
     val melted = cols.map { c =>
       struct(
-        lit(c).as("col_name"),
+        lit(c).as("column"),
         col("__rows").as("n_rows"),
         (col("__rows") - col(s"__nn_$c")).as("n_nulls"),
         col(s"__nd_$c").as("n_distinct"),
@@ -282,16 +282,17 @@ CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s FROM $table
     val parts = cols.map { c =>
       val sc = s"coalesce(CAST($c AS VARCHAR), '<NULL>')"
       val hv = s"CAST(('0x'||substr(md5($sc),1,15)) AS BIGINT)"
-      s"""SELECT '$c' AS col_name,
-  (SELECT CAST(count(*) AS BIGINT) FROM $table) AS n_rows,
-  (SELECT CAST(count($c) AS BIGINT) FROM $table) AS n_nonnull,
-  (SELECT CAST(count(*) - count($c) AS BIGINT) FROM $table) AS n_null,
-  (SELECT CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
-          ELSE ${(k - 1).toDouble} * $m60 / (SELECT hv FROM
-            (SELECT DISTINCT $hv AS hv FROM $table) ORDER BY hv LIMIT 1 OFFSET ${k - 1})
-     END FROM (SELECT DISTINCT $hv AS hv FROM $table)) AS est_distinct,
-  (SELECT CAST(least(count(*), $k) AS BIGINT)
-     FROM (SELECT DISTINCT $hv AS hv FROM $table)) AS sk_size"""
+      s"""SELECT '$c' AS col_name, n.n_rows, n.n_nonnull,
+  n.n_rows - n.n_nonnull AS n_null,
+  CASE WHEN d.nd < $k THEN CAST(d.nd AS DOUBLE)
+       ELSE ${(k - 1).toDouble} * $m60 / d.hk END AS est_distinct,
+  CAST(least(d.nd, $k) AS BIGINT) AS sk_size
+FROM (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(count($c) AS BIGINT) AS n_nonnull FROM $table) n,
+  (SELECT CAST(count(*) AS BIGINT) AS nd,
+     CAST(min(CASE WHEN rk = $k THEN hv END) AS DOUBLE) AS hk
+   FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS rk
+     FROM (SELECT DISTINCT $hv AS hv FROM $table))) d"""
     }
     parts.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }

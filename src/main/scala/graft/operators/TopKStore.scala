@@ -35,9 +35,16 @@ object TopKStore {
     require(groupCols.nonEmpty, "groupCols must not be empty")
     require(k > 0, s"k must be positive, got $k")
     AtomicStore.restoreIfStashed(spark, storeDir)
+    // high-water dedup BEFORE the top-k: TopK.perGroup ranks ROWS, so an
+    // entity posting two top-k scores in one batch would occupy two slots
+    // and squeeze out the k-th entity — dedup (group, id) by max first
+    val hwBatch = batch
+      .select((groupCols.map(col) :+ score.as("__s") :+ id.as("__i")): _*)
+      .where(col("__s").isNotNull && col("__i").isNotNull)
+      .groupBy((groupCols.map(col) :+ col("__i")): _*)
+      .agg(max(col("__s")).as("__s"))
     val part = graft.functions.TopK.perGroup(
-      batch.select((groupCols.map(col) :+ score.as("__s") :+ id.as("__i")): _*),
-      groupCols, col("__s"), col("__i"), k)
+      hwBatch, groupCols, col("__s"), col("__i"), k)
     val merged =
       if (!AtomicStore.hasData(spark, storeDir)) part
       else {

@@ -100,10 +100,13 @@ object ContainmentJoin {
   }
 
   /** Subset dedup: drop every document that appears as the CONTAINED side
-    * of a qualifying pair (its content lives inside a larger survivor) —
-    * the cleanup policy [[selfJoin]] exists to feed. The drop list is
-    * pair-sized (anti-join, broadcastable); note a chain A ⊂ B ⊂ C drops
-    * both A and B in one pass (B is contained in C regardless of A).
+    * of a qualifying pair — the cleanup policy [[selfJoin]] exists to
+    * feed. The drop list is pair-sized (anti-join — NULL ids survive,
+    * the equi-join contract). One-pass policy caveat at τ < 1: in a
+    * chain where A is τ-contained in B and B in C, BOTH A and B drop
+    * even though (A, C) itself may fall below τ — the dropped doc's
+    * guaranteed survivor is its own container, not a transitive one;
+    * run at τ = 1 (or iterate) when strict survivor coverage matters.
     */
   def dropContained(docs: DataFrame, idCol: String, textCol: String,
                     n: Int = 3, minNum: Long = 9, minDen: Long = 10): DataFrame = {
@@ -139,7 +142,7 @@ ORDER BY 1, 2"""
                           keepCols: Seq[String],
                           n: Int = 3, minNum: Long = 9, minDen: Long = 10): String =
     s"""WITH pairs AS (${oracleSql(table, idCol, textCol, n, minNum, minDen)})
-SELECT ${keepCols.mkString(", ")} FROM $table
-WHERE $idCol NOT IN (SELECT contained_id FROM pairs)
+SELECT ${keepCols.mkString(", ")} FROM $table t
+WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.contained_id = t.$idCol)
 ORDER BY $idCol"""
 }

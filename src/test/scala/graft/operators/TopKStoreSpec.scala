@@ -40,6 +40,15 @@ class TopKStoreSpec extends SparkSpec {
       ("b", 1L, 8L, 7.0), ("b", 2L, 9L, 5.0)))
   }
 
+  test("one entity posting two top-k scores in ONE batch takes one slot") {
+    val dir = freshDir("intra_batch")
+    val b = Seq(("g", 7L, 100.0), ("g", 7L, 90.0), ("g", 8L, 80.0))
+      .toDF("g", "id", "score")
+    TopKStore.update(spark, dir, b, Seq("g"), col("score"), col("id"), k = 2)
+    assert(rows(TopKStore.read(spark, dir)) == Set(
+      ("g", 1L, 7L, 100.0), ("g", 2L, 8L, 80.0)))
+  }
+
   test("replaying the same batch is a no-op (idempotent fold)") {
     val dir = freshDir("replay")
     val b = Seq(("g", 1L, 3.0), ("g", 2L, 4.0)).toDF("g", "id", "score")
