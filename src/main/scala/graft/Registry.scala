@@ -1396,6 +1396,25 @@ SELECT lang, CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE) ELSE 15.0 * ${1L << 60} /
           "documents", "doc_id", "source", LinedTextSql,
           minDocs = 20, sepSql = "chr(10)"))),
 
+      // exact Gini concentration (rank-based inequality beside the HHI):
+      // range-exchange dense rank, one grand aggregate of exact decimal
+      // moments, one truncating division
+      RegisteredQuery(
+        "q_gini",
+        (s, dir) => {
+          import org.apache.spark.sql.functions.col
+          val rev = Tables.resolve(s, dir)("orders")
+            .groupBy(col("o_custkey"))
+            .agg(org.apache.spark.sql.functions.sum(
+              (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+              .as("rev_c"))
+          graft.operators.Gini.gini(rev, "rev_c", "o_custkey")
+        },
+        Some(graft.operators.Gini.giniOracle(
+          "(SELECT o_custkey, CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_c " +
+            "FROM orders GROUP BY 1)",
+          "rev_c", "o_custkey"))),
+
       // one-pass table profile (DESCRIBE at corpus scale): per column,
       // row/null counts + exact-replayable KMV distinct estimate from a
       // single grand aggregate
