@@ -1761,6 +1761,26 @@ SELECT lang, CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE) ELSE 15.0 * ${1L << 60} /
           .orderBy("user_id"),
         Some(EventWindows.interArrivalOracle("events"))),
 
+      // day-of-week × hour activity heatmap: the ops-dashboard staple —
+      // one partial-agg'd (dow, hour) rollup with distinct users (engine
+      // dow conventions aligned: Spark dayofweek−1 = DuckDB dow)
+      RegisteredQuery(
+        "q_activity_heatmap",
+        (s, dir) => {
+          import org.apache.spark.sql.functions._
+          EventWindows.readEvents(s, s"$dir/events.parquet")
+            .where(col("ts").isNotNull)
+            .groupBy((dayofweek(col("ts")) - 1).cast("long").as("dow"),
+              hour(col("ts")).cast("long").as("hour"))
+            .agg(count(lit(1)).as("n_events"),
+              count_distinct(col("user_id")).as("n_users"))
+            .orderBy("dow", "hour")
+        },
+        Some("""SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+  CAST(hour(ts) AS BIGINT) AS hour, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events WHERE ts IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""")),
+
       // per-user session statistics: sessions, bounce rate (exact
       // quantized ratio), total events, engaged time — one session-sized
       // rollup on top of the session_window aggregate
