@@ -29,7 +29,16 @@ import org.apache.spark.sql.functions.col
   * numeric partition column) compacts correctly: the rows land under the
   * canonical directory and every candidate directory the stage did not
   * reproduce by name is evacuated through the emptied-partitions marker
-  * (alias husks are dropped, never double-counted).
+  * (alias husks are dropped, never double-counted). When a staged
+  * canonical name collides with an existing lake directory that was NOT
+  * in the candidate set (alias `p=01` fragmented, canonical `p=1` a
+  * single healthy file), the colliding directory is pulled into the read
+  * set and the stage is rebuilt — dynamic partition overwrite replaces
+  * whole directories, so overwriting a never-read directory would delete
+  * its rows. Canonical names are a fixpoint of the stage write, so the
+  * expansion converges in one extra pass; a pulled-in directory may push
+  * the rewrite past `targetBytes`, which is accepted (correctness over
+  * the size heuristic).
   *
   * Scale shape: the candidate scan is a driver-side directory listing
   * (bounded by the lake's partition/file COUNT, not its bytes — the
@@ -66,28 +75,47 @@ object LakeCompact {
     val stage = LakeMerge.stagePath(lake)
     fs.delete(stage, true)
 
-    val candidates = listPartitions(spark, lakeDir, partitionCols)
+    val allParts = listPartitions(spark, lakeDir, partitionCols)
+    val allRel = allParts.map(_._1).toSet
+    val candidates = allParts
       .filter { case (_, n, bytes) => n > 1 && bytes <= targetBytes }
     if (candidates.isEmpty) return 0
 
     // read the candidate DIRECTORIES (not a value filter): exactly their
-    // rows, once each, with partition values resolved via basePath
-    val selected = spark.read.option("basePath", lakeDir)
-      .parquet(candidates.map { case (rel, _, _) => s"$lakeDir/$rel" }: _*)
-      // one task per partition value -> one file per compacted partition
-      .repartition(candidates.length, partitionCols.map(col): _*)
-    selected.write.mode("overwrite")
-      .partitionBy(partitionCols: _*).parquet(stage.toString)
-    // any candidate dir the stage did not reproduce BY NAME is a
+    // rows, once each, with partition values resolved via basePath. If
+    // the stage produces a canonical name that collides with a lake dir
+    // we did NOT read (alias candidate + healthy canonical sibling),
+    // pull that dir in and restage — apply would otherwise overwrite it
+    // with only the alias's rows. Staged names are already canonical, so
+    // re-reading canonical dirs adds no new names: ≤1 extra pass.
+    var readSet = candidates.map(_._1).toSet
+    var stagedRel = Set.empty[String]
+    var stable = false
+    var passes = 0
+    while (!stable) {
+      passes += 1
+      require(passes <= 4, s"compaction stage did not converge after $passes passes")
+      fs.delete(stage, true)
+      val dirs = readSet.toSeq.sorted
+      val selected = spark.read.option("basePath", lakeDir)
+        .parquet(dirs.map(rel => s"$lakeDir/$rel"): _*)
+        // one task per partition value -> one file per compacted partition
+        .repartition(dirs.length, partitionCols.map(col): _*)
+      selected.write.mode("overwrite")
+        .partitionBy(partitionCols: _*).parquet(stage.toString)
+      stagedRel = listPartitions(spark, stage.toString, partitionCols)
+        .map(_._1).toSet
+      val collisions = (stagedRel -- readSet).intersect(allRel)
+      if (collisions.isEmpty) stable = true else readSet ++= collisions
+    }
+    // any read dir the stage did not reproduce BY NAME is a
     // non-canonical alias whose rows now live under the canonical dir —
     // evacuate the husk, or its rows would exist twice
-    val stagedRel = listPartitions(spark, stage.toString, partitionCols)
-      .map(_._1).toSet
-    val husks = candidates.map(_._1).filterNot(stagedRel.contains)
+    val husks = readSet.filterNot(stagedRel.contains).toSeq.sorted
     LakeMerge.writeEmptiedLines(fs, stage, husks)
     fs.create(new Path(stage, LakeMerge.CommitMarker), true).close()
     LakeMerge.applyStage(spark, fs, lake)
-    candidates.length
+    readSet.size
   }
 
   /** (relative hive dir path `a=v/b=w`, data-file count, total data

@@ -83,6 +83,25 @@ class LakeCompactSpec extends SparkSpec {
     assert(fs.exists(new Path(s"$lake/p=1")))
   }
 
+  test("alias candidate colliding with a healthy canonical dir pulls it in — no data loss") {
+    val lake = freshDir("alias_collide")
+    // canonical p=1: single file → NOT a compaction candidate
+    Seq((2L, 20L), (3L, 30L)).toDF("k", "v").coalesce(1).write.parquet(s"$lake/p=1")
+    // alias p=01: fragmented → candidate; its rows stage under canonical p=1
+    Seq((1L, 10L)).toDF("k", "v").repartition(2).write.parquet(s"$lake/p=01")
+    val before = spark.read.parquet(lake).select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(before == Map(1L -> 10L, 2L -> 20L, 3L -> 30L))
+    val n = LakeCompact.compact(spark, lake, Seq("p"), targetBytes = 10L * 1024 * 1024)
+    assert(n == 2, "collision pulls the canonical dir into the rewrite set")
+    val after = spark.read.parquet(lake).select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == before, "canonical rows must survive the alias compaction")
+    val fs = new Path(lake).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$lake/p=01")), "alias husk must be evacuated")
+    assert(dataFiles(lake, "1").length == 1)
+  }
+
   test("the fragmentation report names exactly the qualifying partitions") {
     val lake = freshDir("report")
     (1L to 40L).map(i => (i, i, if (i % 2 == 0) "x" else "y"))
