@@ -239,8 +239,8 @@ CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s FROM $table
     * still one scan with k·100 longs of aggregate state. Values canonicalize to their string form with NULL mapped to
     * a sentinel ("<NULL>" — so a column's NULL presence shows up as one
     * distinct value, deterministically on any engine); columns whose
-    * string rendering is engine-dependent (doubles) should be scaled or
-    * cast upstream — the contract is integers/strings/dates.
+    * string rendering is engine-dependent (doubles/floats) are REJECTED —
+    * scale or cast upstream; the contract is integers/strings/dates.
     *
     * The estimate is the exact-replayable KMV of [[graft.functions.BottomK]]
     * (L43): exact below k distinct values, (k−1)·M/h_k beyond — no RNG,
@@ -248,26 +248,44 @@ CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s FROM $table
     */
   def tableProfile(df: DataFrame, cols: Seq[String], k: Int = 64): DataFrame = {
     require(cols.nonEmpty, "at least one column to profile")
+    // the integers/strings/dates contract is ENFORCED, not just
+    // documented: a float column's string rendering is engine-dependent
+    // (Spark vs DuckDB CAST AS VARCHAR differ), so est_distinct would
+    // quietly diverge from any oracle — fail loudly instead
+    cols.foreach { c =>
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType =>
+          throw new IllegalArgumentException(
+            s"tableProfile cannot profile float column $c: its string " +
+              "rendering is engine-dependent — scale to integer units or " +
+              "cast to DECIMAL/STRING upstream")
+        case _ => ()
+      }
+    }
     val m60 = 1L << 60
+    // positional agg aliases (__nn_0, __sk_0): a DOTTED profiled column
+    // would break an unquoted col("__nn_a.b") lookup (parsed as a struct
+    // path), and names never collide with user columns
     def esc(c: String) = col(s"`$c`")
-    val aggs = cols.flatMap { c =>
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
       val sc = coalesce(esc(c).cast("string"), lit("<NULL>"))
       Seq(
-        count(esc(c)).as(s"__nn_$c"),
+        count(esc(c)).as(s"__nn_$i"),
         graft.functions.BottomK.distinct(k)(
-          graft.text.TextFunctions.fingerprint(sc)).as(s"__sk_$c"))
+          graft.text.TextFunctions.fingerprint(sc)).as(s"__sk_$i"))
     }
     val allAggs = count(lit(1)).as("__n") +: aggs
     val one = df.agg(allAggs.head, allAggs.tail: _*)
-    val rows = array(cols.map { c =>
+    val rows = array(cols.zipWithIndex.map { case (c, i) =>
       struct(
         lit(c).as("col_name"),
         col("__n").as("n_rows"),
-        col(s"__nn_$c").as("n_nonnull"),
-        (col("__n") - col(s"__nn_$c")).as("n_null"),
-        graft.functions.BottomK.kmvEstimate(col(s"__sk_$c"), k, m60)
+        col(s"__nn_$i").as("n_nonnull"),
+        (col("__n") - col(s"__nn_$i")).as("n_null"),
+        graft.functions.BottomK.kmvEstimate(col(s"__sk_$i"), k, m60)
           .as("est_distinct"),
-        size(col(s"__sk_$c")).cast("long").as("sk_size"))
+        size(col(s"__sk_$i")).cast("long").as("sk_size"))
     }: _*)
     one.select(explode(rows).as("p")).select(
       col("p.col_name"), col("p.n_rows"), col("p.n_nonnull"), col("p.n_null"),

@@ -130,7 +130,9 @@ object Scd2 {
     * seq so the (eff, seq) order (and the collapse) is unchanged. A crash
     * BETWEEN the (atomic) log append and the store swap leaves the store
     * lagging the log for the batch's keys — the next fold touching them
-    * heals exactly (the rebuild always reads the full logged history).
+    * heals exactly (the rebuild always reads the full logged history),
+    * and [[recover]] detects and replays the lag explicitly so a crashed
+    * fold never waits on a coincidental later batch.
     */
   def updateTolerant(spark: SparkSession, storeDir: String, logDir: String,
                      batch: DataFrame, keyCol: String, attrCols: Seq[String],
@@ -150,7 +152,12 @@ object Scd2 {
     val logPath = new Path(logDir)
     val fs = logPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(logPath)
-    val batchName = f"batch_${System.currentTimeMillis()}%013d_${fs.listStatus(logPath).length}%d"
+    // name = timestamp + count + random suffix: sortable for humans, and
+    // the suffix keeps concurrent writers from colliding on a batch dir
+    // (rename-to-existing would fail the require below, never mix rows)
+    val batchName = f"batch_${System.currentTimeMillis()}%013d_" +
+      f"${fs.listStatus(logPath).length}%d_" +
+      java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(logPath, s".$batchName")
     b.write.mode("overwrite").parquet(tmp.toString)
     require(fs.rename(tmp, new Path(logPath, batchName)),
@@ -166,6 +173,63 @@ object Scd2 {
         .join(keys, Seq(keyCol), "left_anti")
       AtomicStore.replace(spark, storeDir, untouched.unionByName(rebuilt))
     }
+  }
+
+  /** Detect-and-replay healing for the [[updateTolerant]] crash window: a
+    * crash between the (atomic) log append and the store swap leaves the
+    * store permanently behind the log for that batch's keys, and [[read]]
+    * would serve the stale dimension with no signal. This pass diffs the
+    * per-key high-water mark — log `max(eff, seq)` vs store
+    * `max(valid_from, seq)` — and rebuilds every key whose log is ahead
+    * (or missing from the store) from its full logged history. Returns
+    * the number of keys rebuilt; 0 = store and log agree.
+    *
+    * The detection is CONSERVATIVE, never blind: a key whose LAST logged
+    * change collapsed as a no-op looks stale (the store's surviving
+    * high-water sits below the log's raw one) and gets rebuilt to the
+    * identical rows — a false positive costs an idempotent per-key
+    * rebuild, while a false negative cannot happen (a missing swap always
+    * leaves the log's max ahead of the store's). Run it at pipeline
+    * startup or after any fold whose completion is in doubt; it is safe
+    * to run anytime, including on a healthy store.
+    */
+  def recover(spark: SparkSession, storeDir: String, logDir: String,
+              keyCol: String, attrCols: Seq[String], effCol: String,
+              seqCol: String): Long = {
+    import graft.sources.AtomicStore
+    import org.apache.hadoop.fs.Path
+    AtomicStore.restoreIfStashed(spark, storeDir)
+    val logPath = new Path(logDir)
+    val fs = logPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(logPath) ||
+        !fs.listStatus(logPath).exists(st => !st.getPath.getName.startsWith(".")))
+      return 0L
+    val log = spark.read.option("recursiveFileLookup", "true").parquet(logDir)
+    val lmax = log.where(col(keyCol).isNotNull && col(effCol).isNotNull)
+      .groupBy(keyCol)
+      .agg(max(struct(col(effCol).as("e"), col(seqCol).as("q"))).as("__lhw"))
+    val stale =
+      if (!AtomicStore.hasData(spark, storeDir)) lmax.select(col(keyCol))
+      else {
+        val smax = spark.read.parquet(storeDir).groupBy(keyCol)
+          .agg(max(struct(col("valid_from").as("e"), col(seqCol).as("q"))).as("__shw"))
+        lmax.join(smax, Seq(keyCol), "left_outer")
+          .where(col("__shw").isNull || col("__lhw") > col("__shw"))
+          .select(col(keyCol))
+      }
+    val keys = stale.localCheckpoint(true)
+    val nStale = keys.count()
+    if (nStale == 0L) return 0L
+    val rebuilt = build(log.join(keys, Seq(keyCol), "left_semi"),
+      keyCol, attrCols, effCol, seqCol)
+    if (!AtomicStore.hasData(spark, storeDir))
+      AtomicStore.create(spark, storeDir, rebuilt)
+    else {
+      val untouched = spark.read.parquet(storeDir)
+        .join(keys, Seq(keyCol), "left_anti")
+      AtomicStore.replace(spark, storeDir, untouched.unionByName(rebuilt))
+    }
+    nStale
   }
 
   /** The maintained dimension: every version of every key seen so far. */

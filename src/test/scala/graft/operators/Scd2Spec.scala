@@ -132,6 +132,42 @@ class Scd2Spec extends SparkSpec {
       rows(Scd2.build(li, "k", Seq("status"), "eff", "seq")))
   }
 
+  test("recover replays a log-ahead-of-store crash; healthy store is a no-op") {
+    import spark.implicits._
+    val dir = freshDir("recover"); val log = freshDir("recover_log")
+    Scd2.updateTolerant(spark, dir, log, changesDf, "k", Seq("status"), "eff", "seq")
+    // healthy: high-water marks agree, nothing rebuilt
+    assert(Scd2.recover(spark, dir, log, "k", Seq("status"), "eff", "seq") == 0L)
+    val healthy = rows(Scd2.read(spark, dir))
+    // simulate the crash window: the batch reached the LOG (visible dir)
+    // but the store swap never ran — read() now serves stale history
+    val crashed = Seq(
+      (2L, "silver", d("2024-06-01"), 40L),
+      (3L, "bronze", d("2024-07-01"), 50L)).toDF("k", "status", "eff", "seq")
+    crashed.write.parquet(s"$log/batch_9999999999999_9_deadbeef")
+    assert(rows(Scd2.read(spark, dir)) == healthy, "store is stale pre-recover")
+    val healed = Scd2.recover(spark, dir, log, "k", Seq("status"), "eff", "seq")
+    assert(healed == 2L, s"keys 2 and 3 lag the log, got $healed")
+    assert(rows(Scd2.read(spark, dir)) ==
+      rows(Scd2.build(changesDf.unionByName(crashed), "k", Seq("status"), "eff", "seq")))
+    // idempotent: a second pass only re-proves the conservative candidates
+    Scd2.recover(spark, dir, log, "k", Seq("status"), "eff", "seq")
+    assert(rows(Scd2.read(spark, dir)) ==
+      rows(Scd2.build(changesDf.unionByName(crashed), "k", Seq("status"), "eff", "seq")))
+  }
+
+  test("recover bootstraps an entirely missing store from the log") {
+    val dir = freshDir("recover_boot"); val log = freshDir("recover_boot_log")
+    val other = freshDir("recover_boot_store2")
+    // build the log via a tolerant fold into a throwaway store, then
+    // recover into a store dir that never saw the swap at all
+    Scd2.updateTolerant(spark, other, log, changesDf, "k", Seq("status"), "eff", "seq")
+    val healed = Scd2.recover(spark, dir, log, "k", Seq("status"), "eff", "seq")
+    assert(healed == 2L)
+    assert(rows(Scd2.read(spark, dir)) ==
+      rows(Scd2.build(changesDf, "k", Seq("status"), "eff", "seq")))
+  }
+
   test("a mid-swap crash stash is restored by the next entry point") {
     val dir = freshDir("stash")
     Scd2.update(spark, dir, changesDf, "k", Seq("status"), "eff", "seq")
