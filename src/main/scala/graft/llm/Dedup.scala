@@ -234,11 +234,41 @@ FROM $table d LEFT JOIN k ON d.$idCol = k.$idCol ORDER BY d.$idCol""".stripMargi
     * shuffle as [[dedupExact]]. (For near-duplicate groups, where texts DO
     * differ, rank the clusters from [[dedupMinhashPairs]] by a
     * [[graft.text.TextFunctions]] quality metric instead.)
+    *
+    * Mass-duplication-safe like [[dedupExact]]: with numeric score and id
+    * the keeper is a PARTIAL-AGG'D `max(struct(score, −id, row…))` per
+    * fingerprint — highest score wins, score ties fall to the lowest id
+    * (negated so `max` elects it), and a NULL score sorts first in struct
+    * comparison so `max` treats it as worst, exactly the window form's
+    * `desc` NULLS LAST. A 10⁶×-duplicated fingerprint collapses to one
+    * candidate per input partition map-side; no task buffers the group.
+    * NULL-id rows are unrankable and drop (the [[dedupExact]] contract).
+    * Falls back to the per-fingerprint window (same answer, whale-exposed)
+    * only for non-numeric score/id or non-orderable payload columns.
+    * (Numeric-id edge: `−id` overflows ANSI on Long.MinValue — re-key
+    * before ranking if ids can sit at the very bottom of the long range.)
     */
-  def dedupKeepBest(df: DataFrame, textCol: String, idCol: String, score: Column): DataFrame = {
-    val w = Window.partitionBy(fingerprint(col(textCol)))
-      .orderBy(score.desc, col(idCol).asc)
-    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  def dedupKeepBest(df0: DataFrame, textCol: String, idCol: String, score: Column): DataFrame = {
+    val df = df0.where(col(idCol).isNotNull)
+    val cols = df.columns.toIndexedSeq
+    import org.apache.spark.sql.types.NumericType
+    val scoreType = df.select(score.as("__sc")).schema.head.dataType
+    val fast = scoreType.isInstanceOf[NumericType] &&
+      df.schema(idCol).dataType.isInstanceOf[NumericType] &&
+      df.schema.fields.forall(f =>
+        org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+    if (fast)
+      df.withColumn("__fp", fingerprint(col(textCol)))
+        .groupBy(col("__fp"))
+        .agg(max(struct(
+          (score.as("__sc") +: negate(col(idCol)).as("__nid") +:
+            cols.map(c => col(c).as(c))): _*)).as("__row"))
+        .select(cols.map(c => col(s"__row.`$c`").as(c)): _*)
+    else {
+      val w = Window.partitionBy(fingerprint(col(textCol)))
+        .orderBy(score.desc, col(idCol).asc)
+      df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+    }
   }
 
   def keepBestOracle(table: String, idCol: String, textCol: String,

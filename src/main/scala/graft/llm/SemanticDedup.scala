@@ -72,12 +72,43 @@ object SemanticDedup {
     * `keep(i) ⇔ ¬∃ j: cluster(j)=cluster(i) ∧ j.id < i.id ∧ dot(i,j) ≥
     * minScore`. Output: (idCol, cluster, keep) for every input row. Rows
     * with a NULL cluster (null/empty vector) never pair and are kept.
+    *
+    * `maxCluster` bounds the DEGENERATE cluster (the
+    * [[Dedup.dedupMinhashPairs]] maxBucket discipline): per-cluster pair
+    * cost is O(c²), so a one-mode corpus that lands ~all N rows in one
+    * cluster goes quadratic on a single join key. With a cap, the
+    * comparison LEFT side shrinks to each cluster's `maxCluster`
+    * LOWEST-ID representatives (a partial-agg'd bounded BottomK — a whale
+    * cluster collapses map-side, never a window sort) and every member
+    * still tests against them — per-cluster cost falls from c² to c·cap.
+    * The approximation is honest, not silent: a row whose ONLY
+    * above-threshold earlier neighbors are non-representatives is kept
+    * when the exact rule would drop it (dups are only ever missed, never
+    * invented) — audit with [[clusterOverflow]] before trusting a capped
+    * run. Default `Int.MaxValue` = exact (uncapped).
     */
   def dedupAssigned(assigned: DataFrame, minScore: Long,
                     idCol: String = "vec_id", vecCol: String = "embedding",
-                    clusterCol: String = "cluster"): DataFrame = {
+                    clusterCol: String = "cluster",
+                    maxCluster: Int = Int.MaxValue): DataFrame = {
+    require(maxCluster > 0, s"maxCluster must be positive, got $maxCluster")
+    if (maxCluster != Int.MaxValue) {
+      val t = assigned.schema(idCol).dataType
+      require(Seq("bigint", "int", "smallint", "tinyint").contains(t.simpleString),
+        s"maxCluster needs an integral id column (BottomK buffers longs); " +
+          s"$idCol is ${t.catalogString} — run uncapped or map ids to longs first")
+    }
     val slim = assigned.select(col(idCol), col(vecCol), col(clusterCol))
-    val dups = slim.as("a").join(slim.as("b"),
+    val leftSide =
+      if (maxCluster == Int.MaxValue) slim
+      else {
+        val reps = slim.where(col(clusterCol).isNotNull)
+          .groupBy(col(clusterCol))
+          .agg(graft.functions.BottomK(maxCluster)(col(idCol)).as("__reps"))
+          .select(col(clusterCol), explode(col("__reps")).as(idCol))
+        slim.join(reps, Seq(idCol, clusterCol), "left_semi")
+      }
+    val dups = leftSide.as("a").join(slim.as("b"),
         col(s"a.$clusterCol") === col(s"b.$clusterCol") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .where(Similarity.quantizedDot(col(s"a.$vecCol"), col(s"b.$vecCol")) >= minScore)
@@ -87,28 +118,55 @@ object SemanticDedup {
       .select(col(idCol), col(clusterCol), col("__dup").isNull.as("keep"))
   }
 
+  /** Audit for a capped [[dedupAssigned]] run: the clusters whose
+    * population exceeds `maxCluster` — exactly where the cap
+    * approximates (a non-representative pair may be missed). Empty
+    * result ⇒ the capped run was exact. One partial-agg'd count shuffle;
+    * NULL clusters never pair, so they are never at risk and never
+    * reported.
+    */
+  def clusterOverflow(assigned: DataFrame, maxCluster: Int,
+                      clusterCol: String = "cluster"): DataFrame = {
+    require(maxCluster > 0, s"maxCluster must be positive, got $maxCluster")
+    assigned.where(col(clusterCol).isNotNull)
+      .groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("n_members"))
+      .where(col("n_members") > maxCluster)
+  }
+
   /** SemDeDup with explicit (quantized-space) centroids — the
     * deterministic, oracle-checkable form.
     */
   def semanticDedup(corpus: DataFrame, centroids: Array[Array[Double]], minScore: Long,
-                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    dedupAssigned(assignQuantized(corpus, centroids, idCol, vecCol), minScore, idCol, vecCol)
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    maxCluster: Int = Int.MaxValue): DataFrame =
+    dedupAssigned(assignQuantized(corpus, centroids, idCol, vecCol), minScore,
+      idCol, vecCol, maxCluster = maxCluster)
 
   /** SemDeDup with k-means-trained centroids (the paper's configuration):
     * trains the coarse quantizer exactly like [[IvfIndex.build]] (sampled
     * training, codegen'd assignment) and applies the same keep rule.
     * Float-iterative training means this form is spec-verified rather than
     * cross-engine hashed — same split as IVF/PQ fit.
+    *
+    * `nClusters ≤ 0` = AUTO: `⌈√n⌉` centroids over the corpus row count —
+    * the balanced-cluster default that keeps expected per-cluster pair
+    * cost near n (√n clusters of ~√n rows each; the paper's LAION config
+    * sits in the same regime). Costs one count() pass before training.
     */
   def semanticDedupKMeans(corpus: DataFrame, nClusters: Int, minScore: Long,
                           idCol: String = "vec_id", vecCol: String = "embedding",
                           trainFraction: Double = 1.0, maxIter: Int = 8,
-                          seed: Long = 42L): DataFrame = {
-    val idx = IvfIndex.build(corpus, nClusters, idCol, vecCol, seed, maxIter, trainFraction)
+                          seed: Long = 42L,
+                          maxCluster: Int = Int.MaxValue): DataFrame = {
+    val k =
+      if (nClusters > 0) nClusters
+      else math.max(1, math.ceil(math.sqrt(corpus.count().toDouble)).toInt)
+    val idx = IvfIndex.build(corpus, k, idCol, vecCol, seed, maxIter, trainFraction)
     // k-means centroids live in RAW space; scale into quantized units so
     // assignment and scoring share one vector representation
     val scaled = idx.centroids.map(_.map(_ * Similarity.QuantScale))
-    semanticDedup(corpus, scaled, minScore, idCol, vecCol)
+    semanticDedup(corpus, scaled, minScore, idCol, vecCol, maxCluster)
   }
 
   // ------------------------------------------------- DuckDB oracle SQL ----

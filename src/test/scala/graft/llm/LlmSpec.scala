@@ -118,6 +118,52 @@ class LlmSpec extends SparkSpec {
     assert(kept == Map(1L -> "s1", 30000L -> "s0")) // lowest id keeps ITS OWN row
   }
 
+  test("dedupKeepBest: highest score wins, ties to lowest id, null score is worst") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "same text", Some(10L)),
+      (2L, "same text", Some(30L)),  // winner: best score
+      (3L, "same text", Some(30L)),  // score tie loses to lower id 2
+      (4L, "same text", None),       // null score = worst
+      (5L, "other", None)            // sole member: survives with null score
+    ).toDF("doc_id", "text", "quality")
+    val kept = Dedup.dedupKeepBest(df, "text", "doc_id", col("quality"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 5L))
+  }
+
+  test("dedupKeepBest is partial-agg'd (no window) and survives a whale fingerprint") {
+    import spark.implicits._
+    val whale = (1L to 20000L).map(i => (i, "same text", i % 97)) :+
+      ((30000L, "unique", 5L))
+    val df = whale.toDF("doc_id", "text", "quality").repartition(4)
+    val q = Dedup.dedupKeepBest(df, "text", "doc_id", col("quality"))
+    val plan = q.queryExecution.executedPlan.toString
+    // mass-duplication posture mirrors dedupExact: map-side-combined
+    // max(struct(score, −id, …)) per fingerprint, never a window
+    assert(plan.contains("partial_max"), plan)
+    assert(!plan.contains("WindowExec"), plan)
+    val kept = q.collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    // quality 96 is the max of i % 97; lowest id achieving it is 96
+    assert(kept == Map(96L -> 96L, 30000L -> 5L))
+  }
+
+  test("dedupKeepBest drops NULL-id rows and falls back to a window for string ids") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(7L), "same text", 1L), (None, "same text", 99L),
+      (Some(9L), "same text", 1L)).toDF("doc_id", "text", "quality")
+    val kept = Dedup.dedupKeepBest(df, "text", "doc_id", col("quality"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(7L), "null-id row must never be elected")
+    // string ids: window fallback, same keep-best answer
+    val sdf = Seq(("a", "same text", 1L), ("b", "same text", 5L))
+      .toDF("doc_id", "text", "quality")
+    val skept = Dedup.dedupKeepBest(sdf, "text", "doc_id", col("quality"))
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    assert(skept == Set("b"))
+  }
+
   test("dedupMinhashPairs finds near + exact dup pairs, never unrelated ones") {
     val pairs = Dedup.dedupMinhashPairs(docs, "text", "doc_id", minJaccard = 0.4)
       .select("left_id", "right_id").collect()

@@ -88,6 +88,61 @@ class SemanticDedupSpec extends SparkSpec {
     }
   }
 
+  test("maxCluster cap on a one-mode corpus: dups only missed, never invented; audit row") {
+    import spark.implicits._
+    // every vector lands in ONE cluster (positive dim-0, ±1000 centroids):
+    // the adversarial shape where uncapped pair cost is c²
+    val oneCent = SemanticDedup.signCentroids(Seq(0), dim = 4)
+    val rows = Seq(
+      (1L, Array(10f, 100f, 0f, 0f)),   // rep; similar to nothing
+      (2L, Array(10f, -100f, 0f, 0f)),  // rep; similar to nothing
+      (3L, Array(10f, 0f, 100f, 0f)),   // non-rep
+      (4L, Array(10f, 0f, 100f, 0f)))   // non-rep, exact dup of 3
+      .toDF("vec_id", "embedding")
+    val thr = 100000000000L // 1e11: only the 3·4 dot (≈1.01e12) qualifies
+    val exact = keepMap(SemanticDedup.semanticDedup(rows, oneCent, thr))
+    assert(exact.view.mapValues(_._2).toMap ==
+      Map(1L -> true, 2L -> true, 3L -> true, 4L -> false))
+    // cap = 2: reps are the two LOWEST ids {1, 2}; the only qualifying
+    // pair (3, 4) is rep-free, so the cap honestly misses it — 4 is KEPT,
+    // and nothing the exact rule kept is ever dropped
+    val capped = keepMap(SemanticDedup.semanticDedup(rows, oneCent, thr, maxCluster = 2))
+    assert(capped.view.mapValues(_._2).toMap ==
+      Map(1L -> true, 2L -> true, 3L -> true, 4L -> true))
+    exact.foreach { case (id, (_, keep)) =>
+      if (keep) assert(capped(id)._2, s"cap must never drop exact-kept row $id")
+    }
+    // the audit names exactly the whale cluster and its population
+    val assigned = SemanticDedup.assignQuantized(rows, oneCent)
+    val audit = SemanticDedup.clusterOverflow(assigned, maxCluster = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(audit.toSeq == Seq((assigned.select("cluster").first().getLong(0), 4L)))
+    // cap at-or-above the cluster size: exact result, empty audit
+    val wide = keepMap(SemanticDedup.semanticDedup(rows, oneCent, thr, maxCluster = 4))
+    assert(wide == exact)
+    assert(SemanticDedup.clusterOverflow(assigned, maxCluster = 4).isEmpty)
+  }
+
+  test("maxCluster on the gate corpus: capped keep set contains the exact keep set") {
+    val exact = keepMap(SemanticDedup.semanticDedup(emb, cents, MinScore))
+    val capped = keepMap(SemanticDedup.semanticDedup(emb, cents, MinScore, maxCluster = 3))
+    assert(capped.keySet == exact.keySet)
+    exact.foreach { case (id, (cl, keep)) =>
+      assert(capped(id)._1 == cl)
+      if (keep) assert(capped(id)._2, s"capped run dropped exact-kept row $id")
+    }
+  }
+
+  test("auto cluster count: nClusters <= 0 trains ceil(sqrt(n)) centroids") {
+    val out = SemanticDedup.semanticDedupKMeans(
+      emb, nClusters = 0, minScore = MinScore, trainFraction = 0.5, maxIter = 2)
+    val m = keepMap(out)
+    assert(m.size == emb.count())
+    val nClusters = m.values.map(_._1).toSet.size
+    val bound = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+    assert(nClusters <= bound, s"auto trains at most ⌈√n⌉ = $bound clusters, got $nClusters")
+  }
+
   test("k-means configuration: full coverage and one survivor per ε-ball") {
     val out = SemanticDedup.semanticDedupKMeans(
       emb, nClusters = 8, minScore = MinScore, trainFraction = 0.5, maxIter = 3)
