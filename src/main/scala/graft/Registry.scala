@@ -1749,6 +1749,15 @@ SELECT lang, CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE) ELSE 15.0 * ${1L << 60} /
         (s, dir) => EventWindows.sessionized(EventWindows.readEvents(s, s"$dir/events.parquet")),
         Some(EventWindows.sessionizedOracle("events"))),
 
+      // split-and-stitch sessionization: same sessions, whale-key-safe
+      // shuffle shape ((user, day-bucket) fan-out + interval stitch) —
+      // the SAME oracle proves output ≡ plain session_window
+      RegisteredQuery(
+        "q_session_split",
+        (s, dir) => EventWindows.sessionizedSplit(
+          EventWindows.readEvents(s, s"$dir/events.parquet")),
+        Some(EventWindows.sessionizedOracle("events"))),
+
       // inter-arrival burstiness fingerprint (bot/SDK-metronome screen):
       // exact microsecond gap moments per user — one user shuffle
       RegisteredQuery(

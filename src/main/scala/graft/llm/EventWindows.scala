@@ -153,6 +153,68 @@ FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
        |FROM numbered GROUP BY $keyCol, sid
        |ORDER BY $keyCol, session_start""".stripMargin
 
+  /** Split-and-stitch sessionization — [[sessionized]]'s answer to the
+    * whale-KEY wall-clock posture: plain session_window hashes on the user
+    * alone, so one bot/SDK-misfire user with 10⁹ events serializes its
+    * whole history onto ONE task (memory-safe — the merge spills — but a
+    * single-task straggler). Here events first sessionize within
+    * (key, coarse time bucket) — the shuffle key carries the bucket, so a
+    * whale user's year of traffic fans out across buckets/tasks — and the
+    * resulting PARTIAL sessions (one interval row each, data ~sessions not
+    * ~events) are then stitched per key: a partial session merges into its
+    * predecessor exactly when its first event falls before the running
+    * `max(end)` (end = last ts + gap — the same rule session_window
+    * applies per event), a classic interval union over the running-max
+    * window. Output ≡ [[sessionized]] row-for-row: within-bucket sessions
+    * were separated by ≥ gap (never merge), boundary sessions merge iff
+    * the boundary gap < gap, and decimal value sums re-aggregate exactly.
+    *
+    * Pick `bucket` ≫ gap (default 1 day vs 2 h) so few sessions straddle
+    * boundaries; the stitch window sorts per-key SESSION COUNTS, not
+    * events — the whale key costs its session count in one task, which is
+    * the irreducible output size. Rows with a NULL ts are dropped (they
+    * have no bucket and no session — document the contract rather than
+    * emit a null-windowed row).
+    */
+  def sessionizedSplit(events: DataFrame, gap: String = "2 hours",
+                       keyCol: String = "user_id", tsCol: String = "ts",
+                       valueCol: String = "value",
+                       bucket: String = "1 day"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val biv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(bucket))
+    require(biv != null && biv.months == 0,
+      s"split bucket must be a fixed-length interval (no months): '$bucket'")
+    val bucketMicros = biv.days * 86400000000L + biv.microseconds
+    require(bucketMicros > 0, s"split bucket must be positive: '$bucket'")
+    val partial = events
+      .where(col(tsCol).isNotNull)
+      .withColumn("__bkt",
+        expr(s"unix_micros(CAST(`$tsCol` AS TIMESTAMP)) div ${bucketMicros}L"))
+      .groupBy(col(keyCol), col("__bkt"), session_window(col(tsCol), gap).as("w"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(col(valueCol).cast(DecimalType(18, 6))).as("__sv"))
+      .select(col(keyCol), col("w.start").as("__s"), col("w.end").as("__e"),
+        col("__n"), col("__sv"))
+    val prevMax = Window.partitionBy(col(keyCol)).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upTo = Window.partitionBy(col(keyCol)).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    partial
+      .withColumn("__pmax", max(col("__e")).over(prevMax))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col("__s") >= col("__pmax"), 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(upTo))
+      .groupBy(col(keyCol), col("__sid"))
+      .agg(
+        min(col("__s")).as("session_start"), max(col("__e")).as("session_end"),
+        sum(col("__n")).as("n_events"),
+        sum(col("__sv")).cast(DoubleType).as("sum_value"))
+      .select(col(keyCol), col("session_start"), col("session_end"),
+        col("n_events"), col("sum_value"))
+  }
+
   /** Per-user session statistics — the engagement summary sessionization
     * exists to feed: session count, bounce count/rate (single-event
     * sessions), total events, and total ENGAGED time (first→last event

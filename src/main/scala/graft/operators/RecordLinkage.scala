@@ -25,7 +25,14 @@ import org.apache.spark.sql.functions._
   * L2 LSH bands; size blocks like buckets); scoring is scan-stage
   * integer arithmetic on the joined rows; the threshold prunes before
   * anything else shuffles. A whale block (one nation holding half the
-  * records) inherits the documented equi-join salting posture.
+  * records) is WIRED to the equi-join salting posture (the IVF probe-side
+  * opt-in discipline): `saltBuckets > 1` splits the a-side of every block
+  * across `saltBuckets` shuffle tasks (random salt) while the b-side
+  * replicates per bucket — each candidate pair still meets exactly once
+  * (the b copy carrying the a row's salt), so the result is provably
+  * unchanged and only task-level parallelism shifts. Candidate VOLUME is
+  * untouched — salting fixes the one-task wall-clock/spill concentration,
+  * not the O(block²) cost, which only better blocking reduces.
   */
 object RecordLinkage {
 
@@ -41,20 +48,31 @@ object RecordLinkage {
     */
   def score(a: DataFrame, b: DataFrame, blockOn: Seq[(String, String)],
             fields: Seq[FieldCompare], aKey: String, bKey: String,
-            minScore: Long): DataFrame = {
+            minScore: Long, saltBuckets: Int = 1): DataFrame = {
     require(blockOn.nonEmpty, "blocking is mandatory — an unblocked linkage is a cartesian")
     require(fields.nonEmpty, "at least one field comparison")
+    require(saltBuckets > 0, s"saltBuckets must be positive, got $saltBuckets")
     val aCols = (aKey +: (blockOn.map(_._1) ++ fields.map(_.aCol))).distinct
     val bCols = (bKey +: (blockOn.map(_._2) ++ fields.map(_.bCol))).distinct
     val al = a.select(aCols.map(c => col(c).as(s"__a_$c")): _*)
     val bl = b.select(bCols.map(c => col(c).as(s"__b_$c")): _*)
-    val cond = blockOn.map { case (x, y) => col(s"__a_$x") === col(s"__b_$y") }
+    val blockCond = blockOn.map { case (x, y) => col(s"__a_$x") === col(s"__b_$y") }
       .reduce(_ && _)
     val sc = fields.map { f =>
       when(col(s"__a_${f.aCol}") <=> col(s"__b_${f.bCol}"),
         lit(f.agree)).otherwise(lit(f.disagree))
     }.reduce(_ + _)
-    al.join(bl, cond)
+    // whale-block salting (opt-in): any salt value in [0, buckets) is
+    // correct — each a row meets each matching b row exactly once, via
+    // the b replica carrying that a row's salt — so rand() affects only
+    // which shuffle task a pair lands on, never the pair set
+    val (alS, blS, cond) =
+      if (saltBuckets == 1) (al, bl, blockCond)
+      else (
+        al.withColumn("__salt_a", (rand(42L) * saltBuckets).cast("int")),
+        bl.withColumn("__salt_b", explode(sequence(lit(0), lit(saltBuckets - 1)))),
+        blockCond && col("__salt_a") === col("__salt_b"))
+    alS.join(blS, cond)
       .select(col(s"__a_$aKey").as("a_key"), col(s"__b_$bKey").as("b_key"),
         sc.cast("long").as("score"))
       .where(col("score") >= minScore)

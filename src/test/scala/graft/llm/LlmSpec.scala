@@ -412,6 +412,45 @@ class LlmSpec extends SparkSpec {
     assert(got.head.getString(2) === win)
   }
 
+  test("sessionizedSplit ≡ sessionized: boundary stitching, whale user fans out") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // hand case: one run straddles the 1-day bucket boundary (23:30 →
+    // 00:30 next day, gaps < 2h) and MUST stitch; a second run on day 2
+    // is > 2h away and must stay separate; plus a multi-bucket chain
+    val hand = Seq(
+      (1L, ts("2024-01-01 22:00:00"), 1.5),
+      (1L, ts("2024-01-01 23:30:00"), 2.0),
+      (1L, ts("2024-01-02 00:30:00"), 0.25), // stitches across midnight
+      (1L, ts("2024-01-02 08:00:00"), 1.0),  // new session (gap 7.5h)
+      (2L, ts("2024-01-01 23:59:00"), 4.0),
+      (2L, ts("2024-01-02 01:58:00"), 8.0),  // 1h59m gap: same session
+      (2L, ts("2024-01-02 03:57:00"), 16.0)  // chain keeps merging
+    ).toDF("user_id", "ts", "value")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "session_start", "session_end", "n_events", "sum_value")
+        .collect().map(r => (r.getLong(0), r.get(1).toString, r.get(2).toString,
+          r.getLong(3), r.getDouble(4))).toSet
+    assert(canon(EventWindows.sessionizedSplit(hand)) ==
+      canon(EventWindows.sessionized(hand)))
+    // whale user: 5k events over 20 days in ONE key; split must fan the
+    // first aggregation across (user, bucket) and still agree exactly
+    val whale = (0L until 5000L).map { i =>
+      (99L, new java.sql.Timestamp(
+        ts("2024-02-01 00:00:00").getTime + i * 347 * 1000L), (i % 11).toDouble)
+    }.toDF("user_id", "ts", "value").repartition(8)
+    assert(canon(EventWindows.sessionizedSplit(whale, gap = "10 minutes")) ==
+      canon(EventWindows.sessionized(whale, gap = "10 minutes")))
+    // real gate data: full equivalence on the events table
+    val ev = EventWindows.readEvents(spark, s"$sf/events.parquet")
+    assert(canon(EventWindows.sessionizedSplit(ev)) == canon(EventWindows.sessionized(ev)))
+    // plan pin: the event-level shuffle carries the BUCKET alongside the
+    // key — the whale key's history fans out across tasks
+    val plan = EventWindows.sessionizedSplit(ev).queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange hashpartitioning(user_id") && plan.contains("__bkt"),
+      s"expected (user_id, __bkt) hash exchange in:\n$plan")
+  }
+
   test("sessionized plan: spill-backed per-partition sort + merging sessions, no window sort") {
     // pins the SCALING.md posture: session_window is an AGGREGATE — hash
     // exchange on user, per-partition (non-global) external sort, streaming

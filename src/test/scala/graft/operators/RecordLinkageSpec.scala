@@ -55,6 +55,32 @@ class RecordLinkageSpec extends SparkSpec {
       || plan.contains("ShuffledHashJoin"), plan)
   }
 
+  test("whale-block salting: result identical to unsalted on a one-block-heavy corpus") {
+    // one block ("uk") holds nearly every record — the salting target
+    val aBig = (1L to 200L).map(i =>
+      (i, if (i <= 190) "uk" else "de", s"name${i % 13}", s"e${i % 7}@x.com"))
+      .toDF("crm_id", "country", "name", "email")
+    val bBig = (1000L to 1150L).map(i =>
+      (i, if (i <= 1140) "uk" else "fr", s"name${i % 13}", s"e${i % 7}@x.com"))
+      .toDF("bill_id", "country", "name", "email")
+    def run(buckets: Int) = RecordLinkage.score(
+      aBig, bBig, Seq("country" -> "country"),
+      Seq(FieldCompare("name", "name", 4L, -2L),
+        FieldCompare("email", "email", 6L, -3L)),
+      "crm_id", "bill_id", minScore = 4L, saltBuckets = buckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val unsalted = run(1)
+    assert(unsalted.nonEmpty)
+    assert(run(8) == unsalted, "salting must never change the pair set")
+    // salted hand-checked case too (nulls, blocking, threshold all live)
+    val salted = RecordLinkage.score(crm, billing, Seq("country" -> "country"),
+      Seq(FieldCompare("name", "name", 4L, -2L),
+        FieldCompare("email", "email", 6L, -3L)),
+      "crm_id", "bill_id", Long.MinValue, saltBuckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(salted == link(Long.MinValue))
+  }
+
   test("unblocked linkage is refused") {
     intercept[IllegalArgumentException] {
       RecordLinkage.score(crm, billing, Nil,
