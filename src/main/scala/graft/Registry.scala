@@ -2401,6 +2401,110 @@ min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus""")),
 
+      // streaming metrics ingest, driver-faced: the events table chunked
+      // through MetricsIngest.ingestBatch (the exact foreachBatch body) in
+      // three micro-batches — final store ≡ one-shot GROUP BY
+      RegisteredQuery(
+        "q_metrics_ingest",
+        (s, dir) => {
+          val store = "/tmp/graft_metrics_ingest"
+          val p = new org.apache.hadoop.fs.Path(store)
+          val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          import graft.sources.AtomicStore
+          Seq(p, AtomicStore.tmpPath(p), AtomicStore.stashPath(p))
+            .foreach(d => f.delete(d, true))
+          import graft.operators.IncrementalAgg
+          val ev = graft.llm.EventWindows.readEvents(s, s"$dir/events.parquet")
+            .withColumn("value_dec", col("value").cast("decimal(18,6)"))
+          val specs = Seq(IncrementalAgg.Count("n_events"),
+            IncrementalAgg.Sum("value_dec", "sum_value"))
+          (0 until 3).foreach { b =>
+            graft.streaming.MetricsIngest.ingestBatch(
+              ev.where(pmod(col("event_id"), lit(3)) === b),
+              store, Seq("event_type"), specs)
+          }
+          IncrementalAgg.read(s, store)
+            .select(col("event_type"), col("n_events"),
+              col("sum_value").cast("double").as("sum_value"))
+            .orderBy("event_type")
+        },
+        Some("""SELECT event_type, count(*) AS n_events,
+CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type""")),
+
+      // streaming CDC lake ingest, driver-faced: three upsert micro-batches
+      // (every key in its o_orderkey%3 batch, every %5==0 key RE-SENT by
+      // all three with a rising version) through LakeIngest.ingestBatch —
+      // final lake ≡ last-writer-wins one-shot SQL
+      RegisteredQuery(
+        "q_lake_ingest",
+        (s, dir) => {
+          val lake = "/tmp/graft_lake_ingest"
+          val lp = new org.apache.hadoop.fs.Path(lake)
+          val f = lp.getFileSystem(s.sparkContext.hadoopConfiguration)
+          f.delete(lp, true)
+          // the merge stage dir (stagePath is sources-private): <lake>__merge_tmp
+          f.delete(new org.apache.hadoop.fs.Path(lake + "__merge_tmp"), true)
+          val orders = Tables.resolve(s, dir)("orders")
+          def batch(b: Int) = orders
+            .where(pmod(col("o_orderkey"), lit(3)) === b ||
+              pmod(col("o_orderkey"), lit(5)) === 0)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              lit(b.toLong).as("ver"),
+              ((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+                + b).as("amount_c"))
+          (0 until 3).foreach { b =>
+            graft.streaming.LakeIngest.ingestBatch(batch(b), lake,
+              Seq("o_orderkey"), Seq("o_orderstatus"), "ver")
+          }
+          s.read.parquet(lake)
+            .select(col("o_orderkey"), col("o_orderstatus"), col("ver"),
+              col("amount_c"))
+            .orderBy("o_orderkey")
+        },
+        Some("""SELECT o_orderkey, o_orderstatus,
+CAST(CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE o_orderkey % 3 END AS BIGINT) AS ver,
+CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+  + (CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE o_orderkey % 3 END) AS amount_c
+FROM orders ORDER BY o_orderkey""")),
+
+      // streaming exact-dedup ingest, driver-faced: documents tripled with
+      // injected re-crawl copies (+1e6 lands one batch EARLIER mod 3 for a
+      // third of ids — exercising the vs-store drop of the ORIGINAL — and
+      // +3e6 lands in the SAME batch, exercising in-batch keep-lowest),
+      // chunked through DedupIngest.ingestBatchExact; the surviving corpus
+      // ≡ first-batch-then-lowest-id per text, one-shot SQL
+      RegisteredQuery(
+        "q_dedup_ingest",
+        (s, dir) => {
+          val corpus = "/tmp/graft_dedup_ingest_corpus"
+          val fps = "/tmp/graft_dedup_ingest_fps"
+          val fsys = new org.apache.hadoop.fs.Path(corpus)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          Seq(corpus, fps).foreach(d =>
+            fsys.delete(new org.apache.hadoop.fs.Path(d), true))
+          val docs = Tables.resolve(s, dir)("documents")
+            .select("doc_id", "text", "lang")
+          val tripled = docs
+            .unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id"),
+              col("text"), col("lang")))
+            .unionByName(docs.select((col("doc_id") + 3000000L).as("doc_id"),
+              col("text"), col("lang")))
+          (0 until 3).foreach { b =>
+            graft.streaming.DedupIngest.ingestBatchExact(
+              tripled.where(pmod(col("doc_id"), lit(3)) === b),
+              corpus, fps, "text", "doc_id", expectedStoreItems = 0L)
+          }
+          s.read.parquet(corpus).select("doc_id", "lang").orderBy("doc_id")
+        },
+        Some("""WITH u AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL SELECT doc_id + 1000000, text, lang FROM documents
+  UNION ALL SELECT doc_id + 3000000, text, lang FROM documents)
+SELECT doc_id, lang FROM u
+QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id % 3, doc_id) = 1
+ORDER BY doc_id""")),
+
       // inverted index: per-doc distinct terms in the scan stage, one
       // term-keyed shuffle, posting lists bounded by the BottomK buffer
       // (df still counts everything — truncation visible, not silent)
