@@ -108,10 +108,15 @@ object Bench {
     // nothing is ever lost locally.
     val line = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","shuffle_bytes":$sb,"peak_task_mem":$pm,"errors":$errJson,"queries":$qs}"""
     println(line)
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-        line.getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+    // bench_full.json: local scratch (gitignored). BENCH_FULL.json: the
+    // TRACKED per-round record — committed after each round's final sf0.1
+    // run so round-over-round per-query audits never depend on recovering
+    // the driver's truncated 2000-char tail.
+    for (out <- Seq("bench_full.json", "BENCH_FULL.json"))
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(out),
+          line.getBytes("UTF-8"))
+      } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -3641,7 +3641,25 @@ FROM documents ORDER BY doc_id""")),
             graft.functions.CompressionRatio(col("text")).as("ratio_bp"))
           .where(col("ratio_bp") > 0)
           .orderBy("doc_id"),
-        None),
+        // r8: no SQL replays zlib, but an INDEPENDENT derivation exists —
+        // fixtures/ holds per-SF expected outputs computed by the C-zlib
+        // python binding (raw deflate, level 6, wbits −15: the exact
+        // Deflater(6, nowrap) configuration). The oracle dispatches on a
+        // corpus checksum (sum of text lengths — the SFs share row counts)
+        // and reads the matching fixture; an unknown corpus yields an
+        // empty oracle → a LOUD mismatch, never a silent pass.
+        Some("""SELECT doc_id, ratio_bp
+FROM read_parquet('/root/repo/fixtures/compression_expected_sf0001.parquet')
+WHERE (SELECT sum(length(text)) FROM documents) = 153156
+UNION ALL
+SELECT doc_id, ratio_bp
+FROM read_parquet('/root/repo/fixtures/compression_expected_sf001.parquet')
+WHERE (SELECT sum(length(text)) FROM documents) = 149174
+UNION ALL
+SELECT doc_id, ratio_bp
+FROM read_parquet('/root/repo/fixtures/compression_expected_sf01.parquet')
+WHERE (SELECT sum(length(text)) FROM documents) = 1485576
+ORDER BY doc_id""")),
 
       // join-explosion guard: exact Σ nl·nr pre-check from two partial-
       // agg'd count aggregates, then the join Spark would have planned;
@@ -3740,7 +3758,9 @@ FROM documents ORDER BY doc_id""")),
         "q_bpe_merges",
         (s, dir) => graft.text.BpeTrain.learnMerges(
           Tables.resolve(s, dir)("documents"), "text", nMerges = 16, loopPartitions = 4),
-        None),
+        // r8: the N-round fixpoint replays in DuckDB as an unrolled
+        // materialized-CTE chain — the gate is hash-checked, not rows-only
+        Some(graft.text.BpeTrain.learnMergesOracle("documents", "text", 16))),
 
       // fastText-style linear scoring over hashed features: integer
       // milli-unit weights → exact, order-independent dot product; the

@@ -18,10 +18,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * Determinism contract: deflate with FIXED level (6) and default
   * strategy over the raw UTF-8 bytes — byte-identical for a given zlib
   * build, stable across partitionings and executors of one cluster
-  * (same JDK). It is NOT replayable by a different engine (no SQL oracle
-  * exists for zlib), so the driver gate is rows-only and the semantics
-  * are spec-pinned instead — the same contract as the float-iterative
-  * rows (SURVEY L7/L13/...).
+  * (same JDK). No SQL replays zlib, but the driver gate is differential
+  * anyway (r8): fixtures/ holds the expected output computed by the
+  * C-zlib python binding (raw deflate, level 6, wbits −15 — the exact
+  * Deflater(6, nowrap) configuration), an independent derivation the
+  * oracle reads back; the spec pins the semantics besides.
   *
   * Execution: one doGenCode'd static call inside whole-stage codegen;
   * the Deflater and scratch buffer are thread-local and reset per row —

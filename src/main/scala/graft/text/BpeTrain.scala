@@ -31,11 +31,16 @@ import org.apache.spark.sql.functions._
   * [[graft.llm.Dedup]] prepareBands block-ownership discipline); peak
   * storage while a round hands over is two vocab copies.
   *
-  * No SQL oracle: replaying an N-round fixpoint needs either recursive
-  * list-fold CTEs or an unrolled N-layer query over array state — out of
-  * DuckDB's comfortable range — so the driver gate is rows-only and
-  * correctness is pinned by a from-scratch reference implementation in
-  * the spec (the L7/L120 contract).
+  * SQL oracle (r8): the N-round fixpoint IS replayable — [[learnMergesOracle]]
+  * unrolls it into N materialized CTE rounds. Each round recomputes pair
+  * counts, picks the same (cnt DESC, x, y) argmax, and applies the merge
+  * with `list_reduce` over a STRING accumulator (symbols joined on an
+  * out-of-alphabet separator; "ends with sep+x" replays the
+  * last-element-equals test, so the leftmost non-overlapping fold is
+  * bit-identical — "aaa" under (a,a) → "aa","a" on both engines). The
+  * driver gate is therefore hash-checked end-to-end; the from-scratch
+  * reference implementation in the spec remains as the third independent
+  * derivation.
   */
 object BpeTrain {
 
@@ -119,6 +124,52 @@ object BpeTrain {
     }
     import spark.implicits._
     merges.toSeq.toDF("rank", "left", "right")
+  }
+
+  /** DuckDB replay of [[learnMerges]] — the N-round fixpoint unrolled into
+    * N materialized CTE rounds (see class doc). The symbol accumulator is
+    * a chr(30)-joined string; chr(30) (ASCII record separator) is outside
+    * any sane corpus alphabet, and a corpus that DID contain it would
+    * diverge loudly (hash mismatch), never silently. `cnt` stays inside
+    * ORDER BY/WHERE (HUGEINT never reaches the final projection).
+    */
+  def learnMergesOracle(table: String, textCol: String, nMerges: Int,
+                        minCount: Long = 2L): String = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    val sep = "chr(30)"
+    val rounds = (1 to nMerges).map { k =>
+      val prev = s"v${k - 1}"
+      s"""p$k AS MATERIALIZED (
+  SELECT syms[i] AS x, syms[i + 1] AS y, sum(c) AS cnt
+  FROM $prev, unnest(generate_series(1, len(syms) - 1)) AS g(i)
+  GROUP BY 1, 2),
+t$k AS MATERIALIZED (
+  SELECT x, y FROM p$k WHERE cnt >= $minCount
+  ORDER BY cnt DESC, x, y LIMIT 1),
+v$k AS MATERIALIZED (
+  SELECT word, c,
+    CASE WHEN t.x IS NULL THEN v.syms
+         ELSE string_split(list_reduce(v.syms, (acc, s) ->
+           CASE WHEN (acc = t.x OR right(acc, length(t.x) + 1) = $sep || t.x)
+                     AND s = t.y
+                THEN left(acc, length(acc) - length(t.x)) || t.x || t.y
+                ELSE acc || $sep || s END), $sep)
+    END AS syms
+  FROM $prev v LEFT JOIN t$k t ON TRUE)"""
+    }.mkString(",\n")
+    val unioned = (1 to nMerges)
+      .map(k => s"""SELECT $k AS rank, x AS "left", y AS "right" FROM t$k""")
+      .mkString("\nUNION ALL ")
+    s"""WITH v0 AS MATERIALIZED (
+  SELECT word, count(*) AS c,
+    list_append(string_split(word, ''), '$Eow') AS syms
+  FROM (SELECT unnest(string_split($textCol, ' ')) AS word
+        FROM $table WHERE $textCol IS NOT NULL)
+  WHERE word <> '' GROUP BY word),
+$rounds
+SELECT * FROM (
+$unioned
+) ORDER BY rank"""
   }
 
   /** BPE token count per document under a learned merge list: per word,
