@@ -3550,6 +3550,67 @@ FROM events GROUP BY 1 ORDER BY 1""")),
         Some(Outliers.oracleSql("orders", "o_orderpriority", "o_totalprice",
           threshold = 1.5, keepCols = Seq("o_orderkey", "o_orderpriority")))),
 
+      // robust MAD outliers: two disc-median rank passes (quantile_disc
+      // parity), exact long deviations, cross-multiplied integer flag
+      RegisteredQuery(
+        "q_mad_outliers",
+        (s, dir) => Outliers.madOutliers(
+            Tables.resolve(s, dir)("orders")
+              .withColumn("cents",
+                (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")),
+            "o_orderpriority", "cents", "o_orderkey", kNum = 2L, kDen = 1L)
+          .orderBy("o_orderpriority", "o_orderkey"),
+        Some(Outliers.madOracleSql(
+          "(SELECT o_orderkey, o_orderpriority, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders)",
+          "o_orderpriority", "cents", "o_orderkey", kNum = 2L, kDen = 1L))),
+
+      // calendar densification: sparse (group, day) aggregate → dense
+      // daily series with explicit zero rows over each group's span
+      RegisteredQuery(
+        "q_dense_series",
+        (s, dir) => graft.operators.DenseSeries.denseDaily(
+            Tables.resolve(s, dir)("orders")
+              .withColumn("cents",
+                (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")),
+            "o_orderpriority", "o_orderdate", "cents")
+          .orderBy("o_orderpriority", "day"),
+        Some(graft.operators.DenseSeries.denseDailyOracle(
+          "orders", "o_orderpriority", "o_orderdate",
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))),
+
+      // per-column completeness by day: one aggregate, per-column null
+      // counts unstacked; nulls injected deterministically (events are
+      // fully dense) with IDENTICAL construction on both sides
+      RegisteredQuery(
+        "q_completeness",
+        (s, dir) => graft.operators.Completeness.daily(
+            graft.llm.EventWindows.readEvents(s, s"$dir/events.parquet")
+              .select(col("ts"),
+                when(pmod(col("event_id"), lit(7)) =!= 0, col("value"))
+                  .as("value"),
+                when(pmod(col("event_id"), lit(11)) =!= 0, col("event_type"))
+                  .as("event_type"),
+                col("user_id")),
+            "ts", Seq("value", "event_type", "user_id"))
+          .orderBy("day", "col_name"),
+        Some(graft.operators.Completeness.dailyOracle(
+          """SELECT ts,
+  CASE WHEN event_id % 7 <> 0 THEN value END AS value,
+  CASE WHEN event_id % 11 <> 0 THEN event_type END AS event_type,
+  user_id FROM events""",
+          "ts", Seq("value", "event_type", "user_id")))),
+
+      // hamming-radius simhash self-join: pigeonhole band blocking (a
+      // within-radius pair must agree exactly on one of maxHamming+1
+      // disjoint bands), xor/bit_count verify — never all-pairs
+      RegisteredQuery(
+        "q_simhash_pairs",
+        (s, dir) => graft.llm.Dedup.simhashPairs(
+            Tables.resolve(s, dir)("documents"), "text", "doc_id", maxHamming = 2)
+          .orderBy("left_id", "right_id"),
+        Some(graft.llm.Dedup.simhashPairsOracle(
+          "documents", "doc_id", "text", maxHamming = 2))),
+
       // hashing-trick featurization: scan-stage md5 buckets, one
       // partial-agg'd (doc, bucket) shuffle, vocabulary-free
       RegisteredQuery(

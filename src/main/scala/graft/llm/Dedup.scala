@@ -601,20 +601,97 @@ WHERE jaccard >= $minJaccard ORDER BY batch_id, store_id""".stripMargin
         .reduce(_ + _))
   }
 
-  def simhashOracle(table: String, idCol: String, textCol: String, shingleN: Int = 3): String = {
+  /** The fingerprint CTE chain shared by [[simhashOracle]] and
+    * [[simhashPairsOracle]] — ends in `fp(doc_id_, simhash)`.
+    */
+  private def simhashCtes(table: String, idCol: String, textCol: String, shingleN: Int): String = {
     val n = shingleN
     val shingleExpr = (0 until n).map(j => s"t[i+$j]").mkString("||' '||")
     val sums = (0 until SimHashBits).map(b =>
       s"sum(CASE WHEN hv % ${1L << (b + 1)} >= ${1L << b} THEN 1 ELSE -1 END) AS b$b").mkString(", ")
     val assemble = (0 until SimHashBits).map(b =>
       s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
-    s"""WITH toks AS (SELECT $idCol AS doc_id_, string_split($textCol, ' ') AS t FROM $table),
+    s"""toks AS (SELECT $idCol AS doc_id_, string_split($textCol, ' ') AS t FROM $table),
 sh AS (SELECT doc_id_, list_distinct(CASE WHEN len(t) < $n THEN [array_to_string(t, ' ')]
   ELSE list_transform(generate_series(1, len(t)-${n - 1}), i -> $shingleExpr) END) AS s FROM toks),
 hx AS (SELECT doc_id_, unnest(list_transform(s, x -> CAST(('0x'||substr(md5(x),1,15)) AS BIGINT) % $M)) AS hv FROM sh),
-sums AS (SELECT doc_id_, $sums FROM hx GROUP BY doc_id_)
-SELECT doc_id_ AS doc_id, $assemble AS simhash FROM sums ORDER BY doc_id_""".stripMargin
+sums AS (SELECT doc_id_, $sums FROM hx GROUP BY doc_id_),
+fp AS (SELECT doc_id_, CAST($assemble AS BIGINT) AS simhash FROM sums)"""
   }
+
+  def simhashOracle(table: String, idCol: String, textCol: String, shingleN: Int = 3): String =
+    s"""WITH ${simhashCtes(table, idCol, textCol, shingleN)}
+SELECT doc_id_ AS doc_id, simhash FROM fp ORDER BY doc_id_""".stripMargin
+
+  /** Hamming-radius SimHash self-join — every pair of documents whose
+    * fingerprints differ in at most `maxHamming` bits, via PIGEONHOLE
+    * blocking: split the [[SimHashBits]] fingerprint into `maxHamming+1`
+    * disjoint bit bands; two fingerprints within the radius must agree
+    * EXACTLY on at least one band (at most `maxHamming` bits differ, so
+    * one of the `maxHamming+1` bands holds none of them), making a
+    * per-band equi-join on the band value a complete candidate generator
+    * — never an all-pairs comparison. Candidates verify with
+    * `bit_count(xor)`, so the output is exact.
+    *
+    * Scale shape: the join is hash-partitioned on (band, band value);
+    * candidate volume is Σ bucket² over band buckets — the LSH posture
+    * (size the fingerprint so buckets stay small: 16-bit SimHash is the
+    * repo's compact default, a production corpus at 10⁹ docs wants the
+    * same operator over 64-bit fingerprints, which this blocking serves
+    * unchanged). A near-identical corpus concentrates one bucket
+    * (the bucket IS the true near-match set — output-sized, irreducible,
+    * same as EdJoin's contract). Output: (left_id, right_id, hamming)
+    * with left < right.
+    */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 2, shingleN: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < SimHashBits,
+      s"maxHamming must be in [0, $SimHashBits), got $maxHamming")
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val src = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val fps = src
+      .select(col(idCol), simhash(col(textCol), shingleN).as("__fp"))
+      .localCheckpoint(true)
+    val nBands = maxHamming + 1
+    val base = SimHashBits / nBands
+    val extra = SimHashBits % nBands
+    // band b: width base+1 for the first `extra` bands, base after;
+    // offsets partition [0, SimHashBits) exactly
+    val widths = (0 until nBands).map(b => if (b < extra) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("__fp"), offsets(b)).bitwiseAND(lit((1L << widths(b)) - 1))
+          .as("bkey"))
+    }
+    val banded = fps.select(col(idCol), col("__fp"),
+      explode(array(bandCols: _*)).as("__b"))
+      .select(col(idCol), col("__fp"), col("__b.band").as("band"),
+        col("__b.bkey").as("bkey"))
+    val a = banded.as("a"); val b = banded.as("b")
+    val ham = expr("CAST(bit_count(__fa ^ __fb) AS BIGINT)")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("left_id"), col(s"b.$idCol").as("right_id"),
+        col("a.__fp").as("__fa"), col("b.__fp").as("__fb"))
+      .distinct()
+      .withColumn("hamming", ham)
+      .where(col("hamming") <= maxHamming)
+      .select(col("left_id"), col("right_id"), col("hamming"))
+  }
+
+  /** DuckDB replay of [[simhashPairs]]: the naive quadratic join over the
+    * same fingerprints with the same xor/bit_count verify.
+    */
+  def simhashPairsOracle(table: String, idCol: String, textCol: String,
+                         maxHamming: Int = 2, shingleN: Int = 3): String =
+    s"""WITH ${simhashCtes(table, idCol, textCol, shingleN)}
+SELECT a.doc_id_ AS left_id, b.doc_id_ AS right_id,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id_ < b.doc_id_
+WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming
+ORDER BY 1, 2""".stripMargin
 
   // ------------------------------------------------- DuckDB oracle SQL ----
   // Generated from the same constants as the Column code above so the two

@@ -1,8 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType, IntegerType, LongType, ShortType}
 
 /** Per-group z-score standardization and outlier flagging — the numeric
   * screen a curation pipeline runs over quality scores, token counts, and
@@ -57,6 +58,80 @@ object Outliers {
         coalesce(when(variance > 0.0, abs(z) > threshold), lit(false)))
       .drop("__cnt", "__s", "__ss")
   }
+
+  /** Robust per-group outliers on the MEDIAN absolute deviation — the
+    * screen that survives what breaks [[zscore]]: one whale value drags a
+    * mean/std enough to mask every other outlier (and to flag itself
+    * less), while the median and MAD ignore it. Everything is integer:
+    * the group median is the DISCRETE lower median (the ⌈n/2⌉-th smallest
+    * — `quantile_disc(0.5)` parity, no interpolation, no floats),
+    * deviations are exact longs, and the flag is the cross-multiplied
+    * integer comparison `dev·kDen > kNum·mad` (deviation above kNum/kDen
+    * MADs), routed through DECIMAL(38,0) so extreme magnitudes cannot
+    * overflow under ANSI.
+    *
+    * Scale shape: two rank passes (median of values, median of
+    * deviations), each a per-group window — the rank-normalize wall-clock
+    * posture: hash by group, spill-backed per-group sort, no frame
+    * buffer; a whale group costs one task's wall-clock, never memory. The
+    * medians table is group-sized and broadcast back; flagging is
+    * scan-stage arithmetic.
+    *
+    * Degenerate groups: MAD = 0 (over half the group shares one value)
+    * flags EVERY deviating row — the standard MAD-screen behavior;
+    * pre-filter constant-heavy groups if that is too eager. NULL values
+    * are unrankable and drop.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  idCol: String, kNum: Long = 3L, kDen: Long = 1L): DataFrame = {
+    df.schema(valueCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"madOutliers needs an integral value column (scale to integer units " +
+          s"first); $valueCol is ${other.catalogString}")
+    }
+    require(kNum > 0 && kDen > 0, s"threshold $kNum/$kDen must be positive")
+    val v = col(valueCol).cast(LongType)
+    val vals = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol), col(idCol), v.as("__v"))
+
+    // the shared disc-median shape: rank within group, keep rank ⌈n/2⌉
+    def discMedian(in: DataFrame, c: String, out: String): DataFrame = {
+      val byG = Window.partitionBy(col(groupCol)).orderBy(col(c))
+      val whole = Window.partitionBy(col(groupCol))
+      in.withColumn("__rn", row_number().over(byG))
+        .withColumn("__cnt", count(lit(1)).over(whole))
+        .where(col("__rn") === expr("(__cnt + 1) div 2"))
+        .select(col(groupCol), col(c).as(out))
+    }
+
+    val med = discMedian(vals, "__v", "__med")
+    val devs = vals.join(broadcast(med), Seq(groupCol))
+      .withColumn("__dev", abs(col("__v") - col("__med")))
+    val mad = discMedian(devs.select(col(groupCol), col("__dev")), "__dev", "__mad")
+    devs.join(broadcast(mad), Seq(groupCol))
+      .where(col("__dev").cast(DecimalType(38, 0)) * kDen >
+        lit(kNum) * col("__mad").cast(DecimalType(38, 0)))
+      .select(col(groupCol), col(idCol), col("__v").as("value"),
+        col("__dev").as("abs_dev"), col("__mad").as("mad"))
+  }
+
+  /** DuckDB replay of [[madOutliers]] — quantile_disc(0.5) IS the
+    * ⌈n/2⌉-th smallest, the same cross-multiplied flag.
+    */
+  def madOracleSql(table: String, groupCol: String, valueCol: String,
+                   idCol: String, kNum: Long = 3L, kDen: Long = 1L): String =
+    s"""WITH v AS (SELECT $groupCol, $idCol, CAST($valueCol AS BIGINT) AS v
+  FROM $table WHERE $valueCol IS NOT NULL),
+m AS (SELECT $groupCol, quantile_disc(v, 0.5) AS med FROM v GROUP BY 1),
+d AS (SELECT v.$groupCol, v.$idCol, v.v, abs(v.v - m.med) AS dev
+  FROM v JOIN m ON v.$groupCol = m.$groupCol),
+md AS (SELECT $groupCol, quantile_disc(dev, 0.5) AS mad FROM d GROUP BY 1)
+SELECT d.$groupCol, d.$idCol, d.v AS value,
+  CAST(d.dev AS BIGINT) AS abs_dev, CAST(md.mad AS BIGINT) AS mad
+FROM d JOIN md ON d.$groupCol = md.$groupCol
+WHERE CAST(d.dev AS DECIMAL(38,0)) * $kDen > $kNum * CAST(md.mad AS DECIMAL(38,0))
+ORDER BY 1, 2""".stripMargin
 
   /** DuckDB replay of [[zscore]]: the same decimal moments, the same
     * double expression sequence (operation-for-operation — IEEE

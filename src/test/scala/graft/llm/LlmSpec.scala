@@ -164,6 +164,30 @@ class LlmSpec extends SparkSpec {
     assert(skept == Set("b"))
   }
 
+  test("simhashPairs: pigeonhole blocking ≡ brute force; identical docs at hamming 0") {
+    val docsDf = docs
+    val got = Dedup.simhashPairs(docsDf, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // local brute force over the same fingerprints
+    val fps = docsDf.select(col("doc_id"),
+        Dedup.simhash(col("text")).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val expected = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (ia, ib) -> h.toLong).toMap
+    assert(got == expected, s"got $got expected $expected")
+    // exact duplicates (docs 0 and 4 share text) sit at hamming 0
+    assert(got.get((0L, 4L)).contains(0L))
+  }
+
+  test("simhashPairs at radius 0 pairs exactly the equal fingerprints; plan has no cartesian") {
+    val q = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 0)
+    assert(q.collect().forall(_.getLong(2) == 0L))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("dedupMinhashPairs finds near + exact dup pairs, never unrelated ones") {
     val pairs = Dedup.dedupMinhashPairs(docs, "text", "doc_id", minJaccard = 0.4)
       .select("left_id", "right_id").collect()

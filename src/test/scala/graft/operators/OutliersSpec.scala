@@ -55,4 +55,41 @@ class OutliersSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
   }
+
+  test("MAD outliers: hand-checked medians, whale value masks nothing") {
+    // g: values 1..9 plus a whale 1000. n=10 → lower median = 5
+    // (sorted: 1..9,1000; rank ⌈10/2⌉=5 → 5). devs: 4,3,2,1,0,1,2,3,4,995
+    // → sorted devs 0,1,1,2,2,3,3,4,4,995; rank 5 → MAD = 2.
+    // flagged at 2 MADs (dev > 4): only the whale (dev 995).
+    val df = ((1 to 9).map(i => ("g", i.toLong, i.toLong)) :+ (("g", 10L, 1000L)))
+      .toDF("grp", "id", "v")
+    val got = Outliers.madOutliers(df, "grp", "v", "id", kNum = 2L, kDen = 1L)
+      .select("id", "value", "abs_dev", "mad").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((10L, 1000L, 995L, 2L)))
+    // the same data through zscore: the whale inflates std so much that
+    // nothing reaches |z| > 3 — the masking MAD exists to resist
+    val z = Outliers.zscore(df.withColumn("vd", col("v").cast("double")),
+        "grp", "vd", threshold = 3.0)
+      .where(col("is_outlier")).count()
+    assert(z == 0L, "z-score is masked by its own whale; MAD is not")
+  }
+
+  test("MAD: zero-MAD group flags every deviating row; NULLs drop") {
+    val df = Seq(("g", 1L, Some(5L)), ("g", 2L, Some(5L)), ("g", 3L, Some(5L)),
+      ("g", 4L, Some(7L)), ("g", 5L, None))
+      .toDF("grp", "id", "v")
+    // median 5, devs 0,0,0,2 → MAD 0; dev 2 > 2·0 flags id 4 only
+    val got = Outliers.madOutliers(df, "grp", "v", "id", 2L, 1L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(4L))
+  }
+
+  test("MAD: float value column is rejected loudly") {
+    val df = Seq(("g", 1L, 1.5)).toDF("grp", "id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Outliers.madOutliers(df, "grp", "v", "id")
+    }
+    assert(e.getMessage.contains("integral value column"))
+  }
 }
