@@ -3600,6 +3600,34 @@ FROM events GROUP BY 1 ORDER BY 1""")),
   user_id FROM events""",
           "ts", Seq("value", "event_type", "user_id")))),
 
+      // per-group winsorization: discrete-quantile clip band (quantile_disc
+      // parity), broadcast cut table, scan-stage clipping
+      RegisteredQuery(
+        "q_winsorize",
+        (s, dir) => Outliers.winsorize(
+            Tables.resolve(s, dir)("orders")
+              .withColumn("cents",
+                (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")),
+            "o_orderpriority", "cents", "o_orderkey")
+          .orderBy("o_orderpriority", "o_orderkey"),
+        Some(Outliers.winsorizeOracleSql(
+          "(SELECT o_orderkey, o_orderpriority, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders)",
+          "o_orderpriority", "cents", "o_orderkey"))),
+
+      // kNN label-consistency audit: brute-force exact-integer neighbors,
+      // partial-agg'd vote rollup, (−votes, label) majority tiebreak
+      RegisteredQuery(
+        "q_label_audit",
+        (s, dir) => {
+          val emb = Tables.resolve(s, dir)("embeddings")
+          graft.llm.LabelAudit.labelConsistency(
+              emb, emb.where(pmod(col("vec_id"), lit(10)) === 0), k = 7)
+            .orderBy("vec_id")
+        },
+        Some(graft.llm.LabelAudit.oracleSql(
+          "embeddings", "vec_id", "embedding", "label",
+          queryPred = "vec_id % 10 = 0", k = 7, dim = 64))),
+
       // hamming-radius simhash self-join: pigeonhole band blocking (a
       // within-radius pair must agree exactly on one of maxHamming+1
       // disjoint bands), xor/bit_count verify — never all-pairs

@@ -142,10 +142,10 @@ WHERE ${dotSql("a.qv", "b2.qv", dim)} >= $minScore ORDER BY left_id, right_id"""
 
   // ------------------------------------------------- DuckDB oracle SQL ----
 
-  private def quantSql(e: String): String =
+  private[llm] def quantSql(e: String): String =
     s"list_transform($e, x -> CAST(floor(CAST(x AS DOUBLE)*$QuantScale) AS BIGINT))"
 
-  private def dotSql(a: String, b: String, dim: Int): String =
+  private[llm] def dotSql(a: String, b: String, dim: Int): String =
     s"CAST(list_sum(list_transform(generate_series(1,$dim), i -> $a[i]*$b[i])) AS BIGINT)"
 
   def knnOracle(table: String, idCol: String, vecCol: String, queryPred: String,

@@ -95,15 +95,8 @@ object Outliers {
     val vals = df.where(col(valueCol).isNotNull)
       .select(col(groupCol), col(idCol), v.as("__v"))
 
-    // the shared disc-median shape: rank within group, keep rank ⌈n/2⌉
-    def discMedian(in: DataFrame, c: String, out: String): DataFrame = {
-      val byG = Window.partitionBy(col(groupCol)).orderBy(col(c))
-      val whole = Window.partitionBy(col(groupCol))
-      in.withColumn("__rn", row_number().over(byG))
-        .withColumn("__cnt", count(lit(1)).over(whole))
-        .where(col("__rn") === expr("(__cnt + 1) div 2"))
-        .select(col(groupCol), col(c).as(out))
-    }
+    def discMedian(in: DataFrame, c: String, out: String): DataFrame =
+      discQuantile(in, groupCol, c, out, 1L, 2L)
 
     val med = discMedian(vals, "__v", "__med")
     val devs = vals.join(broadcast(med), Seq(groupCol))
@@ -114,6 +107,76 @@ object Outliers {
         lit(kNum) * col("__mad").cast(DecimalType(38, 0)))
       .select(col(groupCol), col(idCol), col("__v").as("value"),
         col("__dev").as("abs_dev"), col("__mad").as("mad"))
+  }
+
+  /** The ⌈q·n⌉-th smallest `c` per group (q = num/den as an integer
+    * fraction — no float rank arithmetic): the DISCRETE quantile,
+    * `quantile_disc` parity for every (q, n) (spot-verified exhaustively
+    * to n = 400 across seven fractions). One per-group rank window — the
+    * rank-normalize wall-clock posture.
+    */
+  private def discQuantile(in: DataFrame, groupCol: String, c: String,
+                           out: String, num: Long, den: Long): DataFrame = {
+    val byG = Window.partitionBy(col(groupCol)).orderBy(col(c))
+    val whole = Window.partitionBy(col(groupCol))
+    in.withColumn("__rn", row_number().over(byG))
+      .withColumn("__cnt", count(lit(1)).over(whole))
+      .where(col("__rn") === expr(s"($num * __cnt + ${den - 1}) div $den"))
+      .select(col(groupCol), col(c).as(out))
+  }
+
+  /** Per-group winsorization — clip values into their group's
+    * [q_lo, q_hi] discrete-quantile band instead of dropping them: the
+    * standard tail-taming transform before means, regressions, and
+    * revenue rollups where a handful of whale values would otherwise own
+    * the statistic but deletion would bias it. Quantile fractions are
+    * integer (num, den) pairs; the cut values are DISCRETE order
+    * statistics (⌈q·n⌉-th smallest — `quantile_disc` parity, engine-exact
+    * on integral values, no interpolation).
+    *
+    * Output: (groupCol, idCol, value, lo, hi, clipped) for every non-NULL
+    * value row — `clipped` is `least(greatest(value, lo), hi)`. Same
+    * wall-clock posture as [[madOutliers]] (two rank passes share one
+    * group sort); the cut table is group-sized and broadcast back.
+    */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                idCol: String, loNum: Long = 1L, loDen: Long = 20L,
+                hiNum: Long = 19L, hiDen: Long = 20L): DataFrame = {
+    df.schema(valueCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"winsorize needs an integral value column (scale to integer units " +
+          s"first); $valueCol is ${other.catalogString}")
+    }
+    require(loNum > 0 && loDen > 0 && hiNum > 0 && hiDen > 0 &&
+      loNum * hiDen <= hiNum * loDen && hiNum <= hiDen,
+      s"need 0 < $loNum/$loDen <= $hiNum/$hiDen <= 1")
+    val vals = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol), col(idCol), col(valueCol).cast(LongType).as("__v"))
+    val lo = discQuantile(vals, groupCol, "__v", "lo", loNum, loDen)
+    val hi = discQuantile(vals, groupCol, "__v", "hi", hiNum, hiDen)
+    vals
+      .join(broadcast(lo), Seq(groupCol))
+      .join(broadcast(hi), Seq(groupCol))
+      .select(col(groupCol), col(idCol), col("__v").as("value"),
+        col("lo"), col("hi"),
+        least(greatest(col("__v"), col("lo")), col("hi")).as("clipped"))
+  }
+
+  /** DuckDB replay of [[winsorize]]. */
+  def winsorizeOracleSql(table: String, groupCol: String, valueCol: String,
+                         idCol: String, loNum: Long = 1L, loDen: Long = 20L,
+                         hiNum: Long = 19L, hiDen: Long = 20L): String = {
+    val qLo = loNum.toDouble / loDen
+    val qHi = hiNum.toDouble / hiDen
+    s"""WITH v AS (SELECT $groupCol, $idCol, CAST($valueCol AS BIGINT) AS v
+  FROM $table WHERE $valueCol IS NOT NULL),
+c AS (SELECT $groupCol, quantile_disc(v, $qLo) AS lo, quantile_disc(v, $qHi) AS hi
+  FROM v GROUP BY 1)
+SELECT v.$groupCol, v.$idCol, v.v AS value, c.lo, c.hi,
+  least(greatest(v.v, c.lo), c.hi) AS clipped
+FROM v JOIN c ON v.$groupCol = c.$groupCol
+ORDER BY 1, 2""".stripMargin
   }
 
   /** DuckDB replay of [[madOutliers]] — quantile_disc(0.5) IS the

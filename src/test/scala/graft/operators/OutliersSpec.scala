@@ -85,6 +85,31 @@ class OutliersSpec extends SparkSpec {
     assert(got == Set(4L))
   }
 
+  test("winsorize: hand-checked disc-quantile band, tails clip inward") {
+    // 1..20: lo = ⌈20/20⌉ = 1st smallest = 1... use 1/4 and 3/4 instead:
+    // lo = ⌈20/4⌉ = 5th = 5, hi = ⌈60/4⌉ = 15th = 15
+    val df = (1 to 20).map(i => ("g", i.toLong, i.toLong)).toDF("grp", "id", "v")
+    val got = Outliers.winsorize(df, "grp", "v", "id", 1L, 4L, 3L, 4L)
+      .collect().map(r => r.getLong(1) -> (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got(1L) == ((5L, 15L, 5L)))   // below lo clips up
+    assert(got(10L) == ((5L, 15L, 10L))) // inside band untouched
+    assert(got(20L) == ((5L, 15L, 15L))) // above hi clips down
+  }
+
+  test("winsorize: groups clip independently; NULLs drop; float rejected") {
+    val df = Seq(("a", 1L, Some(100L)), ("a", 2L, Some(1L)), ("a", 3L, Some(2L)),
+      ("b", 4L, Some(7L)), ("b", 5L, None))
+      .toDF("grp", "id", "v")
+    val got = Outliers.winsorize(df, "grp", "v", "id", 1L, 2L, 1L, 1L)
+      .collect().map(r => r.getLong(1) -> r.getLong(5)).toMap
+    // a: n=3, lo = 2nd smallest = 2, hi = 3rd = 100; b: single value 7
+    assert(got == Map(1L -> 100L, 2L -> 2L, 3L -> 2L, 4L -> 7L))
+    intercept[IllegalArgumentException] {
+      Outliers.winsorize(df.withColumn("v", col("v").cast("double")),
+        "grp", "v", "id")
+    }
+  }
+
   test("MAD: float value column is rejected loudly") {
     val df = Seq(("g", 1L, 1.5)).toDF("grp", "id", "v")
     val e = intercept[IllegalArgumentException] {
