@@ -3600,6 +3600,50 @@ FROM events GROUP BY 1 ORDER BY 1""")),
   user_id FROM events""",
           "ts", Seq("value", "event_type", "user_id")))),
 
+      // step-interpolated time-weighted mean: lead-durations window, decimal
+      // integral, one sign-split truncating division per group
+      RegisteredQuery(
+        "q_time_weighted",
+        (s, dir) => graft.operators.TimeWeighted.timeWeightedMean(
+            graft.llm.EventWindows.readEvents(s, s"$dir/events.parquet")
+              .withColumn("mv",
+                (col("value").cast("decimal(18,3)") * 1000).cast("long")),
+            "event_type", "ts", "mv", "event_id")
+          .orderBy("event_type"),
+        Some(graft.operators.TimeWeighted.oracleSql(
+          "events", "event_type", "ts",
+          "CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT)", "event_id"))),
+
+      // mean-shift scan: exact cross-multiplied cumulative deviation,
+      // max + earliest argmax from one struct reduction
+      RegisteredQuery(
+        "q_change_point",
+        (s, dir) => graft.operators.ChangePoint.meanShiftScan(
+            Tables.resolve(s, dir)("orders")
+              .withColumn("cents",
+                (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")),
+            "o_orderpriority", "o_orderdate", "cents", "o_orderkey")
+          .orderBy("o_orderpriority"),
+        Some(graft.operators.ChangePoint.oracleSql(
+          "orders", "o_orderpriority", "o_orderdate",
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)", "o_orderkey"))),
+
+      // weighted median: what the typical UNIT experienced — mass collapse
+      // to distinct values, first cumulative-weight crossing
+      RegisteredQuery(
+        "q_weighted_median",
+        (s, dir) => graft.operators.WeightedStats.weightedMedian(
+            Tables.resolve(s, dir)("lineitem")
+              .withColumn("cents",
+                (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+              .withColumn("qty", col("l_quantity").cast("long")),
+            "l_returnflag", "cents", "qty")
+          .orderBy("l_returnflag"),
+        Some(graft.operators.WeightedStats.oracleSql(
+          "lineitem", "l_returnflag",
+          "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
+          "CAST(l_quantity AS BIGINT)"))),
+
       // per-group winsorization: discrete-quantile clip band (quantile_disc
       // parity), broadcast cut table, scan-stage clipping
       RegisteredQuery(

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+
+/** Weighted order statistics — "the median price weighted by units sold",
+  * "the median latency weighted by request volume": the plain median
+  * answers what the typical ROW looks like; the weighted median answers
+  * what the typical UNIT experienced, which is usually the question a
+  * revenue or traffic readout is actually asking.
+  *
+  * Definition (discrete, no interpolation): the weighted median is the
+  * smallest value v whose cumulative weight reaches half the total —
+  * `min { v : 2·cw(v) ≥ W }` with `cw` accumulated over distinct values
+  * in ascending order. Cross-multiplied integers end to end (weights sum
+  * in DECIMAL(38,0)); reduces to the ⌈n/2⌉-th smallest at unit weights —
+  * [[Outliers.madOutliers]]'s lower-median parity.
+  *
+  * Scale shape: rows first collapse to (group, value) weight sums — a
+  * partial-agg'd shuffle, so a million rows of one value cost one row
+  * downstream — then one per-group cumulative window over DISTINCT
+  * values (the rank posture, value-cardinality-sized, not row-sized) and
+  * a first-crossing reduction. Rows with NULL value/weight or
+  * non-positive weight carry no mass and drop (documented contract).
+  */
+object WeightedStats {
+
+  /** (groupCol, total_weight, weighted_median) per group. */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+                     weightCol: String): DataFrame = {
+    Seq(valueCol, weightCol).foreach { c =>
+      df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => ()
+        case other => throw new IllegalArgumentException(
+          s"weightedMedian needs integral value/weight columns (scale to " +
+            s"integer units first); $c is ${other.catalogString}")
+      }
+    }
+    val mass = df
+      .where(col(valueCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) > 0)
+      .groupBy(col(groupCol), col(valueCol).cast(LongType).as("__v"))
+      .agg(sum(col(weightCol).cast("decimal(38,0)")).as("__w"))
+    val ord = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col(groupCol))
+    mass
+      .withColumn("__cw", sum(col("__w")).over(ord))
+      .withColumn("__tw", sum(col("__w")).over(whole))
+      .where(col("__cw") * 2 >= col("__tw"))
+      .groupBy(col(groupCol))
+      .agg(max(col("__tw")).cast(LongType).as("total_weight"),
+        min(col("__v")).as("weighted_median"))
+  }
+
+  /** DuckDB replay of [[weightedMedian]] — same mass collapse, same
+    * first-crossing rule.
+    */
+  def oracleSql(table: String, groupCol: String, valueSql: String,
+                weightSql: String): String =
+    s"""WITH mass AS (SELECT $groupCol, CAST($valueSql AS BIGINT) AS v,
+    sum(CAST($weightSql AS DECIMAL(38,0))) AS w
+  FROM $table
+  WHERE ($valueSql) IS NOT NULL AND ($weightSql) IS NOT NULL AND ($weightSql) > 0
+  GROUP BY 1, 2),
+c AS (SELECT $groupCol, v,
+    sum(w) OVER (PARTITION BY $groupCol ORDER BY v ROWS UNBOUNDED PRECEDING) AS cw,
+    sum(w) OVER (PARTITION BY $groupCol) AS tw
+  FROM mass)
+SELECT $groupCol, CAST(max(tw) AS BIGINT) AS total_weight,
+  min(v) AS weighted_median
+FROM c WHERE cw * 2 >= tw GROUP BY $groupCol
+ORDER BY $groupCol""".stripMargin
+}

@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Weighted median: first-crossing rule, unit-weight reduction to the
+  * lower median, mass collapse, and the non-positive-weight contract.
+  */
+class WeightedStatsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("hand-checked: heavy cheap units pull the median below the row median") {
+    // prices 1 (w 70), 100 (w 20), 1000 (w 10): W=100, crossing at v=1
+    val df = Seq(("g", 1L, 70L), ("g", 100L, 20L), ("g", 1000L, 10L))
+      .toDF("grp", "v", "w")
+    val got = WeightedStats.weightedMedian(df, "grp", "v", "w").head()
+    assert((got.getLong(1), got.getLong(2)) == ((100L, 1L)))
+  }
+
+  test("unit weights reduce to the lower median (quantile_disc parity)") {
+    val even = (1 to 4).map(i => ("g", i.toLong, 1L)).toDF("grp", "v", "w")
+    assert(WeightedStats.weightedMedian(even, "grp", "v", "w")
+      .head().getLong(2) == 2L)
+    val odd = (1 to 5).map(i => ("g", i.toLong, 1L)).toDF("grp", "v", "w")
+    assert(WeightedStats.weightedMedian(odd, "grp", "v", "w")
+      .head().getLong(2) == 3L)
+  }
+
+  test("duplicate values collapse to one mass row; exact boundary crossing") {
+    // v=5 total weight 3, v=9 weight 3: W=6, 2·cw(5)=6 >= 6 → median 5
+    val df = Seq(("g", 5L, 1L), ("g", 5L, 2L), ("g", 9L, 3L))
+      .toDF("grp", "v", "w")
+    assert(WeightedStats.weightedMedian(df, "grp", "v", "w")
+      .head().getLong(2) == 5L)
+  }
+
+  test("NULL and non-positive weights carry no mass; float rejected") {
+    val df = Seq(("g", 1L, Some(0L)), ("g", 2L, Some(-5L)), ("g", 3L, None),
+      ("g", 7L, Some(1L))).toDF("grp", "v", "w")
+    val got = WeightedStats.weightedMedian(df, "grp", "v", "w").head()
+    assert((got.getLong(1), got.getLong(2)) == ((1L, 7L)))
+    intercept[IllegalArgumentException] {
+      WeightedStats.weightedMedian(df.withColumn("v", col("v").cast("double")),
+        "grp", "v", "w")
+    }
+  }
+}
