@@ -273,7 +273,11 @@ FROM $table d LEFT JOIN k ON d.$idCol = k.$idCol ORDER BY d.$idCol""".stripMargi
 
   def keepBestOracle(table: String, idCol: String, textCol: String,
                      scoreSql: String, keepCols: Seq[String]): String =
-    s"SELECT ${keepCols.mkString(", ")} FROM $table QUALIFY row_number() OVER " +
+    // the IS NOT NULL mirrors the operator's drop-NULL-id contract — the
+    // window would otherwise elect a null-id row per group (NULLS LAST
+    // still ranks them when the group holds nothing else)
+    s"SELECT ${keepCols.mkString(", ")} FROM $table WHERE $idCol IS NOT NULL " +
+      s"QUALIFY row_number() OVER " +
       s"(PARTITION BY CAST(('0x'||substr(md5($textCol),1,15)) AS BIGINT) " +
       s"ORDER BY $scoreSql DESC, $idCol ASC) = 1 ORDER BY $idCol"
 

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.LongType
 
 /** Mean-shift scan — the exact-integer CUSUM-family statistic for "did
   * this series change level, and where": for a per-group series x₁..x_n
@@ -33,12 +33,7 @@ object ChangePoint {
     */
   def meanShiftScan(df: DataFrame, groupCol: String, tsCol: String,
                     valueCol: String, idCol: String): DataFrame = {
-    df.schema(valueCol).dataType match {
-      case ByteType | ShortType | IntegerType | LongType => ()
-      case other => throw new IllegalArgumentException(
-        s"meanShiftScan needs an integral value column (scale to integer " +
-          s"units first); $valueCol is ${other.catalogString}")
-    }
+    graft.Guards.requireIntegral(df, valueCol, "meanShiftScan")
     val rows = df
       .where(col(tsCol).isNotNull && col(valueCol).isNotNull && col(idCol).isNotNull)
       .select(col(groupCol), col(tsCol).as("__ts"), col(idCol).as("__id"),

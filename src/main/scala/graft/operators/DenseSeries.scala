@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Calendar densification — turn a sparse per-(group, day) aggregate into a
   * DENSE daily series with explicit zero rows for the missing days, spanning
@@ -31,18 +30,17 @@ object DenseSeries {
   /** (groupCol, day, n_rows, sum_value) for EVERY day in each group's
     * [min day, max day] span — missing days carry (0, 0). `valueCol` must
     * be integral (the Drift rule: scale to cents/millis upstream); rows
-    * with a NULL date are dropped (they have no day to land on).
+    * with a NULL date are dropped (they have no day to land on), and rows
+    * with a NULL GROUP are dropped too — the spine-to-aggregate join is
+    * NULL-rejecting, so keeping them would zero-fill the null group's
+    * real counts and fabricate an outage (coalesce a sentinel group
+    * upstream to monitor unattributed rows).
     */
   def denseDaily(df: DataFrame, groupCol: String, dateCol: String,
                  valueCol: String): DataFrame = {
-    df.schema(valueCol).dataType match {
-      case ByteType | ShortType | IntegerType | LongType => ()
-      case other => throw new IllegalArgumentException(
-        s"denseDaily needs an integral value column (scale to integer units " +
-          s"first); $valueCol is ${other.catalogString}")
-    }
+    graft.Guards.requireIntegral(df, valueCol, "denseDaily")
     val sparse = df
-      .where(col(dateCol).isNotNull)
+      .where(col(dateCol).isNotNull && col(groupCol).isNotNull)
       .groupBy(col(groupCol), col(dateCol).cast("date").as("day"))
       .agg(
         count(lit(1)).as("__n"),
@@ -66,7 +64,8 @@ object DenseSeries {
     s"""WITH a AS (
   SELECT $groupCol, CAST($dateCol AS DATE) AS day, count(*) AS n,
     sum(CAST($valueSql AS DECIMAL(38,0))) AS sv
-  FROM $table WHERE $dateCol IS NOT NULL GROUP BY 1, 2),
+  FROM $table WHERE $dateCol IS NOT NULL AND $groupCol IS NOT NULL
+  GROUP BY 1, 2),
 s AS (SELECT $groupCol, min(day) AS mn, max(day) AS mx FROM a GROUP BY 1),
 d AS (SELECT $groupCol,
     CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day

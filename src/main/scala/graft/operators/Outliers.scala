@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Per-group z-score standardization and outlier flagging — the numeric
   * screen a curation pipeline runs over quality scores, token counts, and
@@ -80,16 +80,13 @@ object Outliers {
     * Degenerate groups: MAD = 0 (over half the group shares one value)
     * flags EVERY deviating row — the standard MAD-screen behavior;
     * pre-filter constant-heavy groups if that is too eager. NULL values
-    * are unrankable and drop.
+    * are unrankable and drop; a NULL GROUP is a real stratum and is
+    * screened like any other (null-safe median joins — the
+    * [[WeightedStats.weightedMedian]] null-group contract).
     */
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
                   idCol: String, kNum: Long = 3L, kDen: Long = 1L): DataFrame = {
-    df.schema(valueCol).dataType match {
-      case ByteType | ShortType | IntegerType | LongType => ()
-      case other => throw new IllegalArgumentException(
-        s"madOutliers needs an integral value column (scale to integer units " +
-          s"first); $valueCol is ${other.catalogString}")
-    }
+    graft.Guards.requireIntegral(df, valueCol, "madOutliers")
     require(kNum > 0 && kDen > 0, s"threshold $kNum/$kDen must be positive")
     val v = col(valueCol).cast(LongType)
     val vals = df.where(col(valueCol).isNotNull)
@@ -98,11 +95,12 @@ object Outliers {
     def discMedian(in: DataFrame, c: String, out: String): DataFrame =
       discQuantile(in, groupCol, c, out, 1L, 2L)
 
-    val med = discMedian(vals, "__v", "__med")
-    val devs = vals.join(broadcast(med), Seq(groupCol))
+    val med = discMedian(vals, "__v", "__med").withColumnRenamed(groupCol, "__g")
+    val devs = vals.join(broadcast(med), col(groupCol) <=> col("__g")).drop("__g")
       .withColumn("__dev", abs(col("__v") - col("__med")))
     val mad = discMedian(devs.select(col(groupCol), col("__dev")), "__dev", "__mad")
-    devs.join(broadcast(mad), Seq(groupCol))
+      .withColumnRenamed(groupCol, "__g")
+    devs.join(broadcast(mad), col(groupCol) <=> col("__g")).drop("__g")
       .where(col("__dev").cast(DecimalType(38, 0)) * kDen >
         lit(kNum) * col("__mad").cast(DecimalType(38, 0)))
       .select(col(groupCol), col(idCol), col("__v").as("value"),
@@ -135,29 +133,28 @@ object Outliers {
     * on integral values, no interpolation).
     *
     * Output: (groupCol, idCol, value, lo, hi, clipped) for every non-NULL
-    * value row — `clipped` is `least(greatest(value, lo), hi)`. Same
-    * wall-clock posture as [[madOutliers]] (two rank passes share one
-    * group sort); the cut table is group-sized and broadcast back.
+    * value row — `clipped` is `least(greatest(value, lo), hi)`; a NULL
+    * GROUP clips within its own stratum (null-safe cut joins, the
+    * [[madOutliers]] contract). Same wall-clock posture as
+    * [[madOutliers]] (two rank passes share one group sort); the cut
+    * table is group-sized and broadcast back.
     */
   def winsorize(df: DataFrame, groupCol: String, valueCol: String,
                 idCol: String, loNum: Long = 1L, loDen: Long = 20L,
                 hiNum: Long = 19L, hiDen: Long = 20L): DataFrame = {
-    df.schema(valueCol).dataType match {
-      case ByteType | ShortType | IntegerType | LongType => ()
-      case other => throw new IllegalArgumentException(
-        s"winsorize needs an integral value column (scale to integer units " +
-          s"first); $valueCol is ${other.catalogString}")
-    }
+    graft.Guards.requireIntegral(df, valueCol, "winsorize")
     require(loNum > 0 && loDen > 0 && hiNum > 0 && hiDen > 0 &&
       loNum * hiDen <= hiNum * loDen && hiNum <= hiDen,
       s"need 0 < $loNum/$loDen <= $hiNum/$hiDen <= 1")
     val vals = df.where(col(valueCol).isNotNull)
       .select(col(groupCol), col(idCol), col(valueCol).cast(LongType).as("__v"))
     val lo = discQuantile(vals, groupCol, "__v", "lo", loNum, loDen)
+      .withColumnRenamed(groupCol, "__gl")
     val hi = discQuantile(vals, groupCol, "__v", "hi", hiNum, hiDen)
+      .withColumnRenamed(groupCol, "__gh")
     vals
-      .join(broadcast(lo), Seq(groupCol))
-      .join(broadcast(hi), Seq(groupCol))
+      .join(broadcast(lo), col(groupCol) <=> col("__gl")).drop("__gl")
+      .join(broadcast(hi), col(groupCol) <=> col("__gh")).drop("__gh")
       .select(col(groupCol), col(idCol), col("__v").as("value"),
         col("lo"), col("hi"),
         least(greatest(col("__v"), col("lo")), col("hi")).as("clipped"))
@@ -175,7 +172,7 @@ c AS (SELECT $groupCol, quantile_disc(v, $qLo) AS lo, quantile_disc(v, $qHi) AS 
   FROM v GROUP BY 1)
 SELECT v.$groupCol, v.$idCol, v.v AS value, c.lo, c.hi,
   least(greatest(v.v, c.lo), c.hi) AS clipped
-FROM v JOIN c ON v.$groupCol = c.$groupCol
+FROM v JOIN c ON v.$groupCol IS NOT DISTINCT FROM c.$groupCol
 ORDER BY 1, 2""".stripMargin
   }
 
@@ -188,11 +185,11 @@ ORDER BY 1, 2""".stripMargin
   FROM $table WHERE $valueCol IS NOT NULL),
 m AS (SELECT $groupCol, quantile_disc(v, 0.5) AS med FROM v GROUP BY 1),
 d AS (SELECT v.$groupCol, v.$idCol, v.v, abs(v.v - m.med) AS dev
-  FROM v JOIN m ON v.$groupCol = m.$groupCol),
+  FROM v JOIN m ON v.$groupCol IS NOT DISTINCT FROM m.$groupCol),
 md AS (SELECT $groupCol, quantile_disc(dev, 0.5) AS mad FROM d GROUP BY 1)
 SELECT d.$groupCol, d.$idCol, d.v AS value,
   CAST(d.dev AS BIGINT) AS abs_dev, CAST(md.mad AS BIGINT) AS mad
-FROM d JOIN md ON d.$groupCol = md.$groupCol
+FROM d JOIN md ON d.$groupCol IS NOT DISTINCT FROM md.$groupCol
 WHERE CAST(d.dev AS DECIMAL(38,0)) * $kDen > $kNum * CAST(md.mad AS DECIMAL(38,0))
 ORDER BY 1, 2""".stripMargin
 

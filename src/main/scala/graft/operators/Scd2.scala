@@ -173,25 +173,30 @@ object Scd2 {
         .join(keys, Seq(keyCol), "left_anti")
       AtomicStore.replace(spark, storeDir, untouched.unionByName(rebuilt))
     }
+    // applied marker LAST: a crash between the swap and the marker leaves
+    // the batch looking unapplied, and recover() replays it idempotently
+    markApplied(fs, storeDir, batchName)
   }
 
   /** Detect-and-replay healing for the [[updateTolerant]] crash window: a
     * crash between the (atomic) log append and the store swap leaves the
     * store permanently behind the log for that batch's keys, and [[read]]
-    * would serve the stale dimension with no signal. This pass diffs the
-    * per-key high-water mark — log `max(eff, seq)` vs store
-    * `max(valid_from, seq)` — and rebuilds every key whose log is ahead
-    * (or missing from the store) from its full logged history. Returns
-    * the number of keys rebuilt; 0 = store and log agree.
+    * would serve the stale dimension with no signal. Detection is by
+    * APPLIED-BATCH MARKERS, not data inference: every completed fold
+    * records its log batch name under the `<store>__applied` sibling, so
+    * the set difference (log batch dirs) ∖ (markers) IS the set of folds
+    * whose swap never completed — exact for in-order AND late batches
+    * alike (a per-key high-water diff cannot see a crashed LATE batch:
+    * its eff sits below the store's high-water). Every key appearing in
+    * an unapplied batch is rebuilt from its full logged history; the
+    * batches are then marked. Returns the number of keys rebuilt; 0 =
+    * log and markers agree.
     *
-    * The detection is CONSERVATIVE, never blind: a key whose LAST logged
-    * change collapsed as a no-op looks stale (the store's surviving
-    * high-water sits below the log's raw one) and gets rebuilt to the
-    * identical rows — a false positive costs an idempotent per-key
-    * rebuild, while a false negative cannot happen (a missing swap always
-    * leaves the log's max ahead of the store's). Run it at pipeline
-    * startup or after any fold whose completion is in doubt; it is safe
-    * to run anytime, including on a healthy store.
+    * A store with batches but NO markers (created before this protocol,
+    * or markers lost) treats every batch as unapplied — a conservative
+    * full-key rebuild, idempotent by construction. Run at pipeline
+    * startup or after any fold whose completion is in doubt; safe to run
+    * anytime, including on a healthy store.
     */
   def recover(spark: SparkSession, storeDir: String, logDir: String,
               keyCol: String, attrCols: Seq[String], effCol: String,
@@ -201,35 +206,49 @@ object Scd2 {
     AtomicStore.restoreIfStashed(spark, storeDir)
     val logPath = new Path(logDir)
     val fs = logPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(logPath) ||
-        !fs.listStatus(logPath).exists(st => !st.getPath.getName.startsWith(".")))
-      return 0L
-    val log = spark.read.option("recursiveFileLookup", "true").parquet(logDir)
-    val lmax = log.where(col(keyCol).isNotNull && col(effCol).isNotNull)
-      .groupBy(keyCol)
-      .agg(max(struct(col(effCol).as("e"), col(seqCol).as("q"))).as("__lhw"))
-    val stale =
-      if (!AtomicStore.hasData(spark, storeDir)) lmax.select(col(keyCol))
-      else {
-        val smax = spark.read.parquet(storeDir).groupBy(keyCol)
-          .agg(max(struct(col("valid_from").as("e"), col(seqCol).as("q"))).as("__shw"))
-        lmax.join(smax, Seq(keyCol), "left_outer")
-          .where(col("__shw").isNull || col("__lhw") > col("__shw"))
-          .select(col(keyCol))
-      }
-    val keys = stale.localCheckpoint(true)
+    if (!fs.exists(logPath)) return 0L
+    val batches = fs.listStatus(logPath)
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith("."))
+      .map(_.getPath).toSeq
+    if (batches.isEmpty) return 0L
+    val marks = appliedPath(storeDir)
+    val appliedNames =
+      if (!fs.exists(marks)) Set.empty[String]
+      else fs.listStatus(marks).map(_.getPath.getName).toSet
+    val unapplied = batches.filterNot(b => appliedNames.contains(b.getName))
+    if (unapplied.isEmpty) return 0L
+    val keys = spark.read.parquet(unapplied.map(_.toString): _*)
+      .where(col(keyCol).isNotNull)
+      .select(col(keyCol)).distinct().localCheckpoint(true)
     val nStale = keys.count()
-    if (nStale == 0L) return 0L
-    val rebuilt = build(log.join(keys, Seq(keyCol), "left_semi"),
-      keyCol, attrCols, effCol, seqCol)
-    if (!AtomicStore.hasData(spark, storeDir))
-      AtomicStore.create(spark, storeDir, rebuilt)
-    else {
-      val untouched = spark.read.parquet(storeDir)
-        .join(keys, Seq(keyCol), "left_anti")
-      AtomicStore.replace(spark, storeDir, untouched.unionByName(rebuilt))
+    if (nStale > 0L) {
+      val log = spark.read.option("recursiveFileLookup", "true").parquet(logDir)
+      val rebuilt = build(log.join(keys, Seq(keyCol), "left_semi"),
+        keyCol, attrCols, effCol, seqCol)
+      if (!AtomicStore.hasData(spark, storeDir))
+        AtomicStore.create(spark, storeDir, rebuilt)
+      else {
+        val untouched = spark.read.parquet(storeDir)
+          .join(keys, Seq(keyCol), "left_anti")
+        AtomicStore.replace(spark, storeDir, untouched.unionByName(rebuilt))
+      }
     }
+    unapplied.foreach(b => markApplied(fs, storeDir, b.getName))
     nStale
+  }
+
+  /** Marker sibling recording which log batches a store has folded — a
+    * directory of empty files named after applied batch dirs. Lives
+    * BESIDE the store so AtomicStore swaps never touch it.
+    */
+  private def appliedPath(storeDir: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(storeDir + "__applied")
+
+  private def markApplied(fs: org.apache.hadoop.fs.FileSystem,
+                          storeDir: String, batchName: String): Unit = {
+    val dir = appliedPath(storeDir)
+    fs.mkdirs(dir)
+    fs.create(new org.apache.hadoop.fs.Path(dir, batchName), true).close()
   }
 
   /** The maintained dimension: every version of every key seen so far. */

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.LongType
 
 /** Time-weighted mean over irregularly-sampled series — the correct
   * "average level" for metrics that HOLD between samples (queue depth,
@@ -25,20 +25,16 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   * buffer), then one partial-agg'd group reduction. Ordering is the
   * (ts, id) total order, so duplicate timestamps contribute zero-duration
   * segments deterministically. Rows with a NULL ts/value/id drop;
-  * single-sample groups have no duration and drop (no interval to
-  * average over).
+  * single-sample groups — and groups whose samples ALL share one
+  * timestamp (zero total duration) — have no interval to average over
+  * and drop.
   */
 object TimeWeighted {
 
   /** (groupCol, n_segments, duration_us, twa) per group. */
   def timeWeightedMean(df: DataFrame, groupCol: String, tsCol: String,
                        valueCol: String, idCol: String): DataFrame = {
-    df.schema(valueCol).dataType match {
-      case ByteType | ShortType | IntegerType | LongType => ()
-      case other => throw new IllegalArgumentException(
-        s"timeWeightedMean needs an integral value column (scale to integer " +
-          s"units first); $valueCol is ${other.catalogString}")
-    }
+    graft.Guards.requireIntegral(df, valueCol, "timeWeightedMean")
     val t = unix_micros(col(tsCol).cast("timestamp"))
     val rows = df
       .where(col(tsCol).isNotNull && col(valueCol).isNotNull && col(idCol).isNotNull)
@@ -53,6 +49,10 @@ object TimeWeighted {
         count(lit(1)).as("n_segments"),
         sum(col("__dur").cast("decimal(38,0)")).as("__total"),
         sum(col("__v").cast("decimal(38,0)") * col("__dur")).as("__ws"))
+      // a group whose samples ALL share one timestamp has segments but a
+      // zero total duration — no time span to average over; it drops like
+      // the single-sample group (and ANSI division by zero must not fire)
+      .where(col("__total") > 0)
       .select(col(groupCol), col("n_segments"),
         col("__total").cast(LongType).as("duration_us"),
         expr("CAST((CASE WHEN __ws < 0 THEN -1 ELSE 1 END) * " +
@@ -77,5 +77,6 @@ SELECT $groupCol, count(*) AS n_segments,
     (CAST(abs(sum(CAST(v AS DECIMAL(38,0)) * dur)) AS HUGEINT)
       // CAST(sum(CAST(dur AS DECIMAL(38,0))) AS HUGEINT)) AS BIGINT) AS twa
 FROM d WHERE dur IS NOT NULL GROUP BY $groupCol
+HAVING sum(CAST(dur AS DECIMAL(38,0))) > 0
 ORDER BY $groupCol""".stripMargin
 }

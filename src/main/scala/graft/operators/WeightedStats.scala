@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.LongType
 
 /** Weighted order statistics — "the median price weighted by units sold",
   * "the median latency weighted by request volume": the plain median
@@ -30,14 +30,8 @@ object WeightedStats {
   /** (groupCol, total_weight, weighted_median) per group. */
   def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
                      weightCol: String): DataFrame = {
-    Seq(valueCol, weightCol).foreach { c =>
-      df.schema(c).dataType match {
-        case ByteType | ShortType | IntegerType | LongType => ()
-        case other => throw new IllegalArgumentException(
-          s"weightedMedian needs integral value/weight columns (scale to " +
-            s"integer units first); $c is ${other.catalogString}")
-      }
-    }
+    Seq(valueCol, weightCol).foreach(c =>
+      graft.Guards.requireIntegral(df, c, "weightedMedian"))
     val mass = df
       .where(col(valueCol).isNotNull && col(weightCol).isNotNull &&
         col(weightCol) > 0)

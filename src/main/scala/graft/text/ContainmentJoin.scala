@@ -63,6 +63,31 @@ object ContainmentJoin {
     * `n_inter·minDen ≥ minNum·n_small`, where n_small = min(|A|,|B|) over
     * distinct n-token shingle sets.
     */
+  /** The shared shingle prep: checkpointed (id, fingerprint-set) `base`,
+    * its exploded (id, sz, h) form `ex`, and per-shingle document
+    * frequencies `dfreq` — one definition feeding [[selfJoin]] and
+    * [[prefixOverflow]] so the audit can never drift from the audited
+    * pipeline. The 60-bit shingle FINGERPRINT set is the working
+    * representation end-to-end (the dedup-family hash-membership
+    * contract): the verify intersects long arrays — ~5× less shuffle
+    * than shingle strings and far cheaper set probes.
+    */
+  private def prep(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int): (DataFrame, DataFrame, DataFrame) = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val src = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    val base = src
+      .select(col(idCol).cast("long").as("__id"),
+        array_distinct(transform(
+          TextFunctions.shingleSet(col(textCol), n),
+          s => TextFunctions.hash60(s))).as("__s"))
+      .localCheckpoint(true)
+    val ex = base.select(col("__id"), size(col("__s")).as("__sz"),
+      explode(col("__s")).as("__h"))
+    val dfreq = ex.groupBy("__h").agg(count(lit(1)).as("__df"))
+    (base, ex, dfreq)
+  }
+
   def selfJoin(docs: DataFrame, idCol: String, textCol: String,
                n: Int = 3, minNum: Long = 9, minDen: Long = 10,
                maxDf: Long = Long.MaxValue): DataFrame = {
@@ -71,22 +96,7 @@ object ContainmentJoin {
       s"threshold $minNum/$minDen must be a fraction in (0, 1]")
     require(maxDf > 0, s"maxDf must be positive, got $maxDf")
     requireIntegralId(docs, idCol, "selfJoin")
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val src = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
-    // the 60-bit shingle FINGERPRINT set is the working representation
-    // end-to-end (the dedup-family hash-membership contract): the verify
-    // intersects long arrays — ~5× less shuffle than shingle strings and
-    // far cheaper set probes, which dominates this operator's profile
-    val base = src
-      .select(col(idCol).cast("long").as("__id"),
-        array_distinct(transform(
-          TextFunctions.shingleSet(col(textCol), n),
-          s => TextFunctions.hash60(s))).as("__s"))
-      .localCheckpoint(true)
-
-    val ex = base.select(col("__id"), size(col("__s")).as("__sz"),
-        explode(col("__s")).as("__h"))
-    val dfreq = ex.groupBy("__h").agg(count(lit(1)).as("__df"))
+    val (base, ex, dfreq) = prep(docs, idCol, textCol, n)
     val need = expr(s"($minNum * __sz + ${minDen - 1}) div $minDen")
     // the maxDf cut applies to CANDIDATE GENERATION only (both sides);
     // verify below intersects the FULL fingerprint sets, so a surviving
@@ -160,15 +170,9 @@ object ContainmentJoin {
     require(n >= 1, s"shingle width must be >= 1, got $n")
     require(maxDf > 0, s"maxDf must be positive, got $maxDf")
     requireIntegralId(docs, idCol, "prefixOverflow")
-    val base = docs
-      .select(col(idCol).cast("long").as("id"),
-        array_distinct(transform(
-          TextFunctions.shingleSet(col(textCol), n),
-          s => TextFunctions.hash60(s))).as("__s"))
-    val ex = base.select(col("id"), size(col("__s")).as("__sz"),
-      explode(col("__s")).as("__h"))
-    val dfreq = ex.groupBy("__h").agg(count(lit(1)).as("__df"))
+    val (_, ex, dfreq) = prep(docs, idCol, textCol, n)
     ex.join(dfreq, "__h")
+      .withColumnRenamed("__id", "id")
       .groupBy("id").agg(
         max(col("__sz")).cast("long").as("n_shingles"),
         sum(when(col("__df") <= maxDf, 1L).otherwise(0L)).as("n_kept"),

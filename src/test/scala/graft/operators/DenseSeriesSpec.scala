@@ -49,6 +49,18 @@ class DenseSeriesSpec extends SparkSpec {
     assert(e.getMessage.contains("integral value column"))
   }
 
+  test("NULL-group rows drop instead of zero-filling a fabricated outage") {
+    val df = Seq(
+      (Some("a"), d("2024-01-01"), 3L),
+      (None, d("2024-01-01"), 100L),
+      (None, d("2024-01-02"), 200L)
+    ).toDF("g", "dt", "v")
+    val got = DenseSeries.denseDaily(df, "g", "dt", "v")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(2), r.getLong(3)))
+    // the NULL group must be absent entirely — never present with (0, 0)
+    assert(got.toSeq == Seq((Some("a"), 1L, 3L)))
+  }
+
   test("plan: no window function; spine joins back on (group, day)") {
     val df = (1 to 50).map(i => (s"g${i % 3}", d(f"2024-01-${i % 28 + 1}%02d"), i.toLong))
       .toDF("g", "dt", "v")

@@ -110,6 +110,23 @@ class OutliersSpec extends SparkSpec {
     }
   }
 
+  test("NULL group is a real stratum: MAD screens it, winsorize clips it") {
+    val df = Seq(
+      (None, 1L, 1L), (None, 2L, 2L), (None, 3L, 3L), (None, 4L, 1000L),
+      (Some("g"), 5L, 7L), (Some("g"), 6L, 7L), (Some("g"), 7L, 7L)
+    ).toDF("grp", "id", "v")
+    // null group: median 2 (n=4 lower), devs 1,0,1,998 → MAD 1; at 2 MADs
+    // only the whale (dev 998) flags
+    val mad = Outliers.madOutliers(df, "grp", "v", "id", 2L, 1L)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    assert(mad == Set((None, 4L)), s"null-group whale must be screened: $mad")
+    // winsorize the null group at [1/4, 3/4]: n=4 → lo = 1st = 1, hi = 3rd = 3
+    val win = Outliers.winsorize(df, "grp", "v", "id", 1L, 4L, 3L, 4L)
+      .collect().map(r => r.getLong(1) -> r.getLong(5)).toMap
+    assert(win(4L) == 3L, "null-group whale clips to its own stratum's hi")
+    assert(win(5L) == 7L)
+  }
+
   test("MAD: float value column is rejected loudly") {
     val df = Seq(("g", 1L, 1.5)).toDF("grp", "id", "v")
     val e = intercept[IllegalArgumentException] {

@@ -27,7 +27,8 @@ class Scd2Spec extends SparkSpec {
     val dir = s"/tmp/graft_scd2_spec/$name"
     val p = new Path(dir)
     import graft.sources.AtomicStore
-    Seq(p, AtomicStore.tmpPath(p), AtomicStore.stashPath(p)).foreach { x =>
+    Seq(p, AtomicStore.tmpPath(p), AtomicStore.stashPath(p),
+      new Path(dir + "__applied")).foreach { x =>
       x.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(x, true)
     }
     dir
@@ -154,6 +155,26 @@ class Scd2Spec extends SparkSpec {
     Scd2.recover(spark, dir, log, "k", Seq("status"), "eff", "seq")
     assert(rows(Scd2.read(spark, dir)) ==
       rows(Scd2.build(changesDf.unionByName(crashed), "k", Seq("status"), "eff", "seq")))
+  }
+
+  test("recover heals a crashed LATE batch (below the store's high-water mark)") {
+    import spark.implicits._
+    val dir = freshDir("recover_late"); val log = freshDir("recover_late_log")
+    Scd2.updateTolerant(spark, dir, log, changesDf, "k", Seq("status"), "eff", "seq")
+    // key 1's stored high-water is (2024-03-01, 31); this batch is LATE
+    // (eff 2024-02-15 < that) — a per-key high-water diff cannot see it.
+    // Simulate the crash window: log append landed, swap did not.
+    val late = Seq((1L, "silver", d("2024-02-15"), 25L))
+      .toDF("k", "status", "eff", "seq")
+    late.write.parquet(s"$log/batch_8888888888888_7_cafebabe")
+    val before = rows(Scd2.read(spark, dir))
+    assert(!before.exists(_._3 == "2024-02-15"), "store is stale pre-recover")
+    val healed = Scd2.recover(spark, dir, log, "k", Seq("status"), "eff", "seq")
+    assert(healed == 1L, s"key 1's crashed late batch must be detected, got $healed")
+    assert(rows(Scd2.read(spark, dir)) ==
+      rows(Scd2.build(changesDf.unionByName(late), "k", Seq("status"), "eff", "seq")))
+    // and the batch is now marked: a second recover is a no-op
+    assert(Scd2.recover(spark, dir, log, "k", Seq("status"), "eff", "seq") == 0L)
   }
 
   test("recover bootstraps an entirely missing store from the log") {

@@ -60,6 +60,18 @@ class TimeWeightedSpec extends SparkSpec {
     assert(got == Map("neg" -> -7L))
   }
 
+  test("all-samples-one-timestamp group drops (no ANSI division by zero)") {
+    val df = Seq(
+      ("zero", ts("2024-01-01 00:00:00"), 1L, 5L),
+      ("zero", ts("2024-01-01 00:00:00"), 2L, 7L),
+      ("live", ts("2024-01-01 00:00:00"), 1L, 3L),
+      ("live", ts("2024-01-01 00:00:01"), 2L, 9L)
+    ).toDF("grp", "t", "id", "v")
+    val got = TimeWeighted.timeWeightedMean(df, "grp", "t", "v", "id")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got == Map("live" -> 3L), "zero-duration group must drop, not throw")
+  }
+
   test("float value column is rejected loudly") {
     val df = Seq(("g", ts("2024-01-01 00:00:00"), 1L, 1.5)).toDF("grp", "t", "id", "v")
     intercept[IllegalArgumentException] {
