@@ -3600,6 +3600,48 @@ FROM events GROUP BY 1 ORDER BY 1""")),
   user_id FROM events""",
           "ts", Seq("value", "event_type", "user_id")))),
 
+      // exact two-sample KS distance: distinct-value mass collapse, one
+      // cross-multiplied cumulative walk, integer-scaled statistic
+      RegisteredQuery(
+        "q_ks_distance",
+        (s, dir) => {
+          val o = Tables.resolve(s, dir)("orders")
+            .withColumn("cents",
+              (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+          graft.operators.KsDistance.ksDistance(
+            o.where(col("o_orderpriority") === "1-URGENT"),
+            o.where(col("o_orderpriority") =!= "1-URGENT"),
+            "cents")
+        },
+        Some(graft.operators.KsDistance.oracleSql(
+          "SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders WHERE o_orderpriority = '1-URGENT'",
+          "SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders WHERE o_orderpriority <> '1-URGENT'",
+          "cents"))),
+
+      // Benford first-digit audit: fixed milli-expectation table, exact
+      // cross-multiplied deviations, zero-filled digit spine
+      RegisteredQuery(
+        "q_benford",
+        (s, dir) => graft.operators.Benford.firstDigitAudit(
+            Tables.resolve(s, dir)("orders")
+              .withColumn("cents",
+                (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")),
+            "o_orderstatus", "cents")
+          .orderBy("o_orderstatus", "digit"),
+        Some(graft.operators.Benford.oracleSql(
+          "orders", "o_orderstatus",
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))),
+
+      // activity streaks: distinct (user, day) collapse then gaps-and-
+      // islands on the date-minus-rank anchor
+      RegisteredQuery(
+        "q_streaks",
+        (s, dir) => graft.operators.Streaks.activityStreaks(
+            graft.llm.EventWindows.readEvents(s, s"$dir/events.parquet"),
+            "user_id", "ts")
+          .orderBy("user_id"),
+        Some(graft.operators.Streaks.oracleSql("events", "user_id", "ts"))),
+
       // step-interpolated time-weighted mean: lead-durations window, decimal
       // integral, one sign-split truncating division per group
       RegisteredQuery(
