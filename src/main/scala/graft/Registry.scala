@@ -3600,6 +3600,58 @@ FROM events GROUP BY 1 ORDER BY 1""")),
   user_id FROM events""",
           "ts", Seq("value", "event_type", "user_id")))),
 
+      // maintained distinct-count store: KMV sketches fold exactly
+      // (bottom-k closure), estimates replay deterministically
+      RegisteredQuery(
+        "q_distinct_store",
+        (s, dir) => {
+          val store = "/tmp/graft_distinct_store"
+          val p = new org.apache.hadoop.fs.Path(store)
+          val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          import graft.sources.AtomicStore
+          Seq(p, AtomicStore.tmpPath(p), AtomicStore.stashPath(p))
+            .foreach(d => f.delete(d, true))
+          val docs = Tables.resolve(s, dir)("documents")
+          (0 until 3).foreach { b =>
+            graft.operators.DistinctStore.update(s, store,
+              docs.where(pmod(col("doc_id"), lit(3)) === b),
+              Seq("lang"), col("text"), k = 64)
+          }
+          graft.operators.DistinctStore.estimate(
+              graft.operators.DistinctStore.read(s, store), Seq("lang"), k = 64)
+            .orderBy("lang")
+        },
+        Some(graft.operators.DistinctStore.estimateOracle(
+          "documents", "lang", "text", k = 64))),
+
+      // Tukey boxplot fences: discrete quartiles, cross-multiplied
+      // integer fences, low/high side labels
+      RegisteredQuery(
+        "q_tukey_fences",
+        (s, dir) => Outliers.tukeyFences(
+            graft.llm.EventWindows.readEvents(s, s"$dir/events.parquet")
+              .withColumn("mv",
+                (col("value").cast("decimal(18,3)") * 1000).cast("long")),
+            "event_type", "mv", "event_id")
+          .orderBy("event_type", "event_id"),
+        Some(Outliers.tukeyOracleSql(
+          "(SELECT event_id, event_type, CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT) AS mv FROM events)",
+          "event_type", "mv", "event_id"))),
+
+      // trimmed mean: winsorize's deleting sibling — in-band decimal sum,
+      // one sign-split division
+      RegisteredQuery(
+        "q_trimmed_mean",
+        (s, dir) => Outliers.trimmedMean(
+            Tables.resolve(s, dir)("orders")
+              .withColumn("cents",
+                (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")),
+            "o_orderpriority", "cents")
+          .orderBy("o_orderpriority"),
+        Some(Outliers.trimmedMeanOracleSql(
+          "(SELECT o_orderpriority, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders)",
+          "o_orderpriority", "cents"))),
+
       // exact two-sample KS distance: distinct-value mass collapse, one
       // cross-multiplied cumulative walk, integer-scaled statistic
       RegisteredQuery(

@@ -110,6 +110,31 @@ class OutliersSpec extends SparkSpec {
     }
   }
 
+  test("Tukey fences: hand-checked quartiles, sides, interior untouched") {
+    // 1..20 + whales −100 and 500: n=22 → q1 = 6th smallest, q3 = 17th
+    // sorted: −100,1..20,500 → q1 = 5, q3 = 16, IQR = 11, fences at
+    // 5 − 16.5 = −11.5 and 16 + 16.5 = 32.5
+    val df = ((1 to 20).map(i => ("g", i.toLong, i.toLong)) ++
+      Seq(("g", 98L, -100L), ("g", 99L, 500L))).toDF("grp", "id", "v")
+    val got = Outliers.tukeyFences(df, "grp", "v", "id")
+      .collect().map(r => r.getLong(1) -> r.getString(5)).toMap
+    assert(got == Map(98L -> "low", 99L -> "high"), s"got $got")
+  }
+
+  test("trimmed mean: olympic scoring drops the tails' votes entirely") {
+    // 1..8 + whale 1000: n=9; [1/4, 3/4] band: lo = 3rd = 3, hi = 7th = 7
+    // kept {3,4,5,6,7} → mean 5
+    val df = ((1 to 8).map(i => ("g", i.toLong)) :+ (("g", 1000L)))
+      .toDF("grp", "v")
+    val got = Outliers.trimmedMean(df, "grp", "v", 1L, 4L, 3L, 4L).head()
+    assert((got.getLong(1), got.getLong(2)) == ((5L, 5L)))
+    // negative-sum band truncates toward zero via the sign split:
+    // wide band keeps everything, mean = −25/3 → −8
+    val neg = Seq(("n", -7L), ("n", -8L), ("n", -10L)).toDF("grp", "v")
+    assert(Outliers.trimmedMean(neg, "grp", "v", 1L, 100L, 1L, 1L)
+      .head().getLong(2) == -8L)
+  }
+
   test("NULL group is a real stratum: MAD screens it, winsorize clips it") {
     val df = Seq(
       (None, 1L, 1L), (None, 2L, 2L), (None, 3L, 3L), (None, 4L, 1000L),
