@@ -3600,6 +3600,17 @@ FROM events GROUP BY 1 ORDER BY 1""")),
   user_id FROM events""",
           "ts", Seq("value", "event_type", "user_id")))),
 
+      // trailing-window distinct actives (DAU/WAU): distinct (key, day)
+      // collapse, constant ×w window-end explode, exact count distinct
+      RegisteredQuery(
+        "q_trailing_actives",
+        (s, dir) => graft.operators.TrailingActives.trailingActives(
+            graft.llm.EventWindows.readEvents(s, s"$dir/events.parquet"),
+            "ts", "user_id", windowDays = 7)
+          .orderBy("day"),
+        Some(graft.operators.TrailingActives.oracleSql(
+          "events", "ts", "user_id", windowDays = 7))),
+
       // maintained distinct-count store: KMV sketches fold exactly
       // (bottom-k closure), estimates replay deterministically
       RegisteredQuery(
