@@ -2050,9 +2050,11 @@ FROM aug ORDER BY doc_id""".stripMargin
           s"${CorpusFilters.splitAssignSql("text", 95)} AS split " +
           "FROM documents ORDER BY doc_id")),
 
-      // Gopher-style repetition metrics (duplicate-bigram occupancy)
+      // Gopher-style repetition metrics (duplicate-bigram occupancy);
+      // renamed r8: the name collided with L158's q_repetition and the
+      // queries Map silently kept only one — both now face the driver
       RegisteredQuery(
-        "q_repetition",
+        "q_repetition_gopher",
         (s, dir) => CorpusFilters.repetitionStats(
             Tables.resolve(s, dir)("documents"), "doc_id", "text")
           .orderBy("doc_id"),
@@ -3752,7 +3754,7 @@ FROM events GROUP BY 1 ORDER BY 1""")),
       // per-group winsorization: discrete-quantile clip band (quantile_disc
       // parity), broadcast cut table, scan-stage clipping
       RegisteredQuery(
-        "q_winsorize",
+        "q_winsorize_disc",
         (s, dir) => Outliers.winsorize(
             Tables.resolve(s, dir)("orders")
               .withColumn("cents",
@@ -4159,6 +4161,14 @@ ORDER BY doc_id""")),
   private[graft] val cutpointsPrecondition =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
-  def all: Seq[RegisteredQuery] =
-    relational ++ rowOps ++ sourceOps ++ llmOps ++ corpusOps ++ scaleOps ++ featureOps
+  def all: Seq[RegisteredQuery] = {
+    val qs = relational ++ rowOps ++ sourceOps ++ llmOps ++ corpusOps ++ scaleOps ++ featureOps
+    // SparkEntry builds a Map from this list, where a duplicate name
+    // SILENTLY shadows an earlier gate (two collisions shipped unnoticed
+    // before r8 caught them) — fail loudly instead
+    val dups = qs.groupBy(_.name).filter(_._2.length > 1).keys
+    require(dups.isEmpty, s"duplicate gate name(s): ${dups.mkString(", ")} — " +
+      "the queries Map would silently drop one of each pair")
+    qs
+  }
 }
