@@ -3602,6 +3602,42 @@ FROM events GROUP BY 1 ORDER BY 1""")),
   user_id FROM events""",
           "ts", Seq("value", "event_type", "user_id")))),
 
+      // MP3 frame-header metadata: ID3v2 syncsafe skip + Layer III header
+      // decode against the version bitrate/rate tables; synthesized
+      // payloads derive from table columns so the oracle recomputes
+      // expected values without parsing (the q_media_dims discipline)
+      RegisteredQuery(
+        "q_mp3_meta",
+        (s, dir) => {
+          val kbpsIdx = expr("element_at(array(9, 11, 13, 14), CAST(doc_id % 4 AS INT) + 1)")
+          val srIdx = expr("CAST(doc_id % 3 AS INT)")
+          val b2 = lpad(hex(kbpsIdx * 16 + srIdx * 4), 2, "0")
+          val b3 = expr("CASE WHEN doc_id % 2 = 0 THEN '00' ELSE 'C0' END")
+          val frame = concat(lit("FFFB"), b2, b3,
+            expr("repeat('00', CAST(n_chars % 50 AS INT) + 10)"))
+          val tagLen = expr("CAST(doc_id % 5 AS INT)")
+          val id3 = concat(lit("494433"), lit("0300"), lit("00"),
+            lit("000000"), lpad(hex(tagLen), 2, "0"),
+            expr("repeat('41', CAST(doc_id % 5 AS INT))"))
+          val payload = when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(id3, frame)).otherwise(frame)
+          Tables.resolve(s, dir)("documents")
+            .select(col("doc_id"),
+              graft.functions.AudioMeta(unhex(payload)).as("a"))
+            .select(col("doc_id"), col("a.format").as("format"),
+              col("a.channels").as("channels"),
+              col("a.sample_rate").as("sample_rate"), col("a.bits").as("bits"),
+              col("a.duration_ms").as("duration_ms"))
+            .orderBy("doc_id")
+        },
+        Some("""SELECT doc_id, 'mp3' AS format,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INT) AS channels,
+  CAST([44100, 48000, 32000][CAST(doc_id % 3 AS INT) + 1] AS INT) AS sample_rate,
+  0 AS bits,
+  CAST(((4 + n_chars % 50 + 10) * 8)
+    // [128, 192, 256, 320][CAST(doc_id % 4 AS INT) + 1] AS BIGINT) AS duration_ms
+FROM documents ORDER BY doc_id""")),
+
       // trailing-window distinct actives (DAU/WAU): distinct (key, day)
       // collapse, constant ×w window-end explode, exact count distinct
       RegisteredQuery(

@@ -20,12 +20,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * LIST/INFO/bext chunks commonly precede `fmt `; odd-sized chunks carry
   * a pad byte), so this is not expressible in fixed-offset Column
   * arithmetic; FLAC packs sample rate/channels/bits into bitfields of
-  * the STREAMINFO block. One doGenCode'd static call keeps both walks
-  * inside whole-stage codegen — no UDF, no fallback.
+  * the STREAMINFO block; MP3 (r8) needs an ID3v2 skip (syncsafe size)
+  * followed by an MPEG-audio Layer III frame-header decode against the
+  * version-specific bitrate/sample-rate tables. One doGenCode'd static
+  * call keeps all three walks inside whole-stage codegen — no UDF, no
+  * fallback.
   *
   * duration_ms is integer arithmetic (`bytes·1000 div byte_rate`,
-  * `samples·1000 div sample_rate`) — deterministic cross-engine, like
-  * every quantity this expression emits.
+  * `samples·1000 div sample_rate`; for MP3 the CBR estimate
+  * `audio_bytes·8 div kbps` — exact for constant-bitrate streams, a
+  * first-frame approximation for VBR, documented) — deterministic
+  * cross-engine, like every quantity this expression emits. MP3 is a
+  * lossy codec with no PCM bit depth: `bits` is 0 for it (the one format
+  * where 0 is the honest answer, carved out of the >0 validity rule).
   */
 case class AudioMeta(child: Expression) extends UnaryExpression {
 
@@ -122,6 +129,45 @@ object AudioMeta {
       if (sr == 0) return null
       return row("flac", ch, sr, bits, totalSamples * 1000L / sr)
     }
+    // MP3: optional ID3v2 tag (10-byte header, SYNCSAFE 28-bit size),
+    // then an MPEG audio frame header — Layer III only, the "mp3" case
+    var off = 0L
+    if (tag(b, 0, "ID3")) {
+      if (b.length < 10) return null
+      off = 10L + (((u8(b, 6) & 0x7fL) << 21) | ((u8(b, 7) & 0x7fL) << 14) |
+        ((u8(b, 8) & 0x7fL) << 7) | (u8(b, 9) & 0x7fL))
+    }
+    if (off + 4 <= b.length) {
+      val at = off.toInt
+      if (u8(b, at) == 0xff && (u8(b, at + 1) & 0xe0) == 0xe0) {
+        val b1 = u8(b, at + 1); val b2 = u8(b, at + 2); val b3 = u8(b, at + 3)
+        val ver = (b1 >> 3) & 0x3   // 0 = MPEG2.5, 2 = MPEG2, 3 = MPEG1
+        val layer = (b1 >> 1) & 0x3 // 1 = Layer III
+        val brIdx = (b2 >> 4) & 0xf
+        val srIdx = (b2 >> 2) & 0x3
+        if (ver != 1 && layer == 1 && brIdx != 0 && brIdx != 15 && srIdx != 3) {
+          val kbps =
+            if (ver == 3) Mpeg1L3Kbps(brIdx) else Mpeg2L3Kbps(brIdx)
+          val sr = ver match {
+            case 3 => Mpeg1Rates(srIdx)
+            case 2 => Mpeg1Rates(srIdx) / 2
+            case _ => Mpeg1Rates(srIdx) / 4
+          }
+          val ch = if (((b3 >> 6) & 0x3) == 3) 1 else 2
+          // CBR estimate over the audio bytes (payload past the ID3 tag):
+          // ms = bytes·8·1000 / (kbps·1000) = bytes·8 / kbps
+          val durMs = (b.length - off) * 8L / kbps
+          return InternalRow(UTF8String.fromString("mp3"), ch, sr, 0, durMs)
+        }
+      }
+    }
     null
   }
+
+  // Layer III bitrate tables (kbps; index 0 = free and 15 = bad are
+  // rejected above) and the MPEG1 sample rates (MPEG2 halves, 2.5
+  // quarters them)
+  private val Mpeg1L3Kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+  private val Mpeg2L3Kbps = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
+  private val Mpeg1Rates = Array(44100, 48000, 32000)
 }

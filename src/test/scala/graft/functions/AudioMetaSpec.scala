@@ -64,6 +64,36 @@ class AudioMetaSpec extends SparkSpec {
     assert(parse(flac) === Some(("flac", 2, 44100, 16, 2000L)))
   }
 
+  test("mp3: golden frame headers, both versions, channel modes") {
+    // FF FB = MPEG1 Layer III; 9x = 128 kbps, srIdx 0 = 44100; stereo.
+    // 4 header bytes + 60 filler = 64 audio bytes → 64·8/128 = 4 ms
+    val mp3 = "FFFB" + "90" + "00" + "00" * 60
+    assert(parse(mp3) === Some(("mp3", 2, 44100, 0, 4L)))
+    // mono (mode 11 → C0), srIdx 1 = 48000, brIdx B = 192 kbps
+    val mono = "FFFB" + "B4" + "C0" + "00" * 92 // 96·8/192 = 4 ms
+    assert(parse(mono) === Some(("mp3", 1, 48000, 0, 4L)))
+    // MPEG2 (version bits 10 → b1 = F3): halved rates, MPEG2 table
+    // brIdx 9 = 80 kbps, srIdx 0 → 22050
+    val mpeg2 = "FFF3" + "90" + "00" + "00" * 44 // ⌊48·8/80⌋ = 4 ms
+    assert(parse(mpeg2) === Some(("mp3", 2, 22050, 0, 4L)))
+  }
+
+  test("mp3: ID3v2 tag skips by syncsafe size; tag bytes carry no duration") {
+    // ID3v2.3, syncsafe size 5, 5 tag bytes, then the golden frame
+    val tagged = "494433" + "0300" + "00" + "00000005" + "41" * 5 +
+      "FFFB" + "90" + "00" + "00" * 60
+    assert(parse(tagged) === Some(("mp3", 2, 44100, 0, 4L)))
+  }
+
+  test("mp3: reserved version/layer and free/bad bitrates reject") {
+    assert(parse("FFEB900000") === None) // version bits 01 (reserved)
+    assert(parse("FFFD900000") === None) // layer bits 10 (Layer II)
+    assert(parse("FFFB000000") === None) // bitrate index 0 (free)
+    assert(parse("FFFBF00000") === None) // bitrate index 15 (bad)
+    assert(parse("FFFB9C0000") === None) // sample-rate index 3 (reserved)
+    assert(parse("4944330300" + "0000000500") === None) // ID3 then nothing
+  }
+
   test("garbage and truncation return null, never throw") {
     assert(parse("DEADBEEFDEADBEEFDEADBEEF") === None)     // unknown magic
     assert(parse("524946460000000057415645") === None)      // WAV, no chunks
