@@ -3602,6 +3602,47 @@ FROM events GROUP BY 1 ORDER BY 1""")),
   user_id FROM events""",
           "ts", Seq("value", "event_type", "user_id")))),
 
+      // calendar-exact day/week-over-week deltas over the dense spine
+      RegisteredQuery(
+        "q_wow_deltas",
+        (s, dir) => graft.operators.Deltas.dayOverDay(
+            Tables.resolve(s, dir)("orders")
+              .withColumn("cents",
+                (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")),
+            "o_orderpriority", "o_orderdate", "cents")
+          .orderBy("o_orderpriority", "day"),
+        Some(graft.operators.Deltas.oracleSql(
+          "orders", "o_orderpriority", "o_orderdate",
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))),
+
+      // Pareto/ABC classification: exclusive-prefix share banding, exact
+      // cross-multiplied thresholds, deterministic (value, id) rank
+      RegisteredQuery(
+        "q_abc_pareto",
+        (s, dir) => graft.operators.Pareto.abcClassify(
+            Tables.resolve(s, dir)("orders")
+              .withColumn("cents",
+                (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")),
+            "o_orderpriority", "o_orderkey", "cents")
+          .orderBy("o_orderpriority", "rank"),
+        Some(graft.operators.Pareto.oracleSql(
+          "orders", "o_orderpriority", "o_orderkey",
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))),
+
+      // interval-union coverage: overlap-safe covered time per key via
+      // the running-max sweep (derived overlapping order intervals)
+      RegisteredQuery(
+        "q_interval_coverage",
+        (s, dir) => graft.operators.IntervalCoverage.coverage(
+            Tables.resolve(s, dir)("orders")
+              .withColumn("until",
+                expr("date_add(o_orderdate, CAST(o_orderkey % 20 AS INT) + 1)")),
+            "o_custkey", "o_orderdate", "until")
+          .orderBy("o_custkey"),
+        Some(graft.operators.IntervalCoverage.oracleSql(
+          "(SELECT o_custkey, o_orderdate, CAST(o_orderdate AS DATE) + (CAST(o_orderkey % 20 AS INT) + 1) AS until FROM orders)",
+          "o_custkey", "o_orderdate", "until"))),
+
       // MP3 frame-header metadata: ID3v2 syncsafe skip + Layer III header
       // decode against the version bitrate/rate tables; synthesized
       // payloads derive from table columns so the oracle recomputes
