@@ -133,9 +133,10 @@ object AudioMeta {
     // then an MPEG audio frame header — Layer III only, the "mp3" case
     var off = 0L
     if (tag(b, 0, "ID3")) {
-      if (b.length < 10) return null
       off = 10L + (((u8(b, 6) & 0x7fL) << 21) | ((u8(b, 7) & 0x7fL) << 14) |
         ((u8(b, 8) & 0x7fL) << 7) | (u8(b, 9) & 0x7fL))
+      // ID3v2.4 footer flag: 10 more bytes between tag and audio
+      if ((u8(b, 5) & 0x10) != 0) off += 10L
     }
     if (off + 4 <= b.length) {
       val at = off.toInt

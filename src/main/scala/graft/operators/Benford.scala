@@ -41,6 +41,10 @@ object Benford {
     graft.Guards.requireIntegral(df, valueCol, "firstDigitAudit")
     val obs = df
       .where(col(valueCol).isNotNull && col(valueCol) =!= 0 &&
+        // Long.MinValue has no |value| (abs overflows under ANSI and its
+        // decimal string leads with '-' otherwise) — the one long with no
+        // first digit; drop it like the zero it behaves as
+        col(valueCol) =!= Long.MinValue &&
         col(groupCol).isNotNull)
       .select(col(groupCol),
         substring(abs(col(valueCol).cast(LongType)).cast("string"), 1, 1)
@@ -70,7 +74,8 @@ object Benford {
   SELECT $groupCol, CAST(left(CAST(abs(CAST($valueSql AS BIGINT)) AS VARCHAR), 1) AS BIGINT) AS digit,
     count(*) AS n
   FROM $table
-  WHERE ($valueSql) IS NOT NULL AND ($valueSql) <> 0 AND $groupCol IS NOT NULL
+  WHERE ($valueSql) IS NOT NULL AND ($valueSql) <> 0
+    AND ($valueSql) <> -9223372036854775808 AND $groupCol IS NOT NULL
   GROUP BY 1, 2),
 t AS (SELECT $groupCol, CAST(sum(n) AS BIGINT) AS n_total FROM obs GROUP BY 1),
 e(digit, expected_milli) AS (VALUES $expectedRows)

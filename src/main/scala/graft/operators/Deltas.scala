@@ -49,8 +49,7 @@ object Deltas {
     */
   def oracleSql(table: String, groupCol: String, dateCol: String,
                 valueSql: String): String = {
-    val dense = DenseSeries.denseDailyOracle(table, groupCol, dateCol, valueSql)
-      .replace("ORDER BY 1, 2", "")
+    val dense = DenseSeries.denseDailyOracleBody(table, groupCol, dateCol, valueSql)
     def bp(n: Int) =
       s"""CASE WHEN lag(sum_value, $n) OVER w IS NOT NULL
        AND lag(sum_value, $n) OVER w <> 0

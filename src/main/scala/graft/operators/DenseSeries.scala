@@ -56,11 +56,12 @@ object DenseSeries {
         coalesce(col("__sv"), lit(0L)).as("sum_value"))
   }
 
-  /** DuckDB replay of [[denseDaily]] — generate_series spine per group,
-    * same zero-fill.
+  /** [[denseDailyOracle]] without the final ORDER BY — embeddable as a
+    * CTE body (the [[Deltas]] oracle builds on it; string-patching the
+    * ordered form would couple silently to its exact text).
     */
-  def denseDailyOracle(table: String, groupCol: String, dateCol: String,
-                       valueSql: String): String =
+  def denseDailyOracleBody(table: String, groupCol: String, dateCol: String,
+                           valueSql: String): String =
     s"""WITH a AS (
   SELECT $groupCol, CAST($dateCol AS DATE) AS day, count(*) AS n,
     sum(CAST($valueSql AS DECIMAL(38,0))) AS sv
@@ -73,6 +74,12 @@ d AS (SELECT $groupCol,
 SELECT d.$groupCol, d.day,
   CAST(coalesce(a.n, 0) AS BIGINT) AS n_rows,
   CAST(coalesce(a.sv, 0) AS BIGINT) AS sum_value
-FROM d LEFT JOIN a ON d.$groupCol = a.$groupCol AND d.day = a.day
-ORDER BY 1, 2""".stripMargin
+FROM d LEFT JOIN a ON d.$groupCol = a.$groupCol AND d.day = a.day""".stripMargin
+
+  /** DuckDB replay of [[denseDaily]] — generate_series spine per group,
+    * same zero-fill.
+    */
+  def denseDailyOracle(table: String, groupCol: String, dateCol: String,
+                       valueSql: String): String =
+    denseDailyOracleBody(table, groupCol, dateCol, valueSql) + "\nORDER BY 1, 2"
 }

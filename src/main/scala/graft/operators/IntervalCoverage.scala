@@ -43,8 +43,11 @@ object IntervalCoverage {
       .withColumn("__inc",
         greatest(lit(0L), col("__t") - greatest(col("__f"),
           coalesce(col("__pmax"), col("__f")))))
+      // STRICT >: under [from, to) semantics an interval starting exactly
+      // at the running max end is contiguous — back-to-back sessions are
+      // one on-period, not two
       .withColumn("__new",
-        when(col("__pmax").isNull || col("__f") >= col("__pmax"), 1L).otherwise(0L))
+        when(col("__pmax").isNull || col("__f") > col("__pmax"), 1L).otherwise(0L))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_intervals"),
         sum(col("__new")).as("n_spans"),
@@ -65,7 +68,7 @@ w AS (SELECT k, f, t,
       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
   FROM r)
 SELECT k AS $keyCol, count(*) AS n_intervals,
-  CAST(sum(CASE WHEN pmax IS NULL OR f >= pmax THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+  CAST(sum(CASE WHEN pmax IS NULL OR f > pmax THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
   CAST(sum(greatest(0, t - greatest(f, coalesce(pmax, f)))) AS BIGINT) AS covered_us
 FROM w GROUP BY k ORDER BY k""".stripMargin
 }

@@ -18,7 +18,10 @@ import org.apache.spark.sql.types.LongType
   * `|n_b·cumA(v) − n_a·cumB(v)|` over n_a·n_b — no float CDFs, no
   * binning; `ks_scaled = ⌊ks·10⁶⌋` via one non-negative floor division
   * with DECIMAL(38,0) magnitudes (n_a·n_b can pass 2⁶³), hashable on any
-  * engine.
+  * engine. `ks_num` itself is emitted as BIGINT — it is bounded by
+  * n_a·n_b, so two multi-billion-row sides at high KS exceed the range
+  * and throw LOUDLY under ANSI (never wrap); `ks_scaled` (the statistic)
+  * is always safe — drop the ks_num column at that scale.
   *
   * Scale shape: both sides collapse to per-DISTINCT-value counts first
   * (partial-agg'd — a million duplicate measurements cost one row); the

@@ -86,12 +86,15 @@ class AudioMetaSpec extends SparkSpec {
   }
 
   test("mp3: reserved version/layer and free/bad bitrates reject") {
-    assert(parse("FFEB900000") === None) // version bits 01 (reserved)
-    assert(parse("FFFD900000") === None) // layer bits 10 (Layer II)
-    assert(parse("FFFB000000") === None) // bitrate index 0 (free)
-    assert(parse("FFFBF00000") === None) // bitrate index 15 (bad)
-    assert(parse("FFFB9C0000") === None) // sample-rate index 3 (reserved)
-    assert(parse("4944330300" + "0000000500") === None) // ID3 then nothing
+    // every payload padded past the 12-byte entry guard, so each
+    // assertion exercises the header-validation branch it names
+    val pad = "00" * 12
+    assert(parse("FFEB9000" + pad) === None) // version bits 01 (reserved)
+    assert(parse("FFFD9000" + pad) === None) // layer bits 10 (Layer II)
+    assert(parse("FFFB0000" + pad) === None) // bitrate index 0 (free)
+    assert(parse("FFFBF000" + pad) === None) // bitrate index 15 (bad)
+    assert(parse("FFFB9C00" + pad) === None) // sample-rate index 3 (reserved)
+    assert(parse("494433" + "0300" + "00" + "00000005" + "00") === None) // ID3 then nothing
   }
 
   test("garbage and truncation return null, never throw") {

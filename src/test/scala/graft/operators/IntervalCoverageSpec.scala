@@ -33,10 +33,10 @@ class IntervalCoverageSpec extends SparkSpec {
       (1L, ts("2024-01-01 00:10:00"), ts("2024-01-01 00:20:00"))
     ).toDF("k", "f", "t")
     val got = IntervalCoverage.coverage(df, "k", "f", "t").head()
-    // f == pmax starts a NEW merged span under the strict >= rule, but
-    // coverage is still exact: 20 minutes, no double count
+    // [0,10) + [10,20) are contiguous under half-open semantics: one
+    // merged on-period of 20 minutes
     assert(got.getLong(3) == 20L * 60 * 1000000L)
-    assert(got.getLong(2) == 2L)
+    assert(got.getLong(2) == 1L)
   }
 
   test("degenerate and NULL intervals carry no coverage") {
