@@ -4154,7 +4154,96 @@ ORDER BY doc_id""")),
         Some(graft.text.BudgetSelect.mixOracle(
           "SELECT doc_id, lang, n_chars, " +
             "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents",
-          "doc_id", "lang", "n_chars", MixWeights, totalBudget = 12000L))))
+          "doc_id", "lang", "n_chars", MixWeights, totalBudget = 12000L))),
+
+      // peak concurrency: +1/−1 sweep over the q_interval_coverage
+      // intervals — max simultaneous open orders per customer and the
+      // first instant the max is reached
+      RegisteredQuery(
+        "q_peak_concurrency",
+        (s, dir) => graft.operators.Concurrency.peak(
+            Tables.resolve(s, dir)("orders")
+              .withColumn("until",
+                expr("date_add(o_orderdate, CAST(o_orderkey % 20 AS INT) + 1)")),
+            "o_custkey", "o_orderdate", "until")
+          .orderBy("o_custkey"),
+        Some(graft.operators.Concurrency.oracleSql(
+          "(SELECT o_custkey, o_orderdate, CAST(o_orderdate AS DATE) + (CAST(o_orderkey % 20 AS INT) + 1) AS until FROM orders)",
+          "o_custkey", "o_orderdate", "until"))),
+
+      // grid-blocked spatial radius join over deterministic planar
+      // customer coordinates (quadratic/cubic residues mod a prime — a
+      // LINEAR congruential derivation puts every point on a 1-D torus
+      // lattice with no close pairs and a vacuous zero-row gate); the
+      // oracle is a BRUTE-FORCE pair scan, so hash equality proves the
+      // 3×3 cell blocking lossless (346 pairs at sf0.01)
+      RegisteredQuery(
+        "q_spatial_pairs",
+        (s, dir) => graft.operators.SpatialJoin.radiusPairs(
+            Tables.resolve(s, dir)("customer")
+              .withColumn("x", expr("(c_custkey * c_custkey * 31) % 10007"))
+              .withColumn("y", expr("(c_custkey * c_custkey * c_custkey) % 10007")),
+            "c_custkey", "x", "y", 100L)
+          .orderBy("id_a", "id_b"),
+        Some(graft.operators.SpatialJoin.oracleSql(
+          "(SELECT c_custkey, (c_custkey * c_custkey * 31) % 10007 AS x, (c_custkey * c_custkey * c_custkey) % 10007 AS y FROM customer)",
+          "c_custkey", "x", "y", 100L))),
+
+      // integer Flesch readability over the corpus with deterministic
+      // sentence terminators injected by plain (regex-free) replace —
+      // identical construction on both sides, the piiInjected discipline
+      RegisteredQuery(
+        "q_readability",
+        (s, dir) => graft.text.Readability.flesch(
+            Tables.resolve(s, dir)("documents").withColumn("text",
+              expr("replace(replace(text, ' value ', '. value '), ' fast ', '! fast ')")),
+            "doc_id", "text")
+          .orderBy("doc_id"),
+        Some(graft.text.Readability.oracleSql(
+          "(SELECT doc_id, replace(replace(text, ' value ', '. value '), ' fast ', '! fast ') AS text FROM documents)",
+          "doc_id", "text"))),
+
+      // golden-record survivorship: synthetic duplicate clusters
+      // (custkey % 500) with deterministically NULLed attributes; per-
+      // attribute election = (non-null, recency desc, id asc)
+      RegisteredQuery(
+        "q_golden_record",
+        (s, dir) => graft.operators.Survivorship.goldenRecords(
+            Tables.resolve(s, dir)("customer")
+              .withColumn("cluster", expr("c_custkey % 500"))
+              .withColumn("rec", expr("c_custkey % 11"))
+              .withColumn("c_name",
+                expr("CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_name END"))
+              .withColumn("c_mktsegment",
+                expr("CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END"))
+              .withColumn("c_acctbal",
+                expr("CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_acctbal END")),
+            "cluster", "c_custkey", "rec",
+            Seq("c_name", "c_mktsegment", "c_acctbal"))
+          .orderBy("cluster"),
+        Some(graft.operators.Survivorship.oracleSql(
+          """(SELECT c_custkey, c_custkey % 500 AS cluster, c_custkey % 11 AS rec,
+  CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_name END AS c_name,
+  CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment,
+  CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_acctbal END AS c_acctbal
+  FROM customer)""",
+          "cluster", "c_custkey", "rec",
+          Seq("c_name", "c_mktsegment", "c_acctbal")))),
+
+      // l-diversity + t-closeness over the k-anonymity cohorts: exact
+      // integer TVD (the categorical EMD) in basis points against the
+      // corpus-wide sensitive distribution
+      RegisteredQuery(
+        "q_l_diversity",
+        (s, dir) => graft.operators.Anonymity.diversityAudit(
+            Tables.resolve(s, dir)("documents")
+              .withColumn("sens",
+                expr("concat('c', CAST(n_chars % 5 AS STRING))")),
+            Seq("lang", "source"), "sens")
+          .orderBy("lang", "source"),
+        Some(graft.operators.Anonymity.diversityOracleSql(
+          "(SELECT lang, source, 'c' || CAST(n_chars % 5 AS VARCHAR) AS sens FROM documents)",
+          Seq("lang", "source"), "sens"))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over

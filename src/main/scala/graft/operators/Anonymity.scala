@@ -61,4 +61,91 @@ object Anonymity {
   SELECT *, count(*) OVER (PARTITION BY $g) AS __n FROM $table)
 WHERE __n >= $k ORDER BY $cols""".stripMargin
   }
+
+  /** l-diversity + t-closeness audit — the screens k-anonymity misses: a
+    * 50-member cohort whose every member shares one disease is perfectly
+    * k-anonymous and perfectly disclosive. Per quasi-identifier cohort:
+    * `l_distinct` = distinct sensitive values (Machanavajjhala 2007), and
+    * `tvd_bp` = total-variation distance between the cohort's sensitive
+    * distribution and the corpus-wide one in basis points — the
+    * categorical (uniform-ground-distance) instance of t-closeness's EMD
+    * (Li 2007), exact in integers:
+    * `⌊10⁴·Σ_v|c_gv·N − c_v·n_g| / (2·n_g·N)⌋` — the absent-value arm of
+    * the Σ collapses to `(N − Σ_present c_v)·n_g`, so only PRESENT
+    * (cohort, value) pairs ever materialize; no cohort × full-domain
+    * cross join. Magnitudes ride DECIMAL(38,0) (c_gv·N is corpus²-sized);
+    * only the BIGINT bp projection leaves.
+    *
+    * Shape: one partial-agg'd groupBy on (quasi, sensitive) — the ONLY
+    * corpus-sized pass — then value-count and cohort-count aggregates
+    * DERIVED from it (checkpointed once, the [[graft.text.VocabDrift]]
+    * posture), a value-keyed equi-join, and a 1-row grand total crossed
+    * in broadcast. A whale cohort collapses map-side.
+    *
+    * Contract: rows with NULL sensitive values drop first (a missing
+    * sensitive attribute discloses nothing and must not dilute the
+    * distance); NULL quasi values stay cohort-forming as in [[audit]].
+    */
+  def diversityAudit(df: DataFrame, quasiCols: Seq[String],
+                     sensitiveCol: String): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    val dec = "decimal(38,0)"
+    val gv = df.where(col(sensitiveCol).isNotNull)
+      .groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__cgv"))
+      .localCheckpoint(true)
+    val g = gv.groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("__cgv")).as("__ng"), count(lit(1)).as("l_distinct"))
+    val v = gv.groupBy(col(sensitiveCol))
+      .agg(sum(col("__cgv")).as("__cv"))
+    val total = v.agg(sum(col("__cv")).cast("long").as("__N"))
+    // null-safe cohort join: a NULL quasi value forms a cohort (the
+    // [[audit]] contract) and a plain equi-join would silently drop it
+    val gRen = quasiCols.foldLeft(g)((d, c) =>
+      d.withColumnRenamed(c, s"__g_$c"))
+    val joined = gv
+      .join(v, sensitiveCol)
+      .join(gRen, quasiCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _))
+      .crossJoin(broadcast(total))
+      .withColumn("__term",
+        abs(col("__cgv").cast(dec) * col("__N") -
+          col("__cv").cast(dec) * col("__ng")))
+    joined
+      .groupBy(quasiCols.map(col): _*)
+      .agg(
+        first(col("__ng")).as("n"),
+        first(col("l_distinct")).as("l_distinct"),
+        ((sum(col("__term")) +
+          (first(col("__N")).cast(dec) - sum(col("__cv").cast(dec))) *
+            first(col("__ng")))
+          * 10000 / (lit(2).cast(dec) * first(col("__ng")) * first(col("__N"))))
+          .cast("long").as("tvd_bp"))
+  }
+
+  /** DuckDB replay of [[diversityAudit]] — same present-pairs collapse,
+    * HUGEINT magnitudes, one floor division to basis points.
+    */
+  def diversityOracleSql(table: String, quasiCols: Seq[String],
+                         sensitiveCol: String): String = {
+    val q = quasiCols.mkString(", ")
+    val qg = quasiCols.map(c => s"gv.$c").mkString(", ")
+    s"""WITH base AS (SELECT * FROM $table WHERE $sensitiveCol IS NOT NULL),
+gv AS (SELECT $q, $sensitiveCol, CAST(count(*) AS HUGEINT) AS cgv
+  FROM base GROUP BY $q, $sensitiveCol),
+g AS (SELECT $q, CAST(sum(cgv) AS HUGEINT) AS ng,
+    CAST(count(*) AS BIGINT) AS l_distinct FROM gv GROUP BY $q),
+v AS (SELECT $sensitiveCol, CAST(sum(cgv) AS HUGEINT) AS cv
+  FROM gv GROUP BY $sensitiveCol),
+t AS (SELECT CAST(sum(cv) AS HUGEINT) AS N FROM v)
+SELECT $qg, CAST(g.ng AS BIGINT) AS n, g.l_distinct,
+  CAST((sum(abs(gv.cgv * t.N - v.cv * g.ng))
+      + (t.N - sum(v.cv)) * g.ng) * 10000
+    // (2 * g.ng * t.N) AS BIGINT) AS tvd_bp
+FROM gv
+JOIN v USING ($sensitiveCol)
+JOIN g ON ${quasiCols.map(c => s"gv.$c IS NOT DISTINCT FROM g.$c").mkString(" AND ")}
+CROSS JOIN t
+GROUP BY $qg, g.ng, g.l_distinct, t.N
+ORDER BY $qg""".stripMargin
+  }
 }
