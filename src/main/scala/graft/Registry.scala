@@ -4243,7 +4243,32 @@ ORDER BY doc_id""")),
           .orderBy("lang", "source"),
         Some(graft.operators.Anonymity.diversityOracleSql(
           "(SELECT lang, source, 'c' || CAST(n_chars % 5 AS VARCHAR) AS sens FROM documents)",
-          Seq("lang", "source"), "sens"))))
+          Seq("lang", "source"), "sens"))),
+
+      // seasonal-naive forecast backtest on the q_wow_deltas dense spine:
+      // MASE in basis points — does "same day last week" beat "yesterday"
+      RegisteredQuery(
+        "q_forecast_backtest",
+        (s, dir) => graft.operators.Backtest.seasonalNaive(
+            Tables.resolve(s, dir)("orders")
+              .withColumn("cents",
+                (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")),
+            "o_orderpriority", "o_orderdate", "cents", season = 7)
+          .orderBy("o_orderpriority"),
+        Some(graft.operators.Backtest.oracleSql(
+          "orders", "o_orderpriority", "o_orderdate",
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)", season = 7))),
+
+      // Markov next-event backtest: train the transition model before the
+      // cut, score top-1 successor accuracy on the post-cut stream
+      RegisteredQuery(
+        "q_markov_backtest",
+        (s, dir) => graft.llm.MarkovBacktest.backtest(
+            graft.llm.EventWindows.readEvents(s, s"$dir/events.parquet"),
+            "2024-01-22 00:00:00")
+          .orderBy("from_type"),
+        Some(graft.llm.MarkovBacktest.oracleSql(
+          "events", "2024-01-22 00:00:00"))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
