@@ -4268,7 +4268,37 @@ ORDER BY doc_id""")),
             "2024-01-22 00:00:00")
           .orderBy("from_type"),
         Some(graft.llm.MarkovBacktest.oracleSql(
-          "events", "2024-01-22 00:00:00"))))
+          "events", "2024-01-22 00:00:00"))),
+
+      // event debounce at a 12h cooldown (~20% of the stream collapses):
+      // kept burst leaders + the storm audit twin
+      RegisteredQuery(
+        "q_debounce",
+        (s, dir) => graft.llm.Debounce.debounced(
+            graft.llm.EventWindows.readEvents(s, s"$dir/events.parquet"),
+            43200000000L)
+          .orderBy("event_id"),
+        Some(graft.llm.Debounce.debouncedOracle("events", 43200000000L))),
+      RegisteredQuery(
+        "q_burst_stats",
+        (s, dir) => graft.llm.Debounce.burstStats(
+            graft.llm.EventWindows.readEvents(s, s"$dir/events.parquet"),
+            43200000000L)
+          .orderBy("user_id", "event_type", "first_us"),
+        Some(graft.llm.Debounce.burstStatsOracle("events", 43200000000L))),
+
+      // item-item squared-cosine neighbors over the q_cooccurrence
+      // baskets: exact 1e-8-unit similarity, no square root (719 pairs
+      // at sf0.01 over the 0.005 sim² cut)
+      RegisteredQuery(
+        "q_item_cosine",
+        (s, dir) => graft.operators.CoOccurrence.cosineNeighbors(
+            Tables.resolve(s, dir)("lineitem"), "l_orderkey", "l_partkey",
+            minCount = 2, minSim2E8 = 500000L, maxBasket = 100)
+          .orderBy("item_a", "item_b"),
+        Some(graft.operators.CoOccurrence.cosineOracle(
+          "lineitem", "l_orderkey", "l_partkey",
+          minCount = 2, minSim2E8 = 500000L, maxBasket = 100))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over

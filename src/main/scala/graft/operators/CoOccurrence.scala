@@ -28,6 +28,89 @@ object CoOccurrence {
   def pairs(df: DataFrame, basketCol: String, itemCol: String,
             minCount: Long, maxBasket: Int = 1000): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val qualified = qualifiedItems(df, basketCol, itemCol, maxBasket)
+    qualified.select(col("__b"), col("__i").as("__ia"))
+      .join(qualified.select(col("__b").as("__b2"), col("__i").as("__ib")),
+        col("__b") === col("__b2") && col("__ia") < col("__ib"))
+      .groupBy(col("__ia").as("item_a"), col("__ib").as("item_b"))
+      .agg(count(lit(1)).as("n_baskets"))
+      .where(col("n_baskets") >= minCount)
+  }
+
+  /** Item-item cosine similarity — the normalization step that turns raw
+    * co-occurrence into a recommender neighborhood: `sim(a,b) =
+    * n_ab / √(n_a·n_b)` (the binary-vector cosine), so a pair's count is
+    * judged against how common its items are — 50 co-baskets mean
+    * everything for two niche items and nothing for two bestsellers.
+    * Published EXACTLY as `sim2_e8 = ⌊10⁸·n_ab² / (n_a·n_b)⌋` — the
+    * SQUARED cosine in 1e−8 units: squaring is monotone on the
+    * non-negative cosine, so thresholding and ranking are preserved and
+    * no square root (float) ever enters the result. DECIMAL(38,0)
+    * magnitudes (n_ab² is corpus²-sized), BIGINT out (≤ 10⁸ by
+    * Cauchy–Schwarz).
+    *
+    * Supports `n_i` count QUALIFIED baskets only (same `maxBasket`
+    * exclusion as the pair counts — a mixed-universe cosine would exceed
+    * 1.0). Scale shape: [[pairs]]' posture plus two joins against the
+    * |items|-sized support table (broadcast-eligible, AQE-planned).
+    *
+    * `minSim2E8` prunes AFTER the exact arithmetic — correctness never
+    * depends on it; it is the knob that keeps "everything is weakly
+    * similar to everything" output bounded.
+    */
+  def cosineNeighbors(df: DataFrame, basketCol: String, itemCol: String,
+                      minCount: Long, minSim2E8: Long,
+                      maxBasket: Int = 1000): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(minSim2E8 >= 0 && minSim2E8 <= 100000000L,
+      s"minSim2E8 must be in [0, 1e8], got $minSim2E8")
+    val dec = "decimal(38,0)"
+    val qualified = qualifiedItems(df, basketCol, itemCol, maxBasket)
+      .localCheckpoint(true)
+    val support = qualified.groupBy(col("__i").as("__si"))
+      .agg(count(lit(1)).as("__n"))
+    val co = qualified.select(col("__b"), col("__i").as("__ia"))
+      .join(qualified.select(col("__b").as("__b2"), col("__i").as("__ib")),
+        col("__b") === col("__b2") && col("__ia") < col("__ib"))
+      .groupBy(col("__ia").as("item_a"), col("__ib").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minCount)
+    co
+      .join(support.select(col("__si").as("item_a"), col("__n").as("n_a")), "item_a")
+      .join(support.select(col("__si").as("item_b"), col("__n").as("n_b")), "item_b")
+      .withColumn("sim2_e8", expr(
+        s"CAST((CAST(n_ab AS $dec) * n_ab * 100000000) div " +
+          s"(CAST(n_a AS $dec) * n_b) AS BIGINT)"))
+      .where(col("sim2_e8") >= minSim2E8)
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
+        col("n_b"), col("sim2_e8"))
+  }
+
+  /** DuckDB replay of [[cosineNeighbors]]. */
+  def cosineOracle(table: String, basketCol: String, itemCol: String,
+                   minCount: Long, minSim2E8: Long,
+                   maxBasket: Int = 1000): String =
+    s"""WITH bi AS (SELECT DISTINCT $basketCol AS b, $itemCol AS i FROM $table
+  WHERE $basketCol IS NOT NULL AND $itemCol IS NOT NULL),
+q AS (SELECT b FROM bi GROUP BY b HAVING count(*) <= $maxBasket),
+qi AS (SELECT b, i FROM bi WHERE b IN (SELECT b FROM q)),
+s AS (SELECT i, CAST(count(*) AS BIGINT) AS n FROM qi GROUP BY i),
+co AS (SELECT a.i AS item_a, c.i AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM qi a JOIN qi c ON a.b = c.b AND a.i < c.i
+  GROUP BY 1, 2 HAVING count(*) >= $minCount)
+SELECT co.item_a, co.item_b, co.n_ab, sa.n AS n_a, sb.n AS n_b,
+  CAST((CAST(co.n_ab AS HUGEINT) * co.n_ab * 100000000)
+    // (CAST(sa.n AS HUGEINT) * sb.n) AS BIGINT) AS sim2_e8
+FROM co JOIN s sa ON co.item_a = sa.i JOIN s sb ON co.item_b = sb.i
+WHERE (CAST(co.n_ab AS HUGEINT) * co.n_ab * 100000000)
+    // (CAST(sa.n AS HUGEINT) * sb.n) >= $minSim2E8
+ORDER BY 1, 2""".stripMargin
+
+  /** Distinct (basket, item) pairs of qualifying (≤ `maxBasket`) baskets
+    * — the shared reduction under [[pairs]] and [[cosineNeighbors]].
+    */
+  private def qualifiedItems(df: DataFrame, basketCol: String,
+                             itemCol: String, maxBasket: Int): DataFrame = {
     require(maxBasket >= 2, s"maxBasket must be >= 2, got $maxBasket")
     val bi = df
       .where(col(basketCol).isNotNull && col(itemCol).isNotNull)
@@ -36,13 +119,7 @@ object CoOccurrence {
     val sizes = bi.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
       .where(col("__n") <= maxBasket)
       .select(col("__b").as("__qb"))
-    val qualified = bi.join(sizes, col("__b") === col("__qb"), "left_semi")
-    qualified.select(col("__b"), col("__i").as("__ia"))
-      .join(qualified.select(col("__b").as("__b2"), col("__i").as("__ib")),
-        col("__b") === col("__b2") && col("__ia") < col("__ib"))
-      .groupBy(col("__ia").as("item_a"), col("__ib").as("item_b"))
-      .agg(count(lit(1)).as("n_baskets"))
-      .where(col("n_baskets") >= minCount)
+    bi.join(sizes, col("__b") === col("__qb"), "left_semi")
   }
 
   /** The excluded whales: (basket, n_items) over `maxBasket` — audit

@@ -49,4 +49,34 @@ class CoOccurrenceSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("cosine: hand-checked squared-cosine units and threshold") {
+    // b1{x,y} b2{x,y} b3{x,z} b4{y}: n_x=3, n_y=3, n_z=1
+    val d = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "z"), (4L, "y")).toDF("b", "i")
+    val all = CoOccurrence.cosineNeighbors(d, "b", "i", minCount = 1,
+      minSim2E8 = 0).orderBy("item_a", "item_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // cos²(x,y) = 4/9 → 44444444; cos²(x,z) = 1/3 → 33333333
+    assert(all.toSeq == Seq(("x", "y", 2L, 3L, 3L, 44444444L),
+      ("x", "z", 1L, 3L, 1L, 33333333L)))
+    val cut = CoOccurrence.cosineNeighbors(d, "b", "i", 1, 40000000L)
+      .collect()
+    assert(cut.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("x", "y")))
+  }
+
+  test("cosine: supports count qualified baskets only (never exceeds 1.0)") {
+    // a whale basket {x,y,z} is excluded from pairs AND supports — a
+    // mixed universe would let sim² exceed 1e8
+    val d = Seq((1L, "x"), (1L, "y"), (9L, "x"), (9L, "y"), (9L, "z"))
+      .toDF("b", "i")
+    val got = CoOccurrence.cosineNeighbors(d, "b", "i", 1, 0, maxBasket = 2)
+      .collect()
+    assert(got.length == 1)
+    // only b1 qualifies: n_x = n_y = 1, co = 1 → sim² = 1e8 exactly
+    assert((got(0).getLong(2), got(0).getLong(3), got(0).getLong(4),
+      got(0).getLong(5)) == ((1L, 1L, 1L, 100000000L)))
+  }
 }
