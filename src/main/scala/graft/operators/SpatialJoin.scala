@@ -80,6 +80,74 @@ object SpatialJoin {
       .select(col("id_a"), col("id_b"), (dx * dx + dy * dy).as("dist2"))
   }
 
+  /** Bounded nearest neighbor: for each point, the closest OTHER point
+    * within distance `r` — (id, nn_id, dist2), ties on distance broken
+    * by the lowest neighbor id (deterministic). Points with no neighbor
+    * inside `r` are ABSENT: the radius bounds the search by design (the
+    * blocking guarantee needs it); an unbounded all-NN is a rerun at a
+    * larger radius, not a silent full scan.
+    *
+    * Same grid shape as [[radiusPairs]] (un-ordered candidates this
+    * time, self excluded); the election is one partial-agg'd
+    * `min(struct(dist2, nn_id))` per point — a dense cell collapses
+    * map-side.
+    */
+  def nearestNeighbor(df: DataFrame, idCol: String, xCol: String,
+                      yCol: String, r: Long): DataFrame = {
+    require(r >= 1, s"radius must be at least 1, got $r")
+    val integral = Set("integer", "bigint", "smallint", "tinyint")
+    val idType = df.schema(idCol).dataType.simpleString
+    require(integral(idType),
+      s"idCol '$idCol' must be integral for deterministic ties, got $idType")
+    val pts = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("__id"),
+        col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+    val left = pts.select(col("__id").as("id"), col("__x").as("__xa"),
+      col("__y").as("__ya"),
+      cell(col("__x"), r).cast("long").as("__cx"),
+      cell(col("__y"), r).cast("long").as("__cy"))
+    val offs = Seq(-1L, 0L, 1L)
+    val right = pts
+      .withColumn("__ox", explode(array(offs.map(lit): _*)))
+      .withColumn("__oy", explode(array(offs.map(lit): _*)))
+      .select(col("__id").as("__nb"), col("__x").as("__xb"),
+        col("__y").as("__yb"),
+        (cell(col("__x"), r).cast("long") + col("__ox")).as("__cx"),
+        (cell(col("__y"), r).cast("long") + col("__oy")).as("__cy"))
+    val dx = col("__xa") - col("__xb")
+    val dy = col("__ya") - col("__yb")
+    left.join(right, Seq("__cx", "__cy"))
+      .where(col("id") =!= col("__nb") &&
+        dx * dx + dy * dy <= lit(r) * lit(r))
+      .select(col("id"), (dx * dx + dy * dy).as("__d2"), col("__nb"))
+      .groupBy(col("id"))
+      .agg(min(struct(col("__d2"), col("__nb"))).as("__best"))
+      .select(col("id"), col("__best.__nb").as("nn_id"),
+        col("__best.__d2").as("dist2"))
+  }
+
+  /** DuckDB replay of [[nearestNeighbor]] — brute-force rank-1 election
+    * with the same tie rule; hash equality proves the bounded-radius
+    * blocking finds the true nearest.
+    */
+  def nearestOracleSql(table: String, idCol: String, xCol: String,
+                       yCol: String, r: Long): String =
+    s"""WITH p AS (
+  SELECT CAST($idCol AS BIGINT) AS id, CAST($xCol AS BIGINT) AS x,
+    CAST($yCol AS BIGINT) AS y
+  FROM $table
+  WHERE $xCol IS NOT NULL AND $yCol IS NOT NULL AND $idCol IS NOT NULL),
+c AS (
+  SELECT a.id, b.id AS nn_id,
+    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+  FROM p a JOIN p b ON a.id <> b.id
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= ${r * r})
+SELECT id, nn_id, CAST(d2 AS BIGINT) AS dist2 FROM (
+  SELECT id, nn_id, d2,
+    row_number() OVER (PARTITION BY id ORDER BY d2, nn_id) AS rn
+  FROM c) WHERE rn = 1 ORDER BY id""".stripMargin
+
   /** DuckDB replay of [[radiusPairs]] — a brute-force O(n²) pair scan
     * with the same exact distance predicate. Deliberately a DIFFERENT
     * construction: hash-equality against it proves the grid blocking is

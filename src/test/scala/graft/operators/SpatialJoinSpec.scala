@@ -59,6 +59,41 @@ class SpatialJoinSpec extends SparkSpec {
     assert(want.nonEmpty)
   }
 
+  test("nearest neighbor: mutual pair, out-of-radius absence, lowest-id tie") {
+    val df = Seq((1L, 0L, 0L), (2L, 3L, 4L), (3L, 100L, 100L))
+      .toDF("id", "x", "y")
+    val got = SpatialJoin.nearestNeighbor(df, "id", "x", "y", 5L)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 3 has no neighbor within r → absent, not fabricated
+    assert(got.toSeq == Seq((1L, 2L, 25L), (2L, 1L, 25L)))
+    val tie = Seq((1L, 0L, 0L), (2L, 2L, 0L), (3L, 4L, 0L))
+      .toDF("id", "x", "y")
+    val t = SpatialJoin.nearestNeighbor(tie, "id", "x", "y", 5L)
+      .orderBy("id").collect()
+    // 2 is equidistant from 1 and 3 → lowest id wins
+    assert((t(1).getLong(0), t(1).getLong(1)) == ((2L, 1L)))
+  }
+
+  test("nearest neighbor matches brute force on a random cloud") {
+    val pts = (1L to 150L).map { i =>
+      (i, (i * i * 7) % 401 - 200, (i * i * i) % 401 - 200)
+    }
+    val got = SpatialJoin.nearestNeighbor(pts.toDF("id", "x", "y"),
+        "id", "x", "y", 60L)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = pts.flatMap { case (a, xa, ya) =>
+      val cands = pts.collect { case (b, xb, yb) if b != a =>
+        ((xa - xb) * (xa - xb) + (ya - yb) * (ya - yb), b)
+      }.filter(_._1 <= 3600L)
+      if (cands.isEmpty) None
+      else { val m = cands.min; Some((a, m._2, m._1)) }
+    }.sortBy(_._1)
+    assert(got.toSeq == want)
+    assert(want.nonEmpty)
+  }
+
   test("NULL coordinates drop; non-integral id refuses loudly") {
     val df = Seq((1L, Some(0L), Some(0L)), (2L, None, Some(1L)),
       (3L, Some(1L), None), (4L, Some(3L), Some(0L)))
