@@ -247,6 +247,14 @@ FROM $table d LEFT JOIN k ON d.$idCol = k.$idCol ORDER BY d.$idCol""".stripMargi
     * only for non-numeric score/id or non-orderable payload columns.
     * (Numeric-id edge: `−id` overflows ANSI on Long.MinValue — re-key
     * before ranking if ids can sit at the very bottom of the long range.)
+    *
+    * CONTRACT: `idCol` must uniquely identify rows (it is the total
+    * tiebreak). If two rows share (score, id) within a fingerprint group,
+    * the fast path's struct comparison falls through to the payload
+    * columns while the window fallback and [[keepBestOracle]] leave the
+    * winner engine-arbitrary — duplicate-id inputs can therefore differ
+    * between the two paths (and flake a cross-engine gate). Re-key with a
+    * genuinely unique id before calling if yours can repeat.
     */
   def dedupKeepBest(df0: DataFrame, textCol: String, idCol: String, score: Column): DataFrame = {
     val df = df0.where(col(idCol).isNotNull)

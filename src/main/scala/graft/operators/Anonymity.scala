@@ -113,13 +113,22 @@ WHERE __n >= $k ORDER BY $cols""".stripMargin
     joined
       .groupBy(quasiCols.map(col): _*)
       .agg(
-        first(col("__ng")).as("n"),
+        first(col("__ng")).as("__ngf"),
         first(col("l_distinct")).as("l_distinct"),
         ((sum(col("__term")) +
           (first(col("__N")).cast(dec) - sum(col("__cv").cast(dec))) *
             first(col("__ng")))
-          * 10000 / (lit(2).cast(dec) * first(col("__ng")) * first(col("__N"))))
-          .cast("long").as("tvd_bp"))
+          * 10000).as("__num"),
+        first(col("__N")).as("__Nf"))
+      .select(
+        quasiCols.map(col) ++ Seq(
+          col("__ngf").as("n"),
+          col("l_distinct"),
+          // truncating integral div on the non-negative DECIMAL(38,0)
+          // magnitude — matches the oracle's HUGEINT floor `//` exactly
+          // (decimal `/` would round HALF_UP at scale 6 before the cast)
+          expr("CAST(__num div (CAST(2 AS DECIMAL(38,0)) * __ngf * __Nf) " +
+            "AS BIGINT)").as("tvd_bp")): _*)
   }
 
   /** DuckDB replay of [[diversityAudit]] — same present-pairs collapse,

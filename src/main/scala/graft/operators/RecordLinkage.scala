@@ -64,12 +64,15 @@ object RecordLinkage {
     }.reduce(_ + _)
     // whale-block salting (opt-in): any salt value in [0, buckets) is
     // correct — each a row meets each matching b row exactly once, via
-    // the b replica carrying that a row's salt — so rand() affects only
-    // which shuffle task a pair lands on, never the pair set
+    // the b replica carrying that a row's salt — so the salt affects only
+    // which shuffle task a pair lands on, never the pair set. The salt is
+    // content-derived (hash of the a key), not rand(): deterministic
+    // under AQE re-sharding and stage retries, the repo's no-RNG law
     val (alS, blS, cond) =
       if (saltBuckets == 1) (al, bl, blockCond)
       else (
-        al.withColumn("__salt_a", (rand(42L) * saltBuckets).cast("int")),
+        al.withColumn("__salt_a",
+          pmod(xxhash64(col(s"__a_$aKey")), lit(saltBuckets)).cast("int")),
         bl.withColumn("__salt_b", explode(sequence(lit(0), lit(saltBuckets - 1)))),
         blockCond && col("__salt_a") === col("__salt_b"))
     alS.join(blS, cond)

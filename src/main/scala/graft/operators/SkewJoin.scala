@@ -30,9 +30,13 @@ object SkewJoin {
     require(Seq("inner", "left", "left_outer").contains(joinType),
       s"unsupported salted join type $joinType")
     val salt = "__salt"
-    // rand(seed) is deterministic per partition layout; any distribution
-    // works for correctness — uniformity only affects balance
-    val bigSalted = big.withColumn(salt, (rand(42L) * buckets).cast(IntegerType))
+    // content-derived salt (hash of the full row): any distribution works
+    // for correctness — uniformity only affects balance — but a hash is
+    // deterministic under AQE re-sharding and stage retries where
+    // rand(seed) is partition-layout-dependent. Rows that are fully
+    // identical share a bucket; a whale key's DISTINCT rows still fan out
+    val bigSalted = big.withColumn(salt,
+      pmod(xxhash64(big.columns.map(col): _*), lit(buckets)).cast(IntegerType))
     val smallExploded = small.withColumn(salt, explode(sequence(lit(0), lit(buckets - 1))))
     val cond: Column =
       bigSalted(bigKey) === smallExploded(smallKey) && bigSalted(salt) === smallExploded(salt)

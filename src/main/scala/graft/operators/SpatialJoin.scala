@@ -22,8 +22,8 @@ import org.apache.spark.sql.functions._
   * the cell id then the exact integer distance filter. Each candidate
   * pair meets EXACTLY once (the offset mapping right's cell onto left's
   * is unique), so no distinct pass is needed. Cell ids floor-divide via
-  * `(x − pmod(x, r)) / r` — exact for negative coordinates too, and
-  * DuckDB's integer `//` floors identically.
+  * `(x − pmod(x, r)) div r` — exact BIGINT for negative coordinates and
+  * for |x| beyond 2^53 too, and DuckDB's integer `//` floors identically.
   *
   * Scale shape: blocking is a plain equi-join on `(cx, cy)` — shuffled
   * by cell, broadcast when one side is small, AQE-planned. A degenerate
@@ -40,8 +40,12 @@ import org.apache.spark.sql.functions._
   */
 object SpatialJoin {
 
+  // floor division via (c − pmod(c, r)) div r — the numerator is exactly
+  // divisible, and IntegralDivide keeps the arithmetic in BIGINT
+  // end-to-end (Spark's `/` on longs is DOUBLE division: beyond ~2^53 the
+  // quotient can land in the wrong cell and silently miss near pairs)
   private def cell(c: org.apache.spark.sql.Column, r: Long) =
-    (c - pmod(c, lit(r))) / r
+    call_function("div", c - pmod(c, lit(r)), lit(r))
 
   /** Self-join: (id_a, id_b, dist2) for every unordered pair of rows
     * within Euclidean distance `r` (id_a < id_b). `idCol` must be
