@@ -4298,7 +4298,61 @@ ORDER BY doc_id""")),
           .orderBy("item_a", "item_b"),
         Some(graft.operators.CoOccurrence.cosineOracle(
           "lineitem", "l_orderkey", "l_partkey",
-          minCount = 2, minSim2E8 = 500000L, maxBasket = 100))))
+          minCount = 2, minSim2E8 = 500000L, maxBasket = 100))),
+
+      // cohort LTV curves over orders: integer month indices, ages
+      // densified to the shared corpus horizon, truncating per-member
+      // division — cents fixed from the decimal price identically on
+      // both sides
+      RegisteredQuery(
+        "q_cohort_ltv",
+        (s, dir) => graft.operators.CohortLtv.curves(
+            Tables.resolve(s, dir)("orders")
+              .withColumn("cents",
+                (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")),
+            "o_custkey", "o_orderdate", "cents")
+          .orderBy("cohort_month", "age_months"),
+        Some(graft.operators.CohortLtv.oracleSql(
+          "orders", "o_custkey", "o_orderdate",
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))),
+
+      // TRUE k-core (fixpoint peel) of the sparse co-purchase graph
+      // (quantity >= 45 keeps ~1.7k edges at sf0.01): converges in 5
+      // sweeps there; the oracle unrolls 8 — a fixpoint is stable, so
+      // extra unrolled rounds are identity
+      RegisteredQuery(
+        "q_kcore",
+        (s, dir) => {
+          val li = Tables.resolve(s, dir)("lineitem")
+            .where(col("l_quantity") >= 45)
+            .select(col("l_orderkey"), col("l_partkey"))
+          val edges = li.as("a").join(li.as("b"),
+              col("a.l_orderkey") === col("b.l_orderkey") &&
+                col("a.l_partkey") < col("b.l_partkey"))
+            .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+          graft.operators.KCore.peelToFixpoint(edges, "src", "dst", k = 3)
+            .orderBy("vertex")
+        },
+        Some(graft.operators.KCore.oracleSql(
+          """SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_quantity >= 45 AND b.l_quantity >= 45""", k = 3, rounds = 8))),
+
+      // bounded nearest neighbor over the q_spatial_pairs scattered
+      // points at r=200: grid-blocked rank-1 election vs the brute-force
+      // oracle — hash equality proves the blocking finds the true nearest
+      RegisteredQuery(
+        "q_nearest_neighbor",
+        (s, dir) => graft.operators.SpatialJoin.nearestNeighbor(
+            Tables.resolve(s, dir)("customer")
+              .withColumn("x", expr("(c_custkey * c_custkey * 31) % 10007"))
+              .withColumn("y", expr("(c_custkey * c_custkey * c_custkey) % 10007")),
+            "c_custkey", "x", "y", 200L)
+          .orderBy("id"),
+        Some(graft.operators.SpatialJoin.nearestOracleSql(
+          "(SELECT c_custkey, (c_custkey * c_custkey * 31) % 10007 AS x, (c_custkey * c_custkey * c_custkey) % 10007 AS y FROM customer)",
+          "c_custkey", "x", "y", 200L))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over

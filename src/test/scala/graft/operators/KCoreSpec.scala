@@ -49,4 +49,30 @@ class KCoreSpec extends SparkSpec {
       .orderBy("vertex").collect().toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("peelToFixpoint equals bounded peel at sufficient rounds") {
+    // a path welded to a triangle: the path layers peel off one per
+    // round (the worst-case cascade), the triangle survives as the 2-core
+    val edges = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)) ++
+      Seq((6L, 7L), (7L, 8L), (6L, 8L))).toDF("src", "dst")
+    val fix = KCore.peelToFixpoint(edges, "src", "dst", k = 2)
+      .orderBy("vertex").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bounded = KCore.peel(edges, "src", "dst", k = 2, rounds = 10)
+      .orderBy("vertex").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fix.toSeq == Seq((6L, 2L), (7L, 2L), (8L, 2L)))
+    assert(fix.toSeq == bounded.toSeq)
+    // every survivor honors the shipped guarantee: degree >= k
+    assert(fix.forall(_._2 >= 2L))
+  }
+
+  test("peelToFixpoint empties a coreless graph and throws past maxRounds") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    assert(KCore.peelToFixpoint(path, "src", "dst", k = 2).count() == 0L)
+    // 6-path needs 3 shrinking sweeps to empty; a 1-round cap must refuse
+    // to return the still-shrinking superset
+    intercept[IllegalStateException] {
+      KCore.peelToFixpoint(path, "src", "dst", k = 2, maxRounds = 1)
+    }
+  }
 }
