@@ -4352,7 +4352,93 @@ ORDER BY doc_id""")),
           .orderBy("id"),
         Some(graft.operators.SpatialJoin.nearestOracleSql(
           "(SELECT c_custkey, (c_custkey * c_custkey * 31) % 10007 AS x, (c_custkey * c_custkey * c_custkey) % 10007 AS y FROM customer)",
-          "c_custkey", "x", "y", 200L))))
+          "c_custkey", "x", "y", 200L))),
+
+      // streaming dimension enrichment, driver-faced: three IN-ORDER
+      // date-range micro-batches (the Scd2 strict fold contract) each
+      // fold the dimension then enrich that range's facts against the
+      // store AS OF the fold — enriched lake ≡ one-shot temporal join
+      // (valid_from is fold-stable; interim valid_to never escapes the
+      // select)
+      RegisteredQuery(
+        "q_dim_enrich",
+        (s, dir) => {
+          val store = "/tmp/graft_dim_enrich_store"
+          val out = "/tmp/graft_dim_enrich_out"
+          val sp = new org.apache.hadoop.fs.Path(store)
+          val fs = sp.getFileSystem(s.sparkContext.hadoopConfiguration)
+          import graft.sources.AtomicStore
+          (Seq(sp, AtomicStore.tmpPath(sp), AtomicStore.stashPath(sp),
+            new org.apache.hadoop.fs.Path(out))).foreach(fs.delete(_, true))
+          val o = Tables.resolve(s, dir)("orders")
+          val c0 = lit("1994-01-01").cast("timestamp")
+          val c1 = lit("1996-01-01").cast("timestamp")
+          val ranges = Seq(
+            col("o_orderdate") < c0,
+            col("o_orderdate") >= c0 && col("o_orderdate") < c1,
+            col("o_orderdate") >= c1)
+          ranges.foreach { r =>
+            val chunk = o.where(r)
+            graft.operators.Scd2.update(s, store,
+              chunk.select(col("o_custkey").as("k"),
+                col("o_orderstatus").as("status"),
+                col("o_orderdate").as("eff"), col("o_orderkey").as("seq")),
+              "k", Seq("status"), "eff", "seq")
+            graft.streaming.DimEnrich.enrichBatch(
+              chunk.select(col("o_orderkey"), col("o_custkey").as("k"),
+                col("o_orderdate").as("ft")),
+              store, "k", "ft", out)
+          }
+          s.read.parquet(out)
+            .select("o_orderkey", "k", "status", "valid_from")
+            .orderBy("o_orderkey")
+        },
+        Some(s"""WITH dim AS (${graft.operators.Scd2.buildOracleBody("orders", "o_custkey",
+            Seq(("o_orderstatus", "status")), "o_orderdate", "o_orderkey")})
+SELECT o.o_orderkey, o.o_custkey AS k, d.status, d.valid_from
+FROM orders o JOIN dim d ON o.o_custkey = d.k
+  AND o.o_orderdate >= d.valid_from
+  AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+ORDER BY o.o_orderkey""")),
+
+      // streaming quantile ingest, driver-faced: four micro-batches
+      // through QuantileStore.update (the foreachBatch body of `start`)
+      // at a SMALL k over fine (lang, source) groups — the persisted-k
+      // path at a different operating point than q_quantile_store; the
+      // per-group count stays inside the exact regime (< 2k) at both SFs
+      RegisteredQuery(
+        "q_quantile_ingest",
+        (s, dir) => {
+          val docs = Tables.resolve(s, dir)("documents")
+          val maxPerGroup = {
+            val row = docs.groupBy("lang", "source")
+              .agg(count(lit(1)).as("n")).agg(max(col("n"))).head
+            if (row.isNullAt(0)) 0L else row.getLong(0)
+          }
+          require(maxPerGroup < 512,
+            s"q_quantile_ingest exact-regime precondition broken: a (lang, " +
+              s"source) group has $maxPerGroup docs >= 2k=512 — raise k")
+          val store = "/tmp/graft_quantile_ingest"
+          val p = new org.apache.hadoop.fs.Path(store)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          Seq(p, graft.sources.AtomicStore.tmpPath(p),
+            graft.sources.AtomicStore.stashPath(p)).foreach(fs.delete(_, true))
+          (0 until 4).foreach { b =>
+            graft.operators.QuantileStore.update(s, store,
+              docs.where(pmod(col("doc_id"), lit(4)) === b),
+              Seq("lang", "source"), col("n_chars"), k = 256)
+          }
+          graft.operators.QuantileStore.quantiles(
+              graft.operators.QuantileStore.read(s, store),
+              Seq("lang", "source"), k = 256,
+              qs = Seq((1L, 4L), (3L, 4L)),
+              names = Seq("p25_chars", "p75_chars"))
+            .orderBy("lang", "source")
+        },
+        Some("""SELECT lang, source,
+quantile_disc(n_chars, 0.25) AS p25_chars,
+quantile_disc(n_chars, 0.75) AS p75_chars
+FROM documents GROUP BY lang, source ORDER BY lang, source""")))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
