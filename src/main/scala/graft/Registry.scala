@@ -4438,7 +4438,25 @@ ORDER BY o.o_orderkey""")),
         Some("""SELECT lang, source,
 quantile_disc(n_chars, 0.25) AS p25_chars,
 quantile_disc(n_chars, 0.75) AS p75_chars
-FROM documents GROUP BY lang, source ORDER BY lang, source""")))
+FROM documents GROUP BY lang, source ORDER BY lang, source""")),
+
+      // ANN recall, driver-visible end-to-end: deterministic integer IVF
+      // (centroid codes = int8 of fixed corpus vectors) — the Spark side
+      // intersects the real partial-probe result with brute-force top-k;
+      // the oracle replays via the containment identity (a true neighbor
+      // is recalled iff its list is probed)
+      RegisteredQuery(
+        "q_ann_recall",
+        (s, dir) => graft.llm.AnnRecall.int8IvfRecall(
+            Tables.resolve(s, dir)("embeddings"),
+            Tables.resolve(s, dir)("embeddings").where(col("vec_id") < 8),
+            Seq(5L, 61L, 117L, 173L, 229L, 285L, 341L, 397L),
+            k = 5, nProbe = 2)
+          .orderBy("query_id"),
+        Some(graft.llm.AnnRecall.oracleSql(
+          "embeddings", "vec_id", "embedding", "vec_id < 8",
+          Seq(5L, 61L, 117L, 173L, 229L, 285L, 341L, 397L),
+          k = 5, nProbe = 2, dim = 64))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over

@@ -158,7 +158,7 @@ FROM sa FULL OUTER JOIN sb ON sa.dim = sb.dim ORDER BY dim""".stripMargin
 
   // ------------------------------------------------- DuckDB oracle SQL ----
 
-  private def quantSql(v: String, m: String): String =
+  private[llm] def quantSql(v: String, m: String): String =
     s"CASE WHEN $m = 0 THEN list_transform($v, x -> 0) " +
       s"ELSE list_transform($v, x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / $m) + 0.5) AS INTEGER)) END"
 
