@@ -3813,15 +3813,18 @@ FROM documents ORDER BY doc_id""")),
           "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)", "o_orderkey"))),
 
       // weighted median: what the typical UNIT experienced — mass collapse
-      // to distinct values, first cumulative-weight crossing
+      // to distinct values, first cumulative-weight crossing, cumulative
+      // axis decomposed two-level (near-unique cents domain would
+      // otherwise ride one task per group; the decomposition is
+      // algebraically the plain running sum, same oracle)
       RegisteredQuery(
         "q_weighted_median",
-        (s, dir) => graft.operators.WeightedStats.weightedMedian(
+        (s, dir) => graft.operators.WeightedStats.weightedMedianBucketed(
             Tables.resolve(s, dir)("lineitem")
               .withColumn("cents",
                 (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
               .withColumn("qty", col("l_quantity").cast("long")),
-            "l_returnflag", "cents", "qty")
+            "l_returnflag", "cents", "qty", bucketWidth = 100000L)
           .orderBy("l_returnflag"),
         Some(graft.operators.WeightedStats.oracleSql(
           "lineitem", "l_returnflag",

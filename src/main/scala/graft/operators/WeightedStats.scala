@@ -49,8 +49,65 @@ object WeightedStats {
         min(col("__v")).as("weighted_median"))
   }
 
-  /** DuckDB replay of [[weightedMedian]] — same mass collapse, same
-    * first-crossing rule.
+  /** [[weightedMedian]] with the cumulative axis decomposed two-level
+    * (the [[graft.text.Packing]] prefix-sum posture): the plain form's
+    * per-group cumulative window is value-cardinality-sized, which IS
+    * row-sized on one task when the value domain is near-unique (a group
+    * with 10⁹ distinct values inherits the rank posture's single-task
+    * wall-clock). Here values bucket by `value div bucketWidth` (integral
+    * div is monotone, so (bucket, value) order ≡ value order): level 1
+    * cumsums WITHIN each (group, bucket) — parallel across buckets —
+    * and level 2 prefix-sums the per-bucket totals (occupied-buckets-
+    * sized, partial-agg'd before the window). `cw = bucket_offset +
+    * within_cum` is algebraically the plain running sum, so the result
+    * is bucketWidth-independent (spec-pinned) and the same oracle gates
+    * both forms. Group joins are null-safe — a NULL group is a real
+    * stratum, as in the plain form's groupBy.
+    *
+    * Residual: a single VALUE-RANGE hot spot (most distinct values in
+    * one bucket) re-concentrates level 1 — pick bucketWidth ≈
+    * domain-span / √cardinality when the domain is known.
+    */
+  def weightedMedianBucketed(df: DataFrame, groupCol: String,
+                             valueCol: String, weightCol: String,
+                             bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be positive, got $bucketWidth")
+    Seq(valueCol, weightCol).foreach(c =>
+      graft.Guards.requireIntegral(df, c, "weightedMedianBucketed"))
+    val mass = df
+      .where(col(valueCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) > 0)
+      .groupBy(col(groupCol), col(valueCol).cast(LongType).as("__v"))
+      .agg(sum(col(weightCol).cast("decimal(38,0)")).as("__w"))
+      .withColumn("__b", call_function("div", col("__v"), lit(bucketWidth)))
+      .localCheckpoint(true)
+    val within = Window.partitionBy(col(groupCol), col("__b"))
+      .orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bucketTotals = mass.groupBy(col(groupCol), col("__b"))
+      .agg(sum(col("__w")).as("__bt"))
+    val bOrd = Window.partitionBy(col(groupCol)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bucketTotals
+      .withColumn("__boff",
+        coalesce(sum(col("__bt")).over(bOrd), lit(0).cast("decimal(38,0)")))
+      .select(col(groupCol).as("__g2"), col("__b").as("__b2"), col("__boff"))
+    val grpTot = bucketTotals.groupBy(col(groupCol))
+      .agg(sum(col("__bt")).as("__tw"))
+      .select(col(groupCol).as("__g3"), col("__tw"))
+    mass
+      .withColumn("__cwb", sum(col("__w")).over(within))
+      .join(offs, col(groupCol) <=> col("__g2") && col("__b") === col("__b2"))
+      .join(broadcast(grpTot), col(groupCol) <=> col("__g3"))
+      .where((col("__boff") + col("__cwb")) * 2 >= col("__tw"))
+      .groupBy(col(groupCol))
+      .agg(max(col("__tw")).cast(LongType).as("total_weight"),
+        min(col("__v")).as("weighted_median"))
+  }
+
+  /** DuckDB replay of [[weightedMedian]] / [[weightedMedianBucketed]] —
+    * same mass collapse, same first-crossing rule (the decomposition is
+    * algebraically the plain running sum, so ONE oracle gates both).
     */
   def oracleSql(table: String, groupCol: String, valueSql: String,
                 weightSql: String): String =

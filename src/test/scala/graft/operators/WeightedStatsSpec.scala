@@ -35,6 +35,28 @@ class WeightedStatsSpec extends SparkSpec {
       .head().getLong(2) == 5L)
   }
 
+  test("bucketed decomposition is bucketWidth-independent and matches plain") {
+    // negative values straddle bucket boundaries under truncating div;
+    // duplicate masses, two groups, a NULL group stratum
+    val df = Seq(
+      (Some("a"), -7L, 3L), (Some("a"), -2L, 1L), (Some("a"), 0L, 2L),
+      (Some("a"), 5L, 1L), (Some("a"), 5L, 2L), (Some("a"), 9L, 3L),
+      (Some("b"), 100L, 1L), (Some("b"), 101L, 1L), (Some("b"), 102L, 1L),
+      (None, 4L, 2L), (None, 6L, 1L))
+      .toDF("grp", "v", "w")
+    val plain = WeightedStats.weightedMedian(df, "grp", "v", "w")
+      .orderBy("grp").collect().toSeq
+    for (width <- Seq(1L, 3L, 4L, 1000000L)) {
+      val bucketed = WeightedStats
+        .weightedMedianBucketed(df, "grp", "v", "w", width)
+        .orderBy("grp").collect().toSeq
+      assert(bucketed == plain, s"bucketWidth=$width diverged")
+    }
+    // hand-check one: group a has W=12, masses -7:3, -2:1, 0:2, 5:3, 9:3
+    // → cw(-7)=3, cw(-2)=4, cw(0)=6, 2·6 >= 12 → median 0
+    assert(plain.find(_.getString(0) == "a").get.getLong(2) == 0L)
+  }
+
   test("NULL and non-positive weights carry no mass; float rejected") {
     val df = Seq(("g", 1L, Some(0L)), ("g", 2L, Some(-5L)), ("g", 3L, None),
       ("g", 7L, Some(1L))).toDF("grp", "v", "w")
