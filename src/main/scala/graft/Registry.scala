@@ -4374,8 +4374,8 @@ ORDER BY doc_id""")),
           (Seq(sp, AtomicStore.tmpPath(sp), AtomicStore.stashPath(sp),
             new org.apache.hadoop.fs.Path(out))).foreach(fs.delete(_, true))
           val o = Tables.resolve(s, dir)("orders")
-          val c0 = lit("1994-01-01").cast("timestamp")
-          val c1 = lit("1996-01-01").cast("timestamp")
+          val c0 = lit("1997-01-01").cast("timestamp")
+          val c1 = lit("1999-01-01").cast("timestamp")
           val ranges = Seq(
             col("o_orderdate") < c0,
             col("o_orderdate") >= c0 && col("o_orderdate") < c1,
@@ -4459,7 +4459,86 @@ FROM documents GROUP BY lang, source ORDER BY lang, source""")),
         Some(graft.llm.AnnRecall.oracleSql(
           "embeddings", "vec_id", "embedding", "vec_id < 8",
           Seq(5L, 61L, 117L, 173L, 229L, 285L, 341L, 397L),
-          k = 5, nProbe = 2, dim = 64))))
+          k = 5, nProbe = 2, dim = 64))),
+
+      // multi-source bounded-hop BFS over the sparse co-purchase graph:
+      // blast radius of the %97 seed parts within 3 hops (layer sizes
+      // 21/28/68/123 at sf0.01); unrolled MATERIALIZED-CTE oracle
+      RegisteredQuery(
+        "q_bfs_hops",
+        (s, dir) => {
+          val li = Tables.resolve(s, dir)("lineitem")
+            .where(col("l_quantity") >= 45)
+            .select(col("l_orderkey"), col("l_partkey"))
+          val edges = li.as("a").join(li.as("b"),
+              col("a.l_orderkey") === col("b.l_orderkey") &&
+                col("a.l_partkey") < col("b.l_partkey"))
+            .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+          val seeds = Tables.resolve(s, dir)("part")
+            .where(expr("p_partkey % 97 = 0"))
+            .select(col("p_partkey").as("seed"))
+          graft.operators.BfsHops.distances(edges, "src", "dst",
+              seeds, "seed", maxHops = 3)
+            .orderBy("vertex")
+        },
+        Some(graft.operators.BfsHops.oracleSql(
+          """SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_quantity >= 45 AND b.l_quantity >= 45""",
+          "SELECT p_partkey AS seed FROM part WHERE p_partkey % 97 = 0",
+          maxHops = 3))),
+
+      // diff-in-diff: even-custkey "treated" orders pre/post 1998 vs the
+      // odd-custkey control — exact micro-unit cell algebra, one grand
+      // aggregate of eight conditional partials
+      RegisteredQuery(
+        "q_diff_in_diff",
+        (s, dir) => graft.operators.DiffInDiff.did(
+            Tables.resolve(s, dir)("orders")
+              .withColumn("t", expr("o_custkey % 2 = 0"))
+              .withColumn("p",
+                col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+              .withColumn("cents",
+                (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")),
+            "t", "p", "cents"),
+        Some(graft.operators.DiffInDiff.oracleSql(
+          "orders", "o_custkey % 2 = 0",
+          "o_orderdate >= TIMESTAMP '1998-01-01'",
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))),
+
+      // lag-7 autocorrelation of daily order counts per priority — the
+      // weekly-rhythm screen; exact pair-join moments, integer index
+      RegisteredQuery(
+        "q_autocorr",
+        (s, dir) => graft.operators.Autocorr.lagCorrelation(
+            Tables.resolve(s, dir)("orders")
+              .groupBy(col("o_orderpriority"),
+                datediff(col("o_orderdate").cast("date"),
+                  lit("1970-01-01").cast("date")).cast("long").as("day"))
+              .agg(count(lit(1)).cast("long").as("n_orders")),
+            "o_orderpriority", "day", "n_orders", lag = 7)
+          .drop("corr")
+          .withColumn("corr_num", col("corr_num").cast("string"))
+          .withColumn("var_x", col("var_x").cast("string"))
+          .withColumn("var_y", col("var_y").cast("string"))
+          .orderBy("o_orderpriority"),
+        Some(graft.operators.Autocorr.oracleSql(
+          "(SELECT o_orderpriority, CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day, CAST(count(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1, 2) d",
+          "o_orderpriority", "day", "n_orders", lag = 7))),
+
+      // association rules over the order baskets: directed confidence +
+      // lift in exact 1e-8 units, 20% confidence cut after the exact
+      // arithmetic
+      RegisteredQuery(
+        "q_assoc_rules",
+        (s, dir) => graft.operators.CoOccurrence.rules(
+            Tables.resolve(s, dir)("lineitem"), "l_orderkey", "l_partkey",
+            minCount = 2, minConfE8 = 20000000L, maxBasket = 100)
+          .orderBy("antecedent", "consequent"),
+        Some(graft.operators.CoOccurrence.rulesOracle(
+          "lineitem", "l_orderkey", "l_partkey",
+          minCount = 2, minConfE8 = 20000000L, maxBasket = 100))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over

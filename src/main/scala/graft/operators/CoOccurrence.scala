@@ -106,6 +106,97 @@ WHERE (CAST(co.n_ab AS HUGEINT) * co.n_ab * 100000000)
     // (CAST(sa.n AS HUGEINT) * sb.n) >= $minSim2E8
 ORDER BY 1, 2""".stripMargin
 
+  /** Directed association rules a→b over the co-occurrence pairs — the
+    * classic market-basket readout ("customers who bought a also bought
+    * b"), each metric an EXACT integer in 1e−8 units so the mining run
+    * hashes cross-engine:
+    *
+    *   support_e8 = ⌊10⁸·n_ab / N⌋        (how common the pair is)
+    *   conf_e8    = ⌊10⁸·n_ab / n_a⌋      (P(b | a) — direction matters)
+    *   lift_e8    = ⌊10⁸·n_ab·N / (n_a·n_b)⌋  (association vs chance;
+    *                10⁸ = independent, above = positive association)
+    *
+    * over the QUALIFIED-basket universe (N counts those baskets — a
+    * mixed universe would let lift exceed its meaning, the
+    * [[cosineNeighbors]] rule). Each unordered pair emits both
+    * directions; `minConfE8` prunes AFTER the exact arithmetic.
+    * All quantities non-negative, so truncating div IS floor on both
+    * engines. Scale shape: [[pairs]]' posture + two |items|-sized
+    * support joins + a 1-row broadcast total.
+    */
+  def rules(df: DataFrame, basketCol: String, itemCol: String,
+            minCount: Long, minConfE8: Long,
+            maxBasket: Int = 1000): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(minConfE8 >= 0 && minConfE8 <= 100000000L,
+      s"minConfE8 must be in [0, 1e8], got $minConfE8")
+    val dec = "decimal(38,0)"
+    val qualified = qualifiedItems(df, basketCol, itemCol, maxBasket)
+      .localCheckpoint(true)
+    val support = qualified.groupBy(col("__i").as("__si"))
+      .agg(count(lit(1)).as("__n"))
+    val totals = qualified.select(col("__b")).distinct()
+      .agg(count(lit(1)).as("__N"))
+    val co = qualified.select(col("__b"), col("__i").as("__ia"))
+      .join(qualified.select(col("__b").as("__b2"), col("__i").as("__ib")),
+        col("__b") === col("__b2") && col("__ia") < col("__ib"))
+      .groupBy(col("__ia"), col("__ib"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minCount)
+    val both = co
+      .select(col("__ia").as("antecedent"), col("__ib").as("consequent"),
+        col("n_ab"))
+      .unionAll(co.select(col("__ib").as("antecedent"),
+        col("__ia").as("consequent"), col("n_ab")))
+    both
+      .join(support.select(col("__si").as("antecedent"), col("__n").as("n_ante")),
+        "antecedent")
+      .join(support.select(col("__si").as("consequent"), col("__n").as("n_cons")),
+        "consequent")
+      .crossJoin(broadcast(totals))
+      .withColumn("support_e8",
+        expr(s"CAST((CAST(n_ab AS $dec) * 100000000) div __N AS BIGINT)"))
+      .withColumn("conf_e8",
+        expr(s"CAST((CAST(n_ab AS $dec) * 100000000) div n_ante AS BIGINT)"))
+      .withColumn("lift_e8",
+        expr(s"CAST((CAST(n_ab AS $dec) * __N * 100000000) div " +
+          s"(CAST(n_ante AS $dec) * n_cons) AS BIGINT)"))
+      .where(col("conf_e8") >= minConfE8)
+      .select(col("antecedent"), col("consequent"), col("n_ab"),
+        col("n_ante"), col("n_cons"), col("support_e8"), col("conf_e8"),
+        col("lift_e8"))
+  }
+
+  /** DuckDB replay of [[rules]] — same qualified universe, both rule
+    * directions, HUGEINT floor divisions.
+    */
+  def rulesOracle(table: String, basketCol: String, itemCol: String,
+                  minCount: Long, minConfE8: Long,
+                  maxBasket: Int = 1000): String =
+    s"""WITH bi AS (SELECT DISTINCT $basketCol AS b, $itemCol AS i FROM $table
+  WHERE $basketCol IS NOT NULL AND $itemCol IS NOT NULL),
+q AS (SELECT b FROM bi GROUP BY b HAVING count(*) <= $maxBasket),
+qi AS (SELECT b, i FROM bi WHERE b IN (SELECT b FROM q)),
+s AS (SELECT i, CAST(count(*) AS BIGINT) AS n FROM qi GROUP BY i),
+tot AS (SELECT CAST(count(DISTINCT b) AS HUGEINT) AS N FROM qi),
+co AS (SELECT a.i AS ia, c.i AS ib, CAST(count(*) AS BIGINT) AS n_ab
+  FROM qi a JOIN qi c ON a.b = c.b AND a.i < c.i
+  GROUP BY 1, 2 HAVING count(*) >= $minCount),
+bd AS (
+  SELECT ia AS antecedent, ib AS consequent, n_ab FROM co
+  UNION ALL
+  SELECT ib AS antecedent, ia AS consequent, n_ab FROM co),
+r AS (SELECT bd.antecedent, bd.consequent, bd.n_ab,
+    sa.n AS n_ante, sb.n AS n_cons,
+    CAST((CAST(bd.n_ab AS HUGEINT) * 100000000) // tot.N AS BIGINT) AS support_e8,
+    CAST((CAST(bd.n_ab AS HUGEINT) * 100000000) // sa.n AS BIGINT) AS conf_e8,
+    CAST((CAST(bd.n_ab AS HUGEINT) * tot.N * 100000000)
+      // (CAST(sa.n AS HUGEINT) * sb.n) AS BIGINT) AS lift_e8
+  FROM bd JOIN s sa ON bd.antecedent = sa.i
+  JOIN s sb ON bd.consequent = sb.i CROSS JOIN tot)
+SELECT * FROM r WHERE conf_e8 >= $minConfE8
+ORDER BY antecedent, consequent""".stripMargin
+
   /** Distinct (basket, item) pairs of qualifying (≤ `maxBasket`) baskets
     * — the shared reduction under [[pairs]] and [[cosineNeighbors]].
     */

@@ -79,4 +79,27 @@ class CoOccurrenceSpec extends SparkSpec {
     assert((got(0).getLong(2), got(0).getLong(3), got(0).getLong(4),
       got(0).getLong(5)) == ((1L, 1L, 1L, 100000000L)))
   }
+
+  test("rules: hand-checked support/confidence/lift in 1e-8 units") {
+    // x in all 4 baskets, y in 2 (always with x), z in 1 (with x): N=4
+    val df = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "z"), (4L, "x")).toDF("b", "i")
+    val got = CoOccurrence.rules(df, "b", "i", minCount = 1, minConfE8 = 0)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7))).toMap
+    // x→y: conf 2/4, support 2/4, lift 2·4/(4·2) = 1 (independent)
+    assert(got(("x", "y")) == ((2L, 4L, 2L, 50000000L, 50000000L, 100000000L)))
+    // y→x: conf 1 — y never appears without x
+    assert(got(("y", "x")) == ((2L, 2L, 4L, 50000000L, 100000000L, 100000000L)))
+    // x→z truncates: conf 1/4, support 1/4
+    assert(got(("x", "z")) == ((1L, 4L, 1L, 25000000L, 25000000L, 100000000L)))
+    assert(got(("z", "x"))._5 == 100000000L)
+    // the confidence cut keeps only the certain rules
+    val cut = CoOccurrence.rules(df, "b", "i", minCount = 1,
+        minConfE8 = 100000000L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(cut == Set(("y", "x"), ("z", "x")))
+  }
 }
