@@ -4538,7 +4538,63 @@ FROM documents GROUP BY lang, source ORDER BY lang, source""")),
           .orderBy("antecedent", "consequent"),
         Some(graft.operators.CoOccurrence.rulesOracle(
           "lineitem", "l_orderkey", "l_partkey",
-          minCount = 2, minConfE8 = 20000000L, maxBasket = 100))))
+          minCount = 2, minConfE8 = 20000000L, maxBasket = 100))),
+
+      // discrete-time churn hazard with honest right-censoring: per
+      // lifetime age, at-risk / churned / censored counts and the exact
+      // 1e-8 hazard — horizon-month users censored, never churned
+      RegisteredQuery(
+        "q_churn_hazard",
+        (s, dir) => graft.operators.Churn.hazardCurve(
+            graft.llm.EventWindows.readEvents(s, s"$dir/events.parquet"),
+            "user_id", "ts")
+          .orderBy("age_months"),
+        Some(graft.operators.Churn.oracleSql("events", "user_id", "ts"))),
+
+      // local clustering coefficient over the co-purchase graph: exact
+      // 2T/(d(d-1)) in 1e-8 units, degree-1 vertices NULL by contract
+      RegisteredQuery(
+        "q_clustering_coeff",
+        (s, dir) => {
+          val li = Tables.resolve(s, dir)("lineitem")
+            .where(col("l_quantity") >= 30)
+            .select(col("l_orderkey"), col("l_partkey"))
+          val edges = li.as("a").join(li.as("b"),
+              col("a.l_orderkey") === col("b.l_orderkey") &&
+                col("a.l_partkey") < col("b.l_partkey"))
+            .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+          graft.operators.Triangles.clusteringCoefficient(edges)
+            .orderBy("id")
+        },
+        Some(graft.operators.Triangles.clusteringOracle(
+          """SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_quantity >= 30 AND b.l_quantity >= 30"""))),
+
+      // personalized PageRank seeded at the %97 parts over the
+      // bidirectional part-supplier graph: restart mass only on seeds,
+      // same exact integer recurrence and unrolled-CTE replay
+      RegisteredQuery(
+        "q_ppr",
+        (s, dir) => {
+          val li = Tables.resolve(s, dir)("lineitem")
+          val fwd = li.select(col("l_partkey").as("src"),
+            (col("l_suppkey") + 1000000L).as("dst")).distinct()
+          val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+          val seeds = Tables.resolve(s, dir)("part")
+            .where(expr("p_partkey % 97 = 0"))
+            .select(col("p_partkey").as("seed"))
+          graft.operators.GraphRank.personalizedPageRankInt(
+              edges, seeds, "seed", iters = 5)
+            .orderBy("id")
+        },
+        Some(graft.operators.GraphRank.personalizedOracleSql(
+          """SELECT src, dst FROM (SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst FROM lineitem)
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM (SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst FROM lineitem)""",
+          "SELECT p_partkey AS seed FROM part WHERE p_partkey % 97 = 0",
+          iters = 5))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over

@@ -89,17 +89,106 @@ object GraphRank {
     */
   private[operators] def step(eDeg: DataFrame, nodes: DataFrame,
                               scores: DataFrame, baseAdd: Long,
-                              dampNum: Long, dampDen: Long): DataFrame = {
+                              dampNum: Long, dampDen: Long): DataFrame =
+    stepBase(eDeg, nodes.withColumn("__base", lit(baseAdd)), scores,
+      dampNum, dampDen)
+
+  /** The generalized round: the restart mass comes from the per-vertex
+    * `__base` column of `nodesB` — a constant column IS plain PageRank,
+    * seed-concentrated mass is the personalized variant.
+    */
+  private[operators] def stepBase(eDeg: DataFrame, nodesB: DataFrame,
+                                  scores: DataFrame,
+                                  dampNum: Long, dampDen: Long): DataFrame = {
     val contribs = eDeg
       .join(scores.withColumnRenamed("id", "src"), "src")
       .select(col("dst"), expr("score div __outdeg").as("__c"))
     val inSums = contribs.groupBy("dst").agg(sum("__c").as("__in"))
-    nodes
+    nodesB
       .join(inSums.withColumnRenamed("dst", "id"), Seq("id"), "left")
       .select(col("id"),
-        (lit(baseAdd) +
+        (col("__base") +
           expr(s"($dampNum * coalesce(__in, CAST(0 AS BIGINT))) div $dampDen"))
           .as("score"))
+  }
+
+  /** PERSONALIZED integer PageRank — proximity to a SEED set instead of
+    * global importance ("parts relevant to this catalog section", "users
+    * near these flagged accounts"): the restart mass lands only on seeds
+    * (`__base = baseAdd` there, 0 elsewhere; scores start at
+    * `startScore` on seeds, 0 elsewhere), so score IS seed-relative
+    * relevance — the standard recommendation/expansion walk. Same exact
+    * integer recurrence, same two-shuffle round, same unrolled-CTE
+    * replay as [[pageRankInt]]; the one extra cost is a seeds-sized flag
+    * join paid once. Seeds outside the graph carry no mass; at least one
+    * seed must be a graph vertex (checked loudly — an all-zero walk is a
+    * configuration error, not a result).
+    */
+  def personalizedPageRankInt(edges: DataFrame, seeds: DataFrame,
+                              seedCol: String, iters: Int = 5,
+                              startScore: Long = 1000000L,
+                              dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
+      s"damping $dampNum/$dampDen must be a fraction in [0, 1]")
+    require(startScore > 0, s"startScore must be positive, got $startScore")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint(false)
+    val eDeg = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("__outdeg")), "src")
+      .localCheckpoint(false)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val seedIds = seeds.where(col(seedCol).isNotNull)
+      .select(col(seedCol).cast("long").as("id")).distinct()
+      .withColumn("__sf", lit(1))
+    val flagged = nodes.join(seedIds, Seq("id"), "left").localCheckpoint(true)
+    require(flagged.where(col("__sf") === 1).limit(1).count() > 0,
+      "personalizedPageRankInt: no seed is a vertex of the graph")
+    val baseAdd = (startScore * (dampDen - dampNum)) / dampDen
+    val nodesB = flagged.select(col("id"),
+        when(col("__sf") === 1, lit(baseAdd)).otherwise(lit(0L)).as("__base"))
+      .localCheckpoint(false)
+    var scores = flagged.select(col("id"),
+      when(col("__sf") === 1, lit(startScore)).otherwise(lit(0L)).as("score"))
+    var i = 0
+    while (i < iters) {
+      scores = stepBase(eDeg, nodesB, scores, dampNum, dampDen)
+        .localCheckpoint(false)
+      i += 1
+    }
+    scores
+  }
+
+  /** DuckDB replay of [[personalizedPageRankInt]] — the seeded recurrence
+    * unrolled; `seedsSelect` yields a `seed` column.
+    */
+  def personalizedOracleSql(edgesSelect: String, seedsSelect: String,
+                            iters: Int = 5, startScore: Long = 1000000L,
+                            dampNum: Long = 85, dampDen: Long = 100): String = {
+    val baseAdd = (startScore * (dampDen - dampNum)) / dampDen
+    val sb = new StringBuilder
+    sb.append(s"WITH e AS ($edgesSelect),\n")
+    sb.append("n AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),\n")
+    sb.append("od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),\n")
+    sb.append(s"sd AS (SELECT DISTINCT CAST(seed AS BIGINT) AS id FROM ($seedsSelect) WHERE seed IS NOT NULL),\n")
+    sb.append("nb AS (SELECT n.id, " +
+      s"CASE WHEN sd.id IS NOT NULL THEN CAST($baseAdd AS BIGINT) ELSE 0 END AS base, " +
+      s"CASE WHEN sd.id IS NOT NULL THEN CAST($startScore AS BIGINT) ELSE 0 END AS st " +
+      "FROM n LEFT JOIN sd ON n.id = sd.id),\n")
+    sb.append("s0 AS (SELECT id, st AS score FROM nb)")
+    for (i <- 1 to iters) {
+      sb.append(s""",
+s$i AS (
+  SELECT nb.id,
+    CAST(nb.base + ($dampNum * COALESCE(m.acc, 0)) // $dampDen AS BIGINT) AS score
+  FROM nb LEFT JOIN (
+    SELECT e.dst AS id, sum(s.score // od.outdeg) AS acc
+    FROM e JOIN s${i - 1} s ON s.id = e.src JOIN od ON od.src = e.src
+    GROUP BY e.dst) m ON nb.id = m.id)""")
+    }
+    sb.append(s"\nSELECT id, score FROM s$iters ORDER BY id")
+    sb.toString
   }
 
   /** DuckDB replay of [[pageRankInt]]: the same integer recurrence unrolled

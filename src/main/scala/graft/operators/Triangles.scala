@@ -91,6 +91,54 @@ object Triangles {
       .select(col("id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
 
+  /** Local clustering coefficient — how much of each vertex's
+    * neighborhood is itself connected: `cc = 2T / (d(d−1))` with T the
+    * vertex's triangle count and d its degree, published exactly as
+    * `cc_e8 = ⌊10⁸·2T / (d(d−1))⌋` (non-negative, so truncating div is
+    * floor on both engines). The per-vertex echo-chamber / bot-ring
+    * signal on top of [[perVertex]]: a high-degree vertex whose
+    * neighbors never interlink (a spam hub) scores 0 however many
+    * triangles the graph has. Degree-1 and isolated-in-canonical-form
+    * vertices have an undefined coefficient and report NULL (not 0 —
+    * "no neighborhood to close" is not "an open neighborhood").
+    * Same scale shape as [[perVertex]] plus one degree aggregate.
+    */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String = "src",
+                            dstCol: String = "dst"): DataFrame = {
+    val e = canonicalEdges(edges, srcCol, dstCol).localCheckpoint(true)
+    val tri = trianglesFromCanonical(e)
+    val counts = tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("__t"))
+    val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    deg
+      .join(counts, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("__t"), lit(0L)).as("n_triangles"))
+      .withColumn("cc_e8",
+        when(col("degree") < 2, lit(null).cast("long"))
+          .otherwise(expr("CAST((n_triangles * CAST(200000000 AS " +
+            "DECIMAL(38,0))) div (degree * (degree - 1)) AS BIGINT)")))
+  }
+
+  /** DuckDB replay of [[clusteringCoefficient]]. */
+  def clusteringOracle(edgesSql: String): String =
+    s"""WITH raw AS ($edgesSql),
+e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM raw WHERE src <> dst),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+corners AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree FROM
+  (SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY id),
+t AS (SELECT d.id, d.degree, CAST(count(c.id) AS BIGINT) AS n_triangles
+  FROM deg d LEFT JOIN corners c ON d.id = c.id GROUP BY d.id, d.degree)
+SELECT id, degree, n_triangles,
+  CASE WHEN degree < 2 THEN NULL
+    ELSE CAST((CAST(n_triangles AS HUGEINT) * 200000000)
+      // (CAST(degree AS HUGEINT) * (degree - 1)) AS BIGINT) END AS cc_e8
+FROM t ORDER BY id""".stripMargin
+
   /** Co-occurrence (bipartite-projection) edge builder with a bounded
     * fan-out: pairs of items sharing a group key, where each group
     * contributes pairs only among its `maxPerGroup` SMALLEST distinct

@@ -77,4 +77,23 @@ class GraphRankSpec extends SparkSpec {
     intercept[IllegalArgumentException](GraphRank.pageRankInt(edges, -1))
     intercept[IllegalArgumentException](GraphRank.pageRankInt(edges, 1, dampNum = 101))
   }
+
+  test("personalized: mass stays in the seed's component, hand recurrence") {
+    import spark.implicits._
+    // two disjoint 2-cycles; seed only vertex 1
+    val e = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("seed")
+    val got2 = GraphRank.personalizedPageRankInt(e, seeds, "seed", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // s1: (1)->150000, (2)->850000; s2: (1)->150000+722500, (2)->127500
+    assert(got2 == Map(1L -> 872500L, 2L -> 127500L, 3L -> 0L, 4L -> 0L))
+  }
+
+  test("personalized: a seed outside the graph fails loudly") {
+    import spark.implicits._
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      GraphRank.personalizedPageRankInt(e, Seq(99L).toDF("seed"), "seed", 1)
+    }
+  }
 }

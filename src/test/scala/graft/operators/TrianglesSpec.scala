@@ -101,4 +101,16 @@ class TrianglesSpec extends SparkSpec {
     assert(got(0L) === 1L && got(1L) === 1L && got(2L) === 1L)
     assert((3L to 200L).forall(got(_) === 0L))
   }
+
+  test("clustering coefficient: exact thirds, pendant NULL") {
+    // triangle 1-2-3 with pendant 4 hanging off 3
+    val got = Triangles.clusteringCoefficient(
+        edgesDf(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1L, Some(100000000L)), (2L, 2L, 1L, Some(100000000L)),
+      (3L, 3L, 1L, Some(33333333L)), (4L, 1L, 0L, None)))
+  }
 }
