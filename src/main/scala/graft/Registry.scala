@@ -2352,7 +2352,9 @@ FROM aug ORDER BY doc_id""".stripMargin
           " AS z FROM lineitem ORDER BY l_orderkey, l_linenumber")),
 
       // integer-arithmetic PageRank over the bidirectional part-supplier
-      // graph: 5 damped power-iteration rounds, every step exact integer
+      // graph (supplier ids offset by 1e8 — far above any partkey at
+      // realistic SFs, so the two vertex families can never collide):
+      // 5 damped power-iteration rounds, every step exact integer
       // (score div outdeg, 85/100 damping) so the unrolled-CTE oracle
       // replays it bit-for-bit
       RegisteredQuery(
@@ -2360,14 +2362,14 @@ FROM aug ORDER BY doc_id""".stripMargin
         (s, dir) => {
           val li = Tables.resolve(s, dir)("lineitem")
           val fwd = li.select(col("l_partkey").as("src"),
-            (col("l_suppkey") + 1000000L).as("dst")).distinct()
+            (col("l_suppkey") + 100000000L).as("dst")).distinct()
           val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
           graft.operators.GraphRank.pageRankInt(edges, iters = 5).orderBy("id")
         },
         Some(graft.operators.GraphRank.oracleSql(
-          """SELECT src, dst FROM (SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst FROM lineitem)
+          """SELECT src, dst FROM (SELECT DISTINCT l_partkey AS src, l_suppkey + 100000000 AS dst FROM lineitem)
   UNION ALL
-  SELECT dst AS src, src AS dst FROM (SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst FROM lineitem)""",
+  SELECT dst AS src, src AS dst FROM (SELECT DISTINCT l_partkey AS src, l_suppkey + 100000000 AS dst FROM lineitem)""",
           iters = 5))),
 
       // incrementally-maintained aggregate store: three batch folds of
@@ -4321,8 +4323,10 @@ ORDER BY doc_id""")),
 
       // TRUE k-core (fixpoint peel) of the sparse co-purchase graph
       // (quantity >= 45 keeps ~1.7k edges at sf0.01): converges in 5
-      // sweeps there; the oracle unrolls 8 — a fixpoint is stable, so
-      // extra unrolled rounds are identity
+      // sweeps there, 9 at sf0.1; maxRounds is PINNED to the oracle's
+      // 12-round unroll so a graph needing more throws loudly instead of
+      // silently hash-diverging from the bounded oracle (a fixpoint is
+      // stable, so unrolled rounds past convergence are identity)
       RegisteredQuery(
         "q_kcore",
         (s, dir) => {
@@ -4333,14 +4337,15 @@ ORDER BY doc_id""")),
               col("a.l_orderkey") === col("b.l_orderkey") &&
                 col("a.l_partkey") < col("b.l_partkey"))
             .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-          graft.operators.KCore.peelToFixpoint(edges, "src", "dst", k = 3)
+          graft.operators.KCore.peelToFixpoint(edges, "src", "dst", k = 3,
+              maxRounds = 12)
             .orderBy("vertex")
         },
         Some(graft.operators.KCore.oracleSql(
           """SELECT a.l_partkey AS src, b.l_partkey AS dst
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  WHERE a.l_quantity >= 45 AND b.l_quantity >= 45""", k = 3, rounds = 8))),
+  WHERE a.l_quantity >= 45 AND b.l_quantity >= 45""", k = 3, rounds = 12))),
 
       // bounded nearest neighbor over the q_spatial_pairs scattered
       // points at r=200: grid-blocked rank-1 election vs the brute-force
@@ -4580,7 +4585,7 @@ FROM documents GROUP BY lang, source ORDER BY lang, source""")),
         (s, dir) => {
           val li = Tables.resolve(s, dir)("lineitem")
           val fwd = li.select(col("l_partkey").as("src"),
-            (col("l_suppkey") + 1000000L).as("dst")).distinct()
+            (col("l_suppkey") + 100000000L).as("dst")).distinct()
           val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
           val seeds = Tables.resolve(s, dir)("part")
             .where(expr("p_partkey % 97 = 0"))
@@ -4590,9 +4595,9 @@ FROM documents GROUP BY lang, source ORDER BY lang, source""")),
             .orderBy("id")
         },
         Some(graft.operators.GraphRank.personalizedOracleSql(
-          """SELECT src, dst FROM (SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst FROM lineitem)
+          """SELECT src, dst FROM (SELECT DISTINCT l_partkey AS src, l_suppkey + 100000000 AS dst FROM lineitem)
   UNION ALL
-  SELECT dst AS src, src AS dst FROM (SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst FROM lineitem)""",
+  SELECT dst AS src, src AS dst FROM (SELECT DISTINCT l_partkey AS src, l_suppkey + 100000000 AS dst FROM lineitem)""",
           "SELECT p_partkey AS seed FROM part WHERE p_partkey % 97 = 0",
           iters = 5))))
   }

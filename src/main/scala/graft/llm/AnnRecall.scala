@@ -79,8 +79,7 @@ object AnnRecall {
       .select(col(idCol).as("neighbor_id"),
         EmbeddingOps.quantizeInt8(col(vecCol)).as("cc"))
       .withColumn("__ds", distArray(col("cc"), cents))
-      .withColumn("list", element_at(
-        transform(slice(array_sort(col("__ds")), 1, 1), s => s.getField("l")), 1))
+      .withColumn("list", element_at(array_sort(col("__ds")), 1).getField("l"))
       .drop("__ds")
     val probes = queries
       .select(col(idCol).as("query_id"),

@@ -40,14 +40,7 @@ object BfsHops {
                 seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
     require(maxHops >= 1 && maxHops <= 50,
       s"maxHops must be in [1, 50], got $maxHops")
-    val base = edges
-      .where(col(srcCol).isNotNull && col(dstCol).isNotNull &&
-        col(srcCol) =!= col(dstCol))
-      .select(col(srcCol).as("__s"), col(dstCol).as("__d"))
-    val e = base
-      .unionAll(base.select(col("__d").as("__s"), col("__s").as("__d")))
-      .distinct()
-      .localCheckpoint(true)
+    val e = GraphEdges.symmetrize(edges, srcCol, dstCol)
     var labeled = seeds
       .where(col(seedCol).isNotNull)
       .select(col(seedCol).as("vertex")).distinct()
@@ -75,13 +68,7 @@ object BfsHops {
     */
   def oracleSql(edgesSql: String, seedsSql: String, maxHops: Int): String = {
     val base =
-      s"""e AS MATERIALIZED (
-  SELECT DISTINCT s, d FROM (
-    SELECT src AS s, dst AS d FROM ($edgesSql)
-    WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
-    UNION ALL
-    SELECT dst AS s, src AS d FROM ($edgesSql)
-    WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst)),
+      s"""${GraphEdges.symmetrizeCteSql("e", edgesSql)},
 l0 AS MATERIALIZED (
   SELECT DISTINCT seed AS v, CAST(0 AS BIGINT) AS hops FROM ($seedsSql)
   WHERE seed IS NOT NULL)"""

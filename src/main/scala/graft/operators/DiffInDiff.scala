@@ -14,12 +14,16 @@ import org.apache.spark.sql.functions._
   *
   *   did = (m_tp − m_t0) − (m_cp − m_c0)
   *
-  * with the four cell means published as EXACT integer rationals: every
-  * delta is cross-multiplied over the cell counts and floor-divided to
-  * micro-units (1e−6 of the value's unit) with the sign-split law, so
-  * the readout hashes cross-engine — no float enters until nothing is
-  * left to compute. Magnitudes ride DECIMAL(38,0)/HUGEINT (cell sums ×
-  * three cell counts × 1e6 must fit — cents at 10⁸ rows per cell do).
+  * with each arm's pre→post delta published as an EXACT integer
+  * rational: cross-multiplied over that arm's two cell counts and
+  * floor-divided to micro-units (1e−6 of the value's unit) with the
+  * sign-split law, so the readout hashes cross-engine. `did_micro` is
+  * BY CONTRACT the difference of the two independently-truncated arm
+  * deltas — each is within 1 micro-unit of its exact value, so did is
+  * within 2 micro-units; that bounded truncation is the price of
+  * keeping magnitudes at cell-sum × one-cell-count × 1e6 (fits
+  * DECIMAL(38,0)/HUGEINT past 10¹⁰ rows per cell of cents, where the
+  * single-fraction form's n⁴ common denominator overflows around 10⁶).
   *
   * Scale shape: ONE grand aggregate of eight conditional partials
   * (count + sum per cell) — map-side collapse whatever the row count;
@@ -71,19 +75,17 @@ object DiffInDiff {
         expr(s"(__s_tp * __n_t0 - __s_t0 * __n_tp) * 1000000"))
       .withColumn("__dc_num",
         expr(s"(__s_cp * __n_c0 - __s_c0 * __n_cp) * 1000000"))
-      .withColumn("__did_num", expr(
-        "(__s_tp * __n_t0 * __n_cp * __n_c0 - __s_t0 * __n_tp * __n_cp * __n_c0" +
-          " - __s_cp * __n_tp * __n_t0 * __n_c0 + __s_c0 * __n_tp * __n_t0 * __n_cp)" +
-          " * 1000000"))
       .select(
         col("__n_tp").cast("long").as("n_treat_post"),
         col("__n_t0").cast("long").as("n_treat_pre"),
         col("__n_cp").cast("long").as("n_ctrl_post"),
         col("__n_c0").cast("long").as("n_ctrl_pre"),
         microDiv("__dt_num", "__n_tp * __n_t0").as("delta_treat_micro"),
-        microDiv("__dc_num", "__n_cp * __n_c0").as("delta_ctrl_micro"),
-        microDiv("__did_num", "__n_tp * __n_t0 * __n_cp * __n_c0")
-          .as("did_micro"))
+        microDiv("__dc_num", "__n_cp * __n_c0").as("delta_ctrl_micro"))
+      // the contract form: difference of the two truncated arm deltas —
+      // bounded 2-micro-unit truncation instead of an n⁴ denominator
+      .withColumn("did_micro",
+        col("delta_treat_micro") - col("delta_ctrl_micro"))
   }
 
   /** DuckDB replay of [[did]] — same conditional cells, HUGEINT
@@ -115,10 +117,8 @@ SELECT CAST(n_tp AS BIGINT) AS n_treat_post, CAST(n_t0 AS BIGINT) AS n_treat_pre
   CAST(n_cp AS BIGINT) AS n_ctrl_post, CAST(n_c0 AS BIGINT) AS n_ctrl_pre,
   ${micro("(s_tp * n_t0 - s_t0 * n_tp) * 1000000", "n_tp * n_t0")} AS delta_treat_micro,
   ${micro("(s_cp * n_c0 - s_c0 * n_cp) * 1000000", "n_cp * n_c0")} AS delta_ctrl_micro,
-  ${micro(
-      "(s_tp * n_t0 * n_cp * n_c0 - s_t0 * n_tp * n_cp * n_c0" +
-        " - s_cp * n_tp * n_t0 * n_c0 + s_c0 * n_tp * n_t0 * n_cp) * 1000000",
-      "n_tp * n_t0 * n_cp * n_c0")} AS did_micro
+  ${micro("(s_tp * n_t0 - s_t0 * n_tp) * 1000000", "n_tp * n_t0")} -
+  ${micro("(s_cp * n_c0 - s_c0 * n_cp) * 1000000", "n_cp * n_c0")} AS did_micro
 FROM c""".stripMargin
   }
 }

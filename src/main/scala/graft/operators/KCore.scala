@@ -35,18 +35,12 @@ import org.apache.spark.sql.functions._
   */
 object KCore {
 
-  /** Symmetrized, deduplicated, self-loop-free directed edge list. */
+  /** Symmetrized, deduplicated, self-loop-free directed edge list — the
+    * shared [[GraphEdges]] canonicalization.
+    */
   private def symmetrize(edges: DataFrame, srcCol: String,
-                         dstCol: String): DataFrame = {
-    val base = edges
-      .where(col(srcCol).isNotNull && col(dstCol).isNotNull &&
-        col(srcCol) =!= col(dstCol))
-      .select(col(srcCol).as("__s"), col(dstCol).as("__d"))
-    base
-      .unionAll(base.select(col("__d").as("__s"), col("__s").as("__d")))
-      .distinct()
-      .localCheckpoint(true)
-  }
+                         dstCol: String): DataFrame =
+    GraphEdges.symmetrize(edges, srcCol, dstCol)
 
   /** One synchronized removal sweep: drop every vertex currently under
     * degree k, returning the surviving (checkpointed) edge set.
@@ -114,14 +108,7 @@ object KCore {
     * scans of the base table).
     */
   def oracleSql(edgesSql: String, k: Int, rounds: Int): String = {
-    val base =
-      s"""e0 AS MATERIALIZED (
-  SELECT DISTINCT s, d FROM (
-    SELECT src AS s, dst AS d FROM ($edgesSql)
-    WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
-    UNION ALL
-    SELECT dst AS s, src AS d FROM ($edgesSql)
-    WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst))"""
+    val base = GraphEdges.symmetrizeCteSql("e0", edgesSql)
     val steps = (1 to rounds).map { i =>
       s"""v$i AS MATERIALIZED (SELECT s FROM e${i - 1} GROUP BY s HAVING count(*) >= $k),
 e$i AS MATERIALIZED (SELECT s, d FROM e${i - 1}

@@ -30,13 +30,26 @@ object SkewJoin {
     require(Seq("inner", "left", "left_outer").contains(joinType),
       s"unsupported salted join type $joinType")
     val salt = "__salt"
-    // content-derived salt (hash of the full row): any distribution works
-    // for correctness — uniformity only affects balance — but a hash is
-    // deterministic under AQE re-sharding and stage retries where
-    // rand(seed) is partition-layout-dependent. Rows that are fully
-    // identical share a bucket; a whale key's DISTINCT rows still fan out
+    // content-derived salt (hash of the row's hashable columns): any
+    // distribution works for correctness — uniformity only affects
+    // balance — but a hash is deterministic under AQE re-sharding and
+    // stage retries where rand(seed) is partition-layout-dependent.
+    // CAVEAT (the price of determinism): rows that are BYTE-IDENTICAL
+    // share a bucket, so a whale key whose rows are all duplicates of
+    // one row still lands on one task — but identical-row whales are
+    // better collapsed upstream (count + re-expand, or distinct) than
+    // salted; a whale key's DISTINCT rows fan out as intended. MapType
+    // columns are unhashable (HASH_MAP_TYPE) and are excluded from the
+    // salt input — the remaining columns still discriminate rows unless
+    // rows differ ONLY in map columns.
+    val hashable = big.schema.fields.collect {
+      case f if !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] =>
+        col(f.name)
+    }.toIndexedSeq
+    require(hashable.nonEmpty,
+      "saltedJoin: every column is a MapType — no hashable salt input")
     val bigSalted = big.withColumn(salt,
-      pmod(xxhash64(big.columns.map(col): _*), lit(buckets)).cast(IntegerType))
+      pmod(xxhash64(hashable: _*), lit(buckets)).cast(IntegerType))
     val smallExploded = small.withColumn(salt, explode(sequence(lit(0), lit(buckets - 1))))
     val cond: Column =
       bigSalted(bigKey) === smallExploded(smallKey) && bigSalted(salt) === smallExploded(salt)
