@@ -4599,7 +4599,46 @@ FROM documents GROUP BY lang, source ORDER BY lang, source""")),
   UNION ALL
   SELECT dst AS src, src AS dst FROM (SELECT DISTINCT l_partkey AS src, l_suppkey + 100000000 AS dst FROM lineitem)""",
           "SELECT p_partkey AS seed FROM part WHERE p_partkey % 97 = 0",
-          iters = 5))))
+          iters = 5))),
+
+      // smoothed (empirical-Bayes) target encoding of order priority
+      // against cents: rare categories shrink toward the global mean;
+      // exact micro rational via cross-multiplication by the global N
+      RegisteredQuery(
+        "q_target_smoothed",
+        (s, dir) => graft.operators.TargetEncode.smoothedMean(
+            Tables.resolve(s, dir)("orders")
+              .withColumn("cents",
+                (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")),
+            "o_orderpriority", "cents", m = 20)
+          .orderBy("category"),
+        Some(graft.operators.TargetEncode.smoothedOracle(
+          "orders", "o_orderpriority",
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
+          m = 20))),
+
+      // leave-one-out target encoding per order row — the leakage-safe
+      // training-time form (a row's own target never enters its feature)
+      RegisteredQuery(
+        "q_target_loo",
+        (s, dir) => graft.operators.TargetEncode.looMean(
+            Tables.resolve(s, dir)("orders")
+              .withColumn("cents",
+                (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")),
+            "o_orderkey", "o_orderpriority", "cents")
+          .orderBy("id"),
+        Some(graft.operators.TargetEncode.looOracle(
+          "orders", "o_orderkey", "o_orderpriority",
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))),
+
+      // class-imbalance audit + sklearn-style balanced weights over the
+      // corpus language labels, exact 1e-8 integers
+      RegisteredQuery(
+        "q_class_weights",
+        (s, dir) => graft.operators.ClassBalance.balancedWeights(
+            Tables.resolve(s, dir)("documents"), "lang")
+          .orderBy("label"),
+        Some(graft.operators.ClassBalance.oracleSql("documents", "lang"))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
