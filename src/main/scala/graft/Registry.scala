@@ -4638,7 +4638,45 @@ FROM documents GROUP BY lang, source ORDER BY lang, source""")),
         (s, dir) => graft.operators.ClassBalance.balancedWeights(
             Tables.resolve(s, dir)("documents"), "lang")
           .orderBy("label"),
-        Some(graft.operators.ClassBalance.oracleSql("documents", "lang"))))
+        Some(graft.operators.ClassBalance.oracleSql("documents", "lang"))),
+
+      // state-run compaction of the event stream: consecutive same-type
+      // events per user collapse to runs (RLE log compaction)
+      RegisteredQuery(
+        "q_state_runs",
+        (s, dir) => graft.llm.StateRuns.collapse(
+            graft.llm.EventWindows.readEvents(s, s"$dir/events.parquet"))
+          .orderBy("user_id", "run_seq"),
+        Some(graft.llm.StateRuns.oracleSql("events"))),
+
+      // volume-weighted P90 price: the general weighted quantile at the
+      // integer fraction 9/10 via the two-level decomposed cumulative
+      RegisteredQuery(
+        "q_weighted_p90",
+        (s, dir) => graft.operators.WeightedStats.weightedQuantileBucketed(
+            Tables.resolve(s, dir)("lineitem")
+              .withColumn("cents",
+                (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+              .withColumn("qty", col("l_quantity").cast("long")),
+            "l_returnflag", "cents", "qty", qNum = 9, qDen = 10,
+            bucketWidth = 100000L)
+          .orderBy("l_returnflag"),
+        Some(graft.operators.WeightedStats.quantileOracleSql(
+          "lineitem", "l_returnflag",
+          "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
+          "CAST(l_quantity AS BIGINT)", qNum = 9, qDen = 10))),
+
+      // U-shaped multi-touch attribution at a 2h lookback: every touch
+      // credited 40/20/40 in exact basis points via the grid-bucketed
+      // interval join (never an inequality nested loop)
+      RegisteredQuery(
+        "q_ushape_attrib",
+        (s, dir) => graft.llm.Attribution.uShapedCredit(
+            graft.llm.EventWindows.readEvents(s, s"$dir/events.parquet"),
+            conversionType = "purchase", lookback = "2 hours")
+          .orderBy("conversion_id", "touch_id"),
+        Some(graft.llm.Attribution.uShapedOracle(
+          "events", "purchase"))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over

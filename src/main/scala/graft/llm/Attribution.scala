@@ -88,4 +88,71 @@ FROM conv c
 LEFT JOIN t f ON f.conversion_id = c.conversion_id AND f.rn = 1
 LEFT JOIN t l ON l.conversion_id = c.conversion_id AND l.rn = l.n
 ORDER BY c.conversion_id""".stripMargin
+
+  /** U-shaped (position-based) multi-touch attribution — every touch in
+    * the conversion's closed lookback window gets credit, split by the
+    * standard 40/20/40 rule in exact basis points: first and last touch
+    * 4000 bp each, the middle touches sharing 2000 bp by truncating
+    * division (`2000 div (n−2)` — the remainder is DROPPED, the honest
+    * cross-engine form; credits per conversion sum to ≤ 10000 with the
+    * shortfall < n−2 bp). One touch takes all 10000; two touches split
+    * 5000/5000. Positions use the same total (ts, id) order as
+    * [[firstLastTouch]]; conversions with no in-window touch are absent
+    * (nothing to credit).
+    *
+    * Scale shape: the touch×conversion pairing is the honest output and
+    * rides [[graft.operators.RangeJoin.intervalJoin]] — grid-cell
+    * bucketed equi-join on (user, cell), never an inequality nested
+    * loop; ranking windows partition by CONVERSION (state bounded by
+    * that conversion's in-window touches).
+    */
+  def uShapedCredit(events: DataFrame, conversionType: String,
+                    lookback: String = "2 hours",
+                    userCol: String = "user_id", tsCol: String = "ts",
+                    typeCol: String = "event_type",
+                    idCol: String = "event_id"): DataFrame = {
+    val base = events.where(col(userCol).isNotNull)
+    val convs = base.where(col(typeCol) === conversionType)
+      .select(col(userCol).as("__cu"), col(idCol).cast("long").as("conversion_id"),
+        col(tsCol).as("__cts"))
+      .withColumn("__cstart", col("__cts") - expr(s"INTERVAL $lookback"))
+    val touches = base.where(col(typeCol) =!= conversionType)
+      .select(col(userCol).as("__tu"), col(idCol).cast("long").as("touch_id"),
+        col(typeCol).as("touch_type"), col(tsCol).as("__tts"))
+    val pairs = graft.operators.RangeJoin.intervalJoin(
+      touches, convs, "__tts", "__cstart", "__cts",
+      on = Seq("__tu" -> "__cu"), bucket = lookback, halfOpen = false)
+    val ord = Window.partitionBy(col("conversion_id"))
+      .orderBy(col("__tts"), col("touch_id"))
+    val whole = Window.partitionBy(col("conversion_id"))
+    pairs
+      .withColumn("__rk", row_number().over(ord))
+      .withColumn("__n", count(lit(1)).over(whole))
+      .select(col("conversion_id"), col("touch_id"), col("touch_type"),
+        expr("""CAST(CASE WHEN __n = 1 THEN 10000
+          WHEN __rk = 1 OR __rk = __n THEN CASE WHEN __n = 2 THEN 5000 ELSE 4000 END
+          ELSE 2000 div (__n - 2) END AS BIGINT)""").as("credit_bp"))
+  }
+
+  /** DuckDB replay of [[uShapedCredit]] — plain inequality join (oracle
+    * scale affords the fan-out), same rank positions and credit CASE.
+    */
+  def uShapedOracle(table: String, conversionType: String,
+                    lookbackSql: String = "INTERVAL 2 HOUR",
+                    userCol: String = "user_id", tsCol: String = "ts",
+                    typeCol: String = "event_type",
+                    idCol: String = "event_id"): String =
+    s"""WITH conv AS (SELECT $idCol AS conversion_id, $userCol, $tsCol
+  FROM $table WHERE $typeCol = '$conversionType' AND $userCol IS NOT NULL),
+p AS (SELECT c.conversion_id, e.$idCol AS touch_id, e.$typeCol AS touch_type,
+    row_number() OVER (PARTITION BY c.conversion_id ORDER BY e.$tsCol, e.$idCol) AS rk,
+    count(*) OVER (PARTITION BY c.conversion_id) AS n
+  FROM conv c JOIN $table e
+    ON e.$userCol = c.$userCol AND e.$typeCol <> '$conversionType'
+    AND e.$tsCol >= c.$tsCol - $lookbackSql AND e.$tsCol <= c.$tsCol)
+SELECT conversion_id, CAST(touch_id AS BIGINT) AS touch_id, touch_type,
+  CAST(CASE WHEN n = 1 THEN 10000
+    WHEN rk = 1 OR rk = n THEN CASE WHEN n = 2 THEN 5000 ELSE 4000 END
+    ELSE 2000 // (n - 2) END AS BIGINT) AS credit_bp
+FROM p ORDER BY conversion_id, touch_id""".stripMargin
 }

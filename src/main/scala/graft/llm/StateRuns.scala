@@ -1,0 +1,71 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** State-run compaction — run-length encoding of an event stream:
+  * consecutive same-type events per user collapse to one run row
+  * (type, start, end, count). The log-compaction step for state-change
+  * streams ("device was ONLINE from a to b, then OFFLINE …") and the
+  * generic form of [[graft.operators.Streaks]]' gaps-and-islands (days
+  * → arbitrary event sequences): storage drops from events to state
+  * CHANGES, and downstream interval analytics ([[graft.operators.
+  * IntervalCoverage]], [[graft.operators.Concurrency]]) read runs
+  * directly.
+  *
+  * Mechanics: per user in strict (ts, id) order, a run BOUNDARY is any
+  * event whose type differs from its predecessor's (null-safe compare —
+  * a NULL type forms runs like any value); the running boundary count
+  * IS the run id (gaps-and-islands), and runs aggregate with min/max/
+  * count. `run_seq` numbers a user's runs 1..k in time order.
+  *
+  * Scale shape: one lag + one running sum over the per-user order (the
+  * sessionized posture — hash exchange on user, spill-backed sort; a
+  * whale user is wall-clock, never memory: the state is one lag value
+  * and one counter), then a partial-agg'd groupBy on (user, run).
+  * NULL users form their own stream on both engines (window parity, the
+  * [[Debounce]] contract); NULL ts/id rows drop (unrankable).
+  */
+object StateRuns {
+
+  /** (user_id, run_seq, event_type, start_us, end_us, n_events). */
+  def collapse(events: DataFrame, userCol: String = "user_id",
+               tsCol: String = "ts", typeCol: String = "event_type",
+               idCol: String = "event_id"): DataFrame = {
+    val ord = Window.partitionBy(col(userCol))
+      .orderBy(col("__us"), col(idCol))
+    val run = Window.partitionBy(col(userCol)).orderBy(col("__us"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .where(col(tsCol).isNotNull && col(idCol).isNotNull)
+      .withColumn("__us", unix_micros(col(tsCol).cast("timestamp")))
+      .withColumn("__chg",
+        when(col(typeCol) <=> lag(col(typeCol), 1).over(ord), 0L).otherwise(1L))
+      .withColumn("__run", sum(col("__chg")).over(run))
+      .groupBy(col(userCol).as("user_id"), col("__run"))
+      .agg(min(col(typeCol)).as("event_type"),
+        min(col("__us")).as("start_us"), max(col("__us")).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("__run").as("run_seq"), col("event_type"),
+        col("start_us"), col("end_us"), col("n_events"))
+  }
+
+  /** DuckDB replay of [[collapse]] — the same gaps-and-islands. */
+  def oracleSql(table: String, userCol: String = "user_id",
+                tsCol: String = "ts", typeCol: String = "event_type",
+                idCol: String = "event_id"): String =
+    s"""WITH m AS (
+  SELECT $userCol AS u, $typeCol AS t, epoch_us($tsCol) AS us, $idCol AS i
+  FROM $table WHERE $tsCol IS NOT NULL AND $idCol IS NOT NULL),
+c AS (SELECT u, t, us, i,
+    CASE WHEN t IS NOT DISTINCT FROM lag(t) OVER w THEN 0 ELSE 1 END AS chg
+  FROM m WINDOW w AS (PARTITION BY u ORDER BY us, i)),
+r AS (SELECT u, t, us,
+    sum(chg) OVER (PARTITION BY u ORDER BY us, i ROWS UNBOUNDED PRECEDING) AS run
+  FROM c)
+SELECT u AS user_id, CAST(run AS BIGINT) AS run_seq, min(t) AS event_type,
+  CAST(min(us) AS BIGINT) AS start_us, CAST(max(us) AS BIGINT) AS end_us,
+  CAST(count(*) AS BIGINT) AS n_events
+FROM r GROUP BY u, run ORDER BY user_id, run_seq""".stripMargin
+}

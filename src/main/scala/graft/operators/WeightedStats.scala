@@ -70,10 +70,26 @@ object WeightedStats {
     */
   def weightedMedianBucketed(df: DataFrame, groupCol: String,
                              valueCol: String, weightCol: String,
-                             bucketWidth: Long): DataFrame = {
+                             bucketWidth: Long): DataFrame =
+    weightedQuantileBucketed(df, groupCol, valueCol, weightCol,
+      qNum = 1L, qDen = 2L, bucketWidth = bucketWidth)
+      .withColumnRenamed("weighted_quantile", "weighted_median")
+
+  /** The general weighted quantile — "the P90 latency weighted by
+    * request volume": smallest v with `qDen·cw(v) ≥ qNum·W` (the
+    * first-crossing rule at fraction qNum/qDen; 1/2 IS the median).
+    * Integer (num, den) fractions keep the crossing exact on both
+    * engines — no float q ever multiplies a weight.
+    */
+  def weightedQuantileBucketed(df: DataFrame, groupCol: String,
+                               valueCol: String, weightCol: String,
+                               qNum: Long, qDen: Long,
+                               bucketWidth: Long): DataFrame = {
     require(bucketWidth >= 1, s"bucketWidth must be positive, got $bucketWidth")
+    require(qDen >= 1 && qNum >= 1 && qNum <= qDen,
+      s"quantile $qNum/$qDen must be a fraction in (0, 1]")
     Seq(valueCol, weightCol).foreach(c =>
-      graft.Guards.requireIntegral(df, c, "weightedMedianBucketed"))
+      graft.Guards.requireIntegral(df, c, "weightedQuantileBucketed"))
     val mass = df
       .where(col(valueCol).isNotNull && col(weightCol).isNotNull &&
         col(weightCol) > 0)
@@ -99,10 +115,10 @@ object WeightedStats {
       .withColumn("__cwb", sum(col("__w")).over(within))
       .join(offs, col(groupCol) <=> col("__g2") && col("__b") === col("__b2"))
       .join(broadcast(grpTot), col(groupCol) <=> col("__g3"))
-      .where((col("__boff") + col("__cwb")) * 2 >= col("__tw"))
+      .where((col("__boff") + col("__cwb")) * qDen >= col("__tw") * qNum)
       .groupBy(col(groupCol))
       .agg(max(col("__tw")).cast(LongType).as("total_weight"),
-        min(col("__v")).as("weighted_median"))
+        min(col("__v")).as("weighted_quantile"))
   }
 
   /** DuckDB replay of [[weightedMedian]] / [[weightedMedianBucketed]] —
@@ -111,6 +127,13 @@ object WeightedStats {
     */
   def oracleSql(table: String, groupCol: String, valueSql: String,
                 weightSql: String): String =
+    quantileOracleSql(table, groupCol, valueSql, weightSql, 1L, 2L,
+      "weighted_median")
+
+  /** DuckDB replay of [[weightedQuantileBucketed]] at qNum/qDen. */
+  def quantileOracleSql(table: String, groupCol: String, valueSql: String,
+                        weightSql: String, qNum: Long, qDen: Long,
+                        outCol: String = "weighted_quantile"): String =
     s"""WITH mass AS (SELECT $groupCol, CAST($valueSql AS BIGINT) AS v,
     sum(CAST($weightSql AS DECIMAL(38,0))) AS w
   FROM $table
@@ -121,7 +144,7 @@ c AS (SELECT $groupCol, v,
     sum(w) OVER (PARTITION BY $groupCol) AS tw
   FROM mass)
 SELECT $groupCol, CAST(max(tw) AS BIGINT) AS total_weight,
-  min(v) AS weighted_median
-FROM c WHERE cw * 2 >= tw GROUP BY $groupCol
+  min(v) AS $outCol
+FROM c WHERE cw * $qDen >= tw * $qNum GROUP BY $groupCol
 ORDER BY $groupCol""".stripMargin
 }

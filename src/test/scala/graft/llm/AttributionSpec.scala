@@ -80,4 +80,42 @@ class AttributionSpec extends SparkSpec {
       Attribution.firstLastTouch(df, "buy", lookback = "1 month")
     }
   }
+
+  test("U-shaped credit: 40/20/40 with truncating middle split") {
+    val rows = Seq(
+      ev(1, 7, "2024-01-01 09:00:00", "view"),
+      ev(2, 7, "2024-01-01 09:10:00", "click"),
+      ev(3, 7, "2024-01-01 09:20:00", "view"),
+      ev(4, 7, "2024-01-01 09:30:00", "click"),
+      ev(5, 7, "2024-01-01 09:40:00", "view"),
+      ev(6, 7, "2024-01-01 09:50:00", "buy"),    // 5 touches: 4000/666×3/4000
+      ev(7, 8, "2024-01-01 09:00:00", "view"),
+      ev(8, 8, "2024-01-01 09:30:00", "buy"),    // 1 touch: 10000
+      ev(9, 9, "2024-01-01 09:00:00", "view"),
+      ev(10, 9, "2024-01-01 09:30:00", "click"),
+      ev(11, 9, "2024-01-01 09:45:00", "buy"))   // 2 touches: 5000/5000
+    val got = Attribution.uShapedCredit(
+        rows.toDF("event_id", "user_id", "ts", "event_type"),
+        conversionType = "buy", lookback = "1 hour")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got == Map(
+      (6L, 1L) -> 4000L, (6L, 2L) -> 666L, (6L, 3L) -> 666L,
+      (6L, 4L) -> 666L, (6L, 5L) -> 4000L,
+      (8L, 7L) -> 10000L,
+      (11L, 9L) -> 5000L, (11L, 10L) -> 5000L))
+  }
+
+  test("U-shaped: touchless conversions are absent; window bound is closed") {
+    val rows = Seq(
+      ev(1, 5, "2024-01-01 08:00:00", "view"),   // exactly 60 min before: IN
+      ev(2, 5, "2024-01-01 09:00:00", "buy"),
+      ev(3, 6, "2024-01-01 07:00:00", "view"),   // 2h before: out
+      ev(4, 6, "2024-01-01 09:00:00", "buy"))
+    val got = Attribution.uShapedCredit(
+        rows.toDF("event_id", "user_id", "ts", "event_type"),
+        conversionType = "buy", lookback = "1 hour")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(got.toSeq == Seq((2L, 1L, 10000L)))
+  }
 }

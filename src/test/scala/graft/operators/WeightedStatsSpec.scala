@@ -57,6 +57,21 @@ class WeightedStatsSpec extends SparkSpec {
     assert(plain.find(_.getString(0) == "a").get.getLong(2) == 0L)
   }
 
+  test("weighted P90: first crossing at 9/10 of the mass") {
+    // masses 1:50, 2:30, 3:15, 4:5 → W=100; cw(3)=95 ≥ 90 first
+    val df = Seq(("g", 1L, 50L), ("g", 2L, 30L), ("g", 3L, 15L), ("g", 4L, 5L))
+      .toDF("grp", "v", "w")
+    val got = WeightedStats
+      .weightedQuantileBucketed(df, "grp", "v", "w", qNum = 9, qDen = 10,
+        bucketWidth = 2)
+      .head()
+    assert((got.getLong(1), got.getLong(2)) == ((100L, 3L)))
+    // q = 1 is the maximum
+    assert(WeightedStats
+      .weightedQuantileBucketed(df, "grp", "v", "w", 1, 1, 2)
+      .head().getLong(2) == 4L)
+  }
+
   test("NULL and non-positive weights carry no mass; float rejected") {
     val df = Seq(("g", 1L, Some(0L)), ("g", 2L, Some(-5L)), ("g", 3L, None),
       ("g", 7L, Some(1L))).toDF("grp", "v", "w")
