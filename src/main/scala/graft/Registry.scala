@@ -4676,7 +4676,71 @@ FROM documents GROUP BY lang, source ORDER BY lang, source""")),
             conversionType = "purchase", lookback = "2 hours")
           .orderBy("conversion_id", "touch_id"),
         Some(graft.llm.Attribution.uShapedOracle(
-          "events", "purchase"))))
+          "events", "purchase"))),
+
+      // connected components to fixpoint by min-label propagation over
+      // the qty>=42 co-purchase graph (12 rounds / 14 components at
+      // sf0.01); maxRounds pinned to the oracle's 14-round unroll
+      RegisteredQuery(
+        "q_connected_components",
+        (s, dir) => {
+          val li = Tables.resolve(s, dir)("lineitem")
+            .where(col("l_quantity") >= 42)
+            .select(col("l_orderkey"), col("l_partkey"))
+          val edges = li.as("a").join(li.as("b"),
+              col("a.l_orderkey") === col("b.l_orderkey") &&
+                col("a.l_partkey") < col("b.l_partkey"))
+            .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+          graft.operators.MinLabel.components(edges, "src", "dst",
+              maxRounds = 14)
+            .orderBy("vertex")
+        },
+        Some(graft.operators.MinLabel.oracleSql(
+          """SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_quantity >= 42 AND b.l_quantity >= 42""", rounds = 14))),
+
+      // validity-interval conformance over deterministically messy
+      // synthetic versions (order spans per customer bucket): overlap /
+      // gap / open-mid counts, violation-sized output
+      RegisteredQuery(
+        "q_interval_audit",
+        (s, dir) => graft.operators.IntervalAudit.audit(
+            Tables.resolve(s, dir)("orders")
+              .withColumn("k", expr("o_custkey % 1000"))
+              .withColumn("vt", expr(
+                "CASE WHEN o_orderkey % 5 = 0 THEN NULL " +
+                  "ELSE o_orderdate + make_dt_interval(CAST(o_orderkey % 5 AS INT)) END")),
+            "k", "o_orderdate", "vt", "o_orderkey")
+          .orderBy("key"),
+        Some(graft.operators.IntervalAudit.oracleSql(
+          "(SELECT o_custkey % 1000 AS k, o_orderdate, o_orderkey, " +
+            "CASE WHEN o_orderkey % 5 = 0 THEN NULL " +
+            "ELSE o_orderdate + INTERVAL 1 DAY * (o_orderkey % 5) END AS vt " +
+            "FROM orders) iv",
+          "k", "o_orderdate", "vt", "o_orderkey"))),
+
+      // per-vertex neighbor-degree features over the co-purchase graph:
+      // hub-vs-leaf structural profile, exact micro mean
+      RegisteredQuery(
+        "q_neighbor_stats",
+        (s, dir) => {
+          val li = Tables.resolve(s, dir)("lineitem")
+            .where(col("l_quantity") >= 45)
+            .select(col("l_orderkey"), col("l_partkey"))
+          val edges = li.as("a").join(li.as("b"),
+              col("a.l_orderkey") === col("b.l_orderkey") &&
+                col("a.l_partkey") < col("b.l_partkey"))
+            .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+          graft.operators.NeighborStats.degreeStats(edges, "src", "dst")
+            .orderBy("vertex")
+        },
+        Some(graft.operators.NeighborStats.oracleSql(
+          """SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_quantity >= 45 AND b.l_quantity >= 45"""))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components by synchronized min-label propagation — every
+  * vertex ends up labeled with the smallest vertex id reachable from it,
+  * which IS its component id: the partition step behind duplicate-
+  * cluster formation, identity stitching, and subgraph extraction.
+  *
+  * This is the DRIVER-GATEABLE member of the CC family: the large-star/
+  * small-star algorithm ([[graft.llm.DedupClusters]]) converges in
+  * O(log n) rounds and is the 100 TB path, but its intermediate states
+  * are algorithm-specific; min-label's synchronized rounds are a pure
+  * recurrence another engine can replay — each round every vertex takes
+  * `min(own label, neighbors' labels)` — so the whole run faces a
+  * cross-engine oracle ([[oracleSql]], unrolled MATERIALIZED CTEs).
+  * Rounds-to-fixpoint is bounded by the largest component's diameter —
+  * fine for the mid-diameter graphs this form targets; switch to
+  * DedupClusters when the diameter is the problem.
+  *
+  * Runs to FIXPOINT with the [[KCore.peelToFixpoint]] discipline: labels
+  * are non-increasing per vertex, so "total label sum unchanged" is the
+  * fixpoint test (one cheap driver-side aggregate per round against the
+  * checkpointed frame); throws loudly past `maxRounds` instead of
+  * returning a half-propagated labeling.
+  *
+  * Scale shape: per round ONE equi-join of the edge list against the
+  * labels and one partial-agg'd min per destination — 8-byte id
+  * shuffles, no windows; per-round eager checkpoint (PageRank lineage
+  * posture). Contracts: undirected ([[GraphEdges]] canonicalization);
+  * only vertices with ≥ 1 surviving edge appear (an isolated id has no
+  * component membership to report); vertex ids must be orderable — the
+  * MINIMUM id is the component name.
+  */
+object MinLabel {
+
+  /** (vertex, component) at the propagation fixpoint. */
+  def components(edges: DataFrame, srcCol: String, dstCol: String,
+                 maxRounds: Int = 50): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be positive, got $maxRounds")
+    val e = GraphEdges.symmetrize(edges, srcCol, dstCol)
+    var lab = e.select(col("__s").as("vertex")).distinct()
+      .withColumn("label", col("vertex"))
+      .localCheckpoint(true)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("label").cast("decimal(38,0)"))).head()
+      r.getDecimal(0)
+    }
+    var s = labelSum(lab)
+    var round = 0
+    while (round < maxRounds) {
+      round += 1
+      val nb = e
+        .join(lab.select(col("vertex").as("__s"), col("label").as("__nl")), "__s")
+        .groupBy(col("__d").as("vertex"))
+        .agg(min(col("__nl")).as("__m"))
+      val next = lab.join(nb, Seq("vertex"), "left")
+        .select(col("vertex"),
+          least(col("label"), coalesce(col("__m"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val s2 = labelSum(next)
+      lab = next
+      if (s2.compareTo(s) == 0)
+        return lab.select(col("vertex"), col("label").as("component"))
+      s = s2
+    }
+    throw new IllegalStateException(
+      s"min-label propagation did not reach a fixpoint in $maxRounds " +
+        "rounds — a component's diameter exceeds the bound; raise " +
+        "maxRounds or switch to DedupClusters (large-star/small-star)")
+  }
+
+  /** DuckDB replay of [[components]] — rounds unrolled as MATERIALIZED
+    * CTEs (the [[KCore.oracleSql]] discipline); `rounds` must be ≥ the
+    * Spark side's rounds-to-fixpoint (stable past it).
+    */
+  def oracleSql(edgesSql: String, rounds: Int): String = {
+    val base =
+      s"""${GraphEdges.symmetrizeCteSql("e", edgesSql)},
+l0 AS MATERIALIZED (SELECT DISTINCT s AS v, s AS lab FROM e)"""
+    val steps = (1 to rounds).map { i =>
+      s"""l$i AS MATERIALIZED (
+  SELECT l.v, least(l.lab, coalesce(m.ml, l.lab)) AS lab
+  FROM l${i - 1} l LEFT JOIN (
+    SELECT e.d AS v, min(l2.lab) AS ml
+    FROM e JOIN l${i - 1} l2 ON e.s = l2.v GROUP BY e.d) m
+  ON l.v = m.v)"""
+    }
+    s"""WITH $base,
+${steps.mkString(",\n")}
+SELECT v AS vertex, CAST(lab AS BIGINT) AS component
+FROM l$rounds ORDER BY v""".stripMargin
+  }
+}
