@@ -3019,6 +3019,66 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC LIMIT 10""")),
 
+      // TPC-H Q10 shape (returned-item revenue): fact-fact join filtered
+      // by return flag and a quarter window, customer + nation broadcast,
+      // top-20 losers by TakeOrdered — the churn-postmortem plan
+      RegisteredQuery(
+        "q_tpch_q10",
+        (s, dir) => {
+          val t = Tables.resolve(s, dir)
+          val rev = col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+          t("lineitem").where(col("l_returnflag") === "R")
+            .join(t("orders").where(
+                col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+              col("l_orderkey") === col("o_orderkey"))
+            .join(broadcast(t("customer")), col("o_custkey") === col("c_custkey"))
+            .join(broadcast(t("nation")), col("c_nationkey") === col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(sum(rev).cast("double").as("revenue"))
+            .orderBy(col("revenue").desc, col("c_custkey").asc)
+            .limit(20)
+        },
+        Some("""SELECT c_custkey, c_name, n_name,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC LIMIT 20""")),
+
+      // TPC-H Q18 shape (large-volume customers): the classic semi-join
+      // of facts against a HAVING-filtered aggregate of the SAME fact
+      // table — the aggregate is tiny after the cut and broadcasts back
+      RegisteredQuery(
+        "q_tpch_q18",
+        (s, dir) => {
+          val t = Tables.resolve(s, dir)
+          val big = t("lineitem").groupBy("l_orderkey")
+            .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("__q"))
+            .where(col("__q") > 250)
+            .select(col("l_orderkey").as("__bk"), col("__q"))
+          t("orders")
+            .join(broadcast(big), col("o_orderkey") === col("__bk"))
+            .join(broadcast(t("customer")), col("o_custkey") === col("c_custkey"))
+            .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+              col("o_orderdate"), col("o_totalprice"),
+              col("__q").cast("double").as("total_qty"))
+            .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        },
+        Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+  CAST(tq AS DOUBLE) AS total_qty
+FROM (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS tq
+      FROM lineitem GROUP BY l_orderkey HAVING tq > 250) b
+JOIN orders ON o_orderkey = b.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC""")),
+
       // TPC-H Q5 shape (local supplier volume): six-table join — two fact
       // tables shuffled on their keys, every dimension broadcast, region
       // filter pruning nation before it ever touches the facts
