@@ -4800,7 +4800,43 @@ FROM documents GROUP BY lang, source ORDER BY lang, source""")),
           """SELECT a.l_partkey AS src, b.l_partkey AS dst
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  WHERE a.l_quantity >= 45 AND b.l_quantity >= 45"""))))
+  WHERE a.l_quantity >= 45 AND b.l_quantity >= 45"""))),
+
+      // CDC net-effect compaction over a deterministic synthetic op log
+      // (orderkey%7 picks the op): one net op per key, I-then-D vanishes
+      RegisteredQuery(
+        "q_cdc_compact",
+        (s, dir) => graft.operators.CdcCompact.netEffect(
+            Tables.resolve(s, dir)("orders")
+              .withColumn("k", expr("o_custkey % 2000"))
+              .withColumn("op", expr(
+                "CASE WHEN o_orderkey % 7 = 0 THEN 'D' " +
+                  "WHEN o_orderkey % 7 IN (1, 2) THEN 'I' ELSE 'U' END"))
+              .withColumn("cents",
+                (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")),
+            "k", "o_orderkey", "op", Seq("o_orderstatus", "cents"))
+          .orderBy("key"),
+        Some(graft.operators.CdcCompact.oracleSql(
+          "(SELECT o_custkey % 2000 AS k, o_orderkey, o_orderstatus, " +
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents, " +
+            "CASE WHEN o_orderkey % 7 = 0 THEN 'D' " +
+            "WHEN o_orderkey % 7 IN (1, 2) THEN 'I' ELSE 'U' END AS op " +
+            "FROM orders) cdc",
+          "k", "o_orderkey", "op", Seq("o_orderstatus", "cents")))),
+
+      // hierarchical share-of-parent: priority within status, status
+      // within the grand total — exact 1e-8 shares on the leaf rows
+      RegisteredQuery(
+        "q_share_of_parent",
+        (s, dir) => graft.operators.ShareOfParent.shares(
+            Tables.resolve(s, dir)("orders")
+              .withColumn("cents",
+                (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")),
+            "o_orderstatus", "o_orderpriority", "cents")
+          .orderBy("parent", "child"),
+        Some(graft.operators.ShareOfParent.oracleSql(
+          "orders", "o_orderstatus", "o_orderpriority",
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
