@@ -4836,7 +4836,38 @@ FROM documents GROUP BY lang, source ORDER BY lang, source""")),
           .orderBy("parent", "child"),
         Some(graft.operators.ShareOfParent.oracleSql(
           "orders", "o_orderstatus", "o_orderpriority",
-          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))))
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))),
+
+      // embedding-space outlier screen: per-row exact n-scaled distance
+      // to the declared stratum's centroid (vec_id%7 synthetic strata) —
+      // the mean never materializes, ranking within a group is exact
+      RegisteredQuery(
+        "q_embed_outliers",
+        (s, dir) => graft.llm.EmbeddingOps.centroidDist2(
+            Tables.resolve(s, dir)("embeddings")
+              .withColumn("grp", expr("vec_id % 7")),
+            "vec_id", "grp", "embedding")
+          .orderBy("id"),
+        Some(graft.llm.EmbeddingOps.centroidDist2Oracle(
+          "(SELECT vec_id, embedding, vec_id % 7 AS grp FROM embeddings) emb",
+          "vec_id", "grp", "embedding", dim = 64))),
+
+      // year-over-year rank movers of customer buckets by revenue:
+      // deterministic row_number ranks, debut/dropout NULLs
+      RegisteredQuery(
+        "q_rank_movers",
+        (s, dir) => graft.operators.RankMovers.movers(
+            Tables.resolve(s, dir)("orders")
+              .withColumn("bucket", expr("o_custkey % 500"))
+              .withColumn("yr", year(col("o_orderdate")).cast("string"))
+              .withColumn("cents",
+                (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")),
+            "bucket", "yr", "cents", "1996", "1997")
+          .orderBy("entity"),
+        Some(graft.operators.RankMovers.oracleSql(
+          "orders", "o_custkey % 500", "CAST(year(o_orderdate) AS VARCHAR)",
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
+          "1996", "1997"))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over

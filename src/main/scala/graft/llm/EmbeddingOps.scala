@@ -111,6 +111,84 @@ object EmbeddingOps {
     * partial-agg'd per-dimension sum (dim-bounded output); the join is
     * dims × dims.
     */
+  /** Per-row distance to the GROUP centroid in embedding space, exact —
+    * the curation screen for "this document's embedding doesn't belong
+    * to its declared stratum" (mislabeled language, off-topic source,
+    * embedding-pipeline glitches): over the int8 codes, each row scores
+    *
+    *   dist2_scaled = ‖n·x − S‖²  (per group: n rows, S = Σ codes)
+    *
+    * which is n² times the distance to the true mean — the MEAN never
+    * needs to be materialized (it isn't integral), and since n is
+    * constant within a group the ranking/thresholding inside each group
+    * is exactly distance-to-centroid. Published per row with n so a
+    * caller can normalize; magnitudes ride DECIMAL(38,0)/HUGEINT
+    * (n·x ≤ 127n; the squared sum ≤ dim·(254n)² — fits past 10¹⁶ rows
+    * per group at dim 64).
+    *
+    * Scale shape: one scan-stage quantize + a per-(group, dim) partial-
+    * agg'd sum (dim-bounded), the group sums broadcast back as an array,
+    * then one codegen-friendly zip_with fold per row — row-sized output
+    * because the QUESTION is row-sized. NULL groups are a real stratum;
+    * NULL vectors drop.
+    */
+  def centroidDist2(df: DataFrame, idCol: String, groupCol: String,
+                    vecCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val coded = df.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(groupCol).as("grp"),
+        quantizeInt8(col(vecCol)).as("__c"))
+      .localCheckpoint(true)
+    val sums = coded
+      .select(col("grp"), posexplode(col("__c")).as(Seq("__dim", "__q")))
+      .groupBy(col("grp").as("__g"), col("__dim"))
+      .agg(sum(col("__q").cast("long")).as("__s"))
+      .groupBy(col("__g"))
+      .agg(array_sort(collect_list(struct(col("__dim"), col("__s"))))
+        .as("__sv"))
+      .select(col("__g"),
+        transform(col("__sv"), s => s.getField("__s")).as("__sums"))
+    val counts = coded.groupBy(col("grp").as("__g2"))
+      .agg(count(lit(1)).as("__n"))
+    coded
+      .join(broadcast(sums), col("grp") <=> col("__g"))
+      .join(broadcast(counts), col("grp") <=> col("__g2"))
+      .select(col("id"), col("grp"), col("__n").as("n"),
+        aggregate(
+          zip_with(col("__c"), col("__sums"),
+            (x, s) => {
+              // cast BEFORE squaring: n·x ≤ 127n overflows long squared
+              // at huge n; the duplicate-expression re-eval is cheap
+              val d = (x.cast("long") * col("__n") - s).cast(dec)
+              d * (x.cast("long") * col("__n") - s).cast(dec)
+            }),
+          lit(0).cast(dec), (acc, v) => acc + v)
+          .cast("string").as("dist2_scaled"))
+  }
+
+  /** DuckDB replay of [[centroidDist2]] — the scaled distance exceeds
+    * 64 bits in general, so it projects as its canonical decimal string
+    * (the grouped-correlation discipline).
+    */
+  def centroidDist2Oracle(table: String, idCol: String, groupCol: String,
+                          vecCol: String, dim: Int): String =
+    s"""WITH t AS (SELECT $idCol AS id, $groupCol AS grp, $vecCol AS v,
+  list_max(list_transform($vecCol, x -> abs(CAST(x AS DOUBLE)))) AS m
+  FROM $table WHERE $vecCol IS NOT NULL),
+q8 AS (SELECT id, grp, ${quantSql("v", "m")} AS qc FROM t),
+e AS (SELECT grp, unnest(qc) AS q, unnest(generate_series(1, $dim)) AS i FROM q8),
+d AS (SELECT grp, i, CAST(sum(q) AS HUGEINT) AS su FROM e GROUP BY grp, i),
+s AS (SELECT grp, list(su ORDER BY i) AS sums FROM d GROUP BY grp),
+c AS (SELECT grp, CAST(count(*) AS HUGEINT) AS n FROM q8 GROUP BY grp)
+SELECT q8.id, q8.grp, CAST(c.n AS BIGINT) AS n,
+  CAST(list_sum(list_transform(generate_series(1, $dim),
+    i -> (CAST(q8.qc[i] AS HUGEINT) * c.n - s.sums[i]) *
+         (CAST(q8.qc[i] AS HUGEINT) * c.n - s.sums[i]))) AS VARCHAR)
+    AS dist2_scaled
+FROM q8 JOIN s ON q8.grp IS NOT DISTINCT FROM s.grp
+JOIN c ON q8.grp IS NOT DISTINCT FROM c.grp
+ORDER BY q8.id""".stripMargin
+
   def centroidSums(a: DataFrame, b: DataFrame, vecCol: String): DataFrame = {
     def sums(df: DataFrame, out: String) = df
       .where(col(vecCol).isNotNull)
