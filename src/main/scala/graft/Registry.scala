@@ -4867,7 +4867,38 @@ FROM documents GROUP BY lang, source ORDER BY lang, source""")),
         Some(graft.operators.RankMovers.oracleSql(
           "orders", "o_custkey % 500", "CAST(year(o_orderdate) AS VARCHAR)",
           "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
-          "1996", "1997"))))
+          "1996", "1997"))),
+
+      // impossible-travel screen over deterministically scattered event
+      // coordinates: cross-multiplied speed bound, violation-sized
+      // output (27 flagged pairs of ~10k at sf0.01)
+      RegisteredQuery(
+        "q_impossible_travel",
+        (s, dir) => graft.operators.Travel.impossible(
+            graft.llm.EventWindows.readEvents(s, s"$dir/events.parquet")
+              .withColumn("x", expr("(event_id * event_id * 37) % 20011"))
+              .withColumn("y", expr("(event_id * event_id * event_id) % 20011")),
+            "user_id", "ts", "event_id", "x", "y",
+            vNum = 1, vDen = 10000)
+          .orderBy("user", "event_id"),
+        Some(graft.operators.Travel.oracleSql(
+          "events", "user_id", "ts", "event_id",
+          "(event_id * event_id * 37) % 20011",
+          "(event_id * event_id * event_id) % 20011",
+          vNum = 1, vDen = 10000))),
+
+      // exact per-group mode of the quantity column — the value the
+      // Misra-Gries sketch approximates, elected by struct-max with the
+      // smallest-value tie rule
+      RegisteredQuery(
+        "q_group_mode",
+        (s, dir) => graft.operators.Mode.perGroup(
+            Tables.resolve(s, dir)("lineitem")
+              .withColumn("qty", col("l_quantity").cast("long")),
+            "l_returnflag", "qty")
+          .orderBy("group"),
+        Some(graft.operators.Mode.oracleSql(
+          "lineitem", "l_returnflag", "CAST(l_quantity AS BIGINT)"))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
