@@ -4898,7 +4898,38 @@ FROM documents GROUP BY lang, source ORDER BY lang, source""")),
             "l_returnflag", "qty")
           .orderBy("group"),
         Some(graft.operators.Mode.oracleSql(
-          "lineitem", "l_returnflag", "CAST(l_quantity AS BIGINT)"))))
+          "lineitem", "l_returnflag", "CAST(l_quantity AS BIGINT)"))),
+
+      // categorical PSI between the corpus halves over the source label —
+      // each category IS its bucket, same quantized-ln chain as the
+      // numeric PSI; NULL psi_q is the new/vanished-category signal
+      RegisteredQuery(
+        "q_psi_categorical",
+        (s, dir) => {
+          val docs = Tables.resolve(s, dir)("documents")
+          graft.operators.Drift.psiCategorical(
+              docs.where(pmod(col("doc_id"), lit(2)) === 0),
+              docs.where(pmod(col("doc_id"), lit(2)) === 1),
+              "source")
+            .orderBy("category")
+        },
+        Some(graft.operators.Drift.categoricalOracle(
+          "SELECT * FROM documents WHERE doc_id % 2 = 0",
+          "SELECT * FROM documents WHERE doc_id % 2 = 1",
+          "source"))),
+
+      // binary-conversion A/B readout: fulfilled-order rate per priority
+      // arm vs the MEDIUM control — exact cross-multiplied micro rates
+      RegisteredQuery(
+        "q_ab_conversion",
+        (s, dir) => graft.operators.AbTest.conversionCompare(
+            Tables.resolve(s, dir)("orders")
+              .withColumn("conv", col("o_orderstatus") === "F"),
+            "o_orderpriority", "conv", controlArm = "3-MEDIUM")
+          .orderBy("arm"),
+        Some(graft.operators.AbTest.conversionOracle(
+          "orders", "o_orderpriority", "o_orderstatus = 'F'",
+          controlArm = "3-MEDIUM"))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over

@@ -363,4 +363,59 @@ object AbTest {
        |    AS BIGINT) AS mean_diff_milli
        |FROM s CROSS JOIN c WHERE s.arm <> '$controlArm'
        |ORDER BY s.arm""".stripMargin
+
+  /** The BINARY-metric readout — conversion experiments, where the value
+    * is a yes/no instead of a magnitude ([[compareToControl]] reads
+    * continuous values; forcing 0/1 through it works but buries the
+    * rates): per non-control arm, exact per-arm rates and the
+    * rate difference vs control in micro-units, cross-multiplied
+    * (`(c_a·n_ctrl − c_ctrl·n_a)·10⁶ div (n_a·n_ctrl)`, sign-split).
+    * `convCol` must be a non-null boolean per row (a NULL conversion is
+    * an unsettled outcome — resolve it upstream; silently treating it
+    * as "no" biases every rate). One partial-agg'd groupBy; the control
+    * row rides a 1-row broadcast. Raises when the control arm is empty.
+    */
+  def conversionCompare(df: DataFrame, armCol: String, convCol: String,
+                        controlArm: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val arms = df
+      .where(col(armCol).isNotNull && col(convCol).isNotNull)
+      .groupBy(col(armCol).as("arm"))
+      .agg(count(lit(1)).cast(dec).as("__n"),
+        sum(when(col(convCol), 1L).otherwise(0L)).cast(dec).as("__c"))
+      .localCheckpoint(true)
+    val ctrl = arms.where(col("arm") === controlArm)
+      .select(col("__n").as("__nc"), col("__c").as("__cc"))
+    require(ctrl.limit(1).count() > 0,
+      s"conversionCompare: control arm '$controlArm' has no observations")
+    arms.where(col("arm") =!= controlArm)
+      .crossJoin(broadcast(ctrl))
+      .select(col("arm"),
+        col("__n").cast("long").as("n"),
+        col("__c").cast("long").as("conversions"),
+        expr("CAST((__c * 1000000) div __n AS BIGINT)").as("rate_micro"),
+        expr("CAST((__cc * 1000000) div __nc AS BIGINT)")
+          .as("ctrl_rate_micro"),
+        expr("CAST((CASE WHEN __c * __nc - __cc * __n < 0 THEN -1 ELSE 1 END) * " +
+          "(abs((__c * __nc - __cc * __n) * 1000000) div (__n * __nc)) " +
+          "AS BIGINT)").as("rate_diff_micro"))
+  }
+
+  /** DuckDB replay of [[conversionCompare]]. */
+  def conversionOracle(table: String, armSql: String, convSql: String,
+                       controlArm: String): String =
+    s"""WITH s AS (
+  SELECT $armSql AS arm, CAST(count(*) AS HUGEINT) AS n,
+    CAST(count(*) FILTER (WHERE $convSql) AS HUGEINT) AS c
+  FROM $table WHERE ($armSql) IS NOT NULL AND ($convSql) IS NOT NULL
+  GROUP BY 1),
+ct AS (SELECT n AS nc, c AS cc FROM s WHERE arm = '$controlArm')
+SELECT s.arm, CAST(s.n AS BIGINT) AS n, CAST(s.c AS BIGINT) AS conversions,
+  CAST((s.c * 1000000) // s.n AS BIGINT) AS rate_micro,
+  CAST((ct.cc * 1000000) // ct.nc AS BIGINT) AS ctrl_rate_micro,
+  CAST((CASE WHEN s.c * ct.nc - ct.cc * s.n < 0 THEN -1 ELSE 1 END) *
+    (CAST(abs((s.c * ct.nc - ct.cc * s.n) * 1000000) AS HUGEINT)
+      // (s.n * ct.nc)) AS BIGINT) AS rate_diff_micro
+FROM s CROSS JOIN ct WHERE s.arm <> '$controlArm'
+ORDER BY s.arm""".stripMargin
 }

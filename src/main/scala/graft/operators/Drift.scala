@@ -139,4 +139,45 @@ SELECT coalesce(r.bucket, c.bucket) AS bucket,
 FROM r FULL OUTER JOIN c ON r.bucket = c.bucket, nt
 ORDER BY 1""".stripMargin
   }
+
+  /** CATEGORICAL PSI — the same drift statistic over a category column's
+    * shares instead of numeric cutpoint buckets (most production
+    * features are categorical: country, device, source): each category
+    * IS its bucket, same [[psiFromCounts]] math, same quantized-ln
+    * double chain. Rows with a NULL category are excluded like the
+    * numeric form's NULL values (count missingness with
+    * [[Completeness]]; including NULL as a stratum would also break the
+    * equi-join parity both engines share). Output (category, n_ref,
+    * n_cur, psi_q) — `psi_q` NULL where a side is empty (the standard
+    * "new/vanished category" signal, worth alerting on by itself).
+    */
+  def psiCategorical(ref: DataFrame, cur: DataFrame,
+                     catCol: String): DataFrame = {
+    def side(df: DataFrame, out: String) = df
+      .where(col(catCol).isNotNull)
+      .groupBy(col(catCol).as("bucket")).agg(count(lit(1)).as(out))
+    psiFromCounts(side(ref, "n_ref"), side(cur, "n_cur"))
+      .withColumnRenamed("bucket", "category")
+  }
+
+  /** DuckDB replay of [[psiCategorical]]. */
+  def categoricalOracle(refSql: String, curSql: String,
+                        catCol: String): String =
+    s"""WITH r AS (SELECT $catCol AS b, count(*) AS n_ref
+  FROM ($refSql) WHERE $catCol IS NOT NULL GROUP BY 1),
+c AS (SELECT $catCol AS b, count(*) AS n_cur
+  FROM ($curSql) WHERE $catCol IS NOT NULL GROUP BY 1),
+nt AS (SELECT (SELECT count(*) FROM ($refSql) WHERE $catCol IS NOT NULL) AS N,
+              (SELECT count(*) FROM ($curSql) WHERE $catCol IS NOT NULL) AS M)
+SELECT coalesce(r.b, c.b) AS category,
+  coalesce(r.n_ref, 0) AS n_ref, coalesce(c.n_cur, 0) AS n_cur,
+  CASE WHEN coalesce(r.n_ref, 0) > 0 AND coalesce(c.n_cur, 0) > 0 THEN
+    CAST(floor(${Scale}.0 * (
+      (CAST(r.n_ref AS DOUBLE) / CAST(nt.N AS DOUBLE)
+        - CAST(c.n_cur AS DOUBLE) / CAST(nt.M AS DOUBLE))
+      * ln((CAST(r.n_ref AS DOUBLE) * CAST(nt.M AS DOUBLE))
+        / (CAST(c.n_cur AS DOUBLE) * CAST(nt.N AS DOUBLE))))) AS BIGINT)
+  END AS psi_q
+FROM r FULL OUTER JOIN c ON r.b = c.b, nt
+ORDER BY 1""".stripMargin
 }

@@ -54,6 +54,23 @@ class DriftSpec extends SparkSpec {
     assert(got === Array((2L, 2L)))
   }
 
+  test("categorical PSI: category buckets, new-category NULL signal") {
+    val ref = Seq("a", "a", "a", "b").map(Tuple1(_)).toDF("cat")
+    val cur = Seq("a", "b", "b", "c").map(Tuple1(_)).toDF("cat")
+    val got = Drift.psiCategorical(ref, cur, "cat")
+      .orderBy("category").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    // a: p=3/4 q=1/4, (p−q)·ln(3) = 0.5·1.0986 → 549306
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq(("a", 3L, 1L), ("b", 1L, 2L), ("c", 0L, 1L)))
+    assert(got(0)._4.contains(549306L))
+    assert(got(2)._4.isEmpty) // new category: NULL psi, the alert signal
+    // NULL categories are excluded like the numeric form's NULL values
+    val withNull = Seq(Some("a"), None).map(Tuple1(_)).toDF("cat")
+    assert(Drift.psiCategorical(withNull, withNull, "cat").count() == 1L)
+  }
+
   test("cuts must be strictly increasing") {
     intercept[IllegalArgumentException] {
       Drift.psiByBucket(df(Seq(1L)), df(Seq(1L)), "v", Seq(10L, 10L))
