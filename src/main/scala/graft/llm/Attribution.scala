@@ -111,7 +111,9 @@ ORDER BY c.conversion_id""".stripMargin
                     userCol: String = "user_id", tsCol: String = "ts",
                     typeCol: String = "event_type",
                     idCol: String = "event_id"): DataFrame = {
-    val base = events.where(col(userCol).isNotNull)
+    // NULL ids are unrankable (the position tiebreak) and drop — a
+    // NULL-id touch would take rank 1 on Spark and rank n on DuckDB
+    val base = events.where(col(userCol).isNotNull && col(idCol).isNotNull)
     val convs = base.where(col(typeCol) === conversionType)
       .select(col(userCol).as("__cu"), col(idCol).cast("long").as("conversion_id"),
         col(tsCol).as("__cts"))
@@ -143,12 +145,14 @@ ORDER BY c.conversion_id""".stripMargin
                     typeCol: String = "event_type",
                     idCol: String = "event_id"): String =
     s"""WITH conv AS (SELECT $idCol AS conversion_id, $userCol, $tsCol
-  FROM $table WHERE $typeCol = '$conversionType' AND $userCol IS NOT NULL),
+  FROM $table WHERE $typeCol = '$conversionType' AND $userCol IS NOT NULL
+    AND $idCol IS NOT NULL),
 p AS (SELECT c.conversion_id, e.$idCol AS touch_id, e.$typeCol AS touch_type,
     row_number() OVER (PARTITION BY c.conversion_id ORDER BY e.$tsCol, e.$idCol) AS rk,
     count(*) OVER (PARTITION BY c.conversion_id) AS n
   FROM conv c JOIN $table e
     ON e.$userCol = c.$userCol AND e.$typeCol <> '$conversionType'
+    AND e.$idCol IS NOT NULL
     AND e.$tsCol >= c.$tsCol - $lookbackSql AND e.$tsCol <= c.$tsCol)
 SELECT conversion_id, CAST(touch_id AS BIGINT) AS touch_id, touch_type,
   CAST(CASE WHEN n = 1 THEN 10000

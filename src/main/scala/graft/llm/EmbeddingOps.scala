@@ -98,19 +98,6 @@ object EmbeddingOps {
       .withColumnRenamed("id", "neighbor_id")
   }
 
-  /** Per-dimension centroid sums of two corpus slices over the int8
-    * codes — embedding-space DRIFT measurement ("did this month's corpus
-    * move semantically"): `(dim, sum_a, sum_b)` are EXACT integers (int8
-    * codes sum exactly), and since cosine is scale-invariant,
-    * cos(Σa, Σb) = cos(μa, μb) — derive the drift angle from the sums
-    * with ONE double chain (dot / √·√, see [[centroidCosine]]) without
-    * ever dividing inside the aggregate. The embedding-space sibling of
-    * the token-level [[graft.text.VocabDrift]].
-    *
-    * Scale shape: per side, one scan-stage quantize + posexplode and a
-    * partial-agg'd per-dimension sum (dim-bounded output); the join is
-    * dims × dims.
-    */
   /** Per-row distance to the GROUP centroid in embedding space, exact —
     * the curation screen for "this document's embedding doesn't belong
     * to its declared stratum" (mislabeled language, off-topic source,
@@ -189,6 +176,19 @@ FROM q8 JOIN s ON q8.grp IS NOT DISTINCT FROM s.grp
 JOIN c ON q8.grp IS NOT DISTINCT FROM c.grp
 ORDER BY q8.id""".stripMargin
 
+  /** Per-dimension centroid sums of two corpus slices over the int8
+    * codes — embedding-space DRIFT measurement ("did this month's corpus
+    * move semantically"): `(dim, sum_a, sum_b)` are EXACT integers (int8
+    * codes sum exactly), and since cosine is scale-invariant,
+    * cos(Σa, Σb) = cos(μa, μb) — derive the drift angle from the sums
+    * with ONE double chain (dot / √·√, see [[centroidCosine]]) without
+    * ever dividing inside the aggregate. The embedding-space sibling of
+    * the token-level [[graft.text.VocabDrift]].
+    *
+    * Scale shape: per side, one scan-stage quantize + posexplode and a
+    * partial-agg'd per-dimension sum (dim-bounded output); the join is
+    * dims × dims.
+    */
   def centroidSums(a: DataFrame, b: DataFrame, vecCol: String): DataFrame = {
     def sums(df: DataFrame, out: String) = df
       .where(col(vecCol).isNotNull)

@@ -40,8 +40,13 @@ object StateRuns {
     events
       .where(col(tsCol).isNotNull && col(idCol).isNotNull)
       .withColumn("__us", unix_micros(col(tsCol).cast("timestamp")))
+      // the first row is always a boundary — tested explicitly, because
+      // a NULL first type would make NULL <=> lag-of-nothing TRUE and
+      // start that user's numbering at 0
       .withColumn("__chg",
-        when(col(typeCol) <=> lag(col(typeCol), 1).over(ord), 0L).otherwise(1L))
+        when(row_number().over(ord) === 1, 1L)
+          .when(col(typeCol) <=> lag(col(typeCol), 1).over(ord), 0L)
+          .otherwise(1L))
       .withColumn("__run", sum(col("__chg")).over(run))
       .groupBy(col(userCol).as("user_id"), col("__run"))
       .agg(min(col(typeCol)).as("event_type"),
@@ -59,7 +64,8 @@ object StateRuns {
   SELECT $userCol AS u, $typeCol AS t, epoch_us($tsCol) AS us, $idCol AS i
   FROM $table WHERE $tsCol IS NOT NULL AND $idCol IS NOT NULL),
 c AS (SELECT u, t, us, i,
-    CASE WHEN t IS NOT DISTINCT FROM lag(t) OVER w THEN 0 ELSE 1 END AS chg
+    CASE WHEN row_number() OVER w = 1 THEN 1
+         WHEN t IS NOT DISTINCT FROM lag(t) OVER w THEN 0 ELSE 1 END AS chg
   FROM m WINDOW w AS (PARTITION BY u ORDER BY us, i)),
 r AS (SELECT u, t, us,
     sum(chg) OVER (PARTITION BY u ORDER BY us, i ROWS UNBOUNDED PRECEDING) AS run

@@ -23,10 +23,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: ONE partial-agg'd groupBy per key — first/last are
   * `min/max(struct(seq, …))` elections, so a whale key's 10⁸ changes
-  * collapse map-side; no window, no sort. Contract: `seqCol` must
-  * totally order a key's changes ((key, seq) unique — on a tie the
-  * struct comparison falls through to op/payload, engine-identical but
-  * no longer "the last change"); NULL key/seq rows drop.
+  * collapse map-side; no window, no sort. CONTRACT: `seqCol` must
+  * totally order a key's changes — (key, seq) unique. On a tie the
+  * Spark struct comparison falls through to op/payload while the
+  * oracle's windows pick an arbitrary row, so tied input is UNDEFINED
+  * cross-engine (the [[graft.llm.Dedup.dedupKeepBest]] uniqueness
+  * posture); NULL key/seq rows drop.
   */
 object CdcCompact {
 

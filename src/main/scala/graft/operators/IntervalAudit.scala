@@ -34,7 +34,10 @@ object IntervalAudit {
             seqCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(fromCol), col(seqCol))
     dim
-      .where(col(fromCol).isNotNull)
+      // NULL seq rows are unrankable (the tiebreak of the version order)
+      // and drop — the Debounce/Travel contract; a NULL-seq version left
+      // in would order differently across engines on a valid_from tie
+      .where(col(fromCol).isNotNull && col(seqCol).isNotNull)
       .withColumn("__nf", lead(col(fromCol), 1).over(w))
       .withColumn("__ov",
         when(col(toCol).isNotNull && col("__nf").isNotNull &&
@@ -59,7 +62,7 @@ object IntervalAudit {
     s"""WITH v AS (
   SELECT $keyCol AS k, $fromCol AS f, $toCol AS t,
     lead($fromCol) OVER (PARTITION BY $keyCol ORDER BY $fromCol, $seqCol) AS nf
-  FROM $table WHERE $fromCol IS NOT NULL),
+  FROM $table WHERE $fromCol IS NOT NULL AND $seqCol IS NOT NULL),
 a AS (SELECT k, CAST(count(*) AS BIGINT) AS n_versions,
     CAST(count(*) FILTER (WHERE t IS NOT NULL AND nf IS NOT NULL AND nf < t) AS BIGINT) AS n_overlaps,
     CAST(count(*) FILTER (WHERE t IS NOT NULL AND nf IS NOT NULL AND nf > t) AS BIGINT) AS n_gaps,

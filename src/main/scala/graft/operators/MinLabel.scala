@@ -43,8 +43,11 @@ object MinLabel {
     var lab = e.select(col("__s").as("vertex")).distinct()
       .withColumn("label", col("vertex"))
       .localCheckpoint(true)
+    // coalesce: an empty (or all-self-loop) graph sums to NULL — treat as
+    // zero so the empty frame converges on round one instead of NPE-ing
     def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val r = df.agg(sum(col("label").cast("decimal(38,0)"))).head()
+      val r = df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head()
       r.getDecimal(0)
     }
     var s = labelSum(lab)

@@ -28,9 +28,12 @@ object Mode {
       .agg(count(lit(1)).as("__c"))
       .groupBy(col("group"))
       .agg(
-        max(struct(col("__c").as("c"), (-col("__v")).as("nv"))).as("__best"),
+        // negate on DECIMAL: −Long.MinValue overflows ANSI long
+        max(struct(col("__c").as("c"),
+          (-col("__v").cast("decimal(38,0)")).as("nv"))).as("__best"),
         count(lit(1)).as("n_distinct"))
-      .select(col("group"), (-col("__best.nv")).as("mode_value"),
+      .select(col("group"),
+        (-col("__best.nv")).cast("long").as("mode_value"),
         col("__best.c").as("mode_count"), col("n_distinct"))
   }
 

@@ -53,9 +53,9 @@ object RankMovers {
       s"""SELECT $entitySql AS e, CAST(sum(CAST($valueSql AS HUGEINT)) AS BIGINT) AS v
   FROM $table WHERE ($periodSql) = '$p' AND ($valueSql) IS NOT NULL GROUP BY 1"""
     s"""WITH a0 AS (${side(periodA)}),
-a AS (SELECT e, v, CAST(row_number() OVER (ORDER BY v DESC, e ASC) AS BIGINT) AS r FROM a0),
+a AS (SELECT e, v, CAST(row_number() OVER (ORDER BY v DESC, e ASC NULLS FIRST) AS BIGINT) AS r FROM a0),
 b0 AS (${side(periodB)}),
-b AS (SELECT e, v, CAST(row_number() OVER (ORDER BY v DESC, e ASC) AS BIGINT) AS r FROM b0)
+b AS (SELECT e, v, CAST(row_number() OVER (ORDER BY v DESC, e ASC NULLS FIRST) AS BIGINT) AS r FROM b0)
 SELECT coalesce(a.e, b.e) AS entity, a.v AS value_a, a.r AS rank_a,
   b.v AS value_b, b.r AS rank_b, a.r - b.r AS rank_delta
 FROM a FULL OUTER JOIN b ON a.e IS NOT DISTINCT FROM b.e

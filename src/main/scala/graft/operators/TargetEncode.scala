@@ -47,8 +47,10 @@ object TargetEncode {
         col(targetCol).cast("long").cast(Dec).as("__y"))
     val cats = base.groupBy(col("category"))
       .agg(count(lit(1)).cast(Dec).as("__n"), sum(col("__y")).as("__s"))
-    val tot = base.agg(count(lit(1)).cast(Dec).as("__gn"),
-      sum(col("__y")).as("__gs"))
+    // totals from the category-sized frame, NOT a second corpus scan —
+    // every row lands in exactly one category (the psiFromCounts rule)
+    val tot = cats.agg(sum(col("__n")).cast(Dec).as("__gn"),
+      sum(col("__s")).cast(Dec).as("__gs"))
     cats.crossJoin(broadcast(tot))
       .select(col("category"), col("__n").cast("long").as("n"),
         signDiv(s"(__s * __gn + $m * __gs) * 1000000", s"__gn * (__n + $m)")

@@ -41,6 +41,9 @@ class StateRunsSpec extends SparkSpec {
         rows.toDF("event_id", "user_id", "ts", "event_type"))
       .orderBy("run_seq").collect()
     assert(got.length == 2)
+    // a NULL-first stream still numbers from 1 (the first row is always
+    // a boundary — NULL <=> lag-of-nothing must not suppress it)
+    assert(got(0).getLong(1) == 1L && got(1).getLong(1) == 2L)
     assert(got(0).isNullAt(2) && got(0).getLong(5) == 2L)
     assert(got(0).getLong(3) == Timestamp.valueOf("2024-01-01 09:00:00").getTime * 1000)
     assert(got(0).getLong(4) == Timestamp.valueOf("2024-01-01 09:05:00").getTime * 1000)
