@@ -4929,7 +4929,19 @@ FROM documents GROUP BY lang, source ORDER BY lang, source""")),
           .orderBy("arm"),
         Some(graft.operators.AbTest.conversionOracle(
           "orders", "o_orderpriority", "o_orderstatus = 'F'",
-          controlArm = "3-MEDIUM"))))
+          controlArm = "3-MEDIUM"))),
+
+      // MinHash estimator-quality audit: per banded candidate pair, the
+      // exact signature-agreement count next to the exact Jaccard set
+      // counts — pins the sketch end-to-end on this corpus (the
+      // q_ann_recall discipline for the near-dup family)
+      RegisteredQuery(
+        "q_minhash_quality",
+        (s, dir) => graft.llm.Dedup.minhashQuality(
+            Tables.resolve(s, dir)("documents"), "text", "doc_id")
+          .orderBy("left_id", "right_id"),
+        Some(graft.llm.Dedup.minhashQualityOracle(
+          "documents", "doc_id", "text"))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over

@@ -763,4 +763,78 @@ verified AS (SELECT c.left_id, c.right_id,
       minJaccard: Double = 0.5): String =
     s"""WITH ${minhashPairCtes(table, idCol, textCol, shingleN, bands, rowsPerBand)}
 SELECT left_id, right_id, jaccard FROM verified WHERE jaccard >= $minJaccard ORDER BY left_id, right_id""".stripMargin
+
+  /** Estimator-quality audit for the MinHash sketch ON THIS CORPUS — the
+    * [[graft.llm.AnnRecall]] discipline applied to near-dup candidates:
+    * per banded candidate pair, the signature agreement count
+    * `est_matches = Σᵢ [sigᵢ(a) = sigᵢ(b)]` (the integer numerator of the
+    * k-hash similarity estimate, E[est/k] = Jaccard) NEXT TO the exact
+    * set counts (n_inter, n_union) — all integers, so the gate pins the
+    * whole estimator end-to-end and a caller can decide whether k is big
+    * enough for their threshold before trusting a capped LSH run.
+    * Candidates come from the SAME banding as [[dedupMinhashPairs]];
+    * the audit is candidate-sized.
+    */
+  def minhashQuality(df: DataFrame, textCol: String, idCol: String,
+                     shingleN: Int = 3, bands: Int = DefaultBands,
+                     rowsPerBand: Int = DefaultRowsPerBand): DataFrame = {
+    require(rowsPerBand <= 2, "band key packing supports rowsPerBand <= 2")
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val src = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val k = bands * rowsPerBand
+    val prepared = src.select(
+        col(idCol),
+        minhashSignature(col(textCol), shingleN, k).as("__sig"),
+        shingleSet(col(textCol), shingleN).as("__s"))
+      .select(col(idCol), col("__sig"),
+        array((0 until bands).map { j =>
+          (0 until rowsPerBand)
+            .map(r => element_at(col("__sig"), j * rowsPerBand + r + 1))
+            .reduceLeft((a, m) => a * P + m)
+        }: _*).as("__bkeys"),
+        col("__s"))
+      .localCheckpoint(true)
+    val banded = prepared.select(col(idCol),
+      posexplode(col("__bkeys")).as(Seq("band", "bkey")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("left_id"), col(s"b.$idCol").as("right_id"))
+      .distinct()
+    val sides = prepared.select(col(idCol), col("__sig"), col("__s"))
+    cand
+      .join(sides.as("pa"), col("left_id") === col(s"pa.$idCol"))
+      .join(sides.as("pb"), col("right_id") === col(s"pb.$idCol"))
+      .select(col("left_id"), col("right_id"),
+        aggregate(
+          zip_with(col("pa.__sig"), col("pb.__sig"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).as("est_matches"),
+        size(array_intersect(col("pa.__s"), col("pb.__s"))).cast("long")
+          .as("n_inter"),
+        size(array_union(col("pa.__s"), col("pb.__s"))).cast("long")
+          .as("n_union"))
+  }
+
+  /** DuckDB replay of [[minhashQuality]] — the signature CTEs of
+    * [[minhashPairCtes]] with the agreement sum in place of the verify.
+    */
+  def minhashQualityOracle(table: String, idCol: String, textCol: String,
+                           shingleN: Int = 3, bands: Int = DefaultBands,
+                           rowsPerBand: Int = DefaultRowsPerBand): String = {
+    val k = bands * rowsPerBand
+    val est = (0 until k)
+      .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH ${minhashPairCtes(table, idCol, textCol, shingleN, bands, rowsPerBand)}
+SELECT c.left_id, c.right_id, CAST($est AS BIGINT) AS est_matches,
+  CAST(len(list_intersect(ga.s, gb.s)) AS BIGINT) AS n_inter,
+  CAST(len(list_distinct(list_concat(ga.s, gb.s))) AS BIGINT) AS n_union
+FROM cand c
+JOIN sig sa ON sa.doc_id_ = c.left_id
+JOIN sig sb ON sb.doc_id_ = c.right_id
+JOIN sh ga ON ga.doc_id_ = c.left_id
+JOIN sh gb ON gb.doc_id_ = c.right_id
+ORDER BY c.left_id, c.right_id""".stripMargin
+  }
 }
