@@ -4941,7 +4941,27 @@ FROM documents GROUP BY lang, source ORDER BY lang, source""")),
             Tables.resolve(s, dir)("documents"), "text", "doc_id")
           .orderBy("left_id", "right_id"),
         Some(graft.llm.Dedup.minhashQualityOracle(
-          "documents", "doc_id", "text"))))
+          "documents", "doc_id", "text"))),
+
+      // D1/D7/D30 bounded-return retention per first-day cohort, with
+      // honest right-censoring (young cohorts report NULL, not a
+      // falsely-final count)
+      RegisteredQuery(
+        "q_dn_retention",
+        (s, dir) => graft.operators.Retention.dnRetention(
+            graft.llm.EventWindows.readEvents(s, s"$dir/events.parquet"),
+            "user_id", "ts")
+          .orderBy("cohort_day"),
+        Some(graft.operators.Retention.dnOracle("events", "user_id", "ts"))),
+
+      // time-in-state shares over the collapsed run log: state persists
+      // to the next run's start, last run censored at its final event
+      RegisteredQuery(
+        "q_state_shares",
+        (s, dir) => graft.llm.StateRuns.stateShares(
+            graft.llm.EventWindows.readEvents(s, s"$dir/events.parquet"))
+          .orderBy("user_id", "event_type"),
+        Some(graft.llm.StateRuns.stateSharesOracle("events"))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over

@@ -43,6 +43,77 @@ object Retention {
       .agg(count(lit(1)).as("active_users"))
   }
 
+  /** Classic Dn bounded-return retention — "of the users who FIRST
+    * appeared on day d, how many came back within exactly 1 / 7 / 30
+    * days": the product-analytics headline beside the [[weeklyCohorts]]
+    * matrix (the matrix shows the whole surface; Dn gives the three
+    * numbers a dashboard tracks). A user counts for dN when ANY activity
+    * lands in `(first_day, first_day + N]` — exact integer day
+    * arithmetic on epoch days, no calendar types cross the engines.
+    *
+    * Censoring honesty: a cohort younger than N days cannot have
+    * finished its dN window — those cells report NULL, not a
+    * falsely-final count (the [[Churn]] right-censoring discipline);
+    * the horizon is the corpus' last activity day.
+    *
+    * Scale shape: one partial-agg'd pass to per-user (first_day,
+    * activity-day set distances via min flags — three bounded boolean
+    * aggregates, never a day list); cohort rollup is day-cardinality.
+    */
+  def dnRetention(events: DataFrame, userCol: String, tsCol: String,
+                  horizons: Seq[Int] = Seq(1, 7, 30)): DataFrame = {
+    require(horizons.nonEmpty && horizons == horizons.sorted &&
+      horizons.distinct == horizons && horizons.forall(_ >= 1),
+      s"horizons must be distinct ascending positives, got $horizons")
+    val day = datediff(col(tsCol).cast("date"), lit("1970-01-01").cast("date"))
+      .cast("long")
+    val ud = events
+      .where(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"), day.as("__d"))
+      .distinct()
+      .localCheckpoint(true)
+    val firsts = ud.groupBy(col("__u")).agg(min(col("__d")).as("__f"))
+    val horizon = ud.agg(max(col("__d")).as("__h"))
+    val flagExprs = horizons.map { n =>
+      max(when(col("__d") > col("__f") &&
+        col("__d") <= col("__f") + n, 1L).otherwise(0L)).as(s"__r$n")
+    }
+    val flags = ud.join(firsts, "__u")
+      .groupBy(col("__u"), col("__f"))
+      .agg(flagExprs.head, flagExprs.tail: _*)
+    val aggExprs = (count(lit(1)).as("n_users") +:
+      horizons.map(n => sum(col(s"__r$n")).as(s"__s$n"))) :+
+      first(col("__h")).as("__hh")
+    flags.crossJoin(broadcast(horizon))
+      .groupBy(col("__f"))
+      .agg(aggExprs.head, aggExprs.tail: _*)
+      .select(col("__f").as("cohort_day") +: col("n_users") +:
+        horizons.map(n =>
+          when(col("__hh") >= col("__f") + n, col(s"__s$n"))
+            .otherwise(lit(null).cast("long")).as(s"d$n")): _*)
+  }
+
+  /** DuckDB replay of [[dnRetention]]. */
+  def dnOracle(table: String, userE: String, tsE: String,
+               horizons: Seq[Int] = Seq(1, 7, 30)): String = {
+    val flagCols = horizons.map(n =>
+      s"max(CASE WHEN ud.d > f.f AND ud.d <= f.f + $n THEN 1 ELSE 0 END) AS r$n")
+      .mkString(", ")
+    val outCols = horizons.map(n =>
+      s"CASE WHEN h.h >= f + $n THEN CAST(sum(r$n) AS BIGINT) END AS d$n")
+      .mkString(", ")
+    s"""WITH ud AS (
+  SELECT DISTINCT $userE AS u,
+    CAST(date_diff('day', DATE '1970-01-01', CAST($tsE AS DATE)) AS BIGINT) AS d
+  FROM $table WHERE $userE IS NOT NULL AND $tsE IS NOT NULL),
+f AS (SELECT u, min(d) AS f FROM ud GROUP BY u),
+h AS (SELECT max(d) AS h FROM ud),
+fl AS (SELECT ud.u, f.f, $flagCols
+  FROM ud JOIN f USING (u) GROUP BY ud.u, f.f)
+SELECT f AS cohort_day, CAST(count(*) AS BIGINT) AS n_users, $outCols
+FROM fl CROSS JOIN h GROUP BY f, h.h ORDER BY cohort_day""".stripMargin
+  }
+
   /** DuckDB replay of [[weeklyCohorts]] — same floors, same integer
     * offsets.
     */

@@ -49,6 +49,25 @@ class StateRunsSpec extends SparkSpec {
     assert(got(0).getLong(4) == Timestamp.valueOf("2024-01-01 09:05:00").getTime * 1000)
   }
 
+  test("state shares: durations extend to the next change, last censored") {
+    val rows = Seq(
+      ev(1, 7, "2024-01-01 09:00:00", Some("on")),   // on for 10 min
+      ev(2, 7, "2024-01-01 09:10:00", Some("off")),  // off for 5 min
+      ev(3, 7, "2024-01-01 09:15:00", Some("on")),   // censored: 0
+      ev(4, 8, "2024-01-01 09:00:00", Some("x")))    // single event: span 0
+    val got = StateRuns.stateShares(
+        rows.toDF("event_id", "user_id", "ts", "event_type"))
+      .orderBy("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    // user 7: on 10min (600e6 us), off 5min, final on-run 0 — shares of
+    // the 15-minute observed span: 2/3 and 1/3
+    assert(got.toSeq == Seq(
+      (7L, "off", 300000000L, Some(33333333L)),
+      (7L, "on", 600000000L, Some(66666666L)),
+      (8L, "x", 0L, None)))
+  }
+
   test("timestamp ties order by id — runs are deterministic") {
     val rows = Seq(
       ev(2, 7, "2024-01-01 09:00:00", Some("b")),
