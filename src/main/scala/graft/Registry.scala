@@ -4961,7 +4961,35 @@ FROM documents GROUP BY lang, source ORDER BY lang, source""")),
         (s, dir) => graft.llm.StateRuns.stateShares(
             graft.llm.EventWindows.readEvents(s, s"$dir/events.parquet"))
           .orderBy("user_id", "event_type"),
-        Some(graft.llm.StateRuns.stateSharesOracle("events"))))
+        Some(graft.llm.StateRuns.stateSharesOracle("events"))),
+
+      // clock-skew / sequence-inversion audit: events whose timestamps
+      // run backward along the event-id order, per user — telemetry
+      // quality, violation-keyed output
+      RegisteredQuery(
+        "q_clock_skew",
+        (s, dir) => graft.operators.Monotonic.inversions(
+            graft.llm.EventWindows.readEvents(s, s"$dir/events.parquet")
+              .withColumn("ts_us",
+                unix_micros(col("ts").cast("timestamp"))),
+            "user_id", "event_id", "ts_us")
+          .orderBy("key"),
+        Some(graft.operators.Monotonic.oracleSql(
+          "events", "user_id", "event_id", "epoch_us(ts)"))),
+
+      // cross-strata embedding separation matrix over the vec_id%7
+      // groups: exact (n_a·n_b)²-scaled centroid distances — the "do my
+      // labels carve the space" readout
+      RegisteredQuery(
+        "q_embed_separation",
+        (s, dir) => graft.llm.EmbeddingOps.centroidSeparation(
+            Tables.resolve(s, dir)("embeddings")
+              .withColumn("grp", expr("vec_id % 7")),
+            "grp", "embedding")
+          .orderBy("grp_a", "grp_b"),
+        Some(graft.llm.EmbeddingOps.centroidSeparationOracle(
+          "(SELECT embedding, vec_id % 7 AS grp FROM embeddings) emb",
+          "grp", "embedding", dim = 64))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over

@@ -153,6 +153,75 @@ object EmbeddingOps {
           .cast("string").as("dist2_scaled"))
   }
 
+  /** Cross-strata centroid-separation matrix — the companion readout to
+    * [[centroidDist2]] (that scores a ROW against its own stratum; this
+    * asks whether the STRATA are separated at all — near-zero
+    * separation between two language labels means the labels don't
+    * carve the embedding space and a classifier trained on them is
+    * fitting noise): for every unordered group pair,
+    *
+    *   sep2_scaled = ‖n_b·S_a − n_a·S_b‖²  = (n_a·n_b)²·‖μ_a − μ_b‖²
+    *
+    * exact over the int8 sums — the means never materialize. Scaled by
+    * (n_a·n_b)², so compare ACROSS pairs after normalizing; within a
+    * fixed pair the number is exact. |groups|²-sized output from the
+    * dim-bounded sums table alone — no corpus pass beyond the sums.
+    */
+  def centroidSeparation(df: DataFrame, groupCol: String,
+                         vecCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val sums = df.where(col(vecCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        posexplode(quantizeInt8(col(vecCol))).as(Seq("__dim", "__q")))
+      .groupBy(col("grp"), col("__dim"))
+      .agg(sum(col("__q").cast("long")).as("__s"),
+        count(lit(1)).as("__n"))
+      .groupBy(col("grp"))
+      .agg(array_sort(collect_list(struct(col("__dim"), col("__s"))))
+        .as("__sv"), first(col("__n")).as("__n"))
+      .select(col("grp"),
+        transform(col("__sv"), s => s.getField("__s")).as("__sums"),
+        col("__n"))
+      .localCheckpoint(true)
+    val a = sums.select(col("grp").as("grp_a"), col("__sums").as("__sa"),
+      col("__n").as("n_a"))
+    val b = sums.select(col("grp").as("grp_b"), col("__sums").as("__sb"),
+      col("__n").as("n_b"))
+    // NULL groups drop from the matrix on BOTH engines (NULL < x is
+    // NULL): a separation from an unlabeled stratum is not meaningful
+    a.join(b, col("grp_a").cast("string") < col("grp_b").cast("string"))
+      .select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"),
+        aggregate(
+          zip_with(col("__sa"), col("__sb"),
+            (sa, sb) => {
+              val d = (col("n_b") * sa - col("n_a") * sb).cast(dec)
+              d * (col("n_b") * sa - col("n_a") * sb).cast(dec)
+            }),
+          lit(0).cast(dec), (acc, v) => acc + v)
+          .cast("string").as("sep2_scaled"))
+  }
+
+  /** DuckDB replay of [[centroidSeparation]]. */
+  def centroidSeparationOracle(table: String, groupCol: String,
+                               vecCol: String, dim: Int): String =
+    s"""WITH t AS (SELECT $groupCol AS grp, $vecCol AS v,
+  list_max(list_transform($vecCol, x -> abs(CAST(x AS DOUBLE)))) AS m
+  FROM $table WHERE $vecCol IS NOT NULL),
+q8 AS (SELECT grp, ${quantSql("v", "m")} AS qc FROM t),
+e AS (SELECT grp, unnest(qc) AS q, unnest(generate_series(1, $dim)) AS i FROM q8),
+d AS (SELECT grp, i, CAST(sum(q) AS HUGEINT) AS su FROM e GROUP BY grp, i),
+s AS (SELECT grp, list(su ORDER BY i) AS sums FROM d GROUP BY grp),
+c AS (SELECT grp, CAST(count(*) AS HUGEINT) AS n FROM q8 GROUP BY grp),
+g AS (SELECT s.grp, s.sums, c.n FROM s JOIN c ON s.grp IS NOT DISTINCT FROM c.grp)
+SELECT a.grp AS grp_a, b.grp AS grp_b,
+  CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+  CAST(list_sum(list_transform(generate_series(1, $dim),
+    i -> (b.n * a.sums[i] - a.n * b.sums[i]) *
+         (b.n * a.sums[i] - a.n * b.sums[i]))) AS VARCHAR) AS sep2_scaled
+FROM g a JOIN g b
+  ON CAST(a.grp AS VARCHAR) < CAST(b.grp AS VARCHAR)
+ORDER BY grp_a, grp_b""".stripMargin
+
   /** DuckDB replay of [[centroidDist2]] — the scaled distance exceeds
     * 64 bits in general, so it projects as its canonical decimal string
     * (the grouped-correlation discipline).

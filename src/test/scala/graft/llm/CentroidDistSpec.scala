@@ -27,6 +27,21 @@ class CentroidDistSpec extends SparkSpec {
     assert(d3 < d1)
   }
 
+  test("separation matrix: hand pair, NULL groups drop from pairs") {
+    // g: (127,0) and (127,0) → S=(254,0), n=2; h: (0,127) → S=(0,127), n=1
+    // sep² = ‖1·(254,0) − 2·(0,127)‖² = 254² + 254²
+    val df = Seq(
+      (1L, Some("g"), Seq(1f, 0f)), (2L, Some("g"), Seq(1f, 0f)),
+      (3L, Some("h"), Seq(0f, 1f)), (4L, None, Seq(1f, 1f)))
+      .toDF("vec_id", "grp", "embedding")
+    val got = EmbeddingOps.centroidSeparation(df, "grp", "embedding")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        BigInt(r.getString(4))))
+    assert(got.toSeq == Seq(
+      ("g", "h", 2L, 1L, BigInt(254) * 254 * 2)))
+  }
+
   test("a NULL group is a real stratum and scores against its own centroid") {
     val df = Seq(
       (1L, Some("g"), Seq(1f, 0f)), (2L, None, Seq(1f, 0f)),
