@@ -4989,7 +4989,43 @@ FROM documents GROUP BY lang, source ORDER BY lang, source""")),
           .orderBy("grp_a", "grp_b"),
         Some(graft.llm.EmbeddingOps.centroidSeparationOracle(
           "(SELECT embedding, vec_id % 7 AS grp FROM embeddings) emb",
-          "grp", "embedding", dim = 64))))
+          "grp", "embedding", dim = 64))),
+
+      // double-charge screen (operator composition): orders of the SAME
+      // customer with the SAME cents amount within 7 days — the keyed
+      // grid-bucketed interval join, never an inequality nested loop
+      RegisteredQuery(
+        "q_double_charge",
+        (s, dir) => {
+          val o = Tables.resolve(s, dir)("orders")
+            .withColumn("cents",
+              (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+          val left = o.select(col("o_orderkey").as("first_key"),
+            col("o_custkey").as("cust_a"), col("cents").as("cents_a"),
+            col("o_orderdate").as("__t0"))
+            .withColumn("__t1", col("__t0") + expr("INTERVAL 7 DAYS"))
+          val pts = o.select(col("o_orderkey").as("second_key"),
+            col("o_custkey").as("cust_b"), col("cents").as("cents_b"),
+            col("o_orderdate").as("__tp"))
+          graft.operators.RangeJoin.intervalJoin(
+              pts, left, "__tp", "__t0", "__t1",
+              on = Seq("cust_b" -> "cust_a", "cents_b" -> "cents_a"),
+              bucket = "7 days", halfOpen = false)
+            .where(col("first_key") < col("second_key"))
+            .select(col("cust_a").as("custkey"), col("cents_a").as("cents"),
+              col("first_key"), col("second_key"))
+            .orderBy("custkey", "first_key", "second_key")
+        },
+        Some("""SELECT a.o_custkey AS custkey,
+  CAST(CAST(a.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+  a.o_orderkey AS first_key, b.o_orderkey AS second_key
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey
+  AND CAST(a.o_totalprice AS DECIMAL(18,2)) = CAST(b.o_totalprice AS DECIMAL(18,2))
+  AND a.o_orderkey < b.o_orderkey
+  AND b.o_orderdate >= a.o_orderdate
+  AND b.o_orderdate <= a.o_orderdate + INTERVAL 7 DAY
+ORDER BY custkey, first_key, second_key""")))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
