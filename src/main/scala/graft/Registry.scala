@@ -3118,6 +3118,201 @@ WHERE r_name = 'ASIA'
   AND o_orderdate < TIMESTAMP '1998-01-01'
 GROUP BY n_name ORDER BY revenue DESC, n_name ASC""")),
 
+      // TPC-H Q6 shape (forecast revenue change): the pure scan-dominant
+      // flagship — every predicate reaches the parquet scan, no join, no
+      // shuffle beyond the 1-row grand agg; discounts compared in DECIMAL
+      // so the band boundary is exact on both engines
+      RegisteredQuery(
+        "q_tpch_q6",
+        (s, dir) => {
+          val t = Tables.resolve(s, dir)
+          val d = col("l_discount").cast("decimal(18,2)")
+          t("lineitem")
+            .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+              d >= lit(new java.math.BigDecimal("0.05")) &&
+              d <= lit(new java.math.BigDecimal("0.07")) &&
+              col("l_quantity") < 24)
+            .agg(sum(col("l_extendedprice").cast("decimal(18,2)") * d)
+              .cast("double").as("revenue"))
+        },
+        Some("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24""")),
+
+      // TPC-H Q7 shape (volume shipping between two nations): the
+      // nation-pair matrix — both fact tables shuffled on their join
+      // keys, supplier and the two nation legs broadcast; the symmetric
+      // OR pair predicate rides the joined row, years split the readout
+      RegisteredQuery(
+        "q_tpch_q7",
+        (s, dir) => {
+          val t = Tables.resolve(s, dir)
+          val pair = Seq("NATION_3", "NATION_8")
+          val n1 = t("nation").where(col("n_name").isin(pair: _*))
+            .select(col("n_nationkey").as("__n1k"), col("n_name").as("supp_nation"))
+          val n2 = t("nation").where(col("n_name").isin(pair: _*))
+            .select(col("n_nationkey").as("__n2k"), col("n_name").as("cust_nation"))
+          val vol = col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+          t("lineitem")
+            .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+            .join(t("orders"), col("l_orderkey") === col("o_orderkey"))
+            .join(t("customer"), col("o_custkey") === col("c_custkey"))
+            .join(broadcast(t("supplier")), col("l_suppkey") === col("s_suppkey"))
+            .join(broadcast(n1), col("s_nationkey") === col("__n1k"))
+            .join(broadcast(n2), col("c_nationkey") === col("__n2k"))
+            .where((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_8") ||
+              (col("supp_nation") === "NATION_8" && col("cust_nation") === "NATION_3"))
+            .groupBy(col("supp_nation"), col("cust_nation"),
+              year(col("l_shipdate")).as("l_year"))
+            .agg(sum(vol).cast("double").as("revenue"))
+            .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        },
+        Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+    OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+      // TPC-H Q8 shape (national market share): region-filtered customers,
+      // type-filtered parts, per-year nation volume NEXT TO total volume —
+      // published as the exact (numerator, denominator) pair instead of a
+      // divided share: decimal division rounds differently across engines
+      // (HALF_UP at result scale in Spark), the pair is engine-exact and
+      // carries strictly more information
+      RegisteredQuery(
+        "q_tpch_q8",
+        (s, dir) => {
+          val t = Tables.resolve(s, dir)
+          val vol = col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+          val amNations = t("nation")
+            .join(broadcast(t("region").where(col("r_name") === "AMERICA")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey").as("__ck"))
+          val suppNation = t("nation")
+            .select(col("n_nationkey").as("__sk"), col("n_name").as("__sn"))
+          t("lineitem")
+            .join(broadcast(t("part").where(col("p_type") === "STANDARD")),
+              col("l_partkey") === col("p_partkey"))
+            .join(t("orders").where(
+                col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+              col("l_orderkey") === col("o_orderkey"))
+            .join(t("customer"), col("o_custkey") === col("c_custkey"))
+            .join(broadcast(amNations), col("c_nationkey") === col("__ck"))
+            .join(broadcast(t("supplier")), col("l_suppkey") === col("s_suppkey"))
+            .join(broadcast(suppNation), col("s_nationkey") === col("__sk"))
+            .groupBy(year(col("o_orderdate")).as("o_year"))
+            .agg(
+              sum(when(col("__sn") === "NATION_1", vol)
+                .otherwise(lit(0).cast("decimal(18,2)")))
+                .cast("double").as("nation_volume"),
+              sum(vol).cast("double").as("total_volume"))
+            .orderBy(col("o_year"))
+        },
+        Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+  CAST(sum(CASE WHEN n2.n_name = 'NATION_1' THEN volume
+                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_volume,
+  CAST(sum(volume) AS DOUBLE) AS total_volume
+FROM (SELECT o_orderdate, s_nationkey,
+        CAST(l_extendedprice AS DECIMAL(18,2)) *
+          (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      WHERE r_name = 'AMERICA' AND p_type = 'STANDARD'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01') f
+JOIN nation n2 ON f.s_nationkey = n2.n_nationkey
+GROUP BY 1 ORDER BY 1""")),
+
+      // TPC-H Q14 shape (promo revenue): month-windowed fact scan with a
+      // broadcast dimension and a conditional aggregate — published as the
+      // exact (promo, total) pair for the same cross-engine-division
+      // reason as Q8
+      RegisteredQuery(
+        "q_tpch_q14",
+        (s, dir) => {
+          val t = Tables.resolve(s, dir)
+          val vol = col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+          t("lineitem")
+            .where(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+            .join(broadcast(t("part")), col("l_partkey") === col("p_partkey"))
+            .agg(
+              sum(when(col("p_type") === "PROMO", vol)
+                .otherwise(lit(0).cast("decimal(18,2)")))
+                .cast("double").as("promo_revenue"),
+              sum(vol).cast("double").as("total_revenue"))
+        },
+        Some("""SELECT
+  CAST(sum(CASE WHEN p_type = 'PROMO'
+                THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+                     (1 - CAST(l_discount AS DECIMAL(18,2)))
+                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate < TIMESTAMP '1996-10-01'""")),
+
+      // TPC-H Q15 shape (top supplier): quarter revenue per supplier, then
+      // the decorrelated scalar-subquery max — a 1-row broadcast crossed
+      // back against the supplier-sized aggregate, ties kept (exact
+      // DECIMAL equality, so "equals the max" is engine-stable)
+      RegisteredQuery(
+        "q_tpch_q15",
+        (s, dir) => {
+          val t = Tables.resolve(s, dir)
+          val vol = col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+          val rev0 = t("lineitem")
+            .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+            .groupBy(col("l_suppkey"))
+            .agg(sum(vol).as("__rev"))
+          val top = rev0.agg(max(col("__rev")).as("__mx"))
+          rev0.join(broadcast(top), col("__rev") === col("__mx"))
+            .join(broadcast(t("supplier")), col("l_suppkey") === col("s_suppkey"))
+            .select(col("s_suppkey"), col("s_name"),
+              col("__rev").cast("double").as("total_revenue"))
+            .orderBy(col("s_suppkey"))
+        },
+        Some("""WITH revenue0 AS (
+  SELECT l_suppkey AS supplier_no,
+    sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+WHERE total_rev = (SELECT max(total_rev) FROM revenue0)
+ORDER BY s_suppkey""")),
+
       // exact triangle counting (degree-oriented wedge join, O(m^1.5))
       // over the part co-purchase graph: parts sharing an order, edges
       // canonicalized inside the operator; per-vertex participation
