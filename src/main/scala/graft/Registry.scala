@@ -3313,6 +3313,214 @@ FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
 WHERE total_rev = (SELECT max(total_rev) FROM revenue0)
 ORDER BY s_suppkey""")),
 
+      // TPC-H Q4 shape (order priority checking): the EXISTS decorrelation
+      // flagship — a left-semi join whose condition mixes the equi key with
+      // an inequality against the OUTER row's column (lateness relative to
+      // the order's own date; the slim schema has no commit/receipt dates,
+      // so "late" is shipped >90 days after order)
+      RegisteredQuery(
+        "q_tpch_q4",
+        (s, dir) => {
+          val t = Tables.resolve(s, dir)
+          t("orders")
+            .where(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+            .join(t("lineitem").select("l_orderkey", "l_shipdate"),
+              col("l_orderkey") === col("o_orderkey") &&
+                col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+              "left_semi")
+            .groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("order_count"))
+            .orderBy(col("o_orderpriority"))
+        },
+        Some("""SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY 1 ORDER BY 1""")),
+
+      // TPC-H Q13 shape (customer order distribution): the outer-join
+      // histogram — customers with ZERO qualifying orders are real rows,
+      // the filter lives in the join's ON clause (a WHERE would delete
+      // the zero bucket), then a second aggregate over the first
+      RegisteredQuery(
+        "q_tpch_q13",
+        (s, dir) => {
+          val t = Tables.resolve(s, dir)
+          t("customer").select("c_custkey")
+            .join(t("orders").where(col("o_orderpriority") =!= "1-URGENT")
+                .select("o_custkey", "o_orderkey"),
+              col("c_custkey") === col("o_custkey"), "left_outer")
+            .groupBy(col("c_custkey"))
+            .agg(count(col("o_orderkey")).as("c_count"))
+            .groupBy(col("c_count"))
+            .agg(count(lit(1)).as("custdist"))
+            .orderBy(col("custdist").desc, col("c_count").desc)
+        },
+        Some("""SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY 1) c_orders
+GROUP BY 1 ORDER BY custdist DESC, c_count DESC""")),
+
+      // TPC-H Q17 shape (small-quantity-order revenue): the correlated
+      // scalar-average subquery, decorrelated into a per-part aggregate
+      // broadcast back against the same brand-restricted fact slice; the
+      // 0.2·avg threshold is cross-multiplied into exact integers
+      // (5·qty·cnt < sum_qty) so no division enters the predicate
+      RegisteredQuery(
+        "q_tpch_q17",
+        (s, dir) => {
+          val t = Tables.resolve(s, dir)
+          val li = t("lineitem")
+            .join(broadcast(t("part").where(col("p_brand") === "Brand#13")
+                .select(col("p_partkey"))),
+              col("l_partkey") === col("p_partkey"))
+            .select(col("l_partkey"),
+              col("l_quantity").cast("bigint").as("__qty"),
+              col("l_extendedprice").cast("decimal(18,2)").as("__price"))
+          val ag = li.groupBy(col("l_partkey").as("__pk"))
+            .agg(sum(col("__qty")).as("__sq"), count(lit(1)).as("__cnt"))
+          li.join(broadcast(ag), col("l_partkey") === col("__pk"))
+            .where(lit(5) * col("__qty") * col("__cnt") < col("__sq"))
+            .agg((sum(col("__price")).cast("double") / lit(7.0)).as("avg_yearly"))
+        },
+        Some("""WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'),
+ li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+          CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+        FROM lineitem JOIN bp ON l_partkey = p_partkey),
+ ag AS (SELECT l_partkey, sum(qty) AS sq, count(*) AS cnt FROM li GROUP BY 1)
+SELECT CAST(sum(price) AS DOUBLE) / 7.0 AS avg_yearly
+FROM li JOIN ag USING (l_partkey)
+WHERE 5 * qty * cnt < sq""")),
+
+      // TPC-H Q19 shape (discounted revenue, disjunctive predicate): the
+      // pushdown flagship — the part-only conjuncts of each disjunct are
+      // factored out and pushed into the dimension BEFORE the broadcast
+      // (brand/size prune part to a sliver), the full brand×quantity
+      // disjunction rides the joined row
+      RegisteredQuery(
+        "q_tpch_q19",
+        (s, dir) => {
+          val t = Tables.resolve(s, dir)
+          val partSide =
+            (col("p_brand") === "Brand#12" && col("p_size").between(1, 15)) ||
+            (col("p_brand") === "Brand#19" && col("p_size").between(1, 25)) ||
+            (col("p_brand") === "Brand#24" && col("p_size").between(1, 35))
+          val full =
+            (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#19" && col("p_size").between(1, 25) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#24" && col("p_size").between(1, 35) &&
+              col("l_quantity").between(20, 30))
+          t("lineitem")
+            .join(broadcast(t("part").where(partSide)),
+              col("l_partkey") === col("p_partkey"))
+            .where(full)
+            .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+                (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+              .cast("double").as("revenue"))
+        },
+        Some("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""")),
+
+      // TPC-H Q21 shape (suppliers who kept orders waiting): the
+      // EXISTS + NOT-EXISTS double correlation. The Spark side runs the
+      // DECORRELATED form — one pass over the order's lines counting
+      // (distinct suppliers, distinct LATE suppliers, late lines) and
+      // electing the sole late supplier — while the oracle keeps the
+      // textbook correlated form, so hash equality proves the
+      // decorrelation itself
+      RegisteredQuery(
+        "q_tpch_q21",
+        (s, dir) => {
+          val t = Tables.resolve(s, dir)
+          val li = t("lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+            .join(t("orders").where(col("o_orderstatus") === "F")
+                .select("o_orderkey", "o_orderdate"),
+              col("l_orderkey") === col("o_orderkey"))
+            .withColumn("__late",
+              col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          val perOrder = li.groupBy(col("l_orderkey"))
+            .agg(
+              countDistinct(col("l_suppkey")).as("__ns"),
+              countDistinct(when(col("__late"), col("l_suppkey"))).as("__nl"),
+              sum(when(col("__late"), lit(1L)).otherwise(lit(0L))).as("__nll"),
+              max(when(col("__late"), col("l_suppkey"))).as("__who"))
+            .where(col("__ns") > 1 && col("__nl") === 1)
+          val natSupp = t("supplier")
+            .join(broadcast(t("nation").where(col("n_name") === "NATION_4")),
+              col("s_nationkey") === col("n_nationkey"))
+            .select(col("s_suppkey"), col("s_name"))
+          perOrder.join(broadcast(natSupp), col("__who") === col("s_suppkey"))
+            .groupBy(col("s_name"))
+            .agg(sum(col("__nll")).as("numwait"))
+            .orderBy(col("numwait").desc, col("s_name"))
+        },
+        Some("""SELECT s_name, count(*) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+  AND s_nationkey = n_nationkey AND n_name = 'NATION_4'
+GROUP BY s_name ORDER BY numwait DESC, s_name""")),
+
+      // TPC-H Q22 shape (global sales opportunity): scalar-subquery
+      // average as a 1-row broadcast (cross-multiplied into DECIMAL —
+      // bal·n > sum — so the mean never materializes as a float) plus an
+      // anti join against recent orders; the slim schema has no phone
+      // column, so "country code" is the nation key and "no orders" is
+      // no orders since 2000
+      RegisteredQuery(
+        "q_tpch_q22",
+        (s, dir) => {
+          val t = Tables.resolve(s, dir)
+          val sel = t("customer")
+            .where(col("c_nationkey").isin(1, 4, 7, 10, 13, 16, 19))
+            .select(col("c_custkey"), col("c_nationkey"),
+              col("c_acctbal").cast("decimal(18,2)").as("__bal"))
+          val pos = sel.where(col("__bal") > 0)
+            .agg(sum(col("__bal")).as("__s"), count(lit(1)).as("__n"))
+          sel.crossJoin(broadcast(pos))
+            .where(col("__bal") * col("__n") > col("__s"))
+            .join(t("orders")
+                .where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+                .select(col("o_custkey")),
+              col("c_custkey") === col("o_custkey"), "left_anti")
+            .groupBy(col("c_nationkey").as("cntrycode"))
+            .agg(count(lit(1)).as("numcust"),
+              sum(col("__bal")).cast("double").as("totacctbal"))
+            .orderBy(col("cntrycode"))
+        },
+        Some("""WITH sel AS (SELECT c_custkey, c_nationkey,
+          CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        FROM customer WHERE c_nationkey IN (1,4,7,10,13,16,19)),
+ pos AS (SELECT sum(bal) AS s, count(*) AS n FROM sel WHERE bal > 0)
+SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+  CAST(sum(bal) AS DOUBLE) AS totacctbal
+FROM sel, pos
+WHERE bal * CAST(n AS DECIMAL(18,0)) > s
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1 ORDER BY 1""")),
+
       // exact triangle counting (degree-oriented wedge join, O(m^1.5))
       // over the part co-purchase graph: parts sharing an order, edges
       // canonicalized inside the operator; per-vertex participation
