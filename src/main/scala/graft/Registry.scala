@@ -4957,6 +4957,37 @@ FROM documents GROUP BY lang, source ORDER BY lang, source""")),
           "SELECT p_partkey AS seed FROM part WHERE p_partkey % 97 = 0",
           maxHops = 3))),
 
+      // bounded weighted shortest paths over the same sparse co-purchase
+      // graph as q_bfs_hops, weights a symmetric function of the edge's
+      // part keys; Spark relaxes only the frontier, the oracle replays
+      // FULL per-round relaxation — hash equality proves the cut
+      RegisteredQuery(
+        "q_shortest_path",
+        (s, dir) => {
+          val li = Tables.resolve(s, dir)("lineitem")
+            .where(col("l_quantity") >= 45)
+            .select(col("l_orderkey"), col("l_partkey"))
+          val edges = li.as("a").join(li.as("b"),
+              col("a.l_orderkey") === col("b.l_orderkey") &&
+                col("a.l_partkey") < col("b.l_partkey"))
+            .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"),
+              expr("(a.l_partkey + b.l_partkey) % 7 + 1").as("w"))
+          val seeds = Tables.resolve(s, dir)("part")
+            .where(expr("p_partkey % 97 = 0"))
+            .select(col("p_partkey").as("seed"))
+          graft.operators.ShortestPath.distances(edges, "src", "dst", "w",
+              seeds, "seed", maxHops = 4)
+            .orderBy("vertex")
+        },
+        Some(graft.operators.ShortestPath.oracleSql(
+          """SELECT a.l_partkey AS src, b.l_partkey AS dst,
+    (a.l_partkey + b.l_partkey) % 7 + 1 AS w
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_quantity >= 45 AND b.l_quantity >= 45""",
+          "SELECT p_partkey AS seed FROM part WHERE p_partkey % 97 = 0",
+          maxHops = 4))),
+
       // diff-in-diff: even-custkey "treated" orders pre/post 1998 vs the
       // odd-custkey control — exact micro-unit cell algebra, one grand
       // aggregate of eight conditional partials
