@@ -4335,6 +4335,19 @@ FROM documents ORDER BY doc_id""")),
         Some(graft.llm.Dedup.simhashPairsOracle(
           "documents", "doc_id", "text", maxHamming = 2))),
 
+      // SimHash estimator-quality audit: per banded candidate (including
+      // beyond-radius ones), exact fingerprint hamming NEXT TO exact
+      // shingle-set counts — pins fingerprint + banding + estimator
+      // honesty on this corpus (the q_minhash_quality discipline)
+      RegisteredQuery(
+        "q_simhash_quality",
+        (s, dir) => graft.llm.Dedup.simhashQuality(
+            Tables.resolve(s, dir)("documents"), "text", "doc_id",
+            maxHamming = 2)
+          .orderBy("left_id", "right_id"),
+        Some(graft.llm.Dedup.simhashQualityOracle(
+          "documents", "doc_id", "text", maxHamming = 2))),
+
       // hashing-trick featurization: scan-stage md5 buckets, one
       // partial-agg'd (doc, bucket) shuffle, vocabulary-free
       RegisteredQuery(

@@ -705,6 +705,98 @@ FROM fp a JOIN fp b ON a.doc_id_ < b.doc_id_
 WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming
 ORDER BY 1, 2""".stripMargin
 
+  /** The pigeonhole band layout shared by [[simhashPairs]],
+    * [[simhashQuality]] and the quality oracle: `maxHamming + 1`
+    * disjoint (offset, width) bit bands partitioning [0, SimHashBits).
+    */
+  private def simhashBandLayout(maxHamming: Int): Seq[(Int, Int)] = {
+    val nBands = maxHamming + 1
+    val base = SimHashBits / nBands
+    val extra = SimHashBits % nBands
+    val widths = (0 until nBands).map(b => if (b < extra) base + 1 else base)
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+
+  /** Estimator-quality audit for the SimHash fingerprint ON THIS CORPUS
+    * — the [[minhashQuality]] discipline applied to the hamming family:
+    * per banded candidate pair (the SAME pigeonhole banding as
+    * [[simhashPairs]], including candidates the radius verify would
+    * reject), the exact fingerprint hamming distance — the estimator's
+    * decision variable — NEXT TO the exact shingle-set counts
+    * (n_inter, n_union). All integers, so the gate pins fingerprinting
+    * + banding + the estimator-vs-truth relationship end-to-end, and a
+    * caller can judge whether [[SimHashBits]] bits at their radius
+    * separate true near-dups from hash collisions on their corpus
+    * before trusting a radius cut. Candidate-sized output.
+    */
+  def simhashQuality(df: DataFrame, textCol: String, idCol: String,
+                     maxHamming: Int = 2, shingleN: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < SimHashBits,
+      s"maxHamming must be in [0, $SimHashBits), got $maxHamming")
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val src = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val fps = src
+      .select(col(idCol), simhash(col(textCol), shingleN).as("__fp"),
+        shingleSet(col(textCol), shingleN).as("__s"))
+      .localCheckpoint(true)
+    val bandCols = simhashBandLayout(maxHamming).zipWithIndex.map {
+      case ((offset, width), b) =>
+        struct(lit(b).as("band"),
+          shiftright(col("__fp"), offset).bitwiseAND(lit((1L << width) - 1))
+            .as("bkey"))
+    }
+    val banded = fps.select(col(idCol),
+        explode(array(bandCols: _*)).as("__b"))
+      .select(col(idCol), col("__b.band").as("band"),
+        col("__b.bkey").as("bkey"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("left_id"), col(s"b.$idCol").as("right_id"))
+      .distinct()
+    val sides = fps.select(col(idCol), col("__fp"), col("__s"))
+    cand
+      .join(sides.as("pa"), col("left_id") === col(s"pa.$idCol"))
+      .join(sides.as("pb"), col("right_id") === col(s"pb.$idCol"))
+      .select(col("left_id"), col("right_id"),
+        col("pa.__fp").as("__fa"), col("pb.__fp").as("__fb"),
+        size(array_intersect(col("pa.__s"), col("pb.__s"))).cast("long")
+          .as("n_inter"),
+        size(array_union(col("pa.__s"), col("pb.__s"))).cast("long")
+          .as("n_union"))
+      .select(col("left_id"), col("right_id"),
+        expr("CAST(bit_count(__fa ^ __fb) AS BIGINT)").as("hamming"),
+        col("n_inter"), col("n_union"))
+  }
+
+  /** DuckDB replay of [[simhashQuality]] — the fingerprint CTEs of
+    * [[simhashCtes]] (which already carry the shingle sets), candidates
+    * regenerated from the SAME band layout as per-band equi-joins.
+    */
+  def simhashQualityOracle(table: String, idCol: String, textCol: String,
+                           maxHamming: Int = 2, shingleN: Int = 3): String = {
+    val bandJoins = simhashBandLayout(maxHamming).map { case (offset, width) =>
+      s"""SELECT a.doc_id_ AS left_id, b.doc_id_ AS right_id
+  FROM fp a JOIN fp b
+    ON ((a.simhash >> $offset) & ${(1L << width) - 1}) =
+       ((b.simhash >> $offset) & ${(1L << width) - 1})
+   AND a.doc_id_ < b.doc_id_"""
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH ${simhashCtes(table, idCol, textCol, shingleN)},
+cand AS (SELECT DISTINCT left_id, right_id FROM (
+$bandJoins))
+SELECT c.left_id, c.right_id,
+  CAST(bit_count(xor(fa.simhash, fb.simhash)) AS BIGINT) AS hamming,
+  CAST(len(list_intersect(ga.s, gb.s)) AS BIGINT) AS n_inter,
+  CAST(len(list_distinct(list_concat(ga.s, gb.s))) AS BIGINT) AS n_union
+FROM cand c
+JOIN fp fa ON fa.doc_id_ = c.left_id
+JOIN fp fb ON fb.doc_id_ = c.right_id
+JOIN sh ga ON ga.doc_id_ = c.left_id
+JOIN sh gb ON gb.doc_id_ = c.right_id
+ORDER BY c.left_id, c.right_id""".stripMargin
+  }
+
   // ------------------------------------------------- DuckDB oracle SQL ----
   // Generated from the same constants as the Column code above so the two
   // sides cannot drift. hash60 ⇔ CAST('0x'||substr(md5(x),1,15) AS BIGINT).
