@@ -3641,6 +3641,27 @@ GROUP BY 1 ORDER BY 1""")),
           xSql = "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)",
           ySql = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))),
 
+      // exact Spearman rank correlation per returnflag: Pearson over
+      // doubled average ranks (integer-exact tie handling; the 6-sum-d2
+      // shortcut is wrong under ties), moments as canonical strings
+      RegisteredQuery(
+        "q_spearman",
+        (s, dir) => graft.operators.Spearman.correlation(
+            Tables.resolve(s, dir)("lineitem")
+              .withColumn("qty", col("l_quantity").cast("bigint"))
+              .withColumn("cents",
+                (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")),
+            Seq("l_returnflag"), "qty", "cents")
+          .drop("corr")
+          .withColumn("corr_num", col("corr_num").cast("string"))
+          .withColumn("var_x", col("var_x").cast("string"))
+          .withColumn("var_y", col("var_y").cast("string"))
+          .orderBy("l_returnflag"),
+        Some(graft.operators.Spearman.oracleSql(
+          "lineitem", Seq("l_returnflag"),
+          xSql = "CAST(l_quantity AS BIGINT)",
+          ySql = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))),
+
       // functional-dependency mining: which partkeys ship from multiple
       // suppliers — one partial-agg'd LHS groupBy, violation-sized output
       RegisteredQuery(

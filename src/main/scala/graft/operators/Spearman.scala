@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact Spearman rank correlation per group — the monotone-association
+  * sibling of [[GroupedTrend.correlation]]'s Pearson: is y monotonically
+  * related to x, regardless of the shape? The robust screen for
+  * outlier-heavy or nonlinear pairs (price vs quantity, score vs rank)
+  * where Pearson's linearity assumption lies.
+  *
+  * Spearman IS Pearson on average ranks, and with ties the popular
+  * `1 − 6Σd²/(n(n²−1))` shortcut is WRONG — so this computes true
+  * average ranks and delegates to the exact Pearson moment machinery.
+  * Average ranks of a tie run are half-integers; doubling makes them
+  * exact integers with no float anywhere: `2·avgrank = 2·rank() +
+  * tiecount − 1` (the average of consecutive integers a..b is
+  * (a+b)/2, and rank() gives a, a+tiecount−1 gives b). Scaling both
+  * axes by 2 leaves the correlation untouched. Moments ride
+  * DECIMAL(38,0) (4n⁴ magnitude — Long dies at ~60k rows/group) and
+  * publish as (corr_num, var_x, var_y) alongside the float `corr`,
+  * the [[GroupedTrend.correlation]] contract; the integers gate, the
+  * float is spec-covered.
+  *
+  * Scale shape: two rank windows per group (one per axis) — the RANK
+  * posture: a whale group's ranking is one task's sort, same residual
+  * as weightedMedian's cumulative axis (SCALING.md); the tie counts
+  * are partial-agg'd window counts over (group, value), and everything
+  * after ranking is the ONE-shuffle five-partial Pearson aggregate.
+  *
+  * Contracts: rows with NULL x or y drop (a rank over an unknown value
+  * is undefined — and dropping must happen BEFORE ranking on both
+  * engines, or rank positions diverge); `corr` is NULL when either
+  * axis is constant (zero variance — Spearman undefined); ranks are
+  * dense within each group independently.
+  */
+object Spearman {
+
+  /** The doubled-average-rank columns `__rx2` / `__ry2` — exposed for
+    * spec inspection; integer-exact tie handling.
+    */
+  def ranked(df: DataFrame, groupCols: Seq[String], xCol: String,
+             yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must not be empty")
+    val g = groupCols.map(col)
+    def rank2(c: String) =
+      lit(2) * rank().over(Window.partitionBy(g: _*).orderBy(col(c))) +
+        count(lit(1)).over(Window.partitionBy(g :+ col(c): _*)) - 1
+    df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .withColumn("__rx2", rank2(xCol).cast("long"))
+      .withColumn("__ry2", rank2(yCol).cast("long"))
+  }
+
+  /** (groupCols*, n, corr_num, var_x, var_y, corr) with the moments
+    * taken over doubled average ranks.
+    */
+  def correlation(df: DataFrame, groupCols: Seq[String], xCol: String,
+                  yCol: String): DataFrame =
+    GroupedTrend.correlation(ranked(df, groupCols, xCol, yCol),
+      groupCols, "__rx2", "__ry2")
+
+  /** DuckDB replay: the same doubled ranks as a derived table fed to
+    * the shared Pearson moment oracle — one rank definition per engine,
+    * one moment definition total.
+    */
+  def oracleSql(table: String, groupCols: Seq[String], xSql: String,
+                ySql: String): String = {
+    val g = groupCols.mkString(", ")
+    val ranks =
+      s"""(SELECT $g,
+    2 * rank() OVER (PARTITION BY $g ORDER BY ($xSql))
+      + count(*) OVER (PARTITION BY $g, ($xSql)) - 1 AS rx2,
+    2 * rank() OVER (PARTITION BY $g ORDER BY ($ySql))
+      + count(*) OVER (PARTITION BY $g, ($ySql)) - 1 AS ry2
+  FROM $table
+  WHERE ($xSql) IS NOT NULL AND ($ySql) IS NOT NULL) spearman_ranks"""
+    GroupedTrend.correlationOracle(ranks, groupCols, "rx2", "ry2")
+  }
+}
