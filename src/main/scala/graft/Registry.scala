@@ -3641,6 +3641,33 @@ GROUP BY 1 ORDER BY 1""")),
           xSql = "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)",
           ySql = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))),
 
+      // lead-lag cross-correlation: daily order count (x) vs daily order
+      // cents (y) per priority across lags -3..3 — the which-metric-leads
+      // screen, lag-replicated pair join + shared exact Pearson moments
+      RegisteredQuery(
+        "q_cross_corr",
+        (s, dir) => graft.operators.CrossCorr.leadLag(
+            Tables.resolve(s, dir)("orders")
+              .groupBy(col("o_orderpriority"),
+                datediff(col("o_orderdate").cast("date"),
+                  lit("1970-01-01").cast("date")).cast("long").as("day"))
+              .agg(count(lit(1)).cast("long").as("n_orders"),
+                sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+                  .cast("long")).as("cents")),
+            "o_orderpriority", "day", "n_orders", "cents", maxLag = 3)
+          .drop("corr")
+          .withColumn("corr_num", col("corr_num").cast("string"))
+          .withColumn("var_x", col("var_x").cast("string"))
+          .withColumn("var_y", col("var_y").cast("string"))
+          .orderBy("o_orderpriority", "lag"),
+        Some(graft.operators.CrossCorr.oracleSql(
+          """(SELECT o_orderpriority,
+    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+    count(*) AS n_orders,
+    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+  FROM orders GROUP BY 1, 2) daily""",
+          "o_orderpriority", "day", "n_orders", "cents", maxLag = 3))),
+
       // exact Spearman rank correlation per returnflag: Pearson over
       // doubled average ranks (integer-exact tie handling; the 6-sum-d2
       // shortcut is wrong under ties), moments as canonical strings
