@@ -3641,6 +3641,22 @@ GROUP BY 1 ORDER BY 1""")),
           xSql = "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)",
           ySql = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))),
 
+      // exact Mann-Whitney ROC-AUC: does quantity separate returned from
+      // kept lineitems per linestatus — heavy score ties exercise the
+      // doubled-average-rank identity end-to-end
+      RegisteredQuery(
+        "q_roc_auc",
+        (s, dir) => graft.operators.RocAuc.auc(
+            Tables.resolve(s, dir)("lineitem")
+              .withColumn("qty", col("l_quantity").cast("bigint")),
+            Seq("l_linestatus"), "qty",
+            (col("l_returnflag") === "R").cast("long"))
+          .orderBy("l_linestatus"),
+        Some(graft.operators.RocAuc.oracleSql(
+          "lineitem", Seq("l_linestatus"),
+          scoreSql = "CAST(l_quantity AS BIGINT)",
+          labelSql = "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END"))),
+
       // lead-lag cross-correlation: daily order count (x) vs daily order
       // cents (y) per priority across lags -3..3 — the which-metric-leads
       // screen, lag-replicated pair join + shared exact Pearson moments
