@@ -3641,6 +3641,37 @@ GROUP BY 1 ORDER BY 1""")),
           xSql = "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)",
           ySql = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))),
 
+      // per-query retrieval metrics over a deterministic synthetic run:
+      // 5 queries x 200 docs with id-derived scores and relevance,
+      // identical construction on both engines; score collisions
+      // exercise the deterministic tiebreak at the cut
+      RegisteredQuery(
+        "q_retrieval_metrics",
+        (s, dir) => {
+          val emb = Tables.resolve(s, dir)("embeddings")
+          val qs = emb.where(expr("vec_id % 101 = 0"))
+            .select(col("vec_id").as("q"))
+          val ds = emb.where(col("vec_id") < 200)
+            .select(col("vec_id").as("d"))
+          val results = qs.crossJoin(ds)
+            .withColumn("score", expr("(q * 31 + d * 17) % 997"))
+          val rel = qs.crossJoin(ds).where(expr("(q + d) % 5 = 0"))
+          graft.operators.RetrievalMetrics.atK(
+              results, "q", "d", "score", rel, "q", "d", k = 10)
+            .orderBy("q")
+        },
+        Some(graft.operators.RetrievalMetrics.oracleSql(
+          resultsSql = """SELECT a.vec_id AS q, b.vec_id AS d,
+    (a.vec_id * 31 + b.vec_id * 17) % 997 AS score
+  FROM embeddings a JOIN embeddings b ON true
+  WHERE a.vec_id % 101 = 0 AND b.vec_id < 200""",
+          queryCol = "q", docCol = "d", scoreCol = "score",
+          relevantSql = """SELECT a.vec_id AS q, b.vec_id AS d
+  FROM embeddings a JOIN embeddings b ON true
+  WHERE a.vec_id % 101 = 0 AND b.vec_id < 200
+    AND (a.vec_id + b.vec_id) % 5 = 0""",
+          rQueryCol = "q", rDocCol = "d", k = 10))),
+
       // exact Mann-Whitney ROC-AUC: does quantity separate returned from
       // kept lineitems per linestatus — heavy score ties exercise the
       // doubled-average-rank identity end-to-end
