@@ -3672,6 +3672,37 @@ GROUP BY 1 ORDER BY 1""")),
     AND (a.vec_id + b.vec_id) % 5 = 0""",
           rQueryCol = "q", rDocCol = "d", k = 10))),
 
+      // graded NDCG@10 over the same synthetic run, grades 0-3 from the
+      // id residue — per-term quantized log2 discount (the Drift
+      // quantized-ln discipline), integer sums and division after
+      RegisteredQuery(
+        "q_ndcg",
+        (s, dir) => {
+          val emb = Tables.resolve(s, dir)("embeddings")
+          val qs = emb.where(expr("vec_id % 101 = 0"))
+            .select(col("vec_id").as("q"))
+          val ds = emb.where(col("vec_id") < 200)
+            .select(col("vec_id").as("d"))
+          val results = qs.crossJoin(ds)
+            .withColumn("score", expr("(q * 31 + d * 17) % 997"))
+          val judged = qs.crossJoin(ds)
+            .withColumn("rel", expr("(q + d * 3) % 4"))
+          graft.operators.RetrievalMetrics.ndcgAtK(
+              results, "q", "d", "score", judged, "q", "d", "rel", k = 10)
+            .orderBy("q")
+        },
+        Some(graft.operators.RetrievalMetrics.ndcgOracleSql(
+          resultsSql = """SELECT a.vec_id AS q, b.vec_id AS d,
+    (a.vec_id * 31 + b.vec_id * 17) % 997 AS score
+  FROM embeddings a JOIN embeddings b ON true
+  WHERE a.vec_id % 101 = 0 AND b.vec_id < 200""",
+          queryCol = "q", docCol = "d", scoreCol = "score",
+          judgedSql = """SELECT a.vec_id AS q, b.vec_id AS d,
+    (a.vec_id + b.vec_id * 3) % 4 AS rel
+  FROM embeddings a JOIN embeddings b ON true
+  WHERE a.vec_id % 101 = 0 AND b.vec_id < 200""",
+          jQueryCol = "q", jDocCol = "d", relCol = "rel", k = 10))),
+
       // exact Mann-Whitney ROC-AUC: does quantity separate returned from
       // kept lineitems per linestatus — heavy score ties exercise the
       // doubled-average-rank identity end-to-end
