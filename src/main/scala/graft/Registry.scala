@@ -3641,6 +3641,50 @@ GROUP BY 1 ORDER BY 1""")),
           xSql = "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)",
           ySql = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))),
 
+      // per-class P/R/F1 report: a price-band heuristic "predicting"
+      // order priority vs the actual label — one contingency collapse,
+      // class-sized arithmetic after
+      RegisteredQuery(
+        "q_class_report",
+        (s, dir) => graft.operators.ModelEval.classReport(
+            Tables.resolve(s, dir)("orders")
+              .withColumn("pred",
+                expr("""CASE WHEN o_totalprice < 60000 THEN '1-URGENT'
+                  WHEN o_totalprice < 120000 THEN '2-HIGH'
+                  WHEN o_totalprice < 180000 THEN '3-MEDIUM'
+                  WHEN o_totalprice < 240000 THEN '4-NOT SPECIFIED'
+                  ELSE '5-LOW' END""")),
+            "o_orderpriority", "pred")
+          .orderBy("clazz"),
+        Some(graft.operators.ModelEval.classReportOracle(
+          "orders", "o_orderpriority",
+          """CASE WHEN o_totalprice < 60000 THEN '1-URGENT'
+  WHEN o_totalprice < 120000 THEN '2-HIGH'
+  WHEN o_totalprice < 180000 THEN '3-MEDIUM'
+  WHEN o_totalprice < 240000 THEN '4-NOT SPECIFIED'
+  ELSE '5-LOW' END"""))),
+
+      // chance-corrected Cohen's kappa over the same (true, pred) pair —
+      // cross-multiplied exact integers, sign-split for worse-than-chance
+      RegisteredQuery(
+        "q_kappa",
+        (s, dir) => graft.operators.ModelEval.cohensKappa(
+            Tables.resolve(s, dir)("orders")
+              .withColumn("pred",
+                expr("""CASE WHEN o_totalprice < 60000 THEN '1-URGENT'
+                  WHEN o_totalprice < 120000 THEN '2-HIGH'
+                  WHEN o_totalprice < 180000 THEN '3-MEDIUM'
+                  WHEN o_totalprice < 240000 THEN '4-NOT SPECIFIED'
+                  ELSE '5-LOW' END""")),
+            "o_orderpriority", "pred"),
+        Some(graft.operators.ModelEval.kappaOracleSql(
+          "orders", "o_orderpriority",
+          """CASE WHEN o_totalprice < 60000 THEN '1-URGENT'
+  WHEN o_totalprice < 120000 THEN '2-HIGH'
+  WHEN o_totalprice < 180000 THEN '3-MEDIUM'
+  WHEN o_totalprice < 240000 THEN '4-NOT SPECIFIED'
+  ELSE '5-LOW' END"""))),
+
       // per-query retrieval metrics over a deterministic synthetic run:
       // 5 queries x 200 docs with id-derived scores and relevance,
       // identical construction on both engines; score collisions
