@@ -5233,6 +5233,18 @@ FROM documents GROUP BY lang, source ORDER BY lang, source""")),
           .orderBy("age_months"),
         Some(graft.operators.Churn.oracleSql("events", "user_id", "ts"))),
 
+      // Kaplan-Meier survival in log space over the same event stream:
+      // per-age quantized ln terms summed as exact integers (the product
+      // estimator itself is float-unreplayable), NULL past exact zero
+      RegisteredQuery(
+        "q_km_survival",
+        (s, dir) => graft.operators.Churn.kmSurvivalDaily(
+            graft.llm.EventWindows.readEvents(s, s"$dir/events.parquet"),
+            "user_id", "ts")
+          .orderBy("age_days"),
+        Some(graft.operators.Churn.kmDailyOracleSql(
+          "events", "user_id", "ts"))),
+
       // local clustering coefficient over the co-purchase graph: exact
       // 2T/(d(d-1)) in 1e-8 units, degree-1 vertices NULL by contract
       RegisteredQuery(

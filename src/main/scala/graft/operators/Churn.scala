@@ -42,11 +42,27 @@ object Churn {
 
   /** (age_months, at_risk, churned, censored, hazard_e8). */
   def hazardCurve(events: DataFrame, userCol: String,
-                  tsCol: String): DataFrame = {
+                  tsCol: String): DataFrame =
+    curveBy(events, userCol, tsCol,
+      c => year(c) * 12 + month(c), "age_months")
+
+  /** [[hazardCurve]] at DAY granularity (`age_days`) — the unit for
+    * event streams shorter than a month; same censoring contract.
+    */
+  def hazardCurveDaily(events: DataFrame, userCol: String,
+                       tsCol: String): DataFrame =
+    curveBy(events, userCol, tsCol,
+      c => datediff(c.cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long"),
+      "age_days")
+
+  private def curveBy(events: DataFrame, userCol: String, tsCol: String,
+                      unit: org.apache.spark.sql.Column =>
+                        org.apache.spark.sql.Column,
+                      ageName: String): DataFrame = {
     val users = events
       .where(col(userCol).isNotNull && col(tsCol).isNotNull)
-      .select(col(userCol).as("__u"),
-        (year(col(tsCol)) * 12 + month(col(tsCol))).as("__m"))
+      .select(col(userCol).as("__u"), unit(col(tsCol)).as("__m"))
       .groupBy(col("__u"))
       .agg(min(col("__m")).as("__first"), max(col("__m")).as("__last"))
       .localCheckpoint(true)
@@ -61,18 +77,18 @@ object Churn {
     val spine = perUser.agg(max(col("__age")).as("__maxa"))
       .select(explode(sequence(lit(0), col("__maxa").cast("int"))).as("__age"))
     val dense = spine.join(byAge, Seq("__age"), "left")
-      .select(col("__age").cast("long").as("age_months"),
+      .select(col("__age").cast("long").as(ageName),
         coalesce(col("__ch"), lit(0L)).as("churned"),
         coalesce(col("__ce"), lit(0L)).as("censored"))
     // at_risk(a) = Σ_{a' >= a} (churned + censored): reversed cumsum over
     // the age spine — horizon-bounded, never user-bounded
     val rev = org.apache.spark.sql.expressions.Window
-      .orderBy(col("age_months").desc)
+      .orderBy(col(ageName).desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     dense
       .withColumn("at_risk", sum(col("churned") + col("censored")).over(rev))
-      .select(col("age_months"), col("at_risk"), col("churned"),
+      .select(col(ageName), col("at_risk"), col("churned"),
         col("censored"),
         expr("CAST((churned * CAST(100000000 AS DECIMAL(38,0))) div at_risk " +
           "AS BIGINT)").as("hazard_e8"))
@@ -82,9 +98,20 @@ object Churn {
     * generate_series spine, reversed running sum, HUGEINT floor div.
     */
   def oracleSql(table: String, userE: String, tsE: String): String =
+    oracleBy(table, userE, s"year($tsE) * 12 + month($tsE)", tsE,
+      "age_months")
+
+  /** DuckDB replay of [[hazardCurveDaily]]. */
+  def dailyOracleSql(table: String, userE: String, tsE: String): String =
+    oracleBy(table, userE,
+      s"date_diff('day', DATE '1970-01-01', CAST($tsE AS DATE))", tsE,
+      "age_days")
+
+  private def oracleBy(table: String, userE: String, unitE: String,
+                       tsE: String, ageName: String): String =
     s"""WITH u AS (
-  SELECT $userE AS u, min(year($tsE) * 12 + month($tsE)) AS f,
-    max(year($tsE) * 12 + month($tsE)) AS l
+  SELECT $userE AS u, min($unitE) AS f,
+    max($unitE) AS l
   FROM $table WHERE $userE IS NOT NULL AND $tsE IS NOT NULL GROUP BY 1),
 h AS (SELECT max(l) AS h FROM u),
 pu AS (SELECT u.l - u.f AS age, u.l < h.h AS churned FROM u CROSS JOIN h),
@@ -97,9 +124,85 @@ d AS (SELECT sp.age, coalesce(ba.ch, 0) AS churned, coalesce(ba.ce, 0) AS censor
 r AS (SELECT age, churned, censored,
     sum(churned + censored) OVER (ORDER BY age DESC ROWS UNBOUNDED PRECEDING) AS at_risk
   FROM d)
-SELECT CAST(age AS BIGINT) AS age_months, CAST(at_risk AS BIGINT) AS at_risk,
+SELECT CAST(age AS BIGINT) AS $ageName, CAST(at_risk AS BIGINT) AS at_risk,
   churned, censored,
   CAST((CAST(churned AS HUGEINT) * 100000000) // CAST(at_risk AS HUGEINT)
     AS BIGINT) AS hazard_e8
-FROM r ORDER BY age_months""".stripMargin
+FROM r ORDER BY $ageName""".stripMargin
+
+  /** Kaplan–Meier survival on top of [[hazardCurve]], in LOG space with
+    * PER-STEP quantization — the product estimator Π(1 − dᵢ/nᵢ) is a
+    * float product no two engines replay, but its log is a SUM of
+    * per-age terms, and each term quantizes independently (the
+    * [[RetrievalMetrics.ndcgAtK]] / Drift quantized-ln discipline):
+    *
+    *   term(a) = ⌊10⁶·ln((at_risk−churned)/at_risk)⌋   (0 when nobody
+    *     churned at a — ln 1 shortcut, no float noise)
+    *   ln_surv_q6(a) = Σ_{a' ≤ a} term(a')   (an exact integer running
+    *     sum over the age spine; survival ≈ exp(ln_surv_q6/10⁶))
+    *
+    * When churned = at_risk at some age, survival hits EXACTLY zero and
+    * stays there — ln is −∞, so every age from that point reports NULL
+    * ln_surv_q6 (the zero-survival marker; a window sum would silently
+    * SKIP a NULL term, so the zero-step is tracked by a separate
+    * running count, never by NULL arithmetic).
+    *
+    * Declared term-floored semantics, same honesty as NDCG: the
+    * quantization IS the contract, not an approximation engines could
+    * disagree on. Age-spine-sized windows (hundreds of rows).
+    */
+  def kmSurvival(events: DataFrame, userCol: String,
+                 tsCol: String): DataFrame =
+    kmFrom(hazardCurve(events, userCol, tsCol), "age_months")
+
+  /** [[kmSurvival]] at DAY granularity. */
+  def kmSurvivalDaily(events: DataFrame, userCol: String,
+                      tsCol: String): DataFrame =
+    kmFrom(hazardCurveDaily(events, userCol, tsCol), "age_days")
+
+  private def kmFrom(hz: DataFrame, ageName: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(ageName).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val term = when(col("at_risk") === col("churned"), lit(0L))
+      .when(col("churned") === 0L, lit(0L))
+      .otherwise(floor(lit(1000000.0) *
+        log((col("at_risk") - col("churned")).cast("double") /
+          col("at_risk").cast("double"))).cast("long"))
+    hz
+      .withColumn("__z",
+        sum((col("at_risk") === col("churned")).cast("long")).over(w))
+      .withColumn("ln_surv_q6",
+        when(col("__z") > 0, lit(null).cast("long"))
+          .otherwise(sum(term).over(w)))
+      .drop("__z")
+  }
+
+  /** DuckDB replay of [[kmSurvival]] — the [[oracleSql]] body as a CTE
+    * plus the same per-term quantized chain and zero-step tracking.
+    */
+  def kmOracleSql(table: String, userE: String, tsE: String): String =
+    kmOracleBy(oracleSql(table, userE, tsE), "age_months")
+
+  /** DuckDB replay of [[kmSurvivalDaily]]. */
+  def kmDailyOracleSql(table: String, userE: String, tsE: String): String =
+    kmOracleBy(dailyOracleSql(table, userE, tsE), "age_days")
+
+  private def kmOracleBy(baseSql: String, ageName: String): String = {
+    val base = baseSql.replaceFirst(s"ORDER BY $ageName$$", "")
+    s"""WITH hz AS ($base)
+SELECT $ageName, at_risk, churned, censored, hazard_e8,
+  CASE WHEN sum(CASE WHEN at_risk = churned THEN 1 ELSE 0 END)
+         OVER (ORDER BY $ageName ASC ROWS UNBOUNDED PRECEDING) > 0
+       THEN NULL
+       ELSE CAST(sum(CASE WHEN at_risk = churned THEN 0
+                     WHEN churned = 0 THEN 0
+                     ELSE CAST(floor(1000000.0 *
+                       ln(CAST(at_risk - churned AS DOUBLE)
+                          / CAST(at_risk AS DOUBLE))) AS BIGINT) END)
+         OVER (ORDER BY $ageName ASC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+  END AS ln_surv_q6
+FROM hz ORDER BY $ageName"""
+  }
 }
