@@ -5654,7 +5654,37 @@ FROM orders a JOIN orders b
   AND a.o_orderkey < b.o_orderkey
   AND b.o_orderdate >= a.o_orderdate
   AND b.o_orderdate <= a.o_orderdate + INTERVAL 7 DAY
-ORDER BY custkey, first_key, second_key""")))
+ORDER BY custkey, first_key, second_key""")),
+
+      // cumulative-unique growth curve: first-occurrence collapse →
+      // debut counts → running sum over the dense per-group day spine
+      RegisteredQuery(
+        "q_growth_curve",
+        (s, dir) => graft.operators.GrowthCurve.cumulativeUniques(
+            Tables.resolve(s, dir)("orders")
+              .withColumn("day_b",
+                datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")),
+            Seq("o_orderpriority"), "o_custkey", "day_b")
+          .orderBy("o_orderpriority", "bucket"),
+        Some(graft.operators.GrowthCurve.oracleSql(
+          "orders", Seq("o_orderpriority"), "o_custkey",
+          "CAST(o_orderdate AS DATE) - DATE '1970-01-01'"))),
+
+      // seasonal indexes: exact cross-multiplied position-mean /
+      // grand-mean ratios in 1e-6 units (monthly profile per priority)
+      RegisteredQuery(
+        "q_seasonal_idx",
+        (s, dir) => graft.operators.Seasonal.indexes(
+            Tables.resolve(s, dir)("orders")
+              .withColumn("cents",
+                (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+              .withColumn("mon", month(col("o_orderdate")).cast("long")),
+            Seq("o_orderpriority"), "mon", "cents")
+          .orderBy("o_orderpriority", "pos"),
+        Some(graft.operators.Seasonal.oracleSql(
+          "orders", Seq("o_orderpriority"),
+          "CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT)",
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
