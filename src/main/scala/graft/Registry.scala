@@ -5684,7 +5684,39 @@ ORDER BY custkey, first_key, second_key""")),
         Some(graft.operators.Seasonal.oracleSql(
           "orders", Seq("o_orderpriority"),
           "CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT)",
-          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))))
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))),
+
+      // HLL distinct: the full Flajolet estimator replayed exactly —
+      // md5 registers, HUGEINT harmonic sum, cross-multiplied branch;
+      // custkey exercises linear counting, orderkey the raw branch;
+      // exact distinct rides along as the estimator-quality readout
+      RegisteredQuery(
+        "q_hll_distinct",
+        (s, dir) => {
+          val o = Tables.resolve(s, dir)("orders")
+          def leg(vc: String, tag: String) = {
+            val est = graft.operators.HllDistinct.estimate(
+              o, Seq("o_orderpriority"), vc)
+            val ex = o.where(col(vc).isNotNull).groupBy("o_orderpriority")
+              .agg(count_distinct(col(vc)).as("exact_distinct"))
+            est.join(ex, Seq("o_orderpriority"))
+              .withColumn("metric", lit(tag))
+          }
+          leg("o_custkey", "custkey").unionByName(leg("o_orderkey", "orderkey"))
+            .orderBy("metric", "o_orderpriority")
+        },
+        Some {
+          def leg(vc: String, tag: String) =
+            s"""SELECT e.*, x.exact_distinct, '$tag' AS metric
+FROM (${graft.operators.HllDistinct.oracleSql(
+              "orders", Seq("o_orderpriority"), vc)}) e
+JOIN (SELECT o_orderpriority, CAST(count(DISTINCT $vc) AS BIGINT)
+    AS exact_distinct FROM orders GROUP BY 1) x USING (o_orderpriority)"""
+          s"""SELECT * FROM (${leg("o_custkey", "custkey")}
+UNION ALL
+${leg("o_orderkey", "orderkey")})
+ORDER BY metric, o_orderpriority"""
+        }))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
