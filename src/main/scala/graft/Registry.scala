@@ -5716,7 +5716,32 @@ JOIN (SELECT o_orderpriority, CAST(count(DISTINCT $vc) AS BIGINT)
 UNION ALL
 ${leg("o_orderkey", "orderkey")})
 ORDER BY metric, o_orderpriority"""
-        }))
+        }),
+
+      // integer EWMA over the dense daily spine: per-step truncating
+      // recurrence (inherently sequential — the array-fold posture),
+      // replayed by DuckDB list_reduce over the same sorted array
+      RegisteredQuery(
+        "q_exp_smooth",
+        (s, dir) => graft.operators.ExpSmooth.smooth(
+            graft.operators.DenseSeries.denseDaily(
+                Tables.resolve(s, dir)("orders")
+                  .withColumn("cents",
+                    (col("o_totalprice").cast("decimal(18,2)") * 100)
+                      .cast("long")),
+                "o_orderpriority", "o_orderdate", "cents")
+              .select(col("o_orderpriority"),
+                datediff(col("day"), lit("1970-01-01")).cast("long").as("i"),
+                col("sum_value").as("x")),
+            "o_orderpriority", "i", "x", alphaNum = 3, alphaDen = 10)
+          .orderBy("o_orderpriority", "idx"),
+        Some(graft.operators.ExpSmooth.oracleSql(
+          s"""SELECT o_orderpriority AS grp,
+  CAST(day - DATE '1970-01-01' AS BIGINT) AS i, sum_value AS x
+FROM (${graft.operators.DenseSeries.denseDailyOracleBody(
+            "orders", "o_orderpriority", "o_orderdate",
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")})""",
+          "o_orderpriority", alphaNum = 3, alphaDen = 10))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Integer exponential smoothing — the recursive half of the smoothing
+  * family ([[DecayScore]] decays each event independently and SUMS;
+  * this carries level state forward: s_t = α·x_t + (1−α)·s_{t−1}, the
+  * classical EWMA a forecast/alerting baseline wants). Float EWMA never
+  * replays cross-engine (the accumulation chain compounds rounding), so
+  * the recurrence here is DECLARED in integers: α = p/q exact rational,
+  * values scaled by 10³, each step one sign-split truncating division —
+  *
+  *   s_1 = x_1·1000;   s_t = sgn(n_t)·(|n_t| div q),
+  *   n_t = p·x_t·1000 + (q−p)·s_{t−1}
+  *
+  * — bit-replayable by DuckDB's `list_reduce` over the same pre-sorted
+  * per-group array. Per-step truncation bias is ≤ 1 milli-unit and the
+  * contraction (q−p)/q keeps the accumulated drift bounded by q/p
+  * milli-units — declared semantics, not an approximation of the float
+  * EWMA.
+  *
+  * A recurrence with a nonlinear step (the truncation) is inherently
+  * sequential per group — no window/prefix decomposition exists — so
+  * the fold runs over each group's collected series array (the BpeTrain
+  * fold posture): ONE aggregate collects calendar-sized arrays (feed
+  * the [[DenseSeries]] daily spine, thousands of entries, never raw
+  * events), and the per-group fold is one task's array surgery.
+  * Contracts: duplicate indexes raise loudly inside the plan (the
+  * recurrence order would be data-dependent); NULL idx/value rows drop;
+  * NULL groups are a real stratum; |x|·1000·p must fit a long — ANSI
+  * throws loudly past ~9·10¹²·(1000/p).
+  */
+object ExpSmooth {
+
+  /** Smoothed values are in 10⁻³ units of the input. */
+  val Scale = 1000L
+
+  /** (groupCol, idx, s_q3) — s_q3 the smoothed level in milli-units. */
+  def smooth(df: DataFrame, groupCol: String, idxCol: String,
+             valueCol: String, alphaNum: Long, alphaDen: Long): DataFrame = {
+    require(alphaNum > 0 && alphaNum < alphaDen,
+      s"alpha = $alphaNum/$alphaDen must lie in (0, 1)")
+    graft.Guards.requireIntegral(df, idxCol, "smooth")
+    graft.Guards.requireIntegral(df, valueCol, "smooth")
+    val p = lit(alphaNum)
+    val qmp = lit(alphaDen - alphaNum)
+    val collected = df
+      .where(col(idxCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(struct(
+        col(idxCol).cast("long").as("i"),
+        col(valueCol).cast("long").as("x")))).as("__arr"))
+    val zero = expr("named_struct(" +
+      "'out', CAST(array() AS ARRAY<STRUCT<i: BIGINT, s: BIGINT>>), " +
+      "'prev', CAST(NULL AS BIGINT), 'first', true)")
+    val folded = collected.select(col(groupCol),
+      (size(col("__arr")) =!=
+        size(array_distinct(transform(col("__arr"), e => e.getField("i")))))
+        .as("__dup"),
+      aggregate(col("__arr"), zero, (acc, e) => {
+        val num = p * e.getField("x") * lit(Scale) + qmp * acc.getField("prev")
+        val ns = when(acc.getField("first"), e.getField("x") * lit(Scale))
+          .otherwise(when(num < 0, lit(-1L)).otherwise(lit(1L)) *
+            call_function("div", abs(num), lit(alphaDen)))
+        struct(
+          concat(acc.getField("out"),
+            array(struct(e.getField("i").as("i"), ns.as("s")))).as("out"),
+          ns.as("prev"), lit(false).as("first"))
+      }).getField("out").as("__out"))
+    // the dup guard rides INSIDE the output column (a dropped guard
+    // column is optimizer-pruned dead code — the DiffInDiff pattern)
+    folded.select(col(groupCol), col("__dup"), explode(col("__out")).as("__e"))
+      .select(col(groupCol), col("__e.i").as("idx"),
+        when(col("__dup"), raise_error(concat(
+          lit("expSmooth: duplicate idx within group '"),
+          col(groupCol).cast("string"),
+          lit("' — pre-aggregate to one row per (group, idx)")))
+            .cast("long"))
+          .otherwise(col("__e.s")).as("s_q3"))
+  }
+
+  /** DuckDB replay of [[smooth]]: the same pre-sorted array folded with
+    * `list_reduce` (no initial value in DuckDB reduce, so elements are
+    * pre-mapped to singleton result lists and the first element IS s_1;
+    * the accumulator is a FLAT list whose last entry carries the running
+    * level — DuckDB 1.0 truncates list fields nested in struct
+    * accumulators, scalar fields accumulate fine — a verified quirk).
+    * `seriesSql` must yield (grp, i, x) with one row per (grp, i).
+    */
+  def oracleSql(seriesSql: String, groupName: String,
+                alphaNum: Long, alphaDen: Long): String = {
+    val p = alphaNum
+    val qmp = alphaDen - alphaNum
+    // e[1].s is x·Scale, so p·x·Scale = p·e[1].s
+    val num = s"($p * e[1].s + $qmp * acc[len(acc)].s)"
+    val step = s"CASE WHEN $num < 0 THEN -((-$num) // $alphaDen) " +
+      s"ELSE $num // $alphaDen END"
+    s"""WITH arr AS (
+  SELECT grp, list({'i': i, 'x': x} ORDER BY i, x) AS a
+  FROM ($seriesSql) WHERE i IS NOT NULL AND x IS NOT NULL GROUP BY grp),
+pre AS (
+  SELECT grp, list_transform(a, e -> [{'i': e.i, 's': e.x * $Scale}]) AS a
+  FROM arr),
+f AS (
+  SELECT grp, list_reduce(a,
+    (acc, e) -> list_append(acc, {'i': e[1].i, 's': $step})) AS r
+  FROM pre)
+SELECT grp AS $groupName, u.i AS idx, CAST(u.s AS BIGINT) AS s_q3
+FROM (SELECT grp, unnest(r) AS u FROM f)
+ORDER BY $groupName, idx"""
+  }
+}

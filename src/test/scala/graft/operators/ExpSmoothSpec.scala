@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Integer EWMA: hand recurrence chains, sign-split truncation,
+  * duplicate-idx raise, NULL contracts.
+  */
+class ExpSmoothSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("hand chain at alpha = 1/2") {
+    val df = Seq(("g", 1L, 10L), ("g", 2L, 20L), ("g", 3L, 15L))
+      .toDF("grp", "i", "x")
+    val got = ExpSmooth.smooth(df, "grp", "i", "x", 1, 2)
+      .orderBy("idx").collect()
+      .map(r => (r.getAs[Long]("idx"), r.getAs[Long]("s_q3")))
+    // s1 = 10000; s2 = (20000 + 10000) div 2; s3 = (15000 + 15000) div 2
+    assert(got.toSeq == Seq((1L, 10000L), (2L, 15000L), (3L, 15000L)))
+  }
+
+  test("sign-split truncation at alpha = 1/3") {
+    val df = Seq(("g", 1L, 1L), ("g", 2L, -5L), ("g", 3L, 2L))
+      .toDF("grp", "i", "x")
+    val got = ExpSmooth.smooth(df, "grp", "i", "x", 1, 3)
+      .orderBy("idx").collect().map(_.getAs[Long]("s_q3"))
+    // s1 = 1000; n2 = -5000 + 2000 = -3000 -> -1000;
+    // n3 = 2000 - 2000 = 0 -> 0
+    assert(got.toSeq == Seq(1000L, -1000L, 0L))
+  }
+
+  test("truncation matches div, not rounding") {
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 2L)).toDF("grp", "i", "x")
+    val got = ExpSmooth.smooth(df, "grp", "i", "x", 1, 3)
+      .orderBy("idx").collect().map(_.getAs[Long]("s_q3"))
+    // n2 = 2000 + 2*1000 = 4000 -> 4000 div 3 = 1333 (never 1334)
+    assert(got.toSeq == Seq(1000L, 1333L))
+  }
+
+  test("duplicate idx within a group raises loudly") {
+    val df = Seq(("g", 1L, 10L), ("g", 1L, 20L)).toDF("grp", "i", "x")
+    val e = intercept[Exception] {
+      ExpSmooth.smooth(df, "grp", "i", "x", 1, 2).collect()
+    }
+    assert(e.getMessage.contains("duplicate idx"))
+  }
+
+  test("NULL idx/value rows drop; NULL group is a real stratum") {
+    val df = Seq(
+      (Some("a"), Some(1L), Some(4L)), (Some("a"), Some(2L), None),
+      (Some("a"), None, Some(9L)), (Option.empty[String], Some(1L), Some(7L)))
+      .toDF("grp", "i", "x")
+    val got = ExpSmooth.smooth(df, "grp", "i", "x", 1, 2).collect()
+      .map(r => (Option(r.getString(0)), r.getAs[Long]("idx"),
+        r.getAs[Long]("s_q3")))
+    assert(got.toSet == Set((Some("a"), 1L, 4000L), (None, 1L, 7000L)))
+  }
+
+  test("alpha outside (0, 1) is rejected") {
+    val df = Seq(("g", 1L, 1L)).toDF("grp", "i", "x")
+    intercept[IllegalArgumentException] {
+      ExpSmooth.smooth(df, "grp", "i", "x", 3, 2)
+    }
+    intercept[IllegalArgumentException] {
+      ExpSmooth.smooth(df, "grp", "i", "x", 0, 2)
+    }
+  }
+}
