@@ -5741,7 +5741,17 @@ ORDER BY metric, o_orderpriority"""
 FROM (${graft.operators.DenseSeries.denseDailyOracleBody(
             "orders", "o_orderpriority", "o_orderdate",
             "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")})""",
-          "o_orderpriority", alphaNum = 3, alphaDen = 10))))
+          "o_orderpriority", alphaNum = 3, alphaDen = 10))),
+
+      // per-doc corpus-duplicated shingle share: the duplication profile
+      // between Repetition (within-page) and the dedup family (pairs) —
+      // exact df counts over distinct (doc, fingerprint) pairs
+      RegisteredQuery(
+        "q_dup_share",
+        (s, dir) => graft.text.CorpusDup.duplicatedShare(
+            Tables.resolve(s, dir)("documents"), "doc_id", "text")
+          .orderBy("doc_id"),
+        Some(graft.text.CorpusDup.oracleSql("documents", "doc_id", "text"))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
