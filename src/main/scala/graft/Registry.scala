@@ -5751,7 +5751,29 @@ FROM (${graft.operators.DenseSeries.denseDailyOracleBody(
         (s, dir) => graft.text.CorpusDup.duplicatedShare(
             Tables.resolve(s, dir)("documents"), "doc_id", "text")
           .orderBy("doc_id"),
-        Some(graft.text.CorpusDup.oracleSql("documents", "doc_id", "text"))))
+        Some(graft.text.CorpusDup.oracleSql("documents", "doc_id", "text"))),
+
+      // exact regression eval: a deterministic id-derived "model"
+      // (coarse target + jitter + constant bias) scored per priority —
+      // exercises positive R2, nonzero bias, per-row-floored MAPE
+      RegisteredQuery(
+        "q_regression_eval",
+        (s, dir) => graft.operators.ModelEval.regressionReport(
+            Tables.resolve(s, dir)("orders")
+              .withColumn("cents",
+                (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+              .withColumn("pred",
+                call_function("div", col("cents"), lit(1000L)) * 1000L +
+                  pmod(col("o_orderkey"), lit(997L)) * 100L - lit(49850L)),
+            Seq("o_orderpriority"), "cents", "pred")
+          .orderBy("o_orderpriority"),
+        Some(graft.operators.ModelEval.regressionOracle(
+          """(SELECT o_orderpriority,
+  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+  (CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 1000) * 1000
+    + (o_orderkey % 997) * 100 - 49850 AS pred
+FROM orders)""",
+          Seq("o_orderpriority"), "cents", "pred"))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over

@@ -111,6 +111,100 @@ object ModelEval {
         .as("kappa_q6"))
   }
 
+  /** Per-group exact regression error metrics over integer targets —
+    * the continuous corner of the eval layer ([[classReport]] scores
+    * hard classes, [[RocAuc]] rankings, [[Backtest]] forecast series
+    * against naive baselines; this scores a PREDICTION COLUMN against
+    * a numeric target): n, signed bias Σe, ⌊10⁶·Σ|e|/n⌋ MAE,
+    * ⌊Σe²/n⌋ MSE (whole units — e² outgrows the 10⁶ scale), R² via
+    * the n-scaled identity (n·Σy² − (Σy)² − n·Σe²)/(n·Σy² − (Σy)²)
+    * sign-split in 10⁻⁶ (negative = worse than predicting the mean, a
+    * real finding; constant-target groups NULL), and MAPE with
+    * per-row-floored terms ⌊10⁶·|e|/|y|⌋ over the y≠0 rows only (the
+    * declared per-term quantization, NULL when no nonzero targets).
+    * Magnitudes ride DECIMAL(38,0): n²·ȳ²·10⁶ must fit 38 digits
+    * (~10⁹ rows/group at 10⁷-unit targets) — ANSI throws loudly past
+    * it. NULL y/pred rows drop; NULL groups are a real stratum. One
+    * partial-agg'd pass (the decomposable-moment posture).
+    */
+  def regressionReport(df: DataFrame, groupCols: Seq[String],
+                       yCol: String, predCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must not be empty")
+    graft.Guards.requireIntegral(df, yCol, "regressionReport")
+    graft.Guards.requireIntegral(df, predCol, "regressionReport")
+    val dec = "decimal(38,0)"
+    val base = df
+      .where(col(yCol).isNotNull && col(predCol).isNotNull)
+      .select(groupCols.map(col) :+
+        col(yCol).cast("long").as("__y") :+
+        col(predCol).cast("long").as("__p"): _*)
+      .withColumn("__e", col("__p") - col("__y"))
+    val agg = base.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(col("__e").cast(dec)).as("__se"),
+      sum(abs(col("__e")).cast(dec)).as("__sae"),
+      sum(col("__e").cast(dec) * col("__e").cast(dec)).as("__se2"),
+      sum(col("__y").cast(dec)).as("__sy"),
+      sum(col("__y").cast(dec) * col("__y").cast(dec)).as("__sy2"),
+      sum(when(col("__y") =!= 0L, lit(1L)).otherwise(lit(0L))).as("n_nz"),
+      sum(when(col("__y") =!= 0L,
+        call_function("div", abs(col("__e")) * lit(Scale), abs(col("__y"))))
+        .otherwise(lit(0L))).as("__st"))
+    val nD = col("n").cast(dec)
+    val sstotN = nD * col("__sy2") - col("__sy") * col("__sy")
+    val r2num = sstotN - nD * col("__se2")
+    agg.select(groupCols.map(col) ++ Seq(
+      col("n"),
+      col("__se").cast("long").as("bias"),
+      call_function("div", col("__sae") * lit(Scale).cast(dec), nD)
+        .cast("long").as("mae_q6"),
+      call_function("div", col("__se2"), nD).cast("long").as("mse"),
+      when(sstotN === lit(0).cast(dec), lit(null).cast("long"))
+        .otherwise(
+          (when(r2num < 0, lit(-1L)).otherwise(lit(1L)) *
+            call_function("div", abs(r2num) * lit(Scale).cast(dec), sstotN))
+            .cast("long"))
+        .as("r2_q6"),
+      col("n_nz"),
+      when(col("n_nz") === 0L, lit(null).cast("long"))
+        .otherwise(call_function("div", col("__st"), col("n_nz")))
+        .as("mape_q6")): _*)
+  }
+
+  /** DuckDB replay of [[regressionReport]] — HUGEINT moments, same
+    * sign splits and per-row-floored MAPE terms.
+    */
+  def regressionOracle(table: String, groupCols: Seq[String], ySql: String,
+                       predSql: String): String = {
+    val g = groupCols.mkString(", ")
+    s"""WITH b AS (
+  SELECT $g, CAST($ySql AS BIGINT) AS y,
+    CAST($predSql AS BIGINT) - CAST($ySql AS BIGINT) AS e
+  FROM $table WHERE ($ySql) IS NOT NULL AND ($predSql) IS NOT NULL),
+a AS (
+  SELECT $g, CAST(count(*) AS HUGEINT) AS n,
+    CAST(sum(e) AS HUGEINT) AS se,
+    CAST(sum(abs(e)) AS HUGEINT) AS sae,
+    sum(CAST(e AS HUGEINT) * CAST(e AS HUGEINT)) AS se2,
+    CAST(sum(y) AS HUGEINT) AS sy,
+    sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS sy2,
+    CAST(count(*) FILTER (WHERE y <> 0) AS BIGINT) AS n_nz,
+    CAST(coalesce(sum((abs(CAST(e AS HUGEINT)) * $Scale) // abs(y))
+      FILTER (WHERE y <> 0), 0) AS HUGEINT) AS st
+  FROM b GROUP BY $g)
+SELECT $g, CAST(n AS BIGINT) AS n, CAST(se AS BIGINT) AS bias,
+  CAST((sae * $Scale) // n AS BIGINT) AS mae_q6,
+  CAST(se2 // n AS BIGINT) AS mse,
+  CASE WHEN n * sy2 - sy * sy = 0 THEN NULL
+       ELSE CAST((CASE WHEN n * sy2 - sy * sy - n * se2 < 0 THEN -1 ELSE 1 END)
+         * ((abs(n * sy2 - sy * sy - n * se2) * $Scale)
+            // (n * sy2 - sy * sy)) AS BIGINT) END AS r2_q6,
+  n_nz,
+  CASE WHEN n_nz = 0 THEN NULL
+       ELSE CAST(st // n_nz AS BIGINT) END AS mape_q6
+FROM a ORDER BY $g"""
+  }
+
   /** DuckDB replay of [[classReport]]. */
   def classReportOracle(table: String, trueSql: String,
                         predSql: String): String =
