@@ -5773,7 +5773,33 @@ FROM (${graft.operators.DenseSeries.denseDailyOracleBody(
   (CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 1000) * 1000
     + (o_orderkey % 997) * 100 - 49850 AS pred
 FROM orders)""",
-          Seq("o_orderpriority"), "cents", "pred"))))
+          Seq("o_orderpriority"), "cents", "pred"))),
+
+      // Holt level+trend smoothing over the dense daily spine — the
+      // forecasting member of the fold family (alpha=3/10, beta=1/10)
+      RegisteredQuery(
+        "q_holt_smooth",
+        (s, dir) => graft.operators.ExpSmooth.holt(
+            graft.operators.DenseSeries.denseDaily(
+                Tables.resolve(s, dir)("orders")
+                  .withColumn("cents",
+                    (col("o_totalprice").cast("decimal(18,2)") * 100)
+                      .cast("long")),
+                "o_orderpriority", "o_orderdate", "cents")
+              .select(col("o_orderpriority"),
+                datediff(col("day"), lit("1970-01-01")).cast("long").as("i"),
+                col("sum_value").as("x")),
+            "o_orderpriority", "i", "x",
+            alphaNum = 3, alphaDen = 10, betaNum = 1, betaDen = 10)
+          .orderBy("o_orderpriority", "idx"),
+        Some(graft.operators.ExpSmooth.holtOracleSql(
+          s"""SELECT o_orderpriority AS grp,
+  CAST(day - DATE '1970-01-01' AS BIGINT) AS i, sum_value AS x
+FROM (${graft.operators.DenseSeries.denseDailyOracleBody(
+            "orders", "o_orderpriority", "o_orderdate",
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")})""",
+          "o_orderpriority", alphaNum = 3, alphaDen = 10,
+          betaNum = 1, betaDen = 10))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over

@@ -80,6 +80,102 @@ object ExpSmooth {
           .otherwise(col("__e.s")).as("s_q3"))
   }
 
+  /** Holt double smoothing — [[smooth]] plus a trend state, the member
+    * that FORECASTS (ŷ_{t+h} = l_t + h·b_t is one scan-stage multiply
+    * for the caller): with α = p/q and β = r/w exact rationals,
+    *
+    *   l_1 = x_1·1000, b_1 = 0;
+    *   l_t = sgn-div(p·x_t·1000 + (q−p)·(l_{t−1} + b_{t−1}), q),
+    *   b_t = sgn-div(r·(l_t − l_{t−1}) + (w−r)·b_{t−1}, w)
+    *
+    * — two truncating divisions per step, same fold posture, same
+    * contracts as [[smooth]]. Returns (groupCol, idx, level_q3,
+    * trend_q3).
+    */
+  def holt(df: DataFrame, groupCol: String, idxCol: String,
+           valueCol: String, alphaNum: Long, alphaDen: Long,
+           betaNum: Long, betaDen: Long): DataFrame = {
+    require(alphaNum > 0 && alphaNum < alphaDen,
+      s"alpha = $alphaNum/$alphaDen must lie in (0, 1)")
+    require(betaNum > 0 && betaNum < betaDen,
+      s"beta = $betaNum/$betaDen must lie in (0, 1)")
+    graft.Guards.requireIntegral(df, idxCol, "holt")
+    graft.Guards.requireIntegral(df, valueCol, "holt")
+    val p = lit(alphaNum); val qmp = lit(alphaDen - alphaNum)
+    val r = lit(betaNum); val wmr = lit(betaDen - betaNum)
+    def sgnDiv(num: org.apache.spark.sql.Column, den: Long) =
+      when(num < 0, lit(-1L)).otherwise(lit(1L)) *
+        call_function("div", abs(num), lit(den))
+    val collected = df
+      .where(col(idxCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(struct(
+        col(idxCol).cast("long").as("i"),
+        col(valueCol).cast("long").as("x")))).as("__arr"))
+    val zero = expr("named_struct(" +
+      "'out', CAST(array() AS ARRAY<STRUCT<i: BIGINT, l: BIGINT, b: BIGINT>>), " +
+      "'pl', CAST(NULL AS BIGINT), 'pb', CAST(NULL AS BIGINT), 'first', true)")
+    val folded = collected.select(col(groupCol),
+      (size(col("__arr")) =!=
+        size(array_distinct(transform(col("__arr"), e => e.getField("i")))))
+        .as("__dup"),
+      aggregate(col("__arr"), zero, (acc, e) => {
+        val lNum = p * e.getField("x") * lit(Scale) +
+          qmp * (acc.getField("pl") + acc.getField("pb"))
+        val nl = when(acc.getField("first"), e.getField("x") * lit(Scale))
+          .otherwise(sgnDiv(lNum, alphaDen))
+        val bNum = r * (nl - acc.getField("pl")) + wmr * acc.getField("pb")
+        val nb = when(acc.getField("first"), lit(0L))
+          .otherwise(sgnDiv(bNum, betaDen))
+        struct(
+          concat(acc.getField("out"), array(struct(
+            e.getField("i").as("i"), nl.as("l"), nb.as("b")))).as("out"),
+          nl.as("pl"), nb.as("pb"), lit(false).as("first"))
+      }).getField("out").as("__out"))
+    folded.select(col(groupCol), col("__dup"), explode(col("__out")).as("__e"))
+      .select(col(groupCol), col("__e.i").as("idx"),
+        when(col("__dup"), raise_error(concat(
+          lit("holt: duplicate idx within group '"),
+          col(groupCol).cast("string"),
+          lit("' — pre-aggregate to one row per (group, idx)")))
+            .cast("long"))
+          .otherwise(col("__e.l")).as("level_q3"),
+        col("__e.b").as("trend_q3"))
+  }
+
+  /** DuckDB replay of [[holt]] — the [[oracleSql]] flat-list device
+    * with {i, l, b} entries.
+    */
+  def holtOracleSql(seriesSql: String, groupName: String,
+                    alphaNum: Long, alphaDen: Long,
+                    betaNum: Long, betaDen: Long): String = {
+    val p = alphaNum; val qmp = alphaDen - alphaNum
+    val r = betaNum; val wmr = betaDen - betaNum
+    val last = "acc[len(acc)]"
+    // e[1].l is x_t·Scale (the pre-mapped singleton), so p·x·Scale = p·e[1].l
+    val lNum = s"($p * e[1].l + $qmp * ($last.l + $last.b))"
+    val lStep = s"CASE WHEN $lNum < 0 THEN -((-$lNum) // $alphaDen) " +
+      s"ELSE $lNum // $alphaDen END"
+    val bNum = s"($r * (($lStep) - $last.l) + $wmr * $last.b)"
+    val bStep = s"CASE WHEN $bNum < 0 THEN -((-$bNum) // $betaDen) " +
+      s"ELSE $bNum // $betaDen END"
+    s"""WITH arr AS (
+  SELECT grp, list({'i': i, 'x': x} ORDER BY i, x) AS a
+  FROM ($seriesSql) WHERE i IS NOT NULL AND x IS NOT NULL GROUP BY grp),
+pre AS (
+  SELECT grp, list_transform(a,
+    e -> [{'i': e.i, 'l': e.x * $Scale, 'b': CAST(0 AS BIGINT)}]) AS a
+  FROM arr),
+f AS (
+  SELECT grp, list_reduce(a,
+    (acc, e) -> list_append(acc, {'i': e[1].i, 'l': $lStep, 'b': $bStep})) AS r
+  FROM pre)
+SELECT grp AS $groupName, u.i AS idx, CAST(u.l AS BIGINT) AS level_q3,
+  CAST(u.b AS BIGINT) AS trend_q3
+FROM (SELECT grp, unnest(r) AS u FROM f)
+ORDER BY $groupName, idx"""
+  }
+
   /** DuckDB replay of [[smooth]]: the same pre-sorted array folded with
     * `list_reduce` (no initial value in DuckDB reduce, so elements are
     * pre-mapped to singleton result lists and the first element IS s_1;
