@@ -5799,7 +5799,31 @@ FROM (${graft.operators.DenseSeries.denseDailyOracleBody(
             "orders", "o_orderpriority", "o_orderdate",
             "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")})""",
           "o_orderpriority", alphaNum = 3, alphaDen = 10,
-          betaNum = 1, betaDen = 10))))
+          betaNum = 1, betaDen = 10))),
+
+      // Adamic-Adar link prediction over the qty>=30 co-purchase graph
+      // (the q_clustering_coeff edge set): open wedges ranked by
+      // rare-shared-neighbor weight, hub centers cut at deg 40
+      RegisteredQuery(
+        "q_link_pred",
+        (s, dir) => {
+          val li = Tables.resolve(s, dir)("lineitem")
+            .where(col("l_quantity") >= 30)
+            .select(col("l_orderkey"), col("l_partkey"))
+          val edges = li.as("a").join(li.as("b"),
+              col("a.l_orderkey") === col("b.l_orderkey") &&
+                col("a.l_partkey") < col("b.l_partkey"))
+            .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+          graft.operators.LinkPredict.adamicAdar(
+              edges, maxDeg = 40, minCommon = 3)
+            .orderBy("src", "dst")
+        },
+        Some(graft.operators.LinkPredict.oracleSql(
+          """SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_quantity >= 30 AND b.l_quantity >= 30""",
+          maxDeg = 40, minCommon = 3))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
