@@ -5823,7 +5823,17 @@ FROM (${graft.operators.DenseSeries.denseDailyOracleBody(
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   WHERE a.l_quantity >= 30 AND b.l_quantity >= 30""",
-          maxDeg = 40, minCommon = 3))))
+          maxDeg = 40, minCommon = 3))),
+
+      // Zipf rank-frequency slope per language — corpus health against
+      // the law itself (quantized-ln pairs into the exact OLS moments)
+      RegisteredQuery(
+        "q_zipf_slope",
+        (s, dir) => graft.text.ZipfLaw.rankFrequencySlope(
+            Tables.resolve(s, dir)("documents"), "lang", "text", topN = 500)
+          .orderBy("lang"),
+        Some(graft.text.ZipfLaw.oracleSql(
+          "documents", "lang", "lang", "text", topN = 500))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
