@@ -5833,7 +5833,51 @@ FROM (${graft.operators.DenseSeries.denseDailyOracleBody(
             Tables.resolve(s, dir)("documents"), "lang", "text", topN = 500)
           .orderBy("lang"),
         Some(graft.text.ZipfLaw.oracleSql(
-          "documents", "lang", "lang", "text", topN = 500))))
+          "documents", "lang", "lang", "text", topN = 500))),
+
+      // chat-transcript schema audit over id-derived synthetic SFT
+      // conversations (IDENTICAL construction both sides): every 3rd doc
+      // gets a system turn, every 5th a role break, every 11th an empty
+      // turn, every 13th truncated JSON — all flags exercised
+      RegisteredQuery(
+        "q_chat_audit",
+        (s, dir) => graft.llm.ChatAudit.audit(
+            Tables.resolve(s, dir)("documents")
+              .withColumn("__k", expr("CAST(doc_id % 4 AS INT) + 2"))
+              .withColumn("__c0", expr("""concat('[',
+  CASE WHEN doc_id % 3 = 0
+       THEN '{"role":"system","content":"sys"},' ELSE '' END,
+  array_join(transform(sequence(0, __k - 1), j -> concat(
+    '{"role":"',
+    CASE WHEN doc_id % 5 = 0 AND j = __k - 1 THEN 'user'
+         WHEN j % 2 = 0 THEN 'user' ELSE 'assistant' END,
+    '","content":"',
+    CASE WHEN doc_id % 11 = 0 AND j = 0 THEN ''
+         ELSE concat('m', CAST(doc_id AS STRING), '-', CAST(j AS STRING))
+    END,
+    '"}')), ','),
+  ']')"""))
+              .withColumn("convo", expr("""CASE WHEN doc_id % 13 = 0
+  THEN substring(__c0, 1, length(__c0) - 2) ELSE __c0 END""")),
+            "doc_id", "convo")
+          .orderBy("doc_id"),
+        Some(graft.llm.ChatAudit.oracleSql(
+          """(SELECT doc_id, CASE WHEN doc_id % 13 = 0
+  THEN substring(c0, 1, length(c0) - 2) ELSE c0 END AS convo FROM (
+SELECT doc_id, '[' ||
+  (CASE WHEN doc_id % 3 = 0
+        THEN '{"role":"system","content":"sys"},' ELSE '' END) ||
+  array_to_string(list_transform(range(0, CAST(doc_id % 4 AS INT) + 2), j ->
+    '{"role":"' ||
+    (CASE WHEN doc_id % 5 = 0 AND j = CAST(doc_id % 4 AS INT) + 1 THEN 'user'
+          WHEN j % 2 = 0 THEN 'user' ELSE 'assistant' END) ||
+    '","content":"' ||
+    (CASE WHEN doc_id % 11 = 0 AND j = 0 THEN ''
+          ELSE 'm' || CAST(doc_id AS VARCHAR) || '-' || CAST(j AS VARCHAR)
+     END) ||
+    '"}'), ',') || ']' AS c0
+FROM documents))""",
+          "doc_id", "convo"))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
