@@ -5877,7 +5877,32 @@ SELECT doc_id, '[' ||
      END) ||
     '"}'), ',') || ']' AS c0
 FROM documents))""",
-          "doc_id", "convo"))))
+          "doc_id", "convo"))),
+
+      // two-sided CUSUM drift monitor over the dense daily spine:
+      // the max(0,...) recurrence as pure prefix algebra (no fold)
+      RegisteredQuery(
+        "q_cusum",
+        (s, dir) => graft.operators.Cusum.twoSided(
+            graft.operators.DenseSeries.denseDaily(
+                Tables.resolve(s, dir)("orders")
+                  .withColumn("cents",
+                    (col("o_totalprice").cast("decimal(18,2)") * 100)
+                      .cast("long")),
+                "o_orderpriority", "o_orderdate", "cents")
+              .select(col("o_orderpriority"), datediff(col("day"),
+                lit("1970-01-01")).cast("long").as("i"),
+                col("sum_value").as("x")),
+            "o_orderpriority", "i", "x",
+            k = 20000000L, h = 100000000L)
+          .orderBy("o_orderpriority", "idx"),
+        Some(graft.operators.Cusum.oracleSql(
+          s"""SELECT o_orderpriority,
+  CAST(day - DATE '1970-01-01' AS BIGINT) AS i, sum_value AS x
+FROM (${graft.operators.DenseSeries.denseDailyOracleBody(
+            "orders", "o_orderpriority", "o_orderdate",
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")})""",
+          "o_orderpriority", k = 20000000L, h = 100000000L))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
