@@ -5902,7 +5902,28 @@ FROM documents))""",
 FROM (${graft.operators.DenseSeries.denseDailyOracleBody(
             "orders", "o_orderpriority", "o_orderdate",
             "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")})""",
-          "o_orderpriority", k = 20000000L, h = 100000000L))))
+          "o_orderpriority", k = 20000000L, h = 100000000L))),
+
+      // BH-FDR decisions over an id-derived p-value fleet per language:
+      // uniform nulls plus a planted small-p signal in every 10th doc —
+      // cross-multiplied step-up, per-term-floored q-values
+      RegisteredQuery(
+        "q_fdr_bh",
+        (s, dir) => graft.operators.Fdr.bhDecisions(
+            Tables.resolve(s, dir)("documents")
+              .withColumn("p_raw",
+                expr("(doc_id * 2654435761L) % 1000001"))
+              .withColumn("p", expr(
+                "CASE WHEN doc_id % 10 = 0 THEN p_raw div 9973 ELSE p_raw END")),
+            "lang", "doc_id", "p", alphaNum = 1, alphaDen = 20)
+          .orderBy("lang", "rk"),
+        Some(graft.operators.Fdr.oracleSql(
+          """SELECT lang, doc_id,
+  CASE WHEN doc_id % 10 = 0
+       THEN ((doc_id * 2654435761) % 1000001) // 9973
+       ELSE (doc_id * 2654435761) % 1000001 END AS p
+FROM documents""",
+          "lang", "doc_id", alphaNum = 1, alphaDen = 20))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Benjamini–Hochberg FDR control — the multiple-testing layer over
+  * any fleet of per-key tests (thousands of metrics monitored daily,
+  * per-segment A/B readouts, per-feature drift screens: at α = 0.05 a
+  * thousand TRUE nulls yield ~50 raw "significant" hits; BH caps the
+  * expected FALSE-discovery fraction instead). Inputs are p-values
+  * already quantized to 10⁻⁶ (the repo's experimentation ops publish
+  * integer readouts; anything float quantizes upstream), so every
+  * decision is exact integer arithmetic:
+  *
+  *   - rank i by p ascending (id tiebreak);
+  *   - step-up: k* = max{i : pᵢ·m·αden ≤ i·αnum·10⁶} (one
+  *     cross-multiplied compare per row — never a float threshold),
+  *     reject ⇔ rank ≤ k*;
+  *   - q-values: qᵢ = min(10⁶, min_{j≥i} ⌊pⱼ·m/j⌋) — per-term floored
+  *     (declared semantics), one reversed running min.
+  *
+  * p-values outside [0, 10⁶] raise loudly inside the plan; NULL
+  * p-values drop; NULL groups are a real stratum. Scale shape: each
+  * group (a metric family, an experiment) sorts once in one task — the
+  * rank posture; m·10⁶·αden stays under a long for m ≤ ~10¹¹.
+  */
+object Fdr {
+
+  val Scale = 1000000L
+
+  /** (groupCol, idCol, p_q6, rk, reject, q_q6). */
+  def bhDecisions(df: DataFrame, groupCol: String, idCol: String,
+                  pCol: String, alphaNum: Long, alphaDen: Long): DataFrame = {
+    require(alphaNum > 0 && alphaNum < alphaDen,
+      s"alpha = $alphaNum/$alphaDen must lie in (0, 1)")
+    graft.Guards.requireIntegral(df, pCol, "bhDecisions")
+    val rows = df
+      .where(col(pCol).isNotNull && col(idCol).isNotNull)
+      .select(col(groupCol), col(idCol),
+        col(pCol).cast(LongType).as("p_q6"))
+    val part = Window.partitionBy(col(groupCol))
+    val ord = part.orderBy(col("p_q6").asc, col(idCol).asc)
+    val tail = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val full = part.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val guardedP = when(col("p_q6") < 0L || col("p_q6") > Scale,
+      raise_error(concat(lit("bhDecisions: p_q6 = "),
+        col("p_q6").cast("string"),
+        lit(s" outside [0, $Scale] — p-values quantize to 1e-6 units"))))
+      .otherwise(col("p_q6"))
+    rows
+      .withColumn("__m", count(lit(1)).over(part))
+      .withColumn("rk", row_number().over(ord).cast(LongType))
+      .withColumn("__pass",
+        when(guardedP * col("__m") * lit(alphaDen) <=
+          col("rk") * lit(alphaNum) * lit(Scale), col("rk")))
+      .withColumn("__kstar",
+        coalesce(max(col("__pass")).over(full), lit(0L)))
+      .withColumn("__term",
+        call_function("div", col("p_q6") * col("__m"), col("rk")))
+      .withColumn("q_q6",
+        least(lit(Scale), min(col("__term")).over(tail)))
+      .select(col(groupCol), col(idCol), col("p_q6"), col("rk"),
+        (col("rk") <= col("__kstar")).as("reject"), col("q_q6"))
+  }
+
+  /** DuckDB replay of [[bhDecisions]] — same rank, cross-multiplied
+    * step-up and reversed running min (ROWS frames explicit).
+    */
+  def oracleSql(testsSql: String, groupName: String, idName: String,
+                alphaNum: Long, alphaDen: Long): String =
+    s"""WITH b AS (
+  SELECT $groupName, $idName, CAST(p AS BIGINT) AS p_q6
+  FROM ($testsSql) WHERE p IS NOT NULL AND $idName IS NOT NULL),
+r AS (
+  SELECT $groupName, $idName, p_q6,
+    CAST(count(*) OVER (PARTITION BY $groupName) AS BIGINT) AS m,
+    CAST(row_number() OVER win AS BIGINT) AS rk
+  FROM b
+  WINDOW win AS (PARTITION BY $groupName ORDER BY p_q6 ASC, $idName ASC)),
+k AS (
+  SELECT r.*,
+    coalesce(max(CASE WHEN p_q6 * m * $alphaDen <= rk * $alphaNum * $Scale
+      THEN rk END) OVER (PARTITION BY $groupName), 0) AS kstar,
+    least($Scale, min((p_q6 * m) // rk) OVER
+      (PARTITION BY $groupName ORDER BY p_q6 ASC, $idName ASC
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS q
+  FROM r)
+SELECT $groupName, $idName, p_q6, rk, rk <= kstar AS reject,
+  CAST(q AS BIGINT) AS q_q6
+FROM k ORDER BY $groupName, rk"""
+}
