@@ -5923,7 +5923,33 @@ FROM (${graft.operators.DenseSeries.denseDailyOracleBody(
        THEN ((doc_id * 2654435761) % 1000001) // 9973
        ELSE (doc_id * 2654435761) % 1000001 END AS p
 FROM documents""",
-          "lang", "doc_id", alphaNum = 1, alphaDen = 20))))
+          "lang", "doc_id", alphaNum = 1, alphaDen = 20))),
+
+      // log-rank survival comparison over id-derived durations with a
+      // PLANTED arm effect (odd-custkey subjects fail twice as fast)
+      // and %6 censoring — identical construction both sides, a rich
+      // 30-point event-time axis
+      RegisteredQuery(
+        "q_log_rank",
+        (s, dir) => LogRank.logRank(
+            Tables.resolve(s, dir)("orders").select(
+              when(pmod(col("o_custkey"), lit(2)) === 0, "even")
+                .otherwise("odd").as("arm"),
+              when(pmod(col("o_custkey"), lit(2)) === 0,
+                pmod(col("o_orderkey"), lit(30)) + 1)
+                .otherwise(call_function("div",
+                  pmod(col("o_orderkey"), lit(30)) + 1, lit(2L)) + 1)
+                .as("dur"),
+              when(pmod(col("o_orderkey"), lit(6)) === 0, 0L).otherwise(1L)
+                .as("ev")),
+            "arm", "dur", "ev", armA = "even", armB = "odd"),
+        Some(LogRank.oracleSql(
+          """SELECT CASE WHEN o_custkey % 2 = 0 THEN 'even' ELSE 'odd' END AS arm,
+  CASE WHEN o_custkey % 2 = 0 THEN o_orderkey % 30 + 1
+       ELSE (o_orderkey % 30 + 1) // 2 + 1 END AS dur,
+  CASE WHEN o_orderkey % 6 = 0 THEN 0 ELSE 1 END AS ev
+FROM orders""",
+          armA = "even", armB = "odd"))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
