@@ -5949,7 +5949,17 @@ FROM documents""",
        ELSE (o_orderkey % 30 + 1) // 2 + 1 END AS dur,
   CASE WHEN o_orderkey % 6 = 0 THEN 0 ELSE 1 END AS ev
 FROM orders""",
-          armA = "even", armB = "odd"))))
+          armA = "even", armB = "odd"))),
+
+      // Heaps' law vocabulary-growth exponent per language — the other
+      // corpus law (first-occurrence collapse, no running distinct)
+      RegisteredQuery(
+        "q_heaps_slope",
+        (s, dir) => graft.text.ZipfLaw.vocabularyGrowthSlope(
+            Tables.resolve(s, dir)("documents"), "lang", "doc_id", "text")
+          .orderBy("lang"),
+        Some(graft.text.ZipfLaw.vocabularyGrowthOracle(
+          "documents", "lang", "lang", "doc_id", "text"))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over

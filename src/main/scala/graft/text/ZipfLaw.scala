@@ -57,6 +57,82 @@ object ZipfLaw {
     GroupedTrend.slope(pairs, Seq(groupCol), "__lnr", "__lnf")
   }
 
+  /** Heaps' law vocabulary-growth exponent — the other corpus law
+    * ([[rankFrequencySlope]] scores the frequency SHAPE; this scores
+    * vocabulary GROWTH): natural text obeys V(n) ∝ n^β with β ≈
+    * 0.4–0.6 — template spam saturates (β → 0: the vocabulary stops
+    * growing), concatenated unrelated corpora overshoot. The curve
+    * V(n) is known EXACTLY at each first occurrence: when the i-th
+    * distinct token debuts at global token position pᵢ, V(pᵢ) = i — so
+    * the regression set is just (⌊10⁶·ln pᵢ⌋, ⌊10⁶·ln i⌋) over the
+    * vocabulary, no running distinct count anywhere (the GrowthCurve
+    * first-occurrence collapse, applied to tokens).
+    *
+    * Position axis: docs ordered by `idCol` (ties impossible — ids),
+    * tokens by in-doc position; the doc offset is one exclusive
+    * running sum over the group's DOC list, the first-occurrence
+    * collapse one partial-agg'd min per (group, token), the debut rank
+    * one vocabulary-sized window. slope_q ≈ β·10⁴.
+    */
+  def vocabularyGrowthSlope(df: DataFrame, groupCol: String, idCol: String,
+                            textCol: String): DataFrame = {
+    val docs = df
+      .where(col(groupCol).isNotNull && col(idCol).isNotNull &&
+        col(textCol).isNotNull)
+      .select(col(groupCol), col(idCol),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .withColumn("__len", size(col("__toks")).cast("long"))
+    val offW = Window.partitionBy(col(groupCol)).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val positioned = docs
+      .withColumn("__off", coalesce(sum(col("__len")).over(offW), lit(0L)))
+      .select(col(groupCol), col("__off"),
+        posexplode(col("__toks")).as(Seq("__p", "__tok")))
+      .select(col(groupCol), col("__tok"),
+        (col("__off") + col("__p") + 1L).as("__gpos"))
+    val firsts = positioned.groupBy(col(groupCol), col("__tok"))
+      .agg(min(col("__gpos")).as("__fp"))
+    val rkW = Window.partitionBy(col(groupCol)).orderBy(col("__fp").asc)
+    val pairs = firsts
+      .withColumn("__i", row_number().over(rkW).cast("long"))
+      .select(col(groupCol),
+        floor(lit(LnScale.toDouble) * log(col("__fp").cast("double")))
+          .cast("long").as("__lnp"),
+        floor(lit(LnScale.toDouble) * log(col("__i").cast("double")))
+          .cast("long").as("__lnv"))
+    GroupedTrend.slope(pairs, Seq(groupCol), "__lnp", "__lnv")
+  }
+
+  /** DuckDB replay of [[vocabularyGrowthSlope]]. */
+  def vocabularyGrowthOracle(table: String, groupSql: String,
+                             groupName: String, idSql: String,
+                             textSql: String): String = {
+    val pairs = s"""(WITH docs AS (
+  SELECT $groupSql AS $groupName, $idSql AS id,
+    string_split($textSql, ' ') AS t
+  FROM $table
+  WHERE ($groupSql) IS NOT NULL AND ($idSql) IS NOT NULL
+    AND ($textSql) IS NOT NULL),
+offs AS (SELECT $groupName, id, t,
+    coalesce(sum(len(t)) OVER (PARTITION BY $groupName ORDER BY id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM docs),
+pos AS (SELECT $groupName, unnest(list_transform(
+    generate_series(1, len(t)), i -> {'tok': t[i], 'gp': off + i})) AS u
+  FROM offs),
+fst AS (SELECT $groupName, u.tok, min(u.gp) AS fp
+  FROM pos GROUP BY $groupName, u.tok),
+rk AS (SELECT $groupName, fp, row_number() OVER
+    (PARTITION BY $groupName ORDER BY fp ASC) AS i
+  FROM fst)
+SELECT $groupName,
+  CAST(floor($LnScale.0 * ln(CAST(fp AS DOUBLE))) AS BIGINT) AS lnp,
+  CAST(floor($LnScale.0 * ln(CAST(i AS DOUBLE))) AS BIGINT) AS lnv
+FROM rk)"""
+    GroupedTrend.oracleSql(pairs, Seq(groupName), "lnp", "lnv") +
+      s" ORDER BY $groupName"
+  }
+
   /** DuckDB replay of [[rankFrequencySlope]] — same split/rank/floor
     * chain feeding [[GroupedTrend.oracleSql]].
     */
