@@ -5959,7 +5959,30 @@ FROM orders""",
             Tables.resolve(s, dir)("documents"), "lang", "doc_id", "text")
           .orderBy("lang"),
         Some(graft.text.ZipfLaw.vocabularyGrowthOracle(
-          "documents", "lang", "lang", "doc_id", "text"))))
+          "documents", "lang", "lang", "doc_id", "text"))),
+
+      // one-pass correlation matrix: four quantized lineitem measures,
+      // six exact pair components from ONE corpus scan per group
+      RegisteredQuery(
+        "q_corr_matrix",
+        (s, dir) => CorrMatrix.matrix(
+            Tables.resolve(s, dir)("lineitem")
+              .withColumn("qty", col("l_quantity").cast("long"))
+              .withColumn("cents",
+                (col("l_extendedprice").cast("decimal(18,2)") * 100)
+                  .cast("long"))
+              .withColumn("disc_bp",
+                (col("l_discount").cast("decimal(9,4)") * 10000)
+                  .cast("long"))
+              .withColumn("tax_bp",
+                (col("l_tax").cast("decimal(9,4)") * 10000).cast("long")),
+            Seq("l_returnflag"), Seq("qty", "cents", "disc_bp", "tax_bp"))
+          .orderBy("l_returnflag", "col_a", "col_b"),
+        Some(CorrMatrix.oracleSql("lineitem", Seq("l_returnflag"), Seq(
+          "qty" -> "CAST(l_quantity AS BIGINT)",
+          "cents" -> "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
+          "disc_bp" -> "CAST(CAST(l_discount AS DECIMAL(9,4)) * 10000 AS BIGINT)",
+          "tax_bp" -> "CAST(CAST(l_tax AS DECIMAL(9,4)) * 10000 AS BIGINT)")))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
