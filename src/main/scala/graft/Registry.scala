@@ -5982,7 +5982,20 @@ FROM orders""",
           "qty" -> "CAST(l_quantity AS BIGINT)",
           "cents" -> "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
           "disc_bp" -> "CAST(CAST(l_discount AS DECIMAL(9,4)) * 10000 AS BIGINT)",
-          "tax_bp" -> "CAST(CAST(l_tax AS DECIMAL(9,4)) * 10000 AS BIGINT)")))))
+          "tax_bp" -> "CAST(CAST(l_tax AS DECIMAL(9,4)) * 10000 AS BIGINT)")))),
+
+      // Markov removal-effect attribution: purchase-truncated paths,
+      // 6-round quantized absorption walk, each channel knocked out
+      RegisteredQuery(
+        "q_markov_attrib",
+        (s, dir) => graft.llm.MarkovAttribution.removalEffects(
+            graft.llm.EventWindows.readEvents(s, s"$dir/events.parquet"),
+            "user_id", "ts", "event_type", "event_id",
+            convType = "purchase", rounds = 6)
+          .orderBy("channel"),
+        Some(graft.llm.MarkovAttribution.oracleSql(
+          "events", "user_id", "ts", "event_type", "event_id",
+          convType = "purchase", rounds = 6))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
