@@ -5995,7 +5995,54 @@ FROM orders""",
           .orderBy("channel"),
         Some(graft.llm.MarkovAttribution.oracleSql(
           "events", "user_id", "ts", "event_type", "event_id",
-          convType = "purchase", rounds = 6))))
+          convType = "purchase", rounds = 6))),
+
+      // streaming CUSUM alarms, driver-faced: three date-range chunks of
+      // the dense daily series through the real AlarmIngest fold — the
+      // alarm lake hash-matches the one-shot two-sided monitor (window
+      // state folds exactly: P' = P + Sigma, M' = min(M, P + min prefix))
+      RegisteredQuery(
+        "q_alarm_ingest",
+        (s, dir) => {
+          val store = "/tmp/graft_alarm_ingest_gate_store"
+          val lake = "/tmp/graft_alarm_ingest_gate_lake"
+          val conf = s.sparkContext.hadoopConfiguration
+          Seq(store, lake).foreach { d =>
+            val p = new org.apache.hadoop.fs.Path(d)
+            val f = p.getFileSystem(conf)
+            Seq(p, graft.sources.AtomicStore.tmpPath(p),
+              graft.sources.AtomicStore.stashPath(p))
+              .foreach(f.delete(_, true))
+          }
+          val dense = graft.operators.DenseSeries.denseDaily(
+              Tables.resolve(s, dir)("orders")
+                .withColumn("cents",
+                  (col("o_totalprice").cast("decimal(18,2)") * 100)
+                    .cast("long")),
+              "o_orderpriority", "o_orderdate", "cents")
+            .select(col("o_orderpriority"),
+              datediff(col("day"), lit("1970-01-01")).cast("long").as("i"),
+              col("sum_value").as("x"))
+            .localCheckpoint(true)
+          Seq(col("i") < 10000L,
+            col("i") >= 10000L && col("i") < 11000L,
+            col("i") >= 11000L).foreach { cut =>
+            graft.streaming.AlarmIngest.ingestBatch(
+              dense.where(cut), store, lake, "o_orderpriority", "i", "x",
+              k = 20000000L, h = 100000000L)
+          }
+          s.read.parquet(lake)
+            .select(col("o_orderpriority"), col("idx"), col("s_pos"),
+              col("s_neg"), col("alarm_up"), col("alarm_dn"))
+            .orderBy("o_orderpriority", "idx")
+        },
+        Some(graft.operators.Cusum.oracleSql(
+          s"""SELECT o_orderpriority,
+  CAST(day - DATE '1970-01-01' AS BIGINT) AS i, sum_value AS x
+FROM (${graft.operators.DenseSeries.denseDailyOracleBody(
+            "orders", "o_orderpriority", "o_orderdate",
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")})""",
+          "o_orderpriority", k = 20000000L, h = 100000000L))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
