@@ -86,7 +86,8 @@ b AS (SELECT id, js,
 SELECT id AS $idCol, ok AS parse_ok,
   CASE WHEN ok THEN CAST($n AS BIGINT) END AS n_turns,
   CASE WHEN ok THEN list_aggregate(list_transform(range(0, $n),
-    i -> ${r("i")} IN ('system', 'user', 'assistant')), 'bool_and')
+    i -> coalesce(${r("i")} IN ('system', 'user', 'assistant'), FALSE)),
+    'bool_and')
   END AS roles_ok,
   CASE WHEN ok THEN coalesce(list_aggregate(list_transform(range(1, $n),
     i -> ${r("i")} IS DISTINCT FROM 'system'), 'bool_and'), TRUE)

@@ -75,6 +75,8 @@ object MarkovAttribution {
                      rounds: Int = 6): DataFrame = {
     require(rounds >= 1 && rounds <= 32,
       s"rounds must be in [1, 32], got $rounds")
+    require(!Seq(Start, End, "__BASE").contains(convType),
+      s"convType '$convType' collides with a reserved pseudo-state")
     val spark = events.sparkSession
     import spark.implicits._
     val dec = "decimal(38,0)"
@@ -83,6 +85,11 @@ object MarkovAttribution {
     val chans = tr.select(col("src")).where(col("src") =!= Start)
       .distinct().collect().map(_.getString(0)).sorted.toSeq
     require(chans.nonEmpty, "removalEffects: no non-START source states")
+    val reserved = chans.toSet.intersect(Set(Start, End, "__BASE"))
+    require(reserved.isEmpty,
+      s"removalEffects: event type(s) ${reserved.mkString(", ")} collide " +
+        "with the reserved pseudo-states — rename channels upstream " +
+        "(a '__BASE' channel would silently corrupt every walk)")
     require(chans.size <= 64,
       s"removalEffects: ${chans.size} channels — a ${chans.size + 1}-walk " +
         "states-matrix explosion; collapse channel taxonomy upstream")

@@ -132,15 +132,19 @@ object ExpSmooth {
             e.getField("i").as("i"), nl.as("l"), nb.as("b")))).as("out"),
           nl.as("pl"), nb.as("pb"), lit(false).as("first"))
       }).getField("out").as("__out"))
+    // the guard rides BOTH output columns — a caller projecting only
+    // trend_q3 would otherwise prune the level-side raise away
+    def guarded(out: org.apache.spark.sql.Column) =
+      when(col("__dup"), raise_error(concat(
+        lit("holt: duplicate idx within group '"),
+        col(groupCol).cast("string"),
+        lit("' — pre-aggregate to one row per (group, idx)")))
+          .cast("long"))
+        .otherwise(out)
     folded.select(col(groupCol), col("__dup"), explode(col("__out")).as("__e"))
       .select(col(groupCol), col("__e.i").as("idx"),
-        when(col("__dup"), raise_error(concat(
-          lit("holt: duplicate idx within group '"),
-          col(groupCol).cast("string"),
-          lit("' — pre-aggregate to one row per (group, idx)")))
-            .cast("long"))
-          .otherwise(col("__e.l")).as("level_q3"),
-        col("__e.b").as("trend_q3"))
+        guarded(col("__e.l")).as("level_q3"),
+        guarded(col("__e.b")).as("trend_q3"))
   }
 
   /** DuckDB replay of [[holt]] — the [[oracleSql]] flat-list device

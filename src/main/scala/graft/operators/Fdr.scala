@@ -58,11 +58,13 @@ object Fdr {
           col("rk") * lit(alphaNum) * lit(Scale), col("rk")))
       .withColumn("__kstar",
         coalesce(max(col("__pass")).over(full), lit(0L)))
+      // q terms (and the p_q6 passthrough) derive from the GUARDED
+      // value, so no projection of the output can prune the range raise
       .withColumn("__term",
-        call_function("div", col("p_q6") * col("__m"), col("rk")))
+        call_function("div", guardedP * col("__m"), col("rk")))
       .withColumn("q_q6",
         least(lit(Scale), min(col("__term")).over(tail)))
-      .select(col(groupCol), col(idCol), col("p_q6"), col("rk"),
+      .select(col(groupCol), col(idCol), guardedP.as("p_q6"), col("rk"),
         (col("rk") <= col("__kstar")).as("reject"), col("q_q6"))
   }
 

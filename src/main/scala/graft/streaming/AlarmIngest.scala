@@ -41,8 +41,8 @@ object AlarmIngest {
       }
       .start()
 
-  private def readState(spark: SparkSession, storeDir: String,
-                        groupCol: String): Option[DataFrame] =
+  private def readState(spark: SparkSession,
+                        storeDir: String): Option[DataFrame] =
     if (AtomicStore.hasData(spark, storeDir))
       Some(spark.read.parquet(storeDir))
     else None
@@ -68,7 +68,7 @@ object AlarmIngest {
       .withColumn("__bp", sum(col("__x") - lit(k)).over(run))
       .withColumn("__bq", sum(lit(k) - col("__x")).over(run))
       .localCheckpoint(true)
-    val prev = readState(spark, storeDir, groupCol).getOrElse(
+    val prev = readState(spark, storeDir).getOrElse(
       pre.select(col(groupCol)).limit(0)
         .select(col(groupCol), lit(0L).as("cum_p"), lit(0L).as("min_p"),
           lit(0L).as("cum_q"), lit(0L).as("min_q"),
@@ -91,16 +91,13 @@ object AlarmIngest {
         lit("high-water "), col("__li").cast("string"),
         lit(" — batches must arrive in index order per group"))))
       .otherwise(col("__cp") + col("__bp"))
-    val mins = Window.partitionBy(col(groupCol))
-      .orderBy(col("idx").asc, col("__x").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val out = joined
       .withColumn("__gp", guardedP)
       .withColumn("s_pos",
-        col("__gp") - least(col("__mp"), min(col("__cp") + col("__bp")).over(mins)))
+        col("__gp") - least(col("__mp"), min(col("__cp") + col("__bp")).over(run)))
       .withColumn("s_neg",
         (col("__cq") + col("__bq")) -
-          least(col("__mq"), min(col("__cq") + col("__bq")).over(mins)))
+          least(col("__mq"), min(col("__cq") + col("__bq")).over(run)))
       .select(col(groupCol), col("idx"), col("s_pos"), col("s_neg"),
         (col("s_pos") >= h).as("alarm_up"), (col("s_neg") >= h).as("alarm_dn"))
     out.write.mode("append").parquet(alarmDir)
@@ -114,8 +111,12 @@ object AlarmIngest {
       least(min(col("__mq")),
         min(col("__cq")) + min(col("__bq"))).as("min_q"),
       max(col("idx")).as("last_idx"))
+    // null-safe anti-join: a NULL group is a real stratum (an equality
+    // anti-join would keep its stale state row forever, duplicating it
+    // into every later fold)
     val untouched = prev.join(
-      rows.select(col(groupCol)).distinct(), Seq(groupCol), "left_anti")
+      rows.select(col(groupCol).as("__bg")).distinct(),
+      col(groupCol) <=> col("__bg"), "left_anti")
     val newStore = untouched.unionByName(newTail)
     if (!AtomicStore.hasData(spark, storeDir))
       AtomicStore.create(spark, storeDir, newStore.coalesce(1))

@@ -43,6 +43,9 @@ class ChatAuditSpec extends SparkSpec {
     val badRole = one(
       """[{"role":"tool","content":"x"},{"role":"assistant","content":"a"}]""")
     assert(!badRole.getAs[Boolean]("roles_ok"))
+    val missingRole = one(
+      """[{"content":"x"},{"role":"assistant","content":"a"}]""")
+    assert(!missingRole.getAs[Boolean]("roles_ok"))
     val empty = one(
       """[{"role":"user","content":"  "},{"role":"assistant","content":"a"}]""")
     assert(empty.getAs[Long]("n_empty") == 1L)

@@ -51,9 +51,19 @@ class MarkovAttributionSpec extends SparkSpec {
     assert(tr == Set(("__START", "conv")))
   }
 
-  test("rounds bounds enforced") {
+  test("rounds bounds and reserved-sentinel collisions enforced") {
     intercept[IllegalArgumentException] {
       MarkovAttribution.removalEffects(events, convType = "conv", rounds = 0)
     }
+    intercept[IllegalArgumentException] {
+      MarkovAttribution.removalEffects(events, convType = "__END", rounds = 2)
+    }
+    val clash = Seq((1L, 1L, "__BASE"), (1L, 2L, "conv"))
+      .toDF("user_id", "event_id", "event_type")
+      .withColumn("ts", org.apache.spark.sql.functions.col("event_id"))
+    val e = intercept[IllegalArgumentException] {
+      MarkovAttribution.removalEffects(clash, convType = "conv", rounds = 2)
+    }
+    assert(e.getMessage.contains("reserved"))
   }
 }

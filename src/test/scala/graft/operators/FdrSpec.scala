@@ -42,11 +42,16 @@ class FdrSpec extends SparkSpec {
     assert(got == Set(("a", 999999L, false), ("b", 1000L, true)))
   }
 
-  test("p outside [0, 1e6] raises loudly") {
+  test("p outside [0, 1e6] raises loudly — on any projection") {
     val df = Seq(("g", 1L, 2000000L)).toDF("grp", "id", "p")
     val e = intercept[Exception] {
       Fdr.bhDecisions(df, "grp", "id", "p", 1, 20).collect()
     }
     assert(e.getMessage.contains("outside [0, 1000000]"))
+    // column pruning must not strip the guard from a q-only projection
+    val e2 = intercept[Exception] {
+      Fdr.bhDecisions(df, "grp", "id", "p", 1, 20).select("q_q6").collect()
+    }
+    assert(e2.getMessage.contains("outside [0, 1000000]"))
   }
 }

@@ -35,6 +35,12 @@ class HoltSpec extends SparkSpec {
       ExpSmooth.holt(dup, "grp", "i", "x", 1, 2, 1, 2).collect()
     }
     assert(e.getMessage.contains("duplicate idx"))
+    // the guard must survive column pruning on EITHER output
+    val e2 = intercept[Exception] {
+      ExpSmooth.holt(dup, "grp", "i", "x", 1, 2, 1, 2)
+        .select("trend_q3").collect()
+    }
+    assert(e2.getMessage.contains("duplicate idx"))
     intercept[IllegalArgumentException] {
       ExpSmooth.holt(dup, "grp", "i", "x", 1, 2, 2, 2)
     }

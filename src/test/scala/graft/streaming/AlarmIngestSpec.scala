@@ -46,6 +46,28 @@ class AlarmIngestSpec extends SparkSpec {
     assert(got == want, s"got=$got want=$want")
   }
 
+  test("NULL group is a real stratum: its state folds, never duplicates") {
+    val store = "/tmp/graft_alarm_ingest_store3"
+    val alarms = "/tmp/graft_alarm_ingest_lake3"
+    cleanDirs(store, alarms)
+    val s = Seq((Option.empty[String], 1L, 12L),
+      (Option.empty[String], 2L, 13L), (Option.empty[String], 3L, 15L))
+      .toDF("grp", "i", "x")
+    val want = Cusum.twoSided(s, "grp", "i", "x", k = 10, h = 5)
+      .collect().map(_.toSeq).toSet
+    Seq(s.where(col("i") <= 1), s.where(col("i") === 2),
+      s.where(col("i") === 3)).foreach { b =>
+      AlarmIngest.ingestBatch(b, store, alarms, "grp", "i", "x",
+        k = 10, h = 5)
+    }
+    val got = spark.read.parquet(alarms)
+      .select("grp", "idx", "s_pos", "s_neg", "alarm_up", "alarm_dn")
+      .collect().map(_.toSeq)
+    assert(got.length == 3 && got.toSet == want)
+    // the store holds exactly ONE row for the NULL stratum
+    assert(spark.read.parquet(store).count() == 1L)
+  }
+
   test("out-of-order batch raises loudly") {
     val store = "/tmp/graft_alarm_ingest_store2"
     val alarms = "/tmp/graft_alarm_ingest_lake2"
