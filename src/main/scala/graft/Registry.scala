@@ -6042,7 +6042,30 @@ FROM orders""",
 FROM (${graft.operators.DenseSeries.denseDailyOracleBody(
             "orders", "o_orderpriority", "o_orderdate",
             "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")})""",
-          "o_orderpriority", k = 20000000L, h = 100000000L))))
+          "o_orderpriority", k = 20000000L, h = 100000000L))),
+
+      // Krippendorff alpha over a simulated annotation fleet: orderkey
+      // quartets are "units" (multiplicity <= 4 at ANY scale factor —
+      // orderkeys are unique), 3/4 of ratings carry the unit-determined
+      // label, 1/4 id-derived noise (identical both sides)
+      RegisteredQuery(
+        "q_krippendorff",
+        (s, dir) => graft.operators.Krippendorff.alphaNominal(
+            Tables.resolve(s, dir)("orders").select(
+              call_function("div", col("o_orderkey"), lit(4L)).as("unit"),
+              when(pmod(col("o_orderkey"), lit(4)) =!= 0,
+                concat(lit("v"),
+                  pmod(call_function("div", col("o_orderkey"), lit(4L)),
+                    lit(5))))
+                .otherwise(concat(lit("v"), pmod(col("o_orderkey"), lit(5))))
+                .as("v")),
+            "unit", "v"),
+        Some(graft.operators.Krippendorff.oracleSql(
+          """(SELECT o_orderkey // 4 AS unit,
+  CASE WHEN o_orderkey % 4 <> 0 THEN 'v' || ((o_orderkey // 4) % 5)
+       ELSE 'v' || (o_orderkey % 5) END AS v
+FROM orders)""",
+          "unit", "v"))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
