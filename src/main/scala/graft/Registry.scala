@@ -6065,7 +6065,36 @@ FROM (${graft.operators.DenseSeries.denseDailyOracleBody(
   CASE WHEN o_orderkey % 4 <> 0 THEN 'v' || ((o_orderkey // 4) % 5)
        ELSE 'v' || (o_orderkey % 5) END AS v
 FROM orders)""",
-          "unit", "v"))))
+          "unit", "v"))),
+
+      // interval-set difference: order-derived coverage windows net of
+      // id-derived exclusion windows (uptime net of maintenance) — the
+      // boundary sweep with two depth axes
+      RegisteredQuery(
+        "q_interval_subtract",
+        (s, dir) => {
+          val o = Tables.resolve(s, dir)("orders")
+          val base = o.select(col("o_custkey"),
+            col("o_orderdate").as("f"),
+            expr("date_add(o_orderdate, CAST(o_orderkey % 20 AS INT) + 1)")
+              .as("t"))
+          val minus = o.where(pmod(col("o_orderkey"), lit(3)) === 0)
+            .select(col("o_custkey"),
+              expr("date_add(o_orderdate, 2)").as("f"),
+              expr("date_add(o_orderdate, CAST(o_orderkey % 7 AS INT) + 3)")
+                .as("t"))
+          graft.operators.IntervalCoverage.subtractCoverage(
+              base, minus, "o_custkey", "f", "t")
+            .orderBy("o_custkey")
+        },
+        Some(graft.operators.IntervalCoverage.subtractOracle(
+          """SELECT o_custkey, o_orderdate AS f,
+  CAST(o_orderdate AS DATE) + (CAST(o_orderkey % 20 AS INT) + 1) AS t
+FROM orders""",
+          """SELECT o_custkey, CAST(o_orderdate AS DATE) + 2 AS f,
+  CAST(o_orderdate AS DATE) + (CAST(o_orderkey % 7 AS INT) + 3) AS t
+FROM orders WHERE o_orderkey % 3 = 0""",
+          "o_custkey", "f", "t"))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
