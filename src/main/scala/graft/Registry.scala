@@ -6094,7 +6094,20 @@ FROM orders""",
           """SELECT o_custkey, CAST(o_orderdate AS DATE) + 2 AS f,
   CAST(o_orderdate AS DATE) + (CAST(o_orderkey % 7 AS INT) + 3) AS t
 FROM orders WHERE o_orderkey % 3 = 0""",
-          "o_custkey", "f", "t"))))
+          "o_custkey", "f", "t"))),
+
+      // largest-remainder apportionment: exactly one million training
+      // slots split across languages by corpus char mass
+      RegisteredQuery(
+        "q_apportion",
+        (s, dir) => graft.operators.Apportion.largestRemainder(
+            Tables.resolve(s, dir)("documents")
+              .select(col("lang"), col("n_chars").as("w")),
+            "lang", "w", total = 1000000L)
+          .orderBy("lang"),
+        Some(graft.operators.Apportion.oracleSql(
+          "SELECT lang, n_chars AS w FROM documents",
+          "lang", total = 1000000L))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
