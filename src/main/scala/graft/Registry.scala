@@ -6107,7 +6107,28 @@ FROM orders WHERE o_orderkey % 3 = 0""",
           .orderBy("lang"),
         Some(graft.operators.Apportion.oracleSql(
           "SELECT lang, n_chars AS w FROM documents",
-          "lang", total = 1000000L))))
+          "lang", total = 1000000L))),
+
+      // Theil-Sen robust trend over per-priority monthly revenue — the
+      // quantized-pair-slope discrete median
+      RegisteredQuery(
+        "q_theil_sen",
+        (s, dir) => TheilSen.slope(
+            Tables.resolve(s, dir)("orders")
+              .groupBy(col("o_orderpriority"),
+                ((year(col("o_orderdate")) - 1970) * 12 +
+                  month(col("o_orderdate")) - 1).cast("long").as("mon"))
+              .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("long")).as("cents")),
+            "o_orderpriority", "mon", "cents")
+          .orderBy("o_orderpriority"),
+        Some(TheilSen.oracleSql(
+          """SELECT o_orderpriority AS grp,
+  (date_part('year', CAST(o_orderdate AS DATE)) - 1970) * 12
+    + date_part('month', CAST(o_orderdate AS DATE)) - 1 AS x,
+  sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS y
+FROM orders GROUP BY 1, 2""",
+          "o_orderpriority"))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
