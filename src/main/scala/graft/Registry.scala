@@ -6128,7 +6128,31 @@ FROM orders WHERE o_orderkey % 3 = 0""",
     + date_part('month', CAST(o_orderdate AS DATE)) - 1 AS x,
   sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS y
 FROM orders GROUP BY 1, 2""",
-          "o_orderpriority"))))
+          "o_orderpriority"))),
+
+      // rolling 28-day correlation between daily order count and daily
+      // revenue per priority — the co-movement drift trajectory
+      RegisteredQuery(
+        "q_rolling_corr",
+        (s, dir) => CrossCorr.rolling(
+            graft.operators.DenseSeries.denseDaily(
+                Tables.resolve(s, dir)("orders")
+                  .withColumn("cents",
+                    (col("o_totalprice").cast("decimal(18,2)") * 100)
+                      .cast("long")),
+                "o_orderpriority", "o_orderdate", "cents")
+              .select(col("o_orderpriority"),
+                datediff(col("day"), lit("1970-01-01")).cast("long").as("i"),
+                col("n_rows").as("x"), col("sum_value").as("y")),
+            "o_orderpriority", "i", "x", "y", window = 28)
+          .orderBy("o_orderpriority", "idx"),
+        Some(CrossCorr.rollingOracle(
+          s"""SELECT o_orderpriority AS grp,
+  CAST(day - DATE '1970-01-01' AS BIGINT) AS i, n_rows AS x, sum_value AS y
+FROM (${graft.operators.DenseSeries.denseDailyOracleBody(
+            "orders", "o_orderpriority", "o_orderdate",
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")})""",
+          "o_orderpriority", window = 28))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over

@@ -61,6 +61,85 @@ object CrossCorr {
     GroupedTrend.correlation(pairs, Seq(groupCol, "lag"), "__xl", "__y")
   }
 
+  /** Rolling windowed correlation — the relationship's TRAJECTORY:
+    * [[leadLag]] asks which series leads over the whole history; this
+    * asks whether the coupling itself is drifting ("spend and orders
+    * correlated at 0.9 until March, 0.2 since" — the co-movement
+    * breakdown alarm). Per (group, idx): the five exact DECIMAL(38,0)
+    * Pearson moments over the trailing `window` index units (a RANGE
+    * frame on the integer index — gap-robust: missing days shrink n,
+    * they don't stretch the window), published as the L176 canonical
+    * decimal strings (corr_num, var_x, var_y; r is one caller-side
+    * double) with NULL components below `minN` rows (a 2-point
+    * correlation is noise, not signal — the honest warm-up edge).
+    *
+    * Scale shape: the sessionized posture — hash by group, one
+    * spill-backed sort, SIX running RANGE aggregates in one window
+    * pass; feed the [[DenseSeries]] spine so groups stay
+    * calendar-sized.
+    */
+  def rolling(df: DataFrame, groupCol: String, idxCol: String,
+              xCol: String, yCol: String, window: Long,
+              minN: Long = 3L): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(minN >= 2, s"minN must be >= 2, got $minN")
+    graft.Guards.requireIntegral(df, idxCol, "rolling")
+    graft.Guards.requireIntegral(df, xCol, "rolling")
+    graft.Guards.requireIntegral(df, yCol, "rolling")
+    val dec = "decimal(38,0)"
+    val rows = df
+      .where(col(idxCol).isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull)
+      .select(col(groupCol), col(idxCol).cast("long").as("idx"),
+        col(xCol).cast("long").cast(dec).as("__x"),
+        col(yCol).cast("long").cast(dec).as("__y"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("idx").asc)
+      .rangeBetween(-(window - 1), 0)
+    val staged = rows
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__sx", sum(col("__x")).over(w))
+      .withColumn("__sy", sum(col("__y")).over(w))
+      .withColumn("__sxy", sum(col("__x") * col("__y")).over(w))
+      .withColumn("__sxx", sum(col("__x") * col("__x")).over(w))
+      .withColumn("__syy", sum(col("__y") * col("__y")).over(w))
+    val nD = col("__n").cast(dec)
+    def comp(sab: String, sa: String, sb: String) =
+      when(col("__n") >= minN,
+        (nD * col(sab) - col(sa) * col(sb)).cast("string"))
+    staged.select(col(groupCol), col("idx"), col("__n").as("n_w"),
+      comp("__sxy", "__sx", "__sy").as("corr_num"),
+      comp("__sxx", "__sx", "__sx").as("var_x"),
+      comp("__syy", "__sy", "__sy").as("var_y"))
+  }
+
+  /** DuckDB replay of [[rolling]] — the same RANGE frame over HUGEINT
+    * moments; `seriesSql` must yield (grp, i, x, y).
+    */
+  def rollingOracle(seriesSql: String, groupName: String, window: Long,
+                    minN: Long = 3L): String =
+    s"""WITH r AS (
+  SELECT grp AS $groupName, CAST(i AS BIGINT) AS idx,
+    CAST(x AS HUGEINT) AS x, CAST(y AS HUGEINT) AS y
+  FROM ($seriesSql)
+  WHERE i IS NOT NULL AND x IS NOT NULL AND y IS NOT NULL),
+m AS (
+  SELECT $groupName, idx,
+    count(*) OVER win AS n, sum(x) OVER win AS sx, sum(y) OVER win AS sy,
+    sum(x * y) OVER win AS sxy, sum(x * x) OVER win AS sxx,
+    sum(y * y) OVER win AS syy
+  FROM r
+  WINDOW win AS (PARTITION BY $groupName ORDER BY idx ASC
+    RANGE BETWEEN ${window - 1} PRECEDING AND CURRENT ROW))
+SELECT $groupName, idx, CAST(n AS BIGINT) AS n_w,
+  CASE WHEN n >= $minN THEN CAST(n * sxy - sx * sy AS VARCHAR) END
+    AS corr_num,
+  CASE WHEN n >= $minN THEN CAST(n * sxx - sx * sx AS VARCHAR) END
+    AS var_x,
+  CASE WHEN n >= $minN THEN CAST(n * syy - sy * sy AS VARCHAR) END
+    AS var_y
+FROM m ORDER BY $groupName, idx"""
+
   /** DuckDB replay of [[leadLag]] — the same lag-replicated pair join,
     * finished by the shared Pearson moment oracle.
     */
