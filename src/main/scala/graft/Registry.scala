@@ -6152,7 +6152,33 @@ FROM orders GROUP BY 1, 2""",
 FROM (${graft.operators.DenseSeries.denseDailyOracleBody(
             "orders", "o_orderpriority", "o_orderdate",
             "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")})""",
-          "o_orderpriority", window = 28))))
+          "o_orderpriority", window = 28))),
+
+      // bitemporal as-of: order-derived assertion log (validity from
+      // orderdate, transaction time lagging by an id-derived correction
+      // delay), read AS OF 1998-01-01 VALID AT 1997-06-01
+      RegisteredQuery(
+        "q_bitemporal",
+        (s, dir) => graft.operators.Bitemporal.asOf(
+            Tables.resolve(s, dir)("orders").select(
+              col("o_custkey").as("k"),
+              col("o_orderdate").as("vf"),
+              expr("date_add(o_orderdate, CAST(o_orderkey % 90 AS INT) + 30)")
+                .as("vt"),
+              expr("date_add(o_orderdate, CAST(o_orderkey % 5 AS INT))")
+                .as("tx"),
+              (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+                .as("cents")),
+            "k", "vf", "vt", "tx", Seq("cents"),
+            txAsOf = "1998-01-01", validAt = "1997-06-01")
+          .orderBy("k"),
+        Some(graft.operators.Bitemporal.oracleSql(
+          """SELECT o_custkey AS k, o_orderdate AS vf,
+  CAST(o_orderdate AS DATE) + (CAST(o_orderkey % 90 AS INT) + 30) AS vt,
+  CAST(o_orderdate AS DATE) + CAST(o_orderkey % 5 AS INT) AS tx,
+  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+FROM orders""",
+          "k", Seq("cents"), txAsOf = "1998-01-01", validAt = "1997-06-01"))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
