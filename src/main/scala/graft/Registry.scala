@@ -6178,7 +6178,25 @@ FROM (${graft.operators.DenseSeries.denseDailyOracleBody(
   CAST(o_orderdate AS DATE) + CAST(o_orderkey % 5 AS INT) AS tx,
   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
 FROM orders""",
-          "k", Seq("cents"), txAsOf = "1998-01-01", validAt = "1997-06-01"))))
+          "k", Seq("cents"), txAsOf = "1998-01-01", validAt = "1997-06-01"))),
+
+      // 1-D earth-mover distance between the urgent and non-urgent price
+      // distributions — the integral companion of q_ks_distance's max
+      RegisteredQuery(
+        "q_emd",
+        (s, dir) => {
+          val o = Tables.resolve(s, dir)("orders")
+            .withColumn("cents",
+              (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+          graft.operators.KsDistance.emd(
+            o.where(col("o_orderpriority") === "1-URGENT"),
+            o.where(col("o_orderpriority") =!= "1-URGENT"),
+            "cents")
+        },
+        Some(graft.operators.KsDistance.emdOracle(
+          "SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders WHERE o_orderpriority = '1-URGENT'",
+          "SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders WHERE o_orderpriority <> '1-URGENT'",
+          "cents"))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
