@@ -6196,7 +6196,34 @@ FROM orders""",
         Some(graft.operators.KsDistance.emdOracle(
           "SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders WHERE o_orderpriority = '1-URGENT'",
           "SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders WHERE o_orderpriority <> '1-URGENT'",
-          "cents"))))
+          "cents"))),
+
+      // RBO@20 between two id-derived document rankings per language —
+      // the top-weighted ranker-diff readout (p = 9/10)
+      RegisteredQuery(
+        "q_rbo",
+        (s, dir) => {
+          val d = Tables.resolve(s, dir)("documents")
+          def ranking(mult: Long) = d.select(col("lang").as("q"),
+              col("doc_id").as("doc"),
+              row_number().over(
+                org.apache.spark.sql.expressions.Window
+                  .partitionBy(col("lang"))
+                  .orderBy(pmod(col("doc_id") * mult, lit(1009L)).asc,
+                    col("doc_id").asc)).cast("long").as("r"))
+          RankBiasedOverlap.rbo(ranking(31L), ranking(17L),
+              "q", "doc", "r", k = 20, pNum = 9, pDen = 10)
+            .orderBy("q")
+        },
+        Some {
+          def rankingSql(mult: Long) =
+            s"""SELECT lang AS q, doc_id AS doc,
+  row_number() OVER (PARTITION BY lang
+    ORDER BY (doc_id * $mult) % 1009 ASC, doc_id ASC) AS r
+FROM documents"""
+          RankBiasedOverlap.oracleSql(rankingSql(31L), rankingSql(17L),
+            "q", k = 20, pNum = 9, pDen = 10)
+        }))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
