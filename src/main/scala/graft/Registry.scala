@@ -6223,7 +6223,21 @@ FROM orders""",
 FROM documents"""
           RankBiasedOverlap.oracleSql(rankingSql(31L), rankingSql(17L),
             "q", k = 20, pNum = 9, pDen = 10)
-        }))
+        }),
+
+      // leave-one-source-out ablation of mean document length — the
+      // one-pass data-valuation table
+      RegisteredQuery(
+        "q_ablation",
+        (s, dir) => graft.operators.Ablation.leaveOneOut(
+            Tables.resolve(s, dir)("documents")
+              .select(col("source"), col("n_chars").as("num"),
+                lit(1L).as("den")),
+            "source", "num", "den")
+          .orderBy("source"),
+        Some(graft.operators.Ablation.oracleSql(
+          "(SELECT source, n_chars AS num, 1 AS den FROM documents)",
+          "source", "num", "den"))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
