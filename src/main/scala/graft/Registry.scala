@@ -6237,7 +6237,38 @@ FROM documents"""
           .orderBy("source"),
         Some(graft.operators.Ablation.oracleSql(
           "(SELECT source, n_chars AS num, 1 AS den FROM documents)",
-          "source", "num", "den"))))
+          "source", "num", "den"))),
+
+      // Qini uplift curve over an id-derived score whose treatment
+      // effect GROWS with the score (identical construction both
+      // sides) — a front-loaded curve the model should earn
+      RegisteredQuery(
+        "q_qini",
+        (s, dir) => Qini.curve(
+            Tables.resolve(s, dir)("orders").select(
+              pmod(col("o_orderkey") * 2654435761L, lit(1000L)).as("score"),
+              col("o_orderkey").as("id"),
+              when(pmod(col("o_custkey"), lit(2)) === 0, "t").otherwise("c")
+                .as("arm"),
+              when(pmod(col("o_orderkey") * 7919L, lit(1000L)) <
+                lit(100L) + when(pmod(col("o_custkey"), lit(2)) === 0,
+                  call_function("div",
+                    pmod(col("o_orderkey") * 2654435761L, lit(1000L)),
+                    lit(4L)))
+                  .otherwise(lit(0L)), 1L).otherwise(0L).as("conv")),
+            "score", "id", "arm", "conv", treatArm = "t", ctrlArm = "c",
+            k = 10)
+          .orderBy("bucket"),
+        Some(Qini.oracleSql(
+          """SELECT (o_orderkey * 2654435761) % 1000 AS score,
+  o_orderkey AS id,
+  CASE WHEN o_custkey % 2 = 0 THEN 't' ELSE 'c' END AS arm,
+  CASE WHEN (o_orderkey * 7919) % 1000 <
+    100 + CASE WHEN o_custkey % 2 = 0
+               THEN ((o_orderkey * 2654435761) % 1000) // 4 ELSE 0 END
+  THEN 1 ELSE 0 END AS conv
+FROM orders""",
+          treatArm = "t", ctrlArm = "c", k = 10))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
