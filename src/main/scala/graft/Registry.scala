@@ -6268,7 +6268,30 @@ FROM documents"""
                THEN ((o_orderkey * 2654435761) % 1000) // 4 ELSE 0 END
   THEN 1 ELSE 0 END AS conv
 FROM orders""",
-          treatArm = "t", ctrlArm = "c", k = 10))))
+          treatArm = "t", ctrlArm = "c", k = 10))),
+
+      // mix-vs-rate bridge: why average order value moved from 1996 to
+      // 1997, decomposed per priority segment
+      RegisteredQuery(
+        "q_metric_bridge",
+        (s, dir) => MetricBridge.mixRateBridge(
+            Tables.resolve(s, dir)("orders")
+              .where(year(col("o_orderdate")).isin(1996, 1997))
+              .select(year(col("o_orderdate")).cast("string").as("p"),
+                col("o_orderpriority").as("seg"),
+                (col("o_totalprice").cast("decimal(18,2)") * 100)
+                  .cast("long").as("num"),
+                lit(1L).as("den")),
+            "p", "seg", "num", "den", periodA = "1996", periodB = "1997")
+          .orderBy("seg"),
+        Some(MetricBridge.oracleSql(
+          """SELECT CAST(date_part('year', CAST(o_orderdate AS DATE)) AS VARCHAR) AS period,
+  o_orderpriority AS seg,
+  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS num,
+  1 AS den
+FROM orders
+WHERE date_part('year', CAST(o_orderdate AS DATE)) IN (1996, 1997)""",
+          "seg", periodA = "1996", periodB = "1997"))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
