@@ -6291,7 +6291,26 @@ FROM orders""",
   1 AS den
 FROM orders
 WHERE date_part('year', CAST(o_orderdate AS DATE)) IN (1996, 1997)""",
-          "seg", periodA = "1996", periodB = "1997"))))
+          "seg", periodA = "1996", periodB = "1997"))),
+
+      // rendezvous resharding plan: documents routed over 8 shards,
+      // then 9 — the per-key before/after/moved table (movement lands
+      // only in the new shard, ~1/9 of keys)
+      RegisteredQuery(
+        "q_rendezvous",
+        (s, dir) => {
+          val before = (0 until 8).map(i => s"shard$i")
+          graft.operators.Sharding.reshardPlan(
+              Tables.resolve(s, dir)("documents"), "doc_id",
+              before, before :+ "shard8")
+            .select(col("doc_id"), col("shard_before"), col("shard_after"),
+              col("moved"))
+            .orderBy("doc_id")
+        },
+        Some(graft.operators.Sharding.reshardOracle(
+          "documents", "doc_id", "doc_id",
+          (0 until 8).map(i => s"shard$i"),
+          (0 until 9).map(i => s"shard$i")))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
