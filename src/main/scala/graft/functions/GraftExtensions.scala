@@ -52,6 +52,9 @@ object GraftExtensions {
     unary("simhash16", classOf[SimHash16],
       "simhash16(shingles) - 16-bit SimHash of a string-array (shingle set) as BIGINT; " +
         "near-duplicates bucket by equality.", SimHash16(_)),
+    unary("simhash64", classOf[SimHash64],
+      "simhash64(shingles) - 64-bit SimHash of a string-array (shingle set) as BIGINT " +
+        "(bit 63 set => negative); production fingerprint width.", SimHash64(_)),
     unary("media_dims", classOf[MediaDims],
       "media_dims(bin) - struct<format,width,height> parsed from a PNG/GIF/JPEG/BMP " +
         "header, NULL if unrecognized/truncated.", MediaDims(_)),

@@ -583,8 +583,10 @@ WHERE jaccard >= $minJaccard ORDER BY batch_id, store_id""".stripMargin
 
   // ------------------------------------------------------------ SimHash ----
 
-  /** SimHash bit width (shingle hashes are < 2^30, bits 0..15 used). */
-  val SimHashBits = 16
+  /** SimHash bit width — the full 64-bit md5 prefix (production width; the
+    * compact 16-bit variant survives as [[graft.functions.SimHash16]]).
+    */
+  val SimHashBits = 64
 
   /** SimHash over the distinct shingle set: for each bit position, count
     * +1/-1 votes from every shingle hash, emit the bit when the vote sum is
@@ -592,42 +594,64 @@ WHERE jaccard >= $minJaccard ORDER BY batch_id, store_id""".stripMargin
     * vote sums — hence fingerprints — usually coincide; grouping by the
     * fingerprint buckets near-dups with zero joins. Same single-aggregate
     * shape as [[minhashSignature]]: every stage evaluates once per row.
+    * 64-bit fingerprints: bit 63 set ⇒ negative Long — downstream hamming /
+    * banding math is sign-agnostic (xor, bit_count, mask-after-shift).
     */
   def simhash(text: Column, shingleN: Int = 3): Column =
-    graft.functions.SimHash16(shingleSet(text, shingleN))
+    graft.functions.SimHash64(shingleSet(text, shingleN))
 
   /** Interpreted-HOF reference form of [[simhash]] (spec differential only —
-    * 16 `when` votes + a zip_with accumulator PER SHINGLE, all outside
+    * 64 `when` votes + a zip_with accumulator PER SHINGLE, all outside
     * codegen; the native expression runs the same vote table in one loop).
+    * The 64-bit hash is read as two 32-bit md5-hex halves so every
+    * intermediate stays a non-negative built-in-function value; bit 63
+    * assembles via Long.MinValue addition (two's complement).
     */
   def simhashHof(text: Column, shingleN: Int = 3): Column = {
-    val votes = (0 until SimHashBits).map { b =>
-      (hv: Column) => when(hv % (1L << (b + 1)) >= (1L << b), lit(1L)).otherwise(lit(-1L))
+    val halves = transform(shingleSet(text, shingleN), s => struct(
+      conv(substring(md5(s), 1, 8), 16, 10).cast("long").as("hi"),
+      conv(substring(md5(s), 9, 8), 16, 10).cast("long").as("lo")))
+    def vote(h: Column, b: Int): Column = {
+      val bit =
+        if (b < 32) shiftright(h.getField("lo"), b)
+        else shiftright(h.getField("hi"), b - 32)
+      when(bit.bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))
     }
     aggregate(
-      transform(shingleSet(text, shingleN), s => hashM(s)),
+      halves,
       array_repeat(lit(0L), SimHashBits),
-      (acc, hv) => zip_with(acc, array(votes.map(v => v(hv)): _*), (a, x) => a + x),
-      sums => (0 until SimHashBits)
+      (acc, h) => zip_with(acc, array((0 until SimHashBits).map(b => vote(h, b)): _*),
+        (a, x) => a + x),
+      sums => (0 until 63)
         .map(b => when(element_at(sums, b + 1) > 0, lit(1L << b)).otherwise(lit(0L)))
-        .reduce(_ + _))
+        .reduce(_ + _) +
+        when(element_at(sums, 64) > 0, lit(Long.MinValue)).otherwise(lit(0L)))
   }
 
   /** The fingerprint CTE chain shared by [[simhashOracle]] and
-    * [[simhashPairsOracle]] — ends in `fp(doc_id_, simhash)`.
+    * [[simhashPairsOracle]] — ends in `fp(doc_id_, simhash)`. The 64-bit
+    * hash is replayed as two BIGINT-safe 32-bit halves (hex chars 1..8 =
+    * bits 32..63, chars 9..16 = bits 0..31); bit 63 joins the assembly as
+    * `-9223372036854775807 - 1` because `1<<63` overflows DuckDB's signed
+    * left shift.
     */
   private def simhashCtes(table: String, idCol: String, textCol: String, shingleN: Int): String = {
     val n = shingleN
     val shingleExpr = (0 until n).map(j => s"t[i+$j]").mkString("||' '||")
-    val sums = (0 until SimHashBits).map(b =>
-      s"sum(CASE WHEN hv % ${1L << (b + 1)} >= ${1L << b} THEN 1 ELSE -1 END) AS b$b").mkString(", ")
-    val assemble = (0 until SimHashBits).map(b =>
-      s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    val sums = (0 until SimHashBits).map { b =>
+      val bitExpr = if (b < 32) s"(lo >> $b) & 1" else s"(hi >> ${b - 32}) & 1"
+      s"sum(CASE WHEN ($bitExpr) = 1 THEN 1 ELSE -1 END) AS b$b"
+    }.mkString(", ")
+    val assemble = (0 until 63).map(b =>
+      s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ") +
+      " + CASE WHEN b63 > 0 THEN -9223372036854775807 - 1 ELSE 0 END"
     s"""toks AS (SELECT $idCol AS doc_id_, string_split($textCol, ' ') AS t FROM $table),
 sh AS (SELECT doc_id_, list_distinct(CASE WHEN len(t) < $n THEN [array_to_string(t, ' ')]
   ELSE list_transform(generate_series(1, len(t)-${n - 1}), i -> $shingleExpr) END) AS s FROM toks),
-hx AS (SELECT doc_id_, unnest(list_transform(s, x -> CAST(('0x'||substr(md5(x),1,15)) AS BIGINT) % $M)) AS hv FROM sh),
-sums AS (SELECT doc_id_, $sums FROM hx GROUP BY doc_id_),
+hx AS (SELECT doc_id_, unnest(list_transform(s, x -> md5(x))) AS mh FROM sh),
+hb AS (SELECT doc_id_, CAST(('0x'||substr(mh,1,8)) AS BIGINT) AS hi,
+  CAST(('0x'||substr(mh,9,8)) AS BIGINT) AS lo FROM hx),
+sums AS (SELECT doc_id_, $sums FROM hb GROUP BY doc_id_),
 fp AS (SELECT doc_id_, CAST($assemble AS BIGINT) AS simhash FROM sums)"""
   }
 
@@ -647,10 +671,11 @@ SELECT doc_id_ AS doc_id, simhash FROM fp ORDER BY doc_id_""".stripMargin
     *
     * Scale shape: the join is hash-partitioned on (band, band value);
     * candidate volume is Σ bucket² over band buckets — the LSH posture
-    * (size the fingerprint so buckets stay small: 16-bit SimHash is the
-    * repo's compact default, a production corpus at 10⁹ docs wants the
-    * same operator over 64-bit fingerprints, which this blocking serves
-    * unchanged). A near-identical corpus concentrates one bucket
+    * (size the fingerprint so buckets stay small: at the 64-bit default
+    * with radius 2 the band keys are 21–22 bits, ~4M-value key spaces, so
+    * a 10⁹-doc corpus averages ~250 docs/bucket per band — tractable
+    * Σ bucket², unlike 16-bit's 5–6-bit bands). A near-identical corpus
+    * concentrates one bucket
     * (the bucket IS the true near-match set — output-sized, irreducible,
     * same as EdJoin's contract). Output: (left_id, right_id, hamming)
     * with left < right.
@@ -709,7 +734,7 @@ ORDER BY 1, 2""".stripMargin
     * [[simhashQuality]] and the quality oracle: `maxHamming + 1`
     * disjoint (offset, width) bit bands partitioning [0, SimHashBits).
     */
-  private def simhashBandLayout(maxHamming: Int): Seq[(Int, Int)] = {
+  private[graft] def simhashBandLayout(maxHamming: Int): Seq[(Int, Int)] = {
     val nBands = maxHamming + 1
     val base = SimHashBits / nBands
     val extra = SimHashBits % nBands

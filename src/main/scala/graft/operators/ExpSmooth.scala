@@ -27,7 +27,9 @@ import org.apache.spark.sql.functions._
   * the [[DenseSeries]] daily spine, thousands of entries, never raw
   * events), and the per-group fold is one task's array surgery.
   * Contracts: duplicate indexes raise loudly inside the plan (the
-  * recurrence order would be data-dependent); NULL idx/value rows drop;
+  * recurrence order would be data-dependent); groups above `maxPoints`
+  * raise loudly inside the plan (array-buffer OOM guard); NULL
+  * idx/value rows drop;
   * NULL groups are a real stratum; |x|·1000·p must fit a long — ANSI
   * throws loudly past ~9·10¹²·(1000/p).
   */
@@ -36,11 +38,19 @@ object ExpSmooth {
   /** Smoothed values are in 10⁻³ units of the input. */
   val Scale = 1000L
 
-  /** (groupCol, idx, s_q3) — s_q3 the smoothed level in milli-units. */
+  /** (groupCol, idx, s_q3) — s_q3 the smoothed level in milli-units.
+    * Groups longer than `maxPoints` raise loudly INSIDE the plan (the
+    * TheilSen discipline): the fold buffers one array per group, so an
+    * unbounded group is a silent OOM at scale — the raise converts it
+    * into a named contract violation the caller fixes by pre-aggregating
+    * onto a calendar spine or raising the bound deliberately.
+    */
   def smooth(df: DataFrame, groupCol: String, idxCol: String,
-             valueCol: String, alphaNum: Long, alphaDen: Long): DataFrame = {
+             valueCol: String, alphaNum: Long, alphaDen: Long,
+             maxPoints: Long = 100000L): DataFrame = {
     require(alphaNum > 0 && alphaNum < alphaDen,
       s"alpha = $alphaNum/$alphaDen must lie in (0, 1)")
+    require(maxPoints >= 1, s"maxPoints must be >= 1, got $maxPoints")
     graft.Guards.requireIntegral(df, idxCol, "smooth")
     graft.Guards.requireIntegral(df, valueCol, "smooth")
     val p = lit(alphaNum)
@@ -58,6 +68,7 @@ object ExpSmooth {
       (size(col("__arr")) =!=
         size(array_distinct(transform(col("__arr"), e => e.getField("i")))))
         .as("__dup"),
+      (size(col("__arr")) > maxPoints).as("__over"),
       aggregate(col("__arr"), zero, (acc, e) => {
         val num = p * e.getField("x") * lit(Scale) + qmp * acc.getField("prev")
         val ns = when(acc.getField("first"), e.getField("x") * lit(Scale))
@@ -70,9 +81,14 @@ object ExpSmooth {
       }).getField("out").as("__out"))
     // the dup guard rides INSIDE the output column (a dropped guard
     // column is optimizer-pruned dead code — the DiffInDiff pattern)
-    folded.select(col(groupCol), col("__dup"), explode(col("__out")).as("__e"))
+    folded.select(col(groupCol), col("__dup"), col("__over"),
+        explode(col("__out")).as("__e"))
       .select(col(groupCol), col("__e.i").as("idx"),
-        when(col("__dup"), raise_error(concat(
+        when(col("__over"), raise_error(concat(
+          lit("expSmooth: group '"), col(groupCol).cast("string"),
+          lit(s"' exceeds $maxPoints points — feed a calendar spine or raise maxPoints")))
+            .cast("long"))
+          .when(col("__dup"), raise_error(concat(
           lit("expSmooth: duplicate idx within group '"),
           col(groupCol).cast("string"),
           lit("' — pre-aggregate to one row per (group, idx)")))
@@ -94,11 +110,13 @@ object ExpSmooth {
     */
   def holt(df: DataFrame, groupCol: String, idxCol: String,
            valueCol: String, alphaNum: Long, alphaDen: Long,
-           betaNum: Long, betaDen: Long): DataFrame = {
+           betaNum: Long, betaDen: Long,
+           maxPoints: Long = 100000L): DataFrame = {
     require(alphaNum > 0 && alphaNum < alphaDen,
       s"alpha = $alphaNum/$alphaDen must lie in (0, 1)")
     require(betaNum > 0 && betaNum < betaDen,
       s"beta = $betaNum/$betaDen must lie in (0, 1)")
+    require(maxPoints >= 1, s"maxPoints must be >= 1, got $maxPoints")
     graft.Guards.requireIntegral(df, idxCol, "holt")
     graft.Guards.requireIntegral(df, valueCol, "holt")
     val p = lit(alphaNum); val qmp = lit(alphaDen - alphaNum)
@@ -119,6 +137,7 @@ object ExpSmooth {
       (size(col("__arr")) =!=
         size(array_distinct(transform(col("__arr"), e => e.getField("i")))))
         .as("__dup"),
+      (size(col("__arr")) > maxPoints).as("__over"),
       aggregate(col("__arr"), zero, (acc, e) => {
         val lNum = p * e.getField("x") * lit(Scale) +
           qmp * (acc.getField("pl") + acc.getField("pb"))
@@ -135,13 +154,18 @@ object ExpSmooth {
     // the guard rides BOTH output columns — a caller projecting only
     // trend_q3 would otherwise prune the level-side raise away
     def guarded(out: org.apache.spark.sql.Column) =
-      when(col("__dup"), raise_error(concat(
+      when(col("__over"), raise_error(concat(
+        lit("holt: group '"), col(groupCol).cast("string"),
+        lit(s"' exceeds $maxPoints points — feed a calendar spine or raise maxPoints")))
+          .cast("long"))
+        .when(col("__dup"), raise_error(concat(
         lit("holt: duplicate idx within group '"),
         col(groupCol).cast("string"),
         lit("' — pre-aggregate to one row per (group, idx)")))
           .cast("long"))
         .otherwise(out)
-    folded.select(col(groupCol), col("__dup"), explode(col("__out")).as("__e"))
+    folded.select(col(groupCol), col("__dup"), col("__over"),
+        explode(col("__out")).as("__e"))
       .select(col(groupCol), col("__e.i").as("idx"),
         guarded(col("__e.l")).as("level_q3"),
         guarded(col("__e.b")).as("trend_q3"))

@@ -65,6 +65,13 @@ class GraftExtensionsSpec extends SparkSpec {
     val simCol = probe.select(SimHash16(shingles)).head().getLong(0)
     assert(simSql === simCol)
 
+    val sim64Sql = spark.sql(
+      "SELECT simhash64(array_distinct(transform(sequence(1, size(split(s,' '))-2), " +
+        "i -> concat_ws(' ', slice(split(s,' '), i, 3))))) FROM ext_all_probe")
+      .head().getLong(0)
+    val sim64Col = probe.select(SimHash64(shingles)).head().getLong(0)
+    assert(sim64Sql === sim64Col)
+
     val mhSql = spark.sql(
       "SELECT minhash_k(array_distinct(transform(sequence(1, size(split(s,' '))-2), " +
         "i -> concat_ws(' ', slice(split(s,' '), i, 3)))), 4) FROM ext_all_probe")

@@ -278,7 +278,6 @@ class LlmSpec extends SparkSpec {
     val h = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(h(0L) == h(4L))            // exact dup
-    assert(h.values.forall(v => v >= 0 && v < (1L << 16)))
     assert(h(0L) != h(3L))            // unrelated doc
   }
 

@@ -45,6 +45,17 @@ class ExpSmoothSpec extends SparkSpec {
     assert(e.getMessage.contains("duplicate idx"))
   }
 
+  test("oversized group raises loudly; at-bound group folds fine") {
+    val df = (1L to 5L).map(i => ("g", i, i * 10L)).toDF("grp", "i", "x")
+    val e = intercept[Exception] {
+      ExpSmooth.smooth(df, "grp", "i", "x", 1, 2, maxPoints = 4).collect()
+    }
+    assert(e.getMessage.contains("exceeds 4 points"))
+    // exactly at the bound: no raise
+    assert(ExpSmooth.smooth(df, "grp", "i", "x", 1, 2, maxPoints = 5)
+      .count() === 5L)
+  }
+
   test("NULL idx/value rows drop; NULL group is a real stratum") {
     val df = Seq(
       (Some("a"), Some(1L), Some(4L)), (Some("a"), Some(2L), None),

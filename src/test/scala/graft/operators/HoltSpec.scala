@@ -29,6 +29,17 @@ class HoltSpec extends SparkSpec {
     assert(got.toSeq == Seq((1000L, 0L), (-1000L, -1000L)))
   }
 
+  test("oversized group raises loudly, even when only trend is projected") {
+    val df = (1L to 5L).map(i => ("g", i, i * 10L)).toDF("grp", "i", "x")
+    val e = intercept[Exception] {
+      ExpSmooth.holt(df, "grp", "i", "x", 1, 2, 1, 2, maxPoints = 4)
+        .select("trend_q3").collect()
+    }
+    assert(e.getMessage.contains("exceeds 4 points"))
+    assert(ExpSmooth.holt(df, "grp", "i", "x", 1, 2, 1, 2, maxPoints = 5)
+      .count() === 5L)
+  }
+
   test("duplicate idx raises; beta bounds enforced") {
     val dup = Seq(("g", 1L, 1L), ("g", 1L, 2L)).toDF("grp", "i", "x")
     val e = intercept[Exception] {
