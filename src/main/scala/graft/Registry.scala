@@ -2726,6 +2726,23 @@ FROM orders o JOIN dim d ON o.o_custkey = d.k
     import graft.functions.{BottomK, CountMinSketch, MediaDims}
     import graft.text.TextFunctions.fingerprint
     import org.apache.spark.sql.functions._
+    // Derived partsupp surrogate shared by the Q2/Q9/Q11/Q16/Q20 shapes:
+    // the slim schema ships no partsupp table, so the supply relation is
+    // DECLARED from lineitem — per (partkey, suppkey), ps_supplycost = min
+    // extended price ever charged (exact DECIMAL(18,2)) and ps_availqty =
+    // all-time shipped quantity (exact BIGINT). One partial-agg'd shuffle
+    // keyed by exactly the pair every consumer joins back on.
+    def supplySurrogate(li: DataFrame): DataFrame =
+      li.groupBy(col("l_partkey").as("ps_partkey"),
+          col("l_suppkey").as("ps_suppkey"))
+        .agg(min(col("l_extendedprice").cast("decimal(18,2)")).as("ps_supplycost"),
+          sum(col("l_quantity").cast("bigint")).as("ps_availqty"))
+    // DuckDB CTE replaying supplySurrogate bit-for-bit.
+    val SupplyCte =
+      """supply AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+  min(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_supplycost,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ps_availqty
+  FROM lineitem GROUP BY 1, 2)"""
     Seq(
       // semi-structured access: JSON path extraction in the scan stage
       // (get_json_object + schema'd from_json agree row-for-row), one
@@ -3520,6 +3537,270 @@ WHERE bal * CAST(n AS DECIMAL(18,0)) > s
                   WHERE o_custkey = c_custkey
                     AND o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY 1 ORDER BY 1""")),
+
+      // TPC-H Q2 shape (minimum-cost supplier): the correlated scalar MIN
+      // subquery — for each qualifying part, the supplier in a region
+      // offering the minimum supply cost. The Spark side runs the
+      // DECORRELATED form (region-restricted supply aggregated to a
+      // per-part min, joined back on (partkey, cost)) while the oracle
+      // keeps the textbook correlated subquery, so hash equality proves
+      // the decorrelation. The 100-supplier dimension side broadcasts;
+      // the per-part min is partial-agg'd before its exchange
+      RegisteredQuery(
+        "q_tpch_q2",
+        (s, dir) => {
+          val t = Tables.resolve(s, dir)
+          val euroSupp = t("supplier")
+            .join(broadcast(t("nation")
+                .join(broadcast(t("region").where(col("r_name") === "EUROPE")),
+                  col("n_regionkey") === col("r_regionkey"))
+                .select("n_nationkey", "n_name")),
+              col("s_nationkey") === col("n_nationkey"))
+            .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+          // suppkey-only filter commutes with the pair-local aggregate:
+          // restricting lineitem BEFORE the supply build prunes the
+          // aggregation shuffle to the EU slice (same pairs, same mins)
+          val supplyEu = supplySurrogate(t("lineitem")
+              .join(broadcast(euroSupp.select("s_suppkey")),
+                col("l_suppkey") === col("s_suppkey"), "left_semi"))
+            .join(broadcast(euroSupp), col("ps_suppkey") === col("s_suppkey"))
+          val minCost = supplyEu.groupBy(col("ps_partkey").as("__pk"))
+            .agg(min(col("ps_supplycost")).as("__mc"))
+          supplyEu
+            .join(minCost, col("ps_partkey") === col("__pk") &&
+              col("ps_supplycost") === col("__mc"))
+            .join(broadcast(t("part")
+                .where(col("p_size") <= 25 && col("p_type") === "LARGE")
+                .select("p_partkey", "p_brand")),
+              col("ps_partkey") === col("p_partkey"))
+            .select(col("s_acctbal").cast("double").as("s_acctbal"),
+              col("s_name"), col("n_name"), col("p_partkey"), col("p_brand"),
+              col("ps_supplycost").cast("double").as("supplycost"))
+            .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+              col("p_partkey"), col("supplycost"))
+            .limit(100)
+        },
+        Some(s"""WITH $SupplyCte
+SELECT CAST(s_acctbal AS DOUBLE) AS s_acctbal, s_name, n_name, p_partkey, p_brand,
+  CAST(ps_supplycost AS DOUBLE) AS supplycost
+FROM part, supply, supplier, nation, region
+WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+  AND p_size <= 25 AND p_type = 'LARGE'
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+  AND ps_supplycost = (
+    SELECT min(ps_supplycost) FROM supply, supplier, nation, region
+    WHERE ps_partkey = p_partkey AND s_suppkey = ps_suppkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, supplycost LIMIT 100""")),
+
+      // TPC-H Q9 shape (product type profit): the widest join tree in the
+      // suite — fact joins the derived supply relation on BOTH its keys
+      // (partkey, suppkey), orders for the year, broadcast supplier →
+      // nation for the stratum; profit terms meet at a COMMON exact
+      // DECIMAL(30,4) before the subtraction so both engines sum
+      // identical exact values
+      RegisteredQuery(
+        "q_tpch_q9",
+        (s, dir) => {
+          val t = Tables.resolve(s, dir)
+          val gearParts = t("part").where(col("p_name").like("%gear%"))
+            .select("p_partkey")
+          val li = t("lineitem")
+            .join(broadcast(gearParts), col("l_partkey") === col("p_partkey"))
+            .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+              col("l_quantity").cast("bigint").as("__qty"),
+              (col("l_extendedprice").cast("decimal(18,2)") *
+                (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+                .cast("decimal(30,4)").as("__rev"))
+          val natSupp = t("supplier")
+            .join(broadcast(t("nation")), col("s_nationkey") === col("n_nationkey"))
+            .select(col("s_suppkey"), col("n_name"))
+          // partkey-only filter commutes with the pair-local aggregate:
+          // build supply over the gear slice only (same pairs, same mins)
+          li.join(supplySurrogate(t("lineitem")
+                .join(broadcast(gearParts),
+                  col("l_partkey") === col("p_partkey"), "left_semi")),
+              col("l_partkey") === col("ps_partkey") &&
+                col("l_suppkey") === col("ps_suppkey"))
+            .join(t("orders").select("o_orderkey", "o_orderdate"),
+              col("l_orderkey") === col("o_orderkey"))
+            .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+            .groupBy(col("n_name").as("nation"),
+              year(col("o_orderdate")).cast("bigint").as("o_year"))
+            .agg(sum(col("__rev") -
+                (col("ps_supplycost") * col("__qty")).cast("decimal(30,4)"))
+              .cast("double").as("sum_profit"))
+            .orderBy(col("nation"), col("o_year").desc)
+        },
+        Some(s"""WITH $SupplyCte
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(30,4))
+    - CAST(ps_supplycost * CAST(l_quantity AS BIGINT) AS DECIMAL(30,4))) AS DOUBLE)
+    AS sum_profit
+FROM part, supply, supplier, lineitem, orders, nation
+WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey AND ps_partkey = l_partkey
+  AND p_partkey = l_partkey AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+  AND p_name LIKE '%gear%'
+GROUP BY 1, 2 ORDER BY 1, 2 DESC""")),
+
+      // TPC-H Q11 shape (important stock): GROUP BY + HAVING against a
+      // scalar-subquery threshold. Values stay exact BIGINT cents
+      // (supplycost·100 · availqty) so the 0.1% threshold cross-multiplies
+      // into integers — no decimal-precision cap, no float drift; the
+      // 1-row national total broadcasts into the HAVING
+      RegisteredQuery(
+        "q_tpch_q11",
+        (s, dir) => {
+          val t = Tables.resolve(s, dir)
+          val natSupp = t("supplier")
+            .join(broadcast(t("nation").where(col("n_name") === "NATION_2")),
+              col("s_nationkey") === col("n_nationkey"))
+            .select(col("s_suppkey"))
+          val nsup = supplySurrogate(t("lineitem")
+              .join(broadcast(natSupp),
+                col("l_suppkey") === col("s_suppkey"), "left_semi"))
+            .select(col("ps_partkey"),
+              ((col("ps_supplycost") * 100).cast("long") * col("ps_availqty"))
+                .as("__cents"))
+          val tot = nsup.agg(sum(col("__cents")).as("__t"))
+          nsup.groupBy(col("ps_partkey"))
+            .agg(sum(col("__cents")).as("__v"))
+            .crossJoin(broadcast(tot))
+            .where(col("__v") * 1000 > col("__t"))
+            .select(col("ps_partkey"),
+              (col("__v").cast("double") / 100.0).as("value"))
+            .orderBy(col("value").desc, col("ps_partkey"))
+        },
+        Some(s"""WITH $SupplyCte,
+nsup AS (SELECT ps_partkey,
+    CAST(ps_supplycost * 100 AS BIGINT) * ps_availqty AS cents
+  FROM supply, supplier, nation
+  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_2'),
+tot AS (SELECT sum(cents) AS t FROM nsup)
+SELECT ps_partkey, CAST(sum(cents) AS DOUBLE) / 100.0 AS value
+FROM nsup, tot GROUP BY ps_partkey, t
+HAVING sum(cents) * 1000 > t
+ORDER BY value DESC, ps_partkey""")),
+
+      // TPC-H Q12 shape (shipping mode vs priority): the two-way
+      // conditional aggregation — one fact-fact join filtered on an
+      // inequality against the OUTER row's date, then CASE-split counts
+      // per mode (the slim schema has no shipmode/commit/receipt columns:
+      // mode is the A/R return flag, "late" is shipped >60 days after
+      // the order date, receipt year is the ship year)
+      RegisteredQuery(
+        "q_tpch_q12",
+        (s, dir) => {
+          val t = Tables.resolve(s, dir)
+          val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+          t("lineitem")
+            .where(col("l_returnflag").isin("A", "R") &&
+              col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+            .select("l_orderkey", "l_returnflag", "l_shipdate")
+            .join(t("orders").select("o_orderkey", "o_orderdate", "o_orderpriority"),
+              col("l_orderkey") === col("o_orderkey") &&
+                col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+            .groupBy(col("l_returnflag").as("shipmode"))
+            .agg(sum(when(hi, lit(1L)).otherwise(lit(0L))).as("high_line_count"),
+              sum(when(hi, lit(0L)).otherwise(lit(1L))).as("low_line_count"))
+            .orderBy(col("shipmode"))
+        },
+        Some("""SELECT l_returnflag AS shipmode,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+    AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+    AS BIGINT) AS low_line_count
+FROM orders, lineitem
+WHERE o_orderkey = l_orderkey AND l_returnflag IN ('A', 'R')
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1 ORDER BY 1""")),
+
+      // TPC-H Q16 shape (parts/supplier relationship): NOT-IN anti-join +
+      // COUNT DISTINCT. The excluded-supplier subquery (negative balance =
+      // the complaint surrogate) is non-null-keyed, so NOT IN ≡ left-anti
+      // — the oracle keeps the literal NOT IN to pin that equivalence;
+      // the distinct count is per (brand, type, size) after a broadcast
+      // part join
+      RegisteredQuery(
+        "q_tpch_q16",
+        (s, dir) => {
+          val t = Tables.resolve(s, dir)
+          val parts = t("part")
+            .where(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO" &&
+              col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+            .select("p_partkey", "p_brand", "p_type", "p_size")
+          supplySurrogate(t("lineitem")
+              .join(broadcast(parts.select("p_partkey")),
+                col("l_partkey") === col("p_partkey"), "left_semi"))
+            .join(broadcast(t("supplier").where(col("s_acctbal") < 0)
+                .select(col("s_suppkey"))),
+              col("ps_suppkey") === col("s_suppkey"), "left_anti")
+            .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+            .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+            .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+            .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+              col("p_size"))
+        },
+        Some(s"""WITH $SupplyCte
+SELECT p_brand, p_type, p_size, CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM supply, part
+WHERE p_partkey = ps_partkey
+  AND p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")),
+
+      // TPC-H Q20 shape (part promotion): the nested-IN ladder with a
+      // CORRELATED scalar threshold — suppliers of 'small%' parts whose
+      // all-time stock exceeds twice their 1997 shipments of that part.
+      // The empty-group NULL of the correlated sum (no 1997 shipments →
+      // NULL → row excluded) decorrelates to an INNER join against the
+      // 1997 aggregate; the final supplier membership is a left-semi
+      RegisteredQuery(
+        "q_tpch_q20",
+        (s, dir) => {
+          val t = Tables.resolve(s, dir)
+          val smallParts = t("part").where(col("p_name").like("small%"))
+            .select(col("p_partkey"))
+          val q97 = t("lineitem")
+            .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+            .join(broadcast(smallParts),
+              col("l_partkey") === col("p_partkey"), "left_semi")
+            .groupBy(col("l_partkey").as("__pk"), col("l_suppkey").as("__sk"))
+            .agg(sum(col("l_quantity").cast("bigint")).as("__q97"))
+          val cand = supplySurrogate(t("lineitem")
+              .join(broadcast(smallParts),
+                col("l_partkey") === col("p_partkey"), "left_semi"))
+            .join(broadcast(smallParts), col("ps_partkey") === col("p_partkey"))
+            .join(q97, col("ps_partkey") === col("__pk") &&
+              col("ps_suppkey") === col("__sk"))
+            .where(col("ps_availqty") > lit(2) * col("__q97"))
+            .select(col("ps_suppkey"))
+          t("supplier")
+            .join(broadcast(t("nation").where(col("n_name") === "NATION_1")),
+              col("s_nationkey") === col("n_nationkey"))
+            .join(cand, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+            .select(col("s_name"), col("s_acctbal").cast("double").as("s_acctbal"))
+            .orderBy(col("s_name"))
+        },
+        Some(s"""WITH $SupplyCte
+SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+FROM supplier, nation
+WHERE s_suppkey IN (
+    SELECT ps_suppkey FROM supply
+    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      AND ps_availqty > 2 * (
+        SELECT CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) FROM lineitem
+        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'))
+  AND s_nationkey = n_nationkey AND n_name = 'NATION_1'
+ORDER BY s_name""")),
 
       // exact triangle counting (degree-oriented wedge join, O(m^1.5))
       // over the part co-purchase graph: parts sharing an order, edges
