@@ -6325,6 +6325,78 @@ FROM (${graft.operators.DenseSeries.denseDailyOracleBody(
             "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")})""",
           "o_orderpriority", k = 20000000L, h = 100000000L))),
 
+      // per-key lifetime counters, driver-faced: three event-id chunks
+      // through the real mapGroupsWithState fold (initial-state overload
+      // seeds each chunk with the store) — final state hash-matches the
+      // one-shot batch aggregate because count + exact micro-sum are
+      // commutative Long algebra
+      RegisteredQuery(
+        "q_stateful_ingest",
+        (s, dir) => {
+          val store = "/tmp/graft_stateful_ingest_gate_store"
+          val conf = s.sparkContext.hadoopConfiguration
+          val p = new org.apache.hadoop.fs.Path(store)
+          val f = p.getFileSystem(conf)
+          Seq(p, graft.sources.AtomicStore.tmpPath(p),
+            graft.sources.AtomicStore.stashPath(p)).foreach(f.delete(_, true))
+          val ev = graft.llm.EventWindows.readEvents(s, s"$dir/events.parquet")
+            .localCheckpoint(true)
+          Seq(col("event_id") % 3 === 0, col("event_id") % 3 === 1,
+            col("event_id") % 3 === 2).foreach { cut =>
+            graft.streaming.StatefulIngest.ingestBatch(
+              ev.where(cut), store, "user_id", "value")
+          }
+          graft.streaming.StatefulIngest.snapshot(s, store)
+            .orderBy("key")
+        },
+        Some(graft.streaming.StatefulIngest.oracleSql(
+          "events", "user_id", "value"))),
+
+      // stream-stream interval join, driver-faced: clicks × purchases in
+      // [-1h, +4h] per user through three time-ordered chunks of the
+      // real watermarked-join state machine (late-drop, join against
+      // buffered∪new, watermark eviction) — the pair lake hash-matches
+      // the one-shot batch interval join because a pair's earlier
+      // element is provably still buffered when its later element lands
+      // on time
+      RegisteredQuery(
+        "q_stream_join_ingest",
+        (s, dir) => {
+          val store = "/tmp/graft_stream_join_gate_store"
+          val lake = "/tmp/graft_stream_join_gate_lake"
+          val conf = s.sparkContext.hadoopConfiguration
+          Seq(store, lake).foreach { d =>
+            val p = new org.apache.hadoop.fs.Path(d)
+            val f = p.getFileSystem(conf)
+            Seq(p, graft.sources.AtomicStore.tmpPath(p),
+              graft.sources.AtomicStore.stashPath(p)).foreach(f.delete(_, true))
+          }
+          val ev = graft.llm.EventWindows.readEvents(s, s"$dir/events.parquet")
+            .localCheckpoint(true)
+          val clicks = ev.where(col("event_type") === "click")
+            .select(col("user_id"), col("ts"), col("event_id"))
+          val purchases = ev.where(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts"), col("event_id"))
+          Seq(col("ts") < lit("2024-01-11").cast("timestamp_ntz"),
+            col("ts") >= lit("2024-01-11").cast("timestamp_ntz") &&
+              col("ts") < lit("2024-01-21").cast("timestamp_ntz"),
+            col("ts") >= lit("2024-01-21").cast("timestamp_ntz")).foreach { cut =>
+            graft.streaming.StreamJoinIngest.ingestBatch(
+              clicks.where(cut), purchases.where(cut), store, lake,
+              "user_id", "ts", "event_id", "user_id", "ts", "event_id",
+              before = "1 HOUR", after = "4 HOURS", lateness = "1 HOUR")
+          }
+          s.read.parquet(lake)
+            .select("key", "left_id", "right_id", "left_ts", "right_ts")
+            .orderBy("key", "left_id", "right_id")
+        },
+        Some(graft.streaming.StreamJoinIngest.oracleSql(
+          leftSql = "SELECT user_id AS key, ts, event_id AS id FROM events " +
+            "WHERE event_type = 'click' AND user_id IS NOT NULL AND ts IS NOT NULL",
+          rightSql = "SELECT user_id AS key, ts, event_id AS id FROM events " +
+            "WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL",
+          before = "1 HOUR", after = "4 HOURS"))),
+
       // Krippendorff alpha over a simulated annotation fleet: orderkey
       // quartets are "units" (multiplicity <= 4 at ANY scale factor —
       // orderkeys are unique), 3/4 of ratings carry the unit-determined

@@ -27,6 +27,16 @@ object StatefulOps {
   /** State record (public: the state encoder's codegen constructs it). */
   final case class AggState(n: Long, sumMicros: Long)
 
+  /** The single state transition shared by [[runningTotals]] and
+    * [[StatefulIngest.ingestBatch]] — one event folds into the lifetime
+    * record as exact integer micros (⌊v·10⁶ + 0.5⌋, rounded ONCE per
+    * event; the DuckDB replay is `floor(value*1000000 + 0.5)`, the same
+    * IEEE ops). Long addition commutes, so the fold is batching- and
+    * partitioning-independent.
+    */
+  private[streaming] def step(s: AggState, v: Double): AggState =
+    AggState(s.n + 1, s.sumMicros + math.round(v * 1e6))
+
   /** Running (count, sum) per key, one snapshot row per key per micro-batch
     * that touched it. `update` output mode.
     *
@@ -42,9 +52,7 @@ object StatefulOps {
       .mapGroupsWithState[AggState, KeyedSnapshot](GroupStateTimeout.NoTimeout) {
         (key: Long, rows: Iterator[(Long, Double)], state: GroupState[AggState]) =>
           var s = state.getOption.getOrElse(AggState(0L, 0L))
-          rows.foreach { case (_, v) =>
-            s = AggState(s.n + 1, s.sumMicros + math.round(v * 1e6))
-          }
+          rows.foreach { case (_, v) => s = step(s, v) }
           state.update(s)
           KeyedSnapshot(key, s.n, s.sumMicros / 1e6)
       }
