@@ -4033,11 +4033,14 @@ ORDER BY s_name""")),
       // doubled-average-rank identity end-to-end
       RegisteredQuery(
         "q_roc_auc",
-        (s, dir) => graft.operators.RocAuc.auc(
+        // through the two-level rank decomposition (bucketWidth 8 over
+        // the 1..50 qty domain — both window levels exercised); the
+        // oracle stays the window form, which gates the identity
+        (s, dir) => graft.operators.RocAuc.aucBucketed(
             Tables.resolve(s, dir)("lineitem")
               .withColumn("qty", col("l_quantity").cast("bigint")),
             Seq("l_linestatus"), "qty",
-            (col("l_returnflag") === "R").cast("long"))
+            (col("l_returnflag") === "R").cast("long"), bucketWidth = 8)
           .orderBy("l_linestatus"),
         Some(graft.operators.RocAuc.oracleSql(
           "lineitem", Seq("l_linestatus"),
@@ -4076,12 +4079,16 @@ ORDER BY s_name""")),
       // shortcut is wrong under ties), moments as canonical strings
       RegisteredQuery(
         "q_spearman",
-        (s, dir) => graft.operators.Spearman.correlation(
+        // through the two-level rank decomposition (widths sized per
+        // axis: 8 over the 1..50 qty domain, 10^6 over cents — both
+        // window levels exercised on both axes); oracle = window form
+        (s, dir) => graft.operators.Spearman.correlationBucketed(
             Tables.resolve(s, dir)("lineitem")
               .withColumn("qty", col("l_quantity").cast("bigint"))
               .withColumn("cents",
                 (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")),
-            Seq("l_returnflag"), "qty", "cents")
+            Seq("l_returnflag"), "qty", "cents",
+            xBucketWidth = 8, yBucketWidth = 1000000L)
           .drop("corr")
           .withColumn("corr_num", col("corr_num").cast("string"))
           .withColumn("var_x", col("var_x").cast("string"))

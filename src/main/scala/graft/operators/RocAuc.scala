@@ -61,6 +61,48 @@ object RocAuc {
         sum(col("__y")).as("__np"),
         sum(when(col("__y") === 1L, col("__r2")).otherwise(lit(0L)))
           .cast(dec).as("__r2p"))
+    finish(agg, groupCols)
+  }
+
+  /** [[auc]] through the two-level [[RankDecomp]] decomposition —
+    * identical output at EVERY bucket width (same identity, same
+    * oracle), with NO per-group rank window and no row-level rank join
+    * either: rows collapse to the (group, score) mass table (one
+    * partial-agg'd shuffle carrying count + positive count), ranks
+    * decompose over that table with (group, bucket) windows, and the
+    * positive rank sum is Σ npos(v)·r2(v) — a whale group never sorts
+    * or even materializes per-row ranks. Integral scores required.
+    */
+  def aucBucketed(df: DataFrame, groupCols: Seq[String], scoreCol: String,
+                  label: Column, bucketWidth: Long): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must not be empty")
+    graft.Guards.requireIntegral(df, scoreCol, "aucBucketed")
+    val dec = "decimal(38,0)"
+    val g = groupCols.map(col)
+    val y0 = label.cast("long")
+    val y = when(y0.isNull || y0 === 0L || y0 === 1L, y0)
+      .otherwise(raise_error(concat(
+        lit("RocAuc: label must be 0/1, got "), y0.cast("string"))))
+    val collapsed = df
+      .select(df.columns.map(col) :+ y.as("__y"): _*)
+      .where(col(scoreCol).isNotNull && col("__y").isNotNull)
+      .groupBy((g :+ col(scoreCol).cast("long").as("__v")): _*)
+      .agg(count(lit(1)).as("__c"), sum(col("__y")).as("__cp"))
+    val withR2 = RankDecomp.doubledRankMap(
+      collapsed, groupCols, "__v", "__c", bucketWidth)
+    val agg = withR2.groupBy(g: _*)
+      .agg(sum(col("__c")).as("__n"),
+        sum(col("__cp")).as("__np"),
+        sum(col("__cp").cast(dec) * col("__r2").cast(dec))
+          .cast(dec).as("__r2p"))
+    finish(agg, groupCols)
+  }
+
+  /** The shared readout: (n, np, Σ positive doubled ranks) → AUC. */
+  private def finish(agg: DataFrame,
+                     groupCols: Seq[String]): DataFrame = {
+    val dec = "decimal(38,0)"
+    val g = groupCols.map(col)
     val np = col("__np").cast(dec)
     val nn = (col("__n") - col("__np")).cast(dec)
     val num2 = col("__r2p") - np * (np + lit(1).cast(dec))

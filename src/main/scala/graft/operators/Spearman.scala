@@ -60,6 +60,53 @@ object Spearman {
     GroupedTrend.correlation(ranked(df, groupCols, xCol, yCol),
       groupCols, "__rx2", "__ry2")
 
+  /** [[ranked]] through the two-level [[RankDecomp]] decomposition —
+    * identical `__rx2`/`__ry2` at EVERY bucket width (one identity, one
+    * oracle), but no per-group rank window: each axis builds a
+    * distinct-value rank MAP (windows partitioned by (group, bucket))
+    * and rows join it on the 8-byte (group, value) key, so a whale
+    * group never sorts in one task. Integral axes required (the map
+    * join keys on the exact value).
+    */
+  def rankedBucketed(df: DataFrame, groupCols: Seq[String], xCol: String,
+                     yCol: String, xBucketWidth: Long,
+                     yBucketWidth: Long): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must not be empty")
+    Seq(xCol, yCol).foreach(c =>
+      graft.Guards.requireIntegral(df, c, "rankedBucketed"))
+    val g = groupCols.map(col)
+    val base = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+    def rmap(c: String, w: Long, tag: String): DataFrame =
+      RankDecomp.doubledRankMap(
+        base.groupBy((g :+ col(c).cast("long").as("__v")): _*)
+          .agg(count(lit(1)).as("__c")),
+        groupCols, "__v", "__c", w)
+        .select((groupCols.zipWithIndex.map { case (gc, i) =>
+          col(gc).as(s"__${tag}g$i") } ++
+          Seq(col("__v").as(s"__${tag}v"), col("__r2").as(s"__${tag}r2"))): _*)
+    def joinCond(tag: String, vc: String) =
+      groupCols.zipWithIndex.map { case (gc, i) =>
+        col(gc) <=> col(s"__${tag}g$i") }.reduce(_ && _) &&
+        col(vc).cast("long") === col(s"__${tag}v")
+    base
+      .join(rmap(xCol, xBucketWidth, "x"), joinCond("x", xCol))
+      .join(rmap(yCol, yBucketWidth, "y"), joinCond("y", yCol))
+      .withColumn("__rx2", col("__xr2"))
+      .withColumn("__ry2", col("__yr2"))
+      .drop((Seq("__xv", "__yv", "__xr2", "__yr2") ++
+        groupCols.indices.flatMap(i => Seq(s"__xg$i", s"__yg$i"))): _*)
+  }
+
+  /** [[correlation]] through the decomposed rank path — gate-equal to
+    * the window form at every bucket width.
+    */
+  def correlationBucketed(df: DataFrame, groupCols: Seq[String],
+                          xCol: String, yCol: String, xBucketWidth: Long,
+                          yBucketWidth: Long): DataFrame =
+    GroupedTrend.correlation(
+      rankedBucketed(df, groupCols, xCol, yCol, xBucketWidth, yBucketWidth),
+      groupCols, "__rx2", "__ry2")
+
   /** DuckDB replay: the same doubled ranks as a derived table fed to
     * the shared Pearson moment oracle — one rank definition per engine,
     * one moment definition total.

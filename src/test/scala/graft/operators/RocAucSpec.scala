@@ -57,4 +57,17 @@ class RocAucSpec extends SparkSpec {
       if (t == null) Nil else t.getMessage +: all(t.getCause)
     assert(all(ex).exists(m => m != null && m.contains("label must be 0/1")))
   }
+
+  test("bucketWidth independence: decomposed AUC ≡ window AUC at every width") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .withColumn("qty", org.apache.spark.sql.functions.col("l_quantity").cast("bigint"))
+    val lbl = (org.apache.spark.sql.functions.col("l_returnflag") === "R").cast("long")
+    val want = RocAuc.auc(li, Seq("l_linestatus"), "qty", lbl)
+      .orderBy("l_linestatus").collect().map(_.toSeq).toSeq
+    Seq(1L, 8L, 1000000000L).foreach { w =>
+      val got = RocAuc.aucBucketed(li, Seq("l_linestatus"), "qty", lbl, w)
+        .orderBy("l_linestatus").collect().map(_.toSeq).toSeq
+      assert(got == want, s"width $w diverged")
+    }
+  }
 }

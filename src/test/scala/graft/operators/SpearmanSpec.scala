@@ -50,4 +50,29 @@ class SpearmanSpec extends SparkSpec {
     assert(math.abs(got(0).getAs[Double]("corr") - 1.0) < 1e-12)
     assert(math.abs(got(1).getAs[Double]("corr") + 1.0) < 1e-12)
   }
+
+  test("bucketWidth independence: decomposed ranks ≡ window ranks at every width") {
+    val docs = spark.read.parquet(s"$sf/lineitem.parquet")
+      .withColumn("qty", org.apache.spark.sql.functions.col("l_quantity").cast("bigint"))
+      .withColumn("cents", org.apache.spark.sql.functions.expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+    val want = Spearman.correlation(docs, Seq("l_returnflag"), "qty", "cents")
+      .orderBy("l_returnflag").collect().map(_.toSeq).toSeq
+    Seq((1L, 1L), (8L, 1000000L), (1000000000L, 1000000000L)).foreach {
+      case (wx, wy) =>
+        val got = Spearman.correlationBucketed(docs, Seq("l_returnflag"),
+            "qty", "cents", wx, wy)
+          .orderBy("l_returnflag").collect().map(_.toSeq).toSeq
+        assert(got == want, s"width ($wx, $wy) diverged")
+    }
+    // negative values: truncating-div bucketing stays monotone
+    import spark.implicits._
+    val neg = Seq(("a", -3L, 9L), ("a", -1L, 7L), ("a", 1L, 5L),
+      ("a", 2L, 3L), ("a", -1L, 1L)).toDF("g", "x", "y")
+    val w = Spearman.ranked(neg, Seq("g"), "x", "y")
+      .select("x", "y", "__rx2", "__ry2").collect().map(_.toSeq).toSet
+    val b = Spearman.rankedBucketed(neg, Seq("g"), "x", "y", 2L, 2L)
+      .select("x", "y", "__rx2", "__ry2").collect().map(_.toSeq).toSet
+    assert(b == w)
+  }
 }
