@@ -44,10 +44,77 @@ object EdJoin {
     * edit distance ≤ `k` (k = 1 or 2 — the deletion-blocking domain; larger
     * radii on short strings mean the metric, not the threshold, is wrong).
     * Null strings never pair.
+    *
+    * `maxBucket` bounds the DEGENERATE variant bucket (the
+    * [[graft.llm.Dedup.dedupMinhashPairs]] cap applied to deletion
+    * blocking): a near-identical key corpus concentrates one variant
+    * bucket — the bucket IS the true near-match set, so candidate volume
+    * n² is output-shaped but may still be more than a capped pipeline
+    * wants. With a cap, each bucket's left side is its `maxBucket`
+    * lowest-id REPRESENTATIVES (a partial-agg'd bounded BottomK — a whale
+    * bucket collapses map-side, never a window sort) and every member
+    * still pairs against them, so the capped output is ⊆ the exact pairs
+    * with every overflow-bucket member reachable from the representative
+    * set (connected-component resolution keeps the cluster whole).
+    * Honest, not silent: pairs between two non-representatives of an
+    * overflowing bucket are only found via another shared variant — audit
+    * with [[bucketOverflow]] before trusting a capped run. Default
+    * `Int.MaxValue` = exact (uncapped).
     */
-  def selfJoin(df: DataFrame, idCol: String, strCol: String, k: Int): DataFrame = {
+  def selfJoin(df: DataFrame, idCol: String, strCol: String, k: Int,
+               maxBucket: Int = Int.MaxValue): DataFrame = {
     require(k == 1 || k == 2,
       s"deletion blocking covers k in {1, 2}, got $k (for coarser matching use minhash)")
+    require(maxBucket > 0, s"maxBucket must be positive, got $maxBucket")
+    val toks = variantHashes(df, idCol, strCol, k)
+
+    // capped: the a-side shrinks to ≤maxBucket lowest-id reps per variant
+    // hash; payload (len, s) rejoins by 8-byte id against the rep sliver
+    val a =
+      if (maxBucket == Int.MaxValue)
+        toks.select(col("h"), col("id").as("id_a"), col("len").as("len_a"),
+          col("s").as("s_a"))
+      else
+        toks.groupBy(col("h"))
+          .agg(graft.functions.BottomK(maxBucket)(col("id")).as("__reps"))
+          .select(col("h"), explode(col("__reps")).as("id_a"))
+          .join(df.select(col(idCol).cast("long").as("id_a"),
+              col(strCol).as("s_a"))
+            .where(col("s_a").isNotNull)
+            .withColumn("len_a", length(col("s_a"))), Seq("id_a"))
+    val b = toks.select(col("h"), col("id").as("id_b"), col("len").as("len_b"), col("s").as("s_b"))
+    a.join(b, Seq("h"))
+      .where(col("id_a") < col("id_b") && abs(col("len_a") - col("len_b")) <= k)
+      .select("id_a", "s_a", "id_b", "s_b").distinct()
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .where(col("dist") <= k)
+      .select("id_a", "id_b", "dist")
+  }
+
+  /** Audit for a capped [[selfJoin]] run: the (variant hash, n_members)
+    * buckets whose population exceeds `maxBucket` — exactly the buckets
+    * where the cap approximates (pairs between two non-representatives
+    * may be missed). Empty result ⇒ the capped run was exact. One
+    * partial-agg'd count shuffle; output is overflow-sized (degenerate
+    * key corpora only). Same variant generation as [[selfJoin]], shared
+    * by construction.
+    */
+  def bucketOverflow(df: DataFrame, idCol: String, strCol: String, k: Int,
+                     maxBucket: Int): DataFrame = {
+    require(k == 1 || k == 2,
+      s"deletion blocking covers k in {1, 2}, got $k")
+    require(maxBucket > 0, s"maxBucket must be positive, got $maxBucket")
+    variantHashes(df, idCol, strCol, k)
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_members"))
+      .where(col("n_members") > maxBucket)
+  }
+
+  /** (id, len, s, h) — one row per deletion variant; the single variant
+    * definition [[selfJoin]] and [[bucketOverflow]] share.
+    */
+  private def variantHashes(df: DataFrame, idCol: String, strCol: String,
+                            k: Int): DataFrame = {
     // variant generation is the CPU-heavy stage (O(len·k) string surgery
     // per row in the scan); a small parquet file arrives as ONE partition,
     // which would serialize it — spread the input first
@@ -56,9 +123,6 @@ object EdJoin {
     val base = src.select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
       .where(col("s").isNotNull)
       .withColumn("len", length(col("s")))
-
-    // deletion variants, 0-based delete positions rendered with 1-based
-    // SQL substring: del(i) = s[0,i) ++ s(i,·); del(i,j) also drops j
     val del1 = "transform(sequence(0, len - 1), i -> concat(substring(s, 1, i), substring(s, i + 2)))"
     val del2 = """flatten(transform(sequence(0, len - 2), i ->
         transform(sequence(i + 1, len - 1), j ->
@@ -67,23 +131,13 @@ object EdJoin {
       if (k == 1) s"array_distinct(concat(array(s), $del1))"
       else s"array_distinct(concat(array(s), $del1, $del2))"
     // guard: sequence(0, -1) errors rather than returning empty — route
-    // len<=k strings through array(s) alone (their deletes reach "" anyway
-    // via shorter partners' variants only when those exist; the variant set
-    // of a length<=k string must still include its own deletes down to "")
-    val toks = base.select(col("id"), col("len"), col("s"),
+    // len<=k strings through array(s) alone; deletion variants use 0-based
+    // delete positions rendered with 1-based SQL substring
+    base.select(col("id"), col("len"), col("s"),
       explode(expr(s"""CASE WHEN len = 0 THEN array(s)
                             WHEN len = 1 THEN array(s, '')
                             ELSE $variants END""")).as("v"))
       .select(col("id"), col("len"), col("s"), TextFunctions.hash60(col("v")).as("h"))
-
-    val a = toks.select(col("h"), col("id").as("id_a"), col("len").as("len_a"), col("s").as("s_a"))
-    val b = toks.select(col("h"), col("id").as("id_b"), col("len").as("len_b"), col("s").as("s_b"))
-    a.join(b, Seq("h"))
-      .where(col("id_a") < col("id_b") && abs(col("len_a") - col("len_b")) <= k)
-      .select("id_a", "s_a", "id_b", "s_b").distinct()
-      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
-      .where(col("dist") <= k)
-      .select("id_a", "id_b", "dist")
   }
 
   /** DuckDB replay: the naive quadratic join (the semantics, minus the

@@ -83,4 +83,45 @@ class EdJoinSpec extends SparkSpec {
     val plan = EdJoin.selfJoin(df, "id", "s", 1).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("capped bucket: near-identical corpus stays ~n·cap, clusters stay connected") {
+    // 40 keys all within ed 1 of "key0000" siblings: every variant bucket
+    // overflows a cap of 3
+    val rows = (0L until 40L).map(i => (i, f"key$i%04d"))
+    val df = rows.toDF("id", "s")
+    val capped = EdJoin.selfJoin(df, "id", "s", k = 1, maxBucket = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = brute(rows, 1)
+    // capped ⊆ exact (the cap only drops candidates, never invents)
+    assert(capped.subsetOf(exact))
+    // every id stays reachable from the lowest-id representative set:
+    // union-find over the capped pairs keeps one component
+    val parent = scala.collection.mutable.Map((0L until 40L).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    capped.foreach { case (a, b, _) => parent(find(a)) = find(b) }
+    // ids 0..9, 10..19, ... differ only in digits — with "key" shared the
+    // true pair graph over ed<=1 connects ids sharing 3 of 4 digits; check
+    // that the capped graph loses NO component relative to the exact graph
+    val parentE = scala.collection.mutable.Map((0L until 40L).map(i => i -> i): _*)
+    def findE(x: Long): Long = if (parentE(x) == x) x else { val r = findE(parentE(x)); parentE(x) = r; r }
+    exact.foreach { case (a, b, _) => parentE(findE(a)) = findE(b) }
+    val compsC = (0L until 40L).groupBy(find).values.map(_.toSet).toSet
+    val compsE = (0L until 40L).groupBy(findE).values.map(_.toSet).toSet
+    assert(compsC == compsE, "capped pair graph must keep the exact components")
+    // and the overflow audit names the hot buckets
+    val overflow = EdJoin.bucketOverflow(df, "id", "s", k = 1, maxBucket = 3)
+    assert(overflow.count() > 0)
+    assert(overflow.agg(max(col("n_members"))).head().getLong(0) <= 40L)
+  }
+
+  test("roomy cap equals the uncapped pairs; audit is empty when exact") {
+    val rows = Seq((1L, "alpha"), (2L, "alphb"), (3L, "beta"), (4L, "betax"))
+    val df = rows.toDF("id", "s")
+    val capped = EdJoin.selfJoin(df, "id", "s", k = 1, maxBucket = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val uncapped = EdJoin.selfJoin(df, "id", "s", k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped == uncapped)
+    assert(EdJoin.bucketOverflow(df, "id", "s", k = 1, maxBucket = 1000).count() === 0L)
+  }
 }
