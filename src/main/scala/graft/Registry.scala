@@ -6404,6 +6404,29 @@ FROM (${graft.operators.DenseSeries.denseDailyOracleBody(
             "WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL",
           before = "1 HOUR", after = "4 HOURS"))),
 
+      // per-group isotonic regression: PAV (native stack expression over
+      // the collected calendar series) on monthly revenue per priority;
+      // the oracle replays the minimax identity max_j min_k avg(j..k)
+      // with identically-quantized candidate averages — trunc is
+      // monotone, so it commutes with the max-min
+      RegisteredQuery(
+        "q_isotonic",
+        (s, dir) => {
+          val monthly = Tables.resolve(s, dir)("orders")
+            .groupBy(col("o_orderpriority"),
+              (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+                .cast("long").as("m"))
+            .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+              .cast("long")).as("x"))
+          graft.operators.Isotonic.fit(monthly, "o_orderpriority", "m", "x")
+            .orderBy("o_orderpriority", "idx")
+        },
+        Some(graft.operators.Isotonic.oracleSql(
+          """SELECT o_orderpriority AS grp,
+  CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS i,
+  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+FROM orders GROUP BY 1, 2""", "o_orderpriority"))),
+
       // Krippendorff alpha over a simulated annotation fleet: orderkey
       // quartets are "units" (multiplicity <= 4 at ANY scale factor —
       // orderkeys are unique), 3/4 of ratings carry the unit-determined
