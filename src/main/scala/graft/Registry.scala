@@ -6427,6 +6427,23 @@ FROM (${graft.operators.DenseSeries.denseDailyOracleBody(
   CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
 FROM orders GROUP BY 1, 2""", "o_orderpriority"))),
 
+      // HITS hubs/authorities over the directed part -> supplier
+      // purchase graph (hubs = parts bought from many good suppliers,
+      // authorities = suppliers reached from many good parts): exact
+      // integer mutual reinforcement + max-normalization per half-round,
+      // unrolled-CTE oracle
+      RegisteredQuery(
+        "q_hits",
+        (s, dir) => {
+          val li = Tables.resolve(s, dir)("lineitem")
+          val edges = li.select(col("l_partkey").as("src"),
+            (col("l_suppkey") + 100000000L).as("dst")).distinct()
+          graft.operators.Hits.hubsAuthorities(edges, iters = 4).orderBy("id")
+        },
+        Some(graft.operators.Hits.oracleSql(
+          "SELECT DISTINCT l_partkey AS src, l_suppkey + 100000000 AS dst FROM lineitem",
+          iters = 4))),
+
       // Krippendorff alpha over a simulated annotation fleet: orderkey
       // quartets are "units" (multiplicity <= 4 at ANY scale factor —
       // orderkeys are unique), 3/4 of ratings carry the unit-determined
