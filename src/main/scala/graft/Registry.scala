@@ -6444,6 +6444,25 @@ FROM orders GROUP BY 1, 2""", "o_orderpriority"))),
           "SELECT DISTINCT l_partkey AS src, l_suppkey + 100000000 AS dst FROM lineitem",
           iters = 4))),
 
+      // per-row percentile-rank (ECDF) transform through the RankDecomp
+      // two-level decomposition (no per-group rank window); oracle is
+      // the window form, which gates the decomposition
+      RegisteredQuery(
+        "q_percentile_rank",
+        (s, dir) => graft.operators.PercentileRank.transform(
+            Tables.resolve(s, dir)("orders")
+              .withColumn("cents",
+                (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+              .select("o_orderkey", "o_orderpriority", "cents"),
+            Seq("o_orderpriority"), "cents", bucketWidth = 1000000L)
+          .orderBy("o_orderkey"),
+        Some(graft.operators.PercentileRank.oracleSql(
+          "(SELECT o_orderkey, o_orderpriority, " +
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents " +
+            "FROM orders)",
+          Seq("o_orderpriority"), "o_orderkey", "cents",
+          Seq("o_orderkey", "o_orderpriority", "cents")))),
+
       // Krippendorff alpha over a simulated annotation fleet: orderkey
       // quartets are "units" (multiplicity <= 4 at ANY scale factor —
       // orderkeys are unique), 3/4 of ratings carry the unit-determined
