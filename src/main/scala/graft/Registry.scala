@@ -2639,6 +2639,21 @@ FROM orders o JOIN dim d ON o.o_custkey = d.k
             "user_id", "ts", "value"),
         Some(graft.operators.Resample.gapFillOracle("events", "user_id", "ts", "value"))),
 
+      // linear-interpolation gap fill on the same grid: exact rational
+      // interpolation between surrounding observations over integer row
+      // positions, sign-split HUGEINT division both engines
+      RegisteredQuery(
+        "q_resample_linear",
+        (s, dir) => graft.operators.Resample.gapFillLinear(
+            graft.llm.EventWindows.readEvents(s, s"$dir/events.parquet")
+              .withColumn("cents",
+                (col("value").cast("decimal(18,2)") * 100).cast("long")),
+            "user_id", "ts", "cents", interval = "6 hours"),
+        Some(graft.operators.Resample.gapFillLinearOracle(
+          "events", "user_id", "ts",
+          "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)",
+          intervalSql = "INTERVAL 6 HOUR"))),
+
       // weekly cohort retention matrix over the event stream: date_trunc
       // floors + integer day arithmetic, engine-replayable exactly
       RegisteredQuery(

@@ -67,4 +67,42 @@ class ResampleSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("linear fill: hand-checked interpolation, exact and truncating") {
+    import spark.implicits._
+    // key 1: observed at buckets 0 (v=5) and 3 (v=7) -> gap cells at
+    // 1, 2 interpolate 5 + (2/3)*1e6... per-cell: 5e6 + trunc(2*d*1e6/3)
+    val df = Seq(
+      (1L, ts("2024-01-01 00:10:00"), 5L),
+      (1L, ts("2024-01-01 03:15:00"), 7L),
+      (2L, ts("2024-01-01 01:00:00"), -3L),
+      (2L, ts("2024-01-01 03:00:00"), -6L)) // negative slope: sign-split
+      .toDF("k", "t", "v")
+    val got = Resample.gapFillLinear(df, "k", "t", "v")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2),
+        r.getBoolean(3))).toSet
+    assert(got == Set(
+      (1L, "2024-01-01 00:00:00.0", 5000000L, true),
+      (1L, "2024-01-01 01:00:00.0", 5000000L + 666666L, false),
+      (1L, "2024-01-01 02:00:00.0", 5000000L + 1333333L, false),
+      (1L, "2024-01-01 03:00:00.0", 7000000L, true),
+      (2L, "2024-01-01 01:00:00.0", -3000000L, true),
+      // -3 + (-3)*(1/2) = -4.5; sign-split trunc of -1500000
+      (2L, "2024-01-01 02:00:00.0", -4500000L, false),
+      (2L, "2024-01-01 03:00:00.0", -6000000L, true)), got.toString)
+  }
+
+  test("linear fill: every unobserved cell has both neighbors (total interpolation)") {
+    import spark.implicits._
+    val df = Seq((1L, ts("2024-01-01 00:00:00"), 1L),
+      (1L, ts("2024-01-01 05:00:00"), 11L)).toDF("k", "t", "v")
+    val got = Resample.gapFillLinear(df, "k", "t", "v")
+      .collect().map(r => r.getLong(2))
+    assert(got.length == 6)
+    assert(got.forall(_ != 0L), "no cell may be left unfilled")
+    // exact arithmetic: slope 2/hour -> 1,3,5,7,9,11 in q6
+    assert(got.sorted.toSeq ==
+      Seq(1L, 3L, 5L, 7L, 9L, 11L).map(_ * 1000000L))
+  }
 }
