@@ -6478,6 +6478,32 @@ FROM orders GROUP BY 1, 2""", "o_orderpriority"))),
           Seq("o_orderpriority"), "o_orderkey", "cents",
           Seq("o_orderkey", "o_orderpriority", "cents")))),
 
+      // streaming distinct-count ingest: three orderkey chunks fold HLL
+      // registers into the store by max-merge (sketch closure), the
+      // estimate after the last fold ≡ the one-shot estimator over the
+      // whole table — the one idempotent (at-least-once-safe) fold in
+      // the ingest family
+      RegisteredQuery(
+        "q_hll_ingest",
+        (s, dir) => {
+          val store = "/tmp/graft_hll_ingest_gate_store"
+          val conf = s.sparkContext.hadoopConfiguration
+          val p = new org.apache.hadoop.fs.Path(store)
+          val f = p.getFileSystem(conf)
+          Seq(p, graft.sources.AtomicStore.tmpPath(p),
+            graft.sources.AtomicStore.stashPath(p)).foreach(f.delete(_, true))
+          val o = Tables.resolve(s, dir)("orders").localCheckpoint(true)
+          Seq(col("o_orderkey") % 3 === 0, col("o_orderkey") % 3 === 1,
+            col("o_orderkey") % 3 === 2).foreach { cut =>
+            graft.streaming.HllIngest.ingestBatch(
+              o.where(cut), store, Seq("o_orderpriority"), "o_custkey")
+          }
+          graft.streaming.HllIngest.estimate(s, store, Seq("o_orderpriority"))
+            .orderBy("o_orderpriority")
+        },
+        Some(graft.operators.HllDistinct.oracleSql(
+          "orders", Seq("o_orderpriority"), "o_custkey"))),
+
       // Krippendorff alpha over a simulated annotation fleet: orderkey
       // quartets are "units" (multiplicity <= 4 at ANY scale factor —
       // orderkeys are unique), 3/4 of ratings carry the unit-determined
