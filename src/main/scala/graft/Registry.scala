@@ -6504,6 +6504,32 @@ FROM orders GROUP BY 1, 2""", "o_orderpriority"))),
         Some(graft.operators.HllDistinct.oracleSql(
           "orders", Seq("o_orderpriority"), "o_custkey"))),
 
+      // additive seasonal decomposition over the dense daily spine:
+      // centered RANGE-frame moving-average trend, pmod weekly seasonal
+      // means of the detrended series, exact additive identity — alert
+      // on the remainder, not the raw metric
+      RegisteredQuery(
+        "q_seasonal_decomp",
+        (s, dir) => graft.operators.SeasonalDecomp.decompose(
+            graft.operators.DenseSeries.denseDaily(
+                Tables.resolve(s, dir)("orders")
+                  .withColumn("cents",
+                    (col("o_totalprice").cast("decimal(18,2)") * 100)
+                      .cast("long")),
+                "o_orderpriority", "o_orderdate", "cents")
+              .select(col("o_orderpriority"),
+                datediff(col("day"), lit("1970-01-01")).cast("long").as("i"),
+                col("sum_value").as("x")),
+            "o_orderpriority", "i", "x", period = 7, halfWindow = 3)
+          .orderBy("o_orderpriority", "idx"),
+        Some(graft.operators.SeasonalDecomp.oracleSql(
+          s"""SELECT o_orderpriority AS grp,
+  CAST(day - DATE '1970-01-01' AS BIGINT) AS i, sum_value AS x
+FROM (${graft.operators.DenseSeries.denseDailyOracleBody(
+            "orders", "o_orderpriority", "o_orderdate",
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")})""",
+          "o_orderpriority", period = 7, halfWindow = 3))),
+
       // Krippendorff alpha over a simulated annotation fleet: orderkey
       // quartets are "units" (multiplicity <= 4 at ANY scale factor —
       // orderkeys are unique), 3/4 of ratings carry the unit-determined
