@@ -6530,6 +6530,23 @@ FROM (${graft.operators.DenseSeries.denseDailyOracleBody(
             "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")})""",
           "o_orderpriority", period = 7, halfWindow = 3))),
 
+      // exact Kendall tau-b pair counts: distinct-cell dominance join
+      // (bounded-cardinality axes — the Contingency contract), all five
+      // pair classes as exact integers; the float tau stays spec-side
+      RegisteredQuery(
+        "q_kendall_tau",
+        (s, dir) => graft.operators.KendallTau.tauB(
+            Tables.resolve(s, dir)("lineitem")
+              .withColumn("qty", col("l_quantity").cast("bigint"))
+              .withColumn("ln", col("l_linenumber").cast("bigint")),
+            Seq("l_returnflag"), "qty", "ln")
+          .drop("tau_b")
+          .orderBy("l_returnflag"),
+        Some(graft.operators.KendallTau.oracleSql(
+          "lineitem", Seq("l_returnflag"),
+          xSql = "CAST(l_quantity AS BIGINT)",
+          ySql = "CAST(l_linenumber AS BIGINT)"))),
+
       // Krippendorff alpha over a simulated annotation fleet: orderkey
       // quartets are "units" (multiplicity <= 4 at ANY scale factor —
       // orderkeys are unique), 3/4 of ratings carry the unit-determined
