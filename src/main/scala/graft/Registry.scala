@@ -6547,6 +6547,16 @@ FROM (${graft.operators.DenseSeries.denseDailyOracleBody(
           xSql = "CAST(l_quantity AS BIGINT)",
           ySql = "CAST(l_linenumber AS BIGINT)"))),
 
+      // adjusted Rand index between two labelings (lang vs source of
+      // documents): exact pair counts off the contingency cells; the
+      // float chance-corrected ari stays spec-side
+      RegisteredQuery(
+        "q_adjusted_rand",
+        (s, dir) => graft.operators.RandIndex.adjustedRand(
+            Tables.resolve(s, dir)("documents"), "lang", "source")
+          .drop("ari"),
+        Some(graft.operators.RandIndex.oracleSql("documents", "lang", "source"))),
+
       // Krippendorff alpha over a simulated annotation fleet: orderkey
       // quartets are "units" (multiplicity <= 4 at ANY scale factor —
       // orderkeys are unique), 3/4 of ratings carry the unit-determined
