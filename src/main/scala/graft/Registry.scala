@@ -6557,6 +6557,68 @@ FROM (${graft.operators.DenseSeries.denseDailyOracleBody(
           .drop("ari"),
         Some(graft.operators.RandIndex.oracleSql("documents", "lang", "source"))),
 
+      // REAL streaming exact dedup (dropDuplicates state across
+      // micro-batches): three ordered document chunks through the file
+      // stream source at one file per trigger; every fingerprint must
+      // survive exactly once — the n=1 column IS the assertion
+      RegisteredQuery(
+        "q_stream_dedup",
+        (s, dir) => {
+          val staged = "/tmp/graft_stream_dedup_gate_src"
+          val docs = Tables.resolve(s, dir)("documents")
+          graft.streaming.StreamStage.stageChunks(docs,
+            Seq(col("doc_id") % 3 === 0, col("doc_id") % 3 === 1,
+              col("doc_id") % 3 === 2), staged)
+          val stream = graft.streaming.StreamingWindows.dedupExactStream(
+            s.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", "1").parquet(staged),
+            textCol = "text")
+          graft.streaming.StreamStage.runToMemory(stream, "g_stream_dedup")
+            .select(graft.text.TextFunctions.fingerprint(col("text")).as("fp"))
+            .groupBy("fp").agg(count(lit(1)).as("n"))
+            .orderBy("fp")
+        },
+        Some("""SELECT fp, CAST(1 AS BIGINT) AS n FROM (
+  SELECT DISTINCT CAST(('0x'||substr(md5(text),1,15)) AS BIGINT) AS fp
+  FROM documents WHERE text IS NOT NULL)
+ORDER BY fp""")),
+
+      // REAL streaming watermarked tumbling windows in append mode:
+      // ts-ordered chunks + a far-future sentinel file advance the
+      // watermark past every real window, so the appended output is
+      // EXACTLY the batch aggregation — the L13 state machine
+      // driver-gated end-to-end
+      RegisteredQuery(
+        "q_stream_windows",
+        (s, dir) => {
+          val staged = "/tmp/graft_stream_windows_gate_src"
+          val ev = graft.llm.EventWindows
+            .readEvents(s, s"$dir/events.parquet")
+            .select("event_id", "ts", "user_id", "event_type", "value", "props")
+            .localCheckpoint(true)
+          val sentinel = s.range(1).select(
+            lit(-1L).as("event_id"),
+            lit("2030-01-01 00:00:00").cast("timestamp_ntz").as("ts"),
+            lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+            lit(0.0).as("value"), lit("{}").as("props"))
+          val d1 = lit("2024-01-11").cast("timestamp_ntz")
+          val d2 = lit("2024-01-21").cast("timestamp_ntz")
+          val d3 = lit("2029-01-01").cast("timestamp_ntz")
+          graft.streaming.StreamStage.stageChunks(ev.unionByName(sentinel),
+            Seq(col("ts") < d1, col("ts") >= d1 && col("ts") < d2,
+              col("ts") >= d2 && col("ts") < d3, col("ts") >= d3), staged)
+          val stream = graft.streaming.StreamingWindows.tumbling(
+            graft.streaming.StreamingWindows.readEventsStream(
+              s, staged, Map("maxFilesPerTrigger" -> "1")),
+            duration = "1 hour", lateness = "2 hours")
+          graft.streaming.StreamStage.runToMemory(stream, "g_stream_windows")
+            .where(col("w_start") < lit("2029-01-01").cast("timestamp"))
+            .select(col("w_start").cast("timestamp_ntz").as("w_start"),
+              col("event_type"), col("n_events"), col("sum_value"))
+            .orderBy("w_start", "event_type")
+        },
+        Some(graft.llm.EventWindows.tumblingOracle("events"))),
+
       // Krippendorff alpha over a simulated annotation fleet: orderkey
       // quartets are "units" (multiplicity <= 4 at ANY scale factor —
       // orderkeys are unique), 3/4 of ratings carry the unit-determined

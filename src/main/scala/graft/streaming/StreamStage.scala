@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Stages a batch frame as an ORDERED sequence of parquet files for the
+  * file stream source — the device that lets a driver gate run a REAL
+  * streaming query (watermarks, state, append mode) deterministically:
+  * each cut writes one file, files carry ascending names AND ascending
+  * modification times, so `maxFilesPerTrigger = 1` replays them as
+  * micro-batches in exactly the declared order on every run.
+  */
+object StreamStage {
+
+  /** Clears `dir` and writes one single-file chunk per cut, named
+    * `chunk_00.parquet …` with strictly ascending mtimes.
+    */
+  def stageChunks(df: DataFrame, cuts: Seq[Column], dir: String): Unit = {
+    val spark = df.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val fs = target.getFileSystem(conf)
+    fs.delete(target, true)
+    fs.mkdirs(target)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__stage_tmp")
+    cuts.zipWithIndex.foreach { case (cut, i) =>
+      fs.delete(tmp, true)
+      df.where(cut).coalesce(1).write.parquet(tmp.toString)
+      val part = fs.listStatus(tmp)
+        .map(_.getPath).find(_.getName.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+      val dest = new org.apache.hadoop.fs.Path(target, f"chunk_$i%02d.parquet")
+      org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, dest, false, conf)
+      // ascending mtimes pin the file source's processing order
+      fs.setTimes(dest, 1700000000000L + i * 60000L, -1)
+    }
+    fs.delete(tmp, true)
+  }
+
+  /** Run a streaming frame to completion through an append-mode memory
+    * sink and return the collected table (the temp view is dropped so
+    * the gate is re-runnable in one session).
+    */
+  def runToMemory(stream: DataFrame, name: String): DataFrame = {
+    val spark = stream.sparkSession
+    spark.catalog.dropTempView(name)
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table(name).localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    out
+  }
+}
