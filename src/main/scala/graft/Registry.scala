@@ -6619,6 +6619,54 @@ ORDER BY fp""")),
         },
         Some(graft.llm.EventWindows.tumblingOracle("events"))),
 
+      // REAL streaming funnel (buffer-until-watermark + the r10
+      // event-time-timeout drain): ts-ordered chunks + a far-future
+      // sentinel seal every real event, wakeups fold the buffered
+      // prefixes without new per-key data, and the last snapshot per
+      // user equals the batch funnel walk
+      RegisteredQuery(
+        "q_stream_funnel",
+        (s, dir) => {
+          val staged = "/tmp/graft_stream_funnel_gate_src"
+          val ev = graft.llm.EventWindows
+            .readEvents(s, s"$dir/events.parquet")
+            .select("event_id", "ts", "user_id", "event_type", "value", "props")
+            .localCheckpoint(true)
+          val sentinel = s.range(1).select(
+            lit(-1L).as("event_id"),
+            lit("2030-01-01 00:00:00").cast("timestamp_ntz").as("ts"),
+            lit(-1L).as("user_id"), lit("view").as("event_type"),
+            lit(0.0).as("value"), lit("{}").as("props"))
+          val d1 = lit("2024-01-11").cast("timestamp_ntz")
+          val d2 = lit("2024-01-21").cast("timestamp_ntz")
+          val d3 = lit("2029-01-01").cast("timestamp_ntz")
+          graft.streaming.StreamStage.stageChunks(ev.unionByName(sentinel),
+            Seq(col("ts") < d1, col("ts") >= d1 && col("ts") < d2,
+              col("ts") >= d2 && col("ts") < d3, col("ts") >= d3), staged)
+          val steps = Seq("view", "click", "purchase")
+          val stream = graft.streaming.StreamingFunnels.funnelProgress(
+            graft.streaming.StreamingWindows.readEventsStream(
+                s, staged, Map("maxFilesPerTrigger" -> "1"))
+              .withWatermark("ts", "1 hour"),
+            steps)
+          val snaps = graft.streaming.StreamStage
+            .runToMemory(stream.toDF(), "g_stream_funnel", mode = "update")
+            .where(col("user_id") =!= -1L)
+            .groupBy("user_id")
+            .agg(max(col("steps_completed")).as("steps_completed"),
+              max(col("first_us")).as("__fu"))
+          ev.select("user_id").distinct()
+            .join(snaps, Seq("user_id"), "left")
+            .select(col("user_id"),
+              coalesce(col("steps_completed"), lit(0)).as("steps_completed"),
+              when(col("steps_completed") >= 1, col("__fu")).as("first_us"))
+            .orderBy("user_id")
+        },
+        Some(s"""SELECT user_id, steps_completed, first_us
+FROM (${graft.llm.EventFunnels.funnelOracle(
+          "events", Seq("view", "click", "purchase"))})
+ORDER BY user_id""")),
+
       // Krippendorff alpha over a simulated annotation fleet: orderkey
       // quartets are "units" (multiplicity <= 4 at ANY scale factor —
       // orderkeys are unique), 3/4 of ratings carry the unit-determined

@@ -40,11 +40,12 @@ object StreamStage {
     * sink and return the collected table (the temp view is dropped so
     * the gate is re-runnable in one session).
     */
-  def runToMemory(stream: DataFrame, name: String): DataFrame = {
+  def runToMemory(stream: DataFrame, name: String,
+                  mode: String = "append"): DataFrame = {
     val spark = stream.sparkSession
     spark.catalog.dropTempView(name)
     val q = stream.writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
+      .outputMode(mode).start()
     try q.processAllAvailable() finally q.stop()
     val out = spark.table(name).localCheckpoint(true)
     spark.catalog.dropTempView(name)

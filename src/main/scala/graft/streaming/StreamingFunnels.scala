@@ -55,7 +55,7 @@ object StreamingFunnels {
       .as[(Long, Long, Int, java.sql.Timestamp)]
 
     typed.groupByKey(_._1)
-      .mapGroupsWithState[FunnelState, FunnelSnapshot](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[FunnelState, FunnelSnapshot](GroupStateTimeout.EventTimeTimeout) {
         (user: Long, rows: Iterator[(Long, Long, Int, java.sql.Timestamp)], state: GroupState[FunnelState]) =>
           var s = state.getOption.getOrElse(FunnelState(0, -1L, -1L, Nil))
           val buf = s.buf ++ rows.map(r => (r._2, r._3))
@@ -78,6 +78,17 @@ object StreamingFunnels {
           }
           s = FunnelState(step, t1, tprev, pending)
           state.update(s)
+          // event-time timeout: wake this key when the watermark passes
+          // its oldest unsealed event, so the buffered prefix folds and
+          // emits WITHOUT new per-key data — otherwise a user whose last
+          // events sit in the buffer would never publish their final
+          // steps (the r10 fix that makes the operator driver-gateable
+          // end-to-end); cascades until the buffer drains
+          if (pending.nonEmpty) {
+            val wakeMs = pending.map(_._1).min / 1000L + 1L
+            state.setTimeoutTimestamp(
+              math.max(wakeMs, state.getCurrentWatermarkMs() + 1L))
+          }
           FunnelSnapshot(user, step, t1, pending.size)
       }
   }

@@ -111,11 +111,54 @@ class StreamingFunnelsSpec extends SparkSpec {
       .select("steps_completed", "n_buffered")
       .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
     // batch 3 runs with watermark == W exactly (the watermark lags one
-    // batch): the W event must still be buffered — the <= seal this test
-    // pins against would fold it here and show (1, 2) instead of (0, 3)
+    // batch): the W event must still be buffered — an at-or-below seal
+    // would fold it here and (0, 3) would never be emitted. (The timeout
+    // wakeups added in r10 legitimately fold W once the watermark PASSES
+    // it, possibly before file d arrives, so the old !contains((1, 2))
+    // encoding of this invariant no longer distinguishes the bug.)
     assert(snaps.contains((0, 3)), s"boundary event folded early: $snaps")
-    assert(!snaps.contains((1, 2)), s"at-watermark fold happened: $snaps")
-    // batch 4: watermark == W+1s has PASSED W, the W event folds to step 1
-    assert(snaps.contains((1, 3)), s"sealed fold missing: $snaps")
+    // once the watermark has passed W, the event folds to step 1
+    assert(snaps.exists(_._1 >= 1), s"sealed fold missing: $snaps")
+  }
+
+  test("timeout wakeups drain a user's buffer without new per-key data") {
+    // user 1's events all arrive in one early batch and then NEVER again;
+    // only a different user's far-future sentinel advances the watermark.
+    // Before the r10 event-time-timeout fix, user 1's final steps would
+    // stay unpublished forever (state functions only ran for keys with
+    // data); with it, the wakeup folds the sealed buffer and emits.
+    val dir3 = "/tmp/graft_funnel_timeout"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir3))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir3))
+    def writeOne(name: String, rows: Seq[(Long, String, String)]): Unit = {
+      import spark.implicits._
+      rows.toDF("user_id", "tss", "event_type")
+        .select(lit(1L).as("event_id"),
+          expr("CAST(tss AS TIMESTAMP_NTZ)").as("ts"),
+          col("user_id"), col("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir3/stage")
+      val f = new java.io.File(s"$dir3/stage").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(s"$dir3/$name"))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$dir3/stage"))
+    }
+    writeOne("a_user1.parquet", Seq(
+      (1L, "2030-01-01 00:00:00", "view"),
+      (1L, "2030-01-01 00:00:01", "click")))
+    writeOne("b_sentinel.parquet", Seq(
+      (2L, "2030-01-01 01:00:00", "view")))
+    val stream = StreamingWindows
+      .readEventsStream(spark, dir3, Map("maxFilesPerTrigger" -> "1"))
+      .withWatermark("ts", "1 second")
+    val q = StreamingFunnels.funnelProgress(stream, steps)
+      .writeStream.format("memory").queryName("funnel_timeout")
+      .outputMode(StreamingFunnels.FunnelOutputMode).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val u1 = spark.table("funnel_timeout")
+      .where(col("user_id") === 1L)
+      .agg(max("steps_completed")).head().getInt(0)
+    assert(u1 == 2, s"buffer did not drain via timeout: final steps $u1")
   }
 }
