@@ -6667,6 +6667,23 @@ FROM (${graft.llm.EventFunnels.funnelOracle(
           "events", Seq("view", "click", "purchase"))})
 ORDER BY user_id""")),
 
+      // deterministic synchronous label-propagation communities over
+      // the part↔supplier co-purchase graph: most-frequent neighbor
+      // label, smallest-label ties, fixed rounds — unrolled-CTE oracle
+      RegisteredQuery(
+        "q_label_prop",
+        (s, dir) => {
+          val li = Tables.resolve(s, dir)("lineitem")
+            .where(col("l_quantity") >= 45)
+          val edges = li.select(col("l_partkey").as("src"),
+            (col("l_suppkey") + 100000000L).as("dst")).distinct()
+          graft.operators.LabelProp.communities(edges, iters = 4).orderBy("id")
+        },
+        Some(graft.operators.LabelProp.oracleSql(
+          "SELECT DISTINCT l_partkey AS src, l_suppkey + 100000000 AS dst " +
+            "FROM lineitem WHERE l_quantity >= 45",
+          iters = 4))),
+
       // Krippendorff alpha over a simulated annotation fleet: orderkey
       // quartets are "units" (multiplicity <= 4 at ANY scale factor —
       // orderkeys are unique), 3/4 of ratings carry the unit-determined
