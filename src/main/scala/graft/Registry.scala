@@ -6684,6 +6684,41 @@ ORDER BY user_id""")),
             "FROM lineitem WHERE l_quantity >= 45",
           iters = 4))),
 
+      // REAL streaming save-strategy sink (the reference's chunked-
+      // ingest state machine under a continuous source): two ordered
+      // overlapping document versions through toStore(Upsert) — the
+      // final table holds version 2 exactly where the second batch
+      // overlapped and version 1 elsewhere
+      RegisteredQuery(
+        "q_sink_ingest",
+        (s, dir) => {
+          val staged = "/tmp/graft_sink_ingest_gate_src"
+          val storeDir = "/tmp/graft_sink_ingest_gate_store"
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(storeDir))
+          val docs = Tables.resolve(s, dir)("documents")
+            .select("doc_id", "lang", "source")
+          val versioned = docs.where(col("doc_id") < 300)
+              .withColumn("ver", lit(1L))
+            .unionByName(docs.where(col("doc_id") >= 150)
+              .withColumn("lang", concat(col("lang"), lit("_v2")))
+              .withColumn("ver", lit(2L)))
+          graft.streaming.StreamStage.stageChunks(versioned,
+            Seq(col("ver") === 1L, col("ver") === 2L), staged)
+          val store = new graft.sources.ParquetStore(storeDir)
+          val stream = s.readStream.schema(versioned.schema)
+            .option("maxFilesPerTrigger", "1").parquet(staged)
+          val q = graft.streaming.StreamingSink.toStore(
+            stream, store, "docs", graft.sources.SaveStrategy.Upsert("doc_id"))
+          try q.processAllAvailable() finally q.stop()
+          store.read(s, "docs").orderBy("doc_id")
+        },
+        Some("""SELECT doc_id, CASE WHEN doc_id >= 150 THEN lang || '_v2' ELSE lang END AS lang,
+  source, CAST(CASE WHEN doc_id >= 150 THEN 2 ELSE 1 END AS BIGINT) AS ver
+FROM documents
+WHERE doc_id < 300 OR doc_id >= 150
+ORDER BY doc_id""")),
+
       // Krippendorff alpha over a simulated annotation fleet: orderkey
       // quartets are "units" (multiplicity <= 4 at ANY scale factor —
       // orderkeys are unique), 3/4 of ratings carry the unit-determined
