@@ -6719,6 +6719,44 @@ FROM documents
 WHERE doc_id < 300 OR doc_id >= 150
 ORDER BY doc_id""")),
 
+      // PCM sample statistics off synthesized 16-bit WAV payloads: the
+      // first multimodal gate that reads the SIGNAL (peak + exact
+      // energy), differential-fixture oracle — the same generating
+      // formula computes the expectations in SQL
+      RegisteredQuery(
+        "q_audio_pcm_stats",
+        (s, dir) => {
+          def le16h(c: org.apache.spark.sql.Column) = {
+            val x = lpad(hex(c), 4, "0")
+            concat(substring(x, 3, 2), substring(x, 1, 2))
+          }
+          // 100 samples per doc from a formula that wraps past 32768 at
+          // every scale factor, so the signed branch is always exercised
+          val pcmHex = expr("array_join(transform(sequence(0, 99), i -> " +
+            "concat(substring(lpad(hex((doc_id*131 + i*1717) % 65536), 4, '0'), 3, 2), " +
+            "substring(lpad(hex((doc_id*131 + i*1717) % 65536), 4, '0'), 1, 2))), '')")
+          val fmtChunk = concat(lit("666D7420"), lit("10000000"), lit("0100"),
+            le16h(lit(1)), lit("401F0000"), lit("803E0000"), le16h(lit(2)),
+            lit("1000"))
+          val wavHex = concat(lit("52494646"), lit("00000000"), lit("57415645"),
+            fmtChunk, lit("64617461"), lit("C8000000"), pcmHex)
+          Tables.resolve(s, dir)("documents")
+            .select(col("doc_id"),
+              graft.functions.AudioPcmStats(unhex(wavHex)).as("st"))
+            .select(col("doc_id"), col("st.n_samples").as("n_samples"),
+              col("st.peak").as("peak"), col("st.sum_sq").as("sum_sq"))
+            .orderBy("doc_id")
+        },
+        Some("""WITH s AS (SELECT doc_id, list_transform(generate_series(0, 99), i ->
+    CASE WHEN (doc_id*131 + i*1717) % 65536 >= 32768
+         THEN (doc_id*131 + i*1717) % 65536 - 65536
+         ELSE (doc_id*131 + i*1717) % 65536 END) AS v
+  FROM documents)
+SELECT doc_id, CAST(100 AS BIGINT) AS n_samples,
+  CAST(list_max(list_transform(v, x -> abs(x))) AS BIGINT) AS peak,
+  CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS sum_sq
+FROM s ORDER BY doc_id""")),
+
       // Krippendorff alpha over a simulated annotation fleet: orderkey
       // quartets are "units" (multiplicity <= 4 at ANY scale factor —
       // orderkeys are unique), 3/4 of ratings carry the unit-determined

@@ -61,6 +61,10 @@ object GraftExtensions {
     unary("audio_meta", classOf[AudioMeta],
       "audio_meta(bin) - struct<format,channels,sample_rate,bits,duration_ms> from a " +
         "WAV/FLAC header, NULL if unrecognized/truncated.", AudioMeta(_)),
+    unary("audio_pcm_stats", classOf[AudioPcmStats],
+      "audio_pcm_stats(bin) - struct<n_samples,peak,sum_sq> over a 16-bit PCM " +
+        "WAV's samples (exact integers), NULL if not PCM16/unparseable.",
+      AudioPcmStats(_)),
     unary("video_meta", classOf[VideoMeta],
       "video_meta(bin) - struct<brand,timescale,duration,duration_ms> from an " +
         "ISO-BMFF (MP4/MOV) header, NULL if unrecognized/truncated.", VideoMeta(_)),
