@@ -6757,6 +6757,27 @@ SELECT doc_id, CAST(100 AS BIGINT) AS n_samples,
   CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS sum_sq
 FROM s ORDER BY doc_id""")),
 
+      // time-weighted average price per supplier: each day's observed
+      // floor price holds until the next observation (step convention),
+      // declared horizon end, one lead window + partial-agg'd sum
+      RegisteredQuery(
+        "q_twap",
+        (s, dir) => graft.operators.Twap.twap(
+            Tables.resolve(s, dir)("lineitem")
+              .groupBy(col("l_suppkey"),
+                datediff(col("l_shipdate"), lit("1970-01-01")).cast("long")
+                  .as("day"))
+              .agg(min((col("l_extendedprice").cast("decimal(18,2)") * 100)
+                .cast("long")).as("cents")),
+            "l_suppkey", "day", "cents", endIdx = 11688L)
+          .orderBy("l_suppkey"),
+        Some(graft.operators.Twap.oracleSql(
+          """SELECT l_suppkey AS grp,
+  CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+  min(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS v
+FROM lineitem GROUP BY 1, 2""",
+          "l_suppkey", endIdx = 11688L))),
+
       // Krippendorff alpha over a simulated annotation fleet: orderkey
       // quartets are "units" (multiplicity <= 4 at ANY scale factor —
       // orderkeys are unique), 3/4 of ratings carry the unit-determined
