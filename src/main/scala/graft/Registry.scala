@@ -6778,6 +6778,35 @@ FROM s ORDER BY doc_id""")),
 FROM lineitem GROUP BY 1, 2""",
           "l_suppkey", endIdx = 11688L))),
 
+      // deterministic interval proration: order revenue recognized
+      // daily across an id-derived subscription span, front-loaded
+      // remainder rule, Σ shares ≡ the amount exactly
+      RegisteredQuery(
+        "q_prorate",
+        (s, dir) => {
+          val o = Tables.resolve(s, dir)("orders")
+            .where(col("o_orderkey") % 20 === 0)
+            .select(col("o_orderkey"),
+              datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+                .as("d0"),
+              (datediff(col("o_orderdate"), lit("1970-01-01")).cast("long") +
+                1L + col("o_orderkey") % 28).as("d1"),
+              (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+                .as("cents"))
+          graft.operators.Prorate.daily(o, "d0", "d1", "cents")
+            .select("o_orderkey", "period", "share")
+            .orderBy("o_orderkey", "period")
+        },
+        Some(graft.operators.Prorate.oracleSql(
+          """SELECT o_orderkey,
+  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d0,
+  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+    + 1 + o_orderkey % 28 AS d1,
+  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+FROM orders WHERE o_orderkey % 20 = 0""",
+          startE = "d0", endE = "d1", valueE = "cents",
+          keepCols = Seq("o_orderkey")))),
+
       // Krippendorff alpha over a simulated annotation fleet: orderkey
       // quartets are "units" (multiplicity <= 4 at ANY scale factor —
       // orderkeys are unique), 3/4 of ratings carry the unit-determined
