@@ -66,7 +66,9 @@ object Spearman {
     * distinct-value rank MAP (windows partitioned by (group, bucket))
     * and rows join it on the 8-byte (group, value) key, so a whale
     * group never sorts in one task. Integral axes required (the map
-    * join keys on the exact value).
+    * join keys on the exact value). Output carries (groupCols, xCol,
+    * yCol, __rx2, __ry2) — the moment machinery's needs — not the full
+    * input row (unlike the window-form [[ranked]]).
     */
   def rankedBucketed(df: DataFrame, groupCols: Seq[String], xCol: String,
                      yCol: String, xBucketWidth: Long,
@@ -75,7 +77,11 @@ object Spearman {
     Seq(xCol, yCol).foreach(c =>
       graft.Guards.requireIntegral(df, c, "rankedBucketed"))
     val g = groupCols.map(col)
+    // three consumers (row side + two mass builds) — materialize the
+    // filtered projection once instead of re-running the scan per leg
     val base = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select((g :+ col(xCol) :+ col(yCol)).distinct: _*)
+      .localCheckpoint(true)
     def rmap(c: String, w: Long, tag: String): DataFrame =
       RankDecomp.doubledRankMap(
         base.groupBy((g :+ col(c).cast("long").as("__v")): _*)
