@@ -131,4 +131,42 @@ class PlanSpec extends SparkSpec {
     val p = planOf("q_grouped_trend")
     assert(p.contains("partial"), p.take(800))
   }
+
+  test("q_roc_auc (decomposed): no per-group-only window partition anywhere") {
+    // the RankDecomp promise — every Window partitions by (group, bucket)
+    // or iterates the bucket list; a bare group-partitioned window would
+    // mean a whale group sorts in one task again
+    val plan = planOf("q_roc_auc")
+    val windowSpecs = plan.linesIterator
+      .filter(_.contains("Window "))
+      .toSeq
+    // within-bucket level partitions by (group, bucket); the offsets
+    // level partitions by group but runs over the BUCKET LIST (ordered
+    // by __b) — what must never reappear is a group-only window over
+    // the raw value axis (ordered by __v): that is the whale sort
+    assert(windowSpecs.exists(l =>
+      l.contains("l_linestatus") && l.contains("__b") && l.contains("__v")),
+      s"within-bucket window missing:\n${windowSpecs.mkString("\n")}")
+    assert(!windowSpecs.exists(l =>
+      l.contains("__v ") && !l.contains("__b")),
+      s"group-only window over raw values reappeared:\n${windowSpecs.mkString("\n")}")
+  }
+
+  test("q_kendall_tau: cell self-join is a hash join, never a nested loop") {
+    val plan = planOf("q_kendall_tau")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("partial_count") || plan.contains("partial_"),
+      "cell collapse must partial-aggregate map-side")
+  }
+
+  test("q_prorate: zero exchanges — proration is scan-stage explode only") {
+    val plan = planOf("q_prorate")
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") ||
+      l.contains("Exchange rangepartitioning") && !l.contains("ENSURE")),
+      s"proration must not shuffle:\n$plan")
+    assert(plan.contains("Generate explode"), "sequence explode missing")
+  }
+
 }
