@@ -6807,6 +6807,21 @@ FROM orders WHERE o_orderkey % 20 = 0""",
           startE = "d0", endE = "d1", valueE = "cents",
           keepCols = Seq("o_orderkey")))),
 
+      // pairwise MI sweep over the documents' categorical columns
+      // (incl. a derived length bucket) — the categorical corr-matrix
+      // for leakage/redundancy audits
+      RegisteredQuery(
+        "q_mi_matrix",
+        (s, dir) => graft.operators.Contingency.miMatrix(
+            Tables.resolve(s, dir)("documents")
+              .withColumn("len_b",
+                call_function("div", col("n_chars").cast("long"), lit(500L))),
+            Seq("lang", "source", "len_b"))
+          .orderBy("col_a", "col_b"),
+        Some(graft.operators.Contingency.miMatrixOracle(
+          "(SELECT lang, source, n_chars // 500 AS len_b FROM documents) t_mi",
+          Seq("lang", "source", "len_b")))),
+
       // Krippendorff alpha over a simulated annotation fleet: orderkey
       // quartets are "units" (multiplicity <= 4 at ANY scale factor —
       // orderkeys are unique), 3/4 of ratings carry the unit-determined

@@ -92,20 +92,61 @@ object Contingency {
       .groupBy(col(aCol), col(bCol))
       .agg(count(lit(1)).cast(dec).as("o"))
       .localCheckpoint(false)
+    // margin aliases are double-underscored so a user column literally
+    // named "r"/"c"/"t" can't ambiguate the joins (bit a spec in r10)
     val ra = cellCounts.groupBy(col(aCol))
-      .agg(sum(col("o")).cast(dec).as("r"))
+      .agg(sum(col("o")).cast(dec).as("__mi_r"))
     val cb = cellCounts.groupBy(col(bCol))
-      .agg(sum(col("o")).cast(dec).as("c"))
-    val tot = cellCounts.agg(sum(col("o")).cast(dec).as("t"))
-    val p = col("o").cast("double") / col("t").cast("double")
-    val ratio = (col("o").cast("double") * col("t").cast("double")) /
-      (col("r").cast("double") * col("c").cast("double"))
+      .agg(sum(col("o")).cast(dec).as("__mi_c"))
+    val tot = cellCounts.agg(sum(col("o")).cast(dec).as("__mi_t"))
+    val p = col("o").cast("double") / col("__mi_t").cast("double")
+    val ratio = (col("o").cast("double") * col("__mi_t").cast("double")) /
+      (col("__mi_r").cast("double") * col("__mi_c").cast("double"))
     cellCounts
       .join(broadcast(ra), aCol)
       .join(broadcast(cb), bCol)
       .crossJoin(broadcast(tot))
       .select(col(aCol), col(bCol), col("o").cast("long").as("o"),
         floor(lit(Scale.toDouble) * (p * log(ratio))).cast("long").as("mi_q"))
+  }
+
+  /** Pairwise mutual-information SWEEP over a column list — the
+    * dependence SCAN a leakage/redundancy audit runs before feature
+    * selection ("which categorical columns secretly encode each
+    * other"): for every unordered column pair, total MI = Σ of
+    * [[mutualInfoCells]]'s per-cell quantized terms (per-term floors
+    * sum exactly — the established discipline, so the matrix
+    * hash-gates) plus the cell count as the effect-size context. The
+    * analog of the numeric corr-matrix for categorical columns.
+    * One cells-sized aggregate per pair; |cols|² pairs DECLARED small
+    * (a feature audit, not a corpus op).
+    */
+  def miMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"miMatrix needs >= 2 columns, got ${cols.size}")
+    require(cols.distinct.size == cols.size, "duplicate columns in miMatrix")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    pairs.map { case (a, b) =>
+      mutualInfoCells(df, a, b)
+        .agg(count(lit(1)).as("n_cells"), sum(col("mi_q")).as("mi_q"))
+        .select(lit(a).as("col_a"), lit(b).as("col_b"),
+          col("n_cells"), col("mi_q"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** DuckDB replay of [[miMatrix]] — the per-pair oracles aggregated
+    * and unioned in the same pair order.
+    */
+  def miMatrixOracle(table: String, cols: Seq[String]): String = {
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_a, '$b' AS col_b,
+  CAST(count(*) AS BIGINT) AS n_cells, CAST(sum(mi_q) AS BIGINT) AS mi_q
+FROM (${mutualInfoOracle(table, a, b)})"""
+    }.mkString("\nUNION ALL\n") + "\nORDER BY col_a, col_b"
   }
 
   /** DuckDB replay of [[mutualInfoCells]] — same counts, same double

@@ -67,4 +67,25 @@ class ContingencySpec extends SparkSpec {
     assert(z.forall(_ == 0L))
   }
 
+  test("miMatrix: identical columns maximize MI, independent ones are ~0") {
+    import spark.implicits._
+    // b == a (perfect dependence); c independent of a by construction
+    val df = (0 until 400).map(i => (i % 4, i % 4, i % 2))
+      .toDF("a", "b", "z")
+    val got = Contingency.miMatrix(df, Seq("a", "b", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // a↔b: MI = ln(4) ≈ 1.386 → quantized ~1386294 minus per-cell floors
+    val (abCells, abMi) = got(("a", "b"))
+    assert(abCells == 4L)
+    assert(abMi > 1380000L && abMi <= 1386295L, s"ab MI $abMi")
+    // a↔z: build a truly independent second axis
+    val df2 = (0 until 400).map(i => (i % 4, (i / 4) % 2)).toDF("a", "z")
+    val (acCells, acMi) = Contingency.miMatrix(df2, Seq("a", "z"))
+      .collect().map(r => (r.getLong(2), r.getLong(3))).head
+    assert(acCells == 8L)
+    // exact independence: every cell term is ln(1) = 0, floors make it
+    // at most 0 and no lower than -cells (each term floors to 0 or -1)
+    assert(acMi <= 0L && acMi >= -8L, s"independent MI $acMi")
+  }
 }
