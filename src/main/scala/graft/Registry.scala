@@ -6822,6 +6822,38 @@ FROM orders WHERE o_orderkey % 20 = 0""",
           "(SELECT lang, source, n_chars // 500 AS len_b FROM documents) t_mi",
           Seq("lang", "source", "len_b")))),
 
+      // seasonally-adjusted anomaly screen (composition): decompose the
+      // daily series, then MAD-flag the REMAINDER — alert on what's left
+      // after trend and weekday seasonality, or every Sunday pages
+      RegisteredQuery(
+        "q_seasonal_anomaly",
+        (s, dir) => {
+          val decomposed = graft.operators.SeasonalDecomp.decompose(
+            graft.operators.DenseSeries.denseDaily(
+                Tables.resolve(s, dir)("orders")
+                  .withColumn("cents",
+                    (col("o_totalprice").cast("decimal(18,2)") * 100)
+                      .cast("long")),
+                "o_orderpriority", "o_orderdate", "cents")
+              .select(col("o_orderpriority"),
+                datediff(col("day"), lit("1970-01-01")).cast("long").as("i"),
+                col("sum_value").as("x")),
+            "o_orderpriority", "i", "x", period = 7, halfWindow = 3)
+          graft.operators.Outliers.madOutliers(
+              decomposed, "o_orderpriority", "remainder_q6", "idx",
+              kNum = 4L, kDen = 1L)
+            .orderBy("o_orderpriority", "idx")
+        },
+        Some(graft.operators.Outliers.madOracleSql(
+          s"""(${graft.operators.SeasonalDecomp.oracleSql(
+            s"""SELECT o_orderpriority AS grp,
+  CAST(day - DATE '1970-01-01' AS BIGINT) AS i, sum_value AS x
+FROM (${graft.operators.DenseSeries.denseDailyOracleBody(
+              "orders", "o_orderpriority", "o_orderdate",
+              "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")})""",
+            "o_orderpriority", period = 7, halfWindow = 3)}) seas""",
+          "o_orderpriority", "remainder_q6", "idx", kNum = 4L, kDen = 1L))),
+
       // Krippendorff alpha over a simulated annotation fleet: orderkey
       // quartets are "units" (multiplicity <= 4 at ANY scale factor —
       // orderkeys are unique), 3/4 of ratings carry the unit-determined
