@@ -6854,6 +6854,15 @@ FROM (${graft.operators.DenseSeries.denseDailyOracleBody(
             "o_orderpriority", period = 7, halfWindow = 3)}) seas""",
           "o_orderpriority", "remainder_q6", "idx", kNum = 4L, kDen = 1L))),
 
+      // Cramér's V effect size over the lang×source association — the
+      // comparable [0,1] normalization of q_chisq_cells' statistic
+      RegisteredQuery(
+        "q_cramers_v",
+        (s, dir) => graft.operators.Contingency.cramersV(
+          Tables.resolve(s, dir)("documents"), "lang", "source"),
+        Some(graft.operators.Contingency.cramersVOracle(
+          "documents", "lang", "source"))),
+
       // Krippendorff alpha over a simulated annotation fleet: orderkey
       // quartets are "units" (multiplicity <= 4 at ANY scale factor —
       // orderkeys are unique), 3/4 of ratings carry the unit-determined

@@ -73,6 +73,89 @@ object Contingency {
         (countDistinct(col(bCol)) - 1)).as("dof"))
   }
 
+  /** Cramér's V — the chi-square statistic normalized into a
+    * comparable [0, 1] effect size (χ² grows with n and table size, so
+    * raw χ² can't rank column pairs; V can): V² = χ²/(n·min(|A|−1,
+    * |B|−1)). Unlike [[chiSquare]]'s observed-cell convention, the
+    * UNOBSERVED cells' mass matters here (at perfect association the
+    * off-diagonal zeros carry a third of the statistic — without them
+    * V² tops out below 1), so the full statistic is assembled as
+    * Σ observed contrib_q + (Scale·n − Σ observed ⌊Scale·e⌋): the
+    * unobserved expectation mass via Σ_all e = n, every term floored
+    * per cell (declared, replayable). `v2_q6 = ⌊chi2_full_q/(n·min)⌋`
+    * — a second declared truncation, √ left to the reader (the Q14
+    * convention). One row: (n, chi2_full_q, dof, min_dim, v2_q6);
+    * single-category axes report NULL (no variation to associate).
+    */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cellCounts = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).cast(dec).as("o"))
+      .localCheckpoint(false)
+    val ra = cellCounts.groupBy(col(aCol))
+      .agg(sum(col("o")).cast(dec).as("__mr"))
+    val cb = cellCounts.groupBy(col(bCol))
+      .agg(sum(col("o")).cast(dec).as("__mc"))
+    val tot = cellCounts.agg(sum(col("o")).cast(dec).as("__mt"))
+    val joined = cellCounts
+      .join(broadcast(ra), aCol)
+      .join(broadcast(cb), bCol)
+      .crossJoin(broadcast(tot))
+      .withColumn("__d",
+        (col("o") * col("__mt") - col("__mr") * col("__mc")).cast(dec))
+      .withColumn("__contrib", expr(
+        s"CAST((CAST(__d * __d AS DECIMAL(38,0)) * $Scale) div " +
+          "CAST(__mt * __mr * __mc AS DECIMAL(38,0)) AS DECIMAL(38,0))"))
+      .withColumn("__eq", expr(
+        s"CAST((CAST(__mr * __mc AS DECIMAL(38,0)) * $Scale) div " +
+          "CAST(__mt AS DECIMAL(38,0)) AS DECIMAL(38,0))"))
+    joined.agg(
+        sum(col("o")).cast(dec).as("__n"),
+        sum(col("__contrib")).cast(dec).as("__sc"),
+        sum(col("__eq")).cast(dec).as("__se"),
+        countDistinct(col(aCol)).as("__na"),
+        countDistinct(col(bCol)).as("__nb"))
+      .select(
+        col("__n").cast("long").as("n"),
+        (col("__sc") + col("__n") * lit(Scale).cast(dec) - col("__se"))
+          .cast("long").as("chi2_full_q"),
+        ((col("__na") - 1) * (col("__nb") - 1)).as("dof"),
+        least(col("__na") - 1, col("__nb") - 1).as("min_dim"),
+        when(least(col("__na") - 1, col("__nb") - 1) <= 0,
+          lit(null).cast("long"))
+          .otherwise(call_function("div",
+            col("__sc") + col("__n") * lit(Scale).cast(dec) - col("__se"),
+            col("__n") * least(col("__na") - 1, col("__nb") - 1).cast(dec))
+            .cast("long"))
+          .as("v2_q6"))
+  }
+
+  /** DuckDB replay of [[cramersV]] — same margins, same per-cell floors,
+    * same unobserved-mass assembly.
+    */
+  def cramersVOracle(table: String, aCol: String, bCol: String): String =
+    s"""WITH cc AS (SELECT $aCol, $bCol, CAST(count(*) AS HUGEINT) AS o
+  FROM $table WHERE $aCol IS NOT NULL AND $bCol IS NOT NULL GROUP BY $aCol, $bCol),
+ra AS (SELECT $aCol, sum(o) AS r FROM cc GROUP BY $aCol),
+cb AS (SELECT $bCol, sum(o) AS c FROM cc GROUP BY $bCol),
+tot AS (SELECT sum(o) AS t FROM cc),
+j AS (SELECT cc.$aCol, cc.$bCol, o, r, c, t,
+    ((o * t - r * c) * (o * t - r * c) * $Scale) // (t * r * c) AS contrib,
+    (r * c * $Scale) // t AS eq
+  FROM cc JOIN ra USING ($aCol) JOIN cb USING ($bCol), tot),
+a AS (SELECT sum(o) AS n, sum(contrib) AS sc, sum(eq) AS se,
+    count(DISTINCT $aCol) AS na, count(DISTINCT $bCol) AS nb FROM j)
+SELECT CAST(n AS BIGINT) AS n,
+  CAST(sc + n * $Scale - se AS BIGINT) AS chi2_full_q,
+  CAST((na - 1) * (nb - 1) AS BIGINT) AS dof,
+  CAST(least(na - 1, nb - 1) AS BIGINT) AS min_dim,
+  CASE WHEN least(na - 1, nb - 1) <= 0 THEN NULL
+       ELSE CAST((sc + n * $Scale - se) // (n * least(na - 1, nb - 1))
+         AS BIGINT) END AS v2_q6
+FROM a"""
+
   /** Per-cell MUTUAL-INFORMATION contributions — the dependence MEASURE
     * where chi-square is the dependence TEST: MI = Σ p_ij·ln(p_ij/(p_i·p_j))
     * in nats quantifies HOW MUCH one column tells you about the other

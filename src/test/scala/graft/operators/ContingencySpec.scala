@@ -88,4 +88,22 @@ class ContingencySpec extends SparkSpec {
     // at most 0 and no lower than -cells (each term floors to 0 or -1)
     assert(acMi <= 0L && acMi >= -8L, s"independent MI $acMi")
   }
+
+  test("cramersV: perfect association ≈ full scale, independence ≈ 0, degenerate NULL") {
+    import spark.implicits._
+    val perfect = (0 until 300).map(i => (i % 3, i % 3)).toDF("a", "b")
+    val rp = Contingency.cramersV(perfect, "a", "b").collect().head
+    val v2p = rp.getAs[Long]("v2_q6")
+    assert(v2p >= 999999L && v2p <= 1000000L, s"perfect V² $v2p")
+    // the unobserved-cell mass is a THIRD of the statistic here — the
+    // observed-only convention would report v² = 2/3
+    assert(rp.getAs[Long]("chi2_full_q") >= 599999000L)
+    assert(rp.getAs[Long]("min_dim") == 2L)
+    val indep = (0 until 300).map(i => (i % 3, (i / 3) % 2)).toDF("a", "b")
+    val ri = Contingency.cramersV(indep, "a", "b").collect().head
+    assert(ri.getAs[Long]("v2_q6") == 0L, "independent V² must be 0")
+    val degen = (0 until 10).map(i => (1, i % 2)).toDF("a", "b")
+    val rd = Contingency.cramersV(degen, "a", "b").collect().head
+    assert(rd.isNullAt(rd.fieldIndex("v2_q6")), "single-category axis must be NULL")
+  }
 }
