@@ -6863,6 +6863,28 @@ FROM (${graft.operators.DenseSeries.denseDailyOracleBody(
         Some(graft.operators.Contingency.cramersVOracle(
           "documents", "lang", "source"))),
 
+      // declarative data-quality contract over documents: five rule
+      // kinds in one readout (row-local rules share ONE aggregate pass)
+      RegisteredQuery(
+        "q_contract_audit",
+        (s, dir) => {
+          import graft.operators.ContractAudit._
+          graft.operators.ContractAudit.audit(
+            Tables.resolve(s, dir)("documents"),
+            Seq(NotNull("text"), InRange("n_chars", 0L, 400L),
+              MatchesRegex("source", "^src[0-9]+$"),
+              OneOf("lang", Seq("en", "de", "fr")),
+              Unique(Seq("doc_id"))))
+        },
+        Some {
+          import graft.operators.ContractAudit._
+          graft.operators.ContractAudit.oracleSql("documents",
+            Seq(NotNull("text"), InRange("n_chars", 0L, 400L),
+              MatchesRegex("source", "^src[0-9]+$"),
+              OneOf("lang", Seq("en", "de", "fr")),
+              Unique(Seq("doc_id"))))
+        }),
+
       // Krippendorff alpha over a simulated annotation fleet: orderkey
       // quartets are "units" (multiplicity <= 4 at ANY scale factor —
       // orderkeys are unique), 3/4 of ratings carry the unit-determined
