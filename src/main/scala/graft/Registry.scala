@@ -6885,6 +6885,17 @@ FROM (${graft.operators.DenseSeries.denseDailyOracleBody(
               Unique(Seq("doc_id"))))
         }),
 
+      // order-independent table content digest: three commutative
+      // reductions over canonical 60-bit row fingerprints — snapshot
+      // equality at a fraction of the row-diff's cost
+      RegisteredQuery(
+        "q_table_digest",
+        (s, dir) => graft.operators.TableDigest.digest(
+          Tables.resolve(s, dir)("documents")
+            .select("doc_id", "lang", "source", "n_chars")),
+        Some(graft.operators.TableDigest.oracleSql(
+          "documents", Seq("doc_id", "lang", "source", "n_chars")))),
+
       // Krippendorff alpha over a simulated annotation fleet: orderkey
       // quartets are "units" (multiplicity <= 4 at ANY scale factor —
       // orderkeys are unique), 3/4 of ratings carry the unit-determined
