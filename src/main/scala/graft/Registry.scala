@@ -6890,11 +6890,18 @@ FROM (${graft.operators.DenseSeries.denseDailyOracleBody(
       // equality at a fraction of the row-diff's cost
       RegisteredQuery(
         "q_table_digest",
+        // the derived nullable column exercises the NULL sentinel
+        // cross-engine (the base table has no NULLs)
         (s, dir) => graft.operators.TableDigest.digest(
           Tables.resolve(s, dir)("documents")
-            .select("doc_id", "lang", "source", "n_chars")),
+            .withColumn("lang_n",
+              when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+                .otherwise(col("lang")))
+            .select("doc_id", "lang_n", "source", "n_chars")),
         Some(graft.operators.TableDigest.oracleSql(
-          "documents", Seq("doc_id", "lang", "source", "n_chars")))),
+          "(SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END " +
+            "AS lang_n, source, n_chars FROM documents)",
+          Seq("doc_id", "lang_n", "source", "n_chars")))),
 
       // Krippendorff alpha over a simulated annotation fleet: orderkey
       // quartets are "units" (multiplicity <= 4 at ANY scale factor —
