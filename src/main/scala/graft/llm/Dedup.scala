@@ -698,7 +698,7 @@ SELECT doc_id_ AS doc_id, simhash FROM fp ORDER BY doc_id_""".stripMargin
     val offsets = widths.scanLeft(0)(_ + _)
     val bandCols = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
-        shiftright(col("__fp"), offsets(b)).bitwiseAND(lit((1L << widths(b)) - 1))
+        shiftright(col("__fp"), offsets(b)).bitwiseAND(lit(bandMask(widths(b))))
           .as("bkey"))
     }
     val banded = fps.select(col(idCol), col("__fp"),
@@ -734,6 +734,15 @@ ORDER BY 1, 2""".stripMargin
     * [[simhashQuality]] and the quality oracle: `maxHamming + 1`
     * disjoint (offset, width) bit bands partitioning [0, SimHashBits).
     */
+  /** All-ones mask of `width` bits — `(1L << 64) - 1` is 0 under
+    * Scala's mod-64 shift, so the full-width band (maxHamming = 0 at 64
+    * bits) needs the explicit -1 (caught in r10 review: the broken mask
+    * bucketed every fingerprint at key 0, degenerating the blocking to
+    * all-pairs).
+    */
+  private[graft] def bandMask(width: Int): Long =
+    if (width >= 64) -1L else (1L << width) - 1
+
   private[graft] def simhashBandLayout(maxHamming: Int): Seq[(Int, Int)] = {
     val nBands = maxHamming + 1
     val base = SimHashBits / nBands
@@ -767,7 +776,7 @@ ORDER BY 1, 2""".stripMargin
     val bandCols = simhashBandLayout(maxHamming).zipWithIndex.map {
       case ((offset, width), b) =>
         struct(lit(b).as("band"),
-          shiftright(col("__fp"), offset).bitwiseAND(lit((1L << width) - 1))
+          shiftright(col("__fp"), offset).bitwiseAND(lit(bandMask(width)))
             .as("bkey"))
     }
     val banded = fps.select(col(idCol),
@@ -803,8 +812,8 @@ ORDER BY 1, 2""".stripMargin
     val bandJoins = simhashBandLayout(maxHamming).map { case (offset, width) =>
       s"""SELECT a.doc_id_ AS left_id, b.doc_id_ AS right_id
   FROM fp a JOIN fp b
-    ON ((a.simhash >> $offset) & ${(1L << width) - 1}) =
-       ((b.simhash >> $offset) & ${(1L << width) - 1})
+    ON ((a.simhash >> $offset) & ${bandMask(width)}) =
+       ((b.simhash >> $offset) & ${bandMask(width)})
    AND a.doc_id_ < b.doc_id_"""
     }.mkString("\n  UNION ALL\n")
     s"""WITH ${simhashCtes(table, idCol, textCol, shingleN)},

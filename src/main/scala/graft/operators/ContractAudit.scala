@@ -36,11 +36,14 @@ object ContractAudit {
   }
   /** Non-null `col` must contain a match of `pattern`. */
   final case class MatchesRegex(col: String, pattern: String) extends Rule {
-    def name = s"matches($col)"
+    // the pattern is part of the identity — two different regexes on one
+    // column are distinct rules (r10 review); names land in SQL string
+    // literals, so quotes are escaped at render time
+    def name = s"matches($col,$pattern)"
   }
   /** Non-null `col` must be one of `values`. */
   final case class OneOf(col: String, values: Seq[String]) extends Rule {
-    def name = s"one_of($col)"
+    def name = s"one_of($col,${values.mkString("|")})"
   }
   /** The column tuple must be unique across rows (NULL keys count —
     * two all-NULL keys are duplicates, the SQL-DISTINCT convention).
@@ -78,12 +81,14 @@ object ContractAudit {
         agg.select(col("__n"), explode(map(pairs: _*)).as(Seq("rule", "violations")))
           .select(col("rule"), col("violations"), col("__n").as("n_rows"))
       }
+    // ONE total-count job shared by every Unique rule (each still pays
+    // its own distinct count — that part is inherent)
+    lazy val totalRows = df.count()
     val uniques = rules.collect { case r @ Unique(cols0) =>
-      val n = df.count() // driver-side count: one job, reused below
       val distinct = df.select(cols0.map(col): _*).distinct().count()
       df.sparkSession.range(1).select(
-        lit(r.name).as("rule"), lit(n - distinct).as("violations"),
-        lit(n).as("n_rows"))
+        lit(r.name).as("rule"), lit(totalRows - distinct).as("violations"),
+        lit(totalRows).as("n_rows"))
     }
     val parts = base.toSeq ++ uniques
     // keep declaration order via a join back on the rule name
@@ -99,28 +104,30 @@ object ContractAudit {
   /** DuckDB replay: one sub-select per rule, unioned in declaration
     * order.
     */
+  private def q(name: String): String = name.replace("'", "''")
+
   def oracleSql(table: String, rules: Seq[Rule]): String =
     rules.map {
       case r @ NotNull(c) =>
-        s"""SELECT '${r.name}' AS rule,
+        s"""SELECT '${q(r.name)}' AS rule,
   CAST(count(*) FILTER (WHERE $c IS NULL) AS BIGINT) AS violations,
   CAST(count(*) AS BIGINT) AS n_rows FROM $table"""
       case r @ InRange(c, lo, hi) =>
-        s"""SELECT '${r.name}' AS rule,
+        s"""SELECT '${q(r.name)}' AS rule,
   CAST(count(*) FILTER (WHERE $c IS NOT NULL AND ($c < $lo OR $c > $hi)) AS BIGINT) AS violations,
   CAST(count(*) AS BIGINT) AS n_rows FROM $table"""
       case r @ MatchesRegex(c, p) =>
-        s"""SELECT '${r.name}' AS rule,
+        s"""SELECT '${q(r.name)}' AS rule,
   CAST(count(*) FILTER (WHERE $c IS NOT NULL AND NOT regexp_matches($c, '$p')) AS BIGINT) AS violations,
   CAST(count(*) AS BIGINT) AS n_rows FROM $table"""
       case r @ OneOf(c, vs) =>
         val list = vs.map(v => s"'$v'").mkString(", ")
-        s"""SELECT '${r.name}' AS rule,
+        s"""SELECT '${q(r.name)}' AS rule,
   CAST(count(*) FILTER (WHERE $c IS NOT NULL AND $c NOT IN ($list)) AS BIGINT) AS violations,
   CAST(count(*) AS BIGINT) AS n_rows FROM $table"""
       case r @ Unique(cols0) =>
         val keys = cols0.mkString(", ")
-        s"""SELECT '${r.name}' AS rule,
+        s"""SELECT '${q(r.name)}' AS rule,
   CAST((SELECT count(*) FROM $table) -
        (SELECT count(*) FROM (SELECT DISTINCT $keys FROM $table)) AS BIGINT)
     AS violations,

@@ -40,10 +40,13 @@ object ExpSmooth {
 
   /** (groupCol, idx, s_q3) — s_q3 the smoothed level in milli-units.
     * Groups longer than `maxPoints` raise loudly INSIDE the plan (the
-    * TheilSen discipline): the fold buffers one array per group, so an
-    * unbounded group is a silent OOM at scale — the raise converts it
-    * into a named contract violation the caller fixes by pre-aggregating
-    * onto a calendar spine or raising the bound deliberately.
+    * TheilSen discipline): the raise converts a contract overrun into a
+    * named violation the caller fixes by pre-aggregating onto a calendar
+    * spine or raising the bound deliberately. Scope honestly: the size
+    * check runs AFTER collect_list has buffered the group, so it is the
+    * backstop against moderate overruns — a group too large to collect
+    * at all OOMs in the collect itself; keep raw events off this
+    * operator (r10 review scoping).
     */
   def smooth(df: DataFrame, groupCol: String, idxCol: String,
              valueCol: String, alphaNum: Long, alphaDen: Long,

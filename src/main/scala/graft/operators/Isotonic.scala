@@ -16,8 +16,12 @@ import org.apache.spark.sql.functions._
   * the native [[graft.functions.IsotonicPav]] expression over the
   * collected series (the ExpSmooth fold posture: a stack algorithm has
   * no window/prefix decomposition, so it is one task's O(n) array
-  * surgery; feed calendar-bounded series, and the `maxPoints` guard
-  * raises IN-PLAN before an unbounded group can buffer). Published as
+  * surgery; feed calendar-bounded series. The `maxPoints` guard raises
+  * IN-PLAN on contract overruns — but the size check runs AFTER
+  * collect_list buffers the group, so it is the backstop against
+  * moderate overruns, not a shield for raw-event groups too large to
+  * collect at all; pre-aggregate onto a spine upstream — r10 review
+  * scoping). Published as
   * `fit_q6` = sign-split truncating ⌊10⁶·blockAvg⌋ — trunc is
   * monotone, so it commutes with the max-min and the DuckDB oracle can
   * replay the identity over identically-quantized candidate averages.

@@ -81,20 +81,33 @@ object KendallTau {
         col(c).as(s"__xg$i") } :+ col("__pairsSameX")): _*)
     val xCond = groupCols.zipWithIndex.map { case (c, i) =>
       col(c) <=> col(s"__xg$i") }.reduce(_ && _)
-    val joined = pairs
-      .join(perCell.select((groupCols.zipWithIndex.map { case (c, i) =>
-        col(c).as(s"__cg$i") } ++ Seq(col("__n"), col("__tieXY"))): _*),
-        groupCols.zipWithIndex.map { case (c, i) =>
-          col(c) <=> col(s"__cg$i") }.reduce(_ && _))
+    // BASE is perCell (every group with >=1 row) — a group whose x axis
+    // has a single distinct value generates NO ascending cell pair, and
+    // an inner join from `pairs` would silently drop it (the oracle
+    // keeps it with zero conc/disc — caught in r10 review)
+    val pairsR = pairs.select((groupCols.zipWithIndex.map { case (c, i) =>
+      col(c).as(s"__pg$i") } ++
+      Seq(col("__conc"), col("__disc"), col("__tieYOnly"))): _*)
+    val pCond = groupCols.zipWithIndex.map { case (c, i) =>
+      col(c) <=> col(s"__pg$i") }.reduce(_ && _)
+    val joined = perCell
+      .join(pairsR, pCond, "left")
       .join(perX, xCond)
+      .withColumn("__conc", coalesce(col("__conc"), lit(0).cast(dec)))
+      .withColumn("__disc", coalesce(col("__disc"), lit(0).cast(dec)))
+      .withColumn("__tieYOnly", coalesce(col("__tieYOnly"), lit(0).cast(dec)))
     val tieX = col("__pairsSameX") - col("__tieXY")
     val n0 = col("__n").cast(dec) * (col("__n") - 1).cast(dec) / 2
     val n1 = col("__pairsSameX")
     // y-tied total = tieYOnly (diff x) + tieXY (same cell) + ... same-x
     // same-y pairs ARE within-cell pairs, so per-y marginal = tieYOnly + tieXY
     val n2 = col("__tieYOnly") + col("__tieXY")
-    val tau = (col("__conc") - col("__disc")).cast("double") /
-      sqrt((n0 - n1.cast(dec)).cast("double") * (n0 - n2.cast(dec)).cast("double"))
+    // tau undefined when an axis is fully tied (zero denominator —
+    // NULL, never a division error)
+    val tau = when(n0 - n1.cast(dec) === 0 || n0 - n2.cast(dec) === 0,
+        lit(null).cast("double"))
+      .otherwise((col("__conc") - col("__disc")).cast("double") /
+        sqrt((n0 - n1.cast(dec)).cast("double") * (n0 - n2.cast(dec)).cast("double")))
     joined.select((g ++ Seq(
       col("__n").as("n"),
       col("__conc").cast("long").as("conc"),

@@ -63,18 +63,23 @@ object SeasonalDecomp {
       .groupBy(col(groupCol).as("__sg"), col("__season").as("__ss"))
       .agg(sgnDiv(sum(col("__det")).cast(dec),
         count(lit(1)).cast(dec)).cast("long").as("__sq"))
+    // the guard rides EVERY published column (the holt discipline) — a
+    // caller projecting only remainder_q6 (the q_seasonal_anomaly shape)
+    // must still hit the raise (caught in r10 review)
+    def guarded(out: org.apache.spark.sql.Column) =
+      when(col("__dup"), raise_error(concat(
+        lit("seasonal: duplicate idx within group '"),
+        col(groupCol).cast("string"),
+        lit("' — pre-aggregate to one row per (group, idx)")))
+          .cast("long"))
+        .otherwise(out)
     trended
       .join(seasonal,
         col(groupCol) <=> col("__sg") && col("__season") === col("__ss"))
       .select(col(groupCol), col("idx"), col("__season").as("season"),
-        when(col("__dup"), raise_error(concat(
-          lit("seasonal: duplicate idx within group '"),
-          col(groupCol).cast("string"),
-          lit("' — pre-aggregate to one row per (group, idx)")))
-            .cast("long"))
-          .otherwise(col("__tq")).as("trend_q6"),
-        col("__sq").as("seasonal_q6"),
-        (col("__det") - col("__sq")).as("remainder_q6"))
+        guarded(col("__tq")).as("trend_q6"),
+        guarded(col("__sq")).as("seasonal_q6"),
+        guarded(col("__det") - col("__sq")).as("remainder_q6"))
   }
 
   /** DuckDB replay — the same RANGE frame, pmod season, HUGEINT sums,

@@ -30,14 +30,21 @@ import org.apache.spark.sql.functions._
 object TableDigest {
 
   private val Sep = "\u001F"
-  private val NullMark = "\u0001N"
+  private val NullMark = "N"
 
   /** One row: (n_rows, xor_digest, sum_digest). Digests every column in
     * the frame's current order.
     */
   def digest(df: DataFrame): DataFrame = {
-    val rendered = df.columns.map(c =>
-      coalesce(col(c).cast("string"), lit(NullMark)))
+    // length-prefixed fields ("3:abc") make the rendering SELF-DELIMITING:
+    // content containing the separator (or a string equal to the old bare
+    // sentinel) can no longer collide — a bare "N" is unambiguous because
+    // every real field starts with digits and a colon (r10 review fix)
+    val rendered = df.columns.map { c =>
+      val sc = col(c).cast("string")
+      when(sc.isNull, lit(NullMark))
+        .otherwise(concat(length(sc).cast("string"), lit(":"), sc))
+    }
     val fp = graft.functions.Md5Prefix60(
       concat_ws(Sep, rendered: _*))
     df.select(fp.as("__fp"))
@@ -53,7 +60,8 @@ object TableDigest {
     */
   def oracleSql(table: String, colsSql: Seq[String]): String = {
     val rendered = colsSql
-      .map(c => s"COALESCE(CAST($c AS VARCHAR), chr(1) || 'N')")
+      .map(c => s"CASE WHEN $c IS NULL THEN 'N' ELSE " +
+        s"CAST(length(CAST($c AS VARCHAR)) AS VARCHAR) || ':' || CAST($c AS VARCHAR) END")
       .mkString(" || chr(31) || ")
     s"""WITH f AS (SELECT CAST(('0x'||substr(md5($rendered),1,15)) AS BIGINT) AS fp
   FROM $table)

@@ -21,14 +21,18 @@ import org.apache.spark.sql.functions._
   *    — the eviction that bounds state to input-rate × (lateness +
   *    window width) per side, independent of stream length.
   *
-  * Exactly-once without a dedup pass: every emitted pair involves ≥1
-  * NEW row (buffered×buffered pairs were emitted when their later
-  * element arrived), and a pair's earlier element is provably still
-  * buffered when the later one lands on time — the later element not
-  * being late forces wm ≤ its ts, which sits inside the earlier
-  * element's retention horizon. So over chunks with no late rows the
-  * lake is EXACTLY the one-shot batch interval join — what the gate
-  * hash-pins.
+  * Exactly-once without a dedup pass — WITHIN an orderly run: every
+  * emitted pair involves ≥1 NEW row (buffered×buffered pairs were
+  * emitted when their later element arrived), and a pair's earlier
+  * element is provably still buffered when the later one lands on time
+  * — the later element not being late forces wm ≤ its ts, which sits
+  * inside the earlier element's retention horizon. So over chunks with
+  * no late rows the lake is EXACTLY the one-shot batch interval join —
+  * what the gate hash-pins. Delivery under CRASH-RETRY is the family's
+  * at-least-once: the lake append lands before the store swap, so a
+  * crash between the two followed by a chunk replay re-emits that
+  * chunk's pairs — run under a checkpointed source like [[MetricsIngest]]
+  * (r10 review: the claim is scoped, not absolute).
   *
   * State (side, key, ts, id) swaps through [[AtomicStore]]; the
   * watermark needs no extra record — the max buffered ts is always the

@@ -182,8 +182,22 @@ class LlmSpec extends SparkSpec {
   }
 
   test("simhashPairs at radius 0 pairs exactly the equal fingerprints; plan has no cartesian") {
+    // radius 0 at 64 bits is the full-width single band — bandMask(64)
+    // must be the all-ones mask, not (1L << 64) - 1 == 0 (r10 review
+    // fix: the broken mask bucketed EVERY doc at key 0, silently
+    // degenerating the blocking to all-pairs)
+    assert(Dedup.bandMask(64) == -1L)
+    assert(Dedup.bandMask(22) == (1L << 22) - 1)
     val q = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 0)
-    assert(q.collect().forall(_.getLong(2) == 0L))
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.forall(_._3 == 0L))
+    // completeness AND minimality vs brute force over the fingerprints
+    val fps = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps if ia < ib && fa == fb
+    } yield (ia, ib, 0L)).toSet
+    assert(got.toSet == want)
     val plan = q.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }

@@ -26,8 +26,8 @@ class ContractAuditSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got("not_null(lang)") == 1L)      // row 3
     assert(got("in_range(n,0,100)") == 1L)   // 999; NULL not a violation
-    assert(got("matches(src)") == 1L)        // srcX; NULL not a violation
-    assert(got("one_of(lang)") == 1L)        // xx; NULL not a violation
+    assert(got("matches(src,^src[0-9]+$)") == 1L)        // srcX; NULL not a violation
+    assert(got("one_of(lang,en|de)") == 1L)        // xx; NULL not a violation
     assert(got("unique(id)") == 1L)          // one extra copy of id 1
   }
 
@@ -56,5 +56,14 @@ class ContractAuditSpec extends SparkSpec {
     // one partial/final aggregate pair over the scan, not one per rule
     val scans = plan.linesIterator.count(_.contains("LocalTableScan"))
     assert(scans <= 2, s"row-local rules must share a pass:\n$plan")
+  }
+
+  test("two different regex rules on one column are distinct (r10 review fix)") {
+    val got = audit(df, Seq(
+        MatchesRegex("src", "^src"), MatchesRegex("src", "[0-9]$")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size == 2)
+    assert(got("matches(src,^src)") == 0L)
+    assert(got("matches(src,[0-9]$)") == 1L) // srcX fails the digit anchor
   }
 }

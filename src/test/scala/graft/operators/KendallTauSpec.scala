@@ -71,4 +71,18 @@ class KendallTauSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("a group with one distinct x survives with zero conc/disc (r10 review fix)") {
+    val df = Seq(("c", 5L, 1L), ("c", 5L, 2L), ("c", 5L, 2L),
+      ("d", 1L, 1L), ("d", 2L, 2L)).toDF("grp", "x", "y")
+    val got = KendallTau.tauB(df, Seq("grp"), "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.contains("c"), "constant-x group must not vanish")
+    val c = got("c")
+    assert(c.getAs[Long]("conc") == 0L && c.getAs[Long]("disc") == 0L)
+    assert(c.getAs[Long]("tie_x") == 2L)  // (1,2),(1,2') same x diff y
+    assert(c.getAs[Long]("tie_xy") == 1L) // the two (5,2) rows
+    val n = c.getAs[Long]("n")
+    assert(0L + 0L + 2L + 0L + 1L == n * (n - 1) / 2)
+  }
 }

@@ -66,6 +66,13 @@ class SeasonalDecompSpec extends SparkSpec {
       SeasonalDecomp.decompose(dup, "grp", "i", "x", 2, 1).collect()
     }
     assert(e.getMessage.contains("duplicate idx"))
+    // the guard must survive a remainder-only projection (the
+    // q_seasonal_anomaly shape — r10 review fix)
+    val e2 = intercept[Exception] {
+      SeasonalDecomp.decompose(dup, "grp", "i", "x", 2, 1)
+        .select("remainder_q6").collect()
+    }
+    assert(e2.getMessage.contains("duplicate idx"))
     val df = Seq((Some("a"), Some(1L), Some(4L)), (Some("a"), None, Some(9L)),
       (Some("a"), Some(2L), None), (Option.empty[String], Some(1L), Some(7L)))
       .toDF("grp", "i", "x")

@@ -48,4 +48,14 @@ class TableDigestSpec extends SparkSpec {
     val (n, x, s) = dig(df.limit(0))
     assert(n == 0L && x == 0L && s == "0")
   }
+
+  test("separator injection can't collide: length-prefixed fields (r10 review fix)") {
+    val a = Seq(("a\u001Fb", "c")).toDF("x", "y")
+    val b = Seq(("a", "b\u001Fc")).toDF("x", "y")
+    assert(dig(a) != dig(b), "field boundaries must be content-proof")
+    // and a literal value spelling the old sentinel is not NULL
+    val mark = Seq((1L, Option("N"))).toDF("id", "v")
+    val nul = Seq((1L, Option.empty[String])).toDF("id", "v")
+    assert(dig(mark) != dig(nul))
+  }
 }
