@@ -6903,6 +6903,34 @@ FROM (${graft.operators.DenseSeries.denseDailyOracleBody(
             "AS lang_n, source, n_chars FROM documents)",
           Seq("doc_id", "lang_n", "source", "n_chars")))),
 
+      // UTF-8 validity/mojibake triage over synthesized payloads: each
+      // doc's ASCII prefix + formula-injected invalid bytes + baked-in
+      // U+FFFD markers — the differential fixture recomputes every
+      // expectation from the same generator in SQL
+      RegisteredQuery(
+        "q_utf8_stats",
+        (s, dir) => {
+          // prefix = first 20 chars of the (ASCII by construction) text;
+          // doc_id % 4 stray 0xFF bytes; doc_id % 2 replacement chars
+          val payload = unhex(concat(
+            hex(substring(col("text"), 1, 20)),
+            expr("repeat('FF', CAST(doc_id % 4 AS INT))"),
+            expr("repeat('EFBFBD', CAST(doc_id % 2 AS INT))")))
+          Tables.resolve(s, dir)("documents")
+            .select(col("doc_id"), graft.functions.Utf8Stats(payload).as("st"))
+            .select(col("doc_id"), col("st.n_bytes").as("n_bytes"),
+              col("st.n_chars").as("n_chars"),
+              col("st.n_invalid").as("n_invalid"),
+              col("st.n_replacement").as("n_replacement"))
+            .orderBy("doc_id")
+        },
+        Some("""SELECT doc_id,
+  CAST(length(substr(text, 1, 20)) + doc_id % 4 + 3 * (doc_id % 2) AS BIGINT) AS n_bytes,
+  CAST(length(substr(text, 1, 20)) + doc_id % 2 AS BIGINT) AS n_chars,
+  CAST(doc_id % 4 AS BIGINT) AS n_invalid,
+  CAST(doc_id % 2 AS BIGINT) AS n_replacement
+FROM documents ORDER BY doc_id""")),
+
       // Krippendorff alpha over a simulated annotation fleet: orderkey
       // quartets are "units" (multiplicity <= 4 at ANY scale factor —
       // orderkeys are unique), 3/4 of ratings carry the unit-determined

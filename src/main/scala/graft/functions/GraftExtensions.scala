@@ -61,6 +61,10 @@ object GraftExtensions {
     unary("audio_meta", classOf[AudioMeta],
       "audio_meta(bin) - struct<format,channels,sample_rate,bits,duration_ms> from a " +
         "WAV/FLAC header, NULL if unrecognized/truncated.", AudioMeta(_)),
+    unary("utf8_stats", classOf[Utf8Stats],
+      "utf8_stats(bin) - struct<n_bytes,n_chars,n_invalid,n_replacement> over a " +
+        "raw payload: strict RFC 3629 walk, per-byte resync, U+FFFD mojibake count.",
+      Utf8Stats(_)),
     unary("audio_pcm_stats", classOf[AudioPcmStats],
       "audio_pcm_stats(bin) - struct<n_samples,peak,sum_sq> over a 16-bit PCM " +
         "WAV's samples (exact integers), NULL if not PCM16/unparseable.",
