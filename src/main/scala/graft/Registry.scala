@@ -6451,12 +6451,14 @@ FROM orders GROUP BY 1, 2""", "o_orderpriority"))),
         "q_hits",
         (s, dir) => {
           val li = Tables.resolve(s, dir)("lineitem")
+            .where(col("l_quantity") >= 40)
           val edges = li.select(col("l_partkey").as("src"),
             (col("l_suppkey") + 100000000L).as("dst")).distinct()
           graft.operators.Hits.hubsAuthorities(edges, iters = 4).orderBy("id")
         },
         Some(graft.operators.Hits.oracleSql(
-          "SELECT DISTINCT l_partkey AS src, l_suppkey + 100000000 AS dst FROM lineitem",
+          "SELECT DISTINCT l_partkey AS src, l_suppkey + 100000000 AS dst " +
+            "FROM lineitem WHERE l_quantity >= 40",
           iters = 4))),
 
       // per-row percentile-rank (ECDF) transform through the RankDecomp
