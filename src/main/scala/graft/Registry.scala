@@ -7199,7 +7199,110 @@ WHERE date_part('year', CAST(o_orderdate AS DATE)) IN (1996, 1997)""",
         Some(graft.operators.Sharding.reshardOracle(
           "documents", "doc_id", "doc_id",
           (0 until 8).map(i => s"shard$i"),
-          (0 until 9).map(i => s"shard$i")))))
+          (0 until 9).map(i => s"shard$i")))),
+
+      // max drawdown over per-user running balances: signed event cents
+      // cumulated along event_id order — the deepest dip below the
+      // running high-water mark, exact Longs end-to-end
+      RegisteredQuery(
+        "q_drawdown",
+        (s, dir) => {
+          val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+          val signed = when(pmod(col("event_id"), lit(2)) === 0, cents)
+            .otherwise(-cents)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("grp")).orderBy(col("event_id"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+          val series = Tables.resolve(s, dir)("events")
+            .select(pmod(col("user_id"), lit(25)).as("grp"),
+              col("event_id"), signed.as("__d"))
+            .withColumn("level", sum(col("__d")).over(w))
+          graft.operators.Drawdown.maxDrawdown(
+              series, "grp", "event_id", "level")
+            .orderBy("grp")
+        },
+        Some(graft.operators.Drawdown.oracleSql(
+          """SELECT user_id % 25 AS grp, event_id AS t,
+  sum(CASE WHEN event_id % 2 = 0 THEN c ELSE -c END)
+    OVER (PARTITION BY user_id % 25 ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS v
+FROM (SELECT user_id, event_id,
+  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM events)""",
+          "grp"))),
+
+      // referential-integrity audit: four declared FKs — two clean, a
+      // restricted-parent relation with real orphans, a NULL-FK child,
+      // and a composite-key relation — in one relations-sized readout
+      RegisteredQuery(
+        "q_referential",
+        (s, dir) => {
+          val t = Tables.resolve(s, dir)
+          val ordersNullFk = t("orders").withColumn("o_custkey",
+            when(pmod(col("o_orderkey"), lit(11)) === 0,
+              lit(null).cast("long")).otherwise(col("o_custkey")))
+          graft.operators.Referential.audit(Seq(
+              graft.operators.Referential.FkRelation(
+                "customer.nation", t("customer"), Seq("c_nationkey"),
+                t("nation"), Seq("n_nationkey")),
+              graft.operators.Referential.FkRelation(
+                "lineitem.order", t("lineitem"), Seq("l_orderkey"),
+                t("orders"), Seq("o_orderkey")),
+              graft.operators.Referential.FkRelation(
+                "lineitem.supplier_low", t("lineitem"), Seq("l_suppkey"),
+                t("supplier").where(col("s_suppkey") <= 40), Seq("s_suppkey")),
+              graft.operators.Referential.FkRelation(
+                "orders_nullfk.customer", ordersNullFk, Seq("o_custkey"),
+                t("customer"), Seq("c_custkey")),
+              graft.operators.Referential.FkRelation(
+                "lineitem.highqty_pair", t("lineitem"),
+                Seq("l_partkey", "l_suppkey"),
+                t("lineitem").where(col("l_quantity") >= 10),
+                Seq("l_partkey", "l_suppkey"))))
+            .orderBy("relation")
+        },
+        Some(graft.operators.Referential.oracleSql(Seq(
+          graft.operators.Referential.relationOracle(
+            "customer.nation", "SELECT * FROM customer", Seq("c_nationkey"),
+            "SELECT * FROM nation", Seq("n_nationkey")),
+          graft.operators.Referential.relationOracle(
+            "lineitem.order", "SELECT * FROM lineitem", Seq("l_orderkey"),
+            "SELECT * FROM orders", Seq("o_orderkey")),
+          graft.operators.Referential.relationOracle(
+            "lineitem.supplier_low", "SELECT * FROM lineitem", Seq("l_suppkey"),
+            "SELECT * FROM supplier WHERE s_suppkey <= 40", Seq("s_suppkey")),
+          graft.operators.Referential.relationOracle(
+            "orders_nullfk.customer",
+            "SELECT CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_custkey END AS o_custkey FROM orders",
+            Seq("o_custkey"), "SELECT * FROM customer", Seq("c_custkey")),
+          graft.operators.Referential.relationOracle(
+            "lineitem.highqty_pair", "SELECT * FROM lineitem",
+            Seq("l_partkey", "l_suppkey"),
+            "SELECT * FROM lineitem WHERE l_quantity >= 10",
+            Seq("l_partkey", "l_suppkey")))))),
+
+      // graph mixing summary over the high-quantity nation trade graph
+      // (supplier nation → customer nation): reciprocity + exact
+      // assortativity components in one grand aggregate
+      RegisteredQuery(
+        "q_graph_mixing",
+        (s, dir) => {
+          val t = Tables.resolve(s, dir)
+          val edges = t("lineitem").where(col("l_quantity") >= 50)
+            .select("l_orderkey", "l_suppkey")
+            .join(t("orders").select("o_orderkey", "o_custkey"),
+              col("l_orderkey") === col("o_orderkey"))
+            .join(t("customer").select("c_custkey", "c_nationkey"),
+              col("o_custkey") === col("c_custkey"))
+            .join(t("supplier").select("s_suppkey", "s_nationkey"),
+              col("l_suppkey") === col("s_suppkey"))
+            .select(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+          graft.operators.GraphMixing.summary(edges, "src", "dst")
+        },
+        Some(graft.operators.GraphMixing.oracleSql(
+          """SELECT s_nationkey AS s, c_nationkey AS d
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE l_quantity >= 50"""))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
