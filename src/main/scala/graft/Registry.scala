@@ -7302,7 +7302,19 @@ FROM (SELECT user_id, event_id,
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 JOIN supplier ON l_suppkey = s_suppkey
-WHERE l_quantity >= 50"""))))
+WHERE l_quantity >= 50"""))),
+
+      // Nelson–Aalen cumulative hazard: the rational (fully exact)
+      // survival readout beside q_km_survival's log-space curve — same
+      // daily hazard spine, per-term-floored cumulative sums
+      RegisteredQuery(
+        "q_nelson_aalen",
+        (s, dir) => graft.operators.Churn.nelsonAalenDaily(
+            graft.llm.EventWindows.readEvents(s, s"$dir/events.parquet"),
+            "user_id", "ts")
+          .orderBy("age_days"),
+        Some(graft.operators.Churn.naDailyOracleSql(
+          "events", "user_id", "ts"))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over

@@ -205,4 +205,69 @@ SELECT $ageName, at_risk, churned, censored, hazard_e8,
   END AS ln_surv_q6
 FROM hz ORDER BY $ageName"""
   }
+
+  /** Nelson–Aalen cumulative hazard on top of [[hazardCurve]] — the
+    * RATIONAL survival readout beside [[kmSurvival]]'s log-space curve:
+    * H(t) = Σ_{ages ≤ t} dᵢ/nᵢ, the estimator of cumulative hazard whose
+    * terms are pure fractions, so unlike KM's ln chain the WHOLE curve is
+    * exact integers end-to-end and gate-grade: `na_q6` cumulates
+    * per-term-floored `⌊10⁶·churned/at_risk⌋` (floors sum exactly —
+    * declared, replayable) and `na_var_q12` cumulates the Aalen variance
+    * terms `⌊10¹²·churned/at_risk²⌋` (products ride DECIMAL(38,0) so a
+    * 10⁹-user cohort cannot overflow the numerator). Interpretation:
+    * survival ≈ exp(−H); H sums what KM multiplies.
+    *
+    * Scale shape: inherits the hazard spine (horizon-bounded ages, never
+    * user-bounded); the cumulation is one unpartitioned window over that
+    * ages-sized spine (the [[kmSurvival]] posture).
+    */
+  def nelsonAalen(events: DataFrame, userCol: String,
+                  tsCol: String): DataFrame =
+    naFrom(hazardCurve(events, userCol, tsCol), "age_months")
+
+  /** [[nelsonAalen]] at DAY granularity. */
+  def nelsonAalenDaily(events: DataFrame, userCol: String,
+                       tsCol: String): DataFrame =
+    naFrom(hazardCurveDaily(events, userCol, tsCol), "age_days")
+
+  private def naFrom(hz: DataFrame, ageName: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(ageName).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val term = call_function("div",
+      (lit(1000000L).cast(dec) * col("churned").cast(dec)).cast(dec),
+      col("at_risk").cast(dec)).cast("long")
+    val vterm = call_function("div",
+      (lit(1000000000000L).cast(dec) * col("churned").cast(dec)).cast(dec),
+      (col("at_risk").cast(dec) * col("at_risk").cast(dec)).cast(dec))
+      .cast("long")
+    hz
+      .withColumn("na_q6", sum(term).over(w))
+      .withColumn("na_var_q12", sum(vterm).over(w))
+  }
+
+  /** DuckDB replay of [[nelsonAalen]] — the hazard CTE plus the same
+    * per-term-floored cumulative sums.
+    */
+  def naOracleSql(table: String, userE: String, tsE: String): String =
+    naOracleBy(oracleSql(table, userE, tsE), "age_months")
+
+  /** DuckDB replay of [[nelsonAalenDaily]]. */
+  def naDailyOracleSql(table: String, userE: String, tsE: String): String =
+    naOracleBy(dailyOracleSql(table, userE, tsE), "age_days")
+
+  private def naOracleBy(baseSql: String, ageName: String): String = {
+    val base = baseSql.replaceFirst(s"ORDER BY $ageName$$", "")
+    s"""WITH hz AS ($base)
+SELECT $ageName, at_risk, churned, censored, hazard_e8,
+  CAST(sum(CAST((CAST(churned AS HUGEINT) * 1000000)
+      // CAST(at_risk AS HUGEINT) AS BIGINT))
+    OVER (ORDER BY $ageName ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS na_q6,
+  CAST(sum(CAST((CAST(churned AS HUGEINT) * 1000000000000)
+      // (CAST(at_risk AS HUGEINT) * CAST(at_risk AS HUGEINT)) AS BIGINT))
+    OVER (ORDER BY $ageName ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS na_var_q12
+FROM hz ORDER BY $ageName"""
+  }
 }

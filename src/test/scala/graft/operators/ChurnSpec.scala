@@ -53,4 +53,24 @@ class ChurnSpec extends SparkSpec {
     val got = Churn.hazardCurve(ev, "user", "ts").collect()
     assert(got.map(_.getLong(1)).max == 1L) // only user a survives the filter
   }
+
+  test("Nelson-Aalen: per-term-floored rational hazard cumulates exactly") {
+    // a churns at 0, b at 1, c censored at 2, d censored at 0:
+    // at_risk 4/2/1 -> terms 250000, 500000, 0
+    val ev = Seq(
+      ("a", "2024-01-10"),
+      ("b", "2024-01-05"), ("b", "2024-02-14"),
+      ("c", "2024-01-02"), ("c", "2024-03-20"),
+      ("d", "2024-03-02"))
+      .toDF("user", "ts0")
+      .selectExpr("user", "CAST(ts0 AS TIMESTAMP) AS ts")
+    val got = Churn.nelsonAalen(ev, "user", "ts")
+      .orderBy("age_months").collect()
+      .map(r => (r.getAs[Long]("age_months"), r.getAs[Long]("na_q6"),
+        r.getAs[Long]("na_var_q12")))
+    assert(got.toSeq == Seq(
+      (0L, 250000L, 62500000000L),
+      (1L, 750000L, 312500000000L),
+      (2L, 750000L, 312500000000L)))
+  }
 }
