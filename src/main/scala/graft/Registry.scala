@@ -7314,7 +7314,38 @@ WHERE l_quantity >= 50"""))),
             "user_id", "ts")
           .orderBy("age_days"),
         Some(graft.operators.Churn.naDailyOracleSql(
-          "events", "user_id", "ts"))))
+          "events", "user_id", "ts"))),
+
+      // FIFO lot matching: even-line lineitems are acquisition lots,
+      // odd-line ones demands, per part-bucket — allocations as
+      // cumulative-mass interval overlaps (band join, no per-key
+      // quadratic pairing)
+      RegisteredQuery(
+        "q_fifo_match",
+        (s, dir) => {
+          val li = Tables.resolve(s, dir)("lineitem").select(
+            pmod(col("l_partkey"), lit(200)).as("k"),
+            (col("l_orderkey") * 10 + col("l_linenumber")).as("i"),
+            col("l_quantity").cast("long").as("q"),
+            pmod(col("l_linenumber"), lit(2)).as("__par"))
+          // the synthetic table has duplicate (orderkey, linenumber)
+          // pairs — collapse to one row per (k, i), the fifo contract
+          def rows(par: Int) = li.where(col("__par") === par)
+            .groupBy("k", "i").agg(sum(col("q")).as("q"))
+          val lots = rows(0)
+          val demands = rows(1)
+          graft.operators.FifoMatch.allocate(
+              lots, demands, "k", "i", "q", bucketMass = 64L)
+            .orderBy("k", "lot_idx", "demand_idx")
+        },
+        Some(graft.operators.FifoMatch.allocateOracle(
+          """SELECT l_partkey % 200 AS k, l_orderkey * 10 + l_linenumber AS i,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+FROM lineitem WHERE l_linenumber % 2 = 0 GROUP BY 1, 2""",
+          """SELECT l_partkey % 200 AS k, l_orderkey * 10 + l_linenumber AS i,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+FROM lineitem WHERE l_linenumber % 2 = 1 GROUP BY 1, 2""",
+          "k"))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
