@@ -7345,7 +7345,36 @@ FROM lineitem WHERE l_linenumber % 2 = 0 GROUP BY 1, 2""",
           """SELECT l_partkey % 200 AS k, l_orderkey * 10 + l_linenumber AS i,
   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
 FROM lineitem WHERE l_linenumber % 2 = 1 GROUP BY 1, 2""",
-          "k"))))
+          "k"))),
+
+      // Holt-Winters additive triple smoothing: weekly seasonal state
+      // over the per-priority dense daily revenue series — the same
+      // integer fold discipline as q_holt_smooth plus the period-7
+      // seasonal back-reference
+      RegisteredQuery(
+        "q_holt_winters",
+        (s, dir) => graft.operators.ExpSmooth.holtWinters(
+            graft.operators.DenseSeries.denseDaily(
+                Tables.resolve(s, dir)("orders")
+                  .withColumn("cents",
+                    (col("o_totalprice").cast("decimal(18,2)") * 100)
+                      .cast("long")),
+                "o_orderpriority", "o_orderdate", "cents")
+              .select(col("o_orderpriority"),
+                datediff(col("day"), lit("1970-01-01")).cast("long").as("i"),
+                col("sum_value").as("x")),
+            "o_orderpriority", "i", "x", period = 7,
+            alphaNum = 3, alphaDen = 10, betaNum = 1, betaDen = 10,
+            gammaNum = 2, gammaDen = 10)
+          .orderBy("o_orderpriority", "idx"),
+        Some(graft.operators.ExpSmooth.holtWintersOracleSql(
+          s"""SELECT o_orderpriority AS grp,
+  CAST(day - DATE '1970-01-01' AS BIGINT) AS i, sum_value AS x
+FROM (${graft.operators.DenseSeries.denseDailyOracleBody(
+            "orders", "o_orderpriority", "o_orderdate",
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")})""",
+          "o_orderpriority", period = 7, alphaNum = 3, alphaDen = 10,
+          betaNum = 1, betaDen = 10, gammaNum = 2, gammaDen = 10))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over

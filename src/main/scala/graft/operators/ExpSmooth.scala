@@ -237,4 +237,144 @@ SELECT grp AS $groupName, u.i AS idx, CAST(u.s AS BIGINT) AS s_q3
 FROM (SELECT grp, unnest(r) AS u FROM f)
 ORDER BY $groupName, idx"""
   }
+
+  /** Holt–Winters additive triple smoothing — [[holt]] plus a seasonal
+    * state of declared period `m`, completing the smoothing family (the
+    * seasonal-index readout is [[Seasonal.indexes]]; the decomposition
+    * is [[SeasonalDecomp.decompose]]; this is the RECURSIVE tracker a
+    * live forecast wants: ŷ_{t+h} = l_t + h·b_t + s_{t−m+((h−1) mod m)+1}
+    * is scan-stage algebra for the caller). With α = p/q, β = r/w,
+    * γ = g/v exact rationals and s̃ the seasonal m steps back (DECLARED
+    * 0 for the first season — the graceful-degrade init: the first
+    * season runs plain Holt and seasonals accumulate from observation):
+    *
+    *   l_1 = x_1·1000, b_1 = 0, s_1 = 0;
+    *   l_t = sgn-div(p·(x_t·1000 − s̃) + (q−p)·(l_{t−1} + b_{t−1}), q)
+    *   b_t = sgn-div(r·(l_t − l_{t−1}) + (w−r)·b_{t−1}, w)
+    *   s_t = sgn-div(g·(x_t·1000 − l_t) + (v−g)·s̃, v)
+    *
+    * — three truncating divisions per step, same fold posture and
+    * contracts as [[holt]]. Returns (groupCol, idx, level_q3, trend_q3,
+    * seasonal_q3).
+    */
+  def holtWinters(df: DataFrame, groupCol: String, idxCol: String,
+                  valueCol: String, period: Int,
+                  alphaNum: Long, alphaDen: Long,
+                  betaNum: Long, betaDen: Long,
+                  gammaNum: Long, gammaDen: Long,
+                  maxPoints: Long = 100000L): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    require(alphaNum > 0 && alphaNum < alphaDen,
+      s"alpha = $alphaNum/$alphaDen must lie in (0, 1)")
+    require(betaNum > 0 && betaNum < betaDen,
+      s"beta = $betaNum/$betaDen must lie in (0, 1)")
+    require(gammaNum > 0 && gammaNum < gammaDen,
+      s"gamma = $gammaNum/$gammaDen must lie in (0, 1)")
+    require(maxPoints >= 1, s"maxPoints must be >= 1, got $maxPoints")
+    graft.Guards.requireIntegral(df, idxCol, "holtWinters")
+    graft.Guards.requireIntegral(df, valueCol, "holtWinters")
+    val p = lit(alphaNum); val qmp = lit(alphaDen - alphaNum)
+    val r = lit(betaNum); val wmr = lit(betaDen - betaNum)
+    val g = lit(gammaNum); val vmg = lit(gammaDen - gammaNum)
+    def sgnDiv(num: org.apache.spark.sql.Column, den: Long) =
+      when(num < 0, lit(-1L)).otherwise(lit(1L)) *
+        call_function("div", abs(num), lit(den))
+    val collected = df
+      .where(col(idxCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(struct(
+        col(idxCol).cast("long").as("i"),
+        col(valueCol).cast("long").as("x")))).as("__arr"))
+    val zero = expr("named_struct(" +
+      "'out', CAST(array() AS ARRAY<STRUCT<i: BIGINT, l: BIGINT, b: BIGINT, s: BIGINT>>), " +
+      "'pl', CAST(NULL AS BIGINT), 'pb', CAST(NULL AS BIGINT), 'first', true)")
+    val folded = collected.select(col(groupCol),
+      (size(col("__arr")) =!=
+        size(array_distinct(transform(col("__arr"), e => e.getField("i")))))
+        .as("__dup"),
+      (size(col("__arr")) > maxPoints).as("__over"),
+      aggregate(col("__arr"), zero, (acc, e) => {
+        val n = size(acc.getField("out"))
+        // s m steps back: out(n − m + 1) once a full season exists, else 0
+        val sm = when(n >= period,
+          element_at(acc.getField("out"), n - (period - 1)).getField("s"))
+          .otherwise(lit(0L))
+        val x3 = e.getField("x") * lit(Scale)
+        val lNum = p * (x3 - sm) +
+          qmp * (acc.getField("pl") + acc.getField("pb"))
+        val nl = when(acc.getField("first"), x3)
+          .otherwise(sgnDiv(lNum, alphaDen))
+        val bNum = r * (nl - acc.getField("pl")) + wmr * acc.getField("pb")
+        val nb = when(acc.getField("first"), lit(0L))
+          .otherwise(sgnDiv(bNum, betaDen))
+        val sNum = g * (x3 - nl) + vmg * sm
+        val ns = when(acc.getField("first"), lit(0L))
+          .otherwise(sgnDiv(sNum, gammaDen))
+        struct(
+          concat(acc.getField("out"), array(struct(
+            e.getField("i").as("i"), nl.as("l"), nb.as("b"), ns.as("s"))))
+            .as("out"),
+          nl.as("pl"), nb.as("pb"), lit(false).as("first"))
+      }).getField("out").as("__out"))
+    // the guard rides ALL THREE output columns (the holt discipline)
+    def guarded(out: org.apache.spark.sql.Column) =
+      when(col("__over"), raise_error(concat(
+        lit("holtWinters: group '"), col(groupCol).cast("string"),
+        lit(s"' exceeds $maxPoints points — feed a calendar spine or raise maxPoints")))
+          .cast("long"))
+        .when(col("__dup"), raise_error(concat(
+        lit("holtWinters: duplicate idx within group '"),
+        col(groupCol).cast("string"),
+        lit("' — pre-aggregate to one row per (group, idx)")))
+          .cast("long"))
+        .otherwise(out)
+    folded.select(col(groupCol), col("__dup"), col("__over"),
+        explode(col("__out")).as("__e"))
+      .select(col(groupCol), col("__e.i").as("idx"),
+        guarded(col("__e.l")).as("level_q3"),
+        guarded(col("__e.b")).as("trend_q3"),
+        guarded(col("__e.s")).as("seasonal_q3"))
+  }
+
+  /** DuckDB replay of [[holtWinters]] — the flat-list device with
+    * {i, l, b, s} entries and the same seasonal back-reference.
+    */
+  def holtWintersOracleSql(seriesSql: String, groupName: String, period: Int,
+                           alphaNum: Long, alphaDen: Long,
+                           betaNum: Long, betaDen: Long,
+                           gammaNum: Long, gammaDen: Long): String = {
+    val p = alphaNum; val qmp = alphaDen - alphaNum
+    val r = betaNum; val wmr = betaDen - betaNum
+    val g = gammaNum; val vmg = gammaDen - gammaNum
+    val last = "acc[len(acc)]"
+    val sm = s"(CASE WHEN len(acc) >= $period " +
+      s"THEN acc[len(acc) - ${period - 1}].s ELSE 0 END)"
+    // e[1].l is x_t·Scale (the pre-mapped singleton)
+    val lNum = s"($p * (e[1].l - $sm) + $qmp * ($last.l + $last.b))"
+    val lStep = s"CASE WHEN $lNum < 0 THEN -((-$lNum) // $alphaDen) " +
+      s"ELSE $lNum // $alphaDen END"
+    val bNum = s"($r * (($lStep) - $last.l) + $wmr * $last.b)"
+    val bStep = s"CASE WHEN $bNum < 0 THEN -((-$bNum) // $betaDen) " +
+      s"ELSE $bNum // $betaDen END"
+    val sNum = s"($g * (e[1].l - ($lStep)) + $vmg * $sm)"
+    val sStep = s"CASE WHEN $sNum < 0 THEN -((-$sNum) // $gammaDen) " +
+      s"ELSE $sNum // $gammaDen END"
+    s"""WITH arr AS (
+  SELECT grp, list({'i': i, 'x': x} ORDER BY i, x) AS a
+  FROM ($seriesSql) WHERE i IS NOT NULL AND x IS NOT NULL GROUP BY grp),
+pre AS (
+  SELECT grp, list_transform(a,
+    e -> [{'i': e.i, 'l': e.x * $Scale, 'b': CAST(0 AS BIGINT),
+           's': CAST(0 AS BIGINT)}]) AS a
+  FROM arr),
+f AS (
+  SELECT grp, list_reduce(a,
+    (acc, e) -> list_append(acc,
+      {'i': e[1].i, 'l': $lStep, 'b': $bStep, 's': $sStep})) AS r
+  FROM pre)
+SELECT grp AS $groupName, u.i AS idx, CAST(u.l AS BIGINT) AS level_q3,
+  CAST(u.b AS BIGINT) AS trend_q3, CAST(u.s AS BIGINT) AS seasonal_q3
+FROM (SELECT grp, unnest(r) AS u FROM f)
+ORDER BY $groupName, idx"""
+  }
 }

@@ -76,4 +76,55 @@ class ExpSmoothSpec extends SparkSpec {
       ExpSmooth.smooth(df, "grp", "i", "x", 0, 2)
     }
   }
+
+  test("Holt-Winters: hand chain at period 2, all rates 1/2") {
+    val df = Seq(("g", 1L, 4L), ("g", 2L, 6L), ("g", 3L, 8L), ("g", 4L, 10L))
+      .toDF("grp", "i", "x")
+    val got = ExpSmooth.holtWinters(df, "grp", "i", "x", period = 2,
+        alphaNum = 1, alphaDen = 2, betaNum = 1, betaDen = 2,
+        gammaNum = 1, gammaDen = 2)
+      .orderBy("idx").collect()
+      .map(r => (r.getAs[Long]("idx"), r.getAs[Long]("level_q3"),
+        r.getAs[Long]("trend_q3"), r.getAs[Long]("seasonal_q3")))
+    assert(got.toSeq == Seq(
+      (1L, 4000L, 0L, 0L),
+      (2L, 5000L, 500L, 500L),
+      (3L, 6750L, 1125L, 625L),
+      (4L, 8687L, 1531L, 906L)))
+  }
+
+  test("Holt-Winters: first season (len <= period) runs plain Holt on level/trend") {
+    val df = Seq(("g", 1L, 7L), ("g", 2L, 3L), ("g", 3L, 11L))
+      .toDF("grp", "i", "x")
+    val hw = ExpSmooth.holtWinters(df, "grp", "i", "x", period = 5,
+        alphaNum = 3, alphaDen = 10, betaNum = 1, betaDen = 10,
+        gammaNum = 2, gammaDen = 10)
+      .orderBy("idx").collect()
+      .map(r => (r.getAs[Long]("level_q3"), r.getAs[Long]("trend_q3")))
+    val h = ExpSmooth.holt(df, "grp", "i", "x",
+        alphaNum = 3, alphaDen = 10, betaNum = 1, betaDen = 10)
+      .orderBy("idx").collect()
+      .map(r => (r.getAs[Long]("level_q3"), r.getAs[Long]("trend_q3")))
+    assert(hw.toSeq == h.toSeq)
+  }
+
+  test("Holt-Winters: dup raises on any column; param guards reject bad period/gamma") {
+    val dup = Seq(("g", 1L, 1L), ("g", 1L, 2L)).toDF("grp", "i", "x")
+    val e = intercept[Exception] {
+      ExpSmooth.holtWinters(dup, "grp", "i", "x", period = 2,
+        alphaNum = 1, alphaDen = 2, betaNum = 1, betaDen = 2,
+        gammaNum = 1, gammaDen = 2).select("seasonal_q3").collect()
+    }
+    assert(e.getMessage.contains("duplicate idx"))
+    intercept[IllegalArgumentException] {
+      ExpSmooth.holtWinters(dup, "grp", "i", "x", period = 1,
+        alphaNum = 1, alphaDen = 2, betaNum = 1, betaDen = 2,
+        gammaNum = 1, gammaDen = 2)
+    }
+    intercept[IllegalArgumentException] {
+      ExpSmooth.holtWinters(dup, "grp", "i", "x", period = 2,
+        alphaNum = 1, alphaDen = 2, betaNum = 1, betaDen = 2,
+        gammaNum = 2, gammaDen = 2)
+    }
+  }
 }
