@@ -7374,7 +7374,19 @@ FROM (${graft.operators.DenseSeries.denseDailyOracleBody(
             "orders", "o_orderpriority", "o_orderdate",
             "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")})""",
           "o_orderpriority", period = 7, alphaNum = 3, alphaDen = 10,
-          betaNum = 1, betaDen = 10, gammaNum = 2, gammaDen = 10))))
+          betaNum = 1, betaDen = 10, gammaNum = 2, gammaDen = 10))),
+
+      // Markov entropy rate of the event-type chain: per-state
+      // conditional entropy + rate contribution off the transition
+      // matrix, per-term-floored quantized-ln sums
+      RegisteredQuery(
+        "q_markov_entropy",
+        (s, dir) => graft.operators.MarkovEntropy.fromTransitions(
+            graft.llm.EventWindows.eventTransitions(
+              Tables.resolve(s, dir)("events")))
+          .orderBy("from_type"),
+        Some(graft.operators.MarkovEntropy.oracleSql(
+          graft.llm.EventWindows.eventTransitionsOracle("events")))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
