@@ -7386,7 +7386,20 @@ FROM (${graft.operators.DenseSeries.denseDailyOracleBody(
               Tables.resolve(s, dir)("events")))
           .orderBy("from_type"),
         Some(graft.operators.MarkovEntropy.oracleSql(
-          graft.llm.EventWindows.eventTransitionsOracle("events")))))
+          graft.llm.EventWindows.eventTransitionsOracle("events")))),
+
+      // time-decay attribution: credit halves per 30 minutes before the
+      // conversion — declared step-wise powers of two, one truncating
+      // division per touch
+      RegisteredQuery(
+        "q_timedecay_attrib",
+        (s, dir) => graft.llm.Attribution.timeDecayCredit(
+            graft.llm.EventWindows.readEvents(s, s"$dir/events.parquet"),
+            conversionType = "purchase", lookback = "2 hours",
+            halflife = "30 minutes")
+          .orderBy("conversion_id", "touch_id"),
+        Some(graft.llm.Attribution.timeDecayOracle(
+          "events", "purchase"))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over

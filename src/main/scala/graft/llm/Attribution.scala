@@ -159,4 +159,86 @@ SELECT conversion_id, CAST(touch_id AS BIGINT) AS touch_id, touch_type,
     WHEN rk = 1 OR rk = n THEN CASE WHEN n = 2 THEN 5000 ELSE 4000 END
     ELSE 2000 // (n - 2) END AS BIGINT) AS credit_bp
 FROM p ORDER BY conversion_id, touch_id""".stripMargin
+
+  /** Time-decay credit — the third attribution scheme beside
+    * [[firstLastTouch]] (positional) and [[uShapedCredit]] (positional
+    * blend): recency is the signal, each touch's weight HALVES per
+    * `halflife` elapsed before the conversion. Float 2^(−Δ/h) never
+    * replays, so the decay is DECLARED step-wise: k = Δ div halflife
+    * (capped at 62 — beyond that the weight is one 2⁻⁶² sliver of the
+    * newest touch's), weight = 2^(62−k) exact powers of two, and
+    * `credit_bp = ⌊10⁴·w/Σw⌋` one truncating division per touch with the
+    * weight sum in DECIMAL(38,0) (10⁴ touches × 2⁶² cannot overflow).
+    * Same pairing, same windows, same NULL contracts as
+    * [[uShapedCredit]]; `decay_steps` (= k) is published so a reader can
+    * audit the step function directly.
+    */
+  def timeDecayCredit(events: DataFrame, conversionType: String,
+                      lookback: String = "2 hours",
+                      halflife: String = "30 minutes",
+                      userCol: String = "user_id", tsCol: String = "ts",
+                      typeCol: String = "event_type",
+                      idCol: String = "event_id"): DataFrame = {
+    val hl = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(halflife))
+    require(hl.months == 0 && hl.days == 0 && hl.microseconds > 0,
+      s"halflife must be a positive sub-day interval, got '$halflife'")
+    val base = events.where(col(userCol).isNotNull && col(idCol).isNotNull)
+    val convs = base.where(col(typeCol) === conversionType)
+      .select(col(userCol).as("__cu"), col(idCol).cast("long").as("conversion_id"),
+        col(tsCol).as("__cts"))
+      .withColumn("__cstart", col("__cts") - expr(s"INTERVAL $lookback"))
+    val touches = base.where(col(typeCol) =!= conversionType)
+      .select(col(userCol).as("__tu"), col(idCol).cast("long").as("touch_id"),
+        col(typeCol).as("touch_type"), col(tsCol).as("__tts"))
+    val pairs = graft.operators.RangeJoin.intervalJoin(
+      touches, convs, "__tts", "__cstart", "__cts",
+      on = Seq("__tu" -> "__cu"), bucket = lookback, halfOpen = false)
+    val dec = "decimal(38,0)"
+    val whole = Window.partitionBy(col("conversion_id"))
+    pairs
+      .withColumn("decay_steps", least(
+        call_function("div",
+          expr("timestampdiff(MICROSECOND, CAST(__tts AS TIMESTAMP_NTZ), " +
+            "CAST(__cts AS TIMESTAMP_NTZ))"),
+          lit(hl.microseconds)), lit(62L))
+        .cast("long"))
+      .withColumn("__w",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(62 - decay_steps AS INT))"))
+      .withColumn("__sw", sum(col("__w").cast(dec)).over(whole).cast(dec))
+      .select(col("conversion_id"), col("touch_id"), col("touch_type"),
+        col("decay_steps"),
+        call_function("div",
+          (lit(10000L).cast(dec) * col("__w").cast(dec)).cast(dec),
+          col("__sw")).cast("long").as("credit_bp"))
+  }
+
+  /** DuckDB replay of [[timeDecayCredit]] — plain inequality join, same
+    * step function via BIGINT shifts, HUGEINT weight sum.
+    */
+  def timeDecayOracle(table: String, conversionType: String,
+                      lookbackSql: String = "INTERVAL 2 HOUR",
+                      halflifeMicros: Long = 1800000000L,
+                      userCol: String = "user_id", tsCol: String = "ts",
+                      typeCol: String = "event_type",
+                      idCol: String = "event_id"): String =
+    s"""WITH conv AS (SELECT $idCol AS conversion_id, $userCol, $tsCol
+  FROM $table WHERE $typeCol = '$conversionType' AND $userCol IS NOT NULL
+    AND $idCol IS NOT NULL),
+p AS (SELECT c.conversion_id, e.$idCol AS touch_id, e.$typeCol AS touch_type,
+    least(date_diff('microsecond', e.$tsCol, c.$tsCol) // $halflifeMicros,
+      62) AS k
+  FROM conv c JOIN $table e
+    ON e.$userCol = c.$userCol AND e.$typeCol <> '$conversionType'
+    AND e.$idCol IS NOT NULL
+    AND e.$tsCol >= c.$tsCol - $lookbackSql AND e.$tsCol <= c.$tsCol),
+w AS (SELECT conversion_id, touch_id, touch_type, k,
+    CAST(1 AS BIGINT) << CAST(62 - k AS INT) AS wt FROM p),
+sw AS (SELECT conversion_id, sum(CAST(wt AS HUGEINT)) AS s
+  FROM w GROUP BY conversion_id)
+SELECT w.conversion_id, CAST(w.touch_id AS BIGINT) AS touch_id, w.touch_type,
+  CAST(w.k AS BIGINT) AS decay_steps,
+  CAST((10000 * CAST(w.wt AS HUGEINT)) // sw.s AS BIGINT) AS credit_bp
+FROM w JOIN sw ON w.conversion_id = sw.conversion_id
+ORDER BY w.conversion_id, w.touch_id"""
 }

@@ -118,4 +118,40 @@ class AttributionSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
     assert(got.toSeq == Seq((2L, 1L, 10000L)))
   }
+
+  test("time-decay credit: weight halves per halflife step, exact sevenths") {
+    val rows = Seq(
+      ev(1, 7, "2024-01-01 09:00:00", "view"),   // 60 min before: k=2, w=2^60
+      ev(2, 7, "2024-01-01 09:29:59", "click"),  // 30m01s before: k=1, w=2^61
+      ev(3, 7, "2024-01-01 09:31:00", "view"),   // 29 min before: k=0, w=2^62
+      ev(4, 7, "2024-01-01 10:00:00", "buy"),
+      ev(5, 8, "2024-01-01 09:40:00", "view"),
+      ev(6, 8, "2024-01-01 10:00:00", "buy"))    // single touch: 10000
+    val got = Attribution.timeDecayCredit(
+        rows.toDF("event_id", "user_id", "ts", "event_type"),
+        conversionType = "buy", lookback = "1 hour", halflife = "30 minutes")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getAs[Long]("decay_steps"), r.getAs[Long]("credit_bp")))).toMap
+    assert(got == Map(
+      (4L, 1L) -> ((2L, 1428L)),   // 10000/7
+      (4L, 2L) -> ((1L, 2857L)),   // 2·10000/7
+      (4L, 3L) -> ((0L, 5714L)),   // 4·10000/7
+      (6L, 5L) -> ((0L, 10000L))))
+  }
+
+  test("time-decay: steps cap at 62; an ancient touch keeps a sliver, never overflows") {
+    val rows = Seq(
+      ev(1, 7, "2024-01-01 09:00:00", "view"),   // 3600 steps at 1s -> cap 62
+      ev(2, 7, "2024-01-01 10:00:00", "click"),  // 0 steps (same instant)
+      ev(3, 7, "2024-01-01 10:00:00", "buy"))
+    val got = Attribution.timeDecayCredit(
+        rows.toDF("event_id", "user_id", "ts", "event_type"),
+        conversionType = "buy", lookback = "1 hour", halflife = "1 second")
+      .collect()
+      .map(r => r.getLong(1) ->
+        ((r.getAs[Long]("decay_steps"), r.getAs[Long]("credit_bp")))).toMap
+    assert(got(1L) == ((62L, 0L)))
+    assert(got(2L) == ((0L, 9999L)))
+  }
 }
