@@ -7399,7 +7399,25 @@ FROM (${graft.operators.DenseSeries.denseDailyOracleBody(
             halflife = "30 minutes")
           .orderBy("conversion_id", "touch_id"),
         Some(graft.llm.Attribution.timeDecayOracle(
-          "events", "purchase"))))
+          "events", "purchase"))),
+
+      // Lorenz curve deciles over per-customer revenue: the curve behind
+      // q_gini's one number — NTILE-exact buckets, cumulative shares as
+      // single truncating divisions
+      RegisteredQuery(
+        "q_lorenz",
+        (s, dir) => {
+          val rev = Tables.resolve(s, dir)("orders")
+            .groupBy(col("o_custkey"))
+            .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+              .cast("long")).as("rev_c"))
+          graft.operators.Lorenz.curve(rev, "rev_c", "o_custkey", k = 10)
+            .orderBy("bucket")
+        },
+        Some(graft.operators.Lorenz.oracleSql(
+          "(SELECT o_custkey, CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_c " +
+            "FROM orders GROUP BY 1)",
+          "rev_c", "o_custkey", k = 10))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
