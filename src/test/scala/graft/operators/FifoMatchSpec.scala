@@ -101,4 +101,11 @@ class FifoMatchSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(3)))
     assert(got.toSeq == Seq(("a", 3L)))
   }
+
+  test("plan: the pairing is a hash equi-join — no cartesian, no nested loop") {
+    val plan = FifoMatch.allocate(lots3, demands3, "k", "i", "q")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

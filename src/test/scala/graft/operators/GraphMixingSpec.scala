@@ -73,4 +73,16 @@ class GraphMixingSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("cov")))
     assert(r.isNullAt(r.fieldIndex("r2s_q6")))
   }
+
+  test("plan: degree joins and the reciprocity probe are equi-joins — no nested loop beyond the 1-row readout cross join") {
+    import spark.implicits._
+    val e = Seq(("a", "b"), ("b", "a"), ("a", "c")).toDF("s", "d")
+    val plan = GraphMixing.summary(e, "s", "d")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only nested-loop shape allowed is the declared 1-row x 1-row
+    // moments/recip readout join
+    val bnl = plan.split("BroadcastNestedLoopJoin").length - 1
+    assert(bnl <= 1, plan)
+  }
 }
