@@ -7417,7 +7417,28 @@ FROM (${graft.operators.DenseSeries.denseDailyOracleBody(
         Some(graft.operators.Lorenz.oracleSql(
           "(SELECT o_custkey, CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_c " +
             "FROM orders GROUP BY 1)",
-          "rev_c", "o_custkey", k = 10))))
+          "rev_c", "o_custkey", k = 10))),
+
+      // Wald SPRT over the per-priority order stream: H0 30% vs H1 40%
+      // 'F'-status rate — quantized-once log constants embedded as the
+      // SAME literals in both engines, pure integer walk
+      RegisteredQuery(
+        "q_sprt",
+        (s, dir) => graft.operators.Sprt.bernoulli(
+            Tables.resolve(s, dir)("orders").select(
+              col("o_orderpriority"),
+              col("o_orderkey"),
+              when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("x")),
+            "o_orderpriority", "o_orderkey", "x",
+            p0Num = 30, p0Den = 100, p1Num = 40, p1Den = 100,
+            alphaBp = 500, betaBp = 2000)
+          .orderBy("o_orderpriority"),
+        Some(graft.operators.Sprt.oracleSql(
+          """SELECT o_orderpriority AS grp, o_orderkey AS i,
+  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS x
+FROM orders""",
+          "o_orderpriority",
+          graft.operators.Sprt.consts(30, 100, 40, 100, 500, 2000)))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
