@@ -7438,7 +7438,27 @@ FROM (${graft.operators.DenseSeries.denseDailyOracleBody(
   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS x
 FROM orders""",
           "o_orderpriority",
-          graft.operators.Sprt.consts(30, 100, 40, 100, 500, 2000)))))
+          graft.operators.Sprt.consts(30, 100, 40, 100, 500, 2000)))),
+
+      // Chapman capture-recapture: two deterministic order samples per
+      // priority estimate the active-customer population from their
+      // overlap — exact counts, floor-divided estimator and variance
+      RegisteredQuery(
+        "q_capture_recapture",
+        (s, dir) => {
+          val o = Tables.resolve(s, dir)("orders")
+          val a = o.where(pmod(col("o_orderkey"), lit(3)) === 0)
+            .select(col("o_orderpriority"), col("o_custkey"))
+          val b = o.where(pmod(col("o_orderkey"), lit(2)) === 0)
+            .select(col("o_orderpriority"), col("o_custkey"))
+          graft.operators.CaptureRecapture.chapman(
+              a, b, "o_custkey", Seq("o_orderpriority"))
+            .orderBy("o_orderpriority")
+        },
+        Some(graft.operators.CaptureRecapture.oracleSql(
+          "SELECT o_orderpriority, o_custkey AS k FROM orders WHERE o_orderkey % 3 = 0",
+          "SELECT o_orderpriority, o_custkey AS k FROM orders WHERE o_orderkey % 2 = 0",
+          Seq("o_orderpriority")))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
