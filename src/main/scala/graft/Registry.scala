@@ -7458,7 +7458,31 @@ FROM orders""",
         Some(graft.operators.CaptureRecapture.oracleSql(
           "SELECT o_orderpriority, o_custkey AS k FROM orders WHERE o_orderkey % 3 = 0",
           "SELECT o_orderpriority, o_custkey AS k FROM orders WHERE o_orderkey % 2 = 0",
-          Seq("o_orderpriority")))))
+          Seq("o_orderpriority")))),
+
+      // pairwise DTW over weekly per-priority revenue shapes: the native
+      // DP expression vs the nested list_reduce rolling-row oracle
+      RegisteredQuery(
+        "q_dtw_matrix",
+        (s, dir) => {
+          val weekly = Tables.resolve(s, dir)("orders")
+            .groupBy(col("o_orderpriority"),
+              call_function("div",
+                datediff(col("o_orderdate").cast("date"),
+                  lit("1970-01-01").cast("date")).cast("long"),
+                lit(7L)).as("wk"))
+            .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+              .cast("long")).as("x"))
+          graft.operators.Dtw.pairwiseMatrix(
+              weekly, "o_orderpriority", "wk", "x")
+            .orderBy("group_a", "group_b")
+        },
+        Some(graft.operators.Dtw.pairwiseOracle(
+          """SELECT o_orderpriority AS grp,
+  (CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 7 AS i,
+  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+FROM orders GROUP BY 1, 2""",
+          "group_a", "group_b"))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
