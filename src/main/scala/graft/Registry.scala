@@ -7482,7 +7482,17 @@ FROM orders""",
   (CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 7 AS i,
   CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
 FROM orders GROUP BY 1, 2""",
-          "group_a", "group_b"))))
+          "group_a", "group_b"))),
+
+      // B-cubed precision/recall: the over-merge vs over-split split of
+      // clustering quality, off the same contingency cells as
+      // q_adjusted_rand
+      RegisteredQuery(
+        "q_bcubed",
+        (s, dir) => graft.operators.RandIndex.bCubed(
+            Tables.resolve(s, dir)("documents"), "source", "lang"),
+        Some(graft.operators.RandIndex.bCubedOracle(
+          "documents", "source", "lang"))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over

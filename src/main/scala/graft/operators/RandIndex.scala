@@ -78,4 +78,71 @@ SELECT CAST(n AS BIGINT) AS n, CAST(sc AS BIGINT) AS same_both,
   CAST(sa AS BIGINT) AS same_a, CAST(sb AS BIGINT) AS same_b,
   CAST(n * (n - 1) / 2 AS BIGINT) AS n_pairs
 FROM base, ma, mb"""
+
+  /** B-cubed precision/recall — the clustering-quality pair the dedup
+    * literature actually reports (Amigó et al.'s winner among clustering
+    * metrics for extrinsic evaluation): per ITEM, precision = the share
+    * of its system cluster that shares its gold cluster, recall = the
+    * share of its gold cluster its system cluster captures — averaged
+    * over items. Where [[adjustedRand]] counts PAIRS (one number,
+    * chance-corrected), B-cubed separates the two failure modes: low
+    * precision = over-merging (a dedup cluster glued unrelated docs),
+    * low recall = over-splitting (one true duplicate group shattered).
+    *
+    * Cell algebra: Σ_items |cell|/|sys| = Σ_cells n_sg²/n_s (recall the
+    * gold analog), so both ride the SAME one-shuffle contingency cells
+    * as ARI; published as per-cell-floored quantized sums
+    * `⌊10⁶·n_sg²/(n_s·N)⌋` (floors sum exactly — gate-grade), products
+    * in DECIMAL(38,0). The float F1 is one trivial division for the
+    * reader and rides spec-side (the Spearman precedent).
+    */
+  def bCubed(df: DataFrame, sysCol: String, goldCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df
+      .where(col(sysCol).isNotNull && col(goldCol).isNotNull)
+      .groupBy(col(sysCol).as("__s"), col(goldCol).as("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val sysSz = cells.groupBy(col("__s")).agg(sum(col("__c")).as("__ns"))
+    val goldSz = cells.groupBy(col("__g")).agg(sum(col("__c")).as("__ng"))
+    val tot = cells.agg(sum(col("__c")).as("__n"),
+      count(lit(1)).as("n_cells"),
+      countDistinct(col("__s")).as("n_sys"),
+      countDistinct(col("__g")).as("n_gold"))
+    val c2 = (col("__c").cast(dec) * col("__c").cast(dec)).cast(dec)
+    val scale = lit(1000000L).cast(dec)
+    cells
+      .join(broadcast(sysSz), "__s")
+      .join(broadcast(goldSz), "__g")
+      .crossJoin(broadcast(tot))
+      .select(col("__n"), col("n_cells"), col("n_sys"), col("n_gold"),
+        call_function("div", (scale * c2).cast(dec),
+          (col("__ns").cast(dec) * col("__n").cast(dec)).cast(dec))
+          .cast("long").as("__pt"),
+        call_function("div", (scale * c2).cast(dec),
+          (col("__ng").cast(dec) * col("__n").cast(dec)).cast(dec))
+          .cast("long").as("__rt"))
+      .groupBy(col("__n").as("n"), col("n_cells"), col("n_sys"), col("n_gold"))
+      .agg(sum(col("__pt")).as("bcubed_prec_q6"),
+        sum(col("__rt")).as("bcubed_rec_q6"))
+  }
+
+  /** DuckDB replay of [[bCubed]] — same cells, margins, per-cell floors. */
+  def bCubedOracle(table: String, sysCol: String, goldCol: String): String =
+    s"""WITH cc AS (SELECT $sysCol AS s, $goldCol AS g,
+    CAST(count(*) AS HUGEINT) AS c
+  FROM $table WHERE $sysCol IS NOT NULL AND $goldCol IS NOT NULL
+  GROUP BY $sysCol, $goldCol),
+ss AS (SELECT s, sum(c) AS ns FROM cc GROUP BY s),
+gs AS (SELECT g, sum(c) AS ng FROM cc GROUP BY g),
+t AS (SELECT sum(c) AS n, CAST(count(*) AS BIGINT) AS n_cells,
+    CAST(count(DISTINCT s) AS BIGINT) AS n_sys,
+    CAST(count(DISTINCT g) AS BIGINT) AS n_gold FROM cc)
+SELECT CAST(t.n AS BIGINT) AS n, t.n_cells, t.n_sys, t.n_gold,
+  CAST(sum((1000000 * cc.c * cc.c) // (ss.ns * t.n)) AS BIGINT)
+    AS bcubed_prec_q6,
+  CAST(sum((1000000 * cc.c * cc.c) // (gs.ng * t.n)) AS BIGINT)
+    AS bcubed_rec_q6
+FROM cc JOIN ss ON cc.s = ss.s JOIN gs ON cc.g = gs.g CROSS JOIN t
+GROUP BY t.n, t.n_cells, t.n_sys, t.n_gold"""
 }

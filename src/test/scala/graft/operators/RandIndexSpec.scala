@@ -50,4 +50,31 @@ class RandIndexSpec extends SparkSpec {
     assert(r.getAs[Long]("n") == 2L)
     assert(r.getAs[Long]("n_pairs") == 1L)
   }
+
+  test("B-cubed: textbook asymmetry — over-merging hurts precision, over-splitting recall") {
+    // gold: {1,2,3} {4,5}; sys merges everything into one cluster
+    val merged = Seq((1L, "x", "g1"), (2L, "x", "g1"), (3L, "x", "g1"),
+      (4L, "x", "g2"), (5L, "x", "g2")).toDF("id", "sys", "gold")
+    val m = RandIndex.bCubed(merged, "sys", "gold").collect().head
+    // precision: (9/5 + 4/5)/5 = 13/25 = 0.52; recall: per-term-floored 1.0
+    assert(m.getAs[Long]("bcubed_prec_q6") == 520000L)
+    assert(m.getAs[Long]("bcubed_rec_q6") >= 999998L)
+    // sys splits every item into singletons: precision 1, recall (3/9·3 + 2/4·2)/5
+    val split = Seq((1L, "a", "g1"), (2L, "b", "g1"), (3L, "c", "g1"),
+      (4L, "d", "g2"), (5L, "e", "g2")).toDF("id", "sys", "gold")
+    val sp = RandIndex.bCubed(split, "sys", "gold").collect().head
+    assert(sp.getAs[Long]("bcubed_prec_q6") >= 999998L)
+    // recall = (1/3)·(3/5) + (1/2)·(2/5) = 1/5 + 1/5 = 0.4 (floors)
+    assert(math.abs(sp.getAs[Long]("bcubed_rec_q6") - 400000L) <= 2)
+  }
+
+  test("B-cubed: perfect clustering scores 1/1 up to per-cell floors; label names irrelevant") {
+    val df = Seq((1L, "p", "g1"), (2L, "p", "g1"), (3L, "q", "g2"))
+      .toDF("id", "sys", "gold")
+    val r = RandIndex.bCubed(df, "sys", "gold").collect().head
+    assert(r.getAs[Long]("n") == 3L)
+    assert(r.getAs[Long]("n_cells") == 2L)
+    assert(r.getAs[Long]("bcubed_prec_q6") >= 999998L)
+    assert(r.getAs[Long]("bcubed_rec_q6") >= 999998L)
+  }
 }
