@@ -7492,7 +7492,37 @@ FROM orders GROUP BY 1, 2""",
         (s, dir) => graft.operators.RandIndex.bCubed(
             Tables.resolve(s, dir)("documents"), "source", "lang"),
         Some(graft.operators.RandIndex.bCubedOracle(
-          "documents", "source", "lang"))))
+          "documents", "source", "lang"))),
+
+      // purged temporal split: train < day 19740, 3-day embargo, test
+      // after — split sizes and the cross-side entity-memorization audit
+      RegisteredQuery(
+        "q_temporal_split",
+        (s, dir) => graft.operators.TemporalSplit.summary(
+            Tables.resolve(s, dir)("events").select(
+              datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+                .cast("long").as("i"),
+              col("user_id").as("e")),
+            "i", "e", boundary = 19740L, embargoLen = 3L)
+          .orderBy("split"),
+        Some(graft.operators.TemporalSplit.summaryOracle(
+          """SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS i,
+  user_id AS e FROM events""",
+          boundary = 19740L, embargoLen = 3L))),
+
+      RegisteredQuery(
+        "q_split_leakage",
+        (s, dir) => graft.operators.TemporalSplit.entityLeakage(
+            Tables.resolve(s, dir)("events").select(
+              datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+                .cast("long").as("i"),
+              col("user_id").as("e")),
+            "i", "e", boundary = 19740L, embargoLen = 3L)
+          .orderBy("e"),
+        Some(graft.operators.TemporalSplit.leakageOracle(
+          """SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS i,
+  user_id AS e FROM events""",
+          "e", boundary = 19740L, embargoLen = 3L))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
