@@ -7522,7 +7522,35 @@ FROM orders GROUP BY 1, 2""",
         Some(graft.operators.TemporalSplit.leakageOracle(
           """SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS i,
   user_id AS e FROM events""",
-          "e", boundary = 19740L, embargoLen = 3L))))
+          "e", boundary = 19740L, embargoLen = 3L))),
+
+      // Unicode script mix over formula-injected multi-script payloads:
+      // the differential fixture recomputes every expectation from the
+      // same generator in SQL (the q_utf8_stats pattern)
+      RegisteredQuery(
+        "q_script_mix",
+        (s, dir) => Tables.resolve(s, dir)("documents")
+          .select(col("doc_id"), graft.functions.ScriptMix(concat(
+            substring(col("text"), 1, 20),
+            expr("repeat('文', CAST(doc_id % 5 AS INT))"),
+            expr("repeat('ж', CAST(doc_id % 3 AS INT))"),
+            expr("repeat('م', CAST(doc_id % 2 AS INT))"))).as("m"))
+          .select(col("doc_id"), col("m.n_cp").as("n_cp"),
+            col("m.ascii_letter").as("ascii_letter"),
+            col("m.whitespace").as("whitespace"),
+            col("m.cyrillic").as("cyrillic"),
+            col("m.arabic").as("arabic"), col("m.cjk").as("cjk"),
+            col("m.other").as("other"))
+          .orderBy("doc_id"),
+        Some("""SELECT doc_id,
+  CAST(20 + doc_id % 5 + doc_id % 3 + doc_id % 2 AS BIGINT) AS n_cp,
+  CAST(length(replace(substr(text, 1, 20), ' ', '')) AS BIGINT) AS ascii_letter,
+  CAST(20 - length(replace(substr(text, 1, 20), ' ', '')) AS BIGINT) AS whitespace,
+  CAST(doc_id % 3 AS BIGINT) AS cyrillic,
+  CAST(doc_id % 2 AS BIGINT) AS arabic,
+  CAST(doc_id % 5 AS BIGINT) AS cjk,
+  CAST(0 AS BIGINT) AS other
+FROM documents ORDER BY doc_id""")))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over

@@ -61,6 +61,10 @@ object GraftExtensions {
     unary("audio_meta", classOf[AudioMeta],
       "audio_meta(bin) - struct<format,channels,sample_rate,bits,duration_ms> from a " +
         "WAV/FLAC header, NULL if unrecognized/truncated.", AudioMeta(_)),
+    unary("script_mix", classOf[ScriptMix],
+      "script_mix(str) - struct of per-script codepoint counts (ascii letter/digit/" +
+        "whitespace/punct, latin_ext, cyrillic, arabic, cjk, hangul, other) over a " +
+        "declared fixed range table.", ScriptMix(_)),
     unary("utf8_stats", classOf[Utf8Stats],
       "utf8_stats(bin) - struct<n_bytes,n_chars,n_invalid,n_replacement> over a " +
         "raw payload: strict RFC 3629 walk, per-byte resync, U+FFFD mojibake count.",

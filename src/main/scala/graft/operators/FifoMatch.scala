@@ -84,6 +84,26 @@ object FifoMatch {
           .as("qty_unfilled"))
   }
 
+  /** Per-lot unconsumed remainder — the inventory-AGEING readout (which
+    * lots still sit on the shelf, and how much of each): mirror of
+    * [[unfilledDemand]] — a lot's remaining mass is its interval minus
+    * the key's total demand, `max(0, lot_end − max(lot_start, D))`.
+    * Rows with qty_remaining > 0 only; same guards as [[allocate]].
+    */
+  def remainingLots(lots: DataFrame, demands: DataFrame, keyCol: String,
+                    idxCol: String, qtyCol: String): DataFrame = {
+    val l = cumRaw(lots, keyCol, idxCol, qtyCol)
+    val demand = cumRaw(demands, keyCol, idxCol, qtyCol)
+      .groupBy(col("__k")).agg(max(col("__e")).as("__demand"))
+    l.join(demand, Seq("__k"), "left")
+      .withColumn("__d0", coalesce(col("__demand"), lit(0L)))
+      .where(col("__e") > col("__d0"))
+      .select(col("__k").as(keyCol), col("__i").as("lot_idx"),
+        col("__q").as("qty_lot"),
+        (col("__e") - greatest(col("__e") - col("__q"), col("__d0")))
+          .as("qty_remaining"))
+  }
+
   private def cellOf(mass: Column, bucketMass: Long): Column =
     call_function("div", mass, lit(bucketMass))
 

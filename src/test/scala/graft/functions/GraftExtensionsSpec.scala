@@ -93,6 +93,12 @@ class GraftExtensionsSpec extends SparkSpec {
     val wav = spark.sql(
       "SELECT audio_meta(X'52494646FFFFFFFF57415645') IS NULL").head().getBoolean(0)
     assert(wav) // RIFF/WAVE with no fmt/data chunks → NULL
+
+    val smSql = spark.sql("SELECT script_mix(s).ascii_letter FROM ext_all_probe")
+      .head().getLong(0)
+    val smCol = probe.select(ScriptMix(col("s")).getField("ascii_letter"))
+      .head().getLong(0)
+    assert(smSql === smCol)
   }
 
   test("arity is enforced") {

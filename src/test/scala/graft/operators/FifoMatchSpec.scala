@@ -108,4 +108,20 @@ class FifoMatchSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("remaining lots: the ageing mirror — allocated + remaining == lot qty") {
+    // lots [0,10),[10,15); demand total 18 > supply 15 -> nothing remains
+    assert(FifoMatch.remainingLots(lots3, demands3, "k", "i", "q").count() == 0L)
+    // smaller demand: total 6 -> lot1 keeps 4, lot2 keeps 5
+    val d = Seq(("g", 1L, 6L)).toDF("k", "i", "q")
+    val got = FifoMatch.remainingLots(lots3, d, "k", "i", "q")
+      .orderBy("lot_idx").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 10L, 4L), (2L, 5L, 5L)))
+    // no demand at all: every lot fully remains
+    val none = Seq.empty[(String, Long, Long)].toDF("k", "i", "q")
+    val all = FifoMatch.remainingLots(lots3, none, "k", "i", "q")
+      .orderBy("lot_idx").collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(all.toSeq == Seq((1L, 10L), (2L, 5L)))
+  }
 }
