@@ -7550,7 +7550,21 @@ FROM orders GROUP BY 1, 2""",
   CAST(doc_id % 2 AS BIGINT) AS arabic,
   CAST(doc_id % 5 AS BIGINT) AS cjk,
   CAST(0 AS BIGINT) AS other
-FROM documents ORDER BY doc_id""")))
+FROM documents ORDER BY doc_id""")),
+
+      // MATCH_RECOGNIZE-lite: view -> click -> purchase, each within 2h
+      // of the previous, with NO error event between the matched steps —
+      // the declared greedy machine folded identically in both engines
+      RegisteredQuery(
+        "q_sequence_match",
+        (s, dir) => graft.llm.SequenceMatch.firstCleanMatch(
+            graft.llm.EventWindows.readEvents(s, s"$dir/events.parquet"),
+            steps = Seq("view", "click", "purchase"),
+            excluded = Seq("error"), maxGapMicros = 7200000000L)
+          .orderBy("user_id"),
+        Some(graft.llm.SequenceMatch.oracleSql(
+          "events", steps = Seq("view", "click", "purchase"),
+          excluded = Seq("error"), maxGapMicros = 7200000000L))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
