@@ -7564,7 +7564,49 @@ FROM documents ORDER BY doc_id""")),
           .orderBy("user_id"),
         Some(graft.llm.SequenceMatch.oracleSql(
           "events", steps = Seq("view", "click", "purchase"),
-          excluded = Seq("error"), maxGapMicros = 7200000000L))))
+          excluded = Seq("error"), maxGapMicros = 7200000000L))),
+
+      // Wald-Wolfowitz runs test: is the above/below-median sign pattern
+      // of order totals random along the orderkey sequence, per priority
+      // — observed runs vs the exact rational null moments
+      RegisteredQuery(
+        "q_runs_test",
+        (s, dir) => graft.operators.RunsTest.runsTest(
+            Tables.resolve(s, dir)("orders")
+              .withColumn("cents",
+                (col("o_totalprice").cast("decimal(18,2)") * 100)
+                  .cast("long")),
+            "o_orderpriority", "o_orderkey", "cents",
+            threshold = 15000000L)
+          .orderBy("o_orderpriority"),
+        Some(graft.operators.RunsTest.oracleSql(
+          """SELECT o_orderpriority AS grp, o_orderkey AS i,
+  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+FROM orders""",
+          "o_orderpriority", threshold = 15000000L))),
+
+      // Mann-Kendall trend test on the monthly revenue series per
+      // priority: exact S off the native O(n log n) inversion count,
+      // tie-corrected var18 from per-value marginals — the oracle
+      // replays the naive pair join at gate scale
+      RegisteredQuery(
+        "q_mann_kendall",
+        (s, dir) => graft.operators.MannKendall.trend(
+            Tables.resolve(s, dir)("orders")
+              .groupBy(col("o_orderpriority"),
+                (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+                  .cast("long").as("m"))
+              .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("long")).as("rev")),
+            "o_orderpriority", "m", "rev")
+          .orderBy("o_orderpriority"),
+        Some(graft.operators.MannKendall.oracleSql(
+          """SELECT o_orderpriority AS grp,
+  CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS i,
+  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+    AS BIGINT) AS v
+FROM orders GROUP BY 1, 2""",
+          "o_orderpriority"))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
