@@ -7606,7 +7606,25 @@ FROM orders""",
   CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
     AS BIGINT) AS v
 FROM orders GROUP BY 1, 2""",
-          "o_orderpriority"))))
+          "o_orderpriority"))),
+
+      // audience overlap by HLL inclusion-exclusion: customers active
+      // in BOTH 1994 and 1995 per priority, at constant register
+      // memory — union estimate off the max-merged registers, all
+      // three estimates the exact-integer replayable form
+      RegisteredQuery(
+        "q_hll_overlap",
+        (s, dir) => graft.operators.HllOverlap.overlap(
+            Tables.resolve(s, dir)("orders")
+              .where(year(col("o_orderdate")).isin(1994, 1995))
+              .withColumn("yr", year(col("o_orderdate")).cast("string")),
+            Seq("o_orderpriority"), "o_custkey", "yr", "1994", "1995")
+          .orderBy("o_orderpriority"),
+        Some(graft.operators.HllOverlap.oracleSql(
+          """SELECT o_orderpriority, o_custkey,
+  CAST(year(o_orderdate) AS VARCHAR) AS __cohort
+FROM orders WHERE year(o_orderdate) IN (1994, 1995)""",
+          Seq("o_orderpriority"), "o_custkey", "1994", "1995"))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
