@@ -7624,7 +7624,45 @@ FROM orders GROUP BY 1, 2""",
           """SELECT o_orderpriority, o_custkey,
   CAST(year(o_orderdate) AS VARCHAR) AS __cohort
 FROM orders WHERE year(o_orderdate) IN (1994, 1995)""",
-          Seq("o_orderpriority"), "o_custkey", "1994", "1995"))))
+          Seq("o_orderpriority"), "o_custkey", "1994", "1995"))),
+
+      // CIDR longest-prefix enrichment: id-derived ipv4 traffic against
+      // a nation-derived routing table (/8 per nation + a /12 regional
+      // refinement + a /0 default) — banded equi-join, never a
+      // nested loop; oracle keeps the textbook QUALIFY-ranked form
+      RegisteredQuery(
+        "q_cidr_enrich",
+        (s, dir) => {
+          val nation = Tables.resolve(s, dir)("nation")
+          val nets = nation.select(
+              concat(col("n_nationkey").cast("string"), lit(".0.0.0/8"))
+                .as("cidr"), col("n_name").cast("string").as("label"))
+            .unionByName(nation.select(
+              concat(col("n_nationkey").cast("string"), lit("."),
+                (col("n_regionkey") * 16).cast("string"), lit(".0.0/12"))
+                .as("cidr"),
+              concat(col("n_name").cast("string"), lit("-r")).as("label")))
+            .unionByName(nation.limit(1).select(
+              lit("0.0.0.0/0").as("cidr"), lit("default").as("label")))
+          val facts = Tables.resolve(s, dir)("orders")
+            .select(col("o_orderkey"),
+              expr("(o_orderkey * 2654435761L) % 4294967296L").as("ipv"))
+          graft.operators.CidrJoin.matchMap(
+            facts, "o_orderkey", "ipv", nets, "cidr", Seq("label"))
+            .orderBy("o_orderkey")
+        },
+        Some(graft.operators.CidrJoin.matchMapOracle(
+          """SELECT o_orderkey AS id,
+  (o_orderkey * 2654435761) % 4294967296 AS ip FROM orders""",
+          """SELECT CAST(n_nationkey AS VARCHAR) || '.0.0.0/8' AS cidr,
+  CAST(n_name AS VARCHAR) AS label FROM nation
+UNION ALL
+SELECT CAST(n_nationkey AS VARCHAR) || '.' ||
+  CAST(n_regionkey * 16 AS VARCHAR) || '.0.0/12',
+  CAST(n_name AS VARCHAR) || '-r' FROM nation
+UNION ALL
+SELECT '0.0.0.0/0', 'default'""",
+          "o_orderkey", Seq("label")))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
