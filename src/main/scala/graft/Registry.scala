@@ -7662,7 +7662,29 @@ SELECT CAST(n_nationkey AS VARCHAR) || '.' ||
   CAST(n_name AS VARCHAR) || '-r' FROM nation
 UNION ALL
 SELECT '0.0.0.0/0', 'default'""",
-          "o_orderkey", Seq("label")))))
+          "o_orderkey", Seq("label")))),
+
+      // positional phrase search: exact "table table" occurrences via
+      // anchor alignment (one shuffle, repeated-term slots exercised) —
+      // the oracle keeps the direct sliding-window form
+      RegisteredQuery(
+        "q_phrase_search",
+        (s, dir) => graft.text.PhraseSearch.phraseMatches(
+            s.read.parquet(s"$dir/documents.parquet"),
+            "doc_id", "text", Seq("table", "table"))
+          .orderBy("doc_id", "start_pos"),
+        Some(graft.text.PhraseSearch.matchesOracle(
+          "documents", "doc_id", "text", Seq("table", "table")))),
+
+      // per-document phrase hit counts for a 2-gram
+      RegisteredQuery(
+        "q_phrase_counts",
+        (s, dir) => graft.text.PhraseSearch.phraseCounts(
+            s.read.parquet(s"$dir/documents.parquet"),
+            "doc_id", "text", Seq("fast", "table"))
+          .orderBy("doc_id"),
+        Some(graft.text.PhraseSearch.countsOracle(
+          "documents", "doc_id", "text", Seq("fast", "table")))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
