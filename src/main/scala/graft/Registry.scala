@@ -7684,7 +7684,24 @@ SELECT '0.0.0.0/0', 'default'""",
             "doc_id", "text", Seq("fast", "table"))
           .orderBy("doc_id"),
         Some(graft.text.PhraseSearch.countsOracle(
-          "documents", "doc_id", "text", Seq("fast", "table")))))
+          "documents", "doc_id", "text", Seq("fast", "table")))),
+
+      // decision stump: which quantity threshold best separates
+      // returned line items, per line status — exact quantized Gini
+      // argmin over the distinct-value candidates
+      RegisteredQuery(
+        "q_best_split",
+        (s, dir) => graft.operators.BestSplit.giniStump(
+            Tables.resolve(s, dir)("lineitem")
+              .withColumn("qty", col("l_quantity").cast("long"))
+              .withColumn("y",
+                when(col("l_returnflag") === "R", 1L).otherwise(0L)),
+            "l_linestatus", "qty", "y")
+          .orderBy("l_linestatus"),
+        Some(graft.operators.BestSplit.oracleSql(
+          """SELECT l_linestatus AS grp, CAST(l_quantity AS BIGINT) AS x,
+  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y FROM lineitem""",
+          "l_linestatus"))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
