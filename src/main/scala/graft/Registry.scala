@@ -7701,7 +7701,21 @@ SELECT '0.0.0.0/0', 'default'""",
         Some(graft.operators.BestSplit.oracleSql(
           """SELECT l_linestatus AS grp, CAST(l_quantity AS BIGINT) AS x,
   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y FROM lineitem""",
-          "l_linestatus"))))
+          "l_linestatus"))),
+
+      // sequential Poisson (PPS) sampling: 10 documents per language,
+      // inclusion ~ proportional to length — priority = hash div weight,
+      // bottom-k through the bounded partial-agg buffer
+      RegisteredQuery(
+        "q_pps_sample",
+        (s, dir) => graft.operators.PpsSample.ppsN(
+            s.read.parquet(s"$dir/documents.parquet"),
+            Seq("lang"), col("doc_id").cast("string"), col("doc_id"),
+            "n_chars", n = 10)
+          .orderBy("lang", "rank"),
+        Some(graft.operators.PpsSample.oracleSql(
+          "documents", Seq("lang"), "CAST(doc_id AS VARCHAR)",
+          "doc_id", "n_chars", n = 10))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
