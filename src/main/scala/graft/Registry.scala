@@ -7715,7 +7715,32 @@ SELECT '0.0.0.0/0', 'default'""",
           .orderBy("lang", "rank"),
         Some(graft.operators.PpsSample.oracleSql(
           "documents", Seq("lang"), "CAST(doc_id AS VARCHAR)",
-          "doc_id", "n_chars", n = 10))))
+          "doc_id", "n_chars", n = 10))),
+
+      // deterministic Lloyd k-means: 5 clusters, 3 rounds over 4-D
+      // id-derived integer features — declared init (k smallest ids),
+      // lower-cluster ties, sign-split truncating centroid means; the
+      // oracle unrolls the rounds as CTEs (the HITS precedent)
+      RegisteredQuery(
+        "q_kmeans",
+        (s, dir) => graft.operators.KMeans.lloydAssign(
+            Tables.resolve(s, dir)("orders")
+              .select(col("o_orderkey"), array(
+                col("o_orderkey") % 97,
+                col("o_custkey") % 89,
+                (col("o_totalprice").cast("decimal(18,2)") * 100)
+                  .cast("long") % 83,
+                datediff(col("o_orderdate"), lit("1992-01-01"))
+                  .cast("long") % 79).as("v")),
+            "o_orderkey", "v", k = 5, rounds = 3, dim = 4)
+          .orderBy("o_orderkey"),
+        Some(graft.operators.KMeans.assignOracle(
+          """SELECT o_orderkey AS id, [
+  o_orderkey % 97, o_custkey % 89,
+  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) % 83,
+  CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) % 79] AS v
+FROM orders""",
+          "o_orderkey", k = 5, rounds = 3, dim = 4))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
