@@ -7740,7 +7740,29 @@ SELECT '0.0.0.0/0', 'default'""",
   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) % 83,
   CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) % 79] AS v
 FROM orders""",
-          "o_orderkey", k = 5, rounds = 3, dim = 4))))
+          "o_orderkey", k = 5, rounds = 3, dim = 4))),
+
+      // Croston intermittent demand: per-user purchase-day demand
+      // (id-derived sizes, day-level pre-aggregation) — size and gap
+      // EWMAs updated only at demand points, gaps from idx differences
+      RegisteredQuery(
+        "q_croston",
+        (s, dir) => graft.operators.Croston.method(
+            s.read.parquet(s"$dir/events.parquet")
+              .where(col("event_type") === "purchase")
+              .groupBy(col("user_id"),
+                datediff(col("ts").cast("date"), lit("2023-12-31"))
+                  .cast("long").as("day"))
+              .agg(sum(expr("event_id % 9 + 1")).as("demand")),
+            "user_id", "day", "demand", alphaNum = 1, alphaDen = 5,
+            startIdx = 0L)
+          .orderBy("user_id", "idx"),
+        Some(graft.operators.Croston.oracleSql(
+          """SELECT user_id AS grp,
+  CAST(CAST(ts AS DATE) - DATE '2023-12-31' AS BIGINT) AS i,
+  sum(event_id % 9 + 1) AS x
+FROM events WHERE event_type = 'purchase' GROUP BY 1, 2""",
+          "user_id", alphaNum = 1, alphaDen = 5, startIdx = 0L))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
