@@ -7762,7 +7762,24 @@ FROM orders""",
   CAST(CAST(ts AS DATE) - DATE '2023-12-31' AS BIGINT) AS i,
   sum(event_id % 9 + 1) AS x
 FROM events WHERE event_type = 'purchase' GROUP BY 1, 2""",
-          "user_id", alphaNum = 1, alphaDen = 5, startIdx = 0L))))
+          "user_id", alphaNum = 1, alphaDen = 5, startIdx = 0L))),
+
+      // token-bucket rate-limit replay: would each user's full event
+      // stream have been throttled at 1 event / 2h with burst 3 —
+      // min/plus integer recurrence, no division anywhere
+      RegisteredQuery(
+        "q_token_bucket",
+        (s, dir) => graft.operators.TokenBucket.replay(
+            s.read.parquet(s"$dir/events.parquet")
+              .withColumn("sec",
+                expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000L")),
+            "user_id", "sec", "event_id",
+            rateNum = 1, rateDen = 7200, burst = 3)
+          .orderBy("user_id", "idx", "id"),
+        Some(graft.operators.TokenBucket.replayOracle(
+          """SELECT user_id AS grp, epoch_us(ts) // 1000000 AS i,
+  event_id AS id FROM events""",
+          "user_id", rateNum = 1, rateDen = 7200, burst = 3))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
