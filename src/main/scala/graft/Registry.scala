@@ -7779,7 +7779,38 @@ FROM events WHERE event_type = 'purchase' GROUP BY 1, 2""",
         Some(graft.operators.TokenBucket.replayOracle(
           """SELECT user_id AS grp, epoch_us(ts) // 1000000 AS i,
   event_id AS id FROM events""",
-          "user_id", rateNum = 1, rateDen = 7200, burst = 3))))
+          "user_id", rateNum = 1, rateDen = 7200, burst = 3))),
+
+      // stratified 2x2: does high quantity associate with returns,
+      // per line status — exact OR/RR fractions with zero-cell flags
+      RegisteredQuery(
+        "q_odds_ratio",
+        (s, dir) => graft.operators.Epi.twoByTwo(
+            Tables.resolve(s, dir)("lineitem")
+              .withColumn("e", when(col("l_quantity") > 25, 1L).otherwise(0L))
+              .withColumn("o",
+                when(col("l_returnflag") === "R", 1L).otherwise(0L)),
+            "l_linestatus", "e", "o")
+          .orderBy("l_linestatus"),
+        Some(graft.operators.Epi.twoByTwoOracle(
+          """SELECT l_linestatus AS grp,
+  CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS e,
+  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS o FROM lineitem""",
+          "l_linestatus"))),
+
+      // Mantel-Haenszel pooled odds ratio across the linestatus strata
+      RegisteredQuery(
+        "q_or_mh",
+        (s, dir) => graft.operators.Epi.mantelHaenszel(
+            Tables.resolve(s, dir)("lineitem")
+              .withColumn("e", when(col("l_quantity") > 25, 1L).otherwise(0L))
+              .withColumn("o",
+                when(col("l_returnflag") === "R", 1L).otherwise(0L)),
+            "l_linestatus", "e", "o"),
+        Some(graft.operators.Epi.mantelHaenszelOracle(
+          """SELECT l_linestatus AS grp,
+  CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS e,
+  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS o FROM lineitem"""))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
