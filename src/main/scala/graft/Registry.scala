@@ -7810,7 +7810,43 @@ FROM events WHERE event_type = 'purchase' GROUP BY 1, 2""",
         Some(graft.operators.Epi.mantelHaenszelOracle(
           """SELECT l_linestatus AS grp,
   CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS e,
-  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS o FROM lineitem"""))))
+  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS o FROM lineitem"""))),
+
+      // streaming token-bucket enforcement: three chunked folds over
+      // the event stream vs the one-shot batch oracle — the limiter's
+      // Markov (last_i, level) state lives in the AtomicStore
+      RegisteredQuery(
+        "q_bucket_ingest",
+        (s, dir) => {
+          val store = "/tmp/graft_bucket_ingest_gate_store"
+          val lake = "/tmp/graft_bucket_ingest_gate_lake"
+          val conf = s.sparkContext.hadoopConfiguration
+          Seq(store, lake).foreach { d =>
+            val p = new org.apache.hadoop.fs.Path(d)
+            val f = p.getFileSystem(conf)
+            Seq(p, graft.sources.AtomicStore.tmpPath(p),
+              graft.sources.AtomicStore.stashPath(p))
+              .foreach(f.delete(_, true))
+          }
+          val ev = s.read.parquet(s"$dir/events.parquet")
+            .select(col("user_id"),
+              expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000L")
+                .as("sec"), col("event_id"))
+            .localCheckpoint(true)
+          val cut1 = 1704300000L; val cut2 = 1705000000L
+          Seq(col("sec") < cut1,
+            col("sec") >= cut1 && col("sec") < cut2,
+            col("sec") >= cut2).foreach { cut =>
+            graft.streaming.BucketIngest.ingestBatch(
+              ev.where(cut), store, lake, "user_id", "sec", "event_id",
+              rateNum = 1, rateDen = 7200, burst = 3)
+          }
+          s.read.parquet(lake).orderBy("user_id", "idx", "id")
+        },
+        Some(graft.operators.TokenBucket.replayOracle(
+          """SELECT user_id AS grp, epoch_us(ts) // 1000000 AS i,
+  event_id AS id FROM events""",
+          "user_id", rateNum = 1, rateDen = 7200, burst = 3))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over

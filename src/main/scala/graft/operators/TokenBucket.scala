@@ -45,35 +45,18 @@ object TokenBucket {
     require(maxPoints >= 1, s"maxPoints must be >= 1, got $maxPoints")
     graft.Guards.requireIntegral(df, idxCol, "tokenBucket")
     graft.Guards.requireIntegral(df, idCol, "tokenBucket")
-    val cap = burst * rateDen
     val collected = df
       .where(col(idxCol).isNotNull && col(idCol).isNotNull)
       .groupBy(col(keyCol))
       .agg(sort_array(collect_list(struct(
         col(idxCol).cast("long").as("i"),
         col(idCol).cast("long").as("id")))).as("__arr"))
-    val zero = expr("named_struct(" +
-      "'out', CAST(array() AS ARRAY<STRUCT<id: BIGINT, i: BIGINT, " +
-      "adm: BOOLEAN, lvl: BIGINT>>), " +
-      "'pi', CAST(NULL AS BIGINT), 'pl', CAST(NULL AS BIGINT), " +
-      "'first', true)")
     val folded = collected.select(col(keyCol),
       (size(col("__arr")) =!=
         size(array_distinct(transform(col("__arr"), e => e.getField("id")))))
         .as("__dup"),
       (size(col("__arr")) > maxPoints).as("__over"),
-      aggregate(col("__arr"), zero, (acc, e) => {
-        val pre = when(acc.getField("first"), lit(cap))
-          .otherwise(least(lit(cap), acc.getField("pl") +
-            (e.getField("i") - acc.getField("pi")) * lit(rateNum)))
-        val adm = pre >= rateDen
-        val lvl = when(adm, pre - lit(rateDen)).otherwise(pre)
-        struct(
-          concat(acc.getField("out"), array(struct(
-            e.getField("id").as("id"), e.getField("i").as("i"),
-            adm.as("adm"), lvl.as("lvl")))).as("out"),
-          e.getField("i").as("pi"), lvl.as("pl"), lit(false).as("first"))
-      }).getField("out").as("__out"))
+      foldArr(col("__arr"), freshZero, rateNum, rateDen, burst).as("__out"))
     def guarded(out: org.apache.spark.sql.Column) =
       when(col("__over"), raise_error(concat(
         lit("tokenBucket: key '"), col(keyCol).cast("string"),
@@ -91,6 +74,48 @@ object TokenBucket {
         (guarded(when(col("__e.adm"), 1L).otherwise(0L)) === 1L)
           .as("admitted"),
         guarded(col("__e.lvl")).as("level_q"))
+  }
+
+  /** The empty accumulator: no prior state — the bucket starts full at
+    * the first folded event.
+    */
+  private[graft] def freshZero: org.apache.spark.sql.Column =
+    expr("named_struct(" +
+      "'out', CAST(array() AS ARRAY<STRUCT<id: BIGINT, i: BIGINT, " +
+      "adm: BOOLEAN, lvl: BIGINT>>), " +
+      "'pi', CAST(NULL AS BIGINT), 'pl', CAST(NULL AS BIGINT), " +
+      "'first', true)")
+
+  /** A state-seeded accumulator — the streaming-ingest entry: when
+    * `seedI` is NULL the fold starts fresh; otherwise it continues from
+    * the stored (last index, level).
+    */
+  private[graft] def seededZero(seedI: org.apache.spark.sql.Column,
+                                seedLvl: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    struct(
+      expr("CAST(array() AS ARRAY<STRUCT<id: BIGINT, i: BIGINT, " +
+        "adm: BOOLEAN, lvl: BIGINT>>)").as("out"),
+      seedI.cast("long").as("pi"), seedLvl.cast("long").as("pl"),
+      seedI.isNull.as("first"))
+
+  /** The shared per-event fold step over a sorted (i, id) array. */
+  private[graft] def foldArr(arr: org.apache.spark.sql.Column,
+                             zero: org.apache.spark.sql.Column,
+                             rateNum: Long, rateDen: Long,
+                             burst: Long): org.apache.spark.sql.Column = {
+    val cap = burst * rateDen
+    aggregate(arr, zero, (acc, e) => {
+      val pre = when(acc.getField("first"), lit(cap))
+        .otherwise(least(lit(cap), acc.getField("pl") +
+          (e.getField("i") - acc.getField("pi")) * lit(rateNum)))
+      val adm = pre >= rateDen
+      val lvl = when(adm, pre - lit(rateDen)).otherwise(pre)
+      struct(
+        concat(acc.getField("out"), array(struct(
+          e.getField("id").as("id"), e.getField("i").as("i"),
+          adm.as("adm"), lvl.as("lvl")))).as("out"),
+        e.getField("i").as("pi"), lvl.as("pl"), lit(false).as("first"))
+    }).getField("out")
   }
 
   /** Per-key verdict rollup: (keyCol, n_events, n_rejected,
