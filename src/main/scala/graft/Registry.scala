@@ -7846,7 +7846,38 @@ FROM events WHERE event_type = 'purchase' GROUP BY 1, 2""",
         Some(graft.operators.TokenBucket.replayOracle(
           """SELECT user_id AS grp, epoch_us(ts) // 1000000 AS i,
   event_id AS id FROM events""",
-          "user_id", rateNum = 1, rateDen = 7200, burst = 3))))
+          "user_id", rateNum = 1, rateDen = 7200, burst = 3))),
+
+      // JPEG EXIF orientation: synthesized per-doc JPEGs (APP0 skip +
+      // APP1/TIFF in BOTH byte orders, orientation = doc_id%8+1) —
+      // the differential-fixture oracle recomputes from the generator
+      RegisteredQuery(
+        "q_exif_meta",
+        (s, dir) => {
+          val app0 = "FFE000104A46494600" + "00" * 9
+          val pII = "FFD8" + app0 + "FFE10022457869660000" +
+            "49492A0008000000" + "0100" + "1201030001000000"
+          val pMM = "FFD8" + app0 + "FFE10022457869660000" +
+            "4D4D002A00000008" + "0001" + "0112000300000001"
+          val orHex = lpad(hex(expr("doc_id % 8 + 1")), 2, "0")
+          val payload = unhex(
+            when(expr("doc_id % 2 = 0"),
+              concat(lit(pII), orHex, lit("000000" + "00000000")))
+              .otherwise(concat(lit(pMM), lit("00"), orHex,
+                lit("0000" + "00000000"))))
+          s.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"),
+              graft.functions.ExifMeta(payload).as("m"))
+            .select(col("doc_id"), col("m.byte_order").as("byte_order"),
+              col("m.orientation").as("orientation"),
+              col("m.n_ifd0").as("n_ifd0"))
+            .orderBy("doc_id")
+        },
+        Some("""SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+  CAST(doc_id % 8 + 1 AS INTEGER) AS orientation,
+  CAST(1 AS INTEGER) AS n_ifd0
+FROM documents ORDER BY doc_id""")))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
