@@ -7877,7 +7877,28 @@ FROM events WHERE event_type = 'purchase' GROUP BY 1, 2""",
   CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
   CAST(doc_id % 8 + 1 AS INTEGER) AS orientation,
   CAST(1 AS INTEGER) AS n_ifd0
-FROM documents ORDER BY doc_id""")))
+FROM documents ORDER BY doc_id""")),
+
+      // NFC normalization audit: every third document gets an NFD
+      // "e + combining acute" injected — the oracle replays with
+      // DuckDB's own nfc_normalize (same Unicode tables)
+      RegisteredQuery(
+        "q_nfc_audit",
+        (s, dir) => s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            graft.functions.NfcStats(
+              when(expr("doc_id % 3 = 0"),
+                concat(col("text"), lit(" cafe\u0301")))
+                .otherwise(col("text"))).as("m"))
+          .select(col("doc_id"), col("m.is_nfc").as("is_nfc"),
+            col("m.n_cp").as("n_cp"), col("m.n_cp_nfc").as("n_cp_nfc"))
+          .orderBy("doc_id"),
+        Some("""SELECT doc_id, t = nfc_normalize(t) AS is_nfc,
+  CAST(length(t) AS INTEGER) AS n_cp,
+  CAST(length(nfc_normalize(t)) AS INTEGER) AS n_cp_nfc
+FROM (SELECT doc_id, CASE WHEN doc_id % 3 = 0
+    THEN text || ' cafe' || chr(769) ELSE text END AS t FROM documents)
+ORDER BY doc_id""")))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
