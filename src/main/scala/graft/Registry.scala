@@ -7898,7 +7898,23 @@ FROM documents ORDER BY doc_id""")),
   CAST(length(nfc_normalize(t)) AS INTEGER) AS n_cp_nfc
 FROM (SELECT doc_id, CASE WHEN doc_id % 3 = 0
     THEN text || ' cafe' || chr(769) ELSE text END AS t FROM documents)
-ORDER BY doc_id""")))
+ORDER BY doc_id""")),
+
+      // overdispersion audit: are daily order counts Poisson-like per
+      // priority — exact fraction + cross-multiplied verdict
+      RegisteredQuery(
+        "q_fano",
+        (s, dir) => graft.operators.Dispersion.fano(
+            Tables.resolve(s, dir)("orders")
+              .groupBy(col("o_orderpriority"),
+                col("o_orderdate").cast("date").as("d"))
+              .agg(count(lit(1)).as("c")),
+            "o_orderpriority", "c")
+          .orderBy("o_orderpriority"),
+        Some(graft.operators.Dispersion.oracleSql(
+          """SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS x
+FROM orders GROUP BY o_orderpriority, CAST(o_orderdate AS DATE)""",
+          "o_orderpriority"))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
