@@ -7914,7 +7914,36 @@ ORDER BY doc_id""")),
         Some(graft.operators.Dispersion.oracleSql(
           """SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS x
 FROM orders GROUP BY o_orderpriority, CAST(o_orderdate AS DATE)""",
-          "o_orderpriority"))))
+          "o_orderpriority"))),
+
+      // business-day arithmetic: SLA windows per order (weekday count
+      // minus a declared holiday calendar) + the T+n settlement roll
+      // from the order's week start — scan-stage literal-calendar math
+      RegisteredQuery(
+        "q_business_days", {
+          val hols = Seq("1994-01-03", "1995-07-04", "1996-12-25")
+          (s, dir) => Tables.resolve(s, dir)("orders")
+            .select(col("o_orderkey"),
+              graft.operators.BusinessDays.businessDays(
+                col("o_orderdate"),
+                expr("date_add(CAST(o_orderdate AS DATE), " +
+                  "CAST(o_orderkey % 30 AS INT))"), hols).as("bd"),
+              graft.operators.BusinessDays.addBusinessDays(
+                date_trunc("week", col("o_orderdate")),
+                expr("o_orderkey % 23")).as("rolled"))
+            .orderBy("o_orderkey")
+        },
+        Some {
+          val hols = Seq("1994-01-03", "1995-07-04", "1996-12-25")
+          s"""SELECT o_orderkey,
+  CAST(${graft.operators.BusinessDays.businessDaysSql("o_orderdate",
+            "CAST(o_orderdate AS DATE) + CAST(o_orderkey % 30 AS INTEGER)",
+            hols)} AS BIGINT) AS bd,
+  ${graft.operators.BusinessDays.addBusinessDaysSql(
+            "date_trunc('week', CAST(o_orderdate AS DATE))",
+            "(o_orderkey % 23)")} AS rolled
+FROM orders ORDER BY o_orderkey"""
+        }))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
