@@ -7616,15 +7616,15 @@ FROM orders GROUP BY 1, 2""",
         "q_hll_overlap",
         (s, dir) => graft.operators.HllOverlap.overlap(
             Tables.resolve(s, dir)("orders")
-              .where(year(col("o_orderdate")).isin(1994, 1995))
+              .where(year(col("o_orderdate")).isin(1995, 1996))
               .withColumn("yr", year(col("o_orderdate")).cast("string")),
-            Seq("o_orderpriority"), "o_custkey", "yr", "1994", "1995")
+            Seq("o_orderpriority"), "o_custkey", "yr", "1995", "1996")
           .orderBy("o_orderpriority"),
         Some(graft.operators.HllOverlap.oracleSql(
           """SELECT o_orderpriority, o_custkey,
   CAST(year(o_orderdate) AS VARCHAR) AS __cohort
-FROM orders WHERE year(o_orderdate) IN (1994, 1995)""",
-          Seq("o_orderpriority"), "o_custkey", "1994", "1995"))),
+FROM orders WHERE year(o_orderdate) IN (1995, 1996)""",
+          Seq("o_orderpriority"), "o_custkey", "1995", "1996"))),
 
       // CIDR longest-prefix enrichment: id-derived ipv4 traffic against
       // a nation-derived routing table (/8 per nation + a /12 regional
@@ -7943,7 +7943,26 @@ FROM orders GROUP BY o_orderpriority, CAST(o_orderdate AS DATE)""",
             "date_trunc('week', CAST(o_orderdate AS DATE))",
             "(o_orderkey % 23)")} AS rolled
 FROM orders ORDER BY o_orderkey"""
-        }))
+        }),
+
+      // Jensen-Shannon drift between 1994 and 1995 order-priority
+      // mixes — bounded, symmetric, finite on new categories, per
+      // category with the counts beside it
+      RegisteredQuery(
+        "q_jsd_drift",
+        (s, dir) => {
+          val o = Tables.resolve(s, dir)("orders")
+          graft.operators.Jsd.jsdCategorical(
+              o.where(year(col("o_orderdate")) === 1995)
+                .select(col("o_orderpriority").as("v")),
+              o.where(year(col("o_orderdate")) === 1996)
+                .select(col("o_orderpriority").as("v")),
+              "v")
+            .orderBy("value")
+        },
+        Some(graft.operators.Jsd.oracleSql(
+          "SELECT o_orderpriority AS v FROM orders WHERE year(o_orderdate) = 1995",
+          "SELECT o_orderpriority AS v FROM orders WHERE year(o_orderdate) = 1996"))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
