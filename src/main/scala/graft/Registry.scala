@@ -7962,7 +7962,21 @@ FROM orders ORDER BY o_orderkey"""
         },
         Some(graft.operators.Jsd.oracleSql(
           "SELECT o_orderpriority AS v FROM orders WHERE year(o_orderdate) = 1995",
-          "SELECT o_orderpriority AS v FROM orders WHERE year(o_orderdate) = 1996"))))
+          "SELECT o_orderpriority AS v FROM orders WHERE year(o_orderdate) = 1996"))),
+
+      // exact Shapley attribution: purchase credit over each user's
+      // pre-conversion channel coalition — the unanimity closed form,
+      // credits in exact 1/lcm units, efficiency preserved
+      RegisteredQuery(
+        "q_shapley",
+        (s, dir) => graft.llm.ShapleyAttribution.shapley(
+            s.read.parquet(s"$dir/events.parquet"),
+            "user_id", "event_type", "ts", "purchase")
+          .orderBy("channel"),
+        Some(graft.llm.ShapleyAttribution.oracleSql(
+          """SELECT user_id AS u, event_type AS c, epoch_us(ts) AS t_us
+FROM events""",
+          "purchase"))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
