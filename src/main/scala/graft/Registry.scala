@@ -7976,7 +7976,47 @@ FROM orders ORDER BY o_orderkey"""
         Some(graft.llm.ShapleyAttribution.oracleSql(
           """SELECT user_id AS u, event_type AS c, epoch_us(ts) AS t_us
 FROM events""",
-          "purchase"))))
+          "purchase"))),
+
+      // post-stratified ATE: does high quantity "treat" revenue per
+      // item, adjusted for line status — exact per-stratum fractions
+      // plus the size-weighted pooled readout
+      RegisteredQuery(
+        "q_stratified_ate",
+        (s, dir) => {
+          val li = Tables.resolve(s, dir)("lineitem")
+            .withColumn("t", when(col("l_quantity") > 25, 1L).otherwise(0L))
+            .withColumn("cents",
+              (col("l_extendedprice").cast("decimal(18,2)") * 100)
+                .cast("long"))
+          graft.operators.StratifiedAte.byStratum(li, "l_linestatus",
+              "t", "cents")
+            .unionByName(
+              graft.operators.StratifiedAte.pooled(li, "l_linestatus",
+                  "t", "cents")
+                .select(lit("__pooled").as("l_linestatus"),
+                  col("n_strata_pooled").as("n_treat"),
+                  col("n_strata_dropped").as("n_ctrl"),
+                  col("n_rows_pooled").as("sum_treat"),
+                  col("pool_den").as("sum_ctrl"),
+                  col("pool_num_q6").cast("string").as("diff_num"),
+                  col("pool_den").cast("string").as("diff_den"),
+                  lit(null).cast("long").as("ate_q6")))
+            .orderBy("l_linestatus")
+        },
+        Some {
+          val rows = """SELECT l_linestatus AS grp,
+  CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS t,
+  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+FROM lineitem"""
+          s"""SELECT * FROM (${graft.operators.StratifiedAte
+            .byStratumOracle(rows, "l_linestatus")})
+UNION ALL
+SELECT '__pooled', n_strata_pooled, n_strata_dropped, n_rows_pooled,
+  pool_den, CAST(pool_num_q6 AS VARCHAR), CAST(pool_den AS VARCHAR), NULL
+FROM (${graft.operators.StratifiedAte.pooledOracle(rows)})
+ORDER BY 1"""
+        }))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
