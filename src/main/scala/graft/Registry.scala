@@ -8016,7 +8016,28 @@ SELECT '__pooled', n_strata_pooled, n_strata_dropped, n_rows_pooled,
   pool_den, CAST(pool_num_q6 AS VARCHAR), CAST(pool_den AS VARCHAR), NULL
 FROM (${graft.operators.StratifiedAte.pooledOracle(rows)})
 ORDER BY 1"""
-        }))
+        }),
+
+      // CUPED: a hash-assigned pseudo-experiment on per-item revenue
+      // with quantity as the pre-period covariate — the declared
+      // truncation ladder publishes theta, raw and adjusted effects
+      RegisteredQuery(
+        "q_cuped",
+        (s, dir) => graft.operators.Cuped.adjustedEffect(
+            Tables.resolve(s, dir)("lineitem")
+              .withColumn("t", expr("l_orderkey % 2"))
+              .withColumn("qty", col("l_quantity").cast("long"))
+              .withColumn("cents",
+                (col("l_extendedprice").cast("decimal(18,2)") * 100)
+                  .cast("long")),
+            "l_linestatus", "t", "qty", "cents")
+          .orderBy("l_linestatus"),
+        Some(graft.operators.Cuped.oracleSql(
+          """SELECT l_linestatus AS grp, l_orderkey % 2 AS t,
+  CAST(l_quantity AS BIGINT) AS x,
+  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+FROM lineitem""",
+          "l_linestatus"))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
