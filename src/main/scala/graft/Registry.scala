@@ -8037,7 +8037,26 @@ ORDER BY 1"""
   CAST(l_quantity AS BIGINT) AS x,
   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
 FROM lineitem""",
-          "l_linestatus"))))
+          "l_linestatus"))),
+
+      // Murphy decomposition of the Brier score over an id-derived
+      // milli-prob forecaster whose labels correlate with the forecast
+      RegisteredQuery(
+        "q_brier_decomp",
+        (s, dir) => graft.operators.BrierDecomp.decompose(
+            s.read.parquet(s"$dir/documents.parquet")
+              .withColumn("p", expr("(doc_id * 37) % 1001"))
+              .withColumn("y", expr(
+                "CASE WHEN (doc_id * 2654435761L) % 1000 < " +
+                  "(doc_id * 37) % 1001 THEN 1L ELSE 0L END")),
+            "lang", "p", "y")
+          .orderBy("lang"),
+        Some(graft.operators.BrierDecomp.oracleSql(
+          """SELECT lang AS grp, (doc_id * 37) % 1001 AS p,
+  CASE WHEN (doc_id * 2654435761) % 1000 < (doc_id * 37) % 1001
+       THEN 1 ELSE 0 END AS y
+FROM documents""",
+          "lang"))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
