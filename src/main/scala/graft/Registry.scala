@@ -8056,7 +8056,45 @@ FROM lineitem""",
   CASE WHEN (doc_id * 2654435761) % 1000 < (doc_id * 37) % 1001
        THEN 1 ELSE 0 END AS y
 FROM documents""",
-          "lang"))))
+          "lang"))),
+
+      // streaming sessionization: three chunked folds + flush over the
+      // event stream vs the one-shot gaps-and-islands oracle — open
+      // sessions are the only state, closed ones append-only
+      RegisteredQuery(
+        "q_session_ingest",
+        (s, dir) => {
+          val store = "/tmp/graft_session_ingest_gate_store"
+          val lake = "/tmp/graft_session_ingest_gate_lake"
+          val conf = s.sparkContext.hadoopConfiguration
+          Seq(store, lake).foreach { d =>
+            val p = new org.apache.hadoop.fs.Path(d)
+            val f = p.getFileSystem(conf)
+            Seq(p, graft.sources.AtomicStore.tmpPath(p),
+              graft.sources.AtomicStore.stashPath(p))
+              .foreach(f.delete(_, true))
+          }
+          val ev = s.read.parquet(s"$dir/events.parquet")
+            .select(col("user_id"), col("ts"),
+              expr("event_id % 9 + 1").as("v"))
+            .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+            .localCheckpoint(true)
+          val cut1 = 1704300000000000L; val cut2 = 1705000000000000L
+          Seq(col("us") < cut1,
+            col("us") >= cut1 && col("us") < cut2,
+            col("us") >= cut2).foreach { cut =>
+            graft.streaming.SessionIngest.ingestBatch(
+              ev.where(cut), store, lake, "user_id", "ts", "v",
+              gapMicros = 7200000000L)
+          }
+          graft.streaming.SessionIngest.flush(s, store, lake, "user_id",
+            gapMicros = 7200000000L)
+          s.read.parquet(lake).orderBy("user_id", "session_start")
+        },
+        Some(graft.streaming.SessionIngest.oracleSql(
+          """SELECT user_id AS k, epoch_us(ts) AS t_us,
+  event_id % 9 + 1 AS v FROM events""",
+          "user_id", gapMicros = 7200000000L))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
