@@ -8094,7 +8094,32 @@ FROM documents""",
         Some(graft.streaming.SessionIngest.oracleSql(
           """SELECT user_id AS k, epoch_us(ts) AS t_us,
   event_id % 9 + 1 AS v FROM events""",
-          "user_id", gapMicros = 7200000000L))))
+          "user_id", gapMicros = 7200000000L))),
+
+      // k-truss over the high-quantity co-purchase graph: every
+      // surviving edge has a common-neighbor witness inside the truss —
+      // edge peeling to the fixpoint, oracle unrolls 10 rounds
+      RegisteredQuery(
+        "q_ktruss",
+        (s, dir) => {
+          val li = Tables.resolve(s, dir)("lineitem")
+            .where(col("l_quantity") >= 45)
+            .select(col("l_orderkey"), col("l_partkey"))
+          val edges = li.as("a").join(li.as("b"),
+              col("a.l_orderkey") === col("b.l_orderkey") &&
+                col("a.l_partkey") < col("b.l_partkey"))
+            .select(col("a.l_partkey").as("src"),
+              col("b.l_partkey").as("dst"))
+          graft.operators.KTruss.trussToFixpoint(edges, "src", "dst",
+              k = 3, maxRounds = 10)
+            .orderBy("src", "dst")
+        },
+        Some(graft.operators.KTruss.oracleSql(
+          """SELECT a.l_partkey AS src, b.l_partkey AS dst
+FROM (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 45) a
+JOIN (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 45) b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""",
+          k = 3, rounds = 10))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
