@@ -8119,7 +8119,30 @@ FROM documents""",
 FROM (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 45) a
 JOIN (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 45) b
   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""",
-          k = 3, rounds = 10))))
+          k = 3, rounds = 10))),
+
+      // fixed-width (positional) flat-file round-trip: nation through a
+      // declared copybook layout — the mainframe-extract source member
+      RegisteredQuery(
+        "q_fixed_width_roundtrip",
+        (s, dir) => {
+          import graft.sources.FixedWidth
+          val layout = Seq(
+            FixedWidth.Field("n_nationkey", 1, 5, "long"),
+            FixedWidth.Field("n_name", 6, 25, "string"),
+            FixedWidth.Field("n_regionkey", 36, 5, "long"))
+          val out = "/tmp/graft_fixed_width_roundtrip"
+          FixedWidth.write(
+            Tables.resolve(s, dir)("nation")
+              .select(col("n_nationkey"), col("n_name").cast("string")
+                .as("n_name"), col("n_regionkey")),
+            out, layout)
+          FixedWidth.read(s, out, layout).orderBy("n_nationkey")
+        },
+        Some("""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+  CAST(n_name AS VARCHAR) AS n_name,
+  CAST(n_regionkey AS BIGINT) AS n_regionkey
+FROM nation ORDER BY n_nationkey""")))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
