@@ -8142,7 +8142,22 @@ JOIN (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 45) b
         Some("""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
   CAST(n_name AS VARCHAR) AS n_name,
   CAST(n_regionkey AS BIGINT) AS n_regionkey
-FROM nation ORDER BY n_nationkey""")))
+FROM nation ORDER BY n_nationkey""")),
+
+      // beaconing screen: which (user, event_type) channels fire at
+      // suspiciously regular intervals — low gap dispersion flags,
+      // cross-multiplied exact at the threshold
+      RegisteredQuery(
+        "q_beaconing",
+        (s, dir) => graft.operators.Beaconing.screen(
+            s.read.parquet(s"$dir/events.parquet"),
+            Seq("user_id", "event_type"), "ts",
+            minGaps = 5L, maxFanoQ6 = 60000000L)
+          .orderBy("user_id", "event_type"),
+        Some(graft.operators.Beaconing.oracleSql(
+          """SELECT user_id, event_type, epoch_us(ts) AS t_us FROM events""",
+          Seq("user_id", "event_type"),
+          minGaps = 5L, maxFanoQ6 = 60000000L))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
