@@ -8157,7 +8157,37 @@ FROM nation ORDER BY n_nationkey""")),
         Some(graft.operators.Beaconing.oracleSql(
           """SELECT user_id, event_type, epoch_us(ts) AS t_us FROM events""",
           Seq("user_id", "event_type"),
-          minGaps = 5L, maxFanoQ6 = 60000000L))))
+          minGaps = 5L, maxFanoQ6 = 60000000L))),
+
+      // GIF animation metadata: synthesized per-doc animations
+      // (doc_id%4+1 frames, per-frame delay 10+doc_id%5 cs, NETSCAPE
+      // loop on even ids) — the differential-fixture oracle recomputes
+      RegisteredQuery(
+        "q_gif_anim",
+        (s, dir) => {
+          val headerNoGct = "4749463839610100010000" + "0000"
+          val frameUnit = "2C000000000100010000" + "02024C0100"
+          val loopHex = lpad(hex(expr("doc_id % 3")), 2, "0")
+          val netscape = concat(
+            lit("21FF0B4E45545343415045322E300301"), loopHex, lit("0000"))
+          val hexStr = concat(lit(headerNoGct),
+            when(expr("doc_id % 2 = 0"), netscape).otherwise(lit("")),
+            expr(s"repeat(concat('21F90400', lpad(hex(10 + doc_id % 5), 2, '0'), '000000', '$frameUnit'), CAST(doc_id % 4 + 1 AS INT))"),
+            lit("3B"))
+          s.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"),
+              graft.functions.GifAnim(unhex(hexStr)).as("m"))
+            .select(col("doc_id"), col("m.n_frames").as("n_frames"),
+              col("m.total_delay_cs").as("total_delay_cs"),
+              col("m.loops").as("loops"))
+            .orderBy("doc_id")
+        },
+        Some("""SELECT doc_id,
+  CAST(doc_id % 4 + 1 AS INTEGER) AS n_frames,
+  CAST((10 + doc_id % 5) * (doc_id % 4 + 1) AS BIGINT) AS total_delay_cs,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 3 ELSE -1 END AS INTEGER)
+    AS loops
+FROM documents ORDER BY doc_id""")))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
