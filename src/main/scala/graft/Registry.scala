@@ -8187,7 +8187,28 @@ FROM nation ORDER BY n_nationkey""")),
   CAST((10 + doc_id % 5) * (doc_id % 4 + 1) AS BIGINT) AS total_delay_cs,
   CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 3 ELSE -1 END AS INTEGER)
     AS loops
-FROM documents ORDER BY doc_id""")))
+FROM documents ORDER BY doc_id""")),
+
+      // Siegel repeated-median trend on the monthly revenue series —
+      // the 50%-breakdown robust slope beside Theil-Sen's estimator
+      RegisteredQuery(
+        "q_siegel",
+        (s, dir) => graft.operators.Siegel.slope(
+            Tables.resolve(s, dir)("orders")
+              .groupBy(col("o_orderpriority"),
+                (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+                  .cast("long").as("m"))
+              .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("long")).as("rev")),
+            "o_orderpriority", "m", "rev")
+          .orderBy("o_orderpriority"),
+        Some(graft.operators.Siegel.oracleSql(
+          """SELECT o_orderpriority AS grp,
+  CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS x,
+  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+    AS BIGINT) AS y
+FROM orders GROUP BY 1, 2""",
+          "o_orderpriority"))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over

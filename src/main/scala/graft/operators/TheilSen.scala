@@ -80,10 +80,13 @@ object TheilSen {
       .withColumn("__rk", row_number().over(rk).cast(LongType))
       .where(col("__rk") ===
         call_function("div", col("__np") + 1L, lit(2L)))
-      .select(col(groupCol), col("__np").as("n_pairs"),
+      .select(col(groupCol).as("__mg"), col("__np").as("n_pairs"),
         col("__s").as("slope_q6"))
+    // null-safe join: a NULL group is a real stratum and must keep its
+    // slope (a Seq-based equi-join would silently NULL it — caught by
+    // the Siegel twin's spec, r10)
     sized.groupBy(col(groupCol)).agg(count(lit(1)).as("n_points"))
-      .join(med, Seq(groupCol), "left")
+      .join(med, col(groupCol) <=> col("__mg"), "left")
       .select(col(groupCol), col("n_points"),
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("slope_q6"))
   }

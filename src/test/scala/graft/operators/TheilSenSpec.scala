@@ -51,4 +51,14 @@ class TheilSenSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("pair set"))
   }
+
+  test("a NULL group is a real stratum and keeps its slope (r10 fix)") {
+    import spark.implicits._
+    val df = Seq((Some("g"), 1L, 2L), (Some("g"), 2L, 4L),
+      (None, 1L, 3L), (None, 2L, 6L)).toDF("grp", "x", "y")
+    val got = TheilSen.slope(df, "grp", "x", "y").collect()
+      .map(r => Option(r.getString(0)).getOrElse("NULL") -> r).toMap
+    assert(got("NULL").getLong(3) == 3000000L)
+    assert(got("g").getLong(3) == 2000000L)
+  }
 }
