@@ -8208,7 +8208,36 @@ FROM documents ORDER BY doc_id""")),
   CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
     AS BIGINT) AS y
 FROM orders GROUP BY 1, 2""",
-          "o_orderpriority"))))
+          "o_orderpriority"))),
+
+      // multi-label eval: id-derived tag sets per language — micro vs
+      // macro P/R/F1, exact match, never-predicted-label convention
+      RegisteredQuery(
+        "q_multilabel_eval",
+        (s, dir) => graft.operators.MultiLabelEval.evaluate(
+            s.read.parquet(s"$dir/documents.parquet")
+              .withColumn("g", expr("filter(array(" +
+                "CASE WHEN doc_id % 2 = 0 THEN 'a' END, " +
+                "CASE WHEN doc_id % 3 = 0 THEN 'b' END, " +
+                "CASE WHEN doc_id % 5 = 0 THEN 'c' END), x -> x IS NOT NULL)"))
+              .withColumn("p", expr("filter(array(" +
+                "CASE WHEN doc_id % 2 = 0 OR doc_id % 7 = 0 THEN 'a' END, " +
+                "CASE WHEN doc_id % 4 = 0 THEN 'b' END, " +
+                "CASE WHEN doc_id % 5 = 0 AND doc_id % 3 <> 0 THEN 'c' END" +
+                "), x -> x IS NOT NULL)")),
+            "lang", "g", "p")
+          .orderBy("lang"),
+        Some(graft.operators.MultiLabelEval.oracleSql(
+          """SELECT lang AS grp,
+  list_filter([CASE WHEN doc_id % 2 = 0 THEN 'a' END,
+    CASE WHEN doc_id % 3 = 0 THEN 'b' END,
+    CASE WHEN doc_id % 5 = 0 THEN 'c' END], x -> x IS NOT NULL) AS g,
+  list_filter([CASE WHEN doc_id % 2 = 0 OR doc_id % 7 = 0 THEN 'a' END,
+    CASE WHEN doc_id % 4 = 0 THEN 'b' END,
+    CASE WHEN doc_id % 5 = 0 AND doc_id % 3 <> 0 THEN 'c' END],
+    x -> x IS NOT NULL) AS p
+FROM documents""",
+          "lang"))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
