@@ -8237,7 +8237,18 @@ FROM orders GROUP BY 1, 2""",
     CASE WHEN doc_id % 5 = 0 AND doc_id % 3 <> 0 THEN 'c' END],
     x -> x IS NOT NULL) AS p
 FROM documents""",
-          "lang"))))
+          "lang"))),
+
+      // KWIC concordance: every "vector" occurrence with ±3 tokens of
+      // context — the corpus-inspection view over positional hits
+      RegisteredQuery(
+        "q_concordance",
+        (s, dir) => graft.text.Concordance.kwic(
+            s.read.parquet(s"$dir/documents.parquet"),
+            "doc_id", "text", "vector", window = 3)
+          .orderBy("doc_id", "pos"),
+        Some(graft.text.Concordance.oracleSql(
+          "documents", "doc_id", "text", "vector", window = 3))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
