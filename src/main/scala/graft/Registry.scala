@@ -8248,7 +8248,59 @@ FROM documents""",
             "doc_id", "text", "vector", window = 3)
           .orderBy("doc_id", "pos"),
         Some(graft.text.Concordance.oracleSql(
-          "documents", "doc_id", "text", "vector", window = 3))))
+          "documents", "doc_id", "text", "vector", window = 3))),
+
+      // ledger running balance per customer: signed order postings in
+      // (date, key) order — final/min balance and the first overdraft
+      RegisteredQuery(
+        "q_ledger_balance",
+        (s, dir) => graft.operators.Ledger.runningBalance(
+            Tables.resolve(s, dir)("orders")
+              .withColumn("day", datediff(col("o_orderdate").cast("date"),
+                lit("1990-01-01")).cast("long"))
+              .withColumn("amt",
+                (col("o_totalprice").cast("decimal(18,2)") * 100)
+                  .cast("long") *
+                  when(expr("o_orderkey % 3 = 0"), -2L).otherwise(1L)),
+            "o_custkey", "day", "o_orderkey", "amt")
+          .orderBy("o_custkey"),
+        Some(graft.operators.Ledger.runningBalanceOracle(
+          """SELECT o_custkey AS acct,
+  CAST(CAST(o_orderdate AS DATE) - DATE '1990-01-01' AS BIGINT) AS i,
+  o_orderkey AS id,
+  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+    * CASE WHEN o_orderkey % 3 = 0 THEN -2 ELSE 1 END AS a
+FROM orders""",
+          "o_custkey"))),
+
+      // double-entry audit: two balanced legs per order plus a planted
+      // 1-cent imbalance on every 97th — violations only
+      RegisteredQuery(
+        "q_double_entry",
+        (s, dir) => {
+          val o = Tables.resolve(s, dir)("orders")
+            .withColumn("cents",
+              (col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("long"))
+          val legs = o.select(col("o_orderkey").as("txn"),
+              col("cents").as("amt"))
+            .unionByName(o.select(col("o_orderkey").as("txn"),
+              (-col("cents") +
+                when(expr("o_orderkey % 97 = 0"), 1L).otherwise(0L))
+                .as("amt")))
+          graft.operators.Ledger.doubleEntry(legs, "txn", "amt")
+            .orderBy("txn")
+        },
+        Some(graft.operators.Ledger.doubleEntryOracle(
+          """SELECT o_orderkey AS txn,
+  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS a
+FROM orders
+UNION ALL
+SELECT o_orderkey,
+  -CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+    + CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END
+FROM orders""",
+          "txn"))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
