@@ -8300,7 +8300,31 @@ SELECT o_orderkey,
   -CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
     + CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END
 FROM orders""",
-          "txn"))))
+          "txn"))),
+
+      // binary segmentation: every mean shift in the monthly revenue
+      // series per priority that clears the evidence bar — recursive
+      // splits to depth 3, exact integer D statistic
+      RegisteredQuery(
+        "q_binary_seg",
+        (s, dir) => graft.operators.BinarySeg.changePoints(
+            Tables.resolve(s, dir)("orders")
+              .groupBy(col("o_orderpriority"),
+                (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+                  .cast("long").as("m"))
+              .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("long")).as("rev")),
+            "o_orderpriority", "m", "rev",
+            minSize = 6, minDev = 20000000000L, maxDepth = 3)
+          .orderBy("o_orderpriority", "split_pos"),
+        Some(graft.operators.BinarySeg.oracleSql(
+          """SELECT o_orderpriority AS grp,
+  CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS i,
+  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+    AS BIGINT) AS x
+FROM orders GROUP BY 1, 2""",
+          "o_orderpriority", minSize = 6, minDev = 20000000000L,
+          maxDepth = 3))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
