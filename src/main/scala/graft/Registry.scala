@@ -8324,7 +8324,22 @@ FROM orders""",
     AS BIGINT) AS x
 FROM orders GROUP BY 1, 2""",
           "o_orderpriority", minSize = 6, minDev = 20000000000L,
-          maxDepth = 3))))
+          maxDepth = 3))),
+
+      // distribution shape: exact central-moment numerators for the
+      // quantity distribution per return flag — skew sign and the
+      // heavy-tails verdict, n^4 factors cancelled exactly
+      RegisteredQuery(
+        "q_higher_moments",
+        (s, dir) => graft.operators.HigherMoments.shape(
+            Tables.resolve(s, dir)("lineitem")
+              .withColumn("qty", col("l_quantity").cast("long")),
+            "l_returnflag", "qty")
+          .orderBy("l_returnflag"),
+        Some(graft.operators.HigherMoments.oracleSql(
+          "SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS x " +
+            "FROM lineitem",
+          "l_returnflag"))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
