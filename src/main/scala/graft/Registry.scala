@@ -8339,7 +8339,24 @@ FROM orders GROUP BY 1, 2""",
         Some(graft.operators.HigherMoments.oracleSql(
           "SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS x " +
             "FROM lineitem",
-          "l_returnflag"))))
+          "l_returnflag"))),
+
+      // trimmed mean of per-item revenue per priority: extremes from
+      // bounded BottomK multisets — no per-group sort anywhere
+      RegisteredQuery(
+        "q_ktrim_mean",
+        (s, dir) => graft.operators.TrimmedMean.trimmedMean(
+            Tables.resolve(s, dir)("orders")
+              .withColumn("cents",
+                (col("o_totalprice").cast("decimal(18,2)") * 100)
+                  .cast("long")),
+            "o_orderpriority", "cents", k = 25)
+          .orderBy("o_orderpriority"),
+        Some(graft.operators.TrimmedMean.oracleSql(
+          """SELECT o_orderpriority AS grp,
+  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+FROM orders""",
+          "o_orderpriority", k = 25))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
