@@ -8356,7 +8356,28 @@ FROM orders GROUP BY 1, 2""",
           """SELECT o_orderpriority AS grp,
   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
 FROM orders""",
-          "o_orderpriority", k = 25))))
+          "o_orderpriority", k = 25))),
+
+      // newline-delimited flat-XML round-trip: nation with a hostile
+      // entity-bearing field — escape/unescape proven cross-engine
+      RegisteredQuery(
+        "q_xml_roundtrip",
+        (s, dir) => {
+          import graft.sources.XmlLines
+          val out = "/tmp/graft_xml_lines_roundtrip"
+          XmlLines.write(
+            Tables.resolve(s, dir)("nation")
+              .select(col("n_nationkey").cast("string").as("k"),
+                concat(col("n_name").cast("string"), lit(" &<>'\"x"))
+                  .as("nm")),
+            out, "rec", Seq("k", "nm"))
+          XmlLines.read(s, out, "rec", Seq("k", "nm"))
+            .select(col("k").cast("long").as("n_nationkey"), col("nm"))
+            .orderBy("n_nationkey")
+        },
+        Some("""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+  CAST(n_name AS VARCHAR) || ' &<>''"x' AS nm
+FROM nation ORDER BY n_nationkey""")))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
