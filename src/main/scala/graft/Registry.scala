@@ -8377,7 +8377,19 @@ FROM orders""",
         },
         Some("""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
   CAST(n_name AS VARCHAR) || ' &<>''"x' AS nm
-FROM nation ORDER BY n_nationkey""")))
+FROM nation ORDER BY n_nationkey""")),
+
+      // frequent part triples across order baskets — A-priori pruned
+      // generation vs the naive 3-way oracle (downward closure)
+      RegisteredQuery(
+        "q_freq_triples",
+        (s, dir) => graft.operators.CoOccurrence.triples(
+            Tables.resolve(s, dir)("lineitem"), "l_orderkey", "l_partkey",
+            minCount = 2, maxBasket = 100)
+          .orderBy("item_a", "item_b", "item_c"),
+        Some(graft.operators.CoOccurrence.triplesOracle(
+          "lineitem", "l_orderkey", "l_partkey",
+          minCount = 2, maxBasket = 100))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over

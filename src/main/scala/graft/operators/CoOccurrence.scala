@@ -237,4 +237,64 @@ FROM bi a JOIN bi c ON a.b = c.b AND a.i < c.i
 WHERE a.b IN (SELECT b FROM q)
 GROUP BY 1, 2 HAVING count(*) >= $minCount
 ORDER BY 1, 2""".stripMargin
+
+  /** Frequent item TRIPLES by A-priori: candidate (a, b, c) occurrences
+    * are generated ONLY through frequent (a, b) pair occurrences and
+    * pruned against frequent (a, c) and (b, c) before counting — the
+    * classical level-wise bound that keeps triple volume at
+    * frequent-pair-occurrences × basket width instead of Σ C(|basket|, 3)
+    * (downward closure: a frequent triple's every pair is frequent, so
+    * the pruning is lossless — oracle-pinned by the naive 3-way join).
+    * Same basket discipline as [[pairs]]: distinct (basket, item),
+    * `maxBasket` whale exclusion (auditable via [[oversizedBaskets]]).
+    */
+  def triples(df: DataFrame, basketCol: String, itemCol: String,
+              minCount: Long, maxBasket: Int = 1000): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val qualified = qualifiedItems(df, basketCol, itemCol, maxBasket)
+      .localCheckpoint(true)
+    val fp = qualified.select(col("__b"), col("__i").as("__ia"))
+      .join(qualified.select(col("__b").as("__b2"), col("__i").as("__ib")),
+        col("__b") === col("__b2") && col("__ia") < col("__ib"))
+      .groupBy(col("__ia"), col("__ib"))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= minCount)
+      .select(col("__ia").as("__fa"), col("__ib").as("__fb"))
+      .localCheckpoint(true)
+    val pairOcc = qualified.select(col("__b"), col("__i").as("__ia"))
+      .join(qualified.select(col("__b").as("__b2"), col("__i").as("__ib")),
+        col("__b") === col("__b2") && col("__ia") < col("__ib"))
+      .join(fp, col("__ia") === col("__fa") && col("__ib") === col("__fb"),
+        "left_semi")
+    val tri = pairOcc
+      .join(qualified.select(col("__b").as("__b3"), col("__i").as("__ic")),
+        col("__b") === col("__b3") && col("__ib") < col("__ic"))
+      .join(fp.select(col("__fa").as("__xa"), col("__fb").as("__xc")),
+        col("__ia") === col("__xa") && col("__ic") === col("__xc"),
+        "left_semi")
+      .join(fp.select(col("__fa").as("__ya"), col("__fb").as("__yc")),
+        col("__ib") === col("__ya") && col("__ic") === col("__yc"),
+        "left_semi")
+    tri.groupBy(col("__ia").as("item_a"), col("__ib").as("item_b"),
+        col("__ic").as("item_c"))
+      .agg(count(lit(1)).as("n_baskets"))
+      .where(col("n_baskets") >= minCount)
+  }
+
+  /** Naive 3-way oracle for [[triples]] — correctness does not depend
+    * on the pruning (downward closure), so the oracle skips it.
+    */
+  def triplesOracle(table: String, basketCol: String, itemCol: String,
+                    minCount: Long, maxBasket: Int = 1000): String =
+    s"""WITH bi AS MATERIALIZED (
+  SELECT DISTINCT $basketCol AS b, $itemCol AS i FROM $table
+  WHERE $basketCol IS NOT NULL AND $itemCol IS NOT NULL),
+q AS MATERIALIZED (SELECT b FROM bi GROUP BY b HAVING count(*) <= $maxBasket),
+bq AS MATERIALIZED (SELECT bi.b, bi.i FROM bi JOIN q USING (b))
+SELECT a.i AS item_a, c.i AS item_b, d.i AS item_c,
+  CAST(count(*) AS BIGINT) AS n_baskets
+FROM bq a JOIN bq c ON a.b = c.b AND a.i < c.i
+JOIN bq d ON a.b = d.b AND c.i < d.i
+GROUP BY 1, 2, 3 HAVING count(*) >= $minCount
+ORDER BY 1, 2, 3""".stripMargin
 }

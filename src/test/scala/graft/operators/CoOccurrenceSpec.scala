@@ -102,4 +102,28 @@ class CoOccurrenceSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(cut == Set(("y", "x"), ("z", "x")))
   }
+
+  test("frequent triples prune losslessly (A-priori downward closure)") {
+    import spark.implicits._
+    // baskets: {1,2,3} x3, {1,2,4} x2, {1,3,4} x1
+    val rows = Seq.fill(3)(Seq(1L, 2L, 3L)) ++ Seq.fill(2)(Seq(1L, 2L, 4L)) ++
+      Seq(Seq(1L, 3L, 4L))
+    val df = rows.zipWithIndex.flatMap { case (items, b) =>
+      items.map(i => (b.toLong, i)) }.toDF("bk", "item")
+    val got = CoOccurrence.triples(df, "bk", "item", minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        r.getLong(3)).toMap
+    assert(got == Map((1L, 2L, 3L) -> 3L, (1L, 2L, 4L) -> 2L))
+  }
+
+  test("triples respect the maxBasket whale exclusion") {
+    import spark.implicits._
+    val whale = (1L to 10L).map(i => (99L, i))
+    val ok = Seq.fill(2)(Seq(1L, 2L, 3L)).zipWithIndex.flatMap {
+      case (items, b) => items.map(i => (b.toLong, i)) }
+    val df = (ok ++ whale).toDF("bk", "item")
+    val got = CoOccurrence.triples(df, "bk", "item", minCount = 2,
+      maxBasket = 5).collect()
+    assert(got.length == 1 && got.head.getLong(3) == 2L)
+  }
 }
