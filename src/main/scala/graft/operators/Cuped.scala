@@ -3,14 +3,15 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** CUPED — variance-reduced experiment readout using a pre-period
-  * covariate (Deng et al. 2013, the industry-standard A/B trick): the
-  * adjusted metric y − θ(x − x̄) removes the outcome variance a
-  * pre-experiment covariate explains, shrinking confidence intervals
-  * without touching the point estimate's expectation. The adjusted
-  * EFFECT is Δ_adj = (ȳ_t − ȳ_c) − θ·(x̄_t − x̄_c) with
-  * θ = cov(x,y)/var(x) estimated POOLED over both arms (the standard
-  * choice — per-arm θ reintroduces bias).
+/** Per-STRATUM CUPED — [[AbTest.cupedCompare]] runs the Deng et al.
+  * 2013 variance reduction once, globally, across named arms; this is
+  * its heterogeneous-effects twin: one independent CUPED readout PER
+  * SEGMENT (platform, region, tenure band — "did the feature help
+  * everywhere, or only where the covariate says the users were already
+  * heavy"), each stratum estimating its own θ = cov(x,y)/var(x) pooled
+  * over its two arms (per-arm θ reintroduces bias) and publishing the
+  * raw moment FRACTIONS beside the quantized readout — the audit trail
+  * the global compare compresses away.
   *
   * Exactness ladder (each step ONE declared sign-split truncating
   * division, composed — the repo's quantization-ladder convention):
