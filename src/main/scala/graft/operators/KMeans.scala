@@ -3,13 +3,16 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Deterministic Lloyd k-means over integer vectors — the clustering
-  * member of the ML family (the IVF index CONSUMES centroids;
-  * [[graft.functions.NearestCentroid]] ASSIGNS against given ones; this
-  * TRAINS them): corpus sharding by content region, embedding-space
-  * quota buckets, coarse-quantizer training for IVF/PQ — on vectors
-  * already integer-quantized (int8 embeddings, scaled features; the
-  * repo's float-free gate discipline).
+/** Deterministic Lloyd k-means over integer vectors — the
+  * CROSS-ENGINE-REPLAYABLE trainer beside [[graft.llm.IvfIndex]]'s
+  * sampled Spark-ML KMeans (that one trains float coarse quantizers
+  * from a driver sample, seeded but engine-specific — fine for an ANN
+  * index whose recall is audited, useless for a hash gate;
+  * [[graft.functions.NearestCentroid]] only ASSIGNS against given
+  * centroids): this one trains on vectors already integer-quantized
+  * (int8 embeddings, scaled features) with every decision declared, so
+  * corpus sharding by content region and quota bucketing can be AUDITED
+  * bit-for-bit by a second engine.
   *
   * Everything that is usually left to chance is DECLARED here so both
   * engines replay the run bit-for-bit: init centroids are the vectors
