@@ -8389,7 +8389,32 @@ FROM nation ORDER BY n_nationkey""")),
           .orderBy("item_a", "item_b", "item_c"),
         Some(graft.operators.CoOccurrence.triplesOracle(
           "lineitem", "l_orderkey", "l_partkey",
-          minCount = 2, maxBasket = 100))))
+          minCount = 2, maxBasket = 100))),
+
+      // rich-club curve over the co-purchase graph: do high-degree
+      // parts co-purchase with each other — one-pass min-endpoint
+      // decomposition across the declared thresholds
+      RegisteredQuery(
+        "q_rich_club",
+        (s, dir) => {
+          val li = Tables.resolve(s, dir)("lineitem")
+            .where(col("l_quantity") >= 45)
+            .select(col("l_orderkey"), col("l_partkey"))
+          val edges = li.as("a").join(li.as("b"),
+              col("a.l_orderkey") === col("b.l_orderkey") &&
+                col("a.l_partkey") < col("b.l_partkey"))
+            .select(col("a.l_partkey").as("src"),
+              col("b.l_partkey").as("dst"))
+          graft.operators.RichClub.coefficients(edges, "src", "dst",
+              Seq(0L, 1L, 2L, 3L, 5L, 8L))
+            .orderBy("k")
+        },
+        Some(graft.operators.RichClub.oracleSql(
+          """SELECT a.l_partkey AS src, b.l_partkey AS dst
+FROM (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 45) a
+JOIN (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 45) b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""",
+          Seq(0L, 1L, 2L, 3L, 5L, 8L)))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
