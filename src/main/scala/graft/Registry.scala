@@ -7609,7 +7609,7 @@ FROM orders GROUP BY 1, 2""",
           "o_orderpriority"))),
 
       // audience overlap by HLL inclusion-exclusion: customers active
-      // in BOTH 1994 and 1995 per priority, at constant register
+      // in BOTH 1995 and 1996 per priority, at constant register
       // memory — union estimate off the max-merged registers, all
       // three estimates the exact-integer replayable form
       RegisteredQuery(
@@ -7945,7 +7945,7 @@ FROM orders GROUP BY o_orderpriority, CAST(o_orderdate AS DATE)""",
 FROM orders ORDER BY o_orderkey"""
         }),
 
-      // Jensen-Shannon drift between 1994 and 1995 order-priority
+      // Jensen-Shannon drift between 1995 and 1996 order-priority
       // mixes — bounded, symmetric, finite on new categories, per
       // category with the counts beside it
       RegisteredQuery(

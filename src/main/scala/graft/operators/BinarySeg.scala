@@ -73,8 +73,10 @@ object BinarySeg {
       depth += 1
       val segDf = broadcast(
         segments.toDF("__sg", "__lo", "__hi").localCheckpoint(true))
+      // null-safe group match: a NULL group is a real stratum (the
+      // TheilSen/Siegel r10 fix class)
       val seg = rows.join(segDf,
-        col("__g") === col("__sg") &&
+        col("__g") <=> col("__sg") &&
           col("__pos").between(col("__lo"), col("__hi")))
       val w = Window.partitionBy(col("__g"), col("__lo"))
         .orderBy(col("__pos"))

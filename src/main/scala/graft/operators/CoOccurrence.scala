@@ -29,12 +29,9 @@ object CoOccurrence {
             minCount: Long, maxBasket: Int = 1000): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     val qualified = qualifiedItems(df, basketCol, itemCol, maxBasket)
-    qualified.select(col("__b"), col("__i").as("__ia"))
-      .join(qualified.select(col("__b").as("__b2"), col("__i").as("__ib")),
-        col("__b") === col("__b2") && col("__ia") < col("__ib"))
-      .groupBy(col("__ia").as("item_a"), col("__ib").as("item_b"))
-      .agg(count(lit(1)).as("n_baskets"))
-      .where(col("n_baskets") >= minCount)
+    pairCounts(qualified, minCount, "n_baskets")
+      .select(col("__ia").as("item_a"), col("__ib").as("item_b"),
+        col("n_baskets"))
   }
 
   /** Item-item cosine similarity — the normalization step that turns raw
@@ -69,12 +66,9 @@ object CoOccurrence {
       .localCheckpoint(true)
     val support = qualified.groupBy(col("__i").as("__si"))
       .agg(count(lit(1)).as("__n"))
-    val co = qualified.select(col("__b"), col("__i").as("__ia"))
-      .join(qualified.select(col("__b").as("__b2"), col("__i").as("__ib")),
-        col("__b") === col("__b2") && col("__ia") < col("__ib"))
-      .groupBy(col("__ia").as("item_a"), col("__ib").as("item_b"))
-      .agg(count(lit(1)).as("n_ab"))
-      .where(col("n_ab") >= minCount)
+    val co = pairCounts(qualified, minCount, "n_ab")
+      .select(col("__ia").as("item_a"), col("__ib").as("item_b"),
+        col("n_ab"))
     co
       .join(support.select(col("__si").as("item_a"), col("__n").as("n_a")), "item_a")
       .join(support.select(col("__si").as("item_b"), col("__n").as("n_b")), "item_b")
@@ -137,12 +131,7 @@ ORDER BY 1, 2""".stripMargin
       .agg(count(lit(1)).as("__n"))
     val totals = qualified.select(col("__b")).distinct()
       .agg(count(lit(1)).as("__N"))
-    val co = qualified.select(col("__b"), col("__i").as("__ia"))
-      .join(qualified.select(col("__b").as("__b2"), col("__i").as("__ib")),
-        col("__b") === col("__b2") && col("__ia") < col("__ib"))
-      .groupBy(col("__ia"), col("__ib"))
-      .agg(count(lit(1)).as("n_ab"))
-      .where(col("n_ab") >= minCount)
+    val co = pairCounts(qualified, minCount, "n_ab")
     val both = co
       .select(col("__ia").as("antecedent"), col("__ib").as("consequent"),
         col("n_ab"))
@@ -213,6 +202,24 @@ ORDER BY antecedent, consequent""".stripMargin
     bi.join(sizes, col("__b") === col("__qb"), "left_semi")
   }
 
+  /** Per-basket ordered pair occurrences over a qualified item table —
+    * the ONE pairing definition every miner shares (r10 review fix:
+    * this block was copy-pasted four times; a guard change landing in
+    * one copy would silently fork n_ab semantics).
+    */
+  private def pairOccurrences(qualified: DataFrame): DataFrame =
+    qualified.select(col("__b"), col("__i").as("__ia"))
+      .join(qualified.select(col("__b").as("__b2"), col("__i").as("__ib")),
+        col("__b") === col("__b2") && col("__ia") < col("__ib"))
+
+  /** (\_\_ia, \_\_ib, `out`) pair counts at or above `minCount`. */
+  private def pairCounts(qualified: DataFrame, minCount: Long,
+                         out: String): DataFrame =
+    pairOccurrences(qualified)
+      .groupBy(col("__ia"), col("__ib"))
+      .agg(count(lit(1)).as(out))
+      .where(col(out) >= minCount)
+
   /** The excluded whales: (basket, n_items) over `maxBasket` — audit
     * before trusting a mined run (empty ⇒ the run was exhaustive).
     */
@@ -253,17 +260,10 @@ ORDER BY 1, 2""".stripMargin
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     val qualified = qualifiedItems(df, basketCol, itemCol, maxBasket)
       .localCheckpoint(true)
-    val fp = qualified.select(col("__b"), col("__i").as("__ia"))
-      .join(qualified.select(col("__b").as("__b2"), col("__i").as("__ib")),
-        col("__b") === col("__b2") && col("__ia") < col("__ib"))
-      .groupBy(col("__ia"), col("__ib"))
-      .agg(count(lit(1)).as("__n"))
-      .where(col("__n") >= minCount)
+    val fp = pairCounts(qualified, minCount, "__n")
       .select(col("__ia").as("__fa"), col("__ib").as("__fb"))
       .localCheckpoint(true)
-    val pairOcc = qualified.select(col("__b"), col("__i").as("__ia"))
-      .join(qualified.select(col("__b").as("__b2"), col("__i").as("__ib")),
-        col("__b") === col("__b2") && col("__ia") < col("__ib"))
+    val pairOcc = pairOccurrences(qualified)
       .join(fp, col("__ia") === col("__fa") && col("__ib") === col("__fb"),
         "left_semi")
     val tri = pairOcc

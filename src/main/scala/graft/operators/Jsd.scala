@@ -45,6 +45,10 @@ object Jsd {
       .select(coalesce(col("__v"), col("__vc")).as("value"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      // persist spans the totals and contribution jobs so the two
+      // category collapses scan the sources once; ContextCleaner
+      // reclaims the blocks when the frame goes out of scope (the
+      // columnEntropy device — not a leak, r10 review note)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = merged.agg(sum(col("n_ref")).as("__tr"),
       sum(col("n_cur")).as("__tc"))

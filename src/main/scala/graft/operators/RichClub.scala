@@ -53,7 +53,10 @@ object RichClub {
     val nodeCounts = deg.agg(nCols.head, nCols.tail: _*)
     val joined = edgeCounts.crossJoin(broadcast(nodeCounts))
     val rows = ks.map { k =>
-      val n = col(s"__n$k"); val ec = col(s"__e$k")
+      // coalesce: global aggregates over an EMPTY edge set yield NULL
+      // sums, but the honest club size is 0 (r10 review fix)
+      val n = coalesce(col(s"__n$k"), lit(0L))
+      val ec = coalesce(col(s"__e$k"), lit(0L))
       struct(lit(k).as("k"), n.as("n_nodes"), ec.as("n_edges"),
         when(n >= 2L, call_function("div",
           lit(2L) * ec * lit(Scale), n * (n - 1L))).as("phi_q6"))

@@ -57,9 +57,15 @@ object StratifiedAte {
     c.select(both.as("__ok"), (col("n_t") + col("n_c")).as("__n"),
         when(both, sgnDiv(ns * diffNum * lit(Scale).cast(Dec), diffDen))
           .as("__term"))
-      .agg(sum(when(col("__ok"), 1L).otherwise(0L)).as("n_strata_pooled"),
-        sum(when(col("__ok"), 0L).otherwise(1L)).as("n_strata_dropped"),
-        sum(when(col("__ok"), col("__n")).otherwise(0L)).as("n_rows_pooled"),
+      .agg(
+        // coalesce: a fully-filtered input leaves zero cell rows and
+        // NULL sums — the honest pooled counts are 0 (r10 review fix)
+        coalesce(sum(when(col("__ok"), 1L).otherwise(0L)), lit(0L))
+          .as("n_strata_pooled"),
+        coalesce(sum(when(col("__ok"), 0L).otherwise(1L)), lit(0L))
+          .as("n_strata_dropped"),
+        coalesce(sum(when(col("__ok"), col("__n")).otherwise(0L)), lit(0L))
+          .as("n_rows_pooled"),
         sum(when(col("__ok"), col("__term"))).as("pool_num_q6"))
       .withColumn("pool_den", col("n_rows_pooled"))
   }

@@ -128,7 +128,10 @@ object TokenBucket {
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_events"),
         sum(when(col("admitted"), 0L).otherwise(1L)).as("n_rejected"),
-        min(when(!col("admitted"), col("id"))).as("first_rejected_id"))
+        // FIRST in (idx, id) replay order, not the smallest id (r10
+        // review fix — ids need not be monotone with idx)
+        min(when(!col("admitted"), struct(col("idx"), col("id"))))
+          .getField("id").as("first_rejected_id"))
 
   /** DuckDB replay — the same fold via list_reduce; `eventsSql` yields
     * (grp, i, id).
@@ -162,7 +165,8 @@ ORDER BY $keyName, idx, id"""
                     rateDen: Long, burst: Long): String =
     s"""SELECT $keyName, CAST(count(*) AS BIGINT) AS n_events,
   CAST(count(*) FILTER (WHERE NOT admitted) AS BIGINT) AS n_rejected,
-  min(id) FILTER (WHERE NOT admitted) AS first_rejected_id
+  (min(CASE WHEN NOT admitted THEN {'i': idx, 'id': id} END)).id
+    AS first_rejected_id
 FROM (${replayOracle(eventsSql, keyName, rateNum, rateDen, burst)})
 GROUP BY $keyName ORDER BY $keyName"""
 }

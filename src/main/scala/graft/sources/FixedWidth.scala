@@ -65,8 +65,15 @@ object FixedWidth {
           val t = trim(raw)
           when(t.rlike("^[+-]?[0-9]+$"), t.cast("long"))
       }
-      // a field entirely past a short line's end is NULL, not ""
-      when(length(col(lineCol)) >= f.start, c).as(f.name)
+      // a field past a short line's end is NULL; NUMERIC fields need
+      // FULL coverage — right-justified digits truncate into a smaller
+      // valid number otherwise (r10 review fix), while a truncated
+      // string field is legitimately the writer's right-trimmed tail
+      val covered = f.kind match {
+        case "long" => length(col(lineCol)) >= f.end
+        case _ => length(col(lineCol)) >= f.start
+      }
+      when(covered, c).as(f.name)
     }
     lines.select(col(lineCol) +: cols: _*).drop(lineCol)
   }

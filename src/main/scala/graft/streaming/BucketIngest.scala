@@ -19,7 +19,13 @@ import org.apache.spark.sql.types.LongType
   * Contract: batches must arrive in (idx, id) order per key — a batch
   * event at or below the stored high-water raises inside the plan,
   * riding the output columns (a bucket folded out of order admits the
-  * wrong events). Same at-least-once / checkpoint-required posture as
+  * wrong events). Id uniqueness per key is the SOURCE's contract
+  * across the stream: the ingest enforces it within each batch and
+  * through the (idx, id) high-water, but an id reused at a HIGHER idx
+  * in a later batch is undetectable without unbounded id history —
+  * the batch operator would raise on the concatenation, this admits
+  * it (declared; the one-shot equivalence holds for streams honoring
+  * the contract). Same at-least-once / checkpoint-required posture as
   * [[MetricsIngest]] (replaying a batch double-drains). Decisions
   * append to a lake dir; the per-key tail state swaps through
   * [[AtomicStore]].

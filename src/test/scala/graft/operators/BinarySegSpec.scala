@@ -59,4 +59,14 @@ class BinarySegSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("duplicate idx"))
   }
+
+  test("a NULL group is a real stratum with its own splits (r10 fix)") {
+    val vs = (Seq.fill(6)(0L) ++ Seq.fill(6)(100L)).zipWithIndex
+      .map { case (v, i) => (None: Option[String], i.toLong + 1, v) }
+    val df = vs.toDF("grp", "i", "x")
+    val got = BinarySeg.changePoints(df, "grp", "i", "x", 3, 100L, 2)
+      .collect()
+    assert(got.length == 1 && got.head.isNullAt(0))
+    assert(got.head.getLong(1) == 6L)
+  }
 }

@@ -57,4 +57,9 @@ class RichClubSpec extends SparkSpec {
         "src", "dst", Seq(-1L))
     }
   }
+
+  test("an empty canonical edge set publishes zero clubs, not NULLs (r10 fix)") {
+    val got = phi(0L, 2L)((1L, 1L), (2L, 2L)) // only self-loops
+    assert(got(0L) == ((0L, 0L, -1L)) && got(2L) == ((0L, 0L, -1L)))
+  }
 }

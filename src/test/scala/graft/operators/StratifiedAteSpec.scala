@@ -72,4 +72,12 @@ class StratifiedAteSpec extends SparkSpec {
     val got = StratifiedAte.byStratum(df, "grp", "t", "y").collect()
     assert(got.length == 2 && got.exists(_.isNullAt(0)))
   }
+
+  test("a fully-filtered input pools to honest zeros (r10 fix)") {
+    val df = Seq((Some("g"), None: Option[Long], Some(1L)))
+      .toDF("grp", "t", "y")
+    val p = StratifiedAte.pooled(df, "grp", "t", "y").head()
+    assert(p.getLong(0) == 0L && p.getLong(1) == 0L && p.getLong(2) == 0L)
+    assert(p.isNullAt(3))
+  }
 }

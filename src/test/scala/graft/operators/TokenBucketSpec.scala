@@ -69,4 +69,11 @@ class TokenBucketSpec extends SparkSpec {
     val got = TokenBucket.replay(mixed, "key", "i", "id", 1, 10, 2).collect()
     assert(got.length == 2 && got.exists(_.isNullAt(0)))
   }
+
+  test("first_rejected_id follows replay order, not id order (r10 fix)") {
+    // ids not monotone with idx: the first REJECTED event is id 9
+    val df = ev((0L, 5L), (1L, 9L), (2L, 3L))
+    val r = TokenBucket.summary(df, "key", "i", "id", 1, 100, 1).head()
+    assert(r.getLong(2) == 2L && r.getLong(3) == 9L)
+  }
 }

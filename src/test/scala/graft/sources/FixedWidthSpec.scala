@@ -77,4 +77,14 @@ class FixedWidthSpec extends SparkSpec {
     assert(back.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
       == Seq((1L, "alpha", 10L), (2L, "beta", 20L)))
   }
+
+  test("a partially covered numeric field is NULL, never a truncated number") {
+    // line ends inside the amount field: digits present would parse as
+    // a smaller valid number (r10 review fix)
+    val r = parse("  123ACME      xxx  99").collect()
+    assert(r(0).getLong(0) == 123L && r(0).isNullAt(2))
+    // strings keep the right-trimmed-tail convention: partial is legal
+    val r2 = parse("  123AC").collect()
+    assert(r2(0).getString(1) == "AC")
+  }
 }
