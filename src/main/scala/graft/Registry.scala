@@ -8414,7 +8414,34 @@ FROM nation ORDER BY n_nationkey""")),
 FROM (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 45) a
 JOIN (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 45) b
   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""",
-          Seq(0L, 1L, 2L, 3L, 5L, 8L)))))
+          Seq(0L, 1L, 2L, 3L, 5L, 8L)))),
+
+      // quantile-shift table: WHERE did the 1995-vs-1996 order-value
+      // distribution move, per priority — quartiles + P90 off one
+      // cumulative pass per side
+      RegisteredQuery(
+        "q_quantile_shift",
+        (s, dir) => {
+          val o = Tables.resolve(s, dir)("orders")
+            .withColumn("cents",
+              (col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("long"))
+          graft.operators.QuantileShift.shiftTable(
+              o.where(year(col("o_orderdate")) === 1995),
+              o.where(year(col("o_orderdate")) === 1996),
+              "o_orderpriority", "cents",
+              Seq((1L, 4L), (1L, 2L), (3L, 4L), (9L, 10L)))
+            .orderBy("o_orderpriority", "q_num", "q_den")
+        },
+        Some(graft.operators.QuantileShift.oracleSql(
+          """SELECT o_orderpriority AS grp,
+  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+FROM orders WHERE year(o_orderdate) = 1995""",
+          """SELECT o_orderpriority AS grp,
+  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+FROM orders WHERE year(o_orderdate) = 1996""",
+          "o_orderpriority",
+          Seq((1L, 4L), (1L, 2L), (3L, 4L), (9L, 10L))))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
