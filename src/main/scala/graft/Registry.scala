@@ -8441,7 +8441,37 @@ FROM orders WHERE year(o_orderdate) = 1995""",
   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
 FROM orders WHERE year(o_orderdate) = 1996""",
           "o_orderpriority",
-          Seq((1L, 4L), (1L, 2L), (3L, 4L), (9L, 10L))))))
+          Seq((1L, 4L), (1L, 2L), (3L, 4L), (9L, 10L))))),
+
+      // zero-inflation audit over per-user daily purchase counts on the
+      // dense January grid — the Croston precondition check
+      RegisteredQuery(
+        "q_zero_inflation",
+        (s, dir) => graft.operators.ZeroInflation.audit(
+            s.read.parquet(s"$dir/events.parquet")
+              .where(col("event_type") === "purchase")
+              .groupBy(col("user_id"),
+                datediff(col("ts").cast("date"), lit("2023-12-31"))
+                  .cast("long").as("day"))
+              .agg(count(lit(1)).as("c"))
+              // densify: every user x 30 days, absent days are zeros
+              .groupBy("user_id").agg(
+                sum("c").as("__total"), collect_list(struct(col("day"),
+                  col("c"))).as("__days"))
+              .select(col("user_id"), explode(expr(
+                """transform(sequence(1L, 30L), d ->
+  coalesce(get(filter(__days, x -> x.day = d), 0).c, 0L))""")).as("c")),
+            "user_id", "c")
+          .orderBy("user_id"),
+        Some(graft.operators.ZeroInflation.oracleSql(
+          """SELECT u.user_id AS grp, coalesce(p.c, 0) AS x
+FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') u
+CROSS JOIN (SELECT unnest(generate_series(1, 30)) AS d) days
+LEFT JOIN (SELECT user_id, CAST(ts AS DATE) - DATE '2023-12-31' AS d,
+    CAST(count(*) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) p
+  ON p.user_id = u.user_id AND p.d = days.d""",
+          "user_id"))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
