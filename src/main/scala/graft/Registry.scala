@@ -8471,7 +8471,19 @@ LEFT JOIN (SELECT user_id, CAST(ts AS DATE) - DATE '2023-12-31' AS d,
     CAST(count(*) AS BIGINT) AS c
   FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) p
   ON p.user_id = u.user_id AND p.d = days.d""",
-          "user_id"))))
+          "user_id"))),
+
+      // Dunning G2 keyness: which tokens distinguish English documents
+      // from the rest of the corpus — per-term-floored 2x2 chains
+      RegisteredQuery(
+        "q_keyness",
+        (s, dir) => graft.text.Keyness.keyness(
+            s.read.parquet(s"$dir/documents.parquet"),
+            "text", col("lang") === "en", minCount = 50L)
+          .orderBy("term"),
+        Some(graft.text.Keyness.oracleSql(
+          "SELECT text AS txt, lang = 'en' AS in_slice FROM documents",
+          minCount = 50L))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
