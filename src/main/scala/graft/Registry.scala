@@ -19,6 +19,19 @@ final case class RegisteredQuery(
   */
 object Registry {
 
+  /** Per-JVM-unique scratch root for gates with filesystem side effects
+    * (roundtrip writes, ingest stores, staged stream sources). Fixed
+    * `/tmp/graft_*` names let two concurrent runs on one machine
+    * cross-contaminate state or flake each other (r10 review); a
+    * `createTempDirectory` root is unique per JVM while staying STABLE
+    * within one run — bench re-passes and incremental-ingest gates
+    * intentionally revisit the same store across invocations.
+    */
+  private lazy val scratchRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_gates_").toString
+
+  private def scratch(name: String): String = s"$scratchRoot/$name"
+
   /** Per-dataset-dir cache of the q_freq_items exact-regime precondition
     * (max distinct langs per source) — a property of the files, computed
     * once, not once per bench pass.
@@ -576,7 +589,7 @@ object Registry {
         "q_csv_roundtrip",
         (s, dir) => {
           val nation = Tables.resolve(s, dir)("nation")
-          val out = "/tmp/graft_csv_roundtrip"
+          val out = scratch("csv_roundtrip")
           Csv.write(nation, out, CsvWriteOptions(delimiter = '|'))
           Csv.read(s, out, CsvReadOptions(delimiter = '|', schema = Some(nation.schema)))
             .orderBy("n_nationkey")
@@ -587,7 +600,7 @@ object Registry {
         "q_json_roundtrip",
         (s, dir) => {
           val region = Tables.resolve(s, dir)("region")
-          val out = "/tmp/graft_json_roundtrip"
+          val out = scratch("json_roundtrip")
           Json.write(region, out)
           Json.read(s, out, JsonReadOptions(schema = Some(region.schema)))
             .orderBy("r_regionkey")
@@ -601,7 +614,7 @@ object Registry {
         "q_binary_ingest",
         (s, dir) => {
           import org.apache.spark.sql.functions.{col, md5}
-          val out = "/tmp/graft_binary_ingest"
+          val out = scratch("binary_ingest")
           val d = new java.io.File(out)
           d.mkdirs()
           Option(d.listFiles()).foreach(_.filter(_.getName.endsWith(".bin"))
@@ -629,7 +642,7 @@ object Registry {
           import graft.xl._
           import org.apache.spark.sql.functions.col
           val nation = Tables.resolve(s, dir)("nation").orderBy("n_nationkey")
-          val path = "/tmp/graft_xlsx_roundtrip.xlsx"
+          val path = scratch("xlsx_roundtrip.xlsx")
           val cols = nation.columns.toSeq
           XlsxWriter.write(path, header = Some(cols),
             rows = nation.collect().iterator.map(_.toSeq))
@@ -653,7 +666,7 @@ object Registry {
         "q_orc_roundtrip",
         (s, dir) => {
           val supplier = Tables.resolve(s, dir)("supplier")
-          val out = "/tmp/graft_orc_roundtrip"
+          val out = scratch("orc_roundtrip")
           Orc.write(supplier, out, OrcWriteOptions(sortBy = Seq("s_suppkey")))
           Orc.read(s, out).orderBy("s_suppkey")
         },
@@ -667,7 +680,7 @@ object Registry {
         (s, dir) => {
           import graft.sources.LakeMerge
           import org.apache.spark.sql.functions.{col, lit, when}
-          val lake = "/tmp/graft_lake_merge"
+          val lake = scratch("lake_merge")
           // fresh lake per run: stale inserted keys from a previous run are
           // not in the batch and would otherwise survive the re-merge. The
           // sibling stage dir must go too — a committed stage left by a
@@ -742,7 +755,7 @@ ORDER BY o_orderkey""")),
         "q_docstore_roundtrip",
         (s, dir) => {
           import graft.core.Fabrix
-          val store = new JsonDirStore("/tmp/graft_docstore_gate")
+          val store = new JsonDirStore(scratch("docstore_gate"))
           val region = Fabrix(Tables.resolve(s, dir)("region"), "r_regionkey")
           store.put("region", region, SavingCategory.Column)
           store.find(s, "region").get.df.orderBy("r_regionkey")
@@ -786,7 +799,7 @@ ORDER BY o_orderkey""")),
         "q_upsert_store",
         (s, dir) => {
           import org.apache.spark.sql.functions._
-          val store = new ParquetStore("/tmp/graft_upsert_gate")
+          val store = new ParquetStore(scratch("upsert_gate"))
           store.drop("cust")
           val cust = Tables.resolve(s, dir)("customer")
             .select("c_custkey", "c_name", "c_acctbal")
@@ -1193,7 +1206,7 @@ SELECT lang, CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE) ELSE 15.0 * ${1L << 60} /
         "q_lake_compact",
         (s, dir) => {
           import org.apache.spark.sql.functions.col
-          val lake = "/tmp/graft_lake_compact"
+          val lake = scratch("lake_compact")
           val lp = new org.apache.hadoop.fs.Path(lake)
           val fsys = lp.getFileSystem(s.sparkContext.hadoopConfiguration)
           fsys.delete(lp, true)
@@ -1233,7 +1246,7 @@ SELECT lang, CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE) ELSE 15.0 * ${1L << 60} /
         (s, dir) => {
           import graft.sources.LakeMerge
           import org.apache.spark.sql.functions.col
-          val lake = "/tmp/graft_lake_delete"
+          val lake = scratch("lake_delete")
           val lp = new org.apache.hadoop.fs.Path(lake)
           val fsys = lp.getFileSystem(s.sparkContext.hadoopConfiguration)
           fsys.delete(lp, true)
@@ -1473,7 +1486,7 @@ SELECT lang, CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE) ELSE 15.0 * ${1L << 60} /
         (s, dir) => {
           import org.apache.spark.sql.functions.col
           import graft.operators.TopKStore
-          val store = "/tmp/graft_topk_store"
+          val store = scratch("topk_store")
           val p = new org.apache.hadoop.fs.Path(store)
           import graft.sources.AtomicStore
           val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -2379,7 +2392,7 @@ FROM aug ORDER BY doc_id""".stripMargin
         "q_agg_incremental",
         (s, dir) => {
           import graft.operators.IncrementalAgg._
-          val store = "/tmp/graft_agg_incremental"
+          val store = scratch("agg_incremental")
           val p = new org.apache.hadoop.fs.Path(store)
           val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
           import graft.sources.AtomicStore
@@ -2411,7 +2424,7 @@ ORDER BY l_returnflag, l_linestatus""")),
       RegisteredQuery(
         "q_metrics_ingest",
         (s, dir) => {
-          val store = "/tmp/graft_metrics_ingest"
+          val store = scratch("metrics_ingest")
           val p = new org.apache.hadoop.fs.Path(store)
           val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
           import graft.sources.AtomicStore
@@ -2443,7 +2456,7 @@ FROM events GROUP BY event_type ORDER BY event_type""")),
       RegisteredQuery(
         "q_lake_ingest",
         (s, dir) => {
-          val lake = "/tmp/graft_lake_ingest"
+          val lake = scratch("lake_ingest")
           val lp = new org.apache.hadoop.fs.Path(lake)
           val f = lp.getFileSystem(s.sparkContext.hadoopConfiguration)
           f.delete(lp, true)
@@ -2481,8 +2494,8 @@ FROM orders ORDER BY o_orderkey""")),
       RegisteredQuery(
         "q_dedup_ingest",
         (s, dir) => {
-          val corpus = "/tmp/graft_dedup_ingest_corpus"
-          val fps = "/tmp/graft_dedup_ingest_fps"
+          val corpus = scratch("dedup_ingest_corpus")
+          val fps = scratch("dedup_ingest_fps")
           val fsys = new org.apache.hadoop.fs.Path(corpus)
             .getFileSystem(s.sparkContext.hadoopConfiguration)
           Seq(corpus, fps).foreach(d =>
@@ -2587,7 +2600,7 @@ UNION ALL SELECT l_orderkey, l_linenumber, 'disc', CAST(l_discount AS DOUBLE) FR
         (s, dir) => {
           import graft.operators.Scd2
           import graft.sources.AtomicStore
-          val store = "/tmp/graft_scd2_store"
+          val store = scratch("scd2_store")
           val p = new org.apache.hadoop.fs.Path(store)
           val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
           Seq(p, AtomicStore.tmpPath(p), AtomicStore.stashPath(p))
@@ -4149,7 +4162,7 @@ ORDER BY s_name""")),
             s"q_quantile_store exact-regime precondition broken: a lang has " +
               s"$maxPerLang docs >= 2k=4096 — the summary would compact and the " +
               "exact oracle comparison becomes meaningless; raise k")
-          val store = "/tmp/graft_quantile_store"
+          val store = scratch("quantile_store")
           val p = new org.apache.hadoop.fs.Path(store)
           val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
           Seq(p, graft.sources.AtomicStore.tmpPath(p),
@@ -4633,7 +4646,7 @@ FROM documents ORDER BY doc_id""")),
       RegisteredQuery(
         "q_distinct_store",
         (s, dir) => {
-          val store = "/tmp/graft_distinct_store"
+          val store = scratch("distinct_store")
           val p = new org.apache.hadoop.fs.Path(store)
           val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
           import graft.sources.AtomicStore
@@ -5320,8 +5333,8 @@ ORDER BY doc_id""")),
       RegisteredQuery(
         "q_dim_enrich",
         (s, dir) => {
-          val store = "/tmp/graft_dim_enrich_store"
-          val out = "/tmp/graft_dim_enrich_out"
+          val store = scratch("dim_enrich_store")
+          val out = scratch("dim_enrich_out")
           val sp = new org.apache.hadoop.fs.Path(store)
           val fs = sp.getFileSystem(s.sparkContext.hadoopConfiguration)
           import graft.sources.AtomicStore
@@ -5375,7 +5388,7 @@ ORDER BY o.o_orderkey""")),
           require(maxPerGroup < 512,
             s"q_quantile_ingest exact-regime precondition broken: a (lang, " +
               s"source) group has $maxPerGroup docs >= 2k=512 — raise k")
-          val store = "/tmp/graft_quantile_ingest"
+          val store = scratch("quantile_ingest")
           val p = new org.apache.hadoop.fs.Path(store)
           val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
           Seq(p, graft.sources.AtomicStore.tmpPath(p),
@@ -6307,8 +6320,8 @@ FROM orders""",
       RegisteredQuery(
         "q_alarm_ingest",
         (s, dir) => {
-          val store = "/tmp/graft_alarm_ingest_gate_store"
-          val lake = "/tmp/graft_alarm_ingest_gate_lake"
+          val store = scratch("alarm_ingest_gate_store")
+          val lake = scratch("alarm_ingest_gate_lake")
           val conf = s.sparkContext.hadoopConfiguration
           Seq(store, lake).foreach { d =>
             val p = new org.apache.hadoop.fs.Path(d)
@@ -6355,7 +6368,7 @@ FROM (${graft.operators.DenseSeries.denseDailyOracleBody(
       RegisteredQuery(
         "q_stateful_ingest",
         (s, dir) => {
-          val store = "/tmp/graft_stateful_ingest_gate_store"
+          val store = scratch("stateful_ingest_gate_store")
           val conf = s.sparkContext.hadoopConfiguration
           val p = new org.apache.hadoop.fs.Path(store)
           val f = p.getFileSystem(conf)
@@ -6384,8 +6397,8 @@ FROM (${graft.operators.DenseSeries.denseDailyOracleBody(
       RegisteredQuery(
         "q_stream_join_ingest",
         (s, dir) => {
-          val store = "/tmp/graft_stream_join_gate_store"
-          val lake = "/tmp/graft_stream_join_gate_lake"
+          val store = scratch("stream_join_gate_store")
+          val lake = scratch("stream_join_gate_lake")
           val conf = s.sparkContext.hadoopConfiguration
           Seq(store, lake).foreach { d =>
             val p = new org.apache.hadoop.fs.Path(d)
@@ -6488,7 +6501,7 @@ FROM orders GROUP BY 1, 2""", "o_orderpriority"))),
       RegisteredQuery(
         "q_hll_ingest",
         (s, dir) => {
-          val store = "/tmp/graft_hll_ingest_gate_store"
+          val store = scratch("hll_ingest_gate_store")
           val conf = s.sparkContext.hadoopConfiguration
           val p = new org.apache.hadoop.fs.Path(store)
           val f = p.getFileSystem(conf)
@@ -6566,7 +6579,7 @@ FROM (${graft.operators.DenseSeries.denseDailyOracleBody(
       RegisteredQuery(
         "q_stream_dedup",
         (s, dir) => {
-          val staged = "/tmp/graft_stream_dedup_gate_src"
+          val staged = scratch("stream_dedup_gate_src")
           val docs = Tables.resolve(s, dir)("documents")
           graft.streaming.StreamStage.stageChunks(docs,
             Seq(col("doc_id") % 3 === 0, col("doc_id") % 3 === 1,
@@ -6593,7 +6606,7 @@ ORDER BY fp""")),
       RegisteredQuery(
         "q_stream_windows",
         (s, dir) => {
-          val staged = "/tmp/graft_stream_windows_gate_src"
+          val staged = scratch("stream_windows_gate_src")
           val ev = graft.llm.EventWindows
             .readEvents(s, s"$dir/events.parquet")
             .select("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -6629,7 +6642,7 @@ ORDER BY fp""")),
       RegisteredQuery(
         "q_stream_funnel",
         (s, dir) => {
-          val staged = "/tmp/graft_stream_funnel_gate_src"
+          val staged = scratch("stream_funnel_gate_src")
           val ev = graft.llm.EventWindows
             .readEvents(s, s"$dir/events.parquet")
             .select("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -6694,8 +6707,8 @@ ORDER BY user_id""")),
       RegisteredQuery(
         "q_sink_ingest",
         (s, dir) => {
-          val staged = "/tmp/graft_sink_ingest_gate_src"
-          val storeDir = "/tmp/graft_sink_ingest_gate_store"
+          val staged = scratch("sink_ingest_gate_src")
+          val storeDir = scratch("sink_ingest_gate_store")
           org.apache.commons.io.FileUtils.deleteQuietly(
             new java.io.File(storeDir))
           val docs = Tables.resolve(s, dir)("documents")
@@ -7818,8 +7831,8 @@ FROM events WHERE event_type = 'purchase' GROUP BY 1, 2""",
       RegisteredQuery(
         "q_bucket_ingest",
         (s, dir) => {
-          val store = "/tmp/graft_bucket_ingest_gate_store"
-          val lake = "/tmp/graft_bucket_ingest_gate_lake"
+          val store = scratch("bucket_ingest_gate_store")
+          val lake = scratch("bucket_ingest_gate_lake")
           val conf = s.sparkContext.hadoopConfiguration
           Seq(store, lake).foreach { d =>
             val p = new org.apache.hadoop.fs.Path(d)
@@ -8064,8 +8077,8 @@ FROM documents""",
       RegisteredQuery(
         "q_session_ingest",
         (s, dir) => {
-          val store = "/tmp/graft_session_ingest_gate_store"
-          val lake = "/tmp/graft_session_ingest_gate_lake"
+          val store = scratch("session_ingest_gate_store")
+          val lake = scratch("session_ingest_gate_lake")
           val conf = s.sparkContext.hadoopConfiguration
           Seq(store, lake).foreach { d =>
             val p = new org.apache.hadoop.fs.Path(d)
@@ -8131,7 +8144,7 @@ JOIN (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 45) b
             FixedWidth.Field("n_nationkey", 1, 5, "long"),
             FixedWidth.Field("n_name", 6, 25, "string"),
             FixedWidth.Field("n_regionkey", 36, 5, "long"))
-          val out = "/tmp/graft_fixed_width_roundtrip"
+          val out = scratch("fixed_width_roundtrip")
           FixedWidth.write(
             Tables.resolve(s, dir)("nation")
               .select(col("n_nationkey"), col("n_name").cast("string")
@@ -8364,7 +8377,7 @@ FROM orders""",
         "q_xml_roundtrip",
         (s, dir) => {
           import graft.sources.XmlLines
-          val out = "/tmp/graft_xml_lines_roundtrip"
+          val out = scratch("xml_lines_roundtrip")
           XmlLines.write(
             Tables.resolve(s, dir)("nation")
               .select(col("n_nationkey").cast("string").as("k"),

@@ -16,9 +16,13 @@ import org.apache.spark.sql.functions._
   * arithmetic, quantized by one truncating division (numerator and
   * denominator are non-negative — no floor/truncate divergence). The
   * statistic is the sum of the quantized contributions (truncation ≤ 1
-  * unit per cell, deterministic on any engine). Magnitude bound:
-  * (o·T − r·c)² ≤ T⁴ must fit DECIMAL(38) ⇒ T ≤ ~3·10⁹ rows; beyond
-  * that, pre-aggregate the pair counts upstream and feed them scaled.
+  * unit per cell, deterministic on any engine). Magnitude bound: the
+  * quantization multiplies the squared difference by Scale BEFORE the
+  * division, so (o·T − r·c)²·10⁶ ≤ T⁴·10⁶ must fit DECIMAL(38) ⇒
+  * T ≤ ~10⁸ rows (NOT T⁴ alone; [[cramersV]] and the DuckDB HUGEINT
+  * oracle share the same d²·Scale product and the same bound — r10
+  * review). Beyond that, pre-aggregate the pair counts upstream and
+  * feed them scaled.
   *
   * Scale shape: ONE shuffle — the (a, b) pair count with map-side
   * partials; the margins are re-aggregates of the CELL table (|A|·|B|

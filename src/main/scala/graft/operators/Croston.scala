@@ -38,15 +38,14 @@ object Croston {
   /** One row per demand point: (groupCol, idx, gap, z_q3, p_q3). */
   def method(df: DataFrame, groupCol: String, idxCol: String,
              valueCol: String, alphaNum: Long, alphaDen: Long,
-             startIdx: Long, maxPoints: Long = 100000L): DataFrame = {
+             startIdx: Long, maxPoints: Long = 100000L,
+             preCheck: Boolean = true): DataFrame = {
     require(alphaNum > 0 && alphaNum < alphaDen,
       s"alpha = $alphaNum/$alphaDen must lie in (0, 1)")
     require(maxPoints >= 1, s"maxPoints must be >= 1, got $maxPoints")
     graft.Guards.requireIntegral(df, idxCol, "croston")
     graft.Guards.requireIntegral(df, valueCol, "croston")
-    val a = lit(alphaNum)
-    val dma = lit(alphaDen - alphaNum)
-    val rows = df
+    val rows0 = df
       .where(col(idxCol).isNotNull && col(valueCol).isNotNull &&
         col(valueCol).cast("long") =!= 0L)
       .select(col(groupCol),
@@ -60,37 +59,22 @@ object Croston {
             col(valueCol).cast("string"),
             lit(" — returns are a different operator"))).cast("long"))
           .otherwise(col(valueCol).cast("long")).as("__x"))
+    val overMsg = concat(
+      lit("croston: group '"), col(groupCol).cast("string"),
+      lit(s"' exceeds $maxPoints demand points — raise maxPoints deliberately"))
+    val rows =
+      if (preCheck) FoldGuard.preBound(rows0, groupCol, "__x", maxPoints, overMsg)
+      else rows0
     val collected = rows.groupBy(col(groupCol))
       .agg(sort_array(collect_list(struct(col("__i").as("i"),
         col("__x").as("x")))).as("__arr"))
-    def sgnDiv(num: org.apache.spark.sql.Column) =
-      when(num < 0, lit(-1L)).otherwise(lit(1L)) *
-        call_function("div", abs(num), lit(alphaDen))
-    val zero = expr("named_struct(" +
-      "'out', CAST(array() AS ARRAY<STRUCT<i: BIGINT, g: BIGINT, " +
-      "z: BIGINT, p: BIGINT>>), " +
-      "'pi', CAST(NULL AS BIGINT), 'pz', CAST(NULL AS BIGINT), " +
-      "'pp', CAST(NULL AS BIGINT), 'first', true)")
     val folded = collected.select(col(groupCol),
       (size(col("__arr")) =!=
         size(array_distinct(transform(col("__arr"), e => e.getField("i")))))
         .as("__dup"),
       (size(col("__arr")) > maxPoints).as("__over"),
-      aggregate(col("__arr"), zero, (acc, e) => {
-        val g = when(acc.getField("first"), e.getField("i") - lit(startIdx))
-          .otherwise(e.getField("i") - acc.getField("pi"))
-        val z = when(acc.getField("first"), e.getField("x") * lit(Scale))
-          .otherwise(sgnDiv(a * e.getField("x") * lit(Scale) +
-            dma * acc.getField("pz")))
-        val p = when(acc.getField("first"), g * lit(Scale))
-          .otherwise(sgnDiv(a * g * lit(Scale) + dma * acc.getField("pp")))
-        struct(
-          concat(acc.getField("out"), array(struct(
-            e.getField("i").as("i"), g.as("g"), z.as("z"), p.as("p"))))
-            .as("out"),
-          e.getField("i").as("pi"), z.as("pz"), p.as("pp"),
-          lit(false).as("first"))
-      }).getField("out").as("__out"))
+      graft.functions.CrostonFold(col("__arr"), alphaNum, alphaDen,
+        startIdx, Scale).as("__out"))
     def guarded(out: org.apache.spark.sql.Column) =
       when(col("__over"), raise_error(concat(
         lit("croston: group '"), col(groupCol).cast("string"),

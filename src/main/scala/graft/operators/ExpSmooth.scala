@@ -25,13 +25,19 @@ import org.apache.spark.sql.functions._
   * the fold runs over each group's collected series array (the BpeTrain
   * fold posture): ONE aggregate collects calendar-sized arrays (feed
   * the [[DenseSeries]] daily spine, thousands of entries, never raw
-  * events), and the per-group fold is one task's array surgery.
+  * events), and the per-group fold is the NATIVE codegen'd
+  * [[graft.functions.EwmaFold]] / [[graft.functions.HoltFold]] /
+  * [[graft.functions.HoltWintersFold]] — one static primitive-long loop
+  * per group (the r10 interpreted `aggregate()` HOF boxed every element
+  * and re-concatenated the output array per step).
   * Contracts: duplicate indexes raise loudly inside the plan (the
   * recurrence order would be data-dependent); groups above `maxPoints`
-  * raise loudly inside the plan (array-buffer OOM guard); NULL
-  * idx/value rows drop;
-  * NULL groups are a real stratum; |x|·1000·p must fit a long — ANSI
-  * throws loudly past ~9·10¹²·(1000/p).
+  * raise loudly inside the plan BEFORE the array buffers
+  * ([[FoldGuard.preBound]] — a spillable window count ahead of the
+  * collect, opt-out via `preCheck = false`, post-collect backstop
+  * retained); NULL idx/value rows drop;
+  * NULL groups are a real stratum; |x|·1000·p must fit a long —
+  * `Math.multiplyExact` throws loudly past ~9·10¹²·(1000/p).
   */
 object ExpSmooth {
 
@@ -42,46 +48,40 @@ object ExpSmooth {
     * Groups longer than `maxPoints` raise loudly INSIDE the plan (the
     * TheilSen discipline): the raise converts a contract overrun into a
     * named violation the caller fixes by pre-aggregating onto a calendar
-    * spine or raising the bound deliberately. Scope honestly: the size
-    * check runs AFTER collect_list has buffered the group, so it is the
-    * backstop against moderate overruns — a group too large to collect
-    * at all OOMs in the collect itself; keep raw events off this
-    * operator (r10 review scoping).
+    * spine or raising the bound deliberately. The bound is enforced
+    * BEFORE the collect buffers ([[FoldGuard.preBound]]); `preCheck =
+    * false` opts out for inputs bounded upstream, leaving the
+    * post-collect backstop.
     */
   def smooth(df: DataFrame, groupCol: String, idxCol: String,
              valueCol: String, alphaNum: Long, alphaDen: Long,
-             maxPoints: Long = 100000L): DataFrame = {
+             maxPoints: Long = 100000L, preCheck: Boolean = true): DataFrame = {
     require(alphaNum > 0 && alphaNum < alphaDen,
       s"alpha = $alphaNum/$alphaDen must lie in (0, 1)")
     require(maxPoints >= 1, s"maxPoints must be >= 1, got $maxPoints")
     graft.Guards.requireIntegral(df, idxCol, "smooth")
     graft.Guards.requireIntegral(df, valueCol, "smooth")
-    val p = lit(alphaNum)
-    val qmp = lit(alphaDen - alphaNum)
-    val collected = df
+    val overMsg = concat(
+      lit("expSmooth: group '"), col(groupCol).cast("string"),
+      lit(s"' exceeds $maxPoints points — feed a calendar spine or raise maxPoints"))
+    val rows0 = df
       .where(col(idxCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol), col(idxCol).cast("long").as("__i"),
+        col(valueCol).cast("long").as("__x"))
+    val rows =
+      if (preCheck) FoldGuard.preBound(rows0, groupCol, "__x", maxPoints, overMsg)
+      else rows0
+    val collected = rows
       .groupBy(col(groupCol))
       .agg(sort_array(collect_list(struct(
-        col(idxCol).cast("long").as("i"),
-        col(valueCol).cast("long").as("x")))).as("__arr"))
-    val zero = expr("named_struct(" +
-      "'out', CAST(array() AS ARRAY<STRUCT<i: BIGINT, s: BIGINT>>), " +
-      "'prev', CAST(NULL AS BIGINT), 'first', true)")
+        col("__i").as("i"), col("__x").as("x")))).as("__arr"))
     val folded = collected.select(col(groupCol),
       (size(col("__arr")) =!=
         size(array_distinct(transform(col("__arr"), e => e.getField("i")))))
         .as("__dup"),
       (size(col("__arr")) > maxPoints).as("__over"),
-      aggregate(col("__arr"), zero, (acc, e) => {
-        val num = p * e.getField("x") * lit(Scale) + qmp * acc.getField("prev")
-        val ns = when(acc.getField("first"), e.getField("x") * lit(Scale))
-          .otherwise(when(num < 0, lit(-1L)).otherwise(lit(1L)) *
-            call_function("div", abs(num), lit(alphaDen)))
-        struct(
-          concat(acc.getField("out"),
-            array(struct(e.getField("i").as("i"), ns.as("s")))).as("out"),
-          ns.as("prev"), lit(false).as("first"))
-      }).getField("out").as("__out"))
+      graft.functions.EwmaFold(col("__arr"), alphaNum, alphaDen, Scale)
+        .as("__out"))
     // the dup guard rides INSIDE the output column (a dropped guard
     // column is optimizer-pruned dead code — the DiffInDiff pattern)
     folded.select(col(groupCol), col("__dup"), col("__over"),
@@ -114,7 +114,7 @@ object ExpSmooth {
   def holt(df: DataFrame, groupCol: String, idxCol: String,
            valueCol: String, alphaNum: Long, alphaDen: Long,
            betaNum: Long, betaDen: Long,
-           maxPoints: Long = 100000L): DataFrame = {
+           maxPoints: Long = 100000L, preCheck: Boolean = true): DataFrame = {
     require(alphaNum > 0 && alphaNum < alphaDen,
       s"alpha = $alphaNum/$alphaDen must lie in (0, 1)")
     require(betaNum > 0 && betaNum < betaDen,
@@ -122,38 +122,27 @@ object ExpSmooth {
     require(maxPoints >= 1, s"maxPoints must be >= 1, got $maxPoints")
     graft.Guards.requireIntegral(df, idxCol, "holt")
     graft.Guards.requireIntegral(df, valueCol, "holt")
-    val p = lit(alphaNum); val qmp = lit(alphaDen - alphaNum)
-    val r = lit(betaNum); val wmr = lit(betaDen - betaNum)
-    def sgnDiv(num: org.apache.spark.sql.Column, den: Long) =
-      when(num < 0, lit(-1L)).otherwise(lit(1L)) *
-        call_function("div", abs(num), lit(den))
-    val collected = df
+    val overMsg = concat(
+      lit("holt: group '"), col(groupCol).cast("string"),
+      lit(s"' exceeds $maxPoints points — feed a calendar spine or raise maxPoints"))
+    val rows0 = df
       .where(col(idxCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol), col(idxCol).cast("long").as("__i"),
+        col(valueCol).cast("long").as("__x"))
+    val rows =
+      if (preCheck) FoldGuard.preBound(rows0, groupCol, "__x", maxPoints, overMsg)
+      else rows0
+    val collected = rows
       .groupBy(col(groupCol))
       .agg(sort_array(collect_list(struct(
-        col(idxCol).cast("long").as("i"),
-        col(valueCol).cast("long").as("x")))).as("__arr"))
-    val zero = expr("named_struct(" +
-      "'out', CAST(array() AS ARRAY<STRUCT<i: BIGINT, l: BIGINT, b: BIGINT>>), " +
-      "'pl', CAST(NULL AS BIGINT), 'pb', CAST(NULL AS BIGINT), 'first', true)")
+        col("__i").as("i"), col("__x").as("x")))).as("__arr"))
     val folded = collected.select(col(groupCol),
       (size(col("__arr")) =!=
         size(array_distinct(transform(col("__arr"), e => e.getField("i")))))
         .as("__dup"),
       (size(col("__arr")) > maxPoints).as("__over"),
-      aggregate(col("__arr"), zero, (acc, e) => {
-        val lNum = p * e.getField("x") * lit(Scale) +
-          qmp * (acc.getField("pl") + acc.getField("pb"))
-        val nl = when(acc.getField("first"), e.getField("x") * lit(Scale))
-          .otherwise(sgnDiv(lNum, alphaDen))
-        val bNum = r * (nl - acc.getField("pl")) + wmr * acc.getField("pb")
-        val nb = when(acc.getField("first"), lit(0L))
-          .otherwise(sgnDiv(bNum, betaDen))
-        struct(
-          concat(acc.getField("out"), array(struct(
-            e.getField("i").as("i"), nl.as("l"), nb.as("b")))).as("out"),
-          nl.as("pl"), nb.as("pb"), lit(false).as("first"))
-      }).getField("out").as("__out"))
+      graft.functions.HoltFold(col("__arr"), alphaNum, alphaDen,
+        betaNum, betaDen, Scale).as("__out"))
     // the guard rides BOTH output columns — a caller projecting only
     // trend_q3 would otherwise prune the level-side raise away
     def guarded(out: org.apache.spark.sql.Column) =
@@ -262,7 +251,7 @@ ORDER BY $groupName, idx"""
                   alphaNum: Long, alphaDen: Long,
                   betaNum: Long, betaDen: Long,
                   gammaNum: Long, gammaDen: Long,
-                  maxPoints: Long = 100000L): DataFrame = {
+                  maxPoints: Long = 100000L, preCheck: Boolean = true): DataFrame = {
     require(period >= 2, s"period must be >= 2, got $period")
     require(alphaNum > 0 && alphaNum < alphaDen,
       s"alpha = $alphaNum/$alphaDen must lie in (0, 1)")
@@ -273,49 +262,27 @@ ORDER BY $groupName, idx"""
     require(maxPoints >= 1, s"maxPoints must be >= 1, got $maxPoints")
     graft.Guards.requireIntegral(df, idxCol, "holtWinters")
     graft.Guards.requireIntegral(df, valueCol, "holtWinters")
-    val p = lit(alphaNum); val qmp = lit(alphaDen - alphaNum)
-    val r = lit(betaNum); val wmr = lit(betaDen - betaNum)
-    val g = lit(gammaNum); val vmg = lit(gammaDen - gammaNum)
-    def sgnDiv(num: org.apache.spark.sql.Column, den: Long) =
-      when(num < 0, lit(-1L)).otherwise(lit(1L)) *
-        call_function("div", abs(num), lit(den))
-    val collected = df
+    val overMsg = concat(
+      lit("holtWinters: group '"), col(groupCol).cast("string"),
+      lit(s"' exceeds $maxPoints points — feed a calendar spine or raise maxPoints"))
+    val rows0 = df
       .where(col(idxCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol), col(idxCol).cast("long").as("__i"),
+        col(valueCol).cast("long").as("__x"))
+    val rows =
+      if (preCheck) FoldGuard.preBound(rows0, groupCol, "__x", maxPoints, overMsg)
+      else rows0
+    val collected = rows
       .groupBy(col(groupCol))
       .agg(sort_array(collect_list(struct(
-        col(idxCol).cast("long").as("i"),
-        col(valueCol).cast("long").as("x")))).as("__arr"))
-    val zero = expr("named_struct(" +
-      "'out', CAST(array() AS ARRAY<STRUCT<i: BIGINT, l: BIGINT, b: BIGINT, s: BIGINT>>), " +
-      "'pl', CAST(NULL AS BIGINT), 'pb', CAST(NULL AS BIGINT), 'first', true)")
+        col("__i").as("i"), col("__x").as("x")))).as("__arr"))
     val folded = collected.select(col(groupCol),
       (size(col("__arr")) =!=
         size(array_distinct(transform(col("__arr"), e => e.getField("i")))))
         .as("__dup"),
       (size(col("__arr")) > maxPoints).as("__over"),
-      aggregate(col("__arr"), zero, (acc, e) => {
-        val n = size(acc.getField("out"))
-        // s m steps back: out(n − m + 1) once a full season exists, else 0
-        val sm = when(n >= period,
-          element_at(acc.getField("out"), n - (period - 1)).getField("s"))
-          .otherwise(lit(0L))
-        val x3 = e.getField("x") * lit(Scale)
-        val lNum = p * (x3 - sm) +
-          qmp * (acc.getField("pl") + acc.getField("pb"))
-        val nl = when(acc.getField("first"), x3)
-          .otherwise(sgnDiv(lNum, alphaDen))
-        val bNum = r * (nl - acc.getField("pl")) + wmr * acc.getField("pb")
-        val nb = when(acc.getField("first"), lit(0L))
-          .otherwise(sgnDiv(bNum, betaDen))
-        val sNum = g * (x3 - nl) + vmg * sm
-        val ns = when(acc.getField("first"), lit(0L))
-          .otherwise(sgnDiv(sNum, gammaDen))
-        struct(
-          concat(acc.getField("out"), array(struct(
-            e.getField("i").as("i"), nl.as("l"), nb.as("b"), ns.as("s"))))
-            .as("out"),
-          nl.as("pl"), nb.as("pb"), lit(false).as("first"))
-      }).getField("out").as("__out"))
+      graft.functions.HoltWintersFold(col("__arr"), period, alphaNum,
+        alphaDen, betaNum, betaDen, gammaNum, gammaDen, Scale).as("__out"))
     // the guard rides ALL THREE output columns (the holt discipline)
     def guarded(out: org.apache.spark.sql.Column) =
       when(col("__over"), raise_error(concat(

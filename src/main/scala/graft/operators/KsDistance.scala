@@ -29,7 +29,8 @@ import org.apache.spark.sql.types.LongType
   * values — value-cardinality-sized, not row-sized (the
   * [[WeightedStats.weightedMedian]] posture; the un-partitioned walk puts
   * that cardinality in one task, which is the statistic's sequential
-  * nature — pre-bucket values if a single series exceeds task scale).
+  * nature — the `bucketWidth` parameter pre-buckets values in-plan when
+  * a single series' distinct count exceeds task scale).
   * NULL values carry no mass and drop; an empty side yields an empty
   * result (no distribution to compare).
   */
@@ -37,14 +38,31 @@ object KsDistance {
 
   /** One row: (n_a, n_b, ks_num, ks_scaled) where ks = ks_num/(n_a·n_b)
     * and ks_scaled = ⌊ks·10⁶⌋.
+    *
+    * `bucketWidth` (default 1 = exact) pre-buckets values by floor
+    * division BEFORE the distinct-value collapse — the wired form of the
+    * scale note above: the un-partitioned cumulative walk is
+    * value-cardinality-sized, so when a series' distinct count exceeds
+    * task scale, a declared width coarsens the CDFs to range/width
+    * buckets (the statistic becomes the KS of the BUCKETED
+    * distributions — identical to running exact KS on pre-bucketed
+    * values, which is what the equivalence spec pins). floorDiv on both
+    * engines via the pmod identity (Spark `div` and DuckDB `//` both
+    * truncate toward zero).
     */
-  def ksDistance(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+  def ksDistance(a: DataFrame, b: DataFrame, valueCol: String,
+                 bucketWidth: Long = 1L): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
     graft.Guards.requireIntegral(a, valueCol, "ksDistance")
     graft.Guards.requireIntegral(b, valueCol, "ksDistance")
-    def side(df: DataFrame, ca: Long, cb: Long) = df
-      .where(col(valueCol).isNotNull)
-      .select(col(valueCol).cast(LongType).as("__v"),
-        lit(ca).as("__a"), lit(cb).as("__b"))
+    def side(df: DataFrame, ca: Long, cb: Long) = {
+      val v = col(valueCol).cast(LongType)
+      val bucketed =
+        if (bucketWidth == 1L) v
+        else call_function("div", v - pmod(v, lit(bucketWidth)), lit(bucketWidth))
+      df.where(col(valueCol).isNotNull)
+        .select(bucketed.as("__v"), lit(ca).as("__a"), lit(cb).as("__b"))
+    }
     val mass = side(a, 1L, 0L).unionByName(side(b, 0L, 1L))
       .groupBy(col("__v"))
       .agg(sum(col("__a")).as("__ca"), sum(col("__b")).as("__cb"))

@@ -38,25 +38,34 @@ object TokenBucket {
     */
   def replay(df: DataFrame, keyCol: String, idxCol: String, idCol: String,
              rateNum: Long, rateDen: Long, burst: Long,
-             maxPoints: Long = 100000L): DataFrame = {
+             maxPoints: Long = 100000L, preCheck: Boolean = true): DataFrame = {
     require(rateNum > 0 && rateDen > 0,
       s"rate must be positive, got $rateNum/$rateDen")
     require(burst >= 1, s"burst must be >= 1, got $burst")
     require(maxPoints >= 1, s"maxPoints must be >= 1, got $maxPoints")
     graft.Guards.requireIntegral(df, idxCol, "tokenBucket")
     graft.Guards.requireIntegral(df, idCol, "tokenBucket")
-    val collected = df
+    val overMsg = concat(
+      lit("tokenBucket: key '"), col(keyCol).cast("string"),
+      lit(s"' exceeds $maxPoints events — raise maxPoints deliberately"))
+    val rows0 = df
       .where(col(idxCol).isNotNull && col(idCol).isNotNull)
+      .select(col(keyCol), col(idxCol).cast("long").as("__i"),
+        col(idCol).cast("long").as("__id"))
+    val rows =
+      if (preCheck) FoldGuard.preBound(rows0, keyCol, "__i", maxPoints, overMsg)
+      else rows0
+    val collected = rows
       .groupBy(col(keyCol))
       .agg(sort_array(collect_list(struct(
-        col(idxCol).cast("long").as("i"),
-        col(idCol).cast("long").as("id")))).as("__arr"))
+        col("__i").as("i"), col("__id").as("id")))).as("__arr"))
     val folded = collected.select(col(keyCol),
       (size(col("__arr")) =!=
         size(array_distinct(transform(col("__arr"), e => e.getField("id")))))
         .as("__dup"),
       (size(col("__arr")) > maxPoints).as("__over"),
-      foldArr(col("__arr"), freshZero, rateNum, rateDen, burst).as("__out"))
+      foldArr(col("__arr"), lit(null), lit(null), rateNum, rateDen, burst)
+        .as("__out"))
     def guarded(out: org.apache.spark.sql.Column) =
       when(col("__over"), raise_error(concat(
         lit("tokenBucket: key '"), col(keyCol).cast("string"),
@@ -76,55 +85,28 @@ object TokenBucket {
         guarded(col("__e.lvl")).as("level_q"))
   }
 
-  /** The empty accumulator: no prior state — the bucket starts full at
-    * the first folded event.
+  /** The shared per-event fold over a sorted (i, id) array — the native
+    * codegen'd [[graft.functions.TokenBucketFold]]. NULL `seedI` starts
+    * a fresh full bucket (the batch-replay entry); non-NULL seeds
+    * continue from the streaming store's (last index, level) high-water
+    * ([[graft.streaming.BucketIngest]]).
     */
-  private[graft] def freshZero: org.apache.spark.sql.Column =
-    expr("named_struct(" +
-      "'out', CAST(array() AS ARRAY<STRUCT<id: BIGINT, i: BIGINT, " +
-      "adm: BOOLEAN, lvl: BIGINT>>), " +
-      "'pi', CAST(NULL AS BIGINT), 'pl', CAST(NULL AS BIGINT), " +
-      "'first', true)")
-
-  /** A state-seeded accumulator — the streaming-ingest entry: when
-    * `seedI` is NULL the fold starts fresh; otherwise it continues from
-    * the stored (last index, level).
-    */
-  private[graft] def seededZero(seedI: org.apache.spark.sql.Column,
-                                seedLvl: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    struct(
-      expr("CAST(array() AS ARRAY<STRUCT<id: BIGINT, i: BIGINT, " +
-        "adm: BOOLEAN, lvl: BIGINT>>)").as("out"),
-      seedI.cast("long").as("pi"), seedLvl.cast("long").as("pl"),
-      seedI.isNull.as("first"))
-
-  /** The shared per-event fold step over a sorted (i, id) array. */
   private[graft] def foldArr(arr: org.apache.spark.sql.Column,
-                             zero: org.apache.spark.sql.Column,
+                             seedI: org.apache.spark.sql.Column,
+                             seedLvl: org.apache.spark.sql.Column,
                              rateNum: Long, rateDen: Long,
-                             burst: Long): org.apache.spark.sql.Column = {
-    val cap = burst * rateDen
-    aggregate(arr, zero, (acc, e) => {
-      val pre = when(acc.getField("first"), lit(cap))
-        .otherwise(least(lit(cap), acc.getField("pl") +
-          (e.getField("i") - acc.getField("pi")) * lit(rateNum)))
-      val adm = pre >= rateDen
-      val lvl = when(adm, pre - lit(rateDen)).otherwise(pre)
-      struct(
-        concat(acc.getField("out"), array(struct(
-          e.getField("id").as("id"), e.getField("i").as("i"),
-          adm.as("adm"), lvl.as("lvl")))).as("out"),
-        e.getField("i").as("pi"), lvl.as("pl"), lit(false).as("first"))
-    }).getField("out")
-  }
+                             burst: Long): org.apache.spark.sql.Column =
+    graft.functions.TokenBucketFold(arr, seedI.cast("long"),
+      seedLvl.cast("long"), rateNum, rateDen, burst)
 
   /** Per-key verdict rollup: (keyCol, n_events, n_rejected,
     * first_rejected_id) — the "who would the limit hit" summary.
     */
   def summary(df: DataFrame, keyCol: String, idxCol: String, idCol: String,
               rateNum: Long, rateDen: Long, burst: Long,
-              maxPoints: Long = 100000L): DataFrame =
-    replay(df, keyCol, idxCol, idCol, rateNum, rateDen, burst, maxPoints)
+              maxPoints: Long = 100000L, preCheck: Boolean = true): DataFrame =
+    replay(df, keyCol, idxCol, idCol, rateNum, rateDen, burst, maxPoints,
+      preCheck)
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_events"),
         sum(when(col("admitted"), 0L).otherwise(1L)).as("n_rejected"),

@@ -79,7 +79,7 @@ object BucketIngest {
         size(array_distinct(transform(col("__arr"), e => e.getField("id")))))
         .as("__dup"),
       graft.operators.TokenBucket.foldArr(col("__arr"),
-        graft.operators.TokenBucket.seededZero(col("last_i"), col("level")),
+        col("last_i"), col("level"),
         rateNum, rateDen, burst).as("__out"))
     // order + dup guards ride inside every published column
     def guarded(out: org.apache.spark.sql.Column) =

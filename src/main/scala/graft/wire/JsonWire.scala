@@ -145,7 +145,24 @@ object JsonWire {
   def toJson(fx: Fabrix, typ: WireType): String = {
     val fields = fx.df.schema.fields
     val types = fields.map(fieldWireType)
-    val rows: Array[Row] = fx.df.collect()
+    // the wire codec driver-materializes the frame by intent (API-sized
+    // parity frames — the reference does the same); bound it on the same
+    // key as the other driver-materializing APIs so a corpus frame fails
+    // FAST with a named message instead of OOMing the driver. A
+    // limit(max+1) probe costs one early-stopping pass, not a count.
+    val max = fx.df.sparkSession.conf
+      .get(Fabrix.PositionalMaxRowsKey, Fabrix.DefaultPositionalMaxRows.toString)
+      .toLong
+    val rows: Array[Row] =
+      if (max > 0 && max < Int.MaxValue) {
+        val probed = fx.df.limit(max.toInt + 1).collect()
+        if (probed.length > max) throw new IllegalStateException(
+          s"toJson materializes the whole frame on the driver and it exceeds " +
+            s"${Fabrix.PositionalMaxRowsKey}=$max rows. The JSON wire codec is " +
+            "an in-memory-parity API, not a bulk exporter; write parquet/CSV " +
+            "for bulk, or raise the conf to override.")
+        probed
+      } else fx.df.collect()
     val root = F.objectNode()
     typ match {
       case WireType.Column =>

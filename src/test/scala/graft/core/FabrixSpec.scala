@@ -150,4 +150,56 @@ class FabrixSpec extends SparkSpec {
     assert(f.df.select("n").collect().map(r => Option(r.get(0))).toSeq ==
       Seq(Some(1), None))
   }
+
+  test("loc is the index column's schema position") {
+    assert(frame.loc == 0)
+    assert(frame.setColumnNames(Seq("k", "n", "x")).rename("k", "id2").loc == 0)
+    intercept[IllegalStateException](Fabrix(frame.df).loc)
+  }
+
+  test("hasNull flags per column in one pass; indexHasNull follows the tag") {
+    val f = Fabrix(Seq((Some(1L), Option.empty[String]), (Some(2L), Some("b")))
+      .toDF("id", "s"), "id")
+    assert(f.hasNull == Seq(false, true))
+    assert(f.indexHasNull.contains(false))
+    val g = Fabrix(Seq((Option.empty[Long], "a")).toDF("id", "s"), "id")
+    assert(g.indexHasNull.contains(true))
+    assert(Fabrix(f.df).indexHasNull.isEmpty)
+    // empty frame: no nulls anywhere
+    assert(Fabrix(f.df.limit(0)).hasNull == Seq(false, false))
+  }
+
+  test("dropSeriesByName / dropSeriesByIdx drop and clear a stale tag") {
+    val f = frame.dropSeriesByName("v")
+    assert(f.df.columns.toSeq == Seq("id", "name") && f.indexTag.nonEmpty)
+    val g = frame.dropSeriesByIdx(0)
+    assert(g.df.columns.toSeq == Seq("name", "v") && g.indexTag.isEmpty)
+    intercept[IllegalArgumentException](frame.dropSeriesByName("nope"))
+  }
+
+  test("insertSeries places the derived column at the requested position") {
+    import org.apache.spark.sql.functions._
+    val f = frame.insertSeries(1, "v2", col("v") * 2)
+    assert(f.df.columns.toSeq == Seq("id", "v2", "name", "v"))
+    assert(f.df.orderBy("id").select("v2").as[Double].collect().toSeq ==
+      Seq(20.0, 40.0, 60.0, 80.0))
+    intercept[IllegalArgumentException](frame.insertSeries(9, "x", col("v")))
+    intercept[IllegalArgumentException](frame.insertSeries(0, "v", col("v")))
+  }
+
+  test("applySeries / applyAtIdx transform in place; index re-derivation refreshes the tag type") {
+    val f = frame.applySeries("v", _ * 10)
+    assert(f.df.columns.toSeq == frame.df.columns.toSeq)
+    assert(f.df.orderBy("id").select("v").as[Double].collect().head == 100.0)
+    val g = frame.applyAtIdx(0, _.cast(IntegerType))
+    assert(g.indexTag.contains(IndexTag("id", IntegerType)))
+  }
+
+  test("iterColumn streams one column; rechunk coalesces partitions") {
+    assert(frame.iterColumn("name").toSeq == Seq("a", "b", "c", "d"))
+    val f = Fabrix(spark.range(100).repartition(8).toDF("id"), "id").rechunk()
+    assert(f.df.rdd.getNumPartitions == 1)
+    assert(f.df.count() == 100)
+    intercept[IllegalArgumentException](frame.rechunk(0))
+  }
 }

@@ -40,4 +40,21 @@ class KsDistanceSpec extends SparkSpec {
     val got = KsDistance.ksDistance(a, b, "v").head()
     assert((got.getLong(0), got.getLong(3)) == ((2L, 0L)))
   }
+
+  test("bucketWidth = 1 is the exact statistic; coarse width == exact KS on pre-bucketed values") {
+    val aVals = Seq(-17L, -8L, -7L, -1L, 0L, 3L, 3L, 9L, 14L, 22L)
+    val bVals = Seq(-9L, -9L, 2L, 5L, 7L, 7L, 13L, 30L)
+    val a = aVals.map(Tuple1(_)).toDF("v"); val b = bVals.map(Tuple1(_)).toDF("v")
+    // width 1 ≡ the default path, row for row
+    assert(KsDistance.ksDistance(a, b, "v", bucketWidth = 1).collect().toSeq ==
+      KsDistance.ksDistance(a, b, "v").collect().toSeq)
+    // coarse width ≡ exact KS over floorDiv-pre-bucketed values (negatives
+    // must floor toward -inf, not truncate toward zero)
+    val w = 5L
+    val ab = aVals.map(v => Tuple1(Math.floorDiv(v, w))).toDF("v")
+    val bb = bVals.map(v => Tuple1(Math.floorDiv(v, w))).toDF("v")
+    assert(KsDistance.ksDistance(a, b, "v", bucketWidth = w).collect().toSeq ==
+      KsDistance.ksDistance(ab, bb, "v").collect().toSeq)
+    intercept[IllegalArgumentException](KsDistance.ksDistance(a, b, "v", 0))
+  }
 }

@@ -2,7 +2,9 @@ package graft.wire
 
 import graft.SparkSpec
 import graft.core.Fabrix
+import graft.sources.{JsonDirStore, SavingCategory}
 import graft.wire.JsonWire.WireType
+import java.nio.file.Files
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.types._
 
@@ -103,6 +105,27 @@ class JsonWireSpec extends SparkSpec {
     assert(json.contains(""""datatype":"Decimal","values":["0.000021","1234.500000"]"""))
     val back = JsonWire.fromJson(spark, json, WireType.Column)
     assert(JsonWire.toJson(back, WireType.Column) == json)
+  }
+
+  test("toJson fails fast past spark.graft.positional.maxRows (DocStore insert shares the path)") {
+    import spark.implicits._
+    val fx = Fabrix((1 to 50).map(i => (i, s"d$i")).toDF("id", "v"))
+    spark.conf.set(Fabrix.PositionalMaxRowsKey, "10")
+    try {
+      val ex = intercept[IllegalStateException](JsonWire.toJson(fx, WireType.Column))
+      assert(ex.getMessage.contains(Fabrix.PositionalMaxRowsKey), ex.getMessage)
+      // DocStore insert routes through toJson — same guard, same message
+      val dir = Files.createTempDirectory("graft_docstore_guard")
+      val store = new JsonDirStore(dir.toString)
+      val ex2 = intercept[IllegalStateException](
+        store.insert(fx, SavingCategory.Column))
+      assert(ex2.getMessage.contains(Fabrix.PositionalMaxRowsKey), ex2.getMessage)
+      // under the bound (and with the guard disabled) the codec works
+      spark.conf.set(Fabrix.PositionalMaxRowsKey, "50")
+      assert(JsonWire.toJson(fx, WireType.Column).nonEmpty)
+      spark.conf.set(Fabrix.PositionalMaxRowsKey, "-1")
+      assert(JsonWire.toJson(fx, WireType.Column).nonEmpty)
+    } finally spark.conf.unset(Fabrix.PositionalMaxRowsKey)
   }
 
   test("u64 columns survive via metadata marker") {
