@@ -8496,7 +8496,85 @@ LEFT JOIN (SELECT user_id, CAST(ts AS DATE) - DATE '2023-12-31' AS d,
           .orderBy("term"),
         Some(graft.text.Keyness.oracleSql(
           "SELECT text AS txt, lang = 'en' AS in_slice FROM documents",
-          minCount = 50L))))
+          minCount = 50L))),
+
+      // Kaplan-Meier survival curves per order priority over id-derived
+      // durations with %5 right-censoring — the curve the q_log_rank
+      // test compares; quantized-ln survival, exact at-risk/death counts
+      RegisteredQuery(
+        "q_kaplan_meier",
+        (s, dir) => KaplanMeier.curve(
+            Tables.resolve(s, dir)("orders").select(
+              col("o_orderpriority").as("arm"),
+              (pmod(col("o_orderkey"), lit(40)) + 1).as("dur"),
+              when(pmod(col("o_orderkey"), lit(5)) === 0, 0L).otherwise(1L)
+                .as("ev")),
+            "arm", "dur", "ev")
+          .orderBy("arm", "t"),
+        Some(KaplanMeier.oracleSql(
+          """SELECT o_orderpriority AS grp, o_orderkey % 40 + 1 AS t,
+  CASE WHEN o_orderkey % 5 = 0 THEN 0 ELSE 1 END AS e
+FROM orders""",
+          "arm"))),
+
+      // deterministic Poisson bootstrap: hash-derived Poisson(1) weights,
+      // 32 resampled revenue sums per returnflag from ONE scan, exact
+      // rank-2/rank-31 interval — an uncertainty readout that hash-gates
+      RegisteredQuery(
+        "q_poisson_boot",
+        (s, dir) => PoissonBoot.summary(
+            Tables.resolve(s, dir)("lineitem").select(
+              col("l_returnflag"),
+              concat(col("l_orderkey").cast("string"), lit("-"),
+                col("l_linenumber").cast("string")).as("rid"),
+              (col("l_extendedprice").cast("decimal(18,2)") * 100)
+                .cast("long").as("cents")),
+            "l_returnflag", "rid", "cents", reps = 32, loRank = 2,
+            hiRank = 31)
+          .orderBy("l_returnflag"),
+        Some(PoissonBoot.summaryOracle(
+          """SELECT l_returnflag AS grp,
+  CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS id,
+  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+FROM lineitem""",
+          "l_returnflag", reps = 32, loRank = 2, hiRank = 31))),
+
+      // the raw bootstrap replicates (same hash discipline) over order
+      // totals per priority — the caller-chooses-the-functional form
+      RegisteredQuery(
+        "q_poisson_boot_reps",
+        (s, dir) => PoissonBoot.replicates(
+            Tables.resolve(s, dir)("orders").select(
+              col("o_orderpriority"),
+              col("o_orderkey").cast("string").as("rid"),
+              (col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("long").as("cents")),
+            "o_orderpriority", "rid", "cents", reps = 8)
+          .orderBy("o_orderpriority", "rep"),
+        Some(PoissonBoot.replicatesOracle(
+          """SELECT o_orderpriority AS grp, CAST(o_orderkey AS VARCHAR) AS id,
+  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+FROM orders""",
+          "o_orderpriority", reps = 8))),
+
+      // partial autocorrelation of the daily order-count series per
+      // priority — exact covariance numerators, q6-quantized ACF, integer
+      // Toeplitz-determinant PACF (the Box-Jenkins AR-order screen)
+      RegisteredQuery(
+        "q_pacf",
+        (s, dir) => Pacf.pacf(
+            Tables.resolve(s, dir)("orders")
+              .groupBy(col("o_orderpriority"),
+                expr("datediff(o_orderdate, DATE'1992-01-01')").as("day"))
+              .agg(count(lit(1)).as("cnt")),
+            "o_orderpriority", "day", "cnt")
+          .orderBy("o_orderpriority", "lag"),
+        Some(Pacf.oracleSql(
+          """SELECT o_orderpriority AS grp,
+  date_diff('day', DATE '1992-01-01', o_orderdate) AS t,
+  CAST(count(*) AS BIGINT) AS x
+FROM orders GROUP BY 1, 2""",
+          "o_orderpriority"))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
