@@ -8574,6 +8574,62 @@ FROM orders""",
   date_diff('day', DATE '1992-01-01', o_orderdate) AS t,
   CAST(count(*) AS BIGINT) AS x
 FROM orders GROUP BY 1, 2""",
+          "o_orderpriority"))),
+
+      // temperature-weighted corpus mixing at alpha = 1/2 over the
+      // documents sources — per-source weight/draw/epochs at a declared
+      // 10M-token budget (the pretraining-recipe audit table)
+      RegisteredQuery(
+        "q_temperature_mix",
+        (s, dir) => graft.llm.TemperatureMix.mix(
+            s.read.parquet(s"$dir/documents.parquet").select(
+              col("source"),
+              graft.text.TextFunctions.nTokens(col("text")).cast("long")
+                .as("tok")),
+            "source", "tok", alphaNum = 1, alphaDen = 2,
+            tokenBudget = 10000000L)
+          .orderBy("source"),
+        Some(graft.llm.TemperatureMix.oracleSql(
+          """SELECT source AS src,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents""",
+          "source", alphaNum = 1, alphaDen = 2, tokenBudget = 10000000L))),
+
+      // Fleiss' kappa over a deterministic 3-rater panel on orders —
+      // exact rational agreement, one (item, category) collapse
+      RegisteredQuery(
+        "q_fleiss_kappa",
+        (s, dir) => FleissKappa.kappa(
+            Tables.resolve(s, dir)("orders")
+              .select(col("o_orderkey"), col("o_custkey"),
+                explode(sequence(lit(1), lit(3))).as("r"))
+              .select(col("o_orderkey").as("item"),
+                pmod(pmod(col("o_orderkey"), lit(7)) +
+                  col("r") * pmod(col("o_custkey"), lit(3)), lit(4))
+                  .as("cat")),
+            "item", "cat"),
+        Some(FleissKappa.oracleSql(
+          """SELECT o_orderkey AS item,
+  ((o_orderkey % 7) + r * (o_custkey % 3)) % 4 AS cat
+FROM orders, (SELECT unnest(generate_series(1, 3)) AS r)"""))),
+
+      // McNemar paired-model comparison per priority: two deterministic
+      // "classifiers" over the same orders, discordant-count statistic
+      RegisteredQuery(
+        "q_mcnemar",
+        (s, dir) => McNemar.test(
+            Tables.resolve(s, dir)("orders").select(
+              col("o_orderpriority"),
+              when(pmod(col("o_orderkey"), lit(7)) < 4, 1L).otherwise(0L)
+                .as("ma"),
+              when(pmod(col("o_orderkey"), lit(11)) < 6, 1L).otherwise(0L)
+                .as("mb")),
+            "o_orderpriority", "ma", "mb")
+          .orderBy("o_orderpriority"),
+        Some(McNemar.oracleSql(
+          """SELECT o_orderpriority AS grp,
+  CASE WHEN o_orderkey % 7 < 4 THEN 1 ELSE 0 END AS a,
+  CASE WHEN o_orderkey % 11 < 6 THEN 1 ELSE 0 END AS b
+FROM orders""",
           "o_orderpriority"))))
   }
 
