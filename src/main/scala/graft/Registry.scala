@@ -8630,7 +8630,66 @@ FROM orders, (SELECT unnest(generate_series(1, 3)) AS r)"""))),
   CASE WHEN o_orderkey % 7 < 4 THEN 1 ELSE 0 END AS a,
   CASE WHEN o_orderkey % 11 < 6 THEN 1 ELSE 0 END AS b
 FROM orders""",
-          "o_orderpriority"))))
+          "o_orderpriority"))),
+
+      // sliding-window RAG chunking: 50-token windows every 40 tokens
+      // over the documents corpus — scan-stage, layout declared from the
+      // text alone
+      RegisteredQuery(
+        "q_chunker",
+        (s, dir) => graft.text.Chunker.chunks(
+            s.read.parquet(s"$dir/documents.parquet"),
+            "doc_id", "text", chunkLen = 50, overlap = 10)
+          .orderBy("doc_id", "chunk_idx"),
+        Some(graft.text.Chunker.oracleSql(
+          "SELECT doc_id AS id, text FROM documents", "doc_id",
+          chunkLen = 50, overlap = 10))),
+
+      // frequency-of-frequencies per language — the tail-shape companion
+      // of q_zipf_slope's head fit
+      RegisteredQuery(
+        "q_freq_of_freq",
+        (s, dir) => graft.text.GoodTuring.freqOfFreq(
+            s.read.parquet(s"$dir/documents.parquet").select(col("lang"),
+              explode(graft.text.TextFunctions.tokens(col("text")))
+                .as("term")),
+            "lang", "term")
+          .orderBy("lang", "freq"),
+        Some(graft.text.GoodTuring.freqOfFreqOracle(
+          """SELECT lang AS grp, unnest(string_split(text, ' ')) AS term
+FROM documents""",
+          "lang"))),
+
+      // Good-Turing unseen mass per language: is the vocabulary still
+      // discovering (p0 large) or converged (p0 ~ 0)
+      RegisteredQuery(
+        "q_good_turing",
+        (s, dir) => graft.text.GoodTuring.unseenMass(
+            s.read.parquet(s"$dir/documents.parquet").select(col("lang"),
+              explode(graft.text.TextFunctions.tokens(col("text")))
+                .as("term")),
+            "lang", "term")
+          .orderBy("lang"),
+        Some(graft.text.GoodTuring.unseenMassOracle(
+          """SELECT lang AS grp, unnest(string_split(text, ' ')) AS term
+FROM documents""",
+          "lang"))),
+
+      // file-layout audit over a deterministic partitionBy write: one
+      // file per region, counts = the group sizes (the small-files check)
+      RegisteredQuery(
+        "q_file_audit",
+        (s, dir) => {
+          val out = scratch("file_audit")
+          Tables.resolve(s, dir)("nation").coalesce(1)
+            .write.mode("overwrite").partitionBy("n_regionkey").parquet(out)
+          graft.sources.FileAudit.summary(s.read.parquet(out))
+        },
+        Some("""SELECT CAST(count(*) AS BIGINT) AS n_files,
+  CAST(sum(c) AS BIGINT) AS n_rows, CAST(min(c) AS BIGINT) AS min_rows,
+  CAST(max(c) AS BIGINT) AS max_rows,
+  CAST(sum(c) // count(*) AS BIGINT) AS avg_rows
+FROM (SELECT count(*) AS c FROM nation GROUP BY n_regionkey)""")))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over
