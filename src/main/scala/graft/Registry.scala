@@ -8689,7 +8689,64 @@ FROM documents""",
   CAST(sum(c) AS BIGINT) AS n_rows, CAST(min(c) AS BIGINT) AS min_rows,
   CAST(max(c) AS BIGINT) AS max_rows,
   CAST(sum(c) // count(*) AS BIGINT) AS avg_rows
-FROM (SELECT count(*) AS c FROM nation GROUP BY n_regionkey)""")))
+FROM (SELECT count(*) AS c FROM nation GROUP BY n_regionkey)""")),
+
+      // winsorized mean per returnflag at k=25 — the clamp sibling of
+      // q_ktrim_mean's drop, same bounded BottomK buffers, no sort
+      RegisteredQuery(
+        "q_winsorized_mean",
+        (s, dir) => TrimmedMean.winsorizedMean(
+            Tables.resolve(s, dir)("lineitem").select(col("l_returnflag"),
+              (col("l_extendedprice").cast("decimal(18,2)") * 100)
+                .cast("long").as("cents")),
+            "l_returnflag", "cents", k = 25)
+          .orderBy("l_returnflag"),
+        Some(TrimmedMean.winsorizedOracleSql(
+          """SELECT l_returnflag AS grp,
+  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+FROM lineitem""",
+          "l_returnflag", k = 25))),
+
+      // Holm step-down FWER control over the same planted p-value fleet
+      // as q_fdr_bh — the launch-gate sibling (any false positive fatal)
+      RegisteredQuery(
+        "q_holm",
+        (s, dir) => Fdr.holmDecisions(
+            s.read.parquet(s"$dir/documents.parquet")
+              .withColumn("p_raw",
+                expr("(doc_id * 2654435761L) % 1000001"))
+              .withColumn("p", expr(
+                "CASE WHEN doc_id % 10 = 0 THEN p_raw div 9973 ELSE p_raw END")),
+            "lang", "doc_id", "p", alphaNum = 1, alphaDen = 20)
+          .orderBy("lang", "rk"),
+        Some(Fdr.holmOracleSql(
+          """SELECT lang AS grp, doc_id AS id,
+  CASE WHEN doc_id % 10 = 0
+       THEN ((doc_id * 2654435761) % 1000001) // 9973
+       ELSE (doc_id * 2654435761) % 1000001 END AS p
+FROM documents""",
+          "lang", "doc_id", alphaNum = 1, alphaDen = 20))),
+
+      // Cochran's Q omnibus across three deterministic "models" per
+      // priority — the k-way McNemar (q_mcnemar drills into pairs)
+      RegisteredQuery(
+        "q_cochran_q",
+        (s, dir) => CochranQ.test(
+            Tables.resolve(s, dir)("orders")
+              .select(col("o_orderpriority"), col("o_orderkey"),
+                explode(sequence(lit(1), lit(3))).as("m"))
+              .select(col("o_orderpriority"), col("o_orderkey").as("item"),
+                concat(lit("m"), col("m")).as("model"),
+                when(pmod(col("o_orderkey") + col("m") * 3, lit(7)) < 4, 1L)
+                  .otherwise(0L).as("x")),
+            "o_orderpriority", "item", "model", "x")
+          .orderBy("o_orderpriority"),
+        Some(CochranQ.oracleSql(
+          """SELECT o_orderpriority AS grp, o_orderkey AS item,
+  'm' || m AS treat,
+  CASE WHEN (o_orderkey + m * 3) % 7 < 4 THEN 1 ELSE 0 END AS x
+FROM orders, (SELECT unnest(generate_series(1, 3)) AS m)""",
+          "o_orderpriority"))))
   }
 
   /** q_corpus_mix per-mille domain weights — a fixed mixing recipe over

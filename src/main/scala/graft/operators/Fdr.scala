@@ -68,6 +68,71 @@ object Fdr {
         (col("rk") <= col("__kstar")).as("reject"), col("q_q6"))
   }
 
+  /** Holm step-down FWER control — the stricter sibling of
+    * [[bhDecisions]] for when ANY false positive is unacceptable (a
+    * launch/no-launch gate, a safety alarm) rather than a tolerable
+    * fraction: uniformly more powerful than plain Bonferroni at the
+    * same family-wise guarantee and assumption-free. Same integer
+    * discipline on 10⁻⁶-quantized p-values:
+    *
+    *   - rank i by p ascending (id tiebreak);
+    *   - step-down: reject rank i ⇔ every j ≤ i passes its own bar,
+    *     i.e. running-max_{j≤i} (m−j+1)·pⱼ·αden ≤ αnum·10⁶ (one
+    *     cross-multiplied compare, monotone by construction);
+    *   - adjusted p: adjᵢ = min(10⁶, running-max_{j≤i} (m−j+1)·pⱼ).
+    *
+    * Same contracts as BH (range raise in-plan, NULL p drops, NULL
+    * groups are strata, one ranked window per group).
+    */
+  def holmDecisions(df: DataFrame, groupCol: String, idCol: String,
+                    pCol: String, alphaNum: Long, alphaDen: Long): DataFrame = {
+    require(alphaNum > 0 && alphaNum < alphaDen,
+      s"alpha = $alphaNum/$alphaDen must lie in (0, 1)")
+    graft.Guards.requireIntegral(df, pCol, "holmDecisions")
+    val rows = df
+      .where(col(pCol).isNotNull && col(idCol).isNotNull)
+      .select(col(groupCol), col(idCol),
+        col(pCol).cast(LongType).as("p_q6"))
+    val part = Window.partitionBy(col(groupCol))
+    val ord = part.orderBy(col("p_q6").asc, col(idCol).asc)
+    val head = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val guardedP = when(col("p_q6") < 0L || col("p_q6") > Scale,
+      raise_error(concat(lit("holmDecisions: p_q6 = "),
+        col("p_q6").cast("string"),
+        lit(s" outside [0, $Scale] — p-values quantize to 1e-6 units"))))
+      .otherwise(col("p_q6"))
+    rows
+      .withColumn("__m", count(lit(1)).over(part))
+      .withColumn("rk", row_number().over(ord).cast(LongType))
+      .withColumn("__term", (col("__m") - col("rk") + 1L) * guardedP)
+      .withColumn("__runMax", max(col("__term")).over(head))
+      .select(col(groupCol), col(idCol), guardedP.as("p_q6"), col("rk"),
+        (col("__runMax") * lit(alphaDen) <= lit(alphaNum) * lit(Scale))
+          .as("reject"),
+        least(lit(Scale), col("__runMax")).as("adj_q6"))
+  }
+
+  /** DuckDB replay of [[holmDecisions]]. */
+  def holmOracleSql(testsSql: String, groupName: String, idName: String,
+                    alphaNum: Long, alphaDen: Long): String =
+    s"""WITH r AS (
+  SELECT grp, id, p FROM ($testsSql) WHERE p IS NOT NULL AND id IS NOT NULL),
+w AS (
+  SELECT grp, id, p,
+    count(*) OVER (PARTITION BY grp) AS m,
+    row_number() OVER (PARTITION BY grp ORDER BY p ASC, id ASC) AS rk
+  FROM r),
+x AS (
+  SELECT grp, id, p, rk,
+    max((m - rk + 1) * p) OVER (PARTITION BY grp ORDER BY p ASC, id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+  FROM w)
+SELECT grp AS $groupName, id AS $idName, CAST(p AS BIGINT) AS p_q6,
+  CAST(rk AS BIGINT) AS rk,
+  runmax * $alphaDen <= $alphaNum * $Scale AS reject,
+  CAST(least($Scale, runmax) AS BIGINT) AS adj_q6
+FROM x ORDER BY $groupName, rk"""
+
   /** DuckDB replay of [[bhDecisions]] — same rank, cross-multiplied
     * step-up and reversed running min (ROWS frames explicit).
     */
