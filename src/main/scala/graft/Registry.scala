@@ -8746,6 +8746,65 @@ FROM documents""",
   'm' || m AS treat,
   CASE WHEN (o_orderkey + m * 3) % 7 < 4 THEN 1 ELSE 0 END AS x
 FROM orders, (SELECT unnest(generate_series(1, 3)) AS m)""",
+          "o_orderpriority"))),
+
+      // SLO error-budget burn per synthetic service and hour: error
+      // events against a 99/100 availability promise
+      RegisteredQuery(
+        "q_slo_burn",
+        (s, dir) => SloBurn.burnRate(
+            Tables.resolve(s, dir)("events").select(
+              concat(lit("svc"), pmod(col("user_id"), lit(4))).as("svc"),
+              expr("timestampdiff(HOUR, TIMESTAMP'2024-01-01 00:00:00', ts)")
+                .as("hr"),
+              when(col("event_type") === "error", 0L).otherwise(1L).as("ok")),
+            "svc", "hr", "ok", sloNum = 99, sloDen = 100)
+          .orderBy("svc", "bucket"),
+        Some(SloBurn.oracleSql(
+          """SELECT 'svc' || (user_id % 4) AS k,
+  date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts) AS bucket,
+  CASE WHEN event_type = 'error' THEN 0 ELSE 1 END AS ok
+FROM events""",
+          "svc", sloNum = 99, sloDen = 100))),
+
+      // the 6-hour trailing-window burn (the multiwindow alert's slow
+      // member) — range frame, calendar gaps shorten the window
+      RegisteredQuery(
+        "q_slo_burn_rolling",
+        (s, dir) => SloBurn.burnRolling(
+            Tables.resolve(s, dir)("events").select(
+              concat(lit("svc"), pmod(col("user_id"), lit(4))).as("svc"),
+              expr("timestampdiff(HOUR, TIMESTAMP'2024-01-01 00:00:00', ts)")
+                .as("hr"),
+              when(col("event_type") === "error", 0L).otherwise(1L).as("ok")),
+            "svc", "hr", "ok", sloNum = 99, sloDen = 100, windowBuckets = 6)
+          .orderBy("svc", "bucket"),
+        Some(SloBurn.rollingOracleSql(
+          """SELECT 'svc' || (user_id % 4) AS k,
+  date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts) AS bucket,
+  CASE WHEN event_type = 'error' THEN 0 ELSE 1 END AS ok
+FROM events""",
+          "svc", sloNum = 99, sloDen = 100, windowBuckets = 6))),
+
+      // signed squared Matthews correlation per priority — the
+      // imbalanced-data eval beside q_mcnemar's paired comparison
+      RegisteredQuery(
+        "q_mcc",
+        (s, dir) => ModelEval.mccSigned(
+            Tables.resolve(s, dir)("orders").select(
+              col("o_orderpriority"),
+              when(pmod(col("o_orderkey"), lit(9)) < 2, 1L).otherwise(0L)
+                .as("y"),
+              when(pmod(col("o_orderkey"), lit(9)) +
+                pmod(col("o_custkey"), lit(3)) < 3, 1L).otherwise(0L)
+                .as("p")),
+            "o_orderpriority", "y", "p")
+          .orderBy("o_orderpriority"),
+        Some(ModelEval.mccOracleSql(
+          """SELECT o_orderpriority AS grp,
+  CASE WHEN o_orderkey % 9 < 2 THEN 1 ELSE 0 END AS y,
+  CASE WHEN (o_orderkey % 9) + (o_custkey % 3) < 3 THEN 1 ELSE 0 END AS p
+FROM orders""",
           "o_orderpriority"))))
   }
 

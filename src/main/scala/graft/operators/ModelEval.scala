@@ -111,6 +111,72 @@ object ModelEval {
         .as("kappa_q6"))
   }
 
+  /** Signed squared Matthews correlation per group — the imbalanced-data
+    * binary metric ([[classReport]]'s F1 ignores true negatives; accuracy
+    * saturates at 99% on a 1% class; MCC only scores high when ALL four
+    * confusion cells are good). MCC itself carries a square root, so the
+    * EXACT publishable is its signed square: with d = TP·TN − FP·FN,
+    *
+    *   mcc2_signed_q6 = sgn(d)·⌊10⁶·d² / ((TP+FP)(TP+FN)(TN+FP)(TN+FN))⌋
+    *
+    * — the reader takes √(|·|/10⁶) with the sign; +10⁶ is a perfect
+    * classifier, −10⁶ a perfect inverter, 0 chance-level. Any empty
+    * margin (a degenerate all-one-class truth or prediction) makes MCC
+    * undefined → NULL. Magnitudes: d²·10⁶ ≤ n⁴·10⁶ must fit
+    * DECIMAL(38,0) ⇒ n ≲ 10⁸ rows per group — ANSI raises loudly past
+    * it. Outcomes must be 0/1 (raise in-plan); NULL rows drop; NULL
+    * groups are real strata. One partial-agg'd pass.
+    */
+  def mccSigned(df: DataFrame, groupCol: String, trueCol: String,
+                predCol: String): DataFrame = {
+    Seq(trueCol, predCol).foreach(c =>
+      graft.Guards.requireIntegral(df, c, "mccSigned"))
+    val dec = "decimal(38,0)"
+    def bit(c: String) =
+      when(!col(c).cast("long").isin(0L, 1L), raise_error(concat(
+        lit(s"mccSigned: $c must be 0 or 1, got "), col(c).cast("string")))
+        .cast("long"))
+        .otherwise(col(c).cast("long"))
+    val agg = df.where(col(trueCol).isNotNull && col(predCol).isNotNull)
+      .select(col(groupCol), bit(trueCol).as("__y"), bit(predCol).as("__p"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__y") * col("__p")).as("tp"),
+        sum((lit(1L) - col("__y")) * col("__p")).as("fp"),
+        sum(col("__y") * (lit(1L) - col("__p"))).as("fn"),
+        sum((lit(1L) - col("__y")) * (lit(1L) - col("__p"))).as("tn"))
+    val d = col("tp").cast(dec) * col("tn") - col("fp").cast(dec) * col("fn")
+    val prod = (col("tp") + col("fp")).cast(dec) *
+      (col("tp") + col("fn")).cast(dec) *
+      (col("tn") + col("fp")).cast(dec) * (col("tn") + col("fn")).cast(dec)
+    agg.select(col(groupCol), col("n"), col("tp"), col("fp"), col("fn"),
+      col("tn"),
+      when(prod > 0,
+        (when(d < 0, lit(-1L)).otherwise(lit(1L)) *
+          call_function("div", d * d * Scale, prod)).cast("long"))
+        .as("mcc2_signed_q6"))
+  }
+
+  /** DuckDB replay of [[mccSigned]]; `pairsSql` yields (grp, y, p). */
+  def mccOracleSql(pairsSql: String, groupName: String): String = {
+    val tp = "CAST(sum(y * p) AS HUGEINT)"
+    val fp = "CAST(sum((1 - y) * p) AS HUGEINT)"
+    val fn = "CAST(sum(y * (1 - p)) AS HUGEINT)"
+    val tn = "CAST(sum((1 - y) * (1 - p)) AS HUGEINT)"
+    val d = s"($tp * $tn - $fp * $fn)"
+    val prod = s"(($tp + $fp) * ($tp + $fn) * ($tn + $fp) * ($tn + $fn))"
+    s"""SELECT grp AS $groupName, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(y * p) AS BIGINT) AS tp,
+  CAST(sum((1 - y) * p) AS BIGINT) AS fp,
+  CAST(sum(y * (1 - p)) AS BIGINT) AS fn,
+  CAST(sum((1 - y) * (1 - p)) AS BIGINT) AS tn,
+  CASE WHEN $prod > 0 THEN CAST(
+    (CASE WHEN $d < 0 THEN -1 ELSE 1 END) * ($d * $d * $Scale // $prod)
+    AS BIGINT) END AS mcc2_signed_q6
+FROM ($pairsSql) WHERE y IS NOT NULL AND p IS NOT NULL
+GROUP BY grp ORDER BY $groupName"""
+  }
+
   /** Per-group exact regression error metrics over integer targets —
     * the continuous corner of the eval layer ([[classReport]] scores
     * hard classes, [[RocAuc]] rankings, [[Backtest]] forecast series
