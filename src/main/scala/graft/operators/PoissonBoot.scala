@@ -48,27 +48,25 @@ object PoissonBoot {
 
   val MaxWeight = 9L
 
-  private def weight(h: Column): Column = {
-    var c = when(h < Thresholds(0), 0L)
-    var k = 1
-    while (k < Thresholds.length) { c = c.when(h < Thresholds(k), k.toLong); k += 1 }
-    c.otherwise(lit(MaxWeight))
-  }
-
   private def aggAll(df: DataFrame, groupCol: String, idCol: String,
                      valueCol: String, reps: Int): DataFrame = {
     require(reps >= 2 && reps <= 64, s"reps must be in [2, 64], got $reps")
     graft.Guards.requireIntegral(df, valueCol, "poissonBoot")
+    // ONE custom aggregate carries all R replicate sums, so the R md5
+    // draws of a row happen exactly once (an expression form gets
+    // inlined into every aggregate by projection collapse — 32 weight
+    // arrays per row; functions/PoissonBootAgg is the r11 fix,
+    // bit-equality with the per-column md5 chain spec-pinned)
     val rows = df
       .where(col(idCol).isNotNull && col(valueCol).isNotNull)
       .select(col(groupCol), col(idCol).cast("string").as("__id"),
         col(valueCol).cast("long").as("__x"))
-    val ests = (1 to reps).map { r =>
-      val h = graft.functions.Md5Prefix60(concat(col("__id"), lit(s":$r")))
-      sum(weight(h) * col("__x")).as(s"__e$r")
-    }
-    val base = Seq(count(lit(1)).as("n"), sum(col("__x")).as("total"))
-    rows.groupBy(col(groupCol)).agg(base.head, (base.tail ++ ests): _*)
+    val agg = rows.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("total"),
+        graft.functions.PoissonBootAgg(reps)(col("__id"), col("__x"))
+          .as("__b"))
+    val ests = (1 to reps).map(r => element_at(col("__b"), r).as(s"__e$r"))
+    agg.select(Seq(col(groupCol), col("n"), col("total")) ++ ests: _*)
   }
 
   /** One row per (group, replicate): (groupCol, rep, boot_sum) — the raw
