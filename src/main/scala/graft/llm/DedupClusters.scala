@@ -53,9 +53,13 @@ object DedupClusters {
       .localCheckpoint(true)
     // iterate ONLY over edge-touched vertices (both endpoints appear in sym
     // by symmetry); the corpus-sized singleton mass joins back at the end
+    // label checkpoints are LAZY: every round's labelSum action
+    // materializes them in the same job — halves the scheduled job
+    // count per round (the GraphRank lesson: eager checkpoints in a
+    // driver loop are pure scheduling latency)
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // convergence check: labels are monotonically non-increasing, so the
     // global label sum strictly decreases until fixpoint. Decimal(38,0)
     // accumulation — a Long sum could wrap at extreme id magnitudes and
@@ -71,7 +75,7 @@ object DedupClusters {
         .select(col("dst").as("id"), col("label"))
         .union(labels)
         .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val nextSum = labelSum(next)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
@@ -109,11 +113,14 @@ object DedupClusters {
       pairs: DataFrame, vertices: DataFrame, idCol: String,
       maxRounds: Int = 50): DataFrame = {
     import org.apache.spark.sql.functions.{greatest, least}
+    // LAZY checkpoints throughout: the fixpoint test's count()/exceptAll
+    // actions materialize each round's edge set in their own job — an
+    // eager checkpoint would just add a blocking job per round
     var edges = pairs
       .select(col("left_id").as("src"), col("right_id").as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
@@ -142,7 +149,7 @@ object DedupClusters {
     var round = 0
     var converged = edges.isEmpty
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
       // exact fixpoint test on the (small, duplicate-subgraph-sized) edge
       // set; both frames are checkpointed so each side evaluates once
       converged = next.count() == edges.count() && next.exceptAll(edges).isEmpty

@@ -45,7 +45,7 @@ object BfsHops {
       .where(col(seedCol).isNotNull)
       .select(col(seedCol).as("vertex")).distinct()
       .withColumn("hops", lit(0L))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var last = labeled
     for (r <- 1 to maxHops) {
       val frontier = e
@@ -55,8 +55,8 @@ object BfsHops {
         .join(labeled.select(col("vertex").as("__l")),
           col("vertex") === col("__l"), "left_anti")
         .withColumn("hops", lit(r.toLong))
-        .localCheckpoint(true)
-      labeled = labeled.unionAll(frontier).localCheckpoint(true)
+        .localCheckpoint(false)
+      labeled = labeled.unionAll(frontier).localCheckpoint(false)
       last = frontier
     }
     labeled

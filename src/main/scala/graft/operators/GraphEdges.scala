@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** The undirected-graph canonicalization shared by the iterating graph
   * operators ([[KCore]], [[BfsHops]]): symmetrize, drop self-loops and
-  * NULL endpoints, deduplicate, checkpoint eagerly (the edge set is
-  * re-read every round). ONE definition on each side of the oracle so
+  * NULL endpoints, deduplicate, checkpoint lazily (the first consuming
+  * job materializes the edge set; later rounds re-read the blocks). ONE definition on each side of the oracle so
   * the graph semantics cannot drift between operators.
   */
 private[operators] object GraphEdges {
@@ -23,7 +23,10 @@ private[operators] object GraphEdges {
     base
       .unionAll(base.select(col("__d").as("__s"), col("__s").as("__d")))
       .distinct()
-      .localCheckpoint(true)
+      // LAZY: the first consumer's job materializes the blocks; every
+      // later round re-reads them — same single evaluation as the eager
+      // form without the extra blocking setup job
+      .localCheckpoint(false)
   }
 
   /** The DuckDB replica as a MATERIALIZED CTE named `name`, yielding

@@ -46,13 +46,19 @@ object KCore {
     * degree k, returning the surviving (checkpointed) edge set.
     */
   private def sweep(e: DataFrame, k: Int): DataFrame = {
+    // LAZY checkpoints: they still truncate lineage (plan depth stays
+    // O(1) in rounds) but materialize inside the next action's job —
+    // peelToFixpoint's per-round count, or peel's single final
+    // aggregate — instead of two blocking jobs per sweep. `keep` feeds
+    // both semi-joins; the block manager computes it once and the
+    // second consumer reads the persisted blocks.
     val keep = e.groupBy(col("__s")).agg(count(lit(1)).as("__n"))
       .where(col("__n") >= k)
       .select(col("__s").as("__v"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     e.join(keep, col("__s") === col("__v"), "left_semi")
       .join(keep, col("__d") === col("__v"), "left_semi")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
   }
 
   private def degrees(e: DataFrame): DataFrame =
@@ -71,8 +77,8 @@ object KCore {
 
   /** The TRUE k-core: sweeps until one removes nothing. Every removed
     * vertex takes ≥ 1 edge with it, so "edge count unchanged" IS the
-    * fixpoint test — and each round's edge set is already an eager
-    * checkpoint, making the per-round count a cheap driver-side action
+    * fixpoint test — and each round's count materializes that round's
+    * lazy checkpoint, making the fixpoint test a one-job-per-round action
     * (the data-independent-plan discipline of [[peel]] trades away here
     * for the guarantee a caller can ship: survivors all have degree ≥ k).
     * Throws loudly after `maxRounds` non-converged sweeps rather than

@@ -42,8 +42,10 @@ object KTruss {
                       k: Int, maxRounds: Int = 50): DataFrame = {
     require(k >= 3, s"k must be at least 3, got $k")
     require(maxRounds >= 1, s"maxRounds must be positive, got $maxRounds")
+    // LAZY checkpoints: each round's count() materializes them in the
+    // same job (KCore posture) — no separate blocking checkpoint jobs
     var e = Triangles.canonicalEdges(edges, srcCol, dstCol)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var m = e.count()
     var round = 0
     while (m > 0 && round < maxRounds) {
@@ -51,14 +53,14 @@ object KTruss {
       val sup = support(e)
       val kept = e.join(sup, Seq("u", "v"))
         .where(col("support") >= (k - 2).toLong)
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val m2 = kept.count()
       if (m2 == m)
         // fixpoint: nothing dropped, so `support` was measured in the
         // final subgraph already
         return kept.select(col("u").as("src"), col("v").as("dst"),
           col("support"))
-      e = kept.select(col("u"), col("v")).localCheckpoint(true)
+      e = kept.select(col("u"), col("v")).localCheckpoint(false)
       m = m2
     }
     if (m == 0)

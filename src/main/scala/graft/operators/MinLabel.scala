@@ -27,8 +27,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: per round ONE equi-join of the edge list against the
   * labels and one partial-agg'd min per destination — 8-byte id
-  * shuffles, no windows; per-round eager checkpoint (PageRank lineage
-  * posture). Contracts: undirected ([[GraphEdges]] canonicalization);
+  * shuffles, no windows; per-round LAZY checkpoint materialized by the
+  * fixpoint-test aggregate (PageRank lineage posture — one job per
+  * round, not a checkpoint job plus an aggregate job). Contracts: undirected ([[GraphEdges]] canonicalization);
   * only vertices with ≥ 1 surviving edge appear (an isolated id has no
   * component membership to report); vertex ids must be orderable — the
   * MINIMUM id is the component name.
@@ -40,9 +41,13 @@ object MinLabel {
                  maxRounds: Int = 50): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be positive, got $maxRounds")
     val e = GraphEdges.symmetrize(edges, srcCol, dstCol)
+    // label checkpoints are LAZY (the GraphRank posture): every round is
+    // followed by a labelSum action anyway, so the checkpoint rides that
+    // job instead of paying a separate blocking materialization — one
+    // scheduled job per round, not two
     var lab = e.select(col("__s").as("vertex")).distinct()
       .withColumn("label", col("vertex"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // coalesce: an empty (or all-self-loop) graph sums to NULL — treat as
     // zero so the empty frame converges on round one instead of NPE-ing
     def labelSum(df: DataFrame): java.math.BigDecimal = {
@@ -61,7 +66,7 @@ object MinLabel {
       val next = lab.join(nb, Seq("vertex"), "left")
         .select(col("vertex"),
           least(col("label"), coalesce(col("__m"), col("label"))).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val s2 = labelSum(next)
       lab = next
       if (s2.compareTo(s) == 0)

@@ -57,10 +57,13 @@ object PoissonBoot {
     // inlined into every aggregate by projection collapse — 32 weight
     // arrays per row; functions/PoissonBootAgg is the r11 fix,
     // bit-equality with the per-column md5 chain spec-pinned)
-    val rows = df
+    // R md5 draws per row is the operator's hot loop — fan the projected
+    // narrow rows out to cluster parallelism when the scan came in as a
+    // single split (guide §2.5; no-op at scale where splits >= cores)
+    val rows = graft.Guards.fanOut(df
       .where(col(idCol).isNotNull && col(valueCol).isNotNull)
       .select(col(groupCol), col(idCol).cast("string").as("__id"),
-        col(valueCol).cast("long").as("__x"))
+        col(valueCol).cast("long").as("__x")))
     val agg = rows.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"), sum(col("__x")).as("total"),
         graft.functions.PoissonBootAgg(reps)(col("__id"), col("__x"))
