@@ -35,15 +35,27 @@ object CorrMatrix {
     require(cols.size >= 2, s"need >= 2 columns, got ${cols.size}")
     require(cols.distinct.size == cols.size, "columns must be distinct")
     cols.foreach(c => graft.Guards.requireIntegral(df, c, "matrix"))
-    val complete = df.where(cols.map(col(_).isNotNull).reduce(_ && _))
-      .select(groupCols.map(col) ++
-        cols.map(c => col(c).cast("long").cast(Dec).as(s"__v_$c")): _*)
+    // k + k(k+1)/2 multiply-accumulates per row run in the map stage —
+    // fan the projected rows out when the scan came in as a single split
+    // (guide §2.5; no-op at scale where splits >= cores). The exchange
+    // carries LONGS (8 bytes, codegen'd writers); the decimal widening
+    // happens after it, inside the aggregate.
+    val complete = graft.Guards.fanOut(
+      df.where(cols.map(col(_).isNotNull).reduce(_ && _))
+        .select(groupCols.map(col) ++
+          cols.map(c => col(c).cast("long").as(s"__v_$c")): _*))
+    // per-row products in exact LONG arithmetic (ANSI raises loudly if
+    // |a·b| ever exceeds 2⁶³ — the quantized-units contract); each
+    // moment accumulates via [[graft.ExactSum.sumLong]] (three
+    // codegen'd long limb sums, recombined to the identical
+    // decimal(38,0) once per group) instead of a per-row BigDecimal add
     val moments =
       Seq(count(lit(1)).as("__n")) ++
-        cols.map(c => sum(col(s"__v_$c")).as(s"__s_$c")) ++
+        cols.map(c => graft.ExactSum.sumLong(col(s"__v_$c")).as(s"__s_$c")) ++
         cols.indices.flatMap(i => (i until cols.size).map { j =>
           val (a, b) = (cols(i), cols(j))
-          sum(col(s"__v_$a") * col(s"__v_$b")).as(s"__q_${a}_$b")
+          graft.ExactSum.sumLong(col(s"__v_$a") * col(s"__v_$b"))
+            .as(s"__q_${a}_$b")
         })
     val agg = complete.groupBy(groupCols.map(col): _*)
       .agg(moments.head, moments.tail: _*)

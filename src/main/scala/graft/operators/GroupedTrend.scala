@@ -39,11 +39,22 @@ object GroupedTrend {
   def slope(df: DataFrame, groupCols: Seq[String], xCol: String,
             yCol: String): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must not be empty")
-    val sums = withTrendColumns(df, xCol, yCol)
+    // one-shot path: long rows + limb sums ([[graft.ExactSum.sumLong]] —
+    // three codegen'd long partials per moment, recombined to the same
+    // decimal(38,0) once per group). The incremental-store path keeps
+    // [[withTrendColumns]]' decimal columns (its store schema is the
+    // contract); only this in-memory pass changes representation.
+    val xl = col(xCol).cast("long")
+    val yl = col(yCol).cast("long")
+    val rows = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(groupCols.map(col) :+ xl.as("__lx") :+ yl.as("__ly"): _*)
+    val sums = rows
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("__tn"),
-        sum(col("__tx")).as("__tsx"), sum(col("__ty")).as("__tsy"),
-        sum(col("__txy")).as("__tsxy"), sum(col("__txx")).as("__tsxx"))
+        graft.ExactSum.sumLong(col("__lx")).as("__tsx"),
+        graft.ExactSum.sumLong(col("__ly")).as("__tsy"),
+        graft.ExactSum.sumLong(col("__lx") * col("__ly")).as("__tsxy"),
+        graft.ExactSum.sumLong(col("__lx") * col("__lx")).as("__tsxx"))
     slopeFromSums(sums, groupCols)
   }
 
@@ -62,12 +73,16 @@ object GroupedTrend {
   /** Derive the decimal input columns [[trendSpecs]] aggregates. */
   def withTrendColumns(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val dec = "decimal(38,0)"
-    val x = col(xCol).cast("long").cast(dec)
-    val y = col(yCol).cast("long").cast(dec)
+    val xl = col(xCol).cast("long")
+    val yl = col(yCol).cast("long")
+    // products in exact LONG arithmetic (ANSI raises loudly if |x·y|
+    // exceeds 2⁶³ — the quantized-units contract), widened to
+    // decimal(38,0) only for overflow-free accumulation: one codegen'd
+    // long multiply per row instead of a BigDecimal multiply
     df.where(col(xCol).isNotNull && col(yCol).isNotNull)
-      .withColumn("__tx", x).withColumn("__ty", y)
-      .withColumn("__txy", (x * y).cast(dec))
-      .withColumn("__txx", (x * x).cast(dec))
+      .withColumn("__tx", xl.cast(dec)).withColumn("__ty", yl.cast(dec))
+      .withColumn("__txy", (xl * yl).cast(dec))
+      .withColumn("__txx", (xl * xl).cast(dec))
   }
 
   /** Finish a store read (or any frame carrying the [[trendSpecs]] sum
@@ -114,14 +129,19 @@ object GroupedTrend {
                   yCol: String): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must not be empty")
     val dec = Dec
-    val y = col(yCol).cast("long").cast(dec)
-    val sums = withTrendColumns(df, xCol, yCol)
-      .withColumn("__tyy", (y * y).cast(dec))
+    // long rows + limb sums, same posture (and rationale) as [[slope]]
+    val xl = col(xCol).cast("long")
+    val yl = col(yCol).cast("long")
+    val rows = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(groupCols.map(col) :+ xl.as("__lx") :+ yl.as("__ly"): _*)
+    val sums = rows
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("__tn"),
-        sum(col("__tx")).as("__tsx"), sum(col("__ty")).as("__tsy"),
-        sum(col("__txy")).as("__tsxy"), sum(col("__txx")).as("__tsxx"),
-        sum(col("__tyy")).as("__tsyy"))
+        graft.ExactSum.sumLong(col("__lx")).as("__tsx"),
+        graft.ExactSum.sumLong(col("__ly")).as("__tsy"),
+        graft.ExactSum.sumLong(col("__lx") * col("__ly")).as("__tsxy"),
+        graft.ExactSum.sumLong(col("__lx") * col("__lx")).as("__tsxx"),
+        graft.ExactSum.sumLong(col("__ly") * col("__ly")).as("__tsyy"))
     sums
       .withColumn("corr_num", crossMoment("__tsxy", "__tsx", "__tsy"))
       .withColumn("var_x", crossMoment("__tsxx", "__tsx", "__tsx"))
