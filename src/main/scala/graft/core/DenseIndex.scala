@@ -36,6 +36,22 @@ object DenseIndex {
 
   private val PartitionCapBits = 33L // monotonically_increasing_id local-seq width
 
+  /** [[withDenseIndex]] over an input whose partition layout is NOT
+    * deterministic across evaluations — anything downstream of a RANGE
+    * exchange. `RangePartitioner` seeds its boundary-sampling from the
+    * RDD id, so the offsets pass and the output pass (which plan as two
+    * independent subtrees whenever exchange reuse doesn't canonicalize
+    * them together) draw DIFFERENT boundaries: per-partition counts then
+    * disagree with per-partition contents and ranks silently corrupt
+    * (observed as run-to-run NTILE bucket drift the moment the exchange
+    * holds more than one partition — small inputs coalescing to a single
+    * partition had masked it). The lazy local checkpoint pins ONE
+    * materialized snapshot that both passes read — and the expensive
+    * range sort runs once instead of twice.
+    */
+  def withDenseIndexPinned(df: DataFrame, name: String): DataFrame =
+    withDenseIndex(df.localCheckpoint(false), name)
+
   def withDenseIndex(df: DataFrame, name: String): DataFrame = {
     val pid = "__di_pid"; val mid = "__di_mid"; val off = "__di_off"
     val tagged = df

@@ -76,7 +76,12 @@ final case class Fabrix(df: DataFrame, indexTag: Option[IndexTag] = None) {
         guardGlobalOrder("generateIndex(orderBy)")
         df.withColumn(name, row_number().over(Window.orderBy(orderBy: _*)).cast(LongType) - 1)
           .select(name, df.columns.toIndexedSeq: _*)
-      } else DenseIndex.withDenseIndex(df, name)
+      } else
+        // pinned: the input may carry a range exchange (orderBy upstream),
+        // whose layout is not replay-deterministic — see
+        // DenseIndex.withDenseIndexPinned; cost bounded by the positional
+        // API's maxRows contract
+        DenseIndex.withDenseIndexPinned(df, name)
     Fabrix(out, Some(IndexTag(name, LongType)))
   }
 
@@ -133,8 +138,9 @@ final case class Fabrix(df: DataFrame, indexTag: Option[IndexTag] = None) {
     val dup = r.columns.toSet.intersect(l.columns.toSet)
     require(dup.isEmpty, s"hconcat duplicate columns: $dup")
     val pos = "__hc_pos"
-    val la = DenseIndex.withDenseIndex(l, pos)
-    val rb = DenseIndex.withDenseIndex(r, s"${pos}_r")
+    // pinned (see generateIndex): replay-stable positions on both sides
+    val la = DenseIndex.withDenseIndexPinned(l, pos)
+    val rb = DenseIndex.withDenseIndexPinned(r, s"${pos}_r")
     val joined = la.join(rb, col(pos) === col(s"${pos}_r"), "full_outer")
     // when either side is missing, evaluating the branch raises; otherwise
     // the row passes. BooleanSimplification can't fold this (the when guard
@@ -267,7 +273,7 @@ final case class Fabrix(df: DataFrame, indexTag: Option[IndexTag] = None) {
     */
   def findIndex(colName: String, v: Any): Option[Long] = {
     val pos = "__fi_pos"
-    val r = DenseIndex.withDenseIndex(df, pos)
+    val r = DenseIndex.withDenseIndexPinned(df, pos)
       .where(col(colName) <=> lit(v))
       .agg(min(col(pos)))
       .head()
@@ -279,7 +285,7 @@ final case class Fabrix(df: DataFrame, indexTag: Option[IndexTag] = None) {
     */
   def findIndices(colName: String, values: Seq[Any]): Seq[Long] = {
     val pos = "__fi_pos"
-    DenseIndex.withDenseIndex(df, pos)
+    DenseIndex.withDenseIndexPinned(df, pos)
       .where(col(colName).isin(values: _*))
       .select(pos).orderBy(pos)
       .collect().map(_.getLong(0)).toSeq

@@ -43,7 +43,9 @@ object NegativeSampling {
     // stability) and silently DROPS rows. The checkpoint materializes one
     // consistent snapshot; the durability tradeoff (blocks die with their
     // executor) is the same one the iterative operators already accept.
-    val idx = graft.core.DenseIndex.withDenseIndex(ids, "__idx")
+    // pinned variant: range-exchange layouts are not replay-deterministic
+    // (see DenseIndex.withDenseIndexPinned)
+    val idx = graft.core.DenseIndex.withDenseIndexPinned(ids, "__idx")
       .localCheckpoint(false)
     // count from the RAW input: it doesn't need the sorted lineage
     val nDf = df.agg(count(lit(1)).as("__n"))

@@ -38,7 +38,9 @@ object Gini {
       .select(col(idCol), col(valueCol).cast("long").as("__v"))
     val sorted = in.repartitionByRange(col("__v"), col(idCol))
       .sortWithinPartitions("__v", idCol)
-    val ranked = graft.core.DenseIndex.withDenseIndex(sorted, "__rank0")
+    // pinned: range-exchange layouts are not replay-deterministic (see
+    // DenseIndex.withDenseIndexPinned)
+    val ranked = graft.core.DenseIndex.withDenseIndexPinned(sorted, "__rank0")
     ranked
       .select(col("__v"),
         (col("__rank0") + 1).cast(dec).as("__rk"),

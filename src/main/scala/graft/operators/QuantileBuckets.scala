@@ -37,7 +37,10 @@ object QuantileBuckets {
     require(k > 0, s"k must be positive, got $k")
     val sorted = df.repartitionByRange(col(orderCol), col(idCol))
       .sortWithinPartitions(orderCol, idCol)
-    val ranked = graft.core.DenseIndex.withDenseIndex(sorted, "__rank")
+    // Pinned: a range exchange's layout is not deterministic across
+    // evaluations (see withDenseIndexPinned) — unpinned, the rank pass
+    // and the offsets pass can disagree on partition boundaries
+    val ranked = graft.core.DenseIndex.withDenseIndexPinned(sorted, "__rank")
     // count from the RAW input, not the ranked frame: the total row count
     // doesn't need the range sort, so the expensive sorted lineage has ONE
     // consumer (DenseIndex's own two passes are inherent and documented)

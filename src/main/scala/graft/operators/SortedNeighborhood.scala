@@ -35,7 +35,9 @@ object SortedNeighborhood {
       .select(col(idCol), col(sortCol))
       .repartitionByRange(col(sortCol), col(idCol))
       .sortWithinPartitions(sortCol, idCol)
-    val ranked = graft.core.DenseIndex.withDenseIndex(sorted, "__rank")
+    // pinned: range-exchange layouts are not replay-deterministic (see
+    // DenseIndex.withDenseIndexPinned)
+    val ranked = graft.core.DenseIndex.withDenseIndexPinned(sorted, "__rank")
       .localCheckpoint(true)
     // a pair (a, b) with 0 < rank_b − rank_a ≤ w has rank_b in block
     // rank_a div w or the next one — index the left side under both

