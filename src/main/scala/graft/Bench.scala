@@ -25,6 +25,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE coalescing targets shuffle BYTES (default 1 MB minimum per
+      // partition), which serializes compute-dense, byte-light reduce
+      // stages (pair similarity, set intersection) onto a handful of
+      // tasks at small inputs. A 64 KB floor keeps such stages at full
+      // parallelism; at scale partitions dwarf 64 KB so the knob is
+      // inert — coalescing behaves exactly as before (guide §2.2/§2.5:
+      // partitioning derived from input size, not a local constant).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

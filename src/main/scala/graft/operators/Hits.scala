@@ -28,6 +28,11 @@ import org.apache.spark.sql.functions._
   * map-side) and two 1-row max broadcasts; the edge list is
   * checkpointed once and each round joins only the current scores;
   * lineage truncates per round ([[GraphRank]]'s iterative posture).
+  * Normalized scores live in [0, 10⁶] so they ship as 8-byte LONGS and
+  * accumulate through [[graft.ExactSum.sumLong]]'s codegen'd limb sums;
+  * only the raw reinforcement sums (Scale × whale in-degree) carry
+  * decimal magnitude, and each one is computed ONCE per half-round (a
+  * lazy checkpoint feeds both the max build and the scaling pass).
   *
   * Semantics both engines pin: synchronous update order (a from
   * h_{t−1}, then h from a_t); nodes with no in-links have authority 0,
@@ -48,22 +53,32 @@ object Hits {
       .localCheckpoint(false)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(false)
-    def normalize(raw: DataFrame): DataFrame = {
+    def normalize(rawIn: DataFrame): DataFrame = {
+      // LAZY checkpoint: __raw feeds BOTH the broadcast max build and
+      // the scaling pass — uncached it would evaluate the whole
+      // reinforcement sum twice per half-round (the broadcast subquery
+      // runs the child plan independently); the checkpoint's blocks
+      // materialize in the broadcast job and the main pass re-reads them
+      val raw = rawIn.localCheckpoint(false)
       val mx = raw.agg(max(col("__raw")).as("__mx"))
+      // scores are exact in [0, Scale] after the max-normalization (and
+      // start AT Scale), so they travel as 8-byte LONGS; only the raw
+      // reinforcement sums need decimal magnitude (Scale × whale
+      // in-degree), and those accumulate via the codegen'd limb sums
       raw.crossJoin(broadcast(mx))
         .select(col("id"),
           call_function("div", col("__raw") * lit(Scale).cast(dec), col("__mx"))
-            .cast(dec).as("__s"))
+            .cast("long").as("__s"))
     }
     def pushTo(scores: DataFrame, from: String, to: String): DataFrame =
       nodes.join(
           e.join(scores, col("id") === col(from))
             .groupBy(col(to).as("__t"))
-            .agg(sum(col("__s")).cast(dec).as("__acc")),
+            .agg(graft.ExactSum.sumLong(col("__s")).as("__acc")),
           col("id") === col("__t"), "left")
         .select(col("id"),
           coalesce(col("__acc"), lit(0).cast(dec)).as("__raw"))
-    var hubs = nodes.select(col("id"), lit(Scale).cast(dec).as("__s"))
+    var hubs = nodes.select(col("id"), lit(Scale).as("__s"))
     var auths = hubs
     var i = 0
     while (i < iters) {

@@ -39,13 +39,36 @@ object StreamStage {
   /** Run a streaming frame to completion through an append-mode memory
     * sink and return the collected table (the temp view is dropped so
     * the gate is re-runnable in one session).
+    *
+    * State-store partitioning: a stateful streaming query fixes its
+    * state partition count to `spark.sql.shuffle.partitions` at FIRST
+    * start, and every micro-batch then pays a constant per-partition
+    * commit cost (provider init, delta file create + fsync + rename)
+    * on EVERY stateful operator, whatever the state volume. Sizing
+    * state partitions to core count is therefore wrong on both ends:
+    * tiny state (these staged replay gates: KB–MB of window/dedup
+    * state) drowns in per-partition overhead, and 100 TB state wants
+    * far MORE partitions than cores (target tens-of-MB of state per
+    * partition so a store reload after failover is bounded). The count
+    * is a state-volume parameter, not a parallelism parameter — so it
+    * is exposed as `spark.graft.stream.statePartitions` (default 4:
+    * right for the MB-scale state of a replayed gate; a production
+    * deployment sizes it to state-bytes ÷ ~64 MB and overrides).
+    * Stages UPSTREAM of the stateful exchange keep the session's full
+    * shuffle parallelism — only the state operators narrow.
     */
   def runToMemory(stream: DataFrame, name: String,
                   mode: String = "append"): DataFrame = {
     val spark = stream.sparkSession
     spark.catalog.dropTempView(name)
-    val q = stream.writeStream.format("memory").queryName(name)
-      .outputMode(mode).start()
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key,
+      spark.conf.getOption("spark.graft.stream.statePartitions").getOrElse("4"))
+    val q =
+      try stream.writeStream.format("memory").queryName(name)
+        .outputMode(mode).start()
+      finally spark.conf.set(key, prev)
     try q.processAllAvailable() finally q.stop()
     val out = spark.table(name).localCheckpoint(true)
     spark.catalog.dropTempView(name)

@@ -17,6 +17,9 @@ object Profile {
       .master(s"local[${Runtime.getRuntime.availableProcessors()}]")
       .appName("graft-profile")
       .config("spark.sql.shuffle.partitions", Runtime.getRuntime.availableProcessors())
+      // match Bench's AQE coalescing floor so profiled plans are the
+      // benched plans (rationale in Bench.scala)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
