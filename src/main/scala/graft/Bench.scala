@@ -28,11 +28,12 @@ object Bench {
       // AQE coalescing targets shuffle BYTES (default 1 MB minimum per
       // partition), which serializes compute-dense, byte-light reduce
       // stages (pair similarity, set intersection) onto a handful of
-      // tasks at small inputs. A 64 KB floor keeps such stages at full
+      // tasks at small inputs. A 256 KB floor keeps such stages at near-full
       // parallelism; at scale partitions dwarf 64 KB so the knob is
-      // inert — coalescing behaves exactly as before (guide §2.2/§2.5:
+      // inert — coalescing behaves exactly as before. 256 KB (not lower): per-task constants of sort-merge stages bite below it on tiny-shuffle graph joins — empirically the best whole-suite point (guide §2.2/§2.5:
       // partitioning derived from input size, not a local constant).
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "256k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -15,9 +15,13 @@ import org.apache.spark.sql.functions._
   * recurrence another engine can replay — each round every vertex takes
   * `min(own label, neighbors' labels)` — so the whole run faces a
   * cross-engine oracle ([[oracleSql]], unrolled MATERIALIZED CTEs).
-  * Rounds-to-fixpoint is bounded by the largest component's diameter —
-  * fine for the mid-diameter graphs this form targets; switch to
-  * DedupClusters when the diameter is the problem.
+  * The loop adds a pointer-jumping shortcut (min with the label of
+  * one's label) on top of the per-hop step, so rounds-to-fixpoint is
+  * O(log diameter) rather than O(diameter); the FIXPOINT — the only
+  * thing gated, and what the per-hop oracle converges to — is the
+  * schedule-independent per-component minimum, so the replay is
+  * unaffected. Switch to DedupClusters for algorithm-specific
+  * intermediate-state needs.
   *
   * Runs to FIXPOINT with the [[KCore.peelToFixpoint]] discipline: labels
   * are non-increasing per vertex, so "total label sum unchanged" is the
@@ -63,9 +67,27 @@ object MinLabel {
         .join(lab.select(col("vertex").as("__s"), col("label").as("__nl")), "__s")
         .groupBy(col("__d").as("vertex"))
         .agg(min(col("__nl")).as("__m"))
-      val next = lab.join(nb, Seq("vertex"), "left")
+      val hop = lab.join(nb, Seq("vertex"), "left")
         .select(col("vertex"),
           least(col("label"), coalesce(col("__m"), col("label"))).as("label"))
+        // EAGER: the shortcut below reads `hop` through two different
+        // join keys (vertex and label) — two exchanges, so an unpinned
+        // frame would evaluate the hop join twice (and a lazy pin would
+        // let the two exchange stages race-compute it)
+        .localCheckpoint(true)
+      // pointer-jumping shortcut: also take the label OF one's label
+      // (labels are always vertex ids — the min over a subset of the
+      // component's ids — so the inner self-join is total). Propagation
+      // then contracts distances geometrically: rounds-to-fixpoint drops
+      // from O(diameter) to O(log diameter), the same device that makes
+      // large-star/small-star scale. Every step is still monotone
+      // non-increasing toward the SAME unique fixpoint (per-component
+      // min), so the gated result — and the per-hop oracle replay, which
+      // is stable past its own fixpoint — is unchanged.
+      val next = hop.join(
+          hop.select(col("vertex").as("__lv"), col("label").as("__ll")),
+          col("label") === col("__lv"))
+        .select(col("vertex"), least(col("label"), col("__ll")).as("label"))
         .localCheckpoint(false)
       val s2 = labelSum(next)
       lab = next

@@ -53,9 +53,13 @@ object StreamStage {
     * is a state-volume parameter, not a parallelism parameter — so it
     * is exposed as `spark.graft.stream.statePartitions` (default 4:
     * right for the MB-scale state of a replayed gate; a production
-    * deployment sizes it to state-bytes ÷ ~64 MB and overrides).
-    * Stages UPSTREAM of the stateful exchange keep the session's full
-    * shuffle parallelism — only the state operators narrow.
+    * deployment sizes it to state-bytes ÷ ~64 MB and overrides). The
+    * override scopes to THIS query (StreamExecution clones the session
+    * synchronously inside start(), so restoring the conf right after is
+    * race-free) but applies to every shuffle inside it — correct for
+    * the replayed gates, whose per-batch volumes are store-sized; a
+    * deployment with heavy pre-state stages sets the conf to its real
+    * state-partition target and sizes the session default for the rest.
     */
   def runToMemory(stream: DataFrame, name: String,
                   mode: String = "append"): DataFrame = {

@@ -19,7 +19,8 @@ object Profile {
       .config("spark.sql.shuffle.partitions", Runtime.getRuntime.availableProcessors())
       // match Bench's AQE coalescing floor so profiled plans are the
       // benched plans (rationale in Bench.scala)
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "256k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
