@@ -65,7 +65,7 @@ object DedupClusters {
     // accumulation — a Long sum could wrap at extreme id magnitudes and
     // alias two different label states.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      df.agg(graft.ExactSum.sumLong(col("label"))).head.getDecimal(0)
     var prevSum = labelSum(labels)
     var round = 0
     // a null sum means zero edge-touched vertices — nothing to iterate

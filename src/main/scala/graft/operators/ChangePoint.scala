@@ -43,10 +43,10 @@ object ChangePoint {
     val rn = Window.partitionBy(col(groupCol)).orderBy(col("__ts"), col("__id"))
     val pre = rows
       .withColumn("__i", row_number().over(rn).cast(LongType))
-      .withColumn("__p", sum(col("__x").cast("decimal(38,0)")).over(ord))
+      .withColumn("__p", graft.ExactSum.sumLongOver(col("__x"), ord))
     val totals = rows.groupBy(col(groupCol)).agg(
       count(lit(1)).as("n_samples"),
-      sum(col("__x").cast("decimal(38,0)")).as("__tot"))
+      graft.ExactSum.sumLong(col("__x")).as("__tot"))
     pre.join(broadcast(totals), Seq(groupCol))
       .withColumn("__dev",
         abs(col("n_samples").cast("decimal(38,0)") * col("__p")

@@ -61,10 +61,12 @@ object Cuped {
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("__n"),
         sum(col("__t")).as("__nt"),
-        sum(col("__x").cast(Dec)).cast(Dec).as("__sx"),
-        sum(col("__y").cast(Dec)).cast(Dec).as("__sy"),
-        sum(col("__x").cast(Dec) * col("__y").cast(Dec)).cast(Dec).as("__sxy"),
-        sum(col("__x").cast(Dec) * col("__x").cast(Dec)).cast(Dec).as("__sxx"),
+        // limb sums + exact LONG products (ANSI raises loudly past 2^63 —
+        // the quantized-units contract; same posture as GroupedTrend)
+        graft.ExactSum.sumLong(col("__x")).as("__sx"),
+        graft.ExactSum.sumLong(col("__y")).as("__sy"),
+        graft.ExactSum.sumLong(col("__x") * col("__y")).as("__sxy"),
+        graft.ExactSum.sumLong(col("__x") * col("__x")).as("__sxx"),
         sum(when(col("__t") === 1L, col("__y")).otherwise(0L)).as("__syt"),
         sum(when(col("__t") === 0L, col("__y")).otherwise(0L)).as("__syc"),
         sum(when(col("__t") === 1L, col("__x")).otherwise(0L)).as("__sxt"),

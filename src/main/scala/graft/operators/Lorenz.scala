@@ -41,7 +41,7 @@ object Lorenz {
       .select(col(idCol), col(valueCol).cast("long").as("__v"))
     val bucketed = QuantileBuckets.ntileExact(in, "__v", idCol, k)
     val perBucket = bucketed.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n"), sum(col("__v").cast(dec)).cast(dec).as("__s"))
+      .agg(count(lit(1)).as("n"), graft.ExactSum.sumLong(col("__v")).as("__s"))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val tot = org.apache.spark.sql.expressions.Window

@@ -55,7 +55,7 @@ object MinLabel {
     // coalesce: an empty (or all-self-loop) graph sums to NULL — treat as
     // zero so the empty frame converges on round one instead of NPE-ing
     def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val r = df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+      val r = df.agg(coalesce(graft.ExactSum.sumLong(col("label")),
         lit(0).cast("decimal(38,0)"))).head()
       r.getDecimal(0)
     }

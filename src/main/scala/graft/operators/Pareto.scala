@@ -46,8 +46,8 @@ object Pareto {
     val cum = col("__cum").cast("decimal(38,0)")
     val tot = col("__tot").cast("decimal(38,0)")
     vals
-      .withColumn("__cum", sum(col("__v").cast("decimal(38,0)")).over(ord))
-      .withColumn("__tot", sum(col("__v").cast("decimal(38,0)")).over(whole))
+      .withColumn("__cum", graft.ExactSum.sumLongOver(col("__v"), ord))
+      .withColumn("__tot", graft.ExactSum.sumLongOver(col("__v"), whole))
       .withColumn("rank", row_number().over(rk).cast(LongType))
       .select(col(groupCol), col(idCol), col("__v").as("value"), col("rank"),
         expr("CAST((CAST(__cum AS DECIMAL(38,0)) * 10000) div __tot AS BIGINT)")

@@ -36,7 +36,8 @@ object WeightedStats {
       .where(col(valueCol).isNotNull && col(weightCol).isNotNull &&
         col(weightCol) > 0)
       .groupBy(col(groupCol), col(valueCol).cast(LongType).as("__v"))
-      .agg(sum(col(weightCol).cast("decimal(38,0)")).as("__w"))
+      .agg( // limb sums: identical decimal(38,0), codegen'd long partials
+        graft.ExactSum.sumLong(col(weightCol).cast(LongType)).as("__w"))
     val ord = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val whole = Window.partitionBy(col(groupCol))
@@ -94,7 +95,8 @@ object WeightedStats {
       .where(col(valueCol).isNotNull && col(weightCol).isNotNull &&
         col(weightCol) > 0)
       .groupBy(col(groupCol), col(valueCol).cast(LongType).as("__v"))
-      .agg(sum(col(weightCol).cast("decimal(38,0)")).as("__w"))
+      .agg( // limb sums: identical decimal(38,0), codegen'd long partials
+        graft.ExactSum.sumLong(col(weightCol).cast(LongType)).as("__w"))
       .withColumn("__b", call_function("div", col("__v"), lit(bucketWidth)))
       .localCheckpoint(true)
     val within = Window.partitionBy(col(groupCol), col("__b"))
