@@ -80,29 +80,35 @@ object Scd2 {
       return
     }
     val dim = spark.read.parquet(storeDir)
-    val keys = batch.select(col(keyCol)).distinct()
-    val affected = dim.join(keys, Seq(keyCol), "left_semi")
-    if (strict) {
-      // a batch change strictly before its key's last version is late data
-      val lastV = affected.groupBy(keyCol)
-        .agg(max(struct(col("valid_from").as("e"), col(seqCol).as("q"))).as("__last"))
-      val late = batch.join(lastV, Seq(keyCol))
-        .where(struct(col(effCol).as("e"), col(seqCol).as("q")) < col("__last")).count()
-      require(late == 0,
-        s"$late out-of-order change(s): batches must arrive in (eff, seq) order " +
-          "per key; already-collapsed no-op changes make late folds unsound — rebuild instead")
-    }
-    // stored versions ARE the key's surviving change log: replay them with
-    // the batch through the same build
-    val versionCols = (Seq(col(keyCol)) ++ attrCols.map(col) ++
-      Seq(col("valid_from").as(effCol), col(seqCol)))
-    val rebuilt = build(
-      affected.select(versionCols: _*)
-        .unionByName(batch.select((Seq(col(keyCol)) ++ attrCols.map(col) ++
-          Seq(col(effCol), col(seqCol))): _*)),
-      keyCol, attrCols, effCol, seqCol)
-    val untouched = dim.join(keys, Seq(keyCol), "left_anti")
-    AtomicStore.replace(spark, storeDir, untouched.unionByName(rebuilt))
+    // the batch feeds THREE jobs below (key set + strict late-check count
+    // + rebuild union) — cache it so an expensive batch source evaluates
+    // once per fold, not three times (the LakeMerge `aligned` posture)
+    val b = batch.persist()
+    try {
+      val keys = b.select(col(keyCol)).distinct()
+      val affected = dim.join(keys, Seq(keyCol), "left_semi")
+      if (strict) {
+        // a batch change strictly before its key's last version is late data
+        val lastV = affected.groupBy(keyCol)
+          .agg(max(struct(col("valid_from").as("e"), col(seqCol).as("q"))).as("__last"))
+        val late = b.join(lastV, Seq(keyCol))
+          .where(struct(col(effCol).as("e"), col(seqCol).as("q")) < col("__last")).count()
+        require(late == 0,
+          s"$late out-of-order change(s): batches must arrive in (eff, seq) order " +
+            "per key; already-collapsed no-op changes make late folds unsound — rebuild instead")
+      }
+      // stored versions ARE the key's surviving change log: replay them with
+      // the batch through the same build
+      val versionCols = (Seq(col(keyCol)) ++ attrCols.map(col) ++
+        Seq(col("valid_from").as(effCol), col(seqCol)))
+      val rebuilt = build(
+        affected.select(versionCols: _*)
+          .unionByName(b.select((Seq(col(keyCol)) ++ attrCols.map(col) ++
+            Seq(col(effCol), col(seqCol))): _*)),
+        keyCol, attrCols, effCol, seqCol)
+      val untouched = dim.join(keys, Seq(keyCol), "left_anti")
+      AtomicStore.replace(spark, storeDir, untouched.unionByName(rebuilt))
+    } finally b.unpersist()
   }
 
   /** Reorder-TOLERANT fold: the production CDC path where late deliveries
