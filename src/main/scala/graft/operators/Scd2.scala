@@ -80,34 +80,57 @@ object Scd2 {
       return
     }
     val dim = spark.read.parquet(storeDir)
-    // the batch feeds THREE jobs below (key set + strict late-check count
-    // + rebuild union) — cache it so an expensive batch source evaluates
-    // once per fold, not three times (the LakeMerge `aligned` posture)
+    // the batch is referenced several times inside the single rebuild job
+    // below (key set + rebuild union) — cache it so an expensive batch
+    // source evaluates once per fold (the LakeMerge `aligned` posture)
     val b = batch.persist()
     try {
       val keys = b.select(col(keyCol)).distinct()
       val affected = dim.join(keys, Seq(keyCol), "left_semi")
-      if (strict) {
-        // a batch change strictly before its key's last version is late data
-        val lastV = affected.groupBy(keyCol)
-          .agg(max(struct(col("valid_from").as("e"), col(seqCol).as("q"))).as("__last"))
-        val late = b.join(lastV, Seq(keyCol))
-          .where(struct(col(effCol).as("e"), col(seqCol).as("q")) < col("__last")).count()
-        require(late == 0,
-          s"$late out-of-order change(s): batches must arrive in (eff, seq) order " +
-            "per key; already-collapsed no-op changes make late folds unsound — rebuild instead")
-      }
       // stored versions ARE the key's surviving change log: replay them with
       // the batch through the same build
       val versionCols = (Seq(col(keyCol)) ++ attrCols.map(col) ++
         Seq(col("valid_from").as(effCol), col(seqCol)))
-      val rebuilt = build(
-        affected.select(versionCols: _*)
-          .unionByName(b.select((Seq(col(keyCol)) ++ attrCols.map(col) ++
-            Seq(col(effCol), col(seqCol))): _*)),
-        keyCol, attrCols, effCol, seqCol)
-      val untouched = dim.join(keys, Seq(keyCol), "left_anti")
-      AtomicStore.replace(spark, storeDir, untouched.unionByName(rebuilt))
+      val storedChanges = affected.select(versionCols: _*)
+      val batchChanges = b.select((Seq(col(keyCol)) ++ attrCols.map(col) ++
+        Seq(col(effCol), col(seqCol))): _*)
+      if (strict) {
+        // a batch change strictly before its key's last STORED version is
+        // late data and the fold must be rejected. The check no longer runs
+        // as its own count job: the rebuild's union is tagged by source, an
+        // unordered window over the same key partitioning the build windows
+        // shuffle on recovers each key's last stored (eff, seq), and the
+        // late-row count rides the store-rebuild write as an observed
+        // metric — checked AFTER the staged write but BEFORE the atomic
+        // swap, so a late batch still leaves the live store untouched (the
+        // staged tmp is deleted) exactly as the standalone pre-check did.
+        val ord = struct(col(effCol).as("e"), col(seqCol).as("q"))
+        val wKey = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
+        val tagged = storedChanges.withColumn("__src", lit(0))
+          .unionByName(batchChanges.withColumn("__src", lit(1)))
+        val lastStored =
+          max(when(col("__src") === 0, ord)).over(wKey)
+        val flagged = tagged
+          .withColumn("__late", col("__src") === 1 && ord < lastStored)
+        val obs = org.apache.spark.sql.Observation()
+        val observed = flagged
+          .observe(obs, sum(when(col("__late"), 1L).otherwise(0L)).as("late"))
+          .drop("__src", "__late")
+        val rebuilt = build(observed, keyCol, attrCols, effCol, seqCol)
+        val untouched = dim.join(keys, Seq(keyCol), "left_anti")
+        AtomicStore.replace(spark, storeDir, untouched.unionByName(rebuilt),
+          beforeSwap = () => {
+            val late = Option(obs.get("late")).map(_.asInstanceOf[Long]).getOrElse(0L)
+            require(late == 0,
+              s"$late out-of-order change(s): batches must arrive in (eff, seq) order " +
+                "per key; already-collapsed no-op changes make late folds unsound — rebuild instead")
+          })
+      } else {
+        val rebuilt = build(storedChanges.unionByName(batchChanges),
+          keyCol, attrCols, effCol, seqCol)
+        val untouched = dim.join(keys, Seq(keyCol), "left_anti")
+        AtomicStore.replace(spark, storeDir, untouched.unionByName(rebuilt))
+      }
     } finally b.unpersist()
   }
 

@@ -28,9 +28,14 @@ object AtomicStore {
   /** Replace the store at `dir` with `df`, crash-safely. `df` MAY read from
     * the store itself (the tmp write materializes it before any rename).
     * `coalesceTo > 0` narrows the output to that many files (a no-shuffle
-    * merge — the compaction use).
+    * merge — the compaction use). `beforeSwap` runs after the staged tmp
+    * write but before any rename — a validation hook (e.g. an observed
+    * metric collected by the tmp write itself): if it throws, the staged
+    * tmp is deleted and the live store is left untouched, so a failed
+    * validation is externally identical to never having called replace.
     */
-  def replace(spark: SparkSession, dir: String, df: DataFrame, coalesceTo: Int = 0): Unit = {
+  def replace(spark: SparkSession, dir: String, df: DataFrame, coalesceTo: Int = 0,
+              beforeSwap: () => Unit = () => ()): Unit = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = tmpPath(p)
@@ -40,6 +45,8 @@ object AtomicStore {
     fs.delete(tmp, true); fs.delete(stash, true)
     val out = if (coalesceTo > 0) df.coalesce(coalesceTo) else df
     out.write.mode("overwrite").parquet(tmp.toString)
+    try beforeSwap()
+    catch { case e: Throwable => fs.delete(tmp, true); throw e }
     if (!fs.rename(p, stash)) throw new java.io.IOException(s"swap: cannot move $p aside")
     if (!fs.rename(tmp, p)) { // restore on failure so the store survives
       fs.rename(stash, p)

@@ -28,7 +28,11 @@ import org.apache.spark.sql.functions.col
   * Crash safety (same stash discipline as
   * [[graft.streaming.DedupIngest.compactStore]]): the merged result is
   * staged to a sibling `<lake>__merge_tmp` dir first; only a COMPLETE stage
-  * is then applied to the lake via dynamic partition overwrite. Stage
+  * is then applied to the lake by RENAMING each staged partition directory
+  * over its lake counterpart (delete old dir, rename staged dir in — the
+  * same whole-directory replacement dynamic partition overwrite performs,
+  * minus re-reading and re-writing every staged byte: apply is O(touched
+  * partitions) metadata ops, not a second write of the batch). Stage
   * completeness is marked by our own `_graft_commit` file — written AFTER
   * both the staged parquet and the emptied-partitions marker, so a stage
   * can never be replayed with its evacuation list missing (parquet's own
@@ -36,9 +40,10 @@ import org.apache.spark.sql.functions.col
   * crash anywhere before the commit marker leaves the lake untouched (the
   * uncommitted stage is cleared as debris on the next merge); a crash
   * after it leaves a committed stage behind, and the next [[merge]] (or an
-  * explicit [[recover]]) REPLAYS the apply — per-partition overwrite from
-  * an identical stage is idempotent, so replay always converges to the
-  * committed merge.
+  * explicit [[recover]]) REPLAYS the apply — the rename loop iterates the
+  * directories still IN the stage (an already-moved one is gone from it,
+  * and its lake copy stays), so replay always converges to the committed
+  * merge.
   *
   * Reference anchor: the lake-side analog of the reference's SQL
   * `SaveStrategy::Upsert` (fabrix-sql executor) — same upsert semantics,
@@ -74,41 +79,59 @@ object LakeMerge {
 
     val base = spark.read.parquet(lakeDir)
     val cols = base.columns.toSeq
-    // the batch plan and the touched-partition set each feed several jobs
-    // below (staged write, evacuation diff) — cache both so an expensive
-    // batch source is evaluated once and the lake scanned once
+    // the batch plan feeds several jobs below (touched-set collect, staged
+    // write) — cache it so an expensive batch source evaluates once
     val aligned = batch.select(cols.map(col): _*).persist()
     try {
-      if (aligned.isEmpty) return // an empty batch touches nothing
       val keys = aligned.select(keyCols.map(col): _*).distinct()
-      // old homes of updated keys ∪ new homes: the full touched set
-      val touched = base.join(keys, keyCols, "left_semi")
+      // old homes of updated keys ∪ new homes: the full touched set —
+      // COLLECTED once (≤ partition count by the hive-layout contract):
+      // the few rows drive the kept-side semi join as a local relation,
+      // the evacuation diff as a driver-side set difference against the
+      // staged directory listing, and the empty-batch early-out, so the
+      // whole merge schedules exactly TWO jobs (touched scan + staged
+      // write) instead of isEmpty + stage + except + overwrite
+      val touchedRows = base.join(keys, keyCols, "left_semi")
         .select(partitionCols.map(col): _*)
         .union(aligned.select(partitionCols.map(col): _*))
-        .distinct().persist()
-      try {
-        // null-SAFE partition match: a null partition value is in-contract
-        // (__HIVE_DEFAULT_PARTITION__), and a null-unsafe equi-join would
-        // silently drop the default partition's kept rows from the stage
-        val touchedT = touched.toDF(partitionCols.map("__t_" + _): _*)
-        val kept = base.join(touchedT,
-            partitionCols.map(c => col(c) <=> col("__t_" + c)).reduce(_ && _),
-            "left_semi")
-          .join(keys, keyCols, "left_anti")
-        val merged = kept.unionByName(aligned)
+        .distinct().collect()
+      if (touchedRows.isEmpty) return // an empty batch touches nothing
+      val touched = spark.createDataFrame(
+        java.util.Arrays.asList(touchedRows: _*),
+        org.apache.spark.sql.types.StructType(
+          partitionCols.map(c => base.schema(c))))
+      // null-SAFE partition match: a null partition value is in-contract
+      // (__HIVE_DEFAULT_PARTITION__), and a null-unsafe equi-join would
+      // silently drop the default partition's kept rows from the stage
+      val touchedT = touched.toDF(partitionCols.map("__t_" + _): _*)
+      val kept = base.join(touchedT,
+          partitionCols.map(c => col(c) <=> col("__t_" + c)).reduce(_ && _),
+          "left_semi")
+        .join(keys, keyCols, "left_anti")
+      val merged = kept.unionByName(aligned)
 
-        // stage the touched partitions' new contents, then apply
-        merged.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(stage.toString)
-        // partitions evacuated by partition-moving updates have no rows in
-        // the stage, so dynamic overwrite won't rewrite them — record them
-        // in the stage so apply (and any replay) deletes their stale dirs
-        val emptied = touched.except(
-          spark.read.parquet(stage.toString).select(partitionCols.map(col): _*).distinct())
-        writeEmptied(spark, fs, stage, partitionCols, emptied)
-        // the commit point: only now is the stage complete enough to replay
-        fs.create(new Path(stage, CommitMarker), true).close()
-        applyStage(spark, fs, lake)
-      } finally touched.unpersist()
+      // stage the touched partitions' new contents, then apply. REBALANCE
+      // by the partition key before the write: without it every write task
+      // leaves a file in every partition it touches, and because apply now
+      // RENAMES staged dirs (no longer re-reads and re-writes them, which
+      // incidentally re-compacted), fragmentation would compound across
+      // merges and tax every later base scan. The AQE rebalance clusters
+      // rows by partition value, splits oversized groups, and coalesces
+      // small ones to advisory size — right-sized files at any scale for
+      // ONE exchange of the touched partitions' bytes, strictly cheaper
+      // than the full second write the old apply paid.
+      merged.hint("rebalance", partitionCols.map(col): _*)
+        .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(stage.toString)
+      // partitions evacuated by partition-moving updates have no rows in
+      // the stage, so apply won't rename anything over them — record them
+      // in the stage so apply (and any replay) deletes their stale dirs.
+      // The diff is driver-side: touched paths minus the stage's actual
+      // directory names (the same hive encoding both ways)
+      writeEmptied(spark, fs, stage, partitionCols,
+        touchedRows.toIndexedSeq, stagedPartitionDirs(fs, stage).toSet)
+      // the commit point: only now is the stage complete enough to replay
+      fs.create(new Path(stage, CommitMarker), true).close()
+      applyStage(spark, fs, lake)
     } finally aligned.unpersist()
   }
 
@@ -140,26 +163,28 @@ object LakeMerge {
     val base = spark.read.parquet(lakeDir)
     val keys = keys0.select(keyCols.map(col): _*).distinct().persist()
     try {
-      val touched = base.join(keys, keyCols, "left_semi")
-        .select(partitionCols.map(col): _*).distinct().persist()
-      try {
-        if (touched.isEmpty) return
-        val touchedT = touched.toDF(partitionCols.map("__t_" + _): _*)
-        val kept = base.join(touchedT,
-            partitionCols.map(c => col(c) <=> col("__t_" + c)).reduce(_ && _),
-            "left_semi")
-          .join(keys, keyCols, "left_anti")
-        kept.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(stage.toString)
-        // a delete can evacuate EVERY touched partition — the stage then has
-        // no readable parquet, and every touched partition is emptied
-        val stagedParts =
-          if (hasData(spark, fs, stage))
-            spark.read.parquet(stage.toString).select(partitionCols.map(col): _*).distinct()
-          else touched.limit(0)
-        writeEmptied(spark, fs, stage, partitionCols, touched.except(stagedParts))
-        fs.create(new Path(stage, CommitMarker), true).close()
-        applyStage(spark, fs, lake)
-      } finally touched.unpersist()
+      // collected once, like merge: drives the kept-side semi join as a
+      // local relation, the empty early-out, and the driver-side
+      // evacuation diff (a delete can empty EVERY touched partition — the
+      // stage then has no data dirs and all touched paths land emptied)
+      val touchedRows = base.join(keys, keyCols, "left_semi")
+        .select(partitionCols.map(col): _*).distinct().collect()
+      if (touchedRows.isEmpty) return
+      val touched = spark.createDataFrame(
+        java.util.Arrays.asList(touchedRows: _*),
+        org.apache.spark.sql.types.StructType(
+          partitionCols.map(c => base.schema(c))))
+      val touchedT = touched.toDF(partitionCols.map("__t_" + _): _*)
+      val kept = base.join(touchedT,
+          partitionCols.map(c => col(c) <=> col("__t_" + c)).reduce(_ && _),
+          "left_semi")
+        .join(keys, keyCols, "left_anti")
+      kept.hint("rebalance", partitionCols.map(col): _*)
+        .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(stage.toString)
+      writeEmptied(spark, fs, stage, partitionCols,
+        touchedRows.toIndexedSeq, stagedPartitionDirs(fs, stage).toSet)
+      fs.create(new Path(stage, CommitMarker), true).close()
+      applyStage(spark, fs, lake)
     } finally keys.unpersist()
   }
 
@@ -174,57 +199,53 @@ object LakeMerge {
   private[sources] def stagePath(lake: Path): Path =
     new Path(lake.getParent, lake.getName + "__merge_tmp")
 
-  /** Dynamic-partition-overwrite the staged partitions into the lake, drop
-    * partition dirs the stage marked emptied, then clear the stage. Only
-    * called with a committed (`_graft_commit`-marked) stage; idempotent.
+  /** Rename each staged partition directory over its lake counterpart —
+    * the whole-directory replacement dynamic partition overwrite performs,
+    * without re-reading and re-writing the staged bytes (apply is
+    * O(touched partitions) metadata ops, not a second write of the batch)
+    * — then drop partition dirs the stage marked emptied, then clear the
+    * stage. Only called with a committed (`_graft_commit`-marked) stage;
+    * idempotent: a replay iterates the directories still IN the stage (an
+    * already-moved one is gone from it, and its lake copy stays), and a
+    * crash between a per-directory delete and its rename just re-runs
+    * that pair.
     */
   private[sources] def applyStage(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
                                   lake: Path): Unit = {
     val stage = stagePath(lake)
-    // a stage with NO data files (a delete that evacuated every touched
-    // partition) has nothing to overwrite — only emptied dirs to drop
-    if (!hasData(spark, fs, stage)) {
-      readEmptied(fs, stage).foreach { rel => fs.delete(new Path(lake, rel), true) }
-      fs.delete(stage, true)
-      return
-    }
-    val conf = spark.conf
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prior = conf.getOption(key)
-    conf.set(key, "dynamic")
-    try {
-      val staged0 = spark.read.parquet(stage.toString)
-      val parts = partitionColsOf(spark, stage)
-      // an unpartitioned stage would make the overwrite STATIC — wiping the
-      // whole lake instead of the touched partitions; refuse
-      require(parts.nonEmpty, s"stage $stage has no hive partition layout")
-      // a stage whose every row sits in the default (null) partition infers
-      // that partition column as VOID, which partitionBy rejects; the cast
-      // is value-invisible (the column holds only nulls, and partition
-      // values live in directory names, not data files)
-      val staged = parts.foldLeft(staged0) { (df, p) =>
-        if (df.schema(p).dataType == org.apache.spark.sql.types.NullType)
-          df.withColumn(p, col(p).cast(org.apache.spark.sql.types.StringType))
-        else df
-      }
-      staged.write.mode("overwrite").partitionBy(parts: _*).parquet(lake.toString)
-    } finally {
-      prior match { case Some(v) => conf.set(key, v); case None => conf.unset(key) }
+    val staged = stagedPartitionDirs(fs, stage)
+    // an unpartitioned stage (data files at the root, no hive dirs) cannot
+    // be applied per-partition — refuse rather than drop the batch. A
+    // stage with NO data dirs at all (a delete that evacuated every
+    // touched partition) is legal: only emptied dirs to drop.
+    require(staged.nonEmpty || !hasData(spark, fs, stage),
+      s"stage $stage has data files but no hive partition layout")
+    staged.foreach { rel =>
+      val dest = new Path(lake, rel)
+      fs.delete(dest, true)
+      val parent = dest.getParent
+      if (!fs.exists(parent)) fs.mkdirs(parent)
+      if (!fs.rename(new Path(stage, rel), dest))
+        throw new java.io.IOException(s"apply: cannot move staged $rel into $lake")
     }
     readEmptied(fs, stage).foreach { rel => fs.delete(new Path(lake, rel), true) }
     fs.delete(stage, true)
   }
 
-  /** The stage's partition columns, recovered from its hive directory
-    * layout (`a=v/b=w/part-…`), in nesting order.
+  /** The stage's leaf partition directories as relative hive paths
+    * (`a=v/b=w`), discovered from the directory layout: walk `name=value`
+    * directories down; a hive dir with no hive subdirs is a leaf.
     */
-  private def partitionColsOf(spark: SparkSession, stage: Path): Seq[String] = {
-    val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def walk(p: Path, acc: List[String]): List[String] =
-      fs.listStatus(p).find(st => st.isDirectory && st.getPath.getName.contains("=")) match {
-        case Some(st) => walk(st.getPath, st.getPath.getName.takeWhile(_ != '=') :: acc)
-        case None => acc.reverse
-      }
+  private[sources] def stagedPartitionDirs(fs: org.apache.hadoop.fs.FileSystem,
+                                           stage: Path): Seq[String] = {
+    if (!fs.exists(stage)) return Nil
+    def walk(p: Path, rel: List[String]): Seq[String] = {
+      val subs = fs.listStatus(p)
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      if (subs.isEmpty) {
+        if (rel.isEmpty) Nil else Seq(rel.reverse.mkString("/"))
+      } else subs.toSeq.flatMap(st => walk(st.getPath, st.getPath.getName :: rel))
+    }
     walk(stage, Nil)
   }
 
@@ -233,19 +254,22 @@ object LakeMerge {
 
   /** Record evacuated partitions as relative dir paths, one per line, in a
     * marker file INSIDE the stage — written before apply starts, so a
-    * replayed apply deletes them too.
+    * replayed apply deletes them too. Evacuated = touched partitions the
+    * stage did not reproduce as a directory: the touched rows are encoded
+    * with the same hive path encoding Spark's writer uses, so the diff is
+    * a driver-side string set difference (no Spark job).
     */
   private[sources] def writeEmptied(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
-                           stage: Path, partitionCols: Seq[String], emptied: DataFrame): Unit = {
-    val rows = emptied.collect() // ≤ touched-partition count — small by the
-                                 // hive-layout contract (partitions are few)
-    val lines = rows.map { r =>
+                                    stage: Path, partitionCols: Seq[String],
+                                    touchedRows: Seq[org.apache.spark.sql.Row],
+                                    stagedDirs: Set[String]): Unit = {
+    val lines = touchedRows.map { r =>
       partitionCols.zipWithIndex.map { case (c, i) =>
         ExternalCatalogUtils.getPartitionPathString(c,
           if (r.isNullAt(i)) null else r.get(i).toString)
       }.mkString("/")
-    }
-    writeEmptiedLines(fs, stage, lines.toIndexedSeq)
+    }.filterNot(stagedDirs.contains)
+    writeEmptiedLines(fs, stage, lines)
   }
 
   /** Raw-relative-path form of the emptied marker — for callers that know

@@ -21,6 +21,9 @@ object Profile {
       // benched plans (rationale in Bench.scala)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "256k"))
+      // pin ANSI overflow-raising for the exact-arithmetic paths
+      // (rationale in Bench.scala)
+      .config("spark.sql.ansi.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -28,6 +31,7 @@ object Profile {
     val q = graft.Registry.all.find(_.name == name)
       .getOrElse(sys.error(s"unknown query $name"))
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long, Int)]()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
@@ -36,13 +40,16 @@ object Profile {
           si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L),
           si.taskMetrics.executorRunTime, si.numTasks))
       }
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
     })
     (1 to reps).foreach { i =>
-      stages.clear()
+      stages.clear(); jobs.set(0)
       val t0 = System.nanoTime()
       val df = q.run(spark, dir)
       val n = df.count()
-      println(f"[profile] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+      println(f"[profile] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n jobs=${jobs.get()}")
       import scala.jdk.CollectionConverters._
       stages.asScala.toSeq.sortBy(-_._2).take(8).foreach { case (id, wall, run, nt) =>
         println(f"[profile]   stage$id: wall=${wall / 1e3}%.2fs taskRun=${run / 1e3}%.2fs tasks=$nt")

@@ -67,9 +67,14 @@ class Scd2Spec extends SparkSpec {
     import spark.implicits._
     val dir = freshDir("late")
     Scd2.update(spark, dir, changesDf, "k", Seq("status"), "eff", "seq")
+    val beforeReject = rows(Scd2.read(spark, dir))
     val late = Seq((1L, "iron", d("2023-12-01"), 5L)).toDF("k", "status", "eff", "seq")
     intercept[IllegalArgumentException](
       Scd2.update(spark, dir, late, "k", Seq("status"), "eff", "seq"))
+    // the rejection happens after the staged tmp write but before the swap
+    // (the late count rides the rebuild job as an observed metric) — the
+    // live store must come out of a rejected fold exactly as it went in
+    assert(rows(Scd2.read(spark, dir)) == beforeReject)
     // an in-order continuation for an existing key folds fine
     val next = Seq((2L, "silver", d("2024-06-01"), 40L)).toDF("k", "status", "eff", "seq")
     Scd2.update(spark, dir, next, "k", Seq("status"), "eff", "seq")
