@@ -6588,7 +6588,8 @@ FROM (${graft.operators.DenseSeries.denseDailyOracleBody(
             s.readStream.schema(docs.schema)
               .option("maxFilesPerTrigger", "1").parquet(staged),
             textCol = "text")
-          graft.streaming.StreamStage.runToMemory(stream, "g_stream_dedup")
+          graft.streaming.StreamStage.runToMemory(stream, "g_stream_dedup",
+            statePartitions = Some(4))
             .select(graft.text.TextFunctions.fingerprint(col("text")).as("fp"))
             .groupBy("fp").agg(count(lit(1)).as("n"))
             .orderBy("fp")
@@ -6626,7 +6627,8 @@ ORDER BY fp""")),
             graft.streaming.StreamingWindows.readEventsStream(
               s, staged, Map("maxFilesPerTrigger" -> "1")),
             duration = "1 hour", lateness = "2 hours")
-          graft.streaming.StreamStage.runToMemory(stream, "g_stream_windows")
+          graft.streaming.StreamStage.runToMemory(stream, "g_stream_windows",
+            statePartitions = Some(4))
             .where(col("w_start") < lit("2029-01-01").cast("timestamp"))
             .select(col("w_start").cast("timestamp_ntz").as("w_start"),
               col("event_type"), col("n_events"), col("sum_value"))
@@ -6665,7 +6667,8 @@ ORDER BY fp""")),
               .withWatermark("ts", "1 hour"),
             steps)
           val snaps = graft.streaming.StreamStage
-            .runToMemory(stream.toDF(), "g_stream_funnel", mode = "update")
+            .runToMemory(stream.toDF(), "g_stream_funnel", mode = "update",
+              statePartitions = Some(4))
             .where(col("user_id") =!= -1L)
             .groupBy("user_id")
             .agg(max(col("steps_completed")).as("steps_completed"),

@@ -14,6 +14,9 @@ object Verify {
       // the benched plans (rationale in Bench.scala)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "256k"))
+      // pin ANSI overflow-raising for the exact-arithmetic paths
+      // (rationale in Bench.scala)
+      .config("spark.sql.ansi.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -27,7 +27,9 @@ import org.apache.spark.sql.functions._
   *
   * Contract: rows with NULL customer/date drop (unattributable);
   * revenue may be negative (refunds) — the cumulative can dip; sums
-  * ride DECIMAL(38,0).
+  * are exact decimal(38,0) values (computed via [[graft.ExactSum]]
+  * limb sums when the cents column is integral, plain decimal sums
+  * otherwise).
   */
 object CohortLtv {
 
@@ -38,6 +40,21 @@ object CohortLtv {
   def curves(df: DataFrame, custCol: String, dateCol: String,
              centsCol: String): DataFrame = {
     val dec = "decimal(38,0)"
+    // integral inputs take the limb-sum fast path (graft.ExactSum): the
+    // decimal(38,0) aggregate and window sums are exact but pay the
+    // BigInteger-buffer tax per row. cast(long) of an integral column is
+    // an identity (no rounding hazard — the hazard that keeps fractional
+    // inputs on the decimal path, where cast(long) truncates but
+    // cast(decimal) rounds), and rev_cents is PUBLISHED as BIGINT anyway,
+    // so moving its long cast before the cumsum only moves the ANSI
+    // overflow raise earlier, never changes a published value.
+    val integral = df.schema(centsCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
     val rows = df
       .where(col(custCol).isNotNull && col(dateCol).isNotNull)
       .select(col(custCol).as("__c"),
@@ -47,9 +64,12 @@ object CohortLtv {
     val cohorts = rows.groupBy(col("__c")).agg(min(col("__m")).as("__coh"))
     val sizes = cohorts.groupBy(col("__coh"))
       .agg(count(lit(1)).as("cohort_size"))
+    val revAgg =
+      if (integral) graft.ExactSum.sumLong(col("__v").cast("long"))
+      else sum(col("__v").cast(dec))
     val rev = rows.join(cohorts, "__c")
       .groupBy(col("__coh"), (col("__m") - col("__coh")).as("age_months"))
-      .agg(sum(col("__v").cast(dec)).as("__rev"))
+      .agg(revAgg.as("__rev"))
     val horizon = rows.agg(max(col("__m")).as("__maxm"))
     val spine = sizes.crossJoin(broadcast(horizon))
       .select(col("__coh"), col("cohort_size"),
@@ -57,10 +77,17 @@ object CohortLtv {
           .as("age_months"))
     val cum = Window.partitionBy(col("__coh")).orderBy(col("age_months"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine
-      .join(rev, Seq("__coh", "age_months"), "left")
-      .withColumn("rev_cents", coalesce(col("__rev"), lit(0).cast(dec)))
-      .withColumn("__cum", sum(col("rev_cents")).over(cum))
+    val joined = spine.join(rev, Seq("__coh", "age_months"), "left")
+    val cummed =
+      if (integral)
+        joined
+          .withColumn("rev_cents", coalesce(col("__rev").cast("long"), lit(0L)))
+          .withColumn("__cum", graft.ExactSum.sumLongOver(col("rev_cents"), cum))
+      else
+        joined
+          .withColumn("rev_cents", coalesce(col("__rev"), lit(0).cast(dec)))
+          .withColumn("__cum", sum(col("rev_cents")).over(cum))
+    cummed
       .select(
         concat(expr("CAST((__coh - 1) div 12 AS STRING)"), lit("-"),
           lpad((pmod(col("__coh") - 1, lit(12)) + 1).cast("string"), 2, "0"))

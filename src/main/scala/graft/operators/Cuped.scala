@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions._
   *   ydiff_q6 / xdiff_q6 = sgn-div(10⁶·[s_t·n_c − s_c·n_t], n_t·n_c)
   *   adj_q6   = ydiff_q6 − sgn-div(theta_q6 · xdiff_q6, 10⁶)
   *
-  * with every moment in DECIMAL(38,0) (documented bound:
-  * n·max|x|·max|y|·10⁶ must fit 10³⁸ — scale units accordingly). The
+  * with the per-row products computed in LONG arithmetic (documented
+  * bound: |x·y| and x² must fit 2⁶³ per ROW — ANSI raises loudly past
+  * it; scale quantized units accordingly) and the cross-group moment
+  * combinations in DECIMAL(38,0). The
   * raw fractions publish beside as canonical strings. A constant
   * covariate (zero variance) publishes NULL θ and NULL adjusted
   * effect — the unadjusted ydiff still reads. Treatment is STRICT

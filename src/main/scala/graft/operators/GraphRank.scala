@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** PageRank in EXACT integer arithmetic — link-graph centrality for corpus
@@ -47,6 +48,32 @@ import org.apache.spark.sql.functions._
   */
 object GraphRank {
 
+  /** Checkpoint `df` pinned to a hash(`key`) layout, sorted within
+    * partitions, with the partitioning VISIBLE to later planning: under
+    * AQE, `localCheckpoint` captures the AdaptiveSparkPlan's
+    * outputPartitioning, which is Unknown before the final plan exists —
+    * so every per-round join would re-exchange the checkpointed frame
+    * (measured: plan-identical to the unpinned form). Scoping AQE off
+    * around this ONE setup planning makes the LogicalRDD carry
+    * hash(key, n) + the sort order, so EnsureRequirements skips the
+    * exchange and sort on this side of every subsequent join. The conf
+    * flip is driver-side and momentary (the same single-threaded-harness
+    * posture as StreamStage's scoped override); the frame itself is
+    * loop-invariant setup, so losing AQE for its one materialization is
+    * irrelevant.
+    */
+  private[graft] def pinnedLayout(onLayout: DataFrame => DataFrame = identity)
+                                     (df: DataFrame, key: String, n: Int): DataFrame = {
+    val spark = df.sparkSession
+    val k = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(k)
+    spark.conf.set(k, "false")
+    try {
+      val laid = onLayout(df.repartition(n, col(key)))
+      laid.sortWithinPartitions(key).localCheckpoint(false)
+    } finally spark.conf.set(k, prev)
+  }
+
   /** Integer PageRank over directed `edges` (`src`, `dst` long columns).
     * Returns (`id`, `score`) for every vertex appearing as src or dst.
     * Self-loops and duplicate edges count like any other edge (dedup
@@ -64,14 +91,27 @@ object GraphRank {
     // (3 setup + one per round) were pure scheduling latency
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).localCheckpoint(false)
-    // outdeg is loop-invariant: join it onto the edge list ONCE and
-    // checkpoint the result, so each round pays only the scores join —
-    // not a redundant full-edge-list degree join per iteration
-    val eDeg = e
-      .join(e.groupBy("src").agg(count(lit(1)).as("__outdeg")), "src")
-      .localCheckpoint(false)
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(false)
+    val n = edges.sparkSession.sessionState.conf.numShufflePartitions
+    // outdeg is loop-invariant: annotate the edge list ONCE and checkpoint
+    // the result PINNED to a hash(src) layout, sorted within partitions
+    // (explicit partition count so nothing coalesces it out of alignment)
+    // — localCheckpoint preserves the declared partitioning and ordering,
+    // so the per-round contribution join never re-shuffles or re-sorts
+    // the EDGE list: only vertex-sized frames move each round, leaving
+    // the incoming-sum aggregate as the round's one edge-volume shuffle.
+    // The degree comes from a same-partitioning WINDOW over the pinned
+    // layout, not a join — the whole pinned build is exchange→sort→window,
+    // cheap to materialize even in pinnedLayout's non-adaptive scope
+    val eDeg = pinnedLayout(_
+      .withColumn("__outdeg", count(lit(1)).over(Window.partitionBy("src")))
+    )(e, "src", n)
+    // nodes pinned hash(id) with the SAME count: the damped-update left
+    // join streams it in place, and the aggregate side arrives hash(dst)
+    // at the same n, so neither side of that join re-exchanges; distinct
+    // rides the pinned exchange (same-key hash aggregate, no re-shuffle)
+    val nodes = pinnedLayout(_.distinct())(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id"))),
+      "id", n)
     val baseAdd = (startScore * (dampDen - dampNum)) / dampDen
     var scores = nodes.select(col("id"), lit(startScore).as("score"))
     var i = 0
@@ -87,7 +127,7 @@ object GraphRank {
     * lineage after each call; exposed separately so the plan shape is
     * spec-pinnable).
     */
-  private[operators] def step(eDeg: DataFrame, nodes: DataFrame,
+  private[graft] def step(eDeg: DataFrame, nodes: DataFrame,
                               scores: DataFrame, baseAdd: Long,
                               dampNum: Long, dampDen: Long): DataFrame =
     stepBase(eDeg, nodes.withColumn("__base", lit(baseAdd)), scores,
@@ -97,7 +137,7 @@ object GraphRank {
     * `__base` column of `nodesB` — a constant column IS plain PageRank,
     * seed-concentrated mass is the personalized variant.
     */
-  private[operators] def stepBase(eDeg: DataFrame, nodesB: DataFrame,
+  private[graft] def stepBase(eDeg: DataFrame, nodesB: DataFrame,
                                   scores: DataFrame,
                                   dampNum: Long, dampDen: Long): DataFrame = {
     val contribs = eDeg
@@ -134,9 +174,12 @@ object GraphRank {
     require(startScore > 0, s"startScore must be positive, got $startScore")
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).localCheckpoint(false)
-    val eDeg = e
-      .join(e.groupBy("src").agg(count(lit(1)).as("__outdeg")), "src")
-      .localCheckpoint(false)
+    val n = edges.sparkSession.sessionState.conf.numShufflePartitions
+    // same pinned-layout discipline as [[pageRankInt]]: the edge list
+    // keeps one hash(src)-sorted layout across every round
+    val eDeg = pinnedLayout(_
+      .withColumn("__outdeg", count(lit(1)).over(Window.partitionBy("src")))
+    )(e, "src", n)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val seedIds = seeds.where(col(seedCol).isNotNull)
@@ -146,9 +189,10 @@ object GraphRank {
     require(flagged.where(col("__sf") === 1).limit(1).count() > 0,
       "personalizedPageRankInt: no seed is a vertex of the graph")
     val baseAdd = (startScore * (dampDen - dampNum)) / dampDen
-    val nodesB = flagged.select(col("id"),
-        when(col("__sf") === 1, lit(baseAdd)).otherwise(lit(0L)).as("__base"))
-      .localCheckpoint(false)
+    val nodesB = pinnedLayout()(
+      flagged.select(col("id"),
+        when(col("__sf") === 1, lit(baseAdd)).otherwise(lit(0L)).as("__base")),
+      "id", n)
     var scores = flagged.select(col("id"),
       when(col("__sf") === 1, lit(startScore)).otherwise(lit(0L)).as("score"))
     var i = 0

@@ -64,10 +64,13 @@ object AlarmIngest {
     val run = Window.partitionBy(col(groupCol))
       .orderBy(col("idx").asc, col("__x").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // lazy checkpoint: still pins one snapshot for the two consumers
+    // (alarm write + tail fold), but materialization rides the alarm
+    // write's own job instead of a blocking extra job per micro-batch
     val pre = rows
       .withColumn("__bp", sum(col("__x") - lit(k)).over(run))
       .withColumn("__bq", sum(lit(k) - col("__x")).over(run))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val prev = readState(spark, storeDir).getOrElse(
       pre.select(col(groupCol)).limit(0)
         .select(col(groupCol), lit(0L).as("cum_p"), lit(0L).as("min_p"),

@@ -73,6 +73,10 @@ object BucketIngest {
     val prevR = prev.select(col(keyCol).as("__g"), col("last_i"),
       col("last_id"), col("level"))
     val joined = collected.join(prevR, col(keyCol) <=> col("__g"), "left")
+    // lazy checkpoint: ONE pinned snapshot of the per-key fold for its two
+    // consumers (decision append + tail swap) — materialization rides the
+    // append job; previously the fold ran twice (the eager checkpoint
+    // pinned only the exploded output, and the tail re-derived the fold)
     val folded = joined.select(col(keyCol),
       col("last_i").as("__li"), col("last_id").as("__lid"),
       (size(col("__arr")) =!=
@@ -81,6 +85,7 @@ object BucketIngest {
       graft.operators.TokenBucket.foldArr(col("__arr"),
         col("last_i"), col("level"),
         rateNum, rateDen, burst).as("__out"))
+      .localCheckpoint(false)
     // order + dup guards ride inside every published column
     def guarded(out: org.apache.spark.sql.Column) =
       when(col("__li").isNotNull &&
@@ -104,7 +109,6 @@ object BucketIngest {
         (guarded(when(col("__e.adm"), 1L).otherwise(0L)) === 1L)
           .as("admitted"),
         guarded(col("__e.lvl")).as("level_q"))
-      .localCheckpoint(true)
     out.write.mode("append").parquet(lakeDir)
     // new tail per key: the LAST folded element (arrays are sorted, so
     // element_at(-1) is the (idx, id) maximum)

@@ -153,7 +153,9 @@ object DedupIngest {
           Dedup.dedupIncrementalBloom(batch, store, textCol, idCol, expectedStoreItems)
         else Dedup.dedupIncremental(batch, store, textCol, idCol)
       }
-    val accepted = fresh.localCheckpoint(true)
+    // lazy: the corpus append materializes the snapshot, the fingerprint
+    // append reads the pinned blocks — one job fewer per batch
+    val accepted = fresh.localCheckpoint(false)
     accepted.write.mode("append").parquet(corpusDir)
     accepted.select(fingerprint(col(textCol)).as("fp"))
       .write.mode("append").parquet(fpStoreDir)

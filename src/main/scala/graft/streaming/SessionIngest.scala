@@ -106,8 +106,11 @@ object SessionIngest {
       when(hasState && !bridges, array(closedState)).otherwise(emptySess),
       array(mergedFirst),
       slice(col("__arr"), lit(2), greatest(size(col("__arr")) - 1, lit(0))))
+    // lazy checkpoint: one pinned snapshot for the two consumers (closed-
+    // session append + new-opens store swap); materialization rides the
+    // append job instead of a blocking extra job per micro-batch
     val withAll = j.withColumn("__ok", orderOk).withColumn("__all", all)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     def guarded(out: Column) =
       when(!col("__ok"), raise_error(concat(
         lit("SessionIngest: batch event at or before the stored open "),

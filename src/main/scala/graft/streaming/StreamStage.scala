@@ -51,28 +51,37 @@ object StreamStage {
     * far MORE partitions than cores (target tens-of-MB of state per
     * partition so a store reload after failover is bounded). The count
     * is a state-volume parameter, not a parallelism parameter — so it
-    * is exposed as `spark.graft.stream.statePartitions` (default 4:
-    * right for the MB-scale state of a replayed gate; a production
-    * deployment sizes it to state-bytes ÷ ~64 MB and overrides). The
+    * must be DECLARED: callers pass `statePartitions` sized to their
+    * state volume (the replay gates pass 4, right for their MB-scale
+    * state), or set `spark.graft.stream.statePartitions` (which takes
+    * precedence, the deployment override). With NEITHER set, the query
+    * keeps the session's `spark.sql.shuffle.partitions` — there is no
+    * silent tiny default to under-partition 100 TB of state. The
     * override scopes to THIS query (StreamExecution clones the session
     * synchronously inside start(), so restoring the conf right after is
-    * race-free) but applies to every shuffle inside it — correct for
-    * the replayed gates, whose per-batch volumes are store-sized; a
-    * deployment with heavy pre-state stages sets the conf to its real
-    * state-partition target and sizes the session default for the rest.
+    * race-free; this helper assumes the single-threaded gate/test
+    * harness — nothing else plans queries on the session concurrently,
+    * or it could inherit the narrowed setting) and applies to every
+    * shuffle inside it — correct for the replayed gates, whose
+    * per-batch volumes are store-sized; a deployment with heavy
+    * pre-state stages sets the conf to its real state-partition target
+    * and sizes the session default for the rest.
     */
   def runToMemory(stream: DataFrame, name: String,
-                  mode: String = "append"): DataFrame = {
+                  mode: String = "append",
+                  statePartitions: Option[Int] = None): DataFrame = {
     val spark = stream.sparkSession
     spark.catalog.dropTempView(name)
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key,
-      spark.conf.getOption("spark.graft.stream.statePartitions").getOrElse("4"))
+    val target = spark.conf.getOption("spark.graft.stream.statePartitions")
+      .orElse(statePartitions.map(_.toString))
     val q =
-      try stream.writeStream.format("memory").queryName(name)
-        .outputMode(mode).start()
-      finally spark.conf.set(key, prev)
+      try {
+        target.foreach(spark.conf.set(key, _))
+        stream.writeStream.format("memory").queryName(name)
+          .outputMode(mode).start()
+      } finally spark.conf.set(key, prev)
     try q.processAllAvailable() finally q.stop()
     val out = spark.table(name).localCheckpoint(true)
     spark.catalog.dropTempView(name)

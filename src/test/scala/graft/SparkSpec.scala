@@ -19,6 +19,9 @@ object SparkSpec {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      // pin ANSI overflow-raising for the exact-arithmetic paths
+      // (rationale in Bench.scala)
+      .config("spark.sql.ansi.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", "/tmp/graft_test_warehouse")

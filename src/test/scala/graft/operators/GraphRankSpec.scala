@@ -73,6 +73,39 @@ class GraphRankSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("pinned edge layout: a round reshuffles only vertex-sized frames") {
+    // replicate pageRankInt's pinned-layout setup and plan one round in
+    // the no-broadcast (at-scale) regime: the checkpointed hash(src)
+    // layout must survive into the LogicalRDD so the contribution join
+    // does NOT re-exchange the edge list — only the incoming-sum
+    // aggregate moves edge-volume data
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val n = spark.sessionState.conf.numShufflePartitions
+      val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst")).localCheckpoint(false)
+      def pinned(df: org.apache.spark.sql.DataFrame, key: String) =
+        GraphRank.pinnedLayout()(df, key, n)
+      val eDegRaw = e.join(e.groupBy("src").agg(count(lit(1)).as("__outdeg")), "src")
+      val nodesRaw = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+      def exchanges(eDeg: org.apache.spark.sql.DataFrame,
+                    nodes: org.apache.spark.sql.DataFrame): Int = {
+        val scores = nodes.select(col("id"), lit(1000000L).as("score"))
+        val plan = GraphRank.step(eDeg, nodes, scores, 150000L, 85L, 100L)
+          .queryExecution.executedPlan.toString
+        "Exchange hashpartitioning".r.findAllIn(plan).length
+      }
+      val unpinnedCount = exchanges(eDegRaw.localCheckpoint(false),
+        nodesRaw.localCheckpoint(false))
+      val pinnedCount = exchanges(pinned(eDegRaw, "src"), pinned(nodesRaw, "id"))
+      assert(pinnedCount < unpinnedCount,
+        s"pinned=$pinnedCount unpinned=$unpinnedCount")
+      assert(pinnedCount <= 2, s"pinned round still re-exchanges: $pinnedCount")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("invalid damping or iteration counts are rejected") {
     intercept[IllegalArgumentException](GraphRank.pageRankInt(edges, -1))
     intercept[IllegalArgumentException](GraphRank.pageRankInt(edges, 1, dampNum = 101))

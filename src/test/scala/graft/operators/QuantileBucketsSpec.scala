@@ -85,17 +85,45 @@ class QuantileBucketsSpec extends SparkSpec {
 
   test("plan: range partitioning, no single-partition window over row data") {
     val df = (1 to 200).map(i => (i.toLong % 37, i.toLong)).toDF("v", "id")
-    val out = QuantileBuckets.ntileExact(df, "v", "id", 10)
+    // shrink AQE's coalescing targets for this test so the range exchange
+    // genuinely holds >1 partition at test scale (AQE would otherwise
+    // coalesce the tiny shuffle to one partition and the layout assertion
+    // below would be vacuous — the same masking that hid the replay bug)
+    val advisoryKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val minKey = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    val prevAdvisory = spark.conf.get(advisoryKey)
+    val prevMin = spark.conf.get(minKey)
+    spark.conf.set(advisoryKey, "1k")
+    spark.conf.set(minKey, "1k")
+    val (out, spans) = try {
+      val o = QuantileBuckets.ntileExact(df, "v", "id", 10)
+      val sp = o.select("v", "id").rdd
+        .glom().collect()
+        .map(_.map(r => (r.getLong(0), r.getLong(1))))
+        .filter(_.nonEmpty)
+        .map(p => (p.min, p.max))
+      (o, sp)
+    } finally {
+      spark.conf.set(advisoryKey, prevAdvisory)
+      spark.conf.set(minKey, prevMin)
+    }
     val plan = out.queryExecution.executedPlan.toString
     // the range exchange now lives INSIDE the pinned snapshot's RDD
     // lineage (withDenseIndexPinned checkpoints the sorted frame so both
     // DenseIndex passes read one layout — the replay-determinism fix),
-    // so the outer plan shows the snapshot scan, not the exchange; the
-    // sort itself is pinned on the PRE-checkpoint frame instead
-    val sortedPlan = df.repartitionByRange(col("v"), col("id"))
-      .sortWithinPartitions("v", "id")
-      .queryExecution.executedPlan.toString
-    assert(sortedPlan.contains("rangepartitioning"))
+    // so the outer plan shows the snapshot scan, not the exchange. Assert
+    // the operator's OWN data actually came through a multi-partition
+    // range layout: the output (a broadcast join over the snapshot
+    // preserves its partitioning) must hold >1 non-empty partition whose
+    // (v, id) spans are disjoint and ordered — the observable signature
+    // of range partitioning, on the pinned frame itself rather than on a
+    // freshly built lookalike.
+    assert(spans.length > 1)
+    assert(spans.sliding(2).forall {
+      case Array((_, hiA), (loB, _)) =>
+        hiA._1 < loB._1 || (hiA._1 == loB._1 && hiA._2 <= loB._2)
+      case _ => true
+    })
     assert(plan.contains("ExistingRDD") || plan.contains("LogicalRDD"))
     // the only Window in the plan is DenseIndex's numPartitions-row offset
     // cumsum — NTILE itself is arithmetic, not a window function
