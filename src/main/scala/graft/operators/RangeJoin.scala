@@ -42,8 +42,11 @@ object RangeJoin {
     def cellOf(c: org.apache.spark.sql.Column) =
       floor(unix_micros(c.cast("timestamp")) / bucketMicros(bucket))
 
-    val l = left.withColumn(cell, cellOf(col(tsCol)))
-    val r = right.withColumn(cell,
+    // single-split scans (the bench fixture layout) serialize the whole
+    // explode+join into one task — fan out to parallelism first (a no-op
+    // whenever the input already has >= cores partitions, i.e. at scale)
+    val l = graft.Guards.fanOut(left).withColumn(cell, cellOf(col(tsCol)))
+    val r = graft.Guards.fanOut(right).withColumn(cell,
       explode(sequence(cellOf(col(startCol)), cellOf(col(endCol)))))
     val residual =
       if (halfOpen) col(tsCol) >= col(startCol) && col(tsCol) < col(endCol)
@@ -101,9 +104,10 @@ object RangeJoin {
     val cell = "__oj_cell"
     def cellOf(c: org.apache.spark.sql.Column) =
       floor(unix_micros(c.cast("timestamp")) / bucketMicros(bucket))
-    val l = left.withColumn(cell, explode(
+    // same single-split fan-out posture as intervalJoin (no-op at scale)
+    val l = graft.Guards.fanOut(left).withColumn(cell, explode(
       sequence(cellOf(col(leftStart)), cellOf(col(leftEnd)))))
-    val r = right.withColumn(cell, explode(
+    val r = graft.Guards.fanOut(right).withColumn(cell, explode(
       sequence(cellOf(col(rightStart)), cellOf(col(rightEnd)))))
     val overlap =
       if (halfOpen) l(leftStart) < r(rightEnd) && r(rightStart) < l(leftEnd)

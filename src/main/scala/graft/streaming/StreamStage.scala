@@ -13,6 +13,17 @@ object StreamStage {
 
   /** Clears `dir` and writes one single-file chunk per cut, named
     * `chunk_00.parquet …` with strictly ascending mtimes.
+    *
+    * The per-chunk filtered writes are independent single-task jobs, so
+    * they run OVERLAPPED from a small thread pool (guide §2.6 — probed
+    * in r12: concurrent single-task parquet writes to distinct dirs show
+    * no committer or fs contention, wall ≈ max of the writes instead of
+    * their sum; the r11 "+1.1 s" counter-signal did not reproduce and
+    * sat inside the documented steal-window noise). Everything
+    * ORDER-SENSITIVE — the copy to ascending chunk names and the mtime
+    * stamps that pin the file source's replay order — stays sequential
+    * and driver-side, so the staged layout is byte-identical to the
+    * sequential form.
     */
   def stageChunks(df: DataFrame, cuts: Seq[Column], dir: String): Unit = {
     val spark = df.sparkSession
@@ -21,19 +32,31 @@ object StreamStage {
     val fs = target.getFileSystem(conf)
     fs.delete(target, true)
     fs.mkdirs(target)
-    val tmp = new org.apache.hadoop.fs.Path(dir + "__stage_tmp")
-    cuts.zipWithIndex.foreach { case (cut, i) =>
-      fs.delete(tmp, true)
-      df.where(cut).coalesce(1).write.parquet(tmp.toString)
-      val part = fs.listStatus(tmp)
-        .map(_.getPath).find(_.getName.startsWith("part-"))
-        .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
-      val dest = new org.apache.hadoop.fs.Path(target, f"chunk_$i%02d.parquet")
-      org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, dest, false, conf)
-      // ascending mtimes pin the file source's processing order
-      fs.setTimes(dest, 1700000000000L + i * 60000L, -1)
-    }
-    fs.delete(tmp, true)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(3, cuts.length)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val staged = cuts.zipWithIndex.map { case (cut, i) =>
+        val tmp = new org.apache.hadoop.fs.Path(dir + s"__stage_tmp_$i")
+        scala.concurrent.Future {
+          fs.delete(tmp, true)
+          df.where(cut).coalesce(1).write.parquet(tmp.toString)
+          tmp
+        }
+      }.map(f => scala.concurrent.Await.result(
+        f, scala.concurrent.duration.Duration.Inf))
+      staged.zipWithIndex.foreach { case (tmp, i) =>
+        val part = fs.listStatus(tmp)
+          .map(_.getPath).find(_.getName.startsWith("part-"))
+          .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+        val dest = new org.apache.hadoop.fs.Path(target, f"chunk_$i%02d.parquet")
+        org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, dest, false, conf)
+        // ascending mtimes pin the file source's processing order
+        fs.setTimes(dest, 1700000000000L + i * 60000L, -1)
+        fs.delete(tmp, true)
+      }
+    } finally pool.shutdown()
   }
 
   /** Run a streaming frame to completion through an append-mode memory

@@ -34,8 +34,12 @@ object SourceOverlap {
     */
   def overlapMatrix(df: DataFrame, srcCol: String, textCol: String,
                     shingleN: Int = 3): DataFrame = {
-    val sh = df
-      .where(col(srcCol).isNotNull && col(textCol).isNotNull)
+    // project to the two needed columns, then fan a single-split scan out
+    // to parallelism (no-op at scale): the shingle explode + md5 otherwise
+    // serializes into the lone scan task of the bench fixture layout
+    val sh = graft.Guards.fanOut(df
+        .where(col(srcCol).isNotNull && col(textCol).isNotNull)
+        .select(col(srcCol), col(textCol)))
       .select(col(srcCol).as("__src"),
         explode(TextFunctions.shingleSet(col(textCol), shingleN)).as("__s"))
       .select(col("__src"), Md5Prefix60(col("__s")).as("__h"))
